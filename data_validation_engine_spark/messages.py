@@ -1,0 +1,185 @@
+"""Feedback messages as DataFrames.
+
+The reference engine materialises per-row feedback via a driver-side row
+loop (dve spark/rules.py:400-420 ``toLocalIterator`` + Jinja per record) —
+that collapses at scale. Here messages are ordinary DataFrames with a fixed
+schema; per-row message templates compile to native Column expressions
+(``concat``), so message generation is distributed, codegen'd, and written
+once per stage with ``df.write.json``.
+
+Message taxonomy parity: dve core_engine/message.py:136-198
+(entity/record/failure_type/error code/message/location/informational).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Literal
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RECORD_INDEX = "__record_index__"
+"""Stable 1-based per-file record index column (dve core_engine/constants.py:3)."""
+
+FailureType = Literal["record", "integrity", "submission"]
+
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType(), False),
+        T.StructField("original_entity", T.StringType(), True),
+        T.StructField(RECORD_INDEX, T.LongType(), True),
+        T.StructField("error_code", T.StringType(), True),
+        T.StructField("error_message", T.StringType(), True),
+        T.StructField("error_location", T.StringType(), True),
+        T.StructField("failure_type", T.StringType(), True),
+        T.StructField("is_informational", T.BooleanType(), False),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("reporting_field", T.StringType(), True),
+        T.StructField("record_json", T.StringType(), True),
+    ]
+)
+
+_TEMPLATE_VAR = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\}\}")
+
+
+def compile_message_template(template: str, columns: list[str]) -> Column:
+    """Compile a ``"text {{col}} text"`` template to a Column expression.
+
+    ``{{col}}`` references to existing columns render as the column value
+    (cast to string); unknown names are preserved verbatim, matching the
+    reference's preserve-undefined templating (dve templating.py:14-22).
+    Runs entirely JVM-side — one ``concat`` per template.
+    """
+    lower_cols = {c.lower(): c for c in columns}
+    parts: list[Column] = []
+    pos = 0
+    for m in _TEMPLATE_VAR.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        name = m.group(1)
+        actual = lower_cols.get(name.lower())
+        if actual is not None:
+            parts.append(F.coalesce(F.col(f"`{actual}`").cast("string"), F.lit("")))
+        else:
+            parts.append(F.lit(m.group(0)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+@dataclass(frozen=True)
+class Reporting:
+    """How a filter/notification reports failures.
+
+    Parity with dve backends/metadata/reporting.py (code, message template,
+    emit level, location, reporting field, entity overrides).
+    """
+
+    code: str = "UNKNOWN"
+    message: str = ""
+    emit: Literal["record_failure", "submission_failure", "warning", "info"] = (
+        "record_failure"
+    )
+    location: str | None = None
+    reporting_field: str | None = None
+    reporting_entity_override: str | None = None
+    original_entity_override: str | None = None
+    category: str | None = None
+
+    @property
+    def failure_type(self) -> str:
+        if self.emit == "submission_failure":
+            return "submission"
+        return "record"
+
+    @property
+    def is_informational(self) -> bool:
+        return self.emit in ("warning", "info")
+
+
+def messages_for_failures(
+    entity_name: str,
+    df: DataFrame,
+    predicate: Column,
+    reporting: Reporting,
+    *,
+    include_record_json: bool = True,
+    exclude_columns: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build the messages DataFrame for rows of ``df`` failing ``predicate``.
+
+    ``predicate`` is the *pass* condition: a message is emitted where it is
+    null or false. ``exclude_columns`` are hidden helper columns: usable by
+    the predicate but omitted from the message payload/template. Fully
+    distributed — the caller unions message frames and writes once.
+    """
+    failed = df.where(~F.coalesce(predicate.cast("boolean"), F.lit(False)))
+    cols = [c for c in df.columns if c not in exclude_columns]
+    idx = (
+        F.col(RECORD_INDEX).cast("long")
+        if RECORD_INDEX in cols
+        else F.lit(None).cast("long")
+    )
+    reporting_field_col = (
+        F.col(f"`{reporting.reporting_field}`").cast("string")
+        if reporting.reporting_field and reporting.reporting_field in cols
+        else F.lit(None).cast("string")
+    )
+    record_json = (
+        F.to_json(F.struct(*[F.col(f"`{c}`") for c in cols if c != RECORD_INDEX]))
+        if include_record_json
+        else F.lit(None).cast("string")
+    )
+    return failed.select(
+        F.lit(reporting.reporting_entity_override or entity_name).alias("entity"),
+        F.lit(reporting.original_entity_override or entity_name).alias(
+            "original_entity"
+        ),
+        idx.alias(RECORD_INDEX),
+        F.lit(reporting.code).alias("error_code"),
+        compile_message_template(reporting.message, cols).alias("error_message"),
+        F.lit(reporting.location).cast("string").alias("error_location"),
+        F.lit(reporting.failure_type).alias("failure_type"),
+        F.lit(reporting.is_informational).alias("is_informational"),
+        F.lit(reporting.category).cast("string").alias("category"),
+        reporting_field_col.alias("reporting_field"),
+        record_json.alias("record_json"),
+    )
+
+
+def empty_messages(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], MESSAGE_SCHEMA)
+
+
+def union_messages(frames: list[DataFrame]) -> DataFrame | None:
+    """Union message frames (all share MESSAGE_SCHEMA)."""
+    frames = [f for f in frames if f is not None]
+    if not frames:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+@dataclass
+class MessageCollector:
+    """Accumulates message DataFrames across steps of a rule program."""
+
+    frames: list[DataFrame] = field(default_factory=list)
+
+    def add(self, df: DataFrame | None) -> None:
+        if df is not None:
+            self.frames.append(df)
+
+    def union(self) -> DataFrame | None:
+        return union_messages(self.frames)
+
+    def union_or_empty(self, spark: SparkSession) -> DataFrame:
+        return self.union() or empty_messages(spark)

@@ -1,0 +1,243 @@
+"""Typed step configurations (the public rule-program API).
+
+Pydantic v2 models mirroring the reference's step vocabulary
+(dve backends/metadata/rules.py:88-563 and configuration/v1/steps.py:58-365,
+discriminated on ``operation``). Configs are frozen/hashable; the engine
+dispatches on config type.
+
+Every step reads ``entity_name`` from the namespace and writes its result
+under ``new_entity_name or entity_name``.
+"""
+
+from __future__ import annotations
+
+from typing import Annotated, Literal, Optional, Union
+
+from pydantic import BaseModel, ConfigDict, Field
+
+from data_validation_engine_spark.exprs import MultipleExpressions
+from data_validation_engine_spark.messages import Reporting
+
+
+class AbstractStep(BaseModel):
+    """Base for all step configs."""
+
+    model_config = ConfigDict(frozen=True, extra="forbid")
+
+    entity_name: str
+    new_entity_name: Optional[str] = None
+
+    @property
+    def output_name(self) -> str:
+        return self.new_entity_name or self.entity_name
+
+
+# -- column / projection steps ---------------------------------------------
+class ColumnAddition(AbstractStep):
+    """Add (or overwrite) one column from a SQL expression."""
+
+    operation: Literal["add"] = "add"
+    column_name: str
+    expression: str
+
+
+class ColumnRemoval(AbstractStep):
+    """Drop one column."""
+
+    operation: Literal["remove"] = "remove"
+    column_name: str
+
+
+class SelectColumns(AbstractStep):
+    """Project expressions, optionally distinct."""
+
+    operation: Literal["select"] = "select"
+    columns: MultipleExpressions
+    distinct: bool = False
+
+
+class Aggregation(AbstractStep):
+    """Group-by + aggregate expressions, with optional pivot."""
+
+    operation: Literal["group_by"] = "group_by"
+    group_by: MultipleExpressions
+    agg_columns: Optional[MultipleExpressions] = None
+    pivot_column: Optional[str] = None
+    pivot_values: Optional[list[str]] = None
+
+
+# -- filters / notifications -------------------------------------------------
+class ImmediateFilter(AbstractStep):
+    """Keep rows where the expression is truthy; no messages."""
+
+    operation: Literal["filter_without_notifying"] = "filter_without_notifying"
+    expression: str
+
+
+class DeferredFilter(AbstractStep):
+    """Filter with user feedback, applied in the synchronised filter stage:
+    every filter for an entity is evaluated before any row is dropped, so one
+    record can collect multiple error codes (dve base/rules.py:356-555).
+    """
+
+    operation: Literal["filter"] = "filter"
+    expression: str
+    reporting: Reporting = Reporting()
+
+
+class Notification(AbstractStep):
+    """Emit a message per row matching the expression; no mutation."""
+
+    operation: Literal["notify"] = "notify"
+    expression: str
+    reporting: Reporting = Reporting()
+    excluded_columns: Optional[list[str]] = None
+
+
+# -- joins -------------------------------------------------------------------
+class AbstractJoin(AbstractStep):
+    """Theta join: ``join_condition`` is an arbitrary SQL condition over
+    ``<entity_name>.<col>`` / ``<target_name>.<col>`` references; Catalyst
+    picks broadcast/hash/sort-merge/NL physical strategy.
+    """
+
+    target_name: str
+    join_condition: str
+
+
+class AbstractNewColumnJoin(AbstractJoin):
+    """Join keeping all source columns plus ``new_columns`` expressions.
+
+    New columns may overwrite source columns — last-wins with
+    case-insensitive matching, preserving the last-specified casing
+    (dve spark/rules.py:168-208).
+    """
+
+    new_columns: Optional[MultipleExpressions] = None
+
+
+class LeftJoin(AbstractNewColumnJoin):
+    operation: Literal["left_join"] = "left_join"
+
+
+class InnerJoin(AbstractNewColumnJoin):
+    operation: Literal["inner_join"] = "inner_join"
+
+
+class OneToOneJoin(AbstractNewColumnJoin):
+    """Left join + integrity check: join must not multiply source rows."""
+
+    operation: Literal["join"] = "join"
+    perform_integrity_check: bool = True
+
+
+class SemiJoin(AbstractJoin):
+    """Keep source rows with at least one match."""
+
+    operation: Literal["semi_join"] = "semi_join"
+
+
+class AntiJoin(AbstractJoin):
+    """Keep source rows with no match."""
+
+    operation: Literal["anti_join"] = "anti_join"
+
+
+class ConfirmJoinHasMatch(AbstractJoin):
+    """Add a boolean column: did the join condition match? Optional 1:1
+    integrity check."""
+
+    operation: Literal["has_match"] = "has_match"
+    column_name: str
+    perform_integrity_check: bool = False
+
+
+class HeaderJoin(AbstractStep):
+    """Attach a single-row header entity as one struct column on every row.
+
+    Errors if the header entity does not contain exactly one row.
+    """
+
+    operation: Literal["join_header"] = "join_header"
+    target_name: str
+    header_column_name: str
+
+
+class TableUnion(AbstractStep):
+    """Union by name (case-insensitive); missing columns null-filled; source
+    column order and casing win; target-only columns appended
+    (dve spark/rules.py:299-337)."""
+
+    operation: Literal["union"] = "union"
+    target_name: str
+
+
+class OrphanIdentification(AbstractStep):
+    """Add/extend boolean ``IsOrphaned``: true where no target row matches
+    the join condition; OR-combined with a pre-existing ``IsOrphaned``."""
+
+    operation: Literal["identify_orphans"] = "identify_orphans"
+    target_name: str
+    join_condition: str
+
+
+# -- entity namespace steps ---------------------------------------------------
+class CopyEntity(AbstractStep):
+    operation: Literal["copy_entity"] = "copy_entity"
+    new_entity_name: str  # type: ignore[assignment]  # mandatory for copy
+
+
+class RenameEntity(AbstractStep):
+    operation: Literal["rename_entity"] = "rename_entity"
+    new_entity_name: str  # type: ignore[assignment]
+
+
+class EntityRemoval(BaseModel):
+    model_config = ConfigDict(frozen=True, extra="forbid")
+    operation: Literal["remove_entity"] = "remove_entity"
+    entity_names: tuple[str, ...]
+
+
+AnyStep = Annotated[
+    Union[
+        ColumnAddition,
+        ColumnRemoval,
+        SelectColumns,
+        Aggregation,
+        ImmediateFilter,
+        DeferredFilter,
+        Notification,
+        LeftJoin,
+        InnerJoin,
+        OneToOneJoin,
+        SemiJoin,
+        AntiJoin,
+        ConfirmJoinHasMatch,
+        HeaderJoin,
+        TableUnion,
+        OrphanIdentification,
+        CopyEntity,
+        RenameEntity,
+        EntityRemoval,
+    ],
+    Field(discriminator="operation"),
+]
+
+
+class _StepParser(BaseModel):
+    step: AnyStep
+
+
+def parse_step(config: dict) -> AnyStep:
+    """Parse one step dict (e.g. from a dischema JSON) into a typed config."""
+    return _StepParser(step=config).step
+
+
+class Rule(BaseModel):
+    """A named, ordered list of steps (a rule program fragment)."""
+
+    model_config = ConfigDict(frozen=True)
+
+    name: str = "root"
+    steps: tuple[AnyStep, ...] = ()
+    variables: dict[str, object] = Field(default_factory=dict)

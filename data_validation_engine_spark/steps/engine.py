@@ -1,0 +1,467 @@
+"""The Spark step engine: one method per step type, all lazy DataFrame ops.
+
+Design notes (vs reference, for the parity audit):
+
+- Dispatch: config type -> handler (dve base/rules.py:97-203 uses reflection
+  over type hints; here an explicit registry — same contract).
+- Joins are theta joins on SQL conditions (dve spark/rules.py:144-166);
+  Catalyst picks broadcast/hash/sort-merge/nested-loop. Column-conflict
+  resolution is last-wins, case-insensitive, preserving last casing
+  (dve spark/rules.py:168-208).
+- Integrity checks (one_to_one_join / has_match): the reference runs TWO
+  count() actions (dve spark/rules.py:217-227, 250-259); here a single
+  aggregation over a per-row id computes (total, distinct) in ONE action.
+- join_header: the reference collects the header row to the driver and
+  rebuilds it as a literal (dve spark/rules.py:272-297); here it stays
+  distributed — ``crossJoin(broadcast(header struct))``.
+- identify_orphans: the reference shuffles twice (groupBy + join-back,
+  dve spark/rules.py:339-374); here one groupBy over a per-row id
+  reconstructs the row with ``first()`` — single shuffle, no join-back.
+- notify: the reference loops rows on the driver (``toLocalIterator``,
+  dve spark/rules.py:400-420); here messages are a DataFrame with the
+  template compiled to a ``concat`` Column (messages.py).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Callable, MutableMapping, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.errors import ConfigurationError, ConstraintError
+from data_validation_engine_spark.exprs import parse_multiple_expressions
+from data_validation_engine_spark.messages import (
+    MessageCollector,
+    Reporting,
+    messages_for_failures,
+)
+from data_validation_engine_spark.steps.configs import (
+    AbstractJoin,
+    AbstractNewColumnJoin,
+    Aggregation,
+    AntiJoin,
+    AnyStep,
+    ColumnAddition,
+    ColumnRemoval,
+    ConfirmJoinHasMatch,
+    CopyEntity,
+    DeferredFilter,
+    EntityRemoval,
+    HeaderJoin,
+    ImmediateFilter,
+    InnerJoin,
+    LeftJoin,
+    Notification,
+    OneToOneJoin,
+    OrphanIdentification,
+    RenameEntity,
+    SelectColumns,
+    SemiJoin,
+    TableUnion,
+)
+
+Entities = MutableMapping[str, DataFrame]
+Messages = Optional[DataFrame]
+
+
+def _qcol(name: str) -> Column:
+    return F.col(f"`{name}`")
+
+
+def _truthy(expression: str) -> Column:
+    """SQL expression -> non-null boolean Column (null => false)."""
+    return F.coalesce(F.expr(expression).cast("boolean"), F.lit(False))
+
+
+class StepEngine:
+    """Evaluates step configs against an entity namespace.
+
+    Stateless between calls apart from the SparkSession and the registered
+    SQL function library; safe to share across threads (Spark sessions are
+    thread-safe for job submission).
+    """
+
+    def __init__(self, spark: SparkSession, *, register_functions: bool = True):
+        self.spark = spark
+        if register_functions:
+            # engine's scalar function library becomes callable in rule SQL
+            from data_validation_engine_spark.functions.library import (
+                register_all_functions,
+            )
+
+            register_all_functions(spark)
+
+        self._handlers: dict[type, Callable[..., Messages]] = {
+            ColumnAddition: self.add,
+            ColumnRemoval: self.remove,
+            SelectColumns: self.select,
+            Aggregation: self.group_by,
+            ImmediateFilter: self.filter,
+            DeferredFilter: self.deferred_filter,
+            Notification: self.notify,
+            LeftJoin: self.left_join,
+            InnerJoin: self.inner_join,
+            OneToOneJoin: self.one_to_one_join,
+            SemiJoin: self.semi_join,
+            AntiJoin: self.anti_join,
+            ConfirmJoinHasMatch: self.has_match,
+            HeaderJoin: self.join_header,
+            TableUnion: self.union,
+            OrphanIdentification: self.identify_orphans,
+            CopyEntity: self.copy_entity,
+            RenameEntity: self.rename_entity,
+            EntityRemoval: self.remove_entities,
+        }
+
+    # -- dispatch ----------------------------------------------------------
+    def evaluate(self, entities: Entities, *, config: AnyStep) -> Messages:
+        handler = self._handlers.get(type(config))
+        if handler is None:
+            raise ConfigurationError(f"unsupported step type {type(config).__name__}")
+        return handler(entities, config=config)
+
+    def run(self, entities: Entities, steps: list[AnyStep]) -> Messages:
+        """Evaluate a list of steps in order; returns the unioned messages."""
+        collector = MessageCollector()
+        for step in steps:
+            collector.add(self.evaluate(entities, config=step))
+        return collector.union()
+
+    # -- column / projection ----------------------------------------------
+    def add(self, entities: Entities, *, config: ColumnAddition) -> Messages:
+        df = entities[config.entity_name]
+        entities[config.output_name] = df.withColumn(
+            config.column_name, F.expr(config.expression)
+        )
+        return None
+
+    def remove(self, entities: Entities, *, config: ColumnRemoval) -> Messages:
+        df = entities[config.entity_name]
+        entities[config.output_name] = df.drop(config.column_name)
+        return None
+
+    def select(self, entities: Entities, *, config: SelectColumns) -> Messages:
+        df = entities[config.entity_name]
+        out = df.selectExpr(*parse_multiple_expressions(config.columns))
+        if config.distinct:
+            out = out.distinct()
+        entities[config.output_name] = out
+        return None
+
+    def group_by(self, entities: Entities, *, config: Aggregation) -> Messages:
+        df = entities[config.entity_name]
+        group_exprs = [
+            F.expr(e) for e in parse_multiple_expressions(config.group_by)
+        ]
+        agg_exprs = [
+            F.expr(e)
+            for e in parse_multiple_expressions(config.agg_columns or [])
+        ]
+
+        grouped = df.groupBy(*group_exprs)
+        if config.pivot_column:
+            if not agg_exprs:
+                raise ConfigurationError("pivot requires agg_columns")
+            # fixed pivot values avoid the extra distinct-values job
+            grouped = grouped.pivot(config.pivot_column, config.pivot_values)
+        if agg_exprs:
+            out = grouped.agg(*agg_exprs)
+        else:
+            # aggregation with no agg expressions == distinct group keys
+            out = df.select(*group_exprs).distinct()
+        entities[config.output_name] = out
+        return None
+
+    # -- filters / notifications ------------------------------------------
+    def filter(self, entities: Entities, *, config: ImmediateFilter) -> Messages:
+        df = entities[config.entity_name]
+        entities[config.output_name] = df.where(F.expr(config.expression))
+        return None
+
+    def deferred_filter(
+        self, entities: Entities, *, config: DeferredFilter
+    ) -> Messages:
+        """A deferred filter evaluated standalone == a sync stage of one."""
+        from data_validation_engine_spark.steps.sync_filters import (
+            apply_sync_filters,
+        )
+
+        return apply_sync_filters(entities, [config])
+
+    def notify(self, entities: Entities, *, config: Notification) -> Messages:
+        df = entities[config.entity_name]
+        if config.excluded_columns:
+            df = df.drop(*config.excluded_columns)
+        # emit a message for each row where the expression IS truthy
+        predicate_fails_for_matches = ~_truthy(config.expression)
+        return messages_for_failures(
+            config.entity_name, df, predicate_fails_for_matches, config.reporting
+        )
+
+    # -- joins -------------------------------------------------------------
+    def _theta_join(
+        self,
+        entities: Entities,
+        config: AbstractJoin,
+        how: str,
+        *,
+        source_extra: list[tuple[str, Column]] | None = None,
+        target_extra: list[tuple[str, Column]] | None = None,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        source = entities[config.entity_name]
+        for name, col in source_extra or []:
+            source = source.withColumn(name, col)
+        source = source.alias(config.entity_name)
+        target = entities[config.target_name]
+        for name, col in target_extra or []:
+            target = target.withColumn(name, col)
+        target = target.alias(config.target_name)
+        joined = source.join(target, on=F.expr(config.join_condition), how=how)
+        return source, target, joined
+
+    def _project_join_result(
+        self,
+        source: DataFrame,
+        joined: DataFrame,
+        config: AbstractNewColumnJoin,
+        *,
+        drop_source_columns: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """All source columns + new_columns, last-wins case-insensitive."""
+        exprs = [
+            f"{config.entity_name}.`{c}`"
+            for c in source.columns
+            if c not in drop_source_columns
+        ]
+        exprs += parse_multiple_expressions(config.new_columns or [])
+        wide = joined.selectExpr(*exprs)
+
+        # Deduplicate case-insensitively, keeping the LAST occurrence and its
+        # casing. Duplicate names can't be selected by name, so rename all
+        # columns positionally first.
+        names = wide.columns
+        keep_index: dict[str, int] = {}
+        casing: dict[str, str] = {}
+        for i, name in enumerate(names):
+            key = name.upper()
+            keep_index[key] = i
+            casing[key] = name
+        if len(keep_index) == len(names):
+            return wide
+        positional = wide.toDF(*[f"_c{i}" for i in range(len(names))])
+        return positional.select(
+            *[
+                F.col(f"_c{i}").alias(casing[key])
+                for key, i in keep_index.items()
+            ]
+        )
+
+    def _assert_join_not_multiplying(
+        self, joined: DataFrame, rowid: str, config: AbstractJoin
+    ) -> None:
+        """One action computing (total, distinct source rows) — raises if the
+        join matched any source row more than once."""
+        total, distinct = joined.select(
+            F.count(F.lit(1)), F.count_distinct(_qcol(rowid))
+        ).first()
+        if total != distinct:
+            raise ConstraintError(
+                f"Multiple matches for some records from {config.entity_name!r} "
+                f"for condition {config.join_condition!r}",
+                constraint=(
+                    f"records in source entity ({config.entity_name!r}) must "
+                    f"match at most a single record in the target "
+                    f"({config.target_name!r})"
+                ),
+            )
+
+    def _new_column_join(
+        self, entities: Entities, config: AbstractNewColumnJoin, how: str,
+        *, integrity_check: bool = False,
+    ) -> Messages:
+        rowid = f"__rowid_{uuid.uuid4().hex[:8]}"
+        extra = (
+            [(rowid, F.monotonically_increasing_id())] if integrity_check else None
+        )
+        source, _, joined = self._theta_join(
+            entities, config, how, source_extra=extra
+        )
+        if integrity_check:
+            self._assert_join_not_multiplying(joined, rowid, config)
+        entities[config.output_name] = self._project_join_result(
+            source, joined, config,
+            drop_source_columns=(rowid,) if integrity_check else (),
+        )
+        return None
+
+    def left_join(self, entities: Entities, *, config: LeftJoin) -> Messages:
+        return self._new_column_join(entities, config, "left")
+
+    def inner_join(self, entities: Entities, *, config: InnerJoin) -> Messages:
+        return self._new_column_join(entities, config, "inner")
+
+    def one_to_one_join(
+        self, entities: Entities, *, config: OneToOneJoin
+    ) -> Messages:
+        return self._new_column_join(
+            entities, config, "left",
+            integrity_check=config.perform_integrity_check,
+        )
+
+    def semi_join(self, entities: Entities, *, config: SemiJoin) -> Messages:
+        _, _, joined = self._theta_join(entities, config, "left_semi")
+        entities[config.output_name] = joined
+        return None
+
+    def anti_join(self, entities: Entities, *, config: AntiJoin) -> Messages:
+        _, _, joined = self._theta_join(entities, config, "left_anti")
+        entities[config.output_name] = joined
+        return None
+
+    def has_match(
+        self, entities: Entities, *, config: ConfirmJoinHasMatch
+    ) -> Messages:
+        rowid = f"__rowid_{uuid.uuid4().hex[:8]}"
+        check = config.perform_integrity_check
+        extra = [(rowid, F.monotonically_increasing_id())] if check else None
+        source, _, joined = self._theta_join(
+            entities, config, "left", source_extra=extra
+        )
+        if check:
+            self._assert_join_not_multiplying(joined, rowid, config)
+        out_cols = [
+            f"{config.entity_name}.`{c}`" for c in source.columns if c != rowid
+        ]
+        out = joined.select(
+            *[F.expr(e) for e in out_cols],
+            F.coalesce(
+                F.expr(config.join_condition).cast("boolean"), F.lit(False)
+            ).alias(config.column_name),
+        )
+        entities[config.output_name] = out
+        return None
+
+    def join_header(self, entities: Entities, *, config: HeaderJoin) -> Messages:
+        source = entities[config.entity_name]
+        header = entities[config.target_name]
+        # exactly-one-row check: fetch at most 2 rows, never a full count
+        probe = header.take(2)
+        if len(probe) != 1:
+            raise ConstraintError(
+                f"Unable to join header {config.target_name!r} to "
+                f"{config.entity_name!r}: expected 1 record, got {len(probe)}",
+                constraint=(
+                    f"Header entity {config.target_name!r} must contain a "
+                    f"single record"
+                ),
+            )
+        # distributed: broadcast the 1-row struct, cross join (no driver
+        # literal rebuild — cf. dve spark/rules.py:272-297)
+        header_struct = header.select(
+            F.struct(*[_qcol(c) for c in header.columns]).alias(
+                config.header_column_name
+            )
+        )
+        entities[config.output_name] = source.crossJoin(
+            F.broadcast(header_struct)
+        )
+        return None
+
+    def union(self, entities: Entities, *, config: TableUnion) -> Messages:
+        source = entities[config.entity_name]
+        target = entities[config.target_name]
+
+        # source order + casing wins; target-only columns appended in target
+        # order; missing sides null-filled (dve spark/rules.py:299-337)
+        source_by_upper = {c.upper(): c for c in source.columns}
+        target_by_upper = {c.upper(): c for c in target.columns}
+        ordered_upper = [c.upper() for c in source.columns] + [
+            c.upper() for c in target.columns if c.upper() not in source_by_upper
+        ]
+
+        source_sel: list[Column] = []
+        target_sel: list[Column] = []
+        for key in ordered_upper:
+            s_name = source_by_upper.get(key)
+            t_name = target_by_upper.get(key)
+            out_name = s_name or t_name or key
+            if s_name:
+                source_sel.append(_qcol(s_name))
+            else:
+                source_sel.append(F.lit(None).alias(out_name))
+            if t_name:
+                target_sel.append(_qcol(t_name).alias(out_name))
+            else:
+                target_sel.append(F.lit(None).alias(out_name))
+
+        entities[config.output_name] = source.select(*source_sel).union(
+            target.select(*target_sel)
+        )
+        return None
+
+    def identify_orphans(
+        self, entities: Entities, *, config: OrphanIdentification
+    ) -> Messages:
+        rowid = f"__rowid_{uuid.uuid4().hex[:8]}"
+        match = f"__match_{uuid.uuid4().hex[:8]}"
+        source, _, joined = self._theta_join(
+            entities,
+            config,
+            "left",
+            source_extra=[(rowid, F.monotonically_increasing_id())],
+            target_extra=[(match, F.lit(1))],
+        )
+        src_name = config.entity_name
+        source_cols = [c for c in source.columns if c != rowid]
+
+        is_orphaned_now = (F.count(_qcol(match)) == F.lit(0))
+        if "IsOrphaned" in source_cols:
+            # OR-accumulate with the pre-existing flag
+            aggs = [
+                F.first(F.col(f"{src_name}.`{c}`")).alias(c)
+                for c in source_cols
+                if c != "IsOrphaned"
+            ]
+            aggs.append(
+                (
+                    F.first(F.col(f"{src_name}.`IsOrphaned`")) | is_orphaned_now
+                ).alias("IsOrphaned")
+            )
+            ordered = [c for c in source_cols]
+        else:
+            aggs = [
+                F.first(F.col(f"{src_name}.`{c}`")).alias(c) for c in source_cols
+            ]
+            aggs.append(is_orphaned_now.alias("IsOrphaned"))
+            ordered = source_cols + ["IsOrphaned"]
+
+        # single shuffle: group on the per-row id, rebuild the row with
+        # first() — no join-back (cf. dve spark/rules.py:339-374)
+        out = (
+            joined.groupBy(F.col(f"{src_name}.`{rowid}`"))
+            .agg(*aggs)
+            .select(*[_qcol(c) for c in ordered])
+        )
+        entities[config.output_name] = out
+        return None
+
+    # -- entity namespace --------------------------------------------------
+    def copy_entity(self, entities: Entities, *, config: CopyEntity) -> Messages:
+        entities[config.new_entity_name] = entities[config.entity_name]
+        return None
+
+    def rename_entity(
+        self, entities: Entities, *, config: RenameEntity
+    ) -> Messages:
+        entities[config.new_entity_name] = entities[config.entity_name]
+        del entities[config.entity_name]
+        return None
+
+    def remove_entities(
+        self, entities: Entities, *, config: EntityRemoval
+    ) -> Messages:
+        for name in config.entity_names:
+            del entities[name]
+        return None
