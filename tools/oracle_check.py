@@ -1,0 +1,157 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalise(value) -> str:
+    import datetime as dt
+    import math
+
+    if value is None:
+        return "∅"
+    if isinstance(value, bool):
+        return str(bool(value))
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        # driver-agnostic float rendering: collapse -0.0 / 17 sig figs
+        if value == 0:
+            return "0"
+        return f"{value:.12g}"
+    if isinstance(value, dt.datetime):
+        return value.isoformat(sep=" ")
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(normalise(v) for v in value) + "]"
+    if isinstance(value, dict):
+        return "{" + ",".join(f"{k}:{normalise(v)}" for k, v in sorted(value.items())) + "}"
+    return str(value)
+
+
+def value_hash(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "|".join(normalise(row[i]) for i in order) for row in rows
+    )
+    digest = hashlib.sha256()
+    for line in lines:
+        digest.update(line.encode())
+        digest.update(b"\n")
+    return digest.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if Path(path).exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle — weak check)")
+            continue
+        try:
+            rel = con.execute(sql)
+            d_cols = [c[0] for c in rel.description]
+            d_rows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
+            problems.append(f"schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            sh = value_hash([c.lower() for c in s_cols], s_rows)
+            dh = value_hash([c.lower() for c in d_cols], d_rows)
+            if sh != dh:
+                problems.append(f"valuehash spark={sh} duckdb={dh}")
+                # show a diff sample
+                s_set = {
+                    "|".join(
+                        normalise(r[i])
+                        for i in sorted(range(len(s_cols)), key=lambda i: s_cols[i].lower())
+                    )
+                    for r in s_rows
+                }
+                d_set = {
+                    "|".join(
+                        normalise(r[i])
+                        for i in sorted(range(len(d_cols)), key=lambda i: d_cols[i].lower())
+                    )
+                    for r in d_rows
+                }
+                only_s = list(s_set - d_set)[:3]
+                only_d = list(d_set - s_set)[:3]
+                if only_s:
+                    problems.append(f"spark-only: {only_s}")
+                if only_d:
+                    problems.append(f"duckdb-only: {only_d}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(s_rows)} rows")
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
