@@ -490,6 +490,95 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# data contract queries (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+_CONTRACT_DISCHEMA = {
+    "contract": {
+        "datasets": {
+            "orders_sub": {
+                "fields": {
+                    "okey": "int",
+                    "price": "PositiveFloat",
+                    "odate": {
+                        "type": "conformatteddate",
+                        "constraints": {"date_format": "%d/%m/%Y"},
+                    },
+                    "status": {
+                        "callable": "constr",
+                        "constraints": {"min_length": 1, "max_length": 1},
+                    },
+                    "prio": "str",
+                },
+                "key_field": "okey",
+                "mandatory_fields": ["okey", "price"],
+            }
+        }
+    }
+}
+
+
+def _stringified_orders(spark: SparkSession, sf_dir: str):
+    """Orders re-encoded as strings — the 'string-in, validate, cast' input
+    shape — with deterministic dirt: every 7th price is junk, every 11th
+    price missing, every 13th date in the wrong format."""
+    ents = _load(spark, sf_dir, ["orders"])
+    return ents["orders"].selectExpr(
+        "CAST(o_orderkey AS STRING) AS okey",
+        """CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                WHEN o_orderkey % 7 = 0 THEN 'junk'
+                ELSE CAST(o_totalprice AS STRING) END AS price""",
+        """CASE WHEN o_orderkey % 13 = 0
+                THEN date_format(o_orderdate, 'yyyy-MM-dd')
+                ELSE date_format(o_orderdate, 'dd/MM/yyyy') END AS odate""",
+        "o_orderstatus AS status",
+        "o_orderpriority AS prio",
+    )
+
+
+def q_contract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract cast: TRIM+TRY_CAST scalars, regex-guarded formatted date
+    parse; records failing any check are dropped (reference record
+    rejection)."""
+    from data_validation_engine_spark.contract import apply_contract, parse_contract
+
+    contract = parse_contract(_CONTRACT_DISCHEMA)
+    typed, _ = apply_contract(
+        contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
+    )
+    return typed.selectExpr(
+        "okey", "price", "odate", "status", "prio"
+    )
+
+
+def q_contract_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract validation feed: one message per (record, failed check)."""
+    from data_validation_engine_spark.contract import apply_contract, parse_contract
+
+    contract = parse_contract(_CONTRACT_DISCHEMA)
+    _, messages = apply_contract(
+        contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
+    )
+    return messages.selectExpr(
+        "entity",
+        "error_code",
+        "error_location",
+        "category",
+        "CAST(reporting_field AS BIGINT) AS record_key",
+    )
+
+
+def q_record_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 1-based record index in file order (zipWithIndex replacement)."""
+    from data_validation_engine_spark.contract import add_record_index
+
+    ents = _load(spark, sf_dir, ["customer"])
+    return add_record_index(ents["customer"]).selectExpr(
+        "c_custkey", "__record_index__ AS record_index"
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI SQL)
 # ---------------------------------------------------------------------------
 
@@ -619,6 +708,86 @@ _ORACLES: dict[str, str] = {
                c_custkey AS record_key
         FROM customer WHERE c_acctbal < 0
     """,
+    "contract_cast": """
+        WITH stringified AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        WHEN o_orderkey % 7 = 0 THEN 'junk'
+                        ELSE CAST(o_totalprice AS VARCHAR) END AS price,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%d/%m/%Y') END AS odate,
+                   o_orderstatus AS status,
+                   o_orderpriority AS prio
+            FROM orders
+        )
+        SELECT TRY_CAST(TRIM(okey) AS BIGINT) AS okey,
+               TRY_CAST(TRIM(price) AS DOUBLE) AS price,
+               CASE WHEN regexp_matches(TRIM(odate),
+                        '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+                    THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
+                    ELSE NULL END AS odate,
+               TRIM(status) AS status,
+               TRIM(prio) AS prio
+        FROM stringified
+        WHERE COALESCE(okey IS NOT NULL AND TRIM(okey) <> '', FALSE)
+          AND COALESCE(TRY_CAST(TRIM(okey) AS BIGINT) IS NOT NULL, FALSE)
+          AND COALESCE(price IS NOT NULL AND TRIM(price) <> '', FALSE)
+          AND COALESCE(TRY_CAST(TRIM(price) AS DOUBLE) IS NOT NULL, FALSE)
+          AND COALESCE(TRY_CAST(TRIM(price) AS DOUBLE) > 0, FALSE)
+          AND COALESCE(odate IS NULL OR TRIM(odate) = ''
+                OR (CASE WHEN regexp_matches(TRIM(odate),
+                             '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+                         THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
+                         ELSE NULL END) IS NOT NULL, FALSE)
+          AND COALESCE(status IS NULL OR TRIM(status) = ''
+                OR LENGTH(TRIM(status)) >= 1, FALSE)
+          AND COALESCE(status IS NULL OR TRIM(status) = ''
+                OR LENGTH(TRIM(status)) <= 1, FALSE)
+    """,
+    "contract_messages": """
+        WITH stringified AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        WHEN o_orderkey % 7 = 0 THEN 'junk'
+                        ELSE CAST(o_totalprice AS VARCHAR) END AS price,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%d/%m/%Y') END AS odate,
+                   o_orderstatus AS status,
+                   o_orderpriority AS prio
+            FROM orders
+        )
+        SELECT 'orders_sub' AS entity, 'MISSING_MANDATORY_VALUE' AS error_code,
+               'price' AS error_location, 'missing' AS category,
+               CAST(okey AS BIGINT) AS record_key
+        FROM stringified
+        WHERE NOT COALESCE(price IS NOT NULL AND TRIM(price) <> '', FALSE)
+        UNION ALL
+        SELECT 'orders_sub', 'INVALID_NUMBER', 'price', 'type',
+               CAST(okey AS BIGINT)
+        FROM stringified
+        WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
+              OR TRY_CAST(TRIM(price) AS DOUBLE) IS NOT NULL, FALSE)
+        UNION ALL
+        SELECT 'orders_sub', 'OUT_OF_RANGE_GT', 'price', 'constraint',
+               CAST(okey AS BIGINT)
+        FROM stringified
+        WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
+              OR TRY_CAST(TRIM(price) AS DOUBLE) > 0, FALSE)
+        UNION ALL
+        SELECT 'orders_sub', 'INVALID_DATE', 'odate', 'type',
+               CAST(okey AS BIGINT)
+        FROM stringified
+        WHERE NOT COALESCE(odate IS NULL OR TRIM(odate) = ''
+              OR (CASE WHEN regexp_matches(TRIM(odate),
+                           '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+                       THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
+                       ELSE NULL END) IS NOT NULL, FALSE)
+    """,
+    "record_index": """
+        SELECT c_custkey, row_number() OVER () AS record_index FROM customer
+    """,
     "scalar_functions": f"""
         SELECT c_custkey,
                c_acctbal > 10000 AS big_bal,
@@ -702,6 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_filter_messages": q_sync_filter_messages,
         "notification": q_notification,
         "scalar_functions": q_scalar_functions,
+        "contract_cast": q_contract_cast,
+        "contract_messages": q_contract_messages,
+        "record_index": q_record_index,
     }
 
 

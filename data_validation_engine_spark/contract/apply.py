@@ -1,0 +1,146 @@
+"""Apply a data contract: validate (messages DataFrame) + cast, in one pass.
+
+Replaces the reference's row-at-a-time pydantic validation on the RDD with
+two lazy selects over the stringified entity (design target from
+SURVEY.md §4):
+
+- **messages**: every compiled check evaluates as a boolean column; failed
+  checks become structs collected with ``array_compact`` and exploded into
+  the standard message schema. One scan, no driver loop, no Python workers.
+- **typed**: the declarative cast select (TRIM+TRY_CAST, regex-guarded
+  TRY_TO_TIMESTAMP, TRANSFORM/STRUCT recursion — dve
+  spark_helpers.py:516-621 design, kept because it is already idiomatic).
+
+Record rejection (drop rows that produced non-informational record errors)
+is a flag-based filter on the same frame — cheaper than the reference's
+anti-join against the error feed (dve spark_helpers.py:393-437) when done
+in-stage; `reject_records` is also provided for cross-stage rejection by
+index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.contract.compile import (
+    CompiledCheck,
+    cast_sql,
+    compile_checks,
+)
+from data_validation_engine_spark.contract.spec import EntityContract
+from data_validation_engine_spark.messages import MESSAGE_SCHEMA, RECORD_INDEX
+
+
+def contract_messages(
+    entity: EntityContract,
+    df: DataFrame,
+    checks: list[CompiledCheck] | None = None,
+) -> DataFrame:
+    """One message row per (record, failed check), standard message schema."""
+    checks = checks if checks is not None else compile_checks(entity)
+    idx = (
+        F.col(RECORD_INDEX).cast("long")
+        if RECORD_INDEX in df.columns
+        else F.lit(None).cast("long")
+    )
+    key = (
+        F.col(f"`{entity.key_field}`").cast("string")
+        if entity.key_field and entity.key_field in df.columns
+        else F.lit(None).cast("string")
+    )
+    failure_structs = [
+        F.when(
+            ~F.coalesce(F.expr(c.predicate_sql).cast("boolean"), F.lit(False)),
+            F.struct(
+                F.lit(c.code).alias("error_code"),
+                F.lit(c.message).alias("error_message"),
+                F.lit(c.field).alias("error_location"),
+                F.lit(c.category).alias("category"),
+            ),
+        )
+        for c in checks
+    ]
+    exploded = (
+        df.select(
+            idx.alias(RECORD_INDEX),
+            key.alias("reporting_field"),
+            F.array_compact(F.array(*failure_structs)).alias("__failures"),
+        )
+        .where(F.size("__failures") > 0)
+        .select(
+            RECORD_INDEX, "reporting_field", F.explode("__failures").alias("f")
+        )
+    )
+    return exploded.select(
+        F.lit(entity.name).alias("entity"),
+        F.lit(entity.name).alias("original_entity"),
+        F.col(RECORD_INDEX),
+        F.col("f.error_code").alias("error_code"),
+        F.col("f.error_message").alias("error_message"),
+        F.col("f.error_location").alias("error_location"),
+        F.lit("record").alias("failure_type"),
+        F.lit(False).alias("is_informational"),
+        F.col("f.category").alias("category"),
+        F.col("reporting_field"),
+        F.lit(None).cast("string").alias("record_json"),
+    )
+
+
+def cast_entity(entity: EntityContract, df: DataFrame) -> DataFrame:
+    """The declarative cast select: stringified -> declared types."""
+    exprs = [f"{cast_sql(f)} AS `{f.name}`" for f in entity.fields]
+    if RECORD_INDEX in df.columns:
+        exprs.append(f"`{RECORD_INDEX}`")
+    return df.selectExpr(*exprs)
+
+
+def valid_record_predicate(
+    entity: EntityContract, checks: list[CompiledCheck] | None = None
+):
+    """Boolean Column: record passes every contract check."""
+    checks = checks if checks is not None else compile_checks(entity)
+    pred = F.lit(True)
+    for c in checks:
+        pred = pred & F.coalesce(
+            F.expr(c.predicate_sql).cast("boolean"), F.lit(False)
+        )
+    return pred
+
+
+def apply_contract(
+    entity: EntityContract,
+    df: DataFrame,
+    *,
+    drop_failed_records: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Validate + cast a stringified entity.
+
+    Returns ``(typed_df, messages_df)``. With ``drop_failed_records`` the
+    typed frame excludes records that failed any check (the reference's
+    record-rejection behaviour, applied in-stage).
+    """
+    checks = compile_checks(entity)
+    messages = contract_messages(entity, df, checks)
+    source = df
+    if drop_failed_records and checks:
+        source = df.where(valid_record_predicate(entity, checks))
+    return cast_entity(entity, source), messages
+
+
+def reject_records(df: DataFrame, messages: DataFrame) -> DataFrame:
+    """Cross-stage record rejection: anti-join on ``__record_index__``
+    against non-informational record failures
+    (dve spark_helpers.py:393-437)."""
+    rejects = (
+        messages.where(
+            (F.col("failure_type") == "record") & (~F.col("is_informational"))
+        )
+        .select(RECORD_INDEX)
+        .distinct()
+    )
+    return df.join(rejects, on=RECORD_INDEX, how="left_anti")
+
+
+def empty_messages_frame(spark) -> DataFrame:
+    return spark.createDataFrame([], MESSAGE_SCHEMA)

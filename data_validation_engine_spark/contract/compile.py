@@ -1,0 +1,398 @@
+"""Compile field specs to Spark types, cast expressions, and check predicates.
+
+This is the engine's replacement for the reference's per-row pydantic
+validation (dve spark/contract.py:129-135): every declared check becomes a
+native boolean Column expression over the *stringified* input, and every
+cast becomes a SQL expression (TRIM + cast, regex-guarded
+TRY_TO_TIMESTAMP for formatted dates — design parity with
+dve spark_helpers.py:516-621 — TRANSFORM for arrays, STRUCT recursion for
+nested models). Everything stays inside whole-stage codegen.
+
+The two-phase model is preserved: read stringified -> validate -> cast
+(dve backends/utilities.py:84-116 "string-in, validate, cast").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+from data_validation_engine_spark.contract.spec import EntityContract, FieldSpec
+from data_validation_engine_spark.functions.library import (
+    nhs_mod11_sql,
+    normalise_postcode_sql,
+    valid_postcode_sql,
+)
+
+DEFAULT_DECIMAL = (38, 18)
+
+# strptime directive -> Spark (Java) datetime pattern
+# (semantics parity: dve spark_helpers.py:103-116)
+_STRPTIME_TO_SPARK = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%z": "XX",
+    "%Z": "z",
+    "%%": "%",
+}
+
+# strptime directive -> regex fragment (dve backends/utilities.py:33-45)
+_STRPTIME_TO_REGEX = {
+    "%Y": r"[0-9]{4}",
+    "%y": r"[0-9]{2}",
+    "%m": r"[0-9]{2}",
+    "%d": r"[0-9]{2}",
+    "%H": r"[0-9]{2}",
+    "%M": r"[0-9]{2}",
+    "%S": r"[0-9]{2}",
+    "%f": r"[0-9]{1,6}",
+    "%z": r"(\+|-)?[0-9]+(\.[0-9]*)?",
+    "%Z": r"[A-Z]{0,3}",
+    "%%": "%",
+}
+
+_REGEX_SPECIALS = set(".^$*+?()[]{}|\\")
+
+DEFAULT_DATE_FORMAT = "%Y-%m-%d"
+DEFAULT_DATETIME_FORMATS = ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S")
+
+
+def strptime_to_spark_format(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            token = fmt[i : i + 2]
+            mapped = _STRPTIME_TO_SPARK.get(token)
+            if mapped is None:
+                raise ValueError(f"unsupported strptime directive {token!r}")
+            out.append(mapped)
+            i += 2
+        else:
+            ch = fmt[i]
+            # quote literal letters for the Java pattern language
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def strptime_to_regex(fmt: str) -> str:
+    out, i = ["^"], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            token = fmt[i : i + 2]
+            frag = _STRPTIME_TO_REGEX.get(token)
+            if frag is None:
+                raise ValueError(f"unsupported strptime directive {token!r}")
+            out.append(frag)
+            i += 2
+        else:
+            ch = fmt[i]
+            out.append("\\" + ch if ch in _REGEX_SPECIALS else ch)
+            i += 1
+    out.append("$")
+    return "".join(out)
+
+
+# -- Spark types -------------------------------------------------------------
+
+def spark_type(field: FieldSpec) -> T.DataType:
+    if field.model is not None:
+        inner: T.DataType = T.StructType(
+            [T.StructField(f.name, spark_type(f), True) for f in field.model]
+        )
+    else:
+        base = field.base_type
+        if base == "decimal":
+            cons = field.effective_constraints
+            p = int(cons.get("max_digits", DEFAULT_DECIMAL[0]))
+            s = int(cons.get("decimal_places", DEFAULT_DECIMAL[1]))
+            inner = T.DecimalType(p, s)
+        else:
+            inner = {
+                "string": T.StringType(),
+                "bigint": T.LongType(),
+                "double": T.DoubleType(),
+                "boolean": T.BooleanType(),
+                "date": T.DateType(),
+                "timestamp": T.TimestampType(),
+                "binary": T.BinaryType(),
+            }[base]
+    if field.is_array:
+        return T.ArrayType(inner, True)
+    return inner
+
+
+def typed_schema(entity: EntityContract) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f.name, spark_type(f), True) for f in entity.fields]
+    )
+
+
+def stringified_type(field: FieldSpec) -> T.DataType:
+    """The all-strings shape of a field (structure preserved, leaves str)."""
+    if field.model is not None:
+        inner: T.DataType = T.StructType(
+            [T.StructField(f.name, stringified_type(f), True) for f in field.model]
+        )
+    else:
+        inner = T.StringType()
+    if field.is_array:
+        return T.ArrayType(inner, True)
+    return inner
+
+
+def stringified_schema(entity: EntityContract) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f.name, stringified_type(f), True) for f in entity.fields]
+    )
+
+
+# -- cast expressions --------------------------------------------------------
+
+def _sql_type(field: FieldSpec) -> str:
+    base = field.base_type
+    if base == "decimal":
+        cons = field.effective_constraints
+        p = int(cons.get("max_digits", DEFAULT_DECIMAL[0]))
+        s = int(cons.get("decimal_places", DEFAULT_DECIMAL[1]))
+        return f"DECIMAL({p},{s})"
+    return {
+        "string": "STRING",
+        "bigint": "BIGINT",
+        "double": "DOUBLE",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "binary": "BINARY",
+    }[base]
+
+
+def _quote(name: str) -> str:
+    if "." in name or name.startswith("`") or name == "x":
+        return name  # already a path/lambda variable
+    return f"`{name}`"
+
+
+def _datetime_cast_sql(expr: str, fmt: str, target: str) -> str:
+    """Regex-guarded formatted parse: wrong shape -> NULL, not an error."""
+    spark_fmt = strptime_to_spark_format(fmt)
+    regex = strptime_to_regex(fmt).replace("\\", "\\\\")
+    parse = f"TRY_TO_TIMESTAMP(TRIM({expr}), '{spark_fmt}')"
+    if target == "DATE":
+        parse = f"CAST({parse} AS DATE)"
+    return (
+        f"CASE WHEN TRIM({expr}) RLIKE '{regex}' THEN {parse} ELSE NULL END"
+    )
+
+
+def _scalar_cast_sql(field: FieldSpec, expr: str) -> str:
+    base = field.base_type
+    cons = field.effective_constraints
+    if base == "date":
+        fmt = cons.get("date_format", DEFAULT_DATE_FORMAT)
+        return _datetime_cast_sql(expr, fmt, "DATE")
+    if base == "timestamp":
+        formats = cons.get("formats") or list(DEFAULT_DATETIME_FORMATS)
+        if isinstance(formats, str):
+            formats = [formats]
+        branches = [_datetime_cast_sql(expr, f, "TIMESTAMP") for f in formats]
+        return f"COALESCE({', '.join(branches)})"
+    if base == "string":
+        out = f"TRIM({expr})"
+        if field.type_name.lower() == "postcode":
+            out = normalise_postcode_sql(out)
+        if cons.get("curtail_length"):
+            out = f"SUBSTRING({out}, 1, {int(cons['curtail_length'])})"
+        return out
+    return f"TRY_CAST(TRIM({expr}) AS {_sql_type(field)})"
+
+
+def cast_sql(field: FieldSpec, expr: str | None = None) -> str:
+    """SQL expression casting the stringified field to its declared type."""
+    expr = expr if expr is not None else _quote(field.name)
+    if field.is_array:
+        element = FieldSpec(
+            name=field.name,
+            type_name=field.type_name,
+            constraints=field.constraints,
+            is_array=False,
+            model=field.model,
+        )
+        return f"TRANSFORM({expr}, x -> {cast_sql(element, 'x')})"
+    if field.model is not None:
+        members = ", ".join(
+            f"{cast_sql(sub, f'{expr}.{_quote(sub.name)}')} AS {_quote(sub.name)}"
+            for sub in field.model
+        )
+        return f"STRUCT({members})"
+    return _scalar_cast_sql(field, expr)
+
+
+# -- check predicates --------------------------------------------------------
+
+@dataclass(frozen=True)
+class CompiledCheck:
+    """One validation check: message fields + a pass-predicate SQL string."""
+
+    field: str
+    category: str  # e.g. missing | type | constraint | domain
+    code: str
+    message: str
+    predicate_sql: str  # boolean SQL over the stringified entity; null==fail
+
+
+def _not_blank(expr: str) -> str:
+    return f"({expr} IS NOT NULL AND TRIM(CAST({expr} AS STRING)) <> '')"
+
+
+def _scalar_checks(field: FieldSpec, expr: str) -> list[tuple[str, str, str]]:
+    """(category, code, predicate) triples for one scalar value expression.
+
+    Predicates PASS null inputs (missing-ness is the mandatory check's job):
+    every predicate is of shape ``value IS NULL OR <valid>``.
+    """
+    base = field.base_type
+    cons = field.effective_constraints
+    tname = field.type_name.lower()
+    null_ok = f"{expr} IS NULL OR TRIM({expr}) = ''"
+    checks: list[tuple[str, str, str]] = []
+
+    def add(category: str, code: str, valid: str) -> None:
+        checks.append((category, code, f"({null_ok} OR ({valid}))"))
+
+    # type-shape checks
+    if base in ("bigint", "double", "decimal"):
+        add("type", "INVALID_NUMBER", f"TRY_CAST(TRIM({expr}) AS {_sql_type(field)}) IS NOT NULL")
+    elif base == "boolean":
+        add("type", "INVALID_BOOLEAN", f"TRY_CAST(TRIM({expr}) AS BOOLEAN) IS NOT NULL")
+    elif base == "date" or base == "timestamp":
+        add("type", "INVALID_DATE", f"({_scalar_cast_sql(field, expr)}) IS NOT NULL")
+
+    # string-shape constraints
+    trimmed = f"TRIM({expr})"
+    if cons.get("min_length") is not None:
+        add("constraint", "TOO_SHORT", f"LENGTH({trimmed}) >= {int(cons['min_length'])}")
+    if cons.get("max_length") is not None:
+        add("constraint", "TOO_LONG", f"LENGTH({trimmed}) <= {int(cons['max_length'])}")
+    if cons.get("regex"):
+        pattern = str(cons["regex"]).replace("\\", "\\\\").replace("'", "\\'")
+        add("constraint", "REGEX_MISMATCH", f"{trimmed} RLIKE '{pattern}'")
+
+    # numeric/date range constraints
+    cast_expr = _scalar_cast_sql(field, expr)
+    for key, op in (("ge", ">="), ("gt", ">"), ("le", "<="), ("lt", "<")):
+        if cons.get(key) is not None:
+            bound = cons[key]
+            bound_sql = f"'{bound}'" if isinstance(bound, str) else str(bound)
+            add("constraint", f"OUT_OF_RANGE_{key.upper()}", f"({cast_expr}) {op} {bound_sql}")
+
+    # domain types
+    if tname in ("nhsnumber", "permissivenhsno"):
+        add("domain", "INVALID_NHS_NUMBER", nhs_mod11_sql(expr))
+    elif tname == "postcode":
+        add("domain", "INVALID_POSTCODE", valid_postcode_sql(expr))
+    elif tname == "orgid":
+        add("domain", "INVALID_ORG_ID", f"{expr} RLIKE '^[A-Z0-9]{{3,5}}$'")
+    elif tname == "alphanumeric":
+        n = int(cons.get("length", cons.get("max_length", 255)))
+        add("domain", "NOT_ALPHANUMERIC", f"{trimmed} RLIKE '^[a-zA-Z0-9]{{1,{n}}}$'")
+    elif tname == "identifier":
+        n = int(cons.get("length", cons.get("max_length", 255)))
+        add("domain", "INVALID_IDENTIFIER", f"{trimmed} RLIKE '^[a-zA-Z0-9_-]{{1,{n}}}$'")
+    elif tname == "reportingperiodstart":
+        add("domain", "NOT_PERIOD_START", f"({cast_expr}) = DATE_TRUNC('MONTH', {cast_expr})")
+    elif tname == "reportingperiodend":
+        add("domain", "NOT_PERIOD_END", f"({cast_expr}) = LAST_DAY({cast_expr})")
+
+    return checks
+
+
+def compile_checks(entity: EntityContract) -> list[CompiledCheck]:
+    """All validation checks for an entity over its stringified DataFrame."""
+    checks: list[CompiledCheck] = []
+    for field in entity.fields:
+        name = field.name
+        quoted = _quote(name)
+        mandatory = field.mandatory or name in entity.mandatory_fields
+        if mandatory:
+            pred = (
+                f"SIZE({quoted}) > 0" if field.is_array else _not_blank(quoted)
+            )
+            checks.append(
+                CompiledCheck(
+                    field=name,
+                    category="missing",
+                    code="MISSING_MANDATORY_VALUE",
+                    message=f"Mandatory field {name} missing",
+                    predicate_sql=pred,
+                )
+            )
+        if field.model is not None:
+            # nested struct: check each leaf (arrays checked element-wise)
+            for sub in field.model:
+                if field.is_array:
+                    sub_checks = _scalar_checks(sub, f"s.{_quote(sub.name)}")
+
+                    def wrap(pred: str, q: str = quoted) -> str:
+                        return (
+                            f"({q} IS NULL OR FORALL(TRANSFORM({q}, "
+                            f"s -> {pred}), p -> p))"
+                        )
+
+                else:
+                    sub_checks = _scalar_checks(sub, f"{quoted}.{_quote(sub.name)}")
+
+                    def wrap(pred: str, q: str = quoted) -> str:
+                        return pred
+
+                for cat, code, pred in sub_checks:
+                    checks.append(
+                        CompiledCheck(
+                            field=f"{name}.{sub.name}",
+                            category=cat,
+                            code=code,
+                            message=f"Field {name}.{sub.name} failed {code}",
+                            predicate_sql=wrap(pred),
+                        )
+                    )
+        elif field.is_array:
+            for cat, code, pred in _scalar_checks(
+                FieldSpec(
+                    name=name,
+                    type_name=field.type_name,
+                    constraints=field.constraints,
+                ),
+                "x",
+            ):
+                elem_pred = (
+                    f"({quoted} IS NULL OR FORALL(TRANSFORM({quoted}, "
+                    f"x -> {pred}), p -> p))"
+                )
+                checks.append(
+                    CompiledCheck(
+                        field=name,
+                        category=cat,
+                        code=code,
+                        message=f"Field {name} failed {code}",
+                        predicate_sql=elem_pred,
+                    )
+                )
+        else:
+            for cat, code, pred in _scalar_checks(field, quoted):
+                checks.append(
+                    CompiledCheck(
+                        field=name,
+                        category=cat,
+                        code=code,
+                        message=f"Field {name} failed {code}",
+                        predicate_sql=pred,
+                    )
+                )
+    return checks
