@@ -1,0 +1,138 @@
+"""Audit tables (dve spark/auditing.py:33-212; records dve models.py:24-148).
+
+Four append-only tables: ``processing_status``, ``submission_info``,
+``submission_statistics``, ``transfers`` — partitioned by ``date_updated``.
+Delta is used when the runtime has it (idempotent appends beat the
+reference's sleep-retry loop, dve spark_helpers.py:459-486); otherwise
+parquet append with identical schemas.
+
+"Latest status per submission" uses the reference's one window pattern:
+``row_number() over (partition by submission_id order by time_updated
+desc)`` (dve spark/auditing.py:143-162).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COMMON = [
+    T.StructField("submission_id", T.StringType(), False),
+    T.StructField("date_updated", T.DateType(), True),
+    T.StructField("time_updated", T.TimestampType(), True),
+]
+
+AUDIT_SCHEMAS: dict[str, T.StructType] = {
+    "processing_status": T.StructType(
+        _COMMON
+        + [
+            T.StructField("status", T.StringType(), True),
+            T.StructField("job_run_id", T.LongType(), True),
+            T.StructField("submission_result", T.StringType(), True),
+        ]
+    ),
+    "submission_info": T.StructType(
+        _COMMON
+        + [
+            T.StructField("dataset_id", T.StringType(), True),
+            T.StructField("file_name", T.StringType(), True),
+            T.StructField("file_extension", T.StringType(), True),
+            T.StructField("submission_method", T.StringType(), True),
+            T.StructField("submitting_org", T.StringType(), True),
+            T.StructField("reporting_period_start", T.StringType(), True),
+            T.StructField("reporting_period_end", T.StringType(), True),
+            T.StructField("file_size", T.LongType(), True),
+            T.StructField("datetime_received", T.TimestampType(), True),
+        ]
+    ),
+    "submission_statistics": T.StructType(
+        _COMMON
+        + [
+            T.StructField("record_count", T.LongType(), True),
+            T.StructField("number_submission_rejections", T.LongType(), True),
+            T.StructField("number_record_rejections", T.LongType(), True),
+            T.StructField("number_warnings", T.LongType(), True),
+        ]
+    ),
+    "transfers": T.StructType(
+        _COMMON
+        + [
+            T.StructField("report_name", T.StringType(), True),
+            T.StructField("transfer_id", T.StringType(), True),
+            T.StructField("transfer_method", T.StringType(), True),
+            T.StructField("recipient", T.StringType(), True),
+        ]
+    ),
+}
+
+
+def _has_delta(spark: SparkSession) -> bool:
+    try:
+        # py4j resolves missing packages lazily; Class.forName is a real probe
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "io.delta.tables.DeltaTable"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@dataclass
+class AuditLog:
+    """Appends audit records and answers latest-status queries."""
+
+    spark: SparkSession
+    base_uri: str
+    fmt: str = field(default="")
+
+    def __post_init__(self) -> None:
+        if not self.fmt:
+            self.fmt = "delta" if _has_delta(self.spark) else "parquet"
+
+    def _uri(self, table: str) -> str:
+        return f"{self.base_uri.rstrip('/')}/{table}"
+
+    def append(self, table: str, records: list[dict[str, Any]]) -> None:
+        schema = AUDIT_SCHEMAS[table]
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        rows = []
+        for rec in records:
+            rec = dict(rec)
+            rec.setdefault("time_updated", now)
+            rec.setdefault("date_updated", rec["time_updated"].date())
+            rows.append(tuple(rec.get(f.name) for f in schema.fields))
+        df = self.spark.createDataFrame(rows, schema)
+        (
+            df.coalesce(1)
+            .write.format(self.fmt)
+            .mode("append")
+            .partitionBy("date_updated")
+            .save(self._uri(table))
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self._uri(table))
+
+    def latest_status(self, submission_id: str | None = None) -> DataFrame:
+        """Most recent processing_status row per submission."""
+        df = self.read("processing_status")
+        if submission_id is not None:
+            df = df.where(F.col("submission_id") == submission_id)
+        w = Window.partitionBy("submission_id").orderBy(
+            F.col("time_updated").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+
+def new_submission_id() -> str:
+    return uuid.uuid4().hex

@@ -1,0 +1,207 @@
+"""Source/sink tests: CSV/JSON/XML readers, entity/message/audit sinks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from data_validation_engine_spark.errors import ConstraintError
+from data_validation_engine_spark.sources import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_xml,
+)
+from data_validation_engine_spark.sources.csv import CSVOptions
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return tmp_path
+
+
+def test_read_csv_stringified(spark, tmp):
+    p = tmp / "data.csv"
+    p.write_text(
+        "Name,Age,City\n"
+        "alice, 30 ,London\n"
+        "bob,NA,\n"
+        '"car,ol",25,Leeds\n'
+    )
+    df = read_csv(
+        spark,
+        str(p),
+        ["name", "age", "city"],
+        CSVOptions(null_values=("NA",), field_check=False),
+    )
+    rows = {r["name"]: (r["age"], r["city"]) for r in df.collect()}
+    assert rows["alice"] == ("30", "London")  # trimmed
+    assert rows["bob"] == (None, None)  # NA + empty -> null
+    assert rows["car,ol"] == ("25", "Leeds")  # quoted comma
+    assert df.schema == T.StructType(
+        [
+            T.StructField("name", T.StringType(), True),
+            T.StructField("age", T.StringType(), True),
+            T.StructField("city", T.StringType(), True),
+        ]
+    )
+
+
+def test_csv_header_field_check(spark, tmp):
+    p = tmp / "bad.csv"
+    p.write_text("a,b,wrong\n1,2,3\n")
+    with pytest.raises(ConstraintError):
+        read_csv(
+            spark, str(p), ["a", "b", "c"], CSVOptions(field_check=True)
+        )
+
+
+def test_read_json_nested(spark, tmp):
+    p = tmp / "movies.json"
+    p.write_text(
+        json.dumps(
+            [
+                {
+                    "title": "Alien",
+                    "year": "1979",
+                    "cast": [{"name": "Ripley", "role": "lead"}],
+                },
+                {"title": "Heat", "year": "1995", "cast": []},
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("title", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField(
+                "cast",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("name", T.StringType()),
+                            T.StructField("role", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = read_json(spark, str(p), schema)
+    rows = {r["title"]: r for r in df.collect()}
+    assert rows["Alien"]["cast"][0]["name"] == "Ripley"
+    assert rows["Heat"]["cast"] == []
+
+
+def test_read_xml_flat(spark, tmp):
+    p = tmp / "animals.xml"
+    p.write_text(
+        "<animals>"
+        "<animal><name>cat</name><height>0.3</height></animal>"
+        "<animal><name>dog</name><height>0.5</height></animal>"
+        "</animals>"
+    )
+    df = read_xml(spark, str(p), "animal")
+    rows = sorted((r["name"], str(r["height"])) for r in df.collect())
+    assert rows == [("cat", "0.3"), ("dog", "0.5")]
+
+
+def test_read_xml_wrapped_root_explode(spark, tmp):
+    p = tmp / "books.xml"
+    p.write_text(
+        '<bookstore name="main">'
+        "<book><title>A</title><price>1</price></book>"
+        "<book><title>B</title><price>2</price></book>"
+        "</bookstore>"
+    )
+    df = read_xml(
+        spark, str(p), "book", root_tag="bookstore", explode_record_tag=True
+    )
+    titles = sorted(r["title"] for r in df.collect())
+    assert titles == ["A", "B"]
+    assert "_name" in df.columns  # root attribute preserved for header use
+
+
+def test_write_entities_and_messages(spark, tmp):
+    from data_validation_engine_spark.sinks import (
+        write_entities,
+        write_messages_jsonl,
+    )
+    from data_validation_engine_spark.contract import add_record_index
+
+    df = add_record_index(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    written = write_entities({"t": df}, str(tmp / "out"))
+    back = read_parquet(spark, written["t"])
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    assert "__record_index__" not in back.columns
+
+    from data_validation_engine_spark.messages import (
+        Reporting,
+        messages_for_failures,
+    )
+    from pyspark.sql import functions as F
+
+    msgs = messages_for_failures(
+        "t", df, F.col("id") > 1, Reporting(code="LOW", message="id {{id}}")
+    )
+    write_messages_jsonl(msgs, str(tmp / "errors"))
+    feed = spark.read.json(str(tmp / "errors"))
+    assert feed.count() == 1
+    assert feed.collect()[0]["error_message"] == "id 1"
+
+
+def test_audit_log_roundtrip(spark, tmp):
+    from data_validation_engine_spark.sinks.audit import AuditLog
+
+    log = AuditLog(spark, str(tmp / "audit"))
+    assert log.fmt == "parquet"  # no delta in this container
+    log.append(
+        "processing_status",
+        [{"submission_id": "s1", "status": "received"}],
+    )
+    log.append(
+        "processing_status",
+        [
+            {"submission_id": "s1", "status": "processed"},
+            {"submission_id": "s2", "status": "received"},
+        ],
+    )
+    latest = {
+        r["submission_id"]: r["status"] for r in log.latest_status().collect()
+    }
+    assert latest == {"s1": "processed", "s2": "received"}
+
+
+def test_error_report_csv_fallback(spark, tmp):
+    from data_validation_engine_spark.contract import (
+        apply_contract,
+        parse_contract,
+        add_record_index,
+    )
+    from data_validation_engine_spark.sinks.report import write_error_report
+
+    contract = parse_contract(
+        {
+            "contract": {
+                "datasets": {
+                    "d": {
+                        "fields": {"id": "int"},
+                        "mandatory_fields": ["id"],
+                    }
+                }
+            }
+        }
+    )
+    df = add_record_index(
+        spark.createDataFrame([("1",), (None,), ("x",)], "id string")
+    )
+    _, messages = apply_contract(contract.entity("d"), df)
+    out = write_error_report(messages, str(tmp / "report"))
+    import pandas as pd
+
+    aggs = pd.read_csv(f"{out}/aggregates.csv")
+    assert aggs["n_errors"].sum() == 2
