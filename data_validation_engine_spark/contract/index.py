@@ -14,12 +14,23 @@ Here the same file-order index is computed DataFrame-native:
 
 No shuffle of the data, one extra metadata-size job; deterministic for a
 fixed file layout (same guarantee as zipWithIndex).
+
+The input is evaluated twice (the counts job, then the output plan). For a
+plain file scan both evaluations see the same partition layout; for inputs
+downstream of a shuffle/aggregation (or under task retries) the layout can
+differ between jobs, so ``persist=True`` (default) pins the evaluated
+``with_mid`` frame to MEMORY_AND_DISK before the counts job — both jobs then
+read the same materialised partitions. Pass ``persist=False`` only when the
+input is a deterministic fresh file scan and the double-read is cheaper than
+the cache (the caller owns that trade-off; the returned frame keeps the
+cache alive until Spark evicts it).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from data_validation_engine_spark.messages import RECORD_INDEX
 
@@ -28,12 +39,16 @@ _PART = "__dve_part"
 _OFFSET = "__dve_poffset"
 
 
-def add_record_index(df: DataFrame, *, column: str = RECORD_INDEX) -> DataFrame:
+def add_record_index(
+    df: DataFrame, *, column: str = RECORD_INDEX, persist: bool = True
+) -> DataFrame:
     """Add a stable, contiguous, 1-based index column in scan order."""
     spark = df.sparkSession
     with_mid = df.withColumn(_MID, F.monotonically_increasing_id()).withColumn(
         _PART, F.shiftright(F.col(_MID), 33).cast("long")
     )
+    if persist:
+        with_mid = with_mid.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = (
         with_mid.groupBy(_PART)

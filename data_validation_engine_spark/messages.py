@@ -86,9 +86,13 @@ class Reporting:
 
     code: str = "UNKNOWN"
     message: str = ""
-    emit: Literal["record_failure", "submission_failure", "warning", "info"] = (
-        "record_failure"
-    )
+    emit: Literal[
+        "record_failure",
+        "submission_failure",
+        "critical_failure",
+        "warning",
+        "info",
+    ] = "record_failure"
     location: str | None = None
     reporting_field: str | None = None
     reporting_entity_override: str | None = None
@@ -99,6 +103,9 @@ class Reporting:
     def failure_type(self) -> str:
         if self.emit == "submission_failure":
             return "submission"
+        if self.emit == "critical_failure":
+            # parity: dve reporting.py maps critical_failure -> integrity
+            return "integrity"
         return "record"
 
     @property
@@ -153,6 +160,86 @@ def messages_for_failures(
         F.lit(reporting.category).cast("string").alias("category"),
         reporting_field_col.alias("reporting_field"),
         record_json.alias("record_json"),
+    )
+
+
+def messages_for_checks(
+    entity_name: str,
+    df: DataFrame,
+    checks: list[tuple[Column, Reporting]],
+    *,
+    include_record_json: bool = True,
+    exclude_columns: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build ONE messages frame for many checks in a single scan of ``df``.
+
+    Each check is a ``(pass_predicate, reporting)`` pair; a message row is
+    produced for every (record, check) where the predicate is null or false.
+    Implementation: one ``array_compact(array(when(...)))`` of per-check
+    message structs + a single ``explode`` — N checks cost one scan, not N
+    (the pattern contract/apply.py uses for field checks; fixes the
+    scan-per-filter shape the reference inherits from its per-filter
+    Notification loop, dve backends/base/rules.py:356-555).
+    """
+    cols = [c for c in df.columns if c not in exclude_columns]
+    idx = (
+        F.col(RECORD_INDEX).cast("long")
+        if RECORD_INDEX in cols
+        else F.lit(None).cast("long")
+    )
+    record_json = (
+        F.to_json(F.struct(*[F.col(f"`{c}`") for c in cols if c != RECORD_INDEX]))
+        if include_record_json
+        else F.lit(None).cast("string")
+    )
+
+    def _struct(reporting: Reporting) -> Column:
+        reporting_field_col = (
+            F.col(f"`{reporting.reporting_field}`").cast("string")
+            if reporting.reporting_field and reporting.reporting_field in cols
+            else F.lit(None).cast("string")
+        )
+        return F.struct(
+            F.lit(reporting.reporting_entity_override or entity_name).alias(
+                "entity"
+            ),
+            F.lit(reporting.original_entity_override or entity_name).alias(
+                "original_entity"
+            ),
+            F.lit(reporting.code).alias("error_code"),
+            compile_message_template(reporting.message, cols).alias(
+                "error_message"
+            ),
+            F.lit(reporting.location).cast("string").alias("error_location"),
+            F.lit(reporting.failure_type).alias("failure_type"),
+            F.lit(reporting.is_informational).alias("is_informational"),
+            F.lit(reporting.category).cast("string").alias("category"),
+            reporting_field_col.alias("reporting_field"),
+        )
+
+    failed_structs = [
+        F.when(
+            ~F.coalesce(pred.cast("boolean"), F.lit(False)), _struct(reporting)
+        )
+        for pred, reporting in checks
+    ]
+    exploded = df.select(
+        idx.alias(RECORD_INDEX),
+        record_json.alias("record_json"),
+        F.explode(F.array_compact(F.array(*failed_structs))).alias("__m"),
+    )
+    return exploded.select(
+        F.col("__m.entity").alias("entity"),
+        F.col("__m.original_entity").alias("original_entity"),
+        F.col(RECORD_INDEX),
+        F.col("__m.error_code").alias("error_code"),
+        F.col("__m.error_message").alias("error_message"),
+        F.col("__m.error_location").alias("error_location"),
+        F.col("__m.failure_type").alias("failure_type"),
+        F.col("__m.is_informational").alias("is_informational"),
+        F.col("__m.category").alias("category"),
+        F.col("__m.reporting_field").alias("reporting_field"),
+        F.col("record_json"),
     )
 
 

@@ -29,6 +29,7 @@ from typing import Callable, MutableMapping, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from data_validation_engine_spark.errors import ConfigurationError, ConstraintError
 from data_validation_engine_spark.exprs import parse_multiple_expressions
@@ -85,6 +86,7 @@ class StepEngine:
 
     def __init__(self, spark: SparkSession, *, register_functions: bool = True):
         self.spark = spark
+        self._persisted: list[DataFrame] = []
         if register_functions:
             # engine's scalar function library becomes callable in rule SQL
             from data_validation_engine_spark.functions.library import (
@@ -192,12 +194,18 @@ class StepEngine:
 
     def notify(self, entities: Entities, *, config: Notification) -> Messages:
         df = entities[config.entity_name]
-        if config.excluded_columns:
-            df = df.drop(*config.excluded_columns)
-        # emit a message for each row where the expression IS truthy
+        # The predicate is evaluated on the FULL frame (excluded columns stay
+        # visible to the expression); they are only omitted from the message
+        # payload/template. Parity: dve spark/rules.py notify filters first
+        # and drops excluded columns from the payload only — the sync stage
+        # relies on expressions referencing excluded helper columns.
         predicate_fails_for_matches = ~_truthy(config.expression)
         return messages_for_failures(
-            config.entity_name, df, predicate_fails_for_matches, config.reporting
+            config.entity_name,
+            df,
+            predicate_fails_for_matches,
+            config.reporting,
+            exclude_columns=tuple(config.excluded_columns or ()),
         )
 
     # -- joins -------------------------------------------------------------
@@ -260,13 +268,20 @@ class StepEngine:
 
     def _assert_join_not_multiplying(
         self, joined: DataFrame, rowid: str, config: AbstractJoin
-    ) -> None:
-        """One action computing (total, distinct source rows) — raises if the
-        join matched any source row more than once."""
+    ) -> DataFrame:
+        """Single-execution integrity check: persist the join, run ONE action
+        computing (total, distinct source rows), raise if any source row
+        matched more than once. The returned (persisted) frame must be used
+        for the downstream projection so the join executes exactly once —
+        the reference runs two ``count()`` actions AND re-executes the join
+        at write time (dve spark/rules.py:217-227)."""
+        joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(joined)
         total, distinct = joined.select(
             F.count(F.lit(1)), F.count_distinct(_qcol(rowid))
         ).first()
         if total != distinct:
+            joined.unpersist()
             raise ConstraintError(
                 f"Multiple matches for some records from {config.entity_name!r} "
                 f"for condition {config.join_condition!r}",
@@ -276,6 +291,16 @@ class StepEngine:
                     f"({config.target_name!r})"
                 ),
             )
+        return joined
+
+    def cleanup(self) -> None:
+        """Unpersist every frame cached for integrity checks."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
     def _new_column_join(
         self, entities: Entities, config: AbstractNewColumnJoin, how: str,
@@ -289,7 +314,7 @@ class StepEngine:
             entities, config, how, source_extra=extra
         )
         if integrity_check:
-            self._assert_join_not_multiplying(joined, rowid, config)
+            joined = self._assert_join_not_multiplying(joined, rowid, config)
         entities[config.output_name] = self._project_join_result(
             source, joined, config,
             drop_source_columns=(rowid,) if integrity_check else (),
@@ -330,7 +355,7 @@ class StepEngine:
             entities, config, "left", source_extra=extra
         )
         if check:
-            self._assert_join_not_multiplying(joined, rowid, config)
+            joined = self._assert_join_not_multiplying(joined, rowid, config)
         out_cols = [
             f"{config.entity_name}.`{c}`" for c in source.columns if c != rowid
         ]
@@ -404,6 +429,20 @@ class StepEngine:
     def identify_orphans(
         self, entities: Entities, *, config: OrphanIdentification
     ) -> Messages:
+        """Boolean ``IsOrphaned`` flag: no match in target under the theta
+        condition; OR-accumulated with a pre-existing flag.
+
+        Scale plan: the left join can multiply each source row by its match
+        count, so the joined frame is never shuffled wide. It is projected to
+        the narrow ``(rowid, match)`` pair, aggregated to one flag per row,
+        and the flags (2 columns) are joined back to the un-multiplied
+        source. The wide data moves through exactly one join-key shuffle —
+        vs the reference's uuid-keyed groupBy + join-back over all columns
+        (dve spark/rules.py:339-374). ``rowid`` is derived from
+        ``monotonically_increasing_id`` on the source subtree, which is
+        deterministic for a given scan layout (the two occurrences of the
+        subtree in this plan compute identical ids).
+        """
         rowid = f"__rowid_{uuid.uuid4().hex[:8]}"
         match = f"__match_{uuid.uuid4().hex[:8]}"
         source, _, joined = self._theta_join(
@@ -416,33 +455,30 @@ class StepEngine:
         src_name = config.entity_name
         source_cols = [c for c in source.columns if c != rowid]
 
-        is_orphaned_now = (F.count(_qcol(match)) == F.lit(0))
-        if "IsOrphaned" in source_cols:
-            # OR-accumulate with the pre-existing flag
-            aggs = [
-                F.first(F.col(f"{src_name}.`{c}`")).alias(c)
-                for c in source_cols
-                if c != "IsOrphaned"
-            ]
-            aggs.append(
-                (
-                    F.first(F.col(f"{src_name}.`IsOrphaned`")) | is_orphaned_now
-                ).alias("IsOrphaned")
+        # narrow aggregation: (rowid, match) only — no wide shuffle of the
+        # multiplied join output
+        flags = (
+            joined.select(
+                F.col(f"{src_name}.`{rowid}`").alias(rowid), _qcol(match)
             )
-            ordered = [c for c in source_cols]
-        else:
-            aggs = [
-                F.first(F.col(f"{src_name}.`{c}`")).alias(c) for c in source_cols
-            ]
-            aggs.append(is_orphaned_now.alias("IsOrphaned"))
-            ordered = source_cols + ["IsOrphaned"]
+            .groupBy(rowid)
+            .agg((F.count(_qcol(match)) == F.lit(0)).alias("__orphaned_now"))
+        )
 
-        # single shuffle: group on the per-row id, rebuild the row with
-        # first() — no join-back (cf. dve spark/rules.py:339-374)
-        out = (
-            joined.groupBy(F.col(f"{src_name}.`{rowid}`"))
-            .agg(*aggs)
-            .select(*[_qcol(c) for c in ordered])
+        out = source.join(flags, on=rowid, how="inner")
+        if "IsOrphaned" in source_cols:
+            orphan_col = (_qcol("IsOrphaned") | F.col("__orphaned_now")).alias(
+                "IsOrphaned"
+            )
+            ordered = source_cols
+        else:
+            orphan_col = F.col("__orphaned_now").alias("IsOrphaned")
+            ordered = source_cols + ["IsOrphaned"]
+        out = out.select(
+            *[
+                orphan_col if c == "IsOrphaned" else _qcol(c)
+                for c in ordered
+            ]
         )
         entities[config.output_name] = out
         return None

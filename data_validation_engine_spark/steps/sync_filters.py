@@ -12,8 +12,15 @@ Semantics (parity with dve backends/base/rules.py:356-555):
 Vectorised rebuild: the reference adds one hidden uuid column + one
 driver-side notification loop PER FILTER, then a final AND filter. Here the
 whole stage is three lazy constructs per entity — one ``select`` computing
-every predicate once, one messages union from the negated predicates, one
+every predicate once, ONE message frame for all filters (per-check structs +
+``array_compact`` + a single ``explode`` — one scan for N filters), one
 ``where`` over the conjunction — all fused by Catalyst into a single scan.
+
+Deliberate deviation (documented per round-1 advice): the reference's sync
+stage notifies on ``NOT <pred>`` being truthy, so a NULL predicate drops the
+record silently with no message. Here a NULL predicate both drops the record
+AND emits its failure message — null is treated as failure-with-feedback
+consistently across the drop condition and the error feed.
 """
 
 from __future__ import annotations
@@ -21,12 +28,13 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import MutableMapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_validation_engine_spark.messages import (
     MessageCollector,
-    messages_for_failures,
+    Reporting,
+    messages_for_checks,
 )
 from data_validation_engine_spark.steps.configs import DeferredFilter
 
@@ -52,21 +60,7 @@ def apply_sync_filters(
             f for f in entity_filters if f.reporting.emit != "record_failure"
         ]
 
-        # notify-only filters: message where NOT(expr), entity unchanged
-        for f in notify_only:
-            collector.add(
-                messages_for_failures(
-                    entity_name,
-                    entity,
-                    F.expr(f.expression).cast("boolean"),
-                    f.reporting,
-                )
-            )
-
-        if not record_level:
-            continue
-
-        # one pass: compute every predicate as a column
+        # one pass: compute every record-level predicate as a column
         pred_names = [f"__filter_{i}" for i in range(len(record_level))]
         with_preds = entity.select(
             "*",
@@ -76,18 +70,29 @@ def apply_sync_filters(
             ],
         )
 
-        # messages from the negated predicates (computed on the same frame —
-        # Catalyst subexpression-reuses the predicate columns)
-        for f, name in zip(record_level, pred_names):
+        # ONE message frame for all filters on this entity (single scan):
+        # record-level checks reference their precomputed predicate columns,
+        # notify-only checks evaluate their expression in place (the helper
+        # columns are excluded from payloads, so the frames are equivalent).
+        checks: list[tuple[Column, Reporting]] = [
+            (F.col(name), f.reporting)
+            for f, name in zip(record_level, pred_names)
+        ] + [
+            (F.expr(f.expression).cast("boolean"), f.reporting)
+            for f in notify_only
+        ]
+        if checks:
             collector.add(
-                messages_for_failures(
+                messages_for_checks(
                     entity_name,
                     with_preds,
-                    F.col(name),
-                    f.reporting,
+                    checks,
                     exclude_columns=tuple(pred_names),
                 )
             )
+
+        if not record_level:
+            continue
 
         # survivor condition: every predicate non-null AND true
         survive = F.lit(True)
