@@ -579,6 +579,365 @@ def q_record_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# llmops queries (training-data pipeline operators; SURVEY §7 item 8)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents with a deterministically re-inserted 10%
+    sample (so the operator visibly collapses duplicates)."""
+    from data_validation_engine_spark.llmops import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup_in = docs.unionByName(docs.where("doc_id % 10 = 0"))
+    return exact_dedup(dup_in, "text", order_col="doc_id").selectExpr(
+        "doc_id", "n_chars", "n_copies"
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (banded candidates, exact-Jaccard
+    verified; no cartesian product in the plan)."""
+    from data_validation_engine_spark.llmops import minhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (md5-derived bit votes)."""
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.llmops import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-20 neighbours of vec 0 (broadcast query, per-
+    partition top-k — no global sort)."""
+    from data_validation_engine_spark.llmops import cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(embs, embs.where("vec_id = 0"), 20)
+
+
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe: top-10 within vec 0's random-hyperplane LSH bucket."""
+    from data_validation_engine_spark.llmops import ann_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk(embs, embs.where("vec_id = 0"), 10)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics + quality gate."""
+    from data_validation_engine_spark.llmops import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(docs, "doc_id", "text")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK charset check + stopword vote)."""
+    from data_validation_engine_spark.llmops import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs, "doc_id", "text")
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document (integer-keyed ranking)."""
+    from data_validation_engine_spark.llmops import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, "doc_id", "text")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 fingerprint + min-k winnowed shingle sketch."""
+    from data_validation_engine_spark.llmops import text_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_fingerprint(docs, "doc_id", "text")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (payload bytes + content hash) — the JVM side
+    of the multimodal convention."""
+    from data_validation_engine_spark.llmops.multimodal import (
+        attach_binary,
+        binary_meta,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return binary_meta(attach_binary(docs, "text"), "doc_id")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing (mapInPandas) with the deterministic
+    fake decoder — no SQL oracle (Python-side op); driver rows-only check."""
+    from data_validation_engine_spark.llmops.multimodal import (
+        attach_binary,
+        decode_binary,
+        fake_decoder,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_binary(
+        attach_binary(docs, "text"), "doc_id", decoder=fake_decoder
+    )
+
+
+# ---------------------------------------------------------------------------
+# llmops oracle SQL builders (DuckDB)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _duck_shingles(n: int = 3) -> str:
+    """DuckDB expression for distinct word n-gram shingles over ``toks``."""
+    return (
+        f"list_distinct(CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(0, len(toks) - {n}), "
+        f"i -> array_to_string(toks[i + 1:i + {n}], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END)"
+    )
+
+
+def _dedup_minhash_oracle(
+    num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
+) -> str:
+    rows = num_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('mh{i}|' || s)))"
+        for i in range(num_hashes)
+    )
+    band_key = " || '|' || ".join(
+        f"sig[b * {rows} + {j + 1}]" for j in range(rows)
+    )
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, {_duck_shingles()} AS shingles FROM toked
+        ),
+        sig AS (
+            SELECT doc_id, shingles, [{sig}] AS sig FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, shingles, t.b AS band_idx,
+                   md5({band_key}) AS band_key
+            FROM sig, generate_series(0, {bands - 1}) t(b)
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                         / len(list_distinct(list_concat(sh_a, sh_b))), 6)
+                       AS jaccard
+            FROM cand
+        ) WHERE jaccard >= {threshold}
+    """
+
+
+def _dedup_simhash_oracle(bits: int = 16) -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    bit_exprs = " || ".join(
+        f"CASE WHEN 2 * len(list_filter(toks, t -> "
+        f"substring(md5(t), {b + 1}, 1) IN {high})) >= len(toks) "
+        f"THEN '1' ELSE '0' END"
+        for b in range(bits)
+    )
+    return f"""
+        SELECT doc_id, {bit_exprs} AS simhash
+        FROM (
+            SELECT doc_id, list_distinct({_DUCK_TOKS}) AS toks FROM documents
+        )
+    """
+
+
+def _duck_dot(a: str, b: str, dim: int = 64) -> str:
+    """Left-fold double dot product in index order (bit-identical to the
+    Spark ``aggregate(zip_with(...))`` fold)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _similarity_topk_oracle(k: int = 20, dim: int = 64) -> str:
+    cos = (
+        f"round({_duck_dot('e.embedding', 'q.qv', dim)} / "
+        f"(sqrt({_duck_dot('e.embedding', 'e.embedding', dim)}) * "
+        f"sqrt({_duck_dot('q.qv', 'q.qv', dim)})), 6)"
+    )
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, {cos} AS cosine
+        FROM embeddings e, q
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _similarity_ann_oracle(k: int = 10, n_planes: int = 4, dim: int = 64) -> str:
+    from data_validation_engine_spark.llmops.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+
+    def bucket(vec: str) -> str:
+        bits = []
+        for plane in planes:
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            bits.append(
+                f"CASE WHEN {_duck_dot(vec, lit, dim)} >= 0 "
+                f"THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits)
+
+    cos = (
+        f"round({_duck_dot('e.embedding', 'q.qv', dim)} / "
+        f"(sqrt({_duck_dot('e.embedding', 'e.embedding', dim)}) * "
+        f"sqrt({_duck_dot('q.qv', 'q.qv', dim)})), 6)"
+    )
+    return f"""
+        WITH q AS (
+            SELECT embedding AS qv, {bucket('embedding')} AS qbucket
+            FROM embeddings WHERE vec_id = 0
+        ),
+        t AS (
+            SELECT vec_id, embedding, {bucket('embedding')} AS bucket
+            FROM embeddings
+        )
+        SELECT vec_id, {cos} AS cosine, bucket
+        FROM t e JOIN q ON e.bucket = q.qbucket
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
+_DUCK_STOP = {
+    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    for lang, words in __import__(
+        "data_validation_engine_spark.llmops.text", fromlist=["STOPWORDS"]
+    ).STOPWORDS.items()
+}
+
+
+def _text_stats_oracle() -> str:
+    sum_len = "list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)"
+    punct = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+    stop = f"len(list_filter(toks, t -> lower(t) IN {_DUCK_STOP['en']}))"
+    bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+    return f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               {bpe} AS n_bpe_tokens,
+               round({sum_len}::DOUBLE / len(toks)::DOUBLE, 4) AS avg_token_len,
+               round({punct}::DOUBLE / length(text)::DOUBLE, 4) AS punct_ratio,
+               round({stop}::DOUBLE / len(toks)::DOUBLE, 4) AS stopword_ratio,
+               (len(toks) BETWEEN 5 AND 5000)
+                   AND (round({sum_len}::DOUBLE / len(toks)::DOUBLE, 4)
+                        BETWEEN 2.0 AND 15.0)
+                   AND (round({punct}::DOUBLE / length(text)::DOUBLE, 4) < 0.2)
+                   AS quality_ok
+        FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    """
+
+
+def _lang_id_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, t -> lower(t) IN {_DUCK_STOP[lang]}))"
+        for lang in ("en", "es", "de", "fr")
+    }
+    best = f"greatest({hits['en']}, {hits['es']}, {hits['de']}, {hits['fr']})"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
+                        THEN 'zh'
+                    WHEN {best} = 0 THEN 'und'
+                    WHEN {hits['en']} = {best} THEN 'en'
+                    WHEN {hits['es']} = {best} THEN 'es'
+                    WHEN {hits['de']} = {best} THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    """
+
+
+_LLMOPS_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        WITH dup_in AS (
+            SELECT * FROM documents
+            UNION ALL
+            SELECT * FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT arg_min(doc_id, doc_id) AS doc_id,
+               arg_min(n_chars, doc_id) AS n_chars,
+               count(*) AS n_copies
+        FROM dup_in
+        GROUP BY md5(text)
+    """,
+    "dedup_minhash": _dedup_minhash_oracle(),
+    "dedup_simhash": _dedup_simhash_oracle(),
+    "similarity_topk": _similarity_topk_oracle(),
+    "similarity_ann": _similarity_ann_oracle(),
+    "text_stats": _text_stats_oracle(),
+    "lang_id": _lang_id_oracle(),
+    "tfidf_topterms": """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, term, tf, df, tfidf FROM (
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln(n::DOUBLE / df::DOUBLE), 6) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, term ASC
+                   ) AS rk
+            FROM tf JOIN dfreq USING (term), n
+        ) WHERE rk = 1
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint,
+               array_to_string(
+                   list_sort(list_transform(shingles, s -> md5(s)))[1:4], '')
+                   AS winnow
+        FROM (
+            SELECT doc_id, text, {_duck_shingles()} AS shingles
+            FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+        )
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               octet_length(text::BLOB) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI SQL)
 # ---------------------------------------------------------------------------
 
@@ -874,8 +1233,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_cast": q_contract_cast,
         "contract_messages": q_contract_messages,
         "record_index": q_record_index,
+        # llmops (training-data pipeline operators)
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann": q_similarity_ann,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "tfidf_topterms": q_tfidf_topterms,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,  # no oracle: Python decode
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return {**_ORACLES, **_LLMOPS_ORACLES}

@@ -1,0 +1,57 @@
+"""LLM-training-data pipeline operators (net-new vs the reference).
+
+The reference engine (NHSDigital/data-validation-engine) is a batch file
+validation engine with no dedup / similarity / text-analysis surface; these
+operators extend the same entity-namespace model to the operations a
+large-scale training-data pipeline needs:
+
+- :mod:`dedup` — exact dedup, MinHash-LSH fuzzy dedup (banded candidate
+  generation, never all-pairs), SimHash.
+- :mod:`similarity` — cosine top-k over embedding columns (exact brute force
+  + LSH-bucketed ANN probe).
+- :mod:`text` — tokenisation, token counting, quality stats, language ID,
+  TF-IDF top terms, document fingerprinting.
+- :mod:`multimodal` — opaque binary columns with typed metadata and
+  Arrow-batched decode/feature plumbing (``mapInPandas``).
+
+Design invariant: every hash these operators use is an ``md5`` hex string —
+portable across engines — so each operator has an exact ANSI-SQL oracle
+(the driver's DuckDB correctness gate runs them side by side). All hot-path
+logic is built from ``pyspark.sql.functions`` (JVM/codegen); Python appears
+only in the multimodal decode boundary, by design, as Arrow-batched
+``mapInPandas``.
+"""
+
+from data_validation_engine_spark.llmops.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_pairs,
+    simhash,
+    with_shingles,
+)
+from data_validation_engine_spark.llmops.similarity import (
+    ann_topk,
+    cosine_topk,
+    with_lsh_bucket,
+)
+from data_validation_engine_spark.llmops.text import (
+    language_id,
+    text_fingerprint,
+    text_stats,
+    tfidf_top_terms,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_dedup",
+    "minhash_pairs",
+    "simhash",
+    "with_shingles",
+    "ann_topk",
+    "cosine_topk",
+    "with_lsh_bucket",
+    "language_id",
+    "text_fingerprint",
+    "text_stats",
+    "tfidf_top_terms",
+]

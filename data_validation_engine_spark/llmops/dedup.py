@@ -1,0 +1,266 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash.
+
+Scale design (the point of these operators is 100 TB, not 60k rows):
+
+- **Exact dedup** groups on a hash of the text, not the text itself, so the
+  shuffle moves a 32-byte key + the kept row — never the full text twice.
+- **MinHash-LSH** generates candidate pairs through a *banded bucket join*:
+  signatures are computed per-row (narrow, no shuffle), band keys explode to
+  ``bands`` rows per doc, and only docs sharing a (band, key) bucket ever
+  meet in the join. There is no ``crossJoin`` anywhere in the plan — the
+  all-pairs O(n²) comparison the naive formulation needs is replaced by a
+  shuffle join on band keys whose fan-in per bucket is the collision rate,
+  tuned by (num_hashes, bands).
+- **SimHash** is a per-row signature (no shuffle at all); near-dup pairs
+  again come from banding the signature.
+
+Portability invariant: every hash is an ``md5`` hex string (lexicographic
+``min`` over uniformly-distributed hex strings is a valid min-hash
+permutation surrogate), so each operator has an exact DuckDB/ANSI-SQL
+oracle. No Python UDFs — everything below is JVM Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE_SIZE = 3
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of a text column (empty array for blank text)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_SIZE) -> Column:
+    """Distinct word ``n``-gram shingles of a text column.
+
+    Texts shorter than ``n`` words contribute their whole text as the single
+    shingle, so every non-empty doc has ≥1 shingle.
+    """
+    toks = tokens_col(text)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, ngrams).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str,
+    *,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    out_col: str = "shingles",
+) -> DataFrame:
+    return df.withColumn(out_col, shingles_col(F.col(text_col), shingle_size))
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> list[Column]:
+    """MinHash signature: per seed, the minimum md5 over the shingle set.
+
+    ``md5(seed || '|' || shingle)`` is uniform per seed, so the lexicographic
+    minimum hex string is an order-statistic min-hash — identical in any
+    engine with md5, which is what makes the LSH pipeline oracle-checkable.
+    Computed entirely per-row (``transform`` + ``array_min``): no shuffle.
+    """
+    return [
+        F.array_min(
+            F.transform(
+                shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"mh{i}|"), s))
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def band_keys(
+    sig_cols: list[str], bands: int
+) -> list[Column]:
+    """Group the signature into ``bands`` bands; key = md5 of the band."""
+    if len(sig_cols) % bands:
+        raise ValueError(
+            f"num_hashes ({len(sig_cols)}) must divide evenly into "
+            f"bands ({bands})"
+        )
+    rows = len(sig_cols) // bands
+    return [
+        F.md5(
+            F.concat_ws("|", *[F.col(c) for c in sig_cols[b * rows : (b + 1) * rows]])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and
+    ``jaccard >= threshold``. Candidate generation is banded (docs meet only
+    when a whole band of their signatures collides); candidates are then
+    verified with the exact Jaccard over distinct shingle sets. The plan
+    contains shuffle joins on band keys and ids — never a cartesian product.
+    """
+    sig_names = [f"mh_{i}" for i in range(num_hashes)]
+    shingled = df.select(
+        F.col(id_col),
+        shingles_col(F.col(text_col), shingle_size).alias("__shingles"),
+    ).where(F.size("__shingles") > 0)
+    with_sig = shingled.select(
+        id_col, "__shingles", *minhash_signature(F.col("__shingles"), num_hashes)
+    )
+    with_bands = with_sig.select(
+        id_col,
+        "__shingles",
+        F.posexplode(F.array(*band_keys(sig_names, bands))).alias(
+            "__band_idx", "__band_key"
+        ),
+    )
+
+    left = with_bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__shingles").alias("__sh_a"),
+        "__band_idx",
+        "__band_key",
+    )
+    right = with_bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__shingles").alias("__sh_b"),
+        "__band_idx",
+        "__band_key",
+    )
+    candidates = (
+        left.join(right, on=["__band_idx", "__band_key"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair may collide in several bands — dedupe before verification
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("__sh_a").alias("__sh_a"),
+            F.first("__sh_b").alias("__sh_b"),
+        )
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_col(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the lowest id of each detected pair.
+
+    Greedy keep-min rule (a doc is dropped if it pairs with ANY lower id) —
+    the standard single-pass approximation of connected-component dedup;
+    exact components need an iterative algorithm, out of scope here.
+    """
+    pairs = minhash_pairs(df, id_col, text_col, **kwargs)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, on=id_col, how="left_anti")
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    order_col: str,
+    normalize_text: bool = False,
+) -> DataFrame:
+    """Exact dedup: one survivor (min ``order_col``) per key, plus
+    ``n_copies``.
+
+    ``key_cols`` are hashed (md5 of the concatenated key) before the
+    group-by, so the shuffle key is 32 bytes regardless of text size.
+    ``normalize_text=True`` canonicalises each key part first (lowercase,
+    collapse whitespace) — "same text modulo whitespace/case" dedup.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    parts = [F.col(c).cast("string") for c in key_cols]
+    if normalize_text:
+        parts = [
+            F.trim(F.regexp_replace(F.lower(p), r"\s+", " ")) for p in parts
+        ]
+    key = F.md5(F.concat_ws("", *parts))
+
+    keyed = df.withColumn("__dedup_key", key)
+    # min_by keeps the whole winning row without a second join-back pass
+    survivors = keyed.groupBy("__dedup_key").agg(
+        F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(order_col)).alias(
+            "__row"
+        ),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return survivors.select(
+        *[F.col(f"__row.`{c}`").alias(c) for c in df.columns], "n_copies"
+    )
+
+
+def simhash(text: Column, *, bits: int = 16) -> Column:
+    """SimHash signature of a text column as a ``bits``-length bit string.
+
+    Bit ``b`` is set when more than half the distinct tokens hash to 1 at
+    position ``b`` (the ±1-vote formulation: ``2*ones >= n``). Token bit =
+    high bit of hex nibble ``b`` of ``md5(token)`` — md5 gives 32 nibbles,
+    so ``bits <= 32``. Per-row only: no shuffle, exact SQL oracle.
+    """
+    if bits > 32:
+        raise ValueError("simhash supports at most 32 bits (md5 nibbles)")
+    toks = F.array_distinct(tokens_col(text))
+    high = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+    def bit(b: int) -> Column:
+        ones = F.size(
+            F.filter(
+                toks,
+                lambda t: F.substring(F.md5(t), b + 1, 1).isin(high),
+            )
+        )
+        return F.when(ones * 2 >= F.size(toks), F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(b) for b in range(bits)])
+
+
+def hamming_distance(a: Column, b: Column, *, bits: int = 16) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
+        )
+    )

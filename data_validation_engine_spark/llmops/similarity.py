@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, one exact and one sub-linear:
+
+- :func:`cosine_topk` — exact brute force: broadcast the query vector(s),
+  compute cosine per row, ``orderBy(...).limit(k)``. Spark plans the limit
+  as TakeOrderedAndProject (per-partition top-k + driver merge of k·P rows)
+  — no global sort shuffle, so this scales to any table size; it is the
+  correctness baseline and the right choice when every row must be scored.
+- :func:`ann_topk` — LSH-bucketed approximate path: random-hyperplane signs
+  partition vectors into 2^planes buckets; a query probes only its own
+  bucket, so the scored fraction is ~1/2^planes of the table. Bucketing is
+  a per-row projection (no shuffle); at scale the table would be written
+  partitioned by bucket so a probe prunes to one partition.
+
+Numeric portability: all arithmetic is double-precision left-fold sums in
+array index order (``aggregate(zip_with(...))``), which is bit-identical to
+the DuckDB oracle's ``list_reduce(list_transform(...))`` — so cosine values
+round-trip exactly and the oracle hash-compare is stable.
+
+Hyperplanes come from a deterministic splitmix64-style integer hash of
+(plane, dim) — reproducible here and embeddable as literals in oracle SQL,
+with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return arr.cast("array<double>")
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays, double left-fold in index order."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a single query row.
+
+    ``query`` must be a 1-row frame; it is broadcast, so the "join" is a
+    map-side operation over the table. Ties break on ascending id, making
+    the cutoff deterministic.
+    """
+    qcol = query_vec_col or vec_col
+    qdf = query.select(
+        F.col(qcol).alias("__qvec"),
+        F.col(id_col).alias("__qid") if id_col in query.columns else F.lit(None).alias("__qid"),
+    )
+    scored = df.crossJoin(F.broadcast(qdf)).select(
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col("__qvec")), round_to).alias(
+            "cosine"
+        ),
+        F.col("__qid"),
+    )
+    if exclude_self:
+        scored = scored.where(
+            F.col("__qid").isNull() | (F.col(id_col) != F.col("__qid"))
+        )
+    return (
+        scored.select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# -- LSH bucketing -----------------------------------------------------------
+
+_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (public splitmix64 constants)."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim.
+
+    Values derive from splitmix64(plane * dim + dim_index) — stable across
+    processes and engines, so the same planes can be inlined as literals in
+    an oracle SQL string.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = _splitmix64(p * 100_003 + d)
+            row.append((h >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id as a bit string ('101...')."""
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bits.append(
+            F.when(dot_col(vec, lit_plane) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    return F.concat(*bits)
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    out_col: str = "bucket",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    planes = planes if planes is not None else hyperplanes(n_planes, dim)
+    return df.withColumn(out_col, bucket_col(F.col(vec_col), planes))
+
+
+def ann_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    Returns ``(id, cosine, bucket)``. Recall trades off against probe cost
+    via ``n_planes`` (2^planes buckets); multi-probe (flipping low-margin
+    bits) is the standard extension and composes on top of this operator.
+    """
+    planes = hyperplanes(n_planes, dim)
+    table = with_lsh_bucket(
+        df, vec_col=vec_col, planes=planes, out_col="__bucket"
+    )
+    qdf = with_lsh_bucket(
+        query, vec_col=vec_col, planes=planes, out_col="__qbucket"
+    ).select(
+        F.col(vec_col).alias("__qvec"),
+        F.col(id_col).alias("__qid"),
+        "__qbucket",
+    )
+    probed = table.join(
+        F.broadcast(qdf), on=F.col("__bucket") == F.col("__qbucket"), how="inner"
+    )
+    if exclude_self:
+        probed = probed.where(F.col(id_col) != F.col("__qid"))
+    return (
+        probed.select(
+            F.col(id_col),
+            F.round(
+                cosine_col(F.col(vec_col), F.col("__qvec")), round_to
+            ).alias("cosine"),
+            F.col("__bucket").alias("bucket"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

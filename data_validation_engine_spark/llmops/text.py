@@ -1,0 +1,187 @@
+"""Text-analysis operators over document tables.
+
+All per-row (no shuffle) except TF-IDF, whose shuffles are the irreducible
+term aggregations; everything is JVM Column expressions with exact SQL
+oracles. Ratios divide doubles; rankings order on integer/string keys only
+(tf, df, term) so cross-engine float rounding can never flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.dedup import shingles_col, tokens_col
+
+#: BPE-ish tokeniser: letter runs, digit runs, single punctuation marks.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Punctuation-ish: anything not alphanumeric or whitespace.
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+# Deterministic mini stopword lists for the language-ID vote. Public,
+# dictionary-head words only.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "von", "zu", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"],
+}
+
+#: CJK unified ideographs — presence short-circuits the vote to 'zh'.
+CJK_RE_JAVA = "[\\u4e00-\\u9fff]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Token count under the BPE-ish regex tokeniser."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+
+
+def text_stats(
+    df: DataFrame, id_col: str, text_col: str, *, round_to: int = 4
+) -> DataFrame:
+    """Per-document quality statistics + a simple quality gate.
+
+    Columns: n_chars, n_tokens (whitespace), n_bpe_tokens, avg_token_len,
+    punct_ratio, stopword_ratio, quality_ok. One projection per row — no
+    shuffle, filters push to the scan.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    avg_token_len = F.round(
+        sum_tok_len.cast("double") / n_tokens.cast("double"), round_to
+    )
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), F.lit(0)))
+    punct_ratio = F.round(
+        n_punct.cast("double") / n_chars.cast("double"), round_to
+    )
+    stop_hits = _stopword_hits(toks, STOPWORDS["en"])
+    stopword_ratio = F.round(
+        stop_hits.cast("double") / n_tokens.cast("double"), round_to
+    )
+    quality_ok = (
+        n_tokens.between(5, 5000)
+        & avg_token_len.between(2.0, 15.0)
+        & (punct_ratio < 0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        token_count_bpe(text).alias("n_bpe_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality_ok.alias("quality_ok"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str, text_col: str, *, out_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: CJK charset check, then a stopword vote.
+
+    Ties break in fixed priority (en > es > de > fr); zero hits => 'und'.
+    Per-row expression only.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    hits = {
+        lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    vote = (
+        F.when(hits["en"] == best, F.lit("en"))
+        .when(hits["es"] == best, F.lit("es"))
+        .when(hits["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    pred = (
+        F.when(text.rlike(CJK_RE_JAVA), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .otherwise(vote)
+    )
+    return df.select(F.col(id_col), pred.alias(out_col))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_n: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top TF-IDF terms per document.
+
+    Returns ``(id, term, tf, df, tfidf)`` for the ``top_n`` terms per doc.
+    Rank order is (tf desc, df asc, term asc) — integers and strings only,
+    so ranking is engine-exact; the float tfidf is reported, not ranked on.
+    Shuffles: one per term aggregation (tf, document frequency) — the
+    irreducible cost of TF-IDF; doc count joins in via broadcast.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("__n"))
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, on="term", how="inner")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+                round_to,
+            ),
+        )
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= top_n)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+
+
+def text_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    winnow_k: int = 4,
+) -> DataFrame:
+    """Document fingerprints: canonical md5 + a winnowed shingle sketch.
+
+    - ``fingerprint``: md5 of the canonicalised text (lowercase, collapsed
+      whitespace) — exact-dup key robust to formatting noise.
+    - ``winnow``: concatenation of the ``winnow_k`` smallest shingle hashes
+      (a min-k sketch; documents sharing most shingles share most of the
+      sketch). Per-row expression, no shuffle.
+    """
+    text = F.col(text_col)
+    canonical = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    shingle_hashes = F.array_sort(
+        F.transform(shingles_col(text, shingle_size), lambda s: F.md5(s))
+    )
+    winnow = F.concat_ws("", F.slice(shingle_hashes, 1, winnow_k))
+    return df.select(
+        F.col(id_col),
+        F.md5(canonical).alias("fingerprint"),
+        winnow.alias("winnow"),
+    )

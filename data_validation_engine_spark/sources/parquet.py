@@ -3,10 +3,37 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_parquet_nanos_safe(
+    spark: SparkSession,
+    path: str,
+    *,
+    nanos_timestamp_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Read parquet that may contain TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type and rejects such files outright
+    (PARQUET_TYPE_ILLEGAL). This reads them as nano-precision longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and converts the named
+    columns to microsecond timestamps — precision loss below 1µs only.
+    """
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    for c in nanos_timestamp_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+        )
+    return df
 
 
 def load_refdata_table(spark: SparkSession, table: str) -> DataFrame:

@@ -275,6 +275,13 @@ class StepEngine:
         for the downstream projection so the join executes exactly once —
         the reference runs two ``count()`` actions AND re-executes the join
         at write time (dve spark/rules.py:217-227)."""
+        if joined.isStreaming:
+            raise ConfigurationError(
+                "integrity-checked joins (one_to_one_join / has_match with "
+                "perform_integrity_check) are batch-only: count-equality "
+                "over an unbounded stream is undefined; use a plain "
+                "left_join or a per-microbatch foreachBatch check"
+            )
         joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
         self._persisted.append(joined)
         total, distinct = joined.select(

@@ -1,0 +1,24 @@
+"""Structured Streaming lift of the rule vocabulary.
+
+The reference is batch-only (files polled from a landing prefix,
+dve pipeline/pipeline.py:164-196); this module is the net-new streaming
+surface sketched in SURVEY §2.8: because every step is a pure DataFrame
+transformation, stateless steps (filter/notify/add/select/deferred-filter
+message emission) lift verbatim onto ``readStream`` sources. Stateful
+integrity checks (``one_to_one_join`` count equality, header 1-row probes)
+are NOT streaming-safe and raise explicitly rather than degrade silently.
+"""
+
+from data_validation_engine_spark.streaming.filters import (
+    read_entity_stream,
+    start_message_sink,
+    streaming_sync_filters,
+    windowed_counts,
+)
+
+__all__ = [
+    "read_entity_stream",
+    "start_message_sink",
+    "streaming_sync_filters",
+    "windowed_counts",
+]

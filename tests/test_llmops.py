@@ -1,0 +1,267 @@
+"""llmops operator tests: dedup, similarity, text analysis, multimodal.
+
+Scale-shape assertions live here too: the MinHash-LSH plan must contain no
+cartesian product (candidate generation is banded), and the brute-force
+top-k must plan as a limited sort (TakeOrderedAndProject), not a global
+sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops import (
+    ann_topk,
+    cosine_topk,
+    exact_dedup,
+    language_id,
+    minhash_dedup,
+    minhash_pairs,
+    simhash,
+    text_fingerprint,
+    text_stats,
+    tfidf_top_terms,
+)
+from data_validation_engine_spark.llmops.dedup import (
+    hamming_distance,
+    shingles_col,
+)
+from data_validation_engine_spark.llmops.multimodal import (
+    attach_binary,
+    binary_meta,
+    codec_decoder,
+    decode_binary,
+    fake_decoder,
+    sample_frames,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog again and again"
+NEAR = "the quick brown fox jumps over the lazy dog again and once"
+OTHER = "completely different words about spark plans and shuffles here"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, DOC), (1, NEAR), (2, OTHER), (3, DOC)],
+        "doc_id long, text string",
+    )
+
+
+# -- dedup -------------------------------------------------------------------
+
+def test_exact_dedup_keeps_min_and_counts(docs):
+    out = exact_dedup(docs, "text", order_col="doc_id")
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows == {0: 2, 1: 1, 2: 1}
+
+
+def test_exact_dedup_normalized(spark):
+    df = spark.createDataFrame(
+        [(0, "A  b C"), (1, "a b c"), (2, "x")], "doc_id long, text string"
+    )
+    out = exact_dedup(df, "text", order_col="doc_id", normalize_text=True)
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows == {0: 2, 2: 1}
+
+
+def test_minhash_finds_near_and_exact_dups(docs):
+    pairs = minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 3)] == 1.0  # exact duplicate
+    assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0  # near duplicate
+    assert not any(2 in p for p in got)  # unrelated doc pairs with nothing
+
+
+def test_minhash_dedup_drops_higher_ids(docs):
+    kept = {r["doc_id"] for r in minhash_dedup(docs, "doc_id", "text").collect()}
+    assert 0 in kept and 2 in kept and 3 not in kept
+
+
+def test_minhash_plan_has_no_cartesian_product(docs):
+    plan = minhash_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_length_and_similarity(docs):
+    out = docs.select(
+        "doc_id", simhash(F.col("text")).alias("sh")
+    ).collect()
+    sh = {r["doc_id"]: r["sh"] for r in out}
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in sh.values())
+    assert sh[0] == sh[3]  # identical text, identical signature
+    ham_near = sum(a != b for a, b in zip(sh[0], sh[1]))
+    ham_far = sum(a != b for a, b in zip(sh[0], sh[2]))
+    assert ham_near <= ham_far
+
+
+def test_hamming_distance_column(spark):
+    df = spark.createDataFrame([("1010", "1001")], "a string, b string")
+    got = df.select(
+        hamming_distance(F.col("a"), F.col("b"), bits=4).alias("h")
+    ).first()["h"]
+    assert got == 2
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",), ("",)], "text string")
+    got = df.select(shingles_col(F.col("text"), 3).alias("s")).collect()
+    assert got[0]["s"] == ["one two"]
+    assert got[1]["s"] == [""]  # blank text: single empty shingle
+
+
+# -- similarity --------------------------------------------------------------
+
+@pytest.fixture()
+def embs(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        vec = [math.sin(i * 17.0 + d) for d in range(8)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(embs):
+    out = cosine_topk(embs, embs.where("vec_id = 0"), 5).collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] != 0 for r in out)
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_cosine_topk_plans_limited_sort(embs):
+    plan = (
+        cosine_topk(embs, embs.where("vec_id = 0"), 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_probe_subset_of_bucket(embs):
+    out = ann_topk(embs, embs.where("vec_id = 0"), 5, dim=8).collect()
+    assert len(out) <= 5
+    assert len({r["bucket"] for r in out}) <= 1  # all from the query's bucket
+    # ANN results are a subset of the exact ranking's candidate set
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in cosine_topk(embs, embs.where("vec_id = 0"), 50).collect()
+    }
+    for r in out:
+        assert r["vec_id"] in exact
+        assert abs(exact[r["vec_id"]] - r["cosine"]) < 1e-9
+
+
+# -- text --------------------------------------------------------------------
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(0, "ab cd! the x")], "doc_id long, text string")
+    r = text_stats(df, "doc_id", "text").first()
+    assert r["n_chars"] == 12
+    assert r["n_tokens"] == 4
+    assert r["n_bpe_tokens"] == 5  # ab / cd / ! / the / x
+    assert r["punct_ratio"] == round(1 / 12, 4)
+    assert r["stopword_ratio"] == 0.25  # 'the' of 4 tokens
+
+
+def test_language_id_votes_and_cjk(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is of the house"),
+            (1, "el perro y la casa de que"),
+            (2, "der hund und die katze ist"),
+            (3, "你好世界"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df, "doc_id", "text").collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "zh", 4: "und"}
+
+
+def test_tfidf_top_term_is_distinctive(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "shared shared unique0 unique0 unique0"),
+            (1, "shared shared unique1"),
+            (2, "shared other other"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["term"] for r in tfidf_top_terms(df, "doc_id", "text").collect()}
+    # per-doc top term prefers high-tf, low-df terms over the shared one
+    assert got[0] == "unique0" and got[2] == "other"
+
+
+def test_fingerprint_whitespace_case_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "The  Quick   Fox"), (1, "the quick fox")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in text_fingerprint(df, "doc_id", "text").collect()]
+    assert fps[0] == fps[1]
+
+
+# -- multimodal --------------------------------------------------------------
+
+def test_binary_meta_roundtrip(spark):
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    r = binary_meta(attach_binary(df, "text"), "doc_id").first()
+    assert r["n_bytes"] == 3
+    import hashlib
+
+    assert r["content_hash"] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_decode_binary_fake_decoder(spark):
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "")], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in decode_binary(
+            attach_binary(df, "text"), "doc_id", decoder=fake_decoder
+        ).collect()
+    }
+    assert rows[0]["n_bytes"] == 3
+    assert rows[0]["features"][0] == 3.0
+    assert rows[0]["decode_error"] is None
+    assert rows[1]["features"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_decode_binary_contains_row_failures(spark):
+    df = spark.createDataFrame([(0, "ok"), (1, "boom")], "doc_id long, text string")
+
+    def flaky(payload: bytes) -> list[float]:
+        if payload == b"boom":
+            raise ValueError("bad asset")
+        return [1.0]
+
+    rows = {
+        r["id"]: r
+        for r in decode_binary(
+            attach_binary(df, "text"), "doc_id", decoder=flaky
+        ).collect()
+    }
+    assert rows[0]["decode_error"] is None and rows[0]["features"] == [1.0]
+    assert rows[1]["features"] is None
+    assert "bad asset" in rows[1]["decode_error"]
+
+
+def test_codec_stubs_fail_loudly(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    # default decoder is the codec stub: every row reports the missing codec
+    # in decode_error (per-row containment), never silent fake output
+    r = decode_binary(attach_binary(df, "text"), "doc_id").first()
+    assert r["features"] is None
+    assert "NotImplementedError" in r["decode_error"]
+    with pytest.raises(NotImplementedError):
+        sample_frames(df, "doc_id")
+    with pytest.raises(NotImplementedError):
+        codec_decoder(b"x")

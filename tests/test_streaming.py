@@ -1,0 +1,169 @@
+"""Streaming lift smoke tests (availableNow trigger over events parquet)."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+
+from data_validation_engine_spark.errors import ConfigurationError
+from data_validation_engine_spark.messages import Reporting
+from data_validation_engine_spark.steps.configs import DeferredFilter, OneToOneJoin
+from data_validation_engine_spark.streaming import (
+    read_entity_stream,
+    start_message_sink,
+    streaming_sync_filters,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _nanos_as_long(spark):
+    # events.parquet carries TIMESTAMP(NANOS) — unreadable by Spark without
+    # the legacy long mapping (see sources.parquet.read_parquet_nanos_safe)
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    yield
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+def _with_ts(df):
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+@pytest.fixture()
+def events_batch(spark):
+    return _with_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # the streaming file source reads a directory, not a single file
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream_src")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+@pytest.fixture()
+def events_stream(spark, events_dir):
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    return _with_ts(read_entity_stream(spark, events_dir, raw_schema))
+
+
+FILTERS = [
+    DeferredFilter(
+        entity_name="stream",
+        expression="value < 90",
+        reporting=Reporting(code="BIG_VALUE", message="too big"),
+    ),
+    DeferredFilter(
+        entity_name="stream",
+        expression="event_type <> 'error'",
+        reporting=Reporting(code="ERR_EVENT", message="error event"),
+    ),
+]
+
+
+def test_streaming_filters_match_batch(spark, events_stream, events_batch, tmp_path):
+    survivors, messages = streaming_sync_filters(events_stream, FILTERS)
+
+    out = str(tmp_path / "survivors")
+    q = (
+        survivors.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).count()
+    expected = events_batch.where(
+        "coalesce(value < 90, false) and coalesce(event_type <> 'error', false)"
+    ).count()
+    assert got == expected and got > 0
+
+
+def test_streaming_message_sink_jsonl(spark, events_stream, events_batch, tmp_path):
+    _, messages = streaming_sync_filters(events_stream, FILTERS)
+    out = str(tmp_path / "errors")
+    q = start_message_sink(
+        messages, out, str(tmp_path / "ck2"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    lines = []
+    for f in glob.glob(f"{out}/*.json"):
+        with open(f) as fh:
+            lines += [json.loads(line) for line in fh if line.strip()]
+    n_err = events_batch.where("not coalesce(event_type <> 'error', false)").count()
+    n_big = events_batch.where("not coalesce(value < 90, false)").count()
+    assert len(lines) == n_err + n_big
+    codes = {m["error_code"] for m in lines}
+    assert codes == {"BIG_VALUE", "ERR_EVENT"}
+
+
+def test_windowed_counts_with_watermark(spark, events_stream, events_batch, tmp_path):
+    agg = windowed_counts(
+        events_stream, "ts", window="1 hour", watermark="2 hours",
+        group_by=["event_type"],
+    )
+    out = str(tmp_path / "win")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # watermark append-mode emits only windows closed by the final watermark;
+    # every emitted (window, type) count must match the batch group-by
+    batch = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in events_batch.selectExpr(
+            "window(ts, '1 hour').start as w", "event_type", "1 as one"
+        )
+        .groupBy("w", "event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for r in got.select("window.start", "event_type", "n").collect():
+        assert batch[(r["start"], r["event_type"])] == r["n"]
+
+
+def test_integrity_steps_are_batch_only(spark, events_stream):
+    from data_validation_engine_spark import StepEngine
+
+    eng = StepEngine(spark, register_functions=False)
+    ents = {
+        "events": events_stream,
+        "lookup": spark.read.parquet(f"{SF_DIR}/events.parquet"),
+    }
+    with pytest.raises(ConfigurationError, match="batch-only"):
+        eng.evaluate(
+            ents,
+            config=OneToOneJoin(
+                entity_name="events",
+                target_name="lookup",
+                join_condition="events.event_id = lookup.event_id",
+                new_columns={"lookup.value": "v2"},
+            ),
+        )
+
+
+def test_streaming_rejects_batch_frame(spark, events_batch):
+    with pytest.raises(ConfigurationError, match="streaming"):
+        streaming_sync_filters(events_batch, FILTERS)
