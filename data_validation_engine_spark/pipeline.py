@@ -1,0 +1,377 @@
+"""End-to-end pipeline runner: dischema + input files -> validated outputs.
+
+The composition layer over the stage operators (shape parity with the
+reference's production entry point ``cluster_pipeline_run``,
+dve pipeline/pipeline.py:950-977, minus its per-submission thread pool —
+submissions here are independent function calls; Spark job submission is
+thread-safe, so callers can fan out with their own executor):
+
+1. **audit received** (dve pipeline/pipeline.py:260-318) — mint a
+   submission id, append audit rows.
+2. **file transformation** (pipeline.py:320-424) — per contract dataset,
+   read the submitted file stringified via the configured reader; write the
+   ``transform/`` parquet checkpoint. Entity presence checks (missing file,
+   unsupported extension, unconfigured extras) emit critical submission
+   messages (dve backends/base/contract.py:227-315).
+3. **data contract** (pipeline.py:426-544) — reload ``transform/``, add
+   ``__record_index__``, run the expression-compiled contract; write
+   ``data_contract/`` parquet + stage errors JSONL.
+4. **business rules** (pipeline.py:546-728) — entity manager with lazy
+   refdata + ``refdata_dve_submission_info``; pre-sync steps per rule, ONE
+   sync-filter stage for all rules, post-sync steps; cross-stage record
+   rejection by anti-join on the record index; write final parquet.
+5. **error report** (pipeline.py:801-948) — aggregate the message feed
+   distributed, write the report + submission statistics audit rows.
+
+The parquet checkpoints between stages are deliberate barriers (error
+isolation + restartability); *within* a stage everything is one fused lazy
+plan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.contract.apply import (
+    apply_contract,
+    reject_records,
+)
+from data_validation_engine_spark.contract.index import add_record_index
+from data_validation_engine_spark.dischema import Dischema, load_dischema
+from data_validation_engine_spark.entities import EntityManager
+from data_validation_engine_spark.messages import (
+    MESSAGE_SCHEMA,
+    MessageCollector,
+    RECORD_INDEX,
+    Reporting,
+    empty_messages,
+)
+from data_validation_engine_spark.sinks.audit import AuditLog, new_submission_id
+from data_validation_engine_spark.sinks.errors import write_messages_jsonl
+from data_validation_engine_spark.sinks.report import write_error_report
+from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
+from data_validation_engine_spark.sources.json import read_json
+from data_validation_engine_spark.sources.xml import read_xml
+from data_validation_engine_spark.steps.engine import StepEngine
+from data_validation_engine_spark.steps.sync_filters import apply_sync_filters
+
+from pyspark.sql import types as T
+
+
+def _critical(
+    spark: SparkSession, entity: str, code: str, message: str
+) -> DataFrame:
+    row = {
+        "entity": entity,
+        "original_entity": entity,
+        RECORD_INDEX: None,
+        "error_code": code,
+        "error_message": message,
+        "error_location": None,
+        "failure_type": "submission",
+        "is_informational": False,
+        "category": "submission",
+        "reporting_field": None,
+        "record_json": None,
+    }
+    return spark.createDataFrame([row], MESSAGE_SCHEMA)
+
+
+@dataclass
+class PipelineResult:
+    submission_id: str
+    success: bool
+    entities: dict[str, DataFrame] = field(default_factory=dict)
+    entity_paths: dict[str, str] = field(default_factory=dict)
+    messages: Optional[DataFrame] = None
+    errors_dir: Optional[str] = None
+    report_path: Optional[str] = None
+    statistics: dict[str, int] = field(default_factory=dict)
+
+
+def _stringified_schema(names: list[str]) -> T.StructType:
+    return T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+
+
+def read_submitted_file(
+    spark: SparkSession,
+    path: str,
+    field_names: list[str],
+    reader_config: dict[str, Any],
+) -> DataFrame:
+    """Dispatch one submitted file to the configured reader, stringified."""
+    ext = Path(path).suffix.lower()
+    cfg = reader_config.get(ext) or reader_config.get(ext.lstrip(".")) or {}
+    kwargs = dict(cfg.get("kwargs", {}))
+    kwargs.pop("rules_location", None)
+    reader_name = (cfg.get("reader") or "").lower()
+
+    if ext == ".csv" or "csv" in reader_name:
+        opt_names = {f.name for f in CSVOptions.__dataclass_fields__.values()}
+        options = CSVOptions(
+            **{k: v for k, v in kwargs.items() if k in opt_names}
+        )
+        return read_csv(spark, path, field_names, options)
+    if ext == ".json" or "json" in reader_name:
+        df = read_json(
+            spark,
+            path,
+            _stringified_schema(field_names),
+            multi_line=bool(kwargs.get("multi_line", True)),
+        )
+        return df
+    if ext == ".xml" or "xml" in reader_name:
+        df = read_xml(
+            spark,
+            path,
+            kwargs.get("record_tag", "record"),
+            root_tag=kwargs.get("root_tag"),
+            explode_record_tag=bool(kwargs.get("root_tag")),
+        )
+        return df.select(
+            *[F.col(f"`{n}`").cast("string").alias(n) for n in field_names if n in df.columns],
+            *[
+                F.lit(None).cast("string").alias(n)
+                for n in field_names
+                if n not in df.columns
+            ],
+        )
+    if ext in (".parquet", ""):
+        df = spark.read.parquet(path)
+        return df.select(
+            *[F.col(f"`{n}`").cast("string").alias(n) for n in field_names]
+        )
+    raise ValueError(f"unsupported file extension {ext!r} for {path}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    dischema: Dischema | str | Path,
+    input_files: dict[str, str],
+    working_dir: str | Path,
+    *,
+    refdata_base_path: str | None = None,
+    audit_path: str | None = None,
+    submission_id: str | None = None,
+    submission_info: dict[str, Any] | None = None,
+    write_report: bool = True,
+) -> PipelineResult:
+    """Run transform -> contract -> rules -> report for one submission."""
+    if not isinstance(dischema, Dischema):
+        dischema = load_dischema(dischema)
+    work = Path(working_dir)
+    errors_dir = work / "errors"
+    submission_id = submission_id or new_submission_id()
+    audit = AuditLog(spark, audit_path) if audit_path else None
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+    def audit_status(status: str, result: str | None = None) -> None:
+        if audit:
+            audit.append(
+                "processing_status",
+                [
+                    {
+                        "submission_id": submission_id,
+                        "date_updated": now.date(),
+                        "time_updated": now,
+                        "status": status,
+                        "job_run_id": None,
+                        "submission_result": result,
+                    }
+                ],
+            )
+
+    # -- stage 1: audit received -------------------------------------------
+    audit_status("received")
+    if audit and submission_info:
+        audit.append(
+            "submission_info",
+            [
+                {
+                    "submission_id": submission_id,
+                    "date_updated": now.date(),
+                    "time_updated": now,
+                    **submission_info,
+                }
+            ],
+        )
+
+    collector = MessageCollector()
+    contract = dischema.contract
+    datasets = {e.name: e for e in contract.datasets} if contract else {}
+
+    # -- entity presence checks (dve backends/base/contract.py:227-315) ----
+    missing = set(datasets) - set(input_files)
+    extra = set(input_files) - set(datasets)
+    for name in sorted(missing):
+        collector.add(
+            _critical(
+                spark,
+                name,
+                "MISSING_ENTITY",
+                f"no file submitted for declared entity {name!r}",
+            )
+        )
+    for name in sorted(extra):
+        collector.add(
+            _critical(
+                spark,
+                name,
+                "UNEXPECTED_ENTITY",
+                f"file submitted for undeclared entity {name!r}",
+            )
+        )
+    if missing:
+        msgs = collector.union_or_empty(spark)
+        write_messages_jsonl(msgs, str(errors_dir / "file_transformation"))
+        audit_status("failed", "critical")
+        return PipelineResult(
+            submission_id=submission_id,
+            success=False,
+            messages=msgs,
+            errors_dir=str(errors_dir),
+        )
+
+    # -- stage 2: file transformation (stringified checkpoint) -------------
+    for name, entity_contract in datasets.items():
+        field_names = [f.name for f in entity_contract.fields]
+        df = read_submitted_file(
+            spark, input_files[name], field_names, entity_contract.reader_config
+        )
+        df.write.mode("overwrite").parquet(str(work / "transform" / name))
+
+    # -- stage 3: data contract --------------------------------------------
+    contract_messages = MessageCollector()
+    for name, entity_contract in datasets.items():
+        raw = spark.read.parquet(str(work / "transform" / name))
+        indexed = add_record_index(raw)
+        typed, messages = apply_contract(entity_contract, indexed)
+        typed.write.mode("overwrite").parquet(str(work / "data_contract" / name))
+        contract_messages.add(messages)
+    contract_msgs = contract_messages.union_or_empty(spark)
+    write_messages_jsonl(contract_msgs, str(errors_dir / "data_contract"))
+    collector.add(contract_msgs)
+
+    # -- stage 4: business rules -------------------------------------------
+    entities = EntityManager(
+        {
+            name: spark.read.parquet(str(work / "data_contract" / name))
+            for name in datasets
+        },
+        spark=spark,
+        refdata=dischema.refdata,
+        refdata_base_path=refdata_base_path,
+    )
+    if dischema.cache_originals:
+        for name in list(datasets):
+            entities[f"Original{name}"] = entities[name]
+    if submission_info:
+        entities.add_refdata_frame(
+            "dve_submission_info",
+            spark.createDataFrame([submission_info]),
+        )
+
+    engine = StepEngine(spark)
+    rule_messages = MessageCollector()
+    success = True
+    try:
+        for rule in dischema.rules:
+            for step in rule.pre_sync:
+                rule_messages.add(engine.evaluate(entities, config=step))
+        # ONE sync stage across all rules (validate-all-then-drop)
+        rule_messages.add(
+            apply_sync_filters(entities, list(dischema.sync_filters))
+        )
+        for rule in dischema.rules:
+            for step in rule.post_sync:
+                rule_messages.add(engine.evaluate(entities, config=step))
+    except Exception as exc:
+        collector.add(
+            _critical(
+                spark,
+                "submission",
+                "PROCESSING_ERROR",
+                f"business rules failed: {type(exc).__name__}: {exc}",
+            )
+        )
+        success = False
+
+    rule_msgs = rule_messages.union_or_empty(spark)
+    write_messages_jsonl(rule_msgs, str(errors_dir / "business_rules"))
+    collector.add(rule_msgs)
+    all_messages = collector.union_or_empty(spark)
+
+    result = PipelineResult(
+        submission_id=submission_id,
+        success=success,
+        errors_dir=str(errors_dir),
+        messages=all_messages,
+    )
+    if not success:
+        audit_status("failed", "critical")
+        return result
+
+    # -- stage 5: record rejection + final entity write --------------------
+    for name in list(entities):
+        df = entities[name]
+        if RECORD_INDEX in df.columns:
+            df = reject_records(df, all_messages)
+            df = df.drop(RECORD_INDEX)
+        out = work / "business_rules" / name
+        df.write.mode("overwrite").parquet(str(out))
+        result.entity_paths[name] = str(out)
+        result.entities[name] = spark.read.parquet(str(out))
+    engine.cleanup()
+
+    # -- stage 6: error report + statistics --------------------------------
+    if write_report:
+        result.report_path = write_error_report(
+            all_messages, str(work / "error_report")
+        )
+    stats_row = all_messages.select(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.count_distinct(
+            F.when(
+                (F.col("failure_type") == "record")
+                & ~F.col("is_informational"),
+                F.concat_ws(
+                    "/",
+                    F.col("original_entity"),
+                    F.col(RECORD_INDEX).cast("string"),
+                ),
+            )
+        ).alias("n_record_rejections"),
+        F.count(F.when(F.col("is_informational"), 1)).alias("n_warnings"),
+    ).first()
+    result.statistics = {
+        "n_messages": stats_row["n_messages"],
+        "n_record_rejections": stats_row["n_record_rejections"],
+        "n_warnings": stats_row["n_warnings"],
+    }
+    if audit:
+        audit.append(
+            "submission_statistics",
+            [
+                {
+                    "submission_id": submission_id,
+                    "date_updated": now.date(),
+                    "time_updated": now,
+                    "record_count": sum(
+                        result.entities[n].count() for n in result.entities
+                    ),
+                    "number_submission_rejections": 0,
+                    "number_record_rejections": result.statistics[
+                        "n_record_rejections"
+                    ],
+                    "number_warnings": result.statistics["n_warnings"],
+                }
+            ],
+        )
+    audit_status("completed", "success")
+    return result

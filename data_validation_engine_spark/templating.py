@@ -57,10 +57,18 @@ def days_until(
     return (_as_date(end_date) - _as_date(start_date)).days + int(include_end)
 
 
+def _raise_template_error(message: str) -> None:
+    raise ValueError(f"rule template error: {message}")
+
+
 _ENV = jinja2.Environment(undefined=_PreserveUndefined, keep_trailing_newline=True)
 _ENV.filters["add_months"] = add_months
 _ENV.filters["add_years"] = add_years
 _ENV.filters["days_until"] = days_until
+# expression-callable globals (parity: dve templating.py:39-41)
+_ENV.globals["repr"] = repr
+_ENV.globals["str"] = str
+_ENV.globals["raise"] = _raise_template_error
 
 
 def render_template(text: str, variables: Mapping[str, Any]) -> str:

@@ -1,0 +1,298 @@
+"""End-to-end dischema pipeline tests (planets-style shape over synthetic
+nation/region data): contract + refdata + rule store + sync filters +
+complex rule -> entities + messages + audit rows."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.dischema import load_dischema, parse_dischema
+from data_validation_engine_spark.pipeline import run_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+RULESET = {
+    "field_under_limit": {
+        "description": "Ensure a field is under a parameterised limit.",
+        "type": "filter",
+        "parameter_defaults": {"limit": 1000},
+        "rule_config": {
+            "entity": "{{entity}}",
+            "name": "under_{{field}}",
+            "expression": "{{field}} IS NOT NULL AND {{field}} < {{limit}}",
+            "failure_message": "{{failure_message or 'Field over limit'}}",
+            "error_code": "{{error_code|default(('high_' + field).upper())}}",
+            "reporting_field": "{{field}}",
+        },
+    },
+    "add_and_drop_marker": {
+        "description": "Add a marker column, filter on it, drop it.",
+        "type": "complex_rule",
+        "parameter_defaults": {},
+        "rule_config": {
+            "rules": [
+                {
+                    "operation": "add",
+                    "entity": "{{entity}}",
+                    "column_name": "marker",
+                    "expression": "1",
+                }
+            ],
+            "filters": [
+                {
+                    "entity": "{{entity}}",
+                    "name": "marker_is_one",
+                    "expression": "marker == 1",
+                }
+            ],
+            "post_filter_rules": [
+                {
+                    "operation": "remove",
+                    "entity": "{{entity}}",
+                    "column_name": "marker",
+                }
+            ],
+        },
+    },
+}
+
+DISCHEMA = {
+    "contract": {
+        "types": {
+            "ShortName": {
+                "callable": "constr",
+                "constraints": {"min_length": 1, "max_length": 30},
+            }
+        },
+        "datasets": {
+            "customers": {
+                "fields": {
+                    "c_custkey": "int",
+                    "c_name": "ShortName",
+                    "c_nationkey": "int",
+                    "c_acctbal": "float",
+                },
+                "key_field": "c_custkey",
+                "mandatory_fields": ["c_custkey", "c_name"],
+                "reader_config": {".csv": {"reader": "SparkCSVReader"}},
+            }
+        },
+    },
+    "transformations": {
+        "parameters": {"min_bal": -500},
+        "reference_data": {
+            "nations": {"type": "filename", "filename": "nation.parquet"}
+        },
+        "rule_stores": [
+            {"store_type": "json", "filename": "test_ruleset.json"}
+        ],
+        "rules": [
+            {
+                "operation": "left_join",
+                "entity": "customers",
+                "target": "refdata_nations",
+                "join_condition": (
+                    "customers.c_nationkey == refdata_nations.n_nationkey"
+                ),
+                "new_columns": {"refdata_nations.n_name": "nation_name"},
+            }
+        ],
+        "filters": [
+            {
+                "entity": "customers",
+                "name": "bal_floor",
+                "expression": "c_acctbal > {{min_bal}}",
+                "error_code": "LOW_BAL",
+                "failure_message": "balance below {{min_bal}}",
+                "reporting_field": "c_custkey",
+            },
+            {
+                "rule_name": "field_under_limit",
+                "parameters": {"entity": "customers", "field": "c_acctbal"},
+            },
+        ],
+        "post_filter_rules": [
+            {
+                "operation": "group_by",
+                "entity": "customers",
+                "group_by": {"nation_name": "nation_name"},
+                "agg_columns": {
+                    "count(1)": "n_customers",
+                    "round(sum(c_acctbal), 2)": "total_bal",
+                },
+                "new_entity_name": "by_nation",
+            }
+        ],
+        "complex_rules": [
+            {"rule_name": "add_and_drop_marker", "parameters": {"entity": "customers"}}
+        ],
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory, spark):
+    """Dischema file + rule store + CSV input + refdata, staged on disk."""
+    root = tmp_path_factory.mktemp("pipeline_e2e")
+    (root / "test_ruleset.json").write_text(json.dumps(RULESET))
+    (root / "dischema.json").write_text(json.dumps(DISCHEMA))
+
+    # stage refdata (filename-relative)
+    nations = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    nations.write.mode("overwrite").parquet(str(root / "nation.parquet"))
+
+    # CSV input with deterministic dirt: customer 7 has no name (mandatory
+    # violation), customer 13 has junk acctbal (type violation)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    dirty = cust.selectExpr(
+        "CAST(c_custkey AS STRING) AS c_custkey",
+        "CASE WHEN c_custkey = 7 THEN NULL ELSE c_name END AS c_name",
+        "CAST(c_nationkey AS STRING) AS c_nationkey",
+        "CASE WHEN c_custkey = 13 THEN 'junk' "
+        "ELSE CAST(c_acctbal AS STRING) END AS c_acctbal",
+    )
+    pdf = dirty.toPandas()
+    csv_path = root / "customers.csv"
+    pdf.to_csv(csv_path, index=False)
+    return root
+
+
+@pytest.fixture(scope="module")
+def result(spark, workspace, tmp_path_factory):
+    work = tmp_path_factory.mktemp("pipeline_work")
+    return run_pipeline(
+        spark,
+        workspace / "dischema.json",
+        {"customers": str(workspace / "customers.csv")},
+        work,
+        refdata_base_path=str(workspace),
+        audit_path=str(work / "audit"),
+        submission_info={
+            "dataset_id": "test",
+            "file_name": "customers.csv",
+            "file_extension": ".csv",
+            "submission_method": "test",
+            "submitting_org": "X26",
+            "reporting_period_start": "2024-04-01",
+            "reporting_period_end": "2025-03-31",
+            "file_size": 1,
+            "datetime_received": __import__("datetime").datetime(2026, 1, 1),
+        },
+    )
+
+
+def test_dischema_requires_base_dir_for_rule_stores():
+    from data_validation_engine_spark.errors import ConfigurationError
+
+    with pytest.raises(ConfigurationError, match="base_dir"):
+        parse_dischema(DISCHEMA)
+
+
+def test_dischema_structure(workspace):
+    ds = load_dischema(workspace / "dischema.json")
+    assert [r.name for r in ds.rules] == ["add_and_drop_marker", "root"]
+    root = ds.rules[-1]
+    assert len(root.pre_sync) == 1 and len(root.post_sync) == 1
+    assert len(ds.sync_filters) == 3  # marker + bal_floor + rule-store filter
+    assert ds.refdata["nations"].type == "filename"
+    # templated rule-store filter resolved upfront
+    codes = {f.reporting.code for f in ds.sync_filters}
+    assert "HIGH_C_ACCTBAL" in codes and "LOW_BAL" in codes
+
+
+def test_dependency_order_enforced(workspace):
+    bad = json.loads(json.dumps(DISCHEMA))
+    bad["transformations"]["complex_rules"] = [
+        {"rule_name": "needs_dep", "parameters": {}}
+    ]
+    store = dict(RULESET)
+    store["needs_dep"] = {
+        "type": "complex_rule",
+        "dependencies": ["not_added_yet"],
+        "rule_config": {"rules": [], "filters": [], "post_filter_rules": []},
+    }
+    from data_validation_engine_spark.errors import ConfigurationError
+
+    d = workspace / "dep_check"
+    d.mkdir(exist_ok=True)
+    (d / "test_ruleset.json").write_text(json.dumps(store))
+    (d / "dischema.json").write_text(json.dumps(bad))
+    with pytest.raises(ConfigurationError, match="dependencies"):
+        load_dischema(d / "dischema.json")
+
+
+def test_pipeline_succeeds(result):
+    assert result.success
+    assert set(result.entities) == {"customers", "by_nation"}
+
+
+def test_contract_violations_rejected(spark, result):
+    custs = result.entities["customers"]
+    keys = {r["c_custkey"] for r in custs.select("c_custkey").collect()}
+    assert 7 not in keys  # missing mandatory name
+    assert 13 not in keys  # junk balance
+    msgs = result.messages
+    codes = {
+        r["error_code"]
+        for r in msgs.where("failure_type = 'record'").select("error_code").distinct().collect()
+    }
+    assert "MISSING_MANDATORY_VALUE" in codes
+
+
+def test_filters_applied_with_templated_code(result):
+    # rule-store filter default error code: ('high_' + field).upper()
+    codes = {
+        r["error_code"]
+        for r in result.messages.select("error_code").distinct().collect()
+    }
+    assert "HIGH_C_ACCTBAL" in codes  # templated default
+    assert "LOW_BAL" in codes  # concrete filter with {{min_bal}} global
+    survivors = result.entities["customers"]
+    bal = survivors.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    ).first()
+    assert bal["lo"] > -500 and bal["hi"] < 1000
+
+
+def test_complex_rule_ran_and_cleaned_up(result):
+    assert "marker" not in result.entities["customers"].columns
+
+
+def test_post_filter_aggregate_entity(result):
+    by_nation = result.entities["by_nation"]
+    assert by_nation.count() > 0
+    assert set(by_nation.columns) == {"nation_name", "n_customers", "total_bal"}
+
+
+def test_audit_rows_written(spark, result, tmp_path_factory):
+    # audit lives in the same work dir the result was built with
+    from data_validation_engine_spark.sinks.audit import AuditLog
+
+    # reconstruct from the result's errors_dir sibling
+    from pathlib import Path
+
+    audit = AuditLog(spark, str(Path(result.errors_dir).parent / "audit"))
+    status = audit.latest_status(result.submission_id).first()
+    assert status["status"] == "completed"
+    stats = audit.read("submission_statistics").first()
+    assert stats["number_record_rejections"] == result.statistics["n_record_rejections"]
+    assert result.statistics["n_record_rejections"] >= 2
+
+
+def test_missing_entity_fails_critically(spark, workspace, tmp_path_factory):
+    work = tmp_path_factory.mktemp("pipeline_missing")
+    res = run_pipeline(
+        spark,
+        workspace / "dischema.json",
+        {},
+        work,
+        refdata_base_path=str(workspace),
+    )
+    assert not res.success
+    codes = {r["error_code"] for r in res.messages.collect()}
+    assert codes == {"MISSING_ENTITY"}
