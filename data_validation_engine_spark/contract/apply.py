@@ -29,7 +29,11 @@ from data_validation_engine_spark.contract.compile import (
     compile_checks,
 )
 from data_validation_engine_spark.contract.spec import EntityContract
-from data_validation_engine_spark.messages import MESSAGE_SCHEMA, RECORD_INDEX
+from data_validation_engine_spark.messages import (
+    MESSAGE_SCHEMA,
+    RECORD_INDEX,
+    compile_message_template,
+)
 
 
 def contract_messages(
@@ -37,7 +41,14 @@ def contract_messages(
     df: DataFrame,
     checks: list[CompiledCheck] | None = None,
 ) -> DataFrame:
-    """One message row per (record, failed check), standard message schema."""
+    """One message row per (record, failed check), standard message schema.
+
+    Checks carry per-(field, category) error-detail overrides
+    (contract/error_details.py): custom codes, failure levels, informational
+    flags, reporting-entity overrides, and message templates over record
+    fields + ``{{__error_value}}`` — all compiled into the same single-scan
+    explode, never per-row Python.
+    """
     checks = checks if checks is not None else compile_checks(entity)
     idx = (
         F.col(RECORD_INDEX).cast("long")
@@ -49,14 +60,23 @@ def contract_messages(
         if entity.key_field and entity.key_field in df.columns
         else F.lit(None).cast("string")
     )
+    cols = list(df.columns)
     failure_structs = [
         F.when(
             ~F.coalesce(F.expr(c.predicate_sql).cast("boolean"), F.lit(False)),
             F.struct(
+                F.lit(c.reporting_entity or entity.name).alias("entity"),
                 F.lit(c.code).alias("error_code"),
-                F.lit(c.message).alias("error_message"),
+                compile_message_template(
+                    c.message,
+                    cols,
+                    extra_vars={"__error_value": F.expr(c.value_sql)},
+                ).alias("error_message"),
                 F.lit(c.field).alias("error_location"),
+                F.lit(c.level).alias("failure_type"),
+                F.lit(c.informational).alias("is_informational"),
                 F.lit(c.category).alias("category"),
+                F.expr(c.value_sql).alias("value"),
             ),
         )
         for c in checks
@@ -73,16 +93,17 @@ def contract_messages(
         )
     )
     return exploded.select(
-        F.lit(entity.name).alias("entity"),
+        F.col("f.entity").alias("entity"),
         F.lit(entity.name).alias("original_entity"),
         F.col(RECORD_INDEX),
         F.col("f.error_code").alias("error_code"),
         F.col("f.error_message").alias("error_message"),
         F.col("f.error_location").alias("error_location"),
-        F.lit("record").alias("failure_type"),
-        F.lit(False).alias("is_informational"),
+        F.col("f.failure_type").alias("failure_type"),
+        F.col("f.is_informational").alias("is_informational"),
         F.col("f.category").alias("category"),
         F.col("reporting_field"),
+        F.col("f.value").alias("value"),
         F.lit(None).cast("string").alias("record_json"),
     )
 
@@ -98,10 +119,17 @@ def cast_entity(entity: EntityContract, df: DataFrame) -> DataFrame:
 def valid_record_predicate(
     entity: EntityContract, checks: list[CompiledCheck] | None = None
 ):
-    """Boolean Column: record passes every contract check."""
+    """Boolean Column: record passes every *rejecting* contract check.
+
+    Informational and non-record-level checks (error-detail overrides) emit
+    messages but never reject the record — same rule as the reference's
+    rejection feed filter (dve spark_helpers.py:393-437).
+    """
     checks = checks if checks is not None else compile_checks(entity)
     pred = F.lit(True)
     for c in checks:
+        if c.informational or c.level != "record":
+            continue
         pred = pred & F.coalesce(
             F.expr(c.predicate_sql).cast("boolean"), F.lit(False)
         )

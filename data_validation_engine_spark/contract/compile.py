@@ -182,7 +182,9 @@ def _quote(name: str) -> str:
 
 def _datetime_cast_sql(expr: str, fmt: str, target: str) -> str:
     """Regex-guarded formatted parse: wrong shape -> NULL, not an error."""
-    spark_fmt = strptime_to_spark_format(fmt)
+    # quote-escape: Java patterns quote literal letters as 'T', which must
+    # survive embedding in a SQL single-quoted string
+    spark_fmt = strptime_to_spark_format(fmt).replace("'", "\\'")
     regex = strptime_to_regex(fmt).replace("\\", "\\\\")
     parse = f"TRY_TO_TIMESTAMP(TRIM({expr}), '{spark_fmt}')"
     if target == "DATE":
@@ -214,9 +216,93 @@ def _scalar_cast_sql(field: FieldSpec, expr: str) -> str:
     return f"TRY_CAST(TRIM({expr}) AS {_sql_type(field)})"
 
 
+# -- contract-side value functions -------------------------------------------
+# (dve metadata_parser/function_library.py:35-62, wrapped per-field; here
+# each function is a SQL rewrite of the stringified value, applied in
+# declared order before the cast)
+
+def _sql_str(value: str) -> str:
+    return "'" + str(value).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _regex_literal(value: str) -> str:
+    """Escape a literal delimiter for Spark's regex-based SPLIT."""
+    out = []
+    for ch in str(value):
+        out.append("\\" + ch if ch in _REGEX_SPECIALS else ch)
+    return "".join(out)
+
+
+def function_sql(name: str, expr: str, kwargs: dict) -> str:
+    """One contract function as a SQL rewrite (null/blank passes through,
+    matching the reference's ``_nullcheck`` wrapper)."""
+    null_ok = f"{expr} IS NULL OR TRIM({expr}) = ''"
+    if name == "normalise":
+        if kwargs.get("capitalize"):
+            body = (
+                f"CONCAT(UPPER(SUBSTRING({expr}, 1, 1)), "
+                f"LOWER(SUBSTRING({expr}, 2)))"
+            )
+        else:
+            body = expr
+        return f"CASE WHEN {null_ok} THEN NULL ELSE {body} END"
+    if name == "exclude_word":
+        word = _sql_str(str(kwargs["word"]).lower())
+        return (
+            f"CASE WHEN {null_ok} THEN NULL "
+            f"WHEN LOWER({expr}) LIKE CONCAT('%', {word}, '%') THEN NULL "
+            f"ELSE {expr} END"
+        )
+    if name == "split":
+        sep = _sql_str(_regex_literal(kwargs["split_on"]))
+        keep = int(kwargs.get("keep", 0))
+        if keep >= 0:
+            pick = f"GET(SPLIT({expr}, {sep}), {keep})"
+        else:
+            pick = f"TRY_ELEMENT_AT(SPLIT({expr}, {sep}), {keep})"
+        return f"CASE WHEN {null_ok} THEN NULL ELSE {pick} END"
+    if name == "static_key":
+        return "'1'"
+    raise ValueError(f"unknown contract function {name!r}")
+
+
+def apply_functions_sql(field: FieldSpec, expr: str) -> str:
+    for fn in field.functions:
+        expr = function_sql(fn["name"], expr, fn.get("kwargs", {}))
+    return expr
+
+
+def function_checks(field: FieldSpec, expr: str) -> list[CompiledCheck]:
+    """Failure checks for functions that can reject a value (``split`` with
+    an out-of-range index -> record error, dve function_wrapper.py:48-201)."""
+    checks: list[CompiledCheck] = []
+    running = expr
+    for fn in field.functions:
+        if fn["name"] == "split":
+            transformed = function_sql("split", running, fn.get("kwargs", {}))
+            null_ok = f"{running} IS NULL OR TRIM({running}) = ''"
+            checks.append(
+                CompiledCheck(
+                    field=field.name,
+                    category="function",
+                    code="FUNCTION_SPLIT_FAILED",
+                    message=fn.get(
+                        "error_message", f"split failed for {field.name}"
+                    ),
+                    predicate_sql=(
+                        f"(({null_ok}) OR ({transformed}) IS NOT NULL)"
+                    ),
+                )
+            )
+        running = function_sql(fn["name"], running, fn.get("kwargs", {}))
+    return checks
+
+
 def cast_sql(field: FieldSpec, expr: str | None = None) -> str:
     """SQL expression casting the stringified field to its declared type."""
     expr = expr if expr is not None else _quote(field.name)
+    if field.functions and not field.is_array and field.model is None:
+        expr = apply_functions_sql(field, expr)
     if field.is_array:
         element = FieldSpec(
             name=field.name,
@@ -239,13 +325,28 @@ def cast_sql(field: FieldSpec, expr: str | None = None) -> str:
 
 @dataclass(frozen=True)
 class CompiledCheck:
-    """One validation check: message fields + a pass-predicate SQL string."""
+    """One validation check: message fields + a pass-predicate SQL string.
+
+    ``level`` / ``informational`` / ``reporting_entity`` carry error-detail
+    overrides (contract/error_details.py); ``message`` may be a
+    ``{{field}}`` / ``{{__error_value}}`` template, compiled to a Column at
+    message-build time.
+    """
 
     field: str
-    category: str  # e.g. missing | type | constraint | domain
+    category: str  # e.g. missing | type | constraint | domain | function
     code: str
     message: str
     predicate_sql: str  # boolean SQL over the stringified entity; null==fail
+    level: str = "record"
+    informational: bool = False
+    reporting_entity: str | None = None
+
+    @property
+    def value_sql(self) -> str:
+        """The offending value (top-level field of this check) as a string."""
+        root = self.field.split(".", 1)[0]
+        return f"CAST(`{root}` AS STRING)"
 
 
 def _not_blank(expr: str) -> str:
@@ -292,6 +393,19 @@ def _scalar_checks(field: FieldSpec, expr: str) -> list[tuple[str, str, str]]:
             bound = cons[key]
             bound_sql = f"'{bound}'" if isinstance(bound, str) else str(bound)
             add("constraint", f"OUT_OF_RANGE_{key.upper()}", f"({cast_expr}) {op} {bound_sql}")
+
+    # timezone constraint for formatted datetimes
+    # (parity: dve metadata_parser/domain_types.py:348-433 forbid/permit/
+    # require; detection is a suffix regex over the raw string)
+    if base == "timestamp" and cons.get("timezone"):
+        tz_mode = str(cons["timezone"]).lower()
+        tz_regex = r"([+-][0-9]{2}:?[0-9]{2}|[+-][0-9]{4}|Z)\\s*$"
+        if tz_mode == "forbid":
+            add("constraint", "TIMEZONE_FORBIDDEN", f"NOT ({trimmed} RLIKE '{tz_regex}')")
+        elif tz_mode == "require":
+            add("constraint", "TIMEZONE_REQUIRED", f"{trimmed} RLIKE '{tz_regex}'")
+        elif tz_mode != "permit":
+            raise ValueError(f"unsupported timezone constraint {tz_mode!r}")
 
     # domain types
     if tname in ("nhsnumber", "permissivenhsno"):
@@ -395,4 +509,16 @@ def compile_checks(entity: EntityContract) -> list[CompiledCheck]:
                         predicate_sql=pred,
                     )
                 )
+            checks.extend(function_checks(field, quoted))
+
+    if entity.error_details:
+        # lazy import: error_details.py imports CompiledCheck from here
+        from data_validation_engine_spark.contract.error_details import (
+            apply_error_details,
+            parse_error_details,
+        )
+
+        checks = apply_error_details(
+            checks, parse_error_details(entity.error_details)
+        )
     return checks

@@ -80,6 +80,11 @@ class FieldSpec(BaseModel):
     is_array: bool = False
     model: Optional[tuple["FieldSpec", ...]] = None  # nested struct fields
     mandatory: bool = False
+    functions: tuple[dict[str, Any], ...] = ()
+    """Contract-side value functions applied to the stringified value
+    (normalise / exclude_word / split / static_key — parity with
+    dve metadata_parser/function_library.py:35-62; each entry is
+    ``{name, kwargs, error_message?}``)."""
 
     @property
     def base_type(self) -> str:
@@ -107,6 +112,9 @@ class EntityContract(BaseModel):
     key_field: Optional[str] = None
     mandatory_fields: tuple[str, ...] = ()
     reader_config: dict[str, Any] = Field(default_factory=dict)
+    error_details: dict[str, Any] = Field(default_factory=dict)
+    """Raw (field -> category -> override) error-detail document
+    (contract/error_details.py; dve message.py:237-280)."""
 
     def field(self, name: str) -> FieldSpec:
         for f in self.fields:
@@ -168,6 +176,14 @@ def _parse_field(
     mandatory_fields: list[str] | tuple[str, ...] = (),
 ) -> FieldSpec:
     type_name, constraints, is_array, model = _resolve_type(decl, custom_types)
+    functions: tuple[dict[str, Any], ...] = ()
+    if isinstance(decl, dict) and decl.get("functions"):
+        functions = tuple(
+            {"name": f["name"], **{k: v for k, v in f.items() if k != "name"}}
+            if isinstance(f, dict)
+            else {"name": f}
+            for f in decl["functions"]
+        )
     return FieldSpec(
         name=name,
         type_name=type_name if model is None else "struct",
@@ -175,11 +191,21 @@ def _parse_field(
         is_array=is_array,
         model=model,
         mandatory=name in mandatory_fields,
+        functions=functions,
     )
 
 
-def parse_contract(contract_json: dict[str, Any]) -> Contract:
-    """Parse the ``contract`` section of a dischema JSON document."""
+def parse_contract(
+    contract_json: dict[str, Any],
+    *,
+    error_details: dict[str, Any] | None = None,
+) -> Contract:
+    """Parse the ``contract`` section of a dischema JSON document.
+
+    ``error_details`` is the (field -> category -> override) document from
+    the dischema's ``error_details`` URI; it applies to every dataset
+    (reference behaviour: one error-info file per config).
+    """
     section = contract_json.get("contract", contract_json)
     custom_types = section.get("types", {})
     datasets = []
@@ -196,6 +222,7 @@ def parse_contract(contract_json: dict[str, Any]) -> Contract:
                 key_field=ds.get("key_field"),
                 mandatory_fields=tuple(mandatory),
                 reader_config=ds.get("reader_config", {}),
+                error_details=dict(error_details or {}),
             )
         )
     return Contract(datasets=tuple(datasets))

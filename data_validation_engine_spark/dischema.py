@@ -204,10 +204,21 @@ def parse_dischema(
 ) -> Dischema:
     """Parse a dischema document (rule stores resolve relative to
     ``base_dir``)."""
-    contract = (
-        parse_contract(doc) if doc.get("contract", {}).get("datasets") else None
-    )
     contract_cfg = doc.get("contract", {})
+    error_details: dict[str, Any] = {}
+    if contract_cfg.get("error_details"):
+        if base_dir is None:
+            raise ConfigurationError(
+                "dischema declares error_details but no base_dir was given"
+            )
+        error_details = json.loads(
+            (Path(base_dir) / contract_cfg["error_details"]).read_text()
+        )
+    contract = (
+        parse_contract(doc, error_details=error_details)
+        if contract_cfg.get("datasets")
+        else None
+    )
     tx = doc.get("transformations", {})
     globals_ = dict(tx.get("parameters", {}))
 

@@ -39,6 +39,7 @@ MESSAGE_SCHEMA = T.StructType(
         T.StructField("is_informational", T.BooleanType(), False),
         T.StructField("category", T.StringType(), True),
         T.StructField("reporting_field", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
         T.StructField("record_json", T.StringType(), True),
     ]
 )
@@ -46,15 +47,22 @@ MESSAGE_SCHEMA = T.StructType(
 _TEMPLATE_VAR = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\}\}")
 
 
-def compile_message_template(template: str, columns: list[str]) -> Column:
+def compile_message_template(
+    template: str,
+    columns: list[str],
+    extra_vars: dict[str, Column] | None = None,
+) -> Column:
     """Compile a ``"text {{col}} text"`` template to a Column expression.
 
     ``{{col}}`` references to existing columns render as the column value
-    (cast to string); unknown names are preserved verbatim, matching the
-    reference's preserve-undefined templating (dve templating.py:14-22).
-    Runs entirely JVM-side — one ``concat`` per template.
+    (cast to string); ``extra_vars`` supplies non-column variables (e.g.
+    ``__error_value`` in contract error-detail overrides); unknown names are
+    preserved verbatim, matching the reference's preserve-undefined
+    templating (dve templating.py:14-22). Runs entirely JVM-side — one
+    ``concat`` per template.
     """
     lower_cols = {c.lower(): c for c in columns}
+    extra = {k.lower(): v for k, v in (extra_vars or {}).items()}
     parts: list[Column] = []
     pos = 0
     for m in _TEMPLATE_VAR.finditer(template):
@@ -62,7 +70,11 @@ def compile_message_template(template: str, columns: list[str]) -> Column:
             parts.append(F.lit(template[pos : m.start()]))
         name = m.group(1)
         actual = lower_cols.get(name.lower())
-        if actual is not None:
+        if name.lower() in extra:
+            parts.append(
+                F.coalesce(extra[name.lower()].cast("string"), F.lit(""))
+            )
+        elif actual is not None:
             parts.append(F.coalesce(F.col(f"`{actual}`").cast("string"), F.lit("")))
         else:
             parts.append(F.lit(m.group(0)))
@@ -74,6 +86,110 @@ def compile_message_template(template: str, columns: list[str]) -> Column:
     if len(parts) == 1:
         return parts[0]
     return F.concat(*parts)
+
+
+# -- the `location` mini-language -------------------------------------------
+
+def parse_location(location: str) -> tuple[str | None, list[str] | str]:
+    """Parse a message ``location`` selector into (root, fields).
+
+    Grammar (parity: dve backends/metadata/reporting.py:138-158):
+    ``field`` / ``{A,B}`` / ``root.field`` / ``root.{A,B}`` / ``root.*`` /
+    ``*``. At most one nesting level; ``fields`` is ``'*'`` or a name list.
+    """
+    splits = location.split(".")
+    if len(splits) > 2:
+        raise ValueError("location nesting must be a maximum of one level")
+    fields: list[str] | str = [
+        f.strip() for f in splits[-1].strip("{}").split(",") if f.strip()
+    ]
+    if fields and fields[0] == "*":
+        fields = "*"
+    root = splits[0] if len(splits) == 2 else None
+    return root, fields
+
+
+def location_value_col(
+    df: DataFrame,
+    location: str | None,
+    *,
+    max_values: int = 10,
+    value_separator: str = ", ",
+) -> Column:
+    """The message ``value`` column for a ``location`` selector.
+
+    Selects the offending value(s) from the record as a display string:
+    scalars render directly; struct selections render ``field=value``
+    pairs; array-of-struct selections render one pair-string per element,
+    sorted, truncated to ``max_values`` with an ``only first N shown``
+    suffix (parity: dve core_engine/message.py:282-467). Pure Column
+    expressions over the entity frame.
+    """
+    if location is None:
+        return F.lit(None).cast("string")
+    root, fields = parse_location(location)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    def pairs(prefix: Column | None, names: list[str]) -> Column:
+        cols = []
+        for n in sorted(names):
+            v = (
+                prefix.getField(n)
+                if prefix is not None
+                else F.col(f"`{n}`")
+            )
+            cols.append(
+                F.concat(
+                    F.lit(f"{n}="),
+                    F.coalesce(v.cast("string"), F.lit("None")),
+                )
+            )
+        return F.concat_ws(value_separator, *cols)
+
+    if root is None:
+        if fields == "*":
+            return F.to_json(F.struct("*"))
+        if len(fields) == 1:
+            return F.col(f"`{fields[0]}`").cast("string")
+        return pairs(None, list(fields))
+
+    if root not in schema:
+        return F.lit(None).cast("string")
+    root_col = F.col(f"`{root}`")
+    root_type = schema[root]
+
+    if isinstance(root_type, T.ArrayType):
+        elem = root_type.elementType
+        if fields == "*" or not isinstance(elem, T.StructType):
+            rendered = F.transform(
+                root_col, lambda s: F.coalesce(s.cast("string"), F.lit("None"))
+            )
+        else:
+            names = [f for f in fields if f in {sf.name for sf in elem.fields}]
+            rendered = F.transform(root_col, lambda s: pairs(s, names))
+        sorted_vals = F.array_sort(rendered)
+        truncated = F.concat_ws(
+            value_separator, F.slice(sorted_vals, 1, max_values)
+        )
+        return F.when(root_col.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(
+                F.size(sorted_vals) > max_values,
+                F.concat(
+                    truncated,
+                    F.lit(f"{value_separator}only first {max_values} shown"),
+                ),
+            ).otherwise(truncated)
+        )
+
+    if isinstance(root_type, T.StructType):
+        if fields == "*":
+            return F.to_json(root_col)
+        names = [f for f in fields if f in {sf.name for sf in root_type.fields}]
+        return F.when(
+            root_col.isNull(), F.lit(None).cast("string")
+        ).otherwise(pairs(root_col, names))
+
+    return root_col.cast("string")
 
 
 @dataclass(frozen=True)
@@ -146,6 +262,12 @@ def messages_for_failures(
         if include_record_json
         else F.lit(None).cast("string")
     )
+    if reporting.location:
+        value_col = location_value_col(df, reporting.location)
+    elif reporting.reporting_field and reporting.reporting_field in cols:
+        value_col = F.col(f"`{reporting.reporting_field}`").cast("string")
+    else:
+        value_col = F.lit(None).cast("string")
     return failed.select(
         F.lit(reporting.reporting_entity_override or entity_name).alias("entity"),
         F.lit(reporting.original_entity_override or entity_name).alias(
@@ -159,6 +281,7 @@ def messages_for_failures(
         F.lit(reporting.is_informational).alias("is_informational"),
         F.lit(reporting.category).cast("string").alias("category"),
         reporting_field_col.alias("reporting_field"),
+        value_col.alias("value"),
         record_json.alias("record_json"),
     )
 
@@ -199,6 +322,12 @@ def messages_for_checks(
             if reporting.reporting_field and reporting.reporting_field in cols
             else F.lit(None).cast("string")
         )
+        if reporting.location:
+            value_col = location_value_col(df, reporting.location)
+        elif reporting.reporting_field and reporting.reporting_field in cols:
+            value_col = F.col(f"`{reporting.reporting_field}`").cast("string")
+        else:
+            value_col = F.lit(None).cast("string")
         return F.struct(
             F.lit(reporting.reporting_entity_override or entity_name).alias(
                 "entity"
@@ -215,6 +344,7 @@ def messages_for_checks(
             F.lit(reporting.is_informational).alias("is_informational"),
             F.lit(reporting.category).cast("string").alias("category"),
             reporting_field_col.alias("reporting_field"),
+            value_col.alias("value"),
         )
 
     failed_structs = [
@@ -239,6 +369,7 @@ def messages_for_checks(
         F.col("__m.is_informational").alias("is_informational"),
         F.col("__m.category").alias("category"),
         F.col("__m.reporting_field").alias("reporting_field"),
+        F.col("__m.value").alias("value"),
         F.col("record_json"),
     )
 

@@ -78,6 +78,7 @@ def _critical(
         "is_informational": False,
         "category": "submission",
         "reporting_field": None,
+        "value": None,
         "record_json": None,
     }
     return spark.createDataFrame([row], MESSAGE_SCHEMA)

@@ -17,6 +17,51 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class XSDValidationError(ValueError):
+    """The submitted XML file failed XSD validation."""
+
+
+def validate_xsd(path: str, xsd_location: str) -> None:
+    """Validate an XML file against an XSD (driver-side, pre-scan).
+
+    Parity with the reference's reader hook
+    (dve backends/readers/xml.py:120-122, xmllint/lxml-based; books fixture
+    ``TESTXSDERROR``). Requires ``lxml`` or ``xmlschema`` — neither ships in
+    this container, so the capability is import-gated: with a library
+    present the file is validated and failures raise
+    :class:`XSDValidationError`; without one, requesting XSD validation
+    raises ``ImportError`` loudly rather than skipping silently.
+    """
+    try:
+        from lxml import etree  # type: ignore[import-not-found]
+
+        xsd = etree.XMLSchema(etree.parse(xsd_location))
+        doc = etree.parse(path)
+        if not xsd.validate(doc):
+            raise XSDValidationError(
+                f"{path} failed XSD validation against {xsd_location}: "
+                f"{xsd.error_log.last_error}"
+            )
+        return
+    except ImportError:
+        pass
+    try:
+        import xmlschema  # type: ignore[import-not-found]
+
+        schema = xmlschema.XMLSchema(xsd_location)
+        if not schema.is_valid(path):
+            raise XSDValidationError(
+                f"{path} failed XSD validation against {xsd_location}"
+            )
+        return
+    except ImportError:
+        pass
+    raise ImportError(
+        "XSD validation requires lxml or xmlschema; neither is installed "
+        "(install one, or drop xsd_location to skip validation)"
+    )
+
+
 def read_xml(
     spark: SparkSession,
     path: str,
@@ -26,13 +71,17 @@ def read_xml(
     root_tag: str | None = None,
     explode_record_tag: bool = False,
     n_records_to_read: int | None = None,
+    xsd_location: str | None = None,
 ) -> DataFrame:
     """Read XML records.
 
     With ``explode_record_tag`` the scan uses ``root_tag`` as the row and
     explodes the ``record_tag`` array column (for wrapped documents whose
-    header attributes live on the root).
+    header attributes live on the root). With ``xsd_location`` the file is
+    XSD-validated before the scan (see :func:`validate_xsd`).
     """
+    if xsd_location is not None:
+        validate_xsd(path, xsd_location)
     row_tag = root_tag if explode_record_tag and root_tag else record_tag
     reader = (
         spark.read.format("xml")
