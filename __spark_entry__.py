@@ -582,12 +582,22 @@ def q_record_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # llmops queries (training-data pipeline operators; SURVEY §7 item 8)
 # ---------------------------------------------------------------------------
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the cluster: the synthetic table is one
+    small parquet file (one input split), which would serialise the
+    CPU-heavy hashing operators onto a single core. At production scale the
+    input has many splits; repartitioning here gives the local bench the
+    same parallelism."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents with a deterministically re-inserted 10%
     sample (so the operator visibly collapses duplicates)."""
     from data_validation_engine_spark.llmops import exact_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     dup_in = docs.unionByName(docs.where("doc_id % 10 = 0"))
     return exact_dedup(dup_in, "text", order_col="doc_id").selectExpr(
         "doc_id", "n_chars", "n_copies"
@@ -599,7 +609,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified; no cartesian product in the plan)."""
     from data_validation_engine_spark.llmops import minhash_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return minhash_pairs(docs, "doc_id", "text", threshold=0.5)
 
 
@@ -609,7 +619,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_validation_engine_spark.llmops import simhash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 
@@ -634,7 +644,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality statistics + quality gate."""
     from data_validation_engine_spark.llmops import text_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return text_stats(docs, "doc_id", "text")
 
 
@@ -642,7 +652,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (CJK charset check + stopword vote)."""
     from data_validation_engine_spark.llmops import language_id
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return language_id(docs, "doc_id", "text")
 
 
@@ -650,7 +660,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document (integer-keyed ranking)."""
     from data_validation_engine_spark.llmops import tfidf_top_terms
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return tfidf_top_terms(docs, "doc_id", "text")
 
 
@@ -658,8 +668,68 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical md5 fingerprint + min-k winnowed shingle sketch."""
     from data_validation_engine_spark.llmops import text_fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return text_fingerprint(docs, "doc_id", "text")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket self-join + exact cosine
+    verify (no all-pairs cross join)."""
+    from data_validation_engine_spark.llmops import embedding_neardup_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(embs, threshold=0.3)
+
+
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip: nation written to CSV, read back stringified
+    via the engine reader, cast to types (oracle = the parquet table)."""
+    import tempfile
+    from pathlib import Path
+
+    from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = Path(tempfile.gettempdir()) / "dve_spark_csv_roundtrip"
+    nation.toPandas().to_csv(out.with_suffix(".csv"), index=False)
+    df = read_csv(
+        spark,
+        str(out.with_suffix(".csv")),
+        ["n_nationkey", "n_name", "n_regionkey"],
+        CSVOptions(field_check=True),
+    )
+    return df.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+
+
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source round-trip with explicit stringified schema."""
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from data_validation_engine_spark.sources.json import read_json
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = Path(tempfile.gettempdir()) / "dve_spark_json_roundtrip.jsonl"
+    rows = region.selectExpr(
+        "CAST(r_regionkey AS STRING) AS r_regionkey", "r_name"
+    ).toPandas()
+    out.write_text(rows.to_json(orient="records", lines=True))
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.StringType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    df = read_json(spark, str(out), schema, multi_line=False)
+    return df.selectExpr(
+        "CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name"
+    )
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +740,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         binary_meta,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return binary_meta(attach_binary(docs, "text"), "doc_id")
 
 
@@ -683,7 +753,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_decoder,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return decode_binary(
         attach_binary(docs, "text"), "doc_id", decoder=fake_decoder
     )
@@ -828,6 +898,38 @@ def _similarity_ann_oracle(k: int = 10, n_planes: int = 4, dim: int = 64) -> str
     """
 
 
+def _embedding_neardup_oracle(
+    n_planes: int = 6, dim: int = 64, threshold: float = 0.5
+) -> str:
+    from data_validation_engine_spark.llmops.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+    bits = []
+    for plane in planes:
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        bits.append(
+            f"CASE WHEN {_duck_dot('embedding', lit, dim)} >= 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(bits)
+    cos = (
+        f"round({_duck_dot('a.__va', 'b.__vb', dim)} / "
+        f"(sqrt({_duck_dot('a.__va', 'a.__va', dim)}) * "
+        f"sqrt({_duck_dot('b.__vb', 'b.__vb', dim)})), 6)"
+    )
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        )
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+            FROM (SELECT vec_id, embedding AS __va, bucket FROM bucketed) a
+            JOIN (SELECT vec_id, embedding AS __vb, bucket FROM bucketed) b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE cosine >= {threshold}
+    """
+
+
 _DUCK_STOP = {
     lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
     for lang, words in __import__(
@@ -894,6 +996,13 @@ _LLMOPS_ORACLES: dict[str, str] = {
     "dedup_simhash": _dedup_simhash_oracle(),
     "similarity_topk": _similarity_topk_oracle(),
     "similarity_ann": _similarity_ann_oracle(),
+    "embedding_neardup": _embedding_neardup_oracle(threshold=0.3),
+    "source_csv": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    "source_json": """
+        SELECT r_regionkey, r_name FROM region
+    """,
     "text_stats": _text_stats_oracle(),
     "lang_id": _lang_id_oracle(),
     "tfidf_topterms": """
@@ -1239,6 +1348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "embedding_neardup": q_embedding_neardup,
+        "source_csv": q_source_csv,
+        "source_json": q_source_json,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "tfidf_topterms": q_tfidf_topterms,

@@ -49,6 +49,12 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # warm up the JVM/codegen path once so the first timed query doesn't
+    # absorb session start-up (measures queries, not JIT)
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         start = time.perf_counter()

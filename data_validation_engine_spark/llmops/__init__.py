@@ -32,6 +32,7 @@ from data_validation_engine_spark.llmops.dedup import (
 from data_validation_engine_spark.llmops.similarity import (
     ann_topk,
     cosine_topk,
+    embedding_neardup_pairs,
     with_lsh_bucket,
 )
 from data_validation_engine_spark.llmops.text import (
@@ -49,6 +50,7 @@ __all__ = [
     "with_shingles",
     "ann_topk",
     "cosine_topk",
+    "embedding_neardup_pairs",
     "with_lsh_bucket",
     "language_id",
     "text_fingerprint",

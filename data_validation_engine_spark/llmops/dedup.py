@@ -56,6 +56,55 @@ def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_SIZE) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+) -> DataFrame:
+    """Distinct (id, shingle) ROWS — the scale-path shingle builder.
+
+    Same shingle set as :func:`shingles_col`, but built lambda-free:
+    ``posexplode`` the tokens and assemble n-grams with window ``lead``
+    (plain codegen'd expressions; one narrow shuffle by id). The
+    higher-order ``transform``/``slice`` formulation evaluates interpreted
+    and compiles a very large generated class — fine for one-off column
+    use, pathological when it sits under a multi-branch dedup plan.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    toked = df.select(
+        F.col(id_col), F.col(text_col), toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    long = (
+        toked.where(F.col("__n") >= shingle_size)
+        .select(
+            id_col, F.posexplode("__toks").alias("__pos", "__tok")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.col("__tok"),
+                *[F.lead("__tok", i).over(w) for i in range(1, shingle_size)],
+            ).alias("shingle"),
+            F.lead("__tok", shingle_size - 1).over(w).alias("__tail"),
+        )
+        .where(F.col("__tail").isNotNull())
+        .drop("__tail")
+    )
+    # short docs (including blank -> '' shingle, matching shingles_col's
+    # single-element array) contribute their whole text as one shingle
+    short = toked.where(F.col("__n") < shingle_size).select(
+        F.col(id_col), F.concat_ws(" ", "__toks").alias("shingle")
+    )
+    return long.unionByName(short).distinct()
+
+
 def with_shingles(
     df: DataFrame,
     text_col: str,
@@ -128,45 +177,63 @@ def minhash_pairs(
     contains shuffle joins on band keys and ids — never a cartesian product.
     """
     sig_names = [f"mh_{i}" for i in range(num_hashes)]
-    shingled = df.select(
-        F.col(id_col),
-        shingles_col(F.col(text_col), shingle_size).alias("__shingles"),
-    ).where(F.size("__shingles") > 0)
-    with_sig = shingled.select(
-        id_col, "__shingles", *minhash_signature(F.col("__shingles"), num_hashes)
+    # distinct (id, shingle) rows, lambda-free. Three plan branches read
+    # this (signatures + both verify sides) and it is deliberately NOT
+    # persisted: measured on local[32], caching the 3-branch DAG serialises
+    # behind block-manager contention (~30x slower than recomputing), and
+    # the recompute is one narrow scan+shuffle per branch that AQE plans
+    # freely. On a real cluster, checkpoint to parquet instead if the
+    # upstream scan is expensive — never in-memory-cache a frame consumed
+    # by concurrent query stages.
+    shingled = shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
+    # signatures via hash aggregation: per shingle row, 12 codegen'd md5
+    # calls; min() combines map-side. (An array_min(transform(...)) lambda
+    # formulation computes the same values but evaluates interpreted and
+    # compiles a very large generated class.)
+    with_sig = shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(
+                f"mh_{i}"
+            )
+            for i in range(num_hashes)
+        ]
     )
-    with_bands = with_sig.select(
-        id_col,
-        "__shingles",
+    # NARROW band frame: (id, band_idx, band_key) only. The wide shingle
+    # arrays never enter the candidate join/shuffle — they join back in by
+    # id for the verification step.
+    narrow_bands = with_sig.select(
+        F.col(id_col),
         F.posexplode(F.array(*band_keys(sig_names, bands))).alias(
             "__band_idx", "__band_key"
         ),
     )
-
-    left = with_bands.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__shingles").alias("__sh_a"),
-        "__band_idx",
-        "__band_key",
-    )
-    right = with_bands.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__shingles").alias("__sh_b"),
-        "__band_idx",
-        "__band_key",
-    )
     candidates = (
-        left.join(right, on=["__band_idx", "__band_key"], how="inner")
+        narrow_bands.select(F.col(id_col).alias("id_a"), "__band_idx", "__band_key")
+        .join(
+            narrow_bands.select(
+                F.col(id_col).alias("id_b"), "__band_idx", "__band_key"
+            ),
+            on=["__band_idx", "__band_key"],
+            how="inner",
+        )
         .where(F.col("id_a") < F.col("id_b"))
         # a pair may collide in several bands — dedupe before verification
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first("__sh_a").alias("__sh_a"),
-            F.first("__sh_b").alias("__sh_b"),
-        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = shingled.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("__shingles")
+    )
+    sh_a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sh_a")
+    )
+    sh_b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sh_b")
     )
     return (
-        candidates.select(
+        candidates.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(jaccard_col(F.col("__sh_a"), F.col("__sh_b")), 6).alias(

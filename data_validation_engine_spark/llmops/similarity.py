@@ -152,6 +152,64 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket_col(F.col(vec_col), planes))
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+
+    Candidate pairs come from an equi-join on the random-hyperplane bucket
+    (same-bucket vectors only — never an all-pairs cross join); candidates
+    are verified with the exact cosine and kept at ``>= threshold``.
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+
+    Scale levers: candidate volume ~ n²/2^planes per bucket skew; recall of
+    a true pair with angle θ is (1-θ/π)^planes — raise ``n_planes`` for
+    cheaper/lower-recall, or run multiple plane sets and union for
+    OR-amplified recall. Norms are precomputed per vector, so each
+    candidate pair costs exactly one dot product.
+    """
+    planes = hyperplanes(n_planes, dim)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_col(F.col(vec_col), planes).alias("__bucket"),
+        norm_col(F.col(vec_col)).alias("__norm"),
+    )
+    left = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+        "__bucket",
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+        "__bucket",
+    )
+    return (
+        left.join(right, on="__bucket", how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_col(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk(
     df: DataFrame,
     query: DataFrame,

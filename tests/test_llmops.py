@@ -105,6 +105,22 @@ def test_hamming_distance_column(spark):
     assert got == 2
 
 
+def test_shingle_rows_matches_column_formulation(spark, docs):
+    from data_validation_engine_spark.llmops.dedup import shingle_rows
+
+    via_rows = {
+        (r["doc_id"], r["shingle"])
+        for r in shingle_rows(docs, "doc_id", "text").collect()
+    }
+    via_col = set()
+    for r in docs.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("s")
+    ).collect():
+        for s in r["s"]:
+            via_col.add((r["doc_id"], s))
+    assert via_rows == via_col
+
+
 def test_shingles_short_text(spark):
     df = spark.createDataFrame([("one two",), ("",)], "text string")
     got = df.select(shingles_col(F.col("text"), 3).alias("s")).collect()
@@ -142,6 +158,16 @@ def test_cosine_topk_plans_limited_sort(embs):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_neardup_bucketed(embs):
+    from data_validation_engine_spark.llmops import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(embs, dim=8, threshold=0.99)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for r in pairs.collect():
+        assert r["id_a"] < r["id_b"] and r["cosine"] >= 0.99
 
 
 def test_ann_probe_subset_of_bucket(embs):
