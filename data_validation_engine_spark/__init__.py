@@ -18,9 +18,16 @@ Public surface:
 - :mod:`streaming` — Structured Streaming lift of rule programs.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from data_validation_engine_spark.entities import EntityManager
 from data_validation_engine_spark.steps.engine import StepEngine
 
-__all__ = ["EntityManager", "StepEngine", "__version__"]
+__all__ = [
+    "EntityManager",
+    "StepEngine",
+    "__version__",
+    # heavier layers import on demand:
+    #   dischema.load_dischema / pipeline.run_pipeline / pipeline.process_landing
+    #   llmops.* / streaming.* / files.*
+]

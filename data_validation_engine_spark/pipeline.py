@@ -376,3 +376,97 @@ def run_pipeline(
         )
     audit_status("completed", "success")
     return result
+
+
+def process_landing(
+    spark: SparkSession,
+    dischema: Dischema | str | Path,
+    landing_dir: str,
+    working_root: str | Path,
+    *,
+    entity_name: str | None = None,
+    refdata_base_path: str | None = None,
+    audit_path: str | None = None,
+    write_report: bool = True,
+) -> list[PipelineResult]:
+    """Process every submission waiting under a landing prefix.
+
+    Shape parity with the reference's discovery + audit-received stages
+    (dve pipeline/pipeline.py:164-318): pair each data file with its
+    ``.metadata.json``, mint a submission id, move the pair to
+    ``processed/<submission_id>/`` (audited as a ``transfers`` row), then
+    run the pipeline per submission. Unpaired files are dead-lettered to
+    ``dead_letter/``. Submissions are independent — callers wanting the
+    reference's thread-pool fan-out can map this body over their own
+    executor (Spark job submission is thread-safe).
+
+    ``entity_name`` names the dischema dataset each data file feeds; with
+    one declared dataset it is inferred.
+    """
+    import json as _json
+
+    from data_validation_engine_spark.files import (
+        discover_submissions,
+        move_file,
+        read_text,
+    )
+
+    if not isinstance(dischema, Dischema):
+        dischema = load_dischema(dischema)
+    if entity_name is None:
+        names = [e.name for e in dischema.contract.datasets] if dischema.contract else []
+        if len(names) != 1:
+            raise ValueError(
+                "entity_name is required when the dischema declares "
+                f"{len(names)} datasets"
+            )
+        entity_name = names[0]
+
+    working_root = Path(working_root)
+    audit = AuditLog(spark, audit_path) if audit_path else None
+    pairs, dead = discover_submissions(landing_dir)
+    for f in dead:
+        move_file(f, str(working_root / "dead_letter" / Path(f).name))
+
+    results: list[PipelineResult] = []
+    for data_uri, meta_uri in pairs:
+        submission_id = new_submission_id()
+        processed = working_root / "processed" / submission_id
+        data_dest = str(processed / Path(data_uri).name)
+        meta_dest = str(processed / Path(meta_uri).name)
+        move_file(data_uri, data_dest)
+        move_file(meta_uri, meta_dest)
+        try:
+            submission_info = _json.loads(read_text(meta_dest))
+        except ValueError:
+            submission_info = {}
+        if audit:
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            audit.append(
+                "transfers",
+                [
+                    {
+                        "submission_id": submission_id,
+                        "date_updated": now.date(),
+                        "time_updated": now,
+                        "report_name": Path(data_uri).name,
+                        "transfer_id": submission_id,
+                        "transfer_method": "landing_move",
+                        "recipient": data_dest,
+                    }
+                ],
+            )
+        results.append(
+            run_pipeline(
+                spark,
+                dischema,
+                {entity_name: data_dest},
+                working_root / "work" / submission_id,
+                refdata_base_path=refdata_base_path,
+                audit_path=audit_path,
+                submission_id=submission_id,
+                submission_info=submission_info or None,
+                write_report=write_report,
+            )
+        )
+    return results

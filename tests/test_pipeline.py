@@ -284,6 +284,65 @@ def test_audit_rows_written(spark, result, tmp_path_factory):
     assert result.statistics["n_record_rejections"] >= 2
 
 
+def test_process_landing_end_to_end(spark, workspace, tmp_path_factory):
+    """Landing discovery: pair + move + audit + run; dead-letter strays."""
+    import shutil
+
+    from data_validation_engine_spark.pipeline import process_landing
+    from data_validation_engine_spark.sinks.audit import AuditLog
+
+    root = tmp_path_factory.mktemp("landing")
+    landing = root / "landing"
+    landing.mkdir()
+    shutil.copy(workspace / "customers.csv", landing / "customers.csv")
+    (landing / "customers.csv.metadata.json").write_text(
+        json.dumps({"dataset_id": "test", "file_name": "customers.csv"})
+    )
+    (landing / "stray.csv").write_text("a,b\n1,2\n")
+
+    results = process_landing(
+        spark,
+        workspace / "dischema.json",
+        str(landing),
+        root / "out",
+        refdata_base_path=str(workspace),
+        audit_path=str(root / "audit"),
+        write_report=False,
+    )
+    assert len(results) == 1 and results[0].success
+    # landing emptied; pair moved under processed/<submission_id>/
+    assert list(landing.iterdir()) == []
+    processed = root / "out" / "processed" / results[0].submission_id
+    assert (processed / "customers.csv").exists()
+    assert (root / "out" / "dead_letter" / "stray.csv").exists()
+    audit = AuditLog(spark, str(root / "audit"))
+    t = audit.read("transfers").first()
+    assert t["submission_id"] == results[0].submission_id
+    assert t["report_name"] == "customers.csv"
+
+
+def test_empty_input_flows_through(spark, workspace, tmp_path_factory):
+    """Empty-entity handling: a header-only CSV produces empty (not failed)
+    entities and no messages (SURVEY hard-parts watch list)."""
+    from data_validation_engine_spark.pipeline import run_pipeline
+
+    root = tmp_path_factory.mktemp("empty_input")
+    empty_csv = root / "customers.csv"
+    empty_csv.write_text("c_custkey,c_name,c_nationkey,c_acctbal\n")
+    res = run_pipeline(
+        spark,
+        workspace / "dischema.json",
+        {"customers": str(empty_csv)},
+        root / "work",
+        refdata_base_path=str(workspace),
+        write_report=False,
+    )
+    assert res.success
+    assert res.entities["customers"].count() == 0
+    assert res.entities["by_nation"].count() == 0
+    assert res.messages.where("failure_type = 'record'").count() == 0
+
+
 def test_missing_entity_fails_critically(spark, workspace, tmp_path_factory):
     work = tmp_path_factory.mktemp("pipeline_missing")
     res = run_pipeline(
