@@ -467,6 +467,67 @@ def q_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity namespace ops: copy -> column removal -> rename -> removal."""
+    from data_validation_engine_spark.steps import (
+        ColumnRemoval,
+        CopyEntity,
+        EntityRemoval,
+        RenameEntity,
+    )
+
+    ents = _load(spark, sf_dir, ["nation"])
+    eng = _engine(spark)
+    eng.evaluate(
+        ents, config=CopyEntity(entity_name="nation", new_entity_name="nation2")
+    )
+    eng.evaluate(
+        ents, config=ColumnRemoval(entity_name="nation2", column_name="n_regionkey")
+    )
+    eng.evaluate(
+        ents,
+        config=RenameEntity(entity_name="nation2", new_entity_name="trimmed"),
+    )
+    eng.evaluate(ents, config=EntityRemoval(entity_names=("nation",)))
+    assert set(ents) == {"trimmed"}
+    return ents["trimmed"]
+
+
+def q_refdata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refdata loading through the EntityManager (filename-relative config,
+    refdata_ prefix, lazy load) feeding an engine join."""
+    from data_validation_engine_spark.entities import EntityManager, RefDataConfig
+
+    ents = EntityManager(
+        _load(spark, sf_dir, ["nation"]),
+        spark=spark,
+        refdata={
+            "region": RefDataConfig(
+                name="region", type="filename", location="region.parquet"
+            )
+        },
+        refdata_base_path=sf_dir,
+    )
+    eng = _engine(spark)
+    eng.evaluate(
+        ents,
+        config=LeftJoin(
+            entity_name="nation",
+            target_name="refdata_region",
+            join_condition="nation.n_regionkey = refdata_region.r_regionkey",
+            new_columns={"refdata_region.r_name": "region_name"},
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="nation",
+            columns="n_nationkey, n_name, region_name",
+        ),
+    )
+    return ents["nation"]
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL function library incl. NHS mod-11 as a pure expression."""
     ents = _load(spark, sf_dir, ["customer"])
@@ -614,13 +675,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signature per document (md5-derived bit votes)."""
-    from pyspark.sql import functions as F
+    """16-bit SimHash signature per document (md5-derived bit votes,
+    explode+aggregate scale path)."""
+    from data_validation_engine_spark.llmops import simhash_table
 
-    from data_validation_engine_spark.llmops import simhash
-
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    return simhash_table(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,6 +1228,13 @@ _ORACLES: dict[str, str] = {
         SELECT 'orders', 'PENDING', 'order pending', 'record', o_orderkey
         FROM orders WHERE NOT COALESCE(o_orderstatus <> 'P', FALSE)
     """,
+    "entity_ops": """
+        SELECT n_nationkey, n_name FROM nation
+    """,
+    "refdata_join": """
+        SELECT n_nationkey, n_name, r_name AS region_name
+        FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
     "notification": """
         SELECT 'customer' AS entity, 'NEG_BAL' AS error_code,
                'customer ' || c_name || ' has negative balance'
@@ -1338,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_filters": q_sync_filters,
         "sync_filter_messages": q_sync_filter_messages,
         "notification": q_notification,
+        "entity_ops": q_entity_ops,
+        "refdata_join": q_refdata_join,
         "scalar_functions": q_scalar_functions,
         "contract_cast": q_contract_cast,
         "contract_messages": q_contract_messages,

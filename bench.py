@@ -49,11 +49,19 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # warm up the JVM/codegen path once so the first timed query doesn't
-    # absorb session start-up (measures queries, not JIT)
+    # warm up the JVM/codegen path and the Python worker pool once so the
+    # first timed query doesn't absorb session/process start-up (measures
+    # queries, not JIT or worker spawning)
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(256).repartition(int(cpus)).mapInPandas(
+        _identity, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

@@ -27,6 +27,7 @@ from data_validation_engine_spark.llmops.dedup import (
     minhash_dedup,
     minhash_pairs,
     simhash,
+    simhash_table,
     with_shingles,
 )
 from data_validation_engine_spark.llmops.similarity import (
@@ -47,6 +48,7 @@ __all__ = [
     "minhash_dedup",
     "minhash_pairs",
     "simhash",
+    "simhash_table",
     "with_shingles",
     "ann_topk",
     "cosine_topk",

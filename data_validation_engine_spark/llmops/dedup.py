@@ -323,6 +323,47 @@ def simhash(text: Column, *, bits: int = 16) -> Column:
     return F.concat(*[bit(b) for b in range(bits)])
 
 
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 16
+) -> DataFrame:
+    """(id, simhash) for a whole table — the scale-path SimHash.
+
+    Same bits as :func:`simhash`, computed via explode + hash aggregation:
+    one md5 per distinct token (not per token per bit), 16 conditional sums
+    combining map-side, tiny codegen. Docs with no tokens get the all-ones
+    signature (0 >= 0 on every vote), matching the column formulation.
+    """
+    if bits > 32:
+        raise ValueError("simhash supports at most 32 bits (md5 nibbles)")
+    high = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
+        id_col, F.md5("__tok").alias("__h")
+    )
+    votes = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(F.substring("__h", b + 1, 1).isin(high), 1).otherwise(0)
+            ).alias(f"__ones_{b}")
+            for b in range(bits)
+        ],
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"__ones_{b}") * 2 >= F.col("__n"), F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for b in range(bits)
+        ]
+    )
+    return df.select(F.col(id_col)).join(
+        votes.select(F.col(id_col), sig.alias("simhash")), on=id_col, how="left"
+    ).select(
+        id_col, F.coalesce(F.col("simhash"), F.lit("1" * bits)).alias("simhash")
+    )
+
+
 def hamming_distance(a: Column, b: Column, *, bits: int = 16) -> Column:
     """Hamming distance between two equal-length bit strings."""
     return F.size(

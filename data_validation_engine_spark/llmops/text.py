@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_validation_engine_spark.llmops.dedup import shingles_col, tokens_col
+from data_validation_engine_spark.llmops.dedup import tokens_col
 
 #: BPE-ish tokeniser: letter runs, digit runs, single punctuation marks.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -54,11 +54,9 @@ def text_stats(
     toks = tokens_col(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
-    sum_tok_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    # sum of token lengths == count of non-whitespace chars (tokens are the
+    # non-whitespace runs) — lambda-free, same value as a fold over lengths
+    sum_tok_len = F.length(F.regexp_replace(text, r"\s+", ""))
     avg_token_len = F.round(
         sum_tok_len.cast("double") / n_tokens.cast("double"), round_to
     )
@@ -172,16 +170,27 @@ def text_fingerprint(
       whitespace) — exact-dup key robust to formatting noise.
     - ``winnow``: concatenation of the ``winnow_k`` smallest shingle hashes
       (a min-k sketch; documents sharing most shingles share most of the
-      sketch). Per-row expression, no shuffle.
+      sketch), aggregated from lambda-free shingle rows.
     """
+    from data_validation_engine_spark.llmops.dedup import shingle_rows
+
     text = F.col(text_col)
     canonical = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-    shingle_hashes = F.array_sort(
-        F.transform(shingles_col(text, shingle_size), lambda s: F.md5(s))
+    fp = df.select(F.col(id_col), F.md5(canonical).alias("fingerprint"))
+    winnow = (
+        shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.slice(
+                    F.array_sort(F.collect_list(F.md5("shingle"))),
+                    1,
+                    winnow_k,
+                ),
+            ).alias("winnow")
+        )
     )
-    winnow = F.concat_ws("", F.slice(shingle_hashes, 1, winnow_k))
-    return df.select(
-        F.col(id_col),
-        F.md5(canonical).alias("fingerprint"),
-        winnow.alias("winnow"),
+    return fp.join(winnow, on=id_col, how="left").select(
+        id_col, "fingerprint", F.coalesce("winnow", F.lit("")).alias("winnow")
     )

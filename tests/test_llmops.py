@@ -97,6 +97,20 @@ def test_simhash_length_and_similarity(docs):
     assert ham_near <= ham_far
 
 
+def test_simhash_table_matches_column(spark, docs):
+    from data_validation_engine_spark.llmops import simhash_table
+
+    via_table = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(docs, "doc_id", "text").collect()
+    }
+    via_col = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+    }
+    assert via_table == via_col
+
+
 def test_hamming_distance_column(spark):
     df = spark.createDataFrame([("1010", "1001")], "a string, b string")
     got = df.select(
