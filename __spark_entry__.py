@@ -723,6 +723,19 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text")
 
 
+def q_quality_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmops quality gates run through the ENGINE's sync-filter stage:
+    corpus cleaning as ordinary deferred filters (one scan, per-doc
+    failure messages in the standard feed)."""
+    from data_validation_engine_spark.llmops import quality_filters
+
+    ents = {"documents": _docs(spark, sf_dir)}
+    # min_tokens=40 bisects the synthetic corpus so the drop path is
+    # exercised, not just the predicate
+    apply_sync_filters(ents, quality_filters("documents", min_tokens=40))
+    return ents["documents"].selectExpr("doc_id", "n_chars", "lang")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical md5 fingerprint + min-k winnowed shingle sketch."""
     from data_validation_engine_spark.llmops import text_fingerprint
@@ -788,6 +801,36 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_json(spark, str(out), schema, multi_line=False)
     return df.selectExpr(
         "CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name"
+    )
+
+
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip: nation rendered to XML, read back via the
+    engine's XML reader (rowTag records), cast to types."""
+    import tempfile
+    from pathlib import Path
+
+    from data_validation_engine_spark.sources.xml import read_xml
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rows = nation.toPandas().to_dict("records")
+    parts = ["<nations>"]
+    for r in rows:
+        parts.append(
+            "<nation>"
+            f"<n_nationkey>{r['n_nationkey']}</n_nationkey>"
+            f"<n_name>{r['n_name']}</n_name>"
+            f"<n_regionkey>{r['n_regionkey']}</n_regionkey>"
+            "</nation>"
+        )
+    parts.append("</nations>")
+    out = Path(tempfile.gettempdir()) / "dve_spark_xml_roundtrip.xml"
+    out.write_text("".join(parts))
+    df = read_xml(spark, str(out), "nation")
+    return df.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "CAST(n_name AS STRING) AS n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
     )
 
 
@@ -1061,6 +1104,19 @@ _LLMOPS_ORACLES: dict[str, str] = {
     """,
     "source_json": """
         SELECT r_regionkey, r_name FROM region
+    """,
+    "source_xml": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    "quality_sync": r"""
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE COALESCE(len(string_split_regex(trim(text), '\s+'))
+                  BETWEEN 40 AND 5000, FALSE)
+          AND COALESCE(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                  / length(text) < 0.2, FALSE)
+          AND COALESCE((length(regexp_replace(text, '\s+', '', 'g'))
+                  / len(string_split_regex(trim(text), '\s+')))
+                  BETWEEN 2.0 AND 15.0, FALSE)
     """,
     "text_stats": _text_stats_oracle(),
     "lang_id": _lang_id_oracle(),
@@ -1419,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
+        "source_xml": q_source_xml,
+        "quality_sync": q_quality_sync,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "tfidf_topterms": q_tfidf_topterms,

@@ -38,6 +38,7 @@ from data_validation_engine_spark.llmops.similarity import (
 )
 from data_validation_engine_spark.llmops.text import (
     language_id,
+    quality_filters,
     text_fingerprint,
     text_stats,
     tfidf_top_terms,
@@ -55,6 +56,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "with_lsh_bucket",
     "language_id",
+    "quality_filters",
     "text_fingerprint",
     "text_stats",
     "tfidf_top_terms",

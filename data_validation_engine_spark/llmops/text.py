@@ -113,6 +113,64 @@ def language_id(
     return df.select(F.col(id_col), pred.alias(out_col))
 
 
+def quality_filters(
+    entity_name: str,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    max_punct_ratio: float = 0.2,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 15.0,
+) -> list:
+    """Document-quality gates as DeferredFilters for the sync-filter stage.
+
+    This is how llmops quality control plugs into the engine proper: each
+    gate is an ordinary deferred filter (validate-all-then-drop, message per
+    failing doc with its own error code), so a corpus-cleaning pass is just
+    ``apply_sync_filters(entities, quality_filters("documents"))`` and the
+    failures land in the standard error feed. Expressions are plain Spark
+    SQL (no lambdas) so they fuse into one scan with any other filters.
+    """
+    from data_validation_engine_spark.messages import Reporting
+    from data_validation_engine_spark.steps.configs import DeferredFilter
+
+    t = text_col
+    n_tokens = f"size(split(trim({t}), '\\\\s+'))"
+    punct = f"size(regexp_extract_all({t}, '[^A-Za-z0-9\\\\s]', 0))"
+    avg_len = f"(length(regexp_replace({t}, '\\\\s+', '')) / {n_tokens})"
+    return [
+        DeferredFilter(
+            entity_name=entity_name,
+            expression=f"{n_tokens} BETWEEN {min_tokens} AND {max_tokens}",
+            reporting=Reporting(
+                code="BAD_TOKEN_COUNT",
+                message=f"document outside [{min_tokens}, {max_tokens}] tokens",
+            ),
+        ),
+        DeferredFilter(
+            entity_name=entity_name,
+            expression=(
+                f"{punct} / length({t}) < {max_punct_ratio}"
+            ),
+            reporting=Reporting(
+                code="TOO_MUCH_PUNCTUATION",
+                message=f"punctuation ratio >= {max_punct_ratio}",
+            ),
+        ),
+        DeferredFilter(
+            entity_name=entity_name,
+            expression=(
+                f"{avg_len} BETWEEN {min_avg_token_len} AND {max_avg_token_len}"
+            ),
+            reporting=Reporting(
+                code="BAD_AVG_TOKEN_LEN",
+                message="average token length out of range",
+            ),
+        ),
+    ]
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,
