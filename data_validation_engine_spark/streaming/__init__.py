@@ -12,6 +12,7 @@ are NOT streaming-safe and raise explicitly rather than degrade silently.
 from data_validation_engine_spark.streaming.filters import (
     read_entity_stream,
     start_message_sink,
+    streaming_exact_dedup,
     streaming_sync_filters,
     windowed_counts,
 )
@@ -19,6 +20,7 @@ from data_validation_engine_spark.streaming.filters import (
 __all__ = [
     "read_entity_stream",
     "start_message_sink",
+    "streaming_exact_dedup",
     "streaming_sync_filters",
     "windowed_counts",
 ]

@@ -109,6 +109,32 @@ def start_message_sink(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    sdf: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on key columns.
+
+    With ``ts_col`` the state store only retains keys inside the watermark
+    horizon (``dropDuplicatesWithinWatermark`` — bounded state, the only
+    scale-safe form on an unbounded stream); without it, state grows with
+    distinct keys and is only suitable for bounded backfills.
+    """
+    if not sdf.isStreaming:
+        raise ConfigurationError(
+            "streaming_exact_dedup requires a streaming DataFrame; use "
+            "llmops.exact_dedup for batch"
+        )
+    if ts_col is not None:
+        return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return sdf.dropDuplicates(key_cols)
+
+
 def windowed_counts(
     sdf: DataFrame,
     ts_col: str,

@@ -144,6 +144,26 @@ def test_windowed_counts_with_watermark(spark, events_stream, events_batch, tmp_
         assert batch[(r["start"], r["event_type"])] == r["n"]
 
 
+def test_streaming_exact_dedup(spark, events_stream, events_batch, tmp_path):
+    from data_validation_engine_spark.streaming import streaming_exact_dedup
+
+    deduped = streaming_exact_dedup(
+        events_stream, ["user_id", "event_type"], ts_col="ts", watermark="10 years"
+    )
+    out = str(tmp_path / "dedup")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).count()
+    expected = events_batch.select("user_id", "event_type").distinct().count()
+    assert got == expected
+
+
 def test_integrity_steps_are_batch_only(spark, events_stream):
     from data_validation_engine_spark import StepEngine
 
