@@ -341,10 +341,16 @@ class CompiledCheck:
     level: str = "record"
     informational: bool = False
     reporting_entity: str | None = None
+    value_expr: str | None = None
+    """SQL for the offending value ({{__error_value}} / message 'value'):
+    the leaf value for scalar and struct checks, the FIRST FAILING ELEMENT
+    for array checks (parity with the reference's error-location value
+    extraction, dve message.py:54-64)."""
 
     @property
     def value_sql(self) -> str:
-        """The offending value (top-level field of this check) as a string."""
+        if self.value_expr is not None:
+            return self.value_expr
         root = self.field.split(".", 1)[0]
         return f"CAST(`{root}` AS STRING)"
 
@@ -460,11 +466,22 @@ def compile_checks(entity: EntityContract) -> list[CompiledCheck]:
                             f"s -> {pred}), p -> p))"
                         )
 
+                    def val(pred: str, sub_q: str, q: str = quoted) -> str:
+                        # first failing element's leaf value
+                        return (
+                            f"GET(ARRAY_COMPACT(TRANSFORM({q}, s -> "
+                            f"CASE WHEN NOT COALESCE(({pred}), FALSE) THEN "
+                            f"CAST(s.{sub_q} AS STRING) END)), 0)"
+                        )
+
                 else:
                     sub_checks = _scalar_checks(sub, f"{quoted}.{_quote(sub.name)}")
 
                     def wrap(pred: str, q: str = quoted) -> str:
                         return pred
+
+                    def val(pred: str, sub_q: str, q: str = quoted) -> str:
+                        return f"CAST({q}.{sub_q} AS STRING)"
 
                 for cat, code, pred in sub_checks:
                     checks.append(
@@ -474,6 +491,7 @@ def compile_checks(entity: EntityContract) -> list[CompiledCheck]:
                             code=code,
                             message=f"Field {name}.{sub.name} failed {code}",
                             predicate_sql=wrap(pred),
+                            value_expr=val(pred, _quote(sub.name)),
                         )
                     )
         elif field.is_array:
@@ -496,6 +514,11 @@ def compile_checks(entity: EntityContract) -> list[CompiledCheck]:
                         code=code,
                         message=f"Field {name} failed {code}",
                         predicate_sql=elem_pred,
+                        value_expr=(
+                            f"GET(ARRAY_COMPACT(TRANSFORM({quoted}, x -> "
+                            f"CASE WHEN NOT COALESCE(({pred}), FALSE) THEN "
+                            f"CAST(x AS STRING) END)), 0)"
+                        ),
                     )
                 )
         else:

@@ -85,6 +85,7 @@ def apply_error_details(
                 level=override.error_level,
                 informational=override.is_informational,
                 reporting_entity=override.reporting_entity,
+                value_expr=check.value_expr,
             )
         )
     return out

@@ -136,25 +136,49 @@ class Contract(BaseModel):
 
 
 def _resolve_type(
-    decl: Any, custom_types: dict[str, Any]
+    decl: Any,
+    custom_types: dict[str, Any],
+    schemas: dict[str, Any] | None = None,
 ) -> tuple[str, dict[str, Any], bool, Optional[tuple[FieldSpec, ...]]]:
     """Resolve a field declaration to (type_name, constraints, is_array, model).
 
     Declarations: a type-name string, a custom-type alias, or a dict with
-    ``type``/``callable`` + ``constraints`` + ``is_array`` / nested ``model``.
+    ``type``/``callable`` + ``constraints`` + ``is_array`` / nested
+    ``model`` — where ``model`` is either an inline field mapping or the
+    NAME of a component schema from the contract's ``schemas`` section
+    (dve configuration/v1 ``_ModelTypeDefinition``).
     """
+    schemas = schemas or {}
     if isinstance(decl, str):
         alias = custom_types.get(decl)
         if alias is not None:
-            return _resolve_type(alias, custom_types)
+            return _resolve_type(alias, custom_types, schemas)
         return decl, {}, False, None
     if isinstance(decl, dict):
         if "model" in decl:
+            model_decl = decl["model"]
+            model_mandatory = decl.get("mandatory_fields", [])
+            if isinstance(model_decl, str):
+                schema = schemas.get(model_decl)
+                if schema is None:
+                    raise ValueError(
+                        f"unknown component schema {model_decl!r}"
+                    )
+                model_fields = schema.get("fields", schema)
+                model_mandatory = schema.get(
+                    "mandatory_fields", model_mandatory
+                )
+            else:
+                model_fields = model_decl
             nested = tuple(
-                _parse_field(n, d, custom_types, mandatory_fields=decl.get(
-                    "mandatory_fields", []
-                ))
-                for n, d in decl["model"].items()
+                _parse_field(
+                    n,
+                    d,
+                    custom_types,
+                    mandatory_fields=model_mandatory,
+                    schemas=schemas,
+                )
+                for n, d in model_fields.items()
             )
             return "struct", {}, bool(decl.get("is_array")), nested
         type_name = decl.get("type") or decl.get("callable") or "str"
@@ -162,7 +186,9 @@ def _resolve_type(
         constraints = dict(decl.get("constraints", {}))
         is_array = bool(decl.get("is_array"))
         if alias is not None:
-            base, base_cons, base_arr, model = _resolve_type(alias, custom_types)
+            base, base_cons, base_arr, model = _resolve_type(
+                alias, custom_types, schemas
+            )
             merged = {**base_cons, **constraints}
             return base, merged, is_array or base_arr, model
         return type_name, constraints, is_array, None
@@ -174,8 +200,11 @@ def _parse_field(
     decl: Any,
     custom_types: dict[str, Any],
     mandatory_fields: list[str] | tuple[str, ...] = (),
+    schemas: dict[str, Any] | None = None,
 ) -> FieldSpec:
-    type_name, constraints, is_array, model = _resolve_type(decl, custom_types)
+    type_name, constraints, is_array, model = _resolve_type(
+        decl, custom_types, schemas
+    )
     functions: tuple[dict[str, Any], ...] = ()
     if isinstance(decl, dict) and decl.get("functions"):
         functions = tuple(
@@ -208,11 +237,14 @@ def parse_contract(
     """
     section = contract_json.get("contract", contract_json)
     custom_types = section.get("types", {})
+    schemas = section.get("schemas", {})
     datasets = []
     for ds_name, ds in section.get("datasets", {}).items():
         mandatory = ds.get("mandatory_fields", [])
         fields = tuple(
-            _parse_field(n, d, custom_types, mandatory_fields=mandatory)
+            _parse_field(
+                n, d, custom_types, mandatory_fields=mandatory, schemas=schemas
+            )
             for n, d in ds.get("fields", {}).items()
         )
         datasets.append(

@@ -234,14 +234,24 @@ def parse_dischema(
             )
         store.load(Path(base_dir) / store_cfg["filename"])
 
+    def _refdata_location(cfg: dict[str, Any]) -> str:
+        if cfg.get("type") == "table":
+            # reference shape: database + table_name (or a full table name)
+            if cfg.get("table_name"):
+                db = cfg.get("database")
+                return (
+                    f"{db}.{cfg['table_name']}" if db else cfg["table_name"]
+                )
+            return cfg.get("table", "")
+        return (
+            cfg.get("filename") or cfg.get("uri") or cfg.get("location", "")
+        )
+
     refdata = {
         name: RefDataConfig(
             name=name,
             type=cfg.get("type", "uri"),
-            location=cfg.get("table")
-            or cfg.get("filename")
-            or cfg.get("uri")
-            or cfg.get("location", ""),
+            location=_refdata_location(cfg),
             format=cfg.get("format", "parquet"),
         )
         for name, cfg in tx.get("reference_data", {}).items()

@@ -105,8 +105,15 @@ def read_submitted_file(
     path: str,
     field_names: list[str],
     reader_config: dict[str, Any],
+    *,
+    stringified: "T.StructType | None" = None,
 ) -> DataFrame:
-    """Dispatch one submitted file to the configured reader, stringified."""
+    """Dispatch one submitted file to the configured reader, stringified.
+
+    ``stringified`` is the structure-preserving all-strings schema (nested
+    arrays/structs with string leaves) — required for JSON/XML entities
+    with nested models; flat entities default to one string per field.
+    """
     ext = Path(path).suffix.lower()
     cfg = reader_config.get(ext) or reader_config.get(ext.lstrip(".")) or {}
     kwargs = dict(cfg.get("kwargs", {}))
@@ -123,7 +130,7 @@ def read_submitted_file(
         df = read_json(
             spark,
             path,
-            _stringified_schema(field_names),
+            stringified or _stringified_schema(field_names),
             multi_line=bool(kwargs.get("multi_line", True)),
         )
         return df
@@ -240,19 +247,35 @@ def run_pipeline(
         )
 
     # -- stage 2: file transformation (stringified checkpoint) -------------
+    from data_validation_engine_spark.contract.compile import (
+        stringified_schema,
+    )
+
     for name, entity_contract in datasets.items():
         field_names = [f.name for f in entity_contract.fields]
         df = read_submitted_file(
-            spark, input_files[name], field_names, entity_contract.reader_config
+            spark,
+            input_files[name],
+            field_names,
+            entity_contract.reader_config,
+            stringified=stringified_schema(entity_contract),
         )
         df.write.mode("overwrite").parquet(str(work / "transform" / name))
 
     # -- stage 3: data contract --------------------------------------------
+    # Reference-faithful rejection timing: the contract emits messages and
+    # CASTS every record (failed values become nulls); records are dropped
+    # only at the final write via the scoped anti-join, so derived entities
+    # and notifications built during business rules still see failed
+    # records (dve spark/contract.py:120-199, rejection at
+    # pipeline.py:614-637).
     contract_messages = MessageCollector()
     for name, entity_contract in datasets.items():
         raw = spark.read.parquet(str(work / "transform" / name))
         indexed = add_record_index(raw)
-        typed, messages = apply_contract(entity_contract, indexed)
+        typed, messages = apply_contract(
+            entity_contract, indexed, drop_failed_records=False
+        )
         typed.write.mode("overwrite").parquet(str(work / "data_contract" / name))
         contract_messages.add(messages)
     contract_msgs = contract_messages.union_or_empty(spark)
@@ -322,7 +345,12 @@ def run_pipeline(
     for name in list(entities):
         df = entities[name]
         if RECORD_INDEX in df.columns:
-            df = reject_records(df, all_messages)
+            # scope rejection to THIS entity's messages — record indexes are
+            # per-entity sequences, so an unscoped anti-join would reject
+            # unrelated rows that merely share an index value
+            df = reject_records(
+                df, all_messages.where(F.col("original_entity") == name)
+            )
             df = df.drop(RECORD_INDEX)
         out = work / "business_rules" / name
         df.write.mode("overwrite").parquet(str(out))
@@ -350,8 +378,15 @@ def run_pipeline(
         ).alias("n_record_rejections"),
         F.count(F.when(F.col("is_informational"), 1)).alias("n_warnings"),
     ).first()
+    # record_count = records RECEIVED (transform-stage rows), matching the
+    # reference's statistics semantics
+    received = sum(
+        spark.read.parquet(str(work / "transform" / name)).count()
+        for name in datasets
+    )
     result.statistics = {
         "n_messages": stats_row["n_messages"],
+        "record_count": received,
         "n_record_rejections": stats_row["n_record_rejections"],
         "n_warnings": stats_row["n_warnings"],
     }
@@ -363,9 +398,7 @@ def run_pipeline(
                     "submission_id": submission_id,
                     "date_updated": now.date(),
                     "time_updated": now,
-                    "record_count": sum(
-                        result.entities[n].count() for n in result.entities
-                    ),
+                    "record_count": received,
                     "number_submission_rejections": 0,
                     "number_record_rejections": result.statistics[
                         "n_record_rejections"

@@ -22,6 +22,10 @@ def spark() -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config(
+            "spark.sql.warehouse.dir",
+            __import__("tempfile").mkdtemp(prefix="dve_warehouse_"),
+        )
         .getOrCreate()
     )
     session.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,181 @@
+"""Run the REFERENCE's own planets E2E fixture through this engine.
+
+The dischema, rule store, refdata parquet, and submitted CSV are read
+directly (read-only) from the reference's test data; the golden outcomes
+asserted here are the reference's published scenario expectations
+(tests/features/planets.feature): 1 contract rejection (Pluto's missing
+mandatory mass), rules restrict planets to exactly 1 qualifying record
+(Neptune), HIGH_DENSITY and WEAK_ESCAPE error codes present (HIGH_DENSITY
+coming from the rule store's templated default, proving the
+business-filter resolution + Jinja default path), Jupiter filtered out.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_validation_engine_spark.dischema import load_dischema
+from data_validation_engine_spark.pipeline import run_pipeline
+
+PLANETS_DIR = "/root/reference/tests/testdata/planets"
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("planets_e2e")
+    return run_pipeline(
+        spark,
+        f"{PLANETS_DIR}/planets.dischema.json",
+        {"planets": f"{PLANETS_DIR}/planets_demo.csv"},
+        work,
+        refdata_base_path=PLANETS_DIR,
+        write_report=False,
+    )
+
+
+def test_dischema_loads_with_rule_store():
+    ds = load_dischema(f"{PLANETS_DIR}/planets.dischema.json")
+    assert [r.name for r in ds.rules] == ["add_1_col_and_remove_it", "root"]
+    assert ds.refdata["satellites"].type == "filename"
+    codes = {f.reporting.code for f in ds.sync_filters}
+    # HIGH_DENSITY comes from the rule store's Jinja default
+    # ('high_' + field).upper() — extra keys on the reference's business
+    # filter entry are ignored, like the reference's pydantic models
+    assert {"WEAK_ESCAPE", "LONG_ORBIT", "HIGH_DENSITY", "STRONG_GRAVITY"} <= codes
+
+
+def test_pipeline_succeeds(result):
+    assert result.success
+    assert set(result.entities) == {"planets", "largest_satellites"}
+
+
+def test_contract_rejects_exactly_pluto(result):
+    contract_rejects = (
+        result.messages.where(
+            "failure_type = 'record' AND NOT is_informational "
+            "AND error_code = 'MISSING_MANDATORY_VALUE'"
+        )
+        .select("reporting_field")
+        .distinct()
+        .collect()
+    )
+    assert [r["reporting_field"] for r in contract_rejects] == ["Pluto"]
+
+
+def test_rules_restrict_to_neptune(result):
+    planets = result.entities["planets"].select("planet").collect()
+    assert [r["planet"] for r in planets] == ["Neptune"]
+
+
+def test_golden_error_codes(result):
+    codes = {
+        r["error_code"]
+        for r in result.messages.select("error_code").distinct().collect()
+    }
+    assert "HIGH_DENSITY" in codes
+    assert "WEAK_ESCAPE" in codes
+
+
+def test_jupiter_filtered_with_feedback(result):
+    weak = {
+        r["value"]
+        for r in result.messages.where("error_code = 'WEAK_ESCAPE'")
+        .select(result.messages["reporting_field"].alias("value"))
+        .collect()
+    }
+    assert "59.5" in weak  # Jupiter's escape velocity
+
+
+def test_largest_satellites_entity(result):
+    sats = result.entities["largest_satellites"]
+    # one row per RECEIVED planet: failed records flow through rules
+    # (reference rejection timing) and group_by loses the record index
+    assert sats.count() == 9
+    assert "OrbitsPlanetWithNiceTemp" in sats.columns
+
+
+def test_statistics(result):
+    # the reference scenario's record_count=9 (records received)
+    assert result.statistics["record_count"] == 9
+    assert result.statistics["n_record_rejections"] >= 8
+
+
+# ---------------------------------------------------------------------------
+# movies: nested JSON (arrays of structs, named schemas), catalog-table
+# refdata, contract error-detail overrides (movies.feature golden errors)
+# ---------------------------------------------------------------------------
+
+MOVIES_DIR = "/root/reference/tests/testdata/movies"
+
+
+@pytest.fixture(scope="module")
+def movies_result(spark, tmp_path_factory):
+    spark.sql("CREATE DATABASE IF NOT EXISTS movies_refdata")
+    spark.read.parquet(f"{MOVIES_DIR}/refdata/movies_sequels.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("movies_refdata.sequels")
+    work = tmp_path_factory.mktemp("movies_e2e")
+    return run_pipeline(
+        spark,
+        f"{MOVIES_DIR}/movies.dischema.json",
+        {"movies": f"{MOVIES_DIR}/movies.json"},
+        work,
+        write_report=False,
+    )
+
+
+def test_movies_succeeds(movies_result):
+    assert movies_result.success
+
+
+def test_movies_golden_error_details(movies_result):
+    """The movies.feature golden contract errors, driven by the reference's
+    own error-details fixture through the expression-compiled overrides."""
+    msgs = {
+        (r["error_code"]): r
+        for r in movies_result.messages.where(
+            "error_code IN ('BLANKYEAR','DODGYYEAR','DODGYDATE','BLANKTITLE')"
+        ).collect()
+    }
+    assert msgs["BLANKYEAR"]["error_message"] == "year not provided"
+    assert msgs["BLANKYEAR"]["is_informational"]
+    assert (
+        msgs["DODGYYEAR"]["error_message"]
+        == "year value (NOT_A_NUMBER) is invalid"
+    )
+    assert msgs["DODGYYEAR"]["entity"] == "movies_rename_test"
+    assert msgs["DODGYYEAR"]["original_entity"] == "movies"
+    assert (
+        msgs["DODGYDATE"]["error_message"]
+        == "date_joined value is not valid: daft_date"
+    )
+    assert msgs["BLANKTITLE"]["error_message"] == "title should not be blank"
+    assert msgs["BLANKTITLE"]["failure_type"] == "submission"
+
+
+def test_movies_business_rules(movies_result):
+    """movies.feature golden rules outcomes: LIMITED_RATINGS ([6.5]) and
+    RUBBISH_SEQUEL messages; movies restricted to 3 qualifying records."""
+    msgs = {
+        r["error_code"]: r
+        for r in movies_result.messages.where(
+            "error_code IN ('LIMITED_RATINGS', 'RUBBISH_SEQUEL')"
+        ).collect()
+    }
+    assert (
+        msgs["LIMITED_RATINGS"]["error_message"]
+        == "Movie has too few ratings ([6.5])"
+    )
+    assert (
+        msgs["RUBBISH_SEQUEL"]["error_message"]
+        == "The movie The Greatest Movie Ever has a rubbish sequel"
+    )
+    assert msgs["RUBBISH_SEQUEL"]["is_informational"]
+    assert "with_sequels" not in movies_result.entities  # cleaned up
+
+
+def test_movies_restricted_to_three(movies_result):
+    # 5 received - ratings-filter drop (blank-title single-rating record) -
+    # final rejection of the dodgy-year record = 3
+    assert movies_result.entities["movies"].count() == 3
+    assert movies_result.statistics["record_count"] == 5
