@@ -50,6 +50,10 @@ def contract_messages(
     explode, never per-row Python.
     """
     checks = checks if checks is not None else compile_checks(entity)
+    if not checks:
+        # no declared checks (e.g. a header entity of plain strings):
+        # an empty explode would type as VOID — return the empty frame
+        return empty_messages_frame(df.sparkSession)
     idx = (
         F.col(RECORD_INDEX).cast("long")
         if RECORD_INDEX in df.columns

@@ -139,6 +139,9 @@ class Dischema:
     rules: tuple[RuleProgram, ...] = ()
     cache_originals: bool = False
     error_details_uri: Optional[str] = None
+    base_dir: Optional[str] = None
+    """Directory of the dischema file — relative resources (rule stores,
+    XSDs, error details) resolve against it."""
 
     @property
     def sync_filters(self) -> tuple[DeferredFilter, ...]:
@@ -322,6 +325,7 @@ def parse_dischema(
         rules=tuple(rules),
         cache_originals=bool(contract_cfg.get("cache_originals", False)),
         error_details_uri=contract_cfg.get("error_details"),
+        base_dir=str(base_dir) if base_dir is not None else None,
     )
 
 

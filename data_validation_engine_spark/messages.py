@@ -304,6 +304,8 @@ def messages_for_checks(
     scan-per-filter shape the reference inherits from its per-filter
     Notification loop, dve backends/base/rules.py:356-555).
     """
+    if not checks:
+        return empty_messages(df.sparkSession)
     cols = [c for c in df.columns if c not in exclude_columns]
     idx = (
         F.col(RECORD_INDEX).cast("long")

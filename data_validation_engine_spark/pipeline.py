@@ -65,7 +65,12 @@ from pyspark.sql import types as T
 
 
 def _critical(
-    spark: SparkSession, entity: str, code: str, message: str
+    spark: SparkSession,
+    entity: str,
+    code: str,
+    message: str,
+    *,
+    informational: bool = False,
 ) -> DataFrame:
     row = {
         "entity": entity,
@@ -75,7 +80,7 @@ def _critical(
         "error_message": message,
         "error_location": None,
         "failure_type": "submission",
-        "is_informational": False,
+        "is_informational": informational,
         "category": "submission",
         "reporting_field": None,
         "value": None,
@@ -135,21 +140,18 @@ def read_submitted_file(
         )
         return df
     if ext == ".xml" or "xml" in reader_name:
+        from data_validation_engine_spark.sources.xml import conform_to_schema
+
         df = read_xml(
             spark,
             path,
             kwargs.get("record_tag", "record"),
             root_tag=kwargs.get("root_tag"),
             explode_record_tag=bool(kwargs.get("root_tag")),
+            n_records_to_read=kwargs.get("n_records_to_read"),
         )
-        return df.select(
-            *[F.col(f"`{n}`").cast("string").alias(n) for n in field_names if n in df.columns],
-            *[
-                F.lit(None).cast("string").alias(n)
-                for n in field_names
-                if n not in df.columns
-            ],
-        )
+        target = stringified or _stringified_schema(field_names)
+        return conform_to_schema(df, target)
     if ext in (".parquet", ""):
         df = spark.read.parquet(path)
         return df.select(
@@ -250,12 +252,59 @@ def run_pipeline(
     from data_validation_engine_spark.contract.compile import (
         stringified_schema,
     )
+    from data_validation_engine_spark.sources.xml import (
+        XSDValidationError,
+        validate_xsd,
+    )
 
     for name, entity_contract in datasets.items():
+        path = input_files[name]
+        ext = Path(path).suffix.lower()
+        cfg = entity_contract.reader_config.get(ext) or {}
+        kwargs = dict(cfg.get("kwargs", {}))
+        if kwargs.get("xsd_location"):
+            xsd = kwargs["xsd_location"]
+            if dischema.base_dir and not Path(xsd).is_absolute():
+                xsd = str(Path(dischema.base_dir) / xsd)
+            try:
+                validate_xsd(path, xsd)
+            except XSDValidationError as exc:
+                collector.add(
+                    _critical(
+                        spark,
+                        name,
+                        kwargs.get("xsd_error_code", "XSD_VALIDATION_FAILED"),
+                        kwargs.get("xsd_error_message", str(exc)),
+                    )
+                )
+                msgs = collector.union_or_empty(spark)
+                write_messages_jsonl(
+                    msgs, str(errors_dir / "file_transformation")
+                )
+                audit_status("failed", "critical")
+                return PipelineResult(
+                    submission_id=submission_id,
+                    success=False,
+                    messages=msgs,
+                    errors_dir=str(errors_dir),
+                )
+            except ImportError as exc:
+                # no XSD backend in this runtime: surface it in the error
+                # feed (informational) rather than skipping silently
+                collector.add(
+                    _critical(
+                        spark,
+                        name,
+                        "XSD_NOT_VALIDATED",
+                        str(exc),
+                        informational=True,
+                    )
+                )
+
         field_names = [f.name for f in entity_contract.fields]
         df = read_submitted_file(
             spark,
-            input_files[name],
+            path,
             field_names,
             entity_contract.reader_config,
             stringified=stringified_schema(entity_contract),

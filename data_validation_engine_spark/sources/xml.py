@@ -116,6 +116,63 @@ def read_xml(
     return df
 
 
+def _conform_col(col, actual: T.DataType | None, target: T.DataType):
+    """Recursively reshape an inferred column to the declared type:
+    by-NAME struct field matching (inference orders fields
+    alphabetically, so positional casts would scramble values), single
+    struct -> 1-element array promotion when the contract declares an
+    array, missing fields null-filled, scalar leaves cast."""
+    if isinstance(target, T.ArrayType):
+        if isinstance(actual, T.ArrayType):
+            return F.transform(
+                col, lambda x: _conform_col(x, actual.elementType, target.elementType)
+            )
+        # declared array, single value inferred: promote to 1-element array
+        inner = _conform_col(col, actual, target.elementType)
+        return F.when(col.isNull(), F.lit(None).cast(target)).otherwise(
+            F.array(inner)
+        )
+    if isinstance(target, T.StructType):
+        if not isinstance(actual, T.StructType):
+            return F.lit(None).cast(target)
+        actual_fields = {f.name: f.dataType for f in actual.fields}
+        members = []
+        for f in target.fields:
+            if f.name in actual_fields:
+                members.append(
+                    _conform_col(
+                        col.getField(f.name), actual_fields[f.name], f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                members.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(col.isNull(), F.lit(None).cast(target)).otherwise(
+            F.struct(*members)
+        )
+    return col.cast(target)
+
+
+def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Reshape an inferred (XML/JSON) frame to a declared schema.
+
+    This is the reader-side "template-row shaping" of the reference
+    (dve backends/readers/xml.py struct/array coercion), done as pure
+    Column expressions: name-matched struct rebuilds, struct->array
+    promotion, null fill for missing fields, leaf casts.
+    """
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    return df.select(
+        *[
+            _conform_col(
+                F.col(f"`{f.name}`") if f.name in actual else F.lit(None),
+                actual.get(f.name),
+                f.dataType,
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 def _strip_namespace_prefixes(df: DataFrame) -> DataFrame:
     renames = {}
     for c in df.columns:

@@ -174,6 +174,61 @@ def test_movies_business_rules(movies_result):
     assert "with_sequels" not in movies_result.entities  # cleaned up
 
 
+# ---------------------------------------------------------------------------
+# books: nested XML (array-of-struct shaping), header entity + join_header,
+# non-ISO dates inside nested structs, XSD hook (gated in this runtime)
+# ---------------------------------------------------------------------------
+
+BOOKS_DIR = "/root/reference/tests/testdata/books"
+
+
+@pytest.fixture(scope="module")
+def books_result(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("books_e2e")
+    xml = f"{BOOKS_DIR}/nested_books.XML"
+    return run_pipeline(
+        spark,
+        f"{BOOKS_DIR}/nested_books.dischema.json",
+        {"header": xml, "nested_books": xml},
+        work,
+        write_report=False,
+    )
+
+
+def test_books_succeeds(books_result):
+    assert books_result.success
+    assert "nested_books" in books_result.entities
+
+
+def test_books_restricted_to_three(books_result):
+    # books.feature: "The rules restrict nested_books to 3 qualifying
+    # records" (4 authors received, 1 record rejection)
+    nb = books_result.entities["nested_books"]
+    assert nb.count() == 3
+
+
+def test_books_total_value_and_header(books_result):
+    nb = books_result.entities["nested_books"]
+    totals = {
+        str(r["total_value_of_books"])
+        for r in nb.select("total_value_of_books").collect()
+    }
+    assert "17.85" in totals  # books.feature golden aggregate
+    # the 1-row header entity rides along as a struct column on every row
+    stores = {r["s"] for r in nb.selectExpr("bookstore.name AS s").collect()}
+    assert stores == {"A shop for books"}
+
+
+def test_books_xsd_gating_surfaced(books_result):
+    # this runtime has no XSD backend: the pipeline must SAY so in the
+    # error feed (informational), never skip silently
+    codes = {
+        r["error_code"]
+        for r in books_result.messages.where("is_informational").collect()
+    }
+    assert "XSD_NOT_VALIDATED" in codes
+
+
 def test_movies_restricted_to_three(movies_result):
     # 5 received - ratings-filter drop (blank-title single-rating record) -
     # final rejection of the dodgy-year record = 3
