@@ -229,6 +229,128 @@ def test_books_xsd_gating_surfaced(books_result):
     assert "XSD_NOT_VALIDATED" in codes
 
 
+# ---------------------------------------------------------------------------
+# animals: flat XML with wrapped-root explode + templated filter messages
+# (animals.feature golden: ANE01 x2, rules restrict animals to 3)
+# ---------------------------------------------------------------------------
+
+ANIMALS_DIR = "/root/reference/tests/testdata/animals"
+
+
+@pytest.fixture(scope="module")
+def animals_result(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("animals_e2e")
+    return run_pipeline(
+        spark,
+        f"{ANIMALS_DIR}/animals.dischema.json",
+        {"animals": f"{ANIMALS_DIR}/animals.xml"},
+        work,
+        write_report=False,
+    )
+
+
+def test_animals_golden_outcomes(animals_result):
+    assert animals_result.success
+    assert animals_result.statistics["record_count"] == 5
+    survivors = {
+        r["name"] for r in animals_result.entities["animals"].collect()
+    }
+    assert survivors == {"African Elephant", "Bengal Tiger", "Giraffe"}
+    ane01 = animals_result.messages.where("error_code = 'ANE01'").collect()
+    assert len(ane01) == 2
+    msgs = {m["error_message"] for m in ane01}
+    # {{ region }} template renders the rejected row's value
+    assert (
+        "Record rejected - `Arctic` is not in a valid region." in msgs
+    )
+    assert (
+        "Record rejected - `Oceans` is not in a valid region." in msgs
+    )
+
+
+# ---------------------------------------------------------------------------
+# demographics: NHS-number + postcode domain types against self-labelled
+# golden data (each row declares whether its values should validate)
+# ---------------------------------------------------------------------------
+
+DEMO_DIR = "/root/reference/tests/testdata/demographics"
+
+
+@pytest.fixture(scope="module")
+def demographics_result(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("demographics_e2e")
+    return run_pipeline(
+        spark,
+        f"{DEMO_DIR}/basic_demographics.dischema.json",
+        {"demographics": f"{DEMO_DIR}/basic_demographics.csv"},
+        work,
+        write_report=False,
+    )
+
+
+def _labelled_keys(spark, demographics_result):
+    from data_validation_engine_spark.contract import add_record_index
+
+    transform = (
+        f"{demographics_result.errors_dir.rsplit('/', 1)[0]}"
+        "/transform/demographics"
+    )
+    return add_record_index(spark.read.parquet(transform)).select(
+        "Key",
+        "NHS_Number_Valid",
+        "Postcode_Format_Valid",
+        "__record_index__",
+    )
+
+
+def _flagged_keys(spark, demographics_result, code):
+    labels = _labelled_keys(spark, demographics_result)
+    idx = demographics_result.messages.where(
+        f"error_code = '{code}'"
+    ).select("__record_index__")
+    return {
+        r["Key"] for r in labels.join(idx, on="__record_index__").collect()
+    }
+
+
+def test_demographics_labels_match_nhs_checks(spark, demographics_result):
+    """Each row is labelled with its expected NHS validity; the compiled
+    mod-11 expression must agree row by row. Key 13 carries a valid
+    checksum but is labelled FALSE as the fixture's duplicate-NHS case —
+    a cross-record property no per-record checksum can see."""
+    flagged = _flagged_keys(spark, demographics_result, "INVALID_NHS_NUMBER")
+    labels = _labelled_keys(spark, demographics_result)
+    expected = {
+        r["Key"]
+        for r in labels.where("NHS_Number_Valid = 'FALSE'").collect()
+    } - {"13"}
+    assert flagged == expected and len(expected) > 0
+
+
+def test_demographics_labels_match_postcode_checks(spark, demographics_result):
+    flagged = _flagged_keys(spark, demographics_result, "INVALID_POSTCODE")
+    labels = _labelled_keys(spark, demographics_result)
+    expected = {
+        r["Key"]
+        for r in labels.where("Postcode_Format_Valid = 'FALSE'").collect()
+    }
+    assert flagged == expected and len(expected) > 0
+
+
+def test_demographics_golden_outcomes(demographics_result):
+    # demographics.feature: record_count 13, rules restrict to 2, BAD_NHS
+    # emitted, no NHS_Number_Valid=FALSE row survives
+    assert demographics_result.statistics["record_count"] == 13
+    demo = demographics_result.entities["demographics"]
+    assert demo.count() == 2
+    codes = {
+        r["error_code"]
+        for r in demographics_result.messages.select("error_code").distinct().collect()
+    }
+    assert "BAD_NHS" in codes
+    assert demo.where("NHS_Number_Valid = 'FALSE'").count() == 0
+
+
 def test_movies_restricted_to_three(movies_result):
     # 5 received - ratings-filter drop (blank-title single-rating record) -
     # final rejection of the dodgy-year record = 3
