@@ -629,6 +629,36 @@ def q_contract_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contract_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-record uniqueness check: duplicate key values get messages
+    (windowed count per value — the check no per-record expression can
+    do)."""
+    from data_validation_engine_spark.contract import apply_contract, parse_contract
+
+    orders = _load(spark, sf_dir, ["orders"])["orders"]
+    dup_in = orders.unionByName(orders.where("o_orderkey % 100 = 0"))
+    stringified = dup_in.selectExpr(
+        "CAST(o_orderkey AS STRING) AS okey", "o_orderstatus AS status"
+    )
+    contract = parse_contract(
+        {
+            "contract": {
+                "datasets": {
+                    "orders_u": {
+                        "fields": {"okey": "str", "status": "str"},
+                        "key_field": "okey",
+                        "unique_fields": ["okey"],
+                    }
+                }
+            }
+        }
+    )
+    _, messages = apply_contract(contract.entity("orders_u"), stringified)
+    return messages.where("error_code = 'DUPLICATE_VALUE'").selectExpr(
+        "entity", "error_code", "CAST(value AS BIGINT) AS okey"
+    )
+
+
 def q_record_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 1-based record index in file order (zipWithIndex replacement)."""
     from data_validation_engine_spark.contract import add_record_index
@@ -1375,6 +1405,19 @@ _ORACLES: dict[str, str] = {
                        THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
                        ELSE NULL END) IS NOT NULL, FALSE)
     """,
+    "contract_unique": """
+        WITH dup_in AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS okey FROM orders
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR) FROM orders
+            WHERE o_orderkey % 100 = 0
+        )
+        SELECT 'orders_u' AS entity, 'DUPLICATE_VALUE' AS error_code,
+               CAST(okey AS BIGINT) AS okey
+        FROM (
+            SELECT okey, count(*) OVER (PARTITION BY okey) AS c FROM dup_in
+        ) WHERE c > 1
+    """,
     "record_index": """
         SELECT c_custkey, row_number() OVER () AS record_index FROM customer
     """,
@@ -1465,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "contract_cast": q_contract_cast,
         "contract_messages": q_contract_messages,
+        "contract_unique": q_contract_unique,
         "record_index": q_record_index,
         # llmops (training-data pipeline operators)
         "dedup_exact": q_dedup_exact,

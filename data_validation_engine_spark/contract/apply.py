@@ -112,6 +112,73 @@ def contract_messages(
     )
 
 
+def uniqueness_messages(entity: EntityContract, df: DataFrame) -> DataFrame | None:
+    """Cross-record duplicate detection for ``unique_fields``.
+
+    A per-record checksum can never see duplicates (the demographics
+    fixture's duplicate-NHS row is exactly this gap); this check counts
+    occurrences per value with a window over each unique field — one
+    narrow shuffle per field, keyed on the value, partial-aggregating
+    map-side. Null/blank values are exempt (missing-ness is the mandatory
+    check's job). Duplicates get messages; nothing is dropped — dedup is
+    an explicit operator, not a validation side effect.
+    """
+    from pyspark.sql import Window
+
+    if not entity.unique_fields:
+        return None
+    frames = []
+    for field in entity.unique_fields:
+        if field not in df.columns:
+            continue
+        value = F.col(f"`{field}`").cast("string")
+        counted = df.withColumn(
+            "__n_dup", F.count(F.lit(1)).over(Window.partitionBy(value))
+        )
+        idx = (
+            F.col(RECORD_INDEX).cast("long")
+            if RECORD_INDEX in df.columns
+            else F.lit(None).cast("long")
+        )
+        key = (
+            F.col(f"`{entity.key_field}`").cast("string")
+            if entity.key_field and entity.key_field in df.columns
+            else F.lit(None).cast("string")
+        )
+        frames.append(
+            counted.where(
+                value.isNotNull()
+                & (F.trim(value) != "")
+                & (F.col("__n_dup") > 1)
+            ).select(
+                F.lit(entity.name).alias("entity"),
+                F.lit(entity.name).alias("original_entity"),
+                idx.alias(RECORD_INDEX),
+                F.lit("DUPLICATE_VALUE").alias("error_code"),
+                F.concat(
+                    F.lit(f"Field {field} value "),
+                    value,
+                    F.lit(" occurs "),
+                    F.col("__n_dup").cast("string"),
+                    F.lit(" times"),
+                ).alias("error_message"),
+                F.lit(field).alias("error_location"),
+                F.lit("record").alias("failure_type"),
+                F.lit(True).alias("is_informational"),
+                F.lit("uniqueness").alias("category"),
+                key.alias("reporting_field"),
+                value.alias("value"),
+                F.lit(None).cast("string").alias("record_json"),
+            )
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def cast_entity(entity: EntityContract, df: DataFrame) -> DataFrame:
     """The declarative cast select: stringified -> declared types."""
     exprs = [f"{cast_sql(f)} AS `{f.name}`" for f in entity.fields]
@@ -154,6 +221,9 @@ def apply_contract(
     """
     checks = compile_checks(entity)
     messages = contract_messages(entity, df, checks)
+    uniq = uniqueness_messages(entity, df)
+    if uniq is not None:
+        messages = messages.unionByName(uniq)
     source = df
     if drop_failed_records and checks:
         source = df.where(valid_record_predicate(entity, checks))

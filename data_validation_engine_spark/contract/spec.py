@@ -115,6 +115,10 @@ class EntityContract(BaseModel):
     error_details: dict[str, Any] = Field(default_factory=dict)
     """Raw (field -> category -> override) error-detail document
     (contract/error_details.py; dve message.py:237-280)."""
+    unique_fields: tuple[str, ...] = ()
+    """Fields whose non-blank values must be unique across the entity
+    (net-new vs the reference: cross-record duplicate detection as a
+    contract check — duplicates get messages, never silent drops)."""
 
     def field(self, name: str) -> FieldSpec:
         for f in self.fields:
@@ -255,6 +259,7 @@ def parse_contract(
                 mandatory_fields=tuple(mandatory),
                 reader_config=ds.get("reader_config", {}),
                 error_details=dict(error_details or {}),
+                unique_fields=tuple(ds.get("unique_fields", [])),
             )
         )
     return Contract(datasets=tuple(datasets))

@@ -220,6 +220,33 @@ def test_contract_functions(spark):
     assert "FUNCTION_SPLIT_FAILED" in codes
 
 
+# -- uniqueness --------------------------------------------------------------
+
+def test_unique_fields_flag_duplicates(spark):
+    doc = {
+        "contract": {
+            "datasets": {
+                "people": {
+                    "fields": {"id": "int", "nhs": "str"},
+                    "key_field": "id",
+                    "unique_fields": ["nhs"],
+                }
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [("1", "A1"), ("2", "A1"), ("3", "B2"), ("4", None), ("5", None)],
+        "id string, nhs string",
+    )
+    contract = parse_contract(doc)
+    typed, messages = apply_contract(contract.entity("people"), df)
+    dups = messages.where("error_code = 'DUPLICATE_VALUE'").collect()
+    assert {r["reporting_field"] for r in dups} == {"1", "2"}  # nulls exempt
+    assert all(r["is_informational"] for r in dups)
+    assert all("occurs 2 times" in r["error_message"] for r in dups)
+    assert typed.count() == 5  # messages, never silent drops
+
+
 # -- timezone constraint -----------------------------------------------------
 
 def test_formatteddatetime_timezone_forbid_require(spark):
