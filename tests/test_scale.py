@@ -1,0 +1,77 @@
+"""Scale utilities: bucketed co-located joins (no shuffle) and salting."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_validation_engine_spark.scale import (
+    count_shuffles,
+    salted_left_join,
+    write_bucketed,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    write_bucketed(
+        customer, "bt_customer", ["c_custkey"], n_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "bt_orders",
+        ["c_custkey"],
+        n_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    yield "bt_customer", "bt_orders"
+    spark.sql("DROP TABLE IF EXISTS bt_customer")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # force sort-merge (at fixture scale everything broadcasts, which would
+    # make the audit vacuous): bucketed scans join with ZERO shuffles, the
+    # identical unbucketed join shuffles both sides
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(left).join(spark.table(right), on="c_custkey")
+        assert count_shuffles(joined) == 0
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumnRenamed(
+            "o_custkey", "c_custkey"
+        )
+        assert count_shuffles(c.join(o, on="c_custkey")) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_correct(spark, bucketed_tables):
+    left, right = bucketed_tables
+    joined = spark.table(left).join(spark.table(right), on="c_custkey")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    assert joined.count() == c.join(o, on="c_custkey").count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    salted = salted_left_join(c, n, "c_nationkey", n_salts=4)
+    plain = c.join(n, on="c_nationkey", how="left")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.select("c_custkey", "n_name").collect()}
+    b = {tuple(r) for r in plain.select("c_custkey", "n_name").collect()}
+    assert a == b
