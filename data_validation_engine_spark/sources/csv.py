@@ -35,6 +35,12 @@ class CSVOptions:
     multi_line: bool = False
     null_empty_strings: bool = True
     field_check: bool = False
+    map_by_header: bool = True
+    """Match file columns to declared fields by header NAME
+    (case-insensitive) rather than position — the reference reader's
+    semantics (dve backends/readers/csv.py header mapping). Declared
+    fields missing from the file are null-filled; extra file columns are
+    dropped. Positional assignment applies when ``header`` is false."""
 
 
 def _stringified(field_names: list[str]) -> T.StructType:
@@ -53,8 +59,21 @@ def read_csv(
     if options.field_check and options.header:
         _check_header(spark, path, field_names, options)
 
+    schema_names = list(field_names)
+    header_map: dict[str, str] | None = None
+    if options.header and options.map_by_header:
+        file_cols = _peek_header(spark, path, options)
+        if file_cols:
+            # read with the FILE's column order, then select declared
+            # fields by case-insensitive name
+            schema_names = file_cols
+            by_lower = {c.lower(): c for c in file_cols}
+            header_map = {
+                n: by_lower.get(n.lower(), "") for n in field_names
+            }
+
     reader = (
-        spark.read.schema(_stringified(field_names))
+        spark.read.schema(_stringified(schema_names))
         .option("header", str(options.header).lower())
         .option("sep", options.delimiter)
         .option("quote", options.quote_char)
@@ -71,6 +90,16 @@ def read_csv(
         reader = reader.option("nullValue", "")
     df = reader.csv(path)
 
+    if header_map is not None:
+        df = df.select(
+            *[
+                (
+                    F.col(f"`{src}`") if src else F.lit(None).cast("string")
+                ).alias(declared)
+                for declared, src in header_map.items()
+            ]
+        )
+
     if options.null_values:
         null_col = F.array(*[F.lit(v) for v in options.null_values])
         df = df.select(
@@ -85,6 +114,19 @@ def read_csv(
     return df
 
 
+def _peek_header(
+    spark: SparkSession, path: str, options: CSVOptions
+) -> list[str]:
+    """The file's header cell names (one-line driver-side read)."""
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        return []
+    return [
+        c.strip().strip(options.quote_char)
+        for c in first[0][0].split(options.delimiter)
+    ]
+
+
 def _check_header(
     spark: SparkSession,
     path: str,
@@ -92,13 +134,11 @@ def _check_header(
     options: CSVOptions,
 ) -> None:
     """Validate the header row names case-insensitively (one-line read)."""
-    first = spark.read.text(path).limit(1).collect()
-    if not first:
-        return
     header_cells = [
-        c.strip().strip(options.quote_char).lower()
-        for c in first[0][0].split(options.delimiter)
+        c.lower() for c in _peek_header(spark, path, options)
     ]
+    if not header_cells:
+        return
     expected = [n.lower() for n in field_names]
     missing = [n for n in expected if n not in header_cells]
     extra = [n for n in header_cells if n not in expected]

@@ -205,3 +205,32 @@ def test_error_report_csv_fallback(spark, tmp):
 
     aggs = pd.read_csv(f"{out}/aggregates.csv")
     assert aggs["n_errors"].sum() == 2
+
+
+def test_csv_maps_columns_by_header_name(spark, tmp_path):
+    """Reference semantics: file column ORDER doesn't matter — headers map
+    to declared fields case-insensitively; missing fields null-fill,
+    extras drop."""
+    from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
+
+    p = tmp_path / "scrambled.csv"
+    p.write_text("AGE,extra,Name\n30,x,alice\n40,y,bob\n")
+    df = read_csv(
+        spark, str(p), ["name", "age", "missing"], CSVOptions()
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(df.columns) == {"name", "age", "missing"}
+    assert rows["alice"]["age"] == "30" and rows["bob"]["age"] == "40"
+    assert rows["alice"]["missing"] is None
+
+
+def test_csv_positional_without_header(spark, tmp_path):
+    from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
+
+    p = tmp_path / "nohdr.csv"
+    p.write_text("alice,30\nbob,40\n")
+    df = read_csv(
+        spark, str(p), ["name", "age"], CSVOptions(header=False)
+    )
+    rows = {r["name"]: r["age"] for r in df.collect()}
+    assert rows == {"alice": "30", "bob": "40"}
