@@ -23,6 +23,7 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 """
 
 from data_validation_engine_spark.llmops.dedup import (
+    connected_components,
     exact_dedup,
     minhash_dedup,
     minhash_pairs,
@@ -45,6 +46,7 @@ from data_validation_engine_spark.llmops.text import (
 )
 
 __all__ = [
+    "connected_components",
     "exact_dedup",
     "minhash_dedup",
     "minhash_pairs",

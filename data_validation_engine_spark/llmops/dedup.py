@@ -244,20 +244,107 @@ def minhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of a similarity-pair graph: (id, component)
+    with component = min id reachable from each node.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbours; converged when no
+    label changes (checked with one count per round — the driver loop is
+    over ROUNDS, never rows, so this scales with cluster width). Rounds
+    needed = graph diameter; near-dup graphs are shallow clusters, so
+    convergence is typically 2-3 rounds. (The large-star/small-star
+    algorithm halves round counts on adversarially deep graphs; the plain
+    propagation is the right complexity for dedup clusters.)
+
+    ``pairs`` must have ``id_a`` / ``id_b`` columns.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"),
+                    F.col("component").alias("__nc"),
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nc").alias("__mc"))
+        )
+        updated = (
+            labels.join(
+                neighbour_min.select(
+                    F.col("src").alias("id"), F.col("__mc")
+                ),
+                on="id",
+                how="left",
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("__mc", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # materialise the round (breaks the growing lineage) and test
+        # convergence with one narrow count
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="id")
+            .where("u.component <> l.component")
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    *,
+    exact_components: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates, keeping the lowest id of each detected pair.
+    """Drop near-duplicates, keeping one representative per cluster.
 
-    Greedy keep-min rule (a doc is dropped if it pairs with ANY lower id) —
-    the standard single-pass approximation of connected-component dedup;
-    exact components need an iterative algorithm, out of scope here.
+    Default: greedy keep-min (a doc is dropped if it pairs with ANY lower
+    id) — single pass, no iteration, but over-keeps on transitive clusters
+    whose members only pair through a higher id (e.g. pairs (1,3) and
+    (2,3): greedy keeps 1 AND 2; they are one cluster through 3).
+    ``exact_components=True`` resolves true connected components
+    iteratively and keeps exactly the minimum id of each cluster.
     """
     pairs = minhash_pairs(df, id_col, text_col, **kwargs)
-    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if exact_components:
+        comps = connected_components(pairs)
+        drops = comps.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")
 
 

@@ -79,6 +79,37 @@ def test_minhash_dedup_drops_higher_ids(docs):
     assert 0 in kept and 2 in kept and 3 not in kept
 
 
+def test_connected_components_transitive_cluster(spark):
+    from data_validation_engine_spark.llmops.dedup import connected_components
+
+    # 1-3, 2-3 form ONE cluster through 3; 5-6 a second; 9 isolated (no edge)
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    comps = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_minhash_dedup_exact_components_vs_greedy(spark):
+    from data_validation_engine_spark.llmops import minhash_dedup
+
+    # B and C are both near-dups of A (and of each other via A's text);
+    # exact components keep only the cluster minimum
+    docs = spark.createDataFrame(
+        [(0, DOC), (1, DOC), (2, DOC), (3, OTHER)],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "doc_id", "text", exact_components=True
+        ).collect()
+    }
+    assert exact == {0, 3}
+
+
 def test_minhash_plan_has_no_cartesian_product(docs):
     plan = minhash_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
