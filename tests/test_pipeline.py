@@ -343,6 +343,31 @@ def test_empty_input_flows_through(spark, workspace, tmp_path_factory):
     assert res.messages.where("failure_type = 'record'").count() == 0
 
 
+def test_cache_originals_exposes_pre_rule_copies(spark, workspace, tmp_path_factory):
+    """cache_originals keeps an Original<entity> snapshot through rules
+    (dve pipeline.py:581-586)."""
+    bad = json.loads(json.dumps(DISCHEMA))
+    bad["contract"]["cache_originals"] = True
+    d = workspace / "originals"
+    d.mkdir(exist_ok=True)
+    (d / "test_ruleset.json").write_text(json.dumps(RULESET))
+    (d / "dischema.json").write_text(json.dumps(bad))
+    work = tmp_path_factory.mktemp("originals_work")
+    res = run_pipeline(
+        spark,
+        d / "dischema.json",
+        {"customers": str(workspace / "customers.csv")},
+        work,
+        refdata_base_path=str(workspace),
+        write_report=False,
+    )
+    assert res.success
+    assert "Originalcustomers" in res.entities
+    # the original copy has no rule-added columns
+    assert "nation_name" not in res.entities["Originalcustomers"].columns
+    assert "nation_name" in res.entities["customers"].columns
+
+
 def test_missing_entity_fails_critically(spark, workspace, tmp_path_factory):
     work = tmp_path_factory.mktemp("pipeline_missing")
     res = run_pipeline(
