@@ -11,7 +11,7 @@ discriminated loaders), spark/reference_data.py:32-38.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator, MutableMapping
+from collections.abc import Iterator, MutableMapping
 from dataclasses import dataclass
 from typing import Literal
 

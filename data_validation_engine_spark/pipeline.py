@@ -49,8 +49,6 @@ from data_validation_engine_spark.messages import (
     MESSAGE_SCHEMA,
     MessageCollector,
     RECORD_INDEX,
-    Reporting,
-    empty_messages,
 )
 from data_validation_engine_spark.sinks.audit import AuditLog, new_submission_id
 from data_validation_engine_spark.sinks.errors import write_messages_jsonl

@@ -14,7 +14,7 @@ one ``spark.read.csv`` call plus Column-expression post-processing:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -35,7 +35,6 @@ from data_validation_engine_spark.errors import ConfigurationError, ConstraintEr
 from data_validation_engine_spark.exprs import parse_multiple_expressions
 from data_validation_engine_spark.messages import (
     MessageCollector,
-    Reporting,
     messages_for_failures,
 )
 from data_validation_engine_spark.steps.configs import (
