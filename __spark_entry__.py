@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_validation_engine_spark import StepEngine
 from data_validation_engine_spark.messages import Reporting
@@ -878,7 +879,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode plumbing (mapInPandas) with the deterministic
-    fake decoder — no SQL oracle (Python-side op); driver rows-only check."""
+    fake decoder.
+
+    The ``features array<double>`` is projected to four scalar DOUBLE
+    columns so the driver's oracle canonicalizer (pandas sort + hash) can
+    compare it — the mapInPandas hop stays fully under test; only the
+    final projection changed (round-2 verdict item #1).
+    """
     from data_validation_engine_spark.llmops.multimodal import (
         attach_binary,
         decode_binary,
@@ -886,8 +893,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    return decode_binary(
+    decoded = decode_binary(
         attach_binary(docs, "text"), "doc_id", decoder=fake_decoder
+    )
+    return decoded.select(
+        "id",
+        "n_bytes",
+        F.col("features")[0].alias("f_len"),
+        F.col("features")[1].alias("f_mean"),
+        F.col("features")[2].alias("f_min"),
+        F.col("features")[3].alias("f_max"),
+        "decode_error",
     )
 
 
@@ -895,7 +911,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # llmops oracle SQL builders (DuckDB)
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKS = r"string_split_regex(trim(text), '\s+')"
+# NULL/blank text → zero tokens, matching tokens_col's normalisation
+_DUCK_TOKS = (
+    r"CASE WHEN COALESCE(trim(text), '') = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(text), '\s+') END"
+)
 
 
 def _duck_shingles(n: int = 3) -> str:
@@ -1187,6 +1207,37 @@ _LLMOPS_ORACLES: dict[str, str] = {
                octet_length(text::BLOB) AS n_bytes,
                md5(text) AS content_hash
         FROM documents
+    """,
+    # fake_decoder byte statistics recomputed in SQL: UTF-8 bytes via
+    # hex(encode(..)) decomposed with a strpos hex-digit lookup (exact
+    # integer sum then one double division == the Python float path).
+    "multimodal_decode": """
+        WITH b AS (
+            SELECT doc_id,
+                   hex(encode(COALESCE(text, ''))) AS h,
+                   octet_length(encode(COALESCE(text, ''))) AS n
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, n,
+                   list_transform(generate_series(1, n), i ->
+                       (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+                           * 16
+                       + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1
+                   ) AS bs
+            FROM b
+        )
+        SELECT doc_id AS id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(n AS DOUBLE) AS f_len,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE CAST(list_sum(bs) AS DOUBLE) / n END AS f_mean,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE CAST(list_min(bs) AS DOUBLE) END AS f_min,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE CAST(list_max(bs) AS DOUBLE) END AS f_max,
+               CAST(NULL AS VARCHAR) AS decode_error
+        FROM e
     """,
 }
 
@@ -1526,7 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,  # no oracle: Python decode
+        "multimodal_decode": q_multimodal_decode,
     }
 
 

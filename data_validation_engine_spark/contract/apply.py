@@ -31,6 +31,7 @@ from data_validation_engine_spark.contract.compile import (
 from data_validation_engine_spark.contract.spec import EntityContract
 from data_validation_engine_spark.messages import (
     MESSAGE_SCHEMA,
+    ORIGIN_ENTITY,
     RECORD_INDEX,
     compile_message_template,
 )
@@ -242,6 +243,29 @@ def reject_records(df: DataFrame, messages: DataFrame) -> DataFrame:
         .distinct()
     )
     return df.join(rejects, on=RECORD_INDEX, how="left_anti")
+
+
+def reject_records_by_origin(df: DataFrame, messages: DataFrame) -> DataFrame:
+    """Row-level-lineage record rejection.
+
+    Anti-join on ``(__origin_entity__, __record_index__)`` against each
+    message's ``(original_entity, __record_index__)``: rows carry the
+    contract entity their index belongs to, so rejection survives
+    rename/copy/union of the entity namespace (where a name-scoped
+    anti-join silently matches nothing). The reject frame is 2 narrow
+    columns — broadcastable at any realistic error volume.
+    """
+    rejects = (
+        messages.where(
+            (F.col("failure_type") == "record") & (~F.col("is_informational"))
+        )
+        .select(
+            F.col("original_entity").alias(ORIGIN_ENTITY),
+            F.col(RECORD_INDEX),
+        )
+        .distinct()
+    )
+    return df.join(rejects, on=[ORIGIN_ENTITY, RECORD_INDEX], how="left_anti")
 
 
 def empty_messages_frame(spark) -> DataFrame:

@@ -440,10 +440,20 @@ def compile_checks(entity: EntityContract) -> list[CompiledCheck]:
     for field in entity.fields:
         name = field.name
         quoted = _quote(name)
+        # validate the SAME value expression cast_sql casts: contract value
+        # functions rewrite the stringified value BEFORE checks run, so a
+        # split-extracted number can't fail INVALID_NUMBER on the raw value
+        # and an exclude_word'ed mandatory field fails MISSING (not a
+        # silent null) — the reference runs functions in the pydantic
+        # validator chain with coercion (dve function_wrapper.py:48-201)
+        if field.functions and not field.is_array and field.model is None:
+            checked = apply_functions_sql(field, quoted)
+        else:
+            checked = quoted
         mandatory = field.mandatory or name in entity.mandatory_fields
         if mandatory:
             pred = (
-                f"SIZE({quoted}) > 0" if field.is_array else _not_blank(quoted)
+                f"SIZE({quoted}) > 0" if field.is_array else _not_blank(checked)
             )
             checks.append(
                 CompiledCheck(
@@ -522,7 +532,7 @@ def compile_checks(entity: EntityContract) -> list[CompiledCheck]:
                     )
                 )
         else:
-            for cat, code, pred in _scalar_checks(field, quoted):
+            for cat, code, pred in _scalar_checks(field, checked):
                 checks.append(
                     CompiledCheck(
                         field=name,

@@ -31,8 +31,13 @@ DEFAULT_BANDS = 4
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens of a text column (empty array for blank text)."""
-    trimmed = F.trim(text)
+    """Whitespace tokens of a text column.
+
+    NULL and blank text both normalise to ZERO tokens (empty array) so
+    every downstream formulation — column-form simhash, exploded-table
+    simhash, shingles, and the DuckDB oracles — agrees on degenerate docs
+    instead of diverging through null propagation."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
@@ -392,6 +397,10 @@ def simhash(text: Column, *, bits: int = 16) -> Column:
     position ``b`` (the ±1-vote formulation: ``2*ones >= n``). Token bit =
     high bit of hex nibble ``b`` of ``md5(token)`` — md5 gives 32 nibbles,
     so ``bits <= 32``. Per-row only: no shuffle, exact SQL oracle.
+
+    Degenerate docs (NULL/blank text) have zero tokens, so every vote is
+    ``0 >= 0`` and the signature is all-ones — identical to
+    :func:`simhash_table`'s no-vote backfill.
     """
     if bits > 32:
         raise ValueError("simhash supports at most 32 bits (md5 nibbles)")

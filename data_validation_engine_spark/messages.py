@@ -25,6 +25,14 @@ from pyspark.sql import types as T
 RECORD_INDEX = "__record_index__"
 """Stable 1-based per-file record index column (dve core_engine/constants.py:3)."""
 
+ORIGIN_ENTITY = "__origin_entity__"
+"""Hidden row-level lineage column: the contract entity a row's
+``__record_index__`` belongs to. A constant literal per source entity, it
+rides through renames/copies/unions so final record rejection matches
+``(origin, index)`` pairs instead of trusting the entity's current NAME —
+renamed/copied entities would otherwise never match their messages'
+``original_entity`` and contract-rejected records would silently survive."""
+
 FailureType = Literal["record", "integrity", "submission"]
 
 MESSAGE_SCHEMA = T.StructType(
@@ -258,7 +266,15 @@ def messages_for_failures(
         else F.lit(None).cast("string")
     )
     record_json = (
-        F.to_json(F.struct(*[F.col(f"`{c}`") for c in cols if c != RECORD_INDEX]))
+        F.to_json(
+            F.struct(
+                *[
+                    F.col(f"`{c}`")
+                    for c in cols
+                    if c not in (RECORD_INDEX, ORIGIN_ENTITY)
+                ]
+            )
+        )
         if include_record_json
         else F.lit(None).cast("string")
     )
@@ -313,7 +329,15 @@ def messages_for_checks(
         else F.lit(None).cast("long")
     )
     record_json = (
-        F.to_json(F.struct(*[F.col(f"`{c}`") for c in cols if c != RECORD_INDEX]))
+        F.to_json(
+            F.struct(
+                *[
+                    F.col(f"`{c}`")
+                    for c in cols
+                    if c not in (RECORD_INDEX, ORIGIN_ENTITY)
+                ]
+            )
+        )
         if include_record_json
         else F.lit(None).cast("string")
     )

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from data_validation_engine_spark.contract.apply import (
     apply_contract,
     reject_records,
+    reject_records_by_origin,
 )
 from data_validation_engine_spark.contract.index import add_record_index
 from data_validation_engine_spark.dischema import Dischema, load_dischema
@@ -48,6 +49,7 @@ from data_validation_engine_spark.entities import EntityManager
 from data_validation_engine_spark.messages import (
     MESSAGE_SCHEMA,
     MessageCollector,
+    ORIGIN_ENTITY,
     RECORD_INDEX,
 )
 from data_validation_engine_spark.sinks.audit import AuditLog, new_submission_id
@@ -330,9 +332,15 @@ def run_pipeline(
     collector.add(contract_msgs)
 
     # -- stage 4: business rules -------------------------------------------
+    # every row carries its contract-entity lineage (a constant literal per
+    # entity — free under constant folding) so final rejection matches rows
+    # by (origin, index) even after rename/copy/union reshuffles the
+    # entity NAMESPACE
     entities = EntityManager(
         {
-            name: spark.read.parquet(str(work / "data_contract" / name))
+            name: spark.read.parquet(
+                str(work / "data_contract" / name)
+            ).withColumn(ORIGIN_ENTITY, F.lit(name))
             for name in datasets
         },
         spark=spark,
@@ -352,58 +360,74 @@ def run_pipeline(
     rule_messages = MessageCollector()
     success = True
     try:
-        for rule in dischema.rules:
-            for step in rule.pre_sync:
-                rule_messages.add(engine.evaluate(entities, config=step))
-        # ONE sync stage across all rules (validate-all-then-drop)
-        rule_messages.add(
-            apply_sync_filters(entities, list(dischema.sync_filters))
-        )
-        for rule in dischema.rules:
-            for step in rule.post_sync:
-                rule_messages.add(engine.evaluate(entities, config=step))
-    except Exception as exc:
-        collector.add(
-            _critical(
-                spark,
-                "submission",
-                "PROCESSING_ERROR",
-                f"business rules failed: {type(exc).__name__}: {exc}",
+        try:
+            for rule in dischema.rules:
+                for step in rule.pre_sync:
+                    rule_messages.add(engine.evaluate(entities, config=step))
+            # ONE sync stage across all rules (validate-all-then-drop)
+            rule_messages.add(
+                apply_sync_filters(entities, list(dischema.sync_filters))
             )
-        )
-        success = False
-
-    rule_msgs = rule_messages.union_or_empty(spark)
-    write_messages_jsonl(rule_msgs, str(errors_dir / "business_rules"))
-    collector.add(rule_msgs)
-    all_messages = collector.union_or_empty(spark)
-
-    result = PipelineResult(
-        submission_id=submission_id,
-        success=success,
-        errors_dir=str(errors_dir),
-        messages=all_messages,
-    )
-    if not success:
-        audit_status("failed", "critical")
-        return result
-
-    # -- stage 5: record rejection + final entity write --------------------
-    for name in list(entities):
-        df = entities[name]
-        if RECORD_INDEX in df.columns:
-            # scope rejection to THIS entity's messages — record indexes are
-            # per-entity sequences, so an unscoped anti-join would reject
-            # unrelated rows that merely share an index value
-            df = reject_records(
-                df, all_messages.where(F.col("original_entity") == name)
+            for rule in dischema.rules:
+                for step in rule.post_sync:
+                    rule_messages.add(engine.evaluate(entities, config=step))
+        except Exception as exc:
+            collector.add(
+                _critical(
+                    spark,
+                    "submission",
+                    "PROCESSING_ERROR",
+                    f"business rules failed: {type(exc).__name__}: {exc}",
+                )
             )
-            df = df.drop(RECORD_INDEX)
-        out = work / "business_rules" / name
-        df.write.mode("overwrite").parquet(str(out))
-        result.entity_paths[name] = str(out)
-        result.entities[name] = spark.read.parquet(str(out))
-    engine.cleanup()
+            success = False
+
+        rule_msgs = rule_messages.union_or_empty(spark)
+        write_messages_jsonl(rule_msgs, str(errors_dir / "business_rules"))
+        collector.add(rule_msgs)
+        all_messages = collector.union_or_empty(spark)
+
+        result = PipelineResult(
+            submission_id=submission_id,
+            success=success,
+            errors_dir=str(errors_dir),
+            messages=all_messages,
+        )
+        if not success:
+            audit_status("failed", "critical")
+            return result
+
+        # -- stage 5: record rejection + final entity write ----------------
+        for name in list(entities):
+            df = entities[name]
+            if RECORD_INDEX in df.columns:
+                if ORIGIN_ENTITY in df.columns:
+                    # row-level lineage: reject (origin, index) pairs, so
+                    # renamed/copied/unioned entities still drop the records
+                    # their contract messages refer to
+                    df = reject_records_by_origin(df, all_messages)
+                    df = df.drop(RECORD_INDEX, ORIGIN_ENTITY)
+                else:
+                    # no lineage column: scope rejection to THIS entity's
+                    # messages — record indexes are per-entity sequences, so
+                    # an unscoped anti-join would reject unrelated rows that
+                    # merely share an index value
+                    df = reject_records(
+                        df,
+                        all_messages.where(F.col("original_entity") == name),
+                    )
+                    df = df.drop(RECORD_INDEX)
+            elif ORIGIN_ENTITY in df.columns:
+                df = df.drop(ORIGIN_ENTITY)
+            out = work / "business_rules" / name
+            df.write.mode("overwrite").parquet(str(out))
+            result.entity_paths[name] = str(out)
+            result.entities[name] = spark.read.parquet(str(out))
+    finally:
+        # unpersist integrity-check caches on EVERY path — a failure in the
+        # rules stage otherwise leaks cached blocks across process_landing
+        # loop iterations
+        engine.cleanup()
 
     # -- stage 6: error report + statistics --------------------------------
     if write_report:

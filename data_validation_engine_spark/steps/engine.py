@@ -444,18 +444,47 @@ class StepEngine:
         and the flags (2 columns) are joined back to the un-multiplied
         source. The wide data moves through exactly one join-key shuffle —
         vs the reference's uuid-keyed groupBy + join-back over all columns
-        (dve spark/rules.py:339-374). ``rowid`` is derived from
-        ``monotonically_increasing_id`` on the source subtree, which is
-        deterministic for a given scan layout (the two occurrences of the
-        subtree in this plan compute identical ids).
+        (dve spark/rules.py:339-374).
+
+        ``rowid`` is a CONTENT hash — ``md5(to_json(struct(*columns)))`` —
+        not ``monotonically_increasing_id``: the source subtree executes
+        twice in this plan (once under the join, once as the join-back left
+        side), and positional ids are only stable across executions for a
+        deterministic scan. On derived entities (post-join/post-aggregate)
+        intra-partition order can differ between executions, silently
+        attaching flags to the wrong rows. A content hash is identical on
+        both executions by construction; rows with byte-identical content
+        are interchangeable under any join condition (the condition only
+        reads columns), so collapsing them to one flag group is exact —
+        each source row still joins exactly one flag row (no
+        multiplication). Falls back to ``monotonically_increasing_id`` over
+        an eagerly local-checkpointed source only if a column type is not
+        ``to_json``-serialisable.
         """
         rowid = f"__rowid_{uuid.uuid4().hex[:8]}"
         match = f"__match_{uuid.uuid4().hex[:8]}"
+        base = entities[config.entity_name]
+        content_id = F.md5(
+            F.to_json(F.struct(*[_qcol(c) for c in base.columns]))
+        )
+        try:
+            # force analysis so unsupported column types surface here
+            _ = base.select(content_id.alias(rowid)).schema
+            rowid_col = content_id
+        except Exception:
+            rowid_col = F.monotonically_increasing_id()
+            if not base.isStreaming:
+                # one materialisation both plan branches read, so the
+                # positional ids cannot disagree between executions (same
+                # data/schema — safe to keep for later steps too)
+                entities[config.entity_name] = base.localCheckpoint(
+                    eager=True
+                )
         source, _, joined = self._theta_join(
             entities,
             config,
             "left",
-            source_extra=[(rowid, F.monotonically_increasing_id())],
+            source_extra=[(rowid, rowid_col)],
             target_extra=[(match, F.lit(1))],
         )
         src_name = config.entity_name

@@ -220,6 +220,58 @@ def test_contract_functions(spark):
     assert "FUNCTION_SPLIT_FAILED" in codes
 
 
+def test_checks_validate_function_transformed_value(spark):
+    """Validation must see the SAME value the cast sees (ADVICE r2): a
+    split-extracted number passes INVALID_NUMBER on the extracted part, and
+    exclude_word nulling a mandatory field raises MISSING, not silence."""
+    doc = {
+        "contract": {
+            "datasets": {
+                "orders": {
+                    "fields": {
+                        "qty": {
+                            "type": "int",
+                            "functions": [
+                                {
+                                    "name": "split",
+                                    "kwargs": {"split_on": "|", "keep": 1},
+                                }
+                            ],
+                        },
+                        "owner": {
+                            "type": "str",
+                            "functions": [
+                                {
+                                    "name": "exclude_word",
+                                    "kwargs": {"word": "anon"},
+                                }
+                            ],
+                        },
+                    },
+                    "mandatory_fields": ["owner"],
+                }
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [("widget|42", "alice"), ("widget|nope", "ANON user")],
+        "qty string, owner string",
+    )
+    contract = parse_contract(doc)
+    typed, messages = apply_contract(
+        contract.entity("orders"), df, drop_failed_records=False
+    )
+    rows = {r["owner"]: r for r in typed.collect()}
+    assert rows["alice"]["qty"] == 42  # extracted part casts clean
+    codes = [r["error_code"] for r in messages.collect()]
+    # the raw 'widget|42' must NOT fail INVALID_NUMBER (the split part is
+    # what gets cast); only 'widget|nope' fails (its split part isn't a
+    # number)
+    assert codes.count("INVALID_NUMBER") == 1
+    # exclude_word nulls a mandatory field -> MISSING message, not silence
+    assert "MISSING_MANDATORY_VALUE" in codes
+
+
 # -- uniqueness --------------------------------------------------------------
 
 def test_unique_fields_flag_duplicates(spark):

@@ -142,6 +142,28 @@ def test_simhash_table_matches_column(spark, docs):
     assert via_table == via_col
 
 
+def test_simhash_degenerate_docs_agree(spark):
+    """NULL, blank, and whitespace-only text normalise to zero tokens in
+    BOTH simhash formulations: all-ones signature, no null propagation."""
+    from data_validation_engine_spark.llmops import simhash_table
+
+    deg = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real tokens here")],
+        "doc_id long, text string",
+    )
+    via_col = {
+        r["doc_id"]: r["sh"]
+        for r in deg.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+    }
+    via_table = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(deg, "doc_id", "text").collect()
+    }
+    assert via_col == via_table
+    assert via_col[1] == via_col[2] == via_col[3] == "1" * 16
+    assert via_col[4] != "1" * 16
+
+
 def test_hamming_distance_column(spark):
     df = spark.createDataFrame([("1010", "1001")], "a string, b string")
     got = df.select(

@@ -368,6 +368,40 @@ def test_cache_originals_exposes_pre_rule_copies(spark, workspace, tmp_path_fact
     assert "nation_name" in res.entities["customers"].columns
 
 
+def test_rejection_survives_entity_rename(spark, workspace, tmp_path_factory):
+    """Contract-rejected records must still be dropped from entities that
+    were RENAMED during business rules: rejection matches rows by their
+    (origin, record index) lineage, not the entity's current name."""
+    renamed = json.loads(json.dumps(DISCHEMA))
+    renamed["transformations"]["post_filter_rules"].append(
+        {
+            "operation": "rename_entity",
+            "entity": "customers",
+            "new_entity_name": "clients",
+        }
+    )
+    d = workspace / "renamed"
+    d.mkdir(exist_ok=True)
+    (d / "test_ruleset.json").write_text(json.dumps(RULESET))
+    (d / "dischema.json").write_text(json.dumps(renamed))
+    work = tmp_path_factory.mktemp("renamed_work")
+    res = run_pipeline(
+        spark,
+        d / "dischema.json",
+        {"customers": str(workspace / "customers.csv")},
+        work,
+        refdata_base_path=str(workspace),
+        write_report=False,
+    )
+    assert res.success
+    assert "clients" in res.entities and "customers" not in res.entities
+    keys = {r["c_custkey"] for r in res.entities["clients"].select("c_custkey").collect()}
+    assert 7 not in keys  # missing mandatory name — rejected post-rename
+    assert 13 not in keys  # junk balance — rejected post-rename
+    # hidden lineage columns never reach the written outputs
+    assert not any(c.startswith("__") for c in res.entities["clients"].columns)
+
+
 def test_missing_entity_fails_critically(spark, workspace, tmp_path_factory):
     work = tmp_path_factory.mktemp("pipeline_missing")
     res = run_pipeline(

@@ -337,6 +337,41 @@ def test_identify_orphans_and_or_accumulate(engine, entities, spark):
     ]
 
 
+def test_identify_orphans_on_derived_entity(engine, spark):
+    # the source is a DERIVED entity (post-join, post-repartition): row
+    # order within partitions is not guaranteed stable across executions,
+    # which is exactly where a positional rowid could mis-attach flags.
+    # The content-hash rowid must flag correctly, including duplicate rows.
+    left = spark.createDataFrame(
+        [(i, f"k{i % 7}") for i in range(200)] + [(0, "k0")],  # dup row
+        "id long, key string",
+    )
+    dim = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(7)], "key string, val string"
+    )
+    derived = (
+        left.join(dim, "key")
+        .repartition(8, "val")
+        .select("id", "key", "val")
+    )
+    ref = spark.createDataFrame(
+        [(i,) for i in range(0, 200, 2)], "rid long"
+    )
+    entities = {"derived": derived, "ref": ref}
+    engine.evaluate(
+        entities,
+        config=OrphanIdentification(
+            entity_name="derived",
+            target_name="ref",
+            join_condition="derived.id = ref.rid",
+        ),
+    )
+    out = entities["derived"].collect()
+    assert len(out) == 201  # duplicates preserved, no multiplication
+    for r in out:
+        assert r["IsOrphaned"] == (r["id"] % 2 == 1), r
+
+
 def test_immediate_filter_and_entity_ops(engine, entities):
     engine.evaluate(
         entities,
