@@ -93,7 +93,11 @@ def main() -> None:
         for name, xs in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
+    # Full detail (per-query median/min/max) goes to a FILE: the driver
+    # captures only a tail of stdout, and round 3 proved the combined line
+    # overflows that capture (the artifact came back "parsed": null). The
+    # stdout line stays compact and is guaranteed to be the LAST line.
+    Path(__file__).resolve().parent.joinpath("bench_out.json").write_text(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
@@ -103,10 +107,24 @@ def main() -> None:
                 "query_stats": stats,
                 "runs_per_query": runs,
                 "sf": sf,
-            }
+            },
+            indent=2,
         )
     )
     spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
