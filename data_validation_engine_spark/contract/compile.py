@@ -455,6 +455,20 @@ def compile_checks(entity: EntityContract) -> list[CompiledCheck]:
             pred = (
                 f"SIZE({quoted}) > 0" if field.is_array else _not_blank(checked)
             )
+            if checked is not quoted:
+                # a value nulled by a FAILING function (split out-of-range)
+                # already gets its FUNCTION_* error; the reference's
+                # validator chain raises there and never reaches the
+                # missing check (dve function_wrapper.py:48-201), so
+                # suppress the duplicate MISSING message for those rows.
+                # Functions that null by DESIGN (exclude_word) still fall
+                # through to MISSING, matching pydantic's none-not-allowed.
+                fn_fail = [
+                    f"NOT ({c.predicate_sql})"
+                    for c in function_checks(field, quoted)
+                ]
+                if fn_fail:
+                    pred = f"({pred}) OR ({' OR '.join(fn_fail)})"
             checks.append(
                 CompiledCheck(
                     field=name,

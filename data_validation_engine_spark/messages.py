@@ -237,6 +237,25 @@ class Reporting:
         return self.emit in ("warning", "info")
 
 
+def original_entity_col(
+    df: DataFrame, entity_name: str, reporting: Reporting
+) -> Column:
+    """The ``original_entity`` a message should carry.
+
+    Priority: explicit override > the row's ``__origin_entity__`` lineage
+    (so rule-emitted record failures still reject rows after
+    rename/copy/union — the same survival contract/apply.py gives contract
+    messages) > the entity's current name.
+    """
+    if reporting.original_entity_override:
+        return F.lit(reporting.original_entity_override)
+    if ORIGIN_ENTITY in df.columns:
+        return F.coalesce(
+            F.col(ORIGIN_ENTITY).cast("string"), F.lit(entity_name)
+        )
+    return F.lit(entity_name)
+
+
 def messages_for_failures(
     entity_name: str,
     df: DataFrame,
@@ -286,7 +305,7 @@ def messages_for_failures(
         value_col = F.lit(None).cast("string")
     return failed.select(
         F.lit(reporting.reporting_entity_override or entity_name).alias("entity"),
-        F.lit(reporting.original_entity_override or entity_name).alias(
+        original_entity_col(df, entity_name, reporting).alias(
             "original_entity"
         ),
         idx.alias(RECORD_INDEX),
@@ -358,7 +377,7 @@ def messages_for_checks(
             F.lit(reporting.reporting_entity_override or entity_name).alias(
                 "entity"
             ),
-            F.lit(reporting.original_entity_override or entity_name).alias(
+            original_entity_col(df, entity_name, reporting).alias(
                 "original_entity"
             ),
             F.lit(reporting.code).alias("error_code"),

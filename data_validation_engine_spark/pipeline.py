@@ -347,9 +347,11 @@ def run_pipeline(
         refdata=dischema.refdata,
         refdata_base_path=refdata_base_path,
     )
+    original_snapshots: set[str] = set()
     if dischema.cache_originals:
         for name in list(datasets):
             entities[f"Original{name}"] = entities[name]
+            original_snapshots.add(f"Original{name}")
     if submission_info:
         entities.add_refdata_frame(
             "dve_submission_info",
@@ -400,7 +402,15 @@ def run_pipeline(
         # -- stage 5: record rejection + final entity write ----------------
         for name in list(entities):
             df = entities[name]
-            if RECORD_INDEX in df.columns:
+            if name in original_snapshots:
+                # pre-rule snapshots are written as-is: the reference
+                # explicitly skips entities marked original at rejection
+                # (dve pipeline/pipeline.py:614-625), and the lineage
+                # columns would otherwise route the copy through
+                # reject_records_by_origin and drop contract-rejected rows
+                # from the "before rules" picture
+                df = df.drop(RECORD_INDEX, ORIGIN_ENTITY)
+            elif RECORD_INDEX in df.columns:
                 if ORIGIN_ENTITY in df.columns:
                     # row-level lineage: reject (origin, index) pairs, so
                     # renamed/copied/unioned entities still drop the records

@@ -464,8 +464,19 @@ class StepEngine:
         rowid = f"__rowid_{uuid.uuid4().hex[:8]}"
         match = f"__match_{uuid.uuid4().hex[:8]}"
         base = entities[config.entity_name]
+        # microsecond timestamp formats: to_json's defaults truncate to
+        # milliseconds, which would collapse rows differing only in sub-ms
+        # timestamps into one rowid (and let a matching row mask a
+        # non-matching near-twin); Spark timestamps are at most µs precision
+        # so these render losslessly, including inside nested types
         content_id = F.md5(
-            F.to_json(F.struct(*[_qcol(c) for c in base.columns]))
+            F.to_json(
+                F.struct(*[_qcol(c) for c in base.columns]),
+                {
+                    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                },
+            )
         )
         try:
             # force analysis so unsupported column types surface here

@@ -394,3 +394,50 @@ def test_xsd_validation_gated(tmp_path):
         pytest.skip("backend present; gating path not reachable")
     with pytest.raises(ImportError, match="XSD validation requires"):
         validate_xsd(str(xml), str(xsd))
+
+def test_split_failure_mandatory_single_error(spark):
+    """A failing split on a MANDATORY field emits FUNCTION_SPLIT_FAILED
+    only: the reference's validator chain raises at the function and never
+    reaches the missing check (ADVICE r3). A genuinely blank value still
+    emits MISSING (the function check passes on blanks)."""
+    doc = {
+        "contract": {
+            "datasets": {
+                "orders": {
+                    "fields": {
+                        "code": {
+                            "type": "str",
+                            "functions": [
+                                {
+                                    "name": "split",
+                                    "kwargs": {"split_on": "-", "keep": 1},
+                                }
+                            ],
+                        },
+                    },
+                    "mandatory_fields": ["code"],
+                }
+            }
+        }
+    }
+    from data_validation_engine_spark.contract.index import add_record_index
+
+    df = add_record_index(
+        spark.createDataFrame(
+            [("1", "AB-7"), ("2", "plain"), ("3", "")],
+            "rid string, code string",
+        )
+    )
+    contract = parse_contract(doc)
+    _, messages = apply_contract(
+        contract.entity("orders"), df, drop_failed_records=False
+    )
+    per_row = {}
+    for r in messages.collect():
+        per_row.setdefault(r["__record_index__"], set()).add(r["error_code"])
+    # record indexes are 1-based: AB-7 splits clean; 'plain' is a split
+    # OOB -> the function error alone (no duplicate MISSING); the blank
+    # row -> MISSING alone
+    assert 1 not in per_row
+    assert per_row[2] == {"FUNCTION_SPLIT_FAILED"}
+    assert per_row[3] == {"MISSING_MANDATORY_VALUE"}

@@ -414,3 +414,97 @@ def test_missing_entity_fails_critically(spark, workspace, tmp_path_factory):
     assert not res.success
     codes = {r["error_code"] for r in res.messages.collect()}
     assert codes == {"MISSING_ENTITY"}
+
+
+def test_rule_message_rejection_survives_entity_rename(
+    spark, workspace, tmp_path_factory
+):
+    """Record failures emitted by business RULES after a rename must still
+    drop records at final write: messages carry the row's origin lineage
+    (__origin_entity__), not the entity's name at notify time (ADVICE r3)."""
+    doc = json.loads(json.dumps(DISCHEMA))
+    doc["transformations"]["post_filter_rules"].extend(
+        [
+            {
+                "operation": "rename_entity",
+                "entity": "customers",
+                "new_entity_name": "clients",
+            },
+            {
+                "operation": "notify",
+                "entity": "clients",
+                "expression": "c_custkey = 8",
+                "reporting": {
+                    "code": "BAD_ONE",
+                    "message": "custkey eight flagged post-rename",
+                    "emit": "record_failure",
+                },
+            },
+        ]
+    )
+    d = workspace / "rule_renamed"
+    d.mkdir(exist_ok=True)
+    (d / "test_ruleset.json").write_text(json.dumps(RULESET))
+    (d / "dischema.json").write_text(json.dumps(doc))
+    work = tmp_path_factory.mktemp("rule_renamed_work")
+    res = run_pipeline(
+        spark,
+        d / "dischema.json",
+        {"customers": str(workspace / "customers.csv")},
+        work,
+        refdata_base_path=str(workspace),
+        write_report=False,
+    )
+    assert res.success
+    msgs = res.messages.where(F.col("error_code") == "BAD_ONE").collect()
+    assert len(msgs) == 1
+    # the message carries the row's ORIGIN entity, so stage-5 rejection
+    # (keyed on origin + index) still matches after the rename
+    assert msgs[0]["original_entity"] == "customers"
+    keys = {
+        r["c_custkey"]
+        for r in res.entities["clients"].select("c_custkey").collect()
+    }
+    assert 8 not in keys
+
+
+def test_cache_originals_snapshots_exempt_from_rejection(
+    spark, workspace, tmp_path_factory
+):
+    """Original* snapshots are the BEFORE-rules picture: the reference
+    explicitly skips them at record rejection (dve pipeline.py:614-625), so
+    contract-rejected rows must still be present in the snapshot output
+    while being dropped from the live entity (ADVICE r3)."""
+    doc = json.loads(json.dumps(DISCHEMA))
+    doc["contract"]["cache_originals"] = True
+    d = workspace / "originals"
+    d.mkdir(exist_ok=True)
+    (d / "test_ruleset.json").write_text(json.dumps(RULESET))
+    (d / "dischema.json").write_text(json.dumps(doc))
+    work = tmp_path_factory.mktemp("originals_work")
+    res = run_pipeline(
+        spark,
+        d / "dischema.json",
+        {"customers": str(workspace / "customers.csv")},
+        work,
+        refdata_base_path=str(workspace),
+        write_report=False,
+    )
+    assert res.success
+    assert "Originalcustomers" in res.entities
+    snap_keys = {
+        r["c_custkey"]
+        for r in res.entities["Originalcustomers"].select("c_custkey").collect()
+    }
+    live_keys = {
+        r["c_custkey"]
+        for r in res.entities["customers"].select("c_custkey").collect()
+    }
+    # contract-rejected rows (7: missing name, 13: junk balance) stay in
+    # the snapshot but are dropped from the live entity
+    assert {7, 13} <= snap_keys
+    assert not ({7, 13} & live_keys)
+    # hidden lineage columns never reach the written snapshot
+    assert not any(
+        c.startswith("__") for c in res.entities["Originalcustomers"].columns
+    )

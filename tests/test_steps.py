@@ -511,3 +511,30 @@ def test_sql_function_library(engine, spark, entities):
         "number_matches_within_percentage(100.0, 101.0, 0.02) f"
     ).collect()[0]
     assert tuple(out) == (True, True, False, "SW1A 1AA", True, True)
+
+
+def test_identify_orphans_sub_millisecond_timestamps(engine, spark):
+    """Rows differing only in sub-millisecond timestamps must get their own
+    rowid: to_json's default timestampFormat truncates to milliseconds,
+    which would collapse the pair and let the matching row mask its
+    non-matching near-twin (ADVICE r3)."""
+    import datetime as dt
+
+    t_match = dt.datetime(2024, 1, 1, 0, 0, 0, 1)  # .000001
+    t_miss = dt.datetime(2024, 1, 1, 0, 0, 0, 2)  # .000002
+    src = spark.createDataFrame([(t_match,), (t_miss,)], "ts timestamp")
+    ref = spark.createDataFrame([(t_match,)], "rts timestamp")
+    entities = {"evts": src, "ref": ref}
+    engine.evaluate(
+        entities,
+        config=OrphanIdentification(
+            entity_name="evts",
+            target_name="ref",
+            join_condition="evts.ts = ref.rts",
+        ),
+    )
+    flags = {
+        r["ts"].microsecond: r["IsOrphaned"]
+        for r in entities["evts"].collect()
+    }
+    assert flags == {1: False, 2: True}
