@@ -198,6 +198,84 @@ class EntityRemoval(BaseModel):
     entity_names: tuple[str, ...]
 
 
+# -- corpus (llmops) steps ---------------------------------------------------
+# Declarative wrappers over :mod:`llmops`: the reference drives everything
+# through a dischema ``transformations`` list (dve configuration/v1/
+# steps.py:346-365, discriminated union), so corpus cleaning must be
+# declarable the same way — a JSON step, not a Python call.
+
+
+class ExactDedup(AbstractStep):
+    """Exact deduplication: one survivor (min ``order_column``) per key.
+
+    Keys are md5-hashed before the group-by (32-byte shuffle key regardless
+    of text size). ``normalize_text`` canonicalises each key part first
+    (lowercase, collapse whitespace). The survivor row gains a copy-count
+    column unless ``count_column`` is null.
+    """
+
+    operation: Literal["dedup_exact"] = "dedup_exact"
+    key_columns: Union[str, tuple[str, ...]]
+    order_column: str
+    normalize_text: bool = False
+    count_column: Optional[str] = "n_copies"
+
+
+class MinHashDedup(AbstractStep):
+    """Near-duplicate removal via MinHash-LSH banded candidates + exact
+    Jaccard verification; keeps one representative per duplicate cluster.
+
+    ``exact_components=True`` resolves transitive clusters iteratively and
+    keeps exactly the minimum id per cluster (default greedy keep-min is
+    single-pass but over-keeps on chains). Defaults of ``None`` use the
+    library defaults (:mod:`llmops.dedup`).
+    """
+
+    operation: Literal["dedup_minhash"] = "dedup_minhash"
+    id_column: str
+    text_column: str
+    threshold: float = 0.5
+    shingle_size: Optional[int] = None
+    num_hashes: Optional[int] = None
+    bands: Optional[int] = None
+    exact_components: bool = False
+
+
+class QualityFilters(AbstractStep):
+    """Document-quality gates (token count, punctuation ratio, average
+    token length) applied as one synchronised filter pass: every gate is
+    evaluated before any row drops, each failing doc gets a message per
+    failed gate, survivors replace the entity (or land under
+    ``new_entity_name``).
+    """
+
+    operation: Literal["quality_filters"] = "quality_filters"
+    text_column: str = "text"
+    min_tokens: int = 5
+    max_tokens: int = 5000
+    max_punct_ratio: float = 0.2
+    min_avg_token_len: float = 2.0
+    max_avg_token_len: float = 15.0
+
+
+class SimilarityTopK(AbstractStep):
+    """Top-k most-similar vectors to a single query row (``target_name``
+    holds the 1-row query frame). ``method="exact"`` scores the whole
+    table (broadcast query, per-partition top-k); ``method="ann"`` probes
+    only the query's LSH bucket (~1/2^n_planes of the table).
+    """
+
+    operation: Literal["similarity_topk"] = "similarity_topk"
+    target_name: str
+    k: int = 10
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    method: Literal["exact", "ann"] = "exact"
+    n_planes: int = 4
+    dim: int = 64
+    exclude_self: bool = True
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -219,6 +297,10 @@ AnyStep = Annotated[
         CopyEntity,
         RenameEntity,
         EntityRemoval,
+        ExactDedup,
+        MinHashDedup,
+        QualityFilters,
+        SimilarityTopK,
     ],
     Field(discriminator="operation"),
 ]

@@ -49,16 +49,20 @@ from data_validation_engine_spark.steps.configs import (
     CopyEntity,
     DeferredFilter,
     EntityRemoval,
+    ExactDedup,
     HeaderJoin,
     ImmediateFilter,
     InnerJoin,
     LeftJoin,
+    MinHashDedup,
     Notification,
     OneToOneJoin,
     OrphanIdentification,
+    QualityFilters,
     RenameEntity,
     SelectColumns,
     SemiJoin,
+    SimilarityTopK,
     TableUnion,
 )
 
@@ -114,6 +118,10 @@ class StepEngine:
             CopyEntity: self.copy_entity,
             RenameEntity: self.rename_entity,
             EntityRemoval: self.remove_entities,
+            ExactDedup: self.dedup_exact,
+            MinHashDedup: self.dedup_minhash,
+            QualityFilters: self.quality_filters,
+            SimilarityTopK: self.similarity_topk,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -546,4 +554,106 @@ class StepEngine:
     ) -> Messages:
         for name in config.entity_names:
             del entities[name]
+        return None
+
+    # -- corpus (llmops) steps ---------------------------------------------
+    # Thin dispatch over :mod:`llmops` so corpus cleaning is declarable in a
+    # dischema ``transformations`` list like any validation step (imports
+    # are local: llmops is an optional surface for pure-validation users).
+
+    def dedup_exact(self, entities: Entities, *, config: ExactDedup) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import exact_dedup
+
+        keys = (
+            [config.key_columns]
+            if isinstance(config.key_columns, str)
+            else list(config.key_columns)
+        )
+        out = exact_dedup(
+            entities[config.entity_name],
+            keys,
+            order_col=config.order_column,
+            normalize_text=config.normalize_text,
+        )
+        if config.count_column is None:
+            out = out.drop("n_copies")
+        elif config.count_column != "n_copies":
+            out = out.withColumnRenamed("n_copies", config.count_column)
+        entities[config.output_name] = out
+        return None
+
+    def dedup_minhash(
+        self, entities: Entities, *, config: MinHashDedup
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import minhash_dedup
+
+        kwargs: dict = {"threshold": config.threshold}
+        if config.shingle_size is not None:
+            kwargs["shingle_size"] = config.shingle_size
+        if config.num_hashes is not None:
+            kwargs["num_hashes"] = config.num_hashes
+        if config.bands is not None:
+            kwargs["bands"] = config.bands
+        entities[config.output_name] = minhash_dedup(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            exact_components=config.exact_components,
+            **kwargs,
+        )
+        return None
+
+    def quality_filters(
+        self, entities: Entities, *, config: QualityFilters
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.text import quality_filters
+        from data_validation_engine_spark.steps.sync_filters import (
+            apply_sync_filters,
+        )
+
+        target = config.output_name
+        if target != config.entity_name:
+            entities[target] = entities[config.entity_name]
+        gates = quality_filters(
+            target,
+            config.text_column,
+            min_tokens=config.min_tokens,
+            max_tokens=config.max_tokens,
+            max_punct_ratio=config.max_punct_ratio,
+            min_avg_token_len=config.min_avg_token_len,
+            max_avg_token_len=config.max_avg_token_len,
+        )
+        return apply_sync_filters(entities, gates)
+
+    def similarity_topk(
+        self, entities: Entities, *, config: SimilarityTopK
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.similarity import (
+            ann_topk,
+            cosine_topk,
+        )
+
+        table = entities[config.entity_name]
+        query = entities[config.target_name]
+        if config.method == "ann":
+            out = ann_topk(
+                table,
+                query,
+                config.k,
+                id_col=config.id_column,
+                vec_col=config.vector_column,
+                n_planes=config.n_planes,
+                dim=config.dim,
+                exclude_self=config.exclude_self,
+            )
+        else:
+            out = cosine_topk(
+                table,
+                query,
+                config.k,
+                id_col=config.id_column,
+                vec_col=config.vector_column,
+                exclude_self=config.exclude_self,
+            )
+        entities[config.output_name] = out
         return None

@@ -1,0 +1,257 @@
+"""Dischema-declarable corpus (llmops) steps: the reference drives all
+processing through a JSON ``transformations`` list (dve configuration/v1/
+steps.py:346-365), so corpus cleaning must be declarable the same way.
+
+E2E: documents.parquet + planted dirt -> quality gates -> exact dedup ->
+minhash near-dedup, all from one dischema JSON.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.pipeline import run_pipeline
+from data_validation_engine_spark.steps import (
+    ExactDedup,
+    MinHashDedup,
+    QualityFilters,
+    SimilarityTopK,
+    StepEngine,
+    parse_step,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DISCHEMA = {
+    "contract": {
+        "datasets": {
+            "documents": {
+                "fields": {
+                    "doc_id": "int",
+                    "text": "str",
+                    "lang": "str",
+                    "source": "str",
+                    "n_chars": "int",
+                },
+                "key_field": "doc_id",
+                "mandatory_fields": ["doc_id", "text"],
+            }
+        }
+    },
+    "transformations": {
+        "rules": [],
+        "filters": [],
+        "post_filter_rules": [
+            {
+                "operation": "quality_filters",
+                "entity": "documents",
+                "text_column": "text",
+                "min_tokens": 5,
+                "max_tokens": 5000,
+            },
+            {
+                "operation": "dedup_exact",
+                "entity": "documents",
+                "key_columns": ["text"],
+                "order_column": "doc_id",
+                "normalize_text": True,
+                "count_column": None,
+            },
+            {
+                "operation": "dedup_minhash",
+                "entity": "documents",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "threshold": 0.8,
+                "new_entity_name": "clean_documents",
+            },
+        ],
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_workspace(tmp_path_factory, spark):
+    """documents.parquet + planted dirt, staged as a pipeline input."""
+    root = tmp_path_factory.mktemp("llmops_steps")
+    (root / "dischema.json").write_text(json.dumps(DISCHEMA))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = {r["doc_id"]: r["text"] for r in docs.where("doc_id IN (0, 1)").collect()}
+    near = base[1].split()
+    near[len(near) // 2] = "zzzmutated"
+    dirt = spark.createDataFrame(
+        [
+            # exact dup of doc 0 modulo case/whitespace
+            (9000, "  " + base[0].upper() + "  ", "en", "planted", len(base[0])),
+            # near dup of doc 1 (one token changed -> jaccard >= 0.8)
+            (9001, " ".join(near), "en", "planted", len(base[1])),
+            # junk: under the 5-token quality floor
+            (9002, "too short", "en", "planted", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.unionByName(dirt).write.mode("overwrite").parquet(
+        str(root / "documents.parquet")
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def corpus_result(spark, corpus_workspace, tmp_path_factory):
+    work = tmp_path_factory.mktemp("llmops_steps_work")
+    return run_pipeline(
+        spark,
+        corpus_workspace / "dischema.json",
+        {"documents": str(corpus_workspace / "documents.parquet")},
+        work,
+        write_report=False,
+    )
+
+
+def test_corpus_pipeline_succeeds(corpus_result):
+    assert corpus_result.success
+    assert "clean_documents" in corpus_result.entities
+
+
+def test_quality_gate_drops_junk_doc(corpus_result):
+    codes = {
+        r["error_code"]
+        for r in corpus_result.messages.where(
+            ~F.col("is_informational")
+        ).collect()
+    }
+    assert "BAD_TOKEN_COUNT" in codes
+    clean_ids = {
+        r["doc_id"]
+        for r in corpus_result.entities["clean_documents"]
+        .select("doc_id")
+        .collect()
+    }
+    assert 9002 not in clean_ids
+
+
+def test_exact_and_near_dedup_drop_planted_dups(corpus_result):
+    clean = corpus_result.entities["clean_documents"]
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    # survivors keep the minimum doc_id of each duplicate group
+    assert 0 in clean_ids and 1 in clean_ids
+    assert 9000 not in clean_ids  # exact dup (case/whitespace) of doc 0
+    assert 9001 not in clean_ids  # near dup of doc 1
+    # the declarative steps must produce EXACTLY what direct library calls
+    # produce (the corpus itself contains natural near-dups, so the count
+    # is data-dependent — parity is the invariant, not a constant)
+    assert len(clean_ids) < 503
+    # count_column: null dropped the copy-count column
+    assert "n_copies" not in clean.columns
+
+
+def test_dischema_steps_match_direct_library_calls(
+    spark, corpus_result, corpus_workspace
+):
+    from data_validation_engine_spark.llmops.dedup import (
+        exact_dedup,
+        minhash_dedup,
+    )
+
+    docs = spark.read.parquet(str(corpus_workspace / "documents.parquet"))
+    survivors = docs.where(
+        "size(split(trim(text), '\\\\s+')) BETWEEN 5 AND 5000"
+        " AND size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0))"
+        "     / length(text) < 0.2"
+        " AND (length(regexp_replace(text, '\\\\s+', ''))"
+        "      / size(split(trim(text), '\\\\s+'))) BETWEEN 2.0 AND 15.0"
+    )
+    expected = minhash_dedup(
+        exact_dedup(
+            survivors, ["text"], order_col="doc_id", normalize_text=True
+        ).drop("n_copies"),
+        "doc_id",
+        "text",
+        threshold=0.8,
+    )
+    expected_ids = {r["doc_id"] for r in expected.select("doc_id").collect()}
+    clean_ids = {
+        r["doc_id"]
+        for r in corpus_result.entities["clean_documents"]
+        .select("doc_id")
+        .collect()
+    }
+    assert clean_ids == expected_ids
+
+
+def test_similarity_topk_step(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    entities = {
+        "embeddings": emb,
+        "query": emb.where("vec_id = 7"),
+    }
+    engine = StepEngine(spark)
+    engine.evaluate(
+        entities,
+        config=SimilarityTopK(
+            entity_name="embeddings",
+            target_name="query",
+            k=5,
+            new_entity_name="neighbours",
+        ),
+    )
+    out = entities["neighbours"].collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] != 7 for r in out)  # exclude_self
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+
+    # ANN variant: results are a subset of the probed bucket, still ranked
+    engine.evaluate(
+        entities,
+        config=SimilarityTopK(
+            entity_name="embeddings",
+            target_name="query",
+            k=5,
+            method="ann",
+            new_entity_name="ann_neighbours",
+        ),
+    )
+    ann = entities["ann_neighbours"].collect()
+    assert 0 < len(ann) <= 5
+    assert all(r["vec_id"] != 7 for r in ann)
+
+
+def test_llmops_steps_parse_from_json():
+    """The four corpus steps parse from reference-style dischema dicts."""
+    s1 = parse_step(
+        {
+            "operation": "dedup_exact",
+            "entity_name": "docs",
+            "key_columns": "text",
+            "order_column": "doc_id",
+        }
+    )
+    assert isinstance(s1, ExactDedup) and s1.output_name == "docs"
+    s2 = parse_step(
+        {
+            "operation": "dedup_minhash",
+            "entity_name": "docs",
+            "id_column": "doc_id",
+            "text_column": "text",
+            "exact_components": True,
+        }
+    )
+    assert isinstance(s2, MinHashDedup) and s2.exact_components
+    s3 = parse_step(
+        {"operation": "quality_filters", "entity_name": "docs", "min_tokens": 2}
+    )
+    assert isinstance(s3, QualityFilters) and s3.min_tokens == 2
+    s4 = parse_step(
+        {
+            "operation": "similarity_topk",
+            "entity_name": "emb",
+            "target_name": "q",
+            "method": "ann",
+            "k": 3,
+        }
+    )
+    assert isinstance(s4, SimilarityTopK) and s4.k == 3
