@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_validation_engine_spark.llmops.pairs import (
+    DEFAULT_MAX_BUCKET_ROWS,
+    bounded_self_join,
+)
+
 DEFAULT_SHINGLE_SIZE = 3
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4
@@ -172,6 +177,7 @@ def minhash_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
 
@@ -179,7 +185,10 @@ def minhash_pairs(
     ``jaccard >= threshold``. Candidate generation is banded (docs meet only
     when a whole band of their signatures collides); candidates are then
     verified with the exact Jaccard over distinct shingle sets. The plan
-    contains shuffle joins on band keys and ids — never a cartesian product.
+    contains shuffle joins on band keys and ids — never a cartesian product,
+    and the band self-join is skew-bounded (``max_bucket_rows``; see
+    :mod:`llmops.pairs`), so one hot band bucket cannot put n² pairs into a
+    single task.
     """
     sig_names = [f"mh_{i}" for i in range(num_hashes)]
     # distinct (id, shingle) rows, lambda-free. Three plan branches read
@@ -213,17 +222,17 @@ def minhash_pairs(
         ),
     )
     candidates = (
-        narrow_bands.select(F.col(id_col).alias("id_a"), "__band_idx", "__band_key")
-        .join(
-            narrow_bands.select(
-                F.col(id_col).alias("id_b"), "__band_idx", "__band_key"
-            ),
-            on=["__band_idx", "__band_key"],
-            how="inner",
+        bounded_self_join(
+            narrow_bands,
+            ["__band_idx", "__band_key"],
+            order_col=id_col,
+            max_bucket_rows=max_bucket_rows,
         )
-        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col(f"a.`{id_col}`").alias("id_a"),
+            F.col(f"b.`{id_col}`").alias("id_b"),
+        )
         # a pair may collide in several bands — dedupe before verification
-        .select("id_a", "id_b")
         .distinct()
     )
     sets = shingled.groupBy(id_col).agg(

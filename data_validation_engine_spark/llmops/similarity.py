@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_validation_engine_spark.llmops.pairs import (
+    DEFAULT_MAX_BUCKET_ROWS,
+    bounded_self_join,
+)
+
 
 def _as_double(arr: Column) -> Column:
     return arr.cast("array<double>")
@@ -223,6 +228,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     threshold: float = 0.9,
     round_to: int = 6,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
 
@@ -235,7 +241,9 @@ def embedding_neardup_pairs(
     a true pair with angle θ is (1-θ/π)^planes — raise ``n_planes`` for
     cheaper/lower-recall, or run multiple plane sets and union for
     OR-amplified recall. Norms are precomputed per vector, so each
-    candidate pair costs exactly one dot product.
+    candidate pair costs exactly one dot product. The bucket self-join is
+    skew-bounded (``max_bucket_rows``; see :mod:`llmops.pairs`): one hot
+    bucket spreads over many tasks instead of going quadratic in one.
     """
     planes = hyperplanes(n_planes, dim)
     bucketed = df.select(
@@ -244,27 +252,19 @@ def embedding_neardup_pairs(
         bucket_col(F.col(vec_col), planes).alias("__bucket"),
         norm_col(F.col(vec_col)).alias("__norm"),
     )
-    left = bucketed.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        F.col("__norm").alias("__na"),
-        "__bucket",
-    )
-    right = bucketed.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        F.col("__norm").alias("__nb"),
-        "__bucket",
-    )
     return (
-        left.join(right, on="__bucket", how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
+        bounded_self_join(
+            bucketed,
+            ["__bucket"],
+            order_col=id_col,
+            max_bucket_rows=max_bucket_rows,
+        )
         .select(
-            "id_a",
-            "id_b",
+            F.col(f"a.`{id_col}`").alias("id_a"),
+            F.col(f"b.`{id_col}`").alias("id_b"),
             F.round(
-                dot_col(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
+                dot_col(F.col(f"a.`{vec_col}`"), F.col(f"b.`{vec_col}`"))
+                / (F.col("a.`__norm`") * F.col("b.`__norm`")),
                 round_to,
             ).alias("cosine"),
         )

@@ -385,3 +385,96 @@ def test_codec_stubs_fail_loudly(spark):
         sample_frames(df, "doc_id")
     with pytest.raises(NotImplementedError):
         codec_decoder(b"x")
+
+
+# -- skew-bounded self-join (llmops/pairs.py) --------------------------------
+
+
+def test_bounded_self_join_exact_on_skewed_buckets(spark):
+    """One hot bucket (800 rows) + small buckets: the block-decomposed
+    self-join must return EXACTLY the naive join's pair set while keeping
+    every block's input bounded by max_bucket_rows per side."""
+    from data_validation_engine_spark.llmops.pairs import bounded_self_join
+
+    rows = (
+        [(i, "hot") for i in range(800)]
+        + [(1000 + i, f"cold{i % 17}") for i in range(120)]
+        + [(5000, "single")]
+    )
+    df = spark.createDataFrame(rows, "id long, bucket string").repartition(8)
+
+    bounded = bounded_self_join(
+        df, ["bucket"], order_col="id", max_bucket_rows=100
+    )
+    got = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in bounded.select("a", "b").collect()
+    }
+    naive = (
+        df.selectExpr("id AS id_a", "bucket")
+        .join(df.selectExpr("id AS id_b", "bucket"), on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    expected = {(r["id_a"], r["id_b"]) for r in naive.collect()}
+    assert got == expected  # no lost pairs, no duplicates, no self-pairs
+
+    # per-block input bound: every (bucket, blk_i, blk_j) cell draws its
+    # two sides from blocks of <= max_bucket_rows rows, so no task input
+    # exceeds 2 * max regardless of the hot bucket's size
+    per_block = (
+        bounded.groupBy("bucket", "__blk_i", "__blk_j")
+        .agg(
+            F.count_distinct(F.col("a.`id`")).alias("na"),
+            F.count_distinct(F.col("b.`id`")).alias("nb"),
+        )
+        .collect()
+    )
+    assert max(max(r["na"], r["nb"]) for r in per_block) <= 100
+    # the hot bucket really was decomposed (ceil(800/100) = 8 blocks ->
+    # 36 block-pairs), not routed through one task
+    hot_blocks = {
+        (r["__blk_i"], r["__blk_j"]) for r in per_block if r["bucket"] == "hot"
+    }
+    assert len(hot_blocks) == 8 * 9 // 2
+
+
+def test_bounded_self_join_small_buckets_unreplicated(spark):
+    """Buckets under the threshold must take the degenerate S=1 path:
+    exactly one block-pair per bucket (no replication)."""
+    from data_validation_engine_spark.llmops.pairs import bounded_self_join
+
+    df = spark.createDataFrame(
+        [(i, f"b{i % 5}") for i in range(50)], "id long, bucket string"
+    )
+    out = bounded_self_join(df, ["bucket"], order_col="id", max_bucket_rows=100)
+    blocks = {
+        (r["bucket"], r["__blk_i"], r["__blk_j"])
+        for r in out.select("bucket", "__blk_i", "__blk_j").collect()
+    }
+    assert blocks == {(f"b{i}", 0, 0) for i in range(5)}
+
+
+def test_minhash_pairs_skew_guard_equivalence(docs):
+    """minhash_pairs results are independent of max_bucket_rows (the guard
+    redistributes work, never changes the pair set)."""
+    wide = minhash_pairs(docs, "doc_id", "text", threshold=0.3)
+    tight = minhash_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_bucket_rows=2
+    )
+    w = {(r["id_a"], r["id_b"], r["jaccard"]) for r in wide.collect()}
+    t = {(r["id_a"], r["id_b"], r["jaccard"]) for r in tight.collect()}
+    assert w == t and len(w) > 0
+
+
+def test_embedding_neardup_skew_guard_equivalence(embs):
+    from data_validation_engine_spark.llmops.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    wide = embedding_neardup_pairs(embs, threshold=0.5, n_planes=2)
+    tight = embedding_neardup_pairs(
+        embs, threshold=0.5, n_planes=2, max_bucket_rows=3
+    )
+    w = {(r["id_a"], r["id_b"], r["cosine"]) for r in wide.collect()}
+    t = {(r["id_a"], r["id_b"], r["cosine"]) for r in tight.collect()}
+    assert w == t and len(w) > 0
