@@ -907,6 +907,78 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sync_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lift of the sync-filter stage, oracle-checkable.
+
+    events.parquet is read as a FILE STREAM, the deferred filters run per
+    micro-batch through ``streaming_sync_filters`` (same predicates,
+    message schema, and single-projection shape as the batch stage), and
+    the message feed drains to the standard JSONL sink under an
+    ``availableNow`` trigger. Returning the read-back feed makes
+    batch/stream message parity a hash-checked property instead of a
+    claim: the oracle is plain SQL over the same events table.
+    """
+    import tempfile
+
+    from data_validation_engine_spark.messages import MESSAGE_SCHEMA
+    from data_validation_engine_spark.streaming.filters import (
+        read_entity_stream,
+        start_message_sink,
+        streaming_sync_filters,
+    )
+
+    # explicit SUBSET schema: the filters never touch ts, and pruning it at
+    # the scan also sidesteps the TIMESTAMP(NANOS) parquet type Spark's
+    # vectorized reader rejects (events.parquet stores nanosecond
+    # timestamps; declared-schema pruning means the column is never read)
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    sdf = read_entity_stream(
+        spark,
+        sf_dir,
+        schema,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    _, messages = streaming_sync_filters(
+        sdf,
+        [
+            DeferredFilter(
+                entity_name="events",
+                expression="value BETWEEN 0 AND 90",
+                reporting=Reporting(
+                    code="VALUE_RANGE",
+                    message="value out of range",
+                    reporting_field="event_id",
+                ),
+            ),
+            DeferredFilter(
+                entity_name="events",
+                expression="event_type <> 'error'",
+                reporting=Reporting(
+                    code="ERROR_EVENT",
+                    message="error event",
+                    reporting_field="event_id",
+                ),
+            ),
+        ],
+    )
+    out = tempfile.mkdtemp(prefix="dve_stream_msgs_")
+    query = start_message_sink(
+        messages, f"{out}/data", f"{out}/ckpt", available_now=True
+    )
+    query.awaitTermination()
+    feed = spark.read.schema(MESSAGE_SCHEMA).json(f"{out}/data")
+    return feed.selectExpr(
+        "entity",
+        "error_code",
+        "error_message",
+        "failure_type",
+        "CAST(value AS BIGINT) AS record_key",
+    )
+
+
 # ---------------------------------------------------------------------------
 # llmops oracle SQL builders (DuckDB)
 # ---------------------------------------------------------------------------
@@ -1365,6 +1437,15 @@ _ORACLES: dict[str, str] = {
         SELECT 'orders', 'PENDING', 'order pending', 'record', o_orderkey
         FROM orders WHERE NOT COALESCE(o_orderstatus <> 'P', FALSE)
     """,
+    "streaming_sync_messages": """
+        SELECT 'stream' AS entity, 'VALUE_RANGE' AS error_code,
+               'value out of range' AS error_message,
+               'record' AS failure_type, event_id AS record_key
+        FROM events WHERE NOT COALESCE(value BETWEEN 0 AND 90, FALSE)
+        UNION ALL
+        SELECT 'stream', 'ERROR_EVENT', 'error event', 'record', event_id
+        FROM events WHERE NOT COALESCE(event_type <> 'error', FALSE)
+    """,
     "entity_ops": """
         SELECT n_nationkey, n_name FROM nation
     """,
@@ -1578,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        # streaming (availableNow drain over the events table)
+        "streaming_sync_messages": q_streaming_sync_messages,
     }
 
 

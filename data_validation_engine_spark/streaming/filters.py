@@ -30,15 +30,20 @@ def read_entity_stream(
     *,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """``readStream`` an entity directory with an explicit schema.
 
     Schema is always declared (never inferred) — same stance as the batch
-    readers and the reference (dve spark/contract.py:211).
+    readers and the reference (dve spark/contract.py:211). ``path`` must be
+    a DIRECTORY (Spark's file stream source requirement); select specific
+    files with ``options={"pathGlobFilter": "events.parquet"}``.
     """
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     return reader.load(path)
 
 

@@ -187,3 +187,54 @@ def test_integrity_steps_are_batch_only(spark, events_stream):
 def test_streaming_rejects_batch_frame(spark, events_batch):
     with pytest.raises(ConfigurationError, match="streaming"):
         streaming_sync_filters(events_batch, FILTERS)
+
+
+def test_streaming_sync_messages_query_matches_batch(spark):
+    """The driver-facing streaming_sync_messages query (availableNow drain
+    over events.parquet) must agree with the batch sync stage run over the
+    same rows — message-level stream/batch parity at the entry-point
+    surface, not just the module surface."""
+    import __spark_entry__ as entry
+
+    from data_validation_engine_spark.steps.sync_filters import (
+        apply_sync_filters,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    feed = entry.queries()["streaming_sync_messages"](spark, sf_dir)
+    got = {
+        (r["error_code"], r["record_key"]) for r in feed.collect()
+    }
+
+    events = spark.read.schema(
+        "event_id long, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(f"{sf_dir}/events.parquet")
+    entities = {"events": events}
+    msgs = apply_sync_filters(
+        entities,
+        [
+            DeferredFilter(
+                entity_name="events",
+                expression="value BETWEEN 0 AND 90",
+                reporting=Reporting(
+                    code="VALUE_RANGE",
+                    message="value out of range",
+                    reporting_field="event_id",
+                ),
+            ),
+            DeferredFilter(
+                entity_name="events",
+                expression="event_type <> 'error'",
+                reporting=Reporting(
+                    code="ERROR_EVENT",
+                    message="error event",
+                    reporting_field="event_id",
+                ),
+            ),
+        ],
+    )
+    expected = {
+        (r["error_code"], int(r["value"])) for r in msgs.collect()
+    }
+    assert got == expected and len(got) > 0
