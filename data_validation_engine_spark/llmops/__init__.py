@@ -33,10 +33,12 @@ from data_validation_engine_spark.llmops.dedup import (
 )
 from data_validation_engine_spark.llmops.similarity import (
     ann_topk,
+    ann_topk_partitioned,
     cosine_topk,
     embedding_neardup_pairs,
     multiprobe_ann_topk,
     with_lsh_bucket,
+    write_lsh_partitioned,
 )
 from data_validation_engine_spark.llmops.text import (
     language_id,
@@ -55,10 +57,12 @@ __all__ = [
     "simhash_table",
     "with_shingles",
     "ann_topk",
+    "ann_topk_partitioned",
     "cosine_topk",
     "embedding_neardup_pairs",
     "multiprobe_ann_topk",
     "with_lsh_bucket",
+    "write_lsh_partitioned",
     "language_id",
     "quality_filters",
     "text_fingerprint",

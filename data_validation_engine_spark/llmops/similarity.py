@@ -317,3 +317,82 @@ def ann_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def write_lsh_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    bucket_col_name: str = "bucket",
+    mode: str = "overwrite",
+) -> None:
+    """Persist vectors PARTITIONED BY their LSH bucket — the scale path for
+    repeated ANN probes.
+
+    Each bucket becomes its own partition directory, so a probe that
+    filters on the partition column prunes the scan to ~1/2^planes of the
+    data (the claim in this module's header, made testable by
+    ``tests/test_llmops.py::test_ann_partition_pruning``). Use the same
+    ``(n_planes, dim)`` at probe time: hyperplanes are a deterministic
+    function of those two values.
+    """
+    planes = hyperplanes(n_planes, dim)
+    (
+        df.withColumn(bucket_col_name, bucket_col(F.col(vec_col), planes))
+        .write.mode(mode)
+        .partitionBy(bucket_col_name)
+        .parquet(path)
+    )
+
+
+def ann_topk_partitioned(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    bucket_col_name: str = "bucket",
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN probe over a table written by :func:`write_lsh_partitioned`.
+
+    The query's bucket is computed driver-side (a 1-row collect — the
+    query vector is driver data by definition, same class of probe as the
+    header peek in sources/csv.py) and pushed as a STATIC equality filter
+    on the partition column, so Catalyst prunes the scan to the one
+    matching directory: the plan's ``PartitionFilters`` carries the bucket
+    literal and only that partition's files are read.
+    """
+    planes = hyperplanes(n_planes, dim)
+    qrows = query.select(
+        F.col(vec_col).alias("__qvec"),
+        F.col(id_col).alias("__qid"),
+        bucket_col(F.col(vec_col), planes).alias("__qbucket"),
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            f"query must be exactly one row, got {len(qrows)}"
+        )
+    qvec = [float(x) for x in qrows[0]["__qvec"]]
+    qid = qrows[0]["__qid"]
+    qbucket = int(qrows[0]["__qbucket"])
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    table = spark.read.parquet(path).where(
+        F.col(bucket_col_name) == F.lit(qbucket)
+    )
+    scored = table.select(
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), qlit), round_to).alias("cosine"),
+        F.col(bucket_col_name).alias("bucket"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.lit(qid))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -478,3 +478,48 @@ def test_embedding_neardup_skew_guard_equivalence(embs):
     w = {(r["id_a"], r["id_b"], r["cosine"]) for r in wide.collect()}
     t = {(r["id_a"], r["id_b"], r["cosine"]) for r in tight.collect()}
     assert w == t and len(w) > 0
+
+
+def test_ann_partition_pruning(spark, embs, tmp_path):
+    """The scale path for repeated probes: embeddings written PARTITIONED
+    BY LSH bucket, probe pushed as a static partition filter. Asserts the
+    pruned scan (PartitionFilters carries the bucket literal) and result
+    parity with the unpartitioned ann_topk on the same planes — turning
+    the module-header claim into a tested property."""
+    import pathlib
+
+    from data_validation_engine_spark.llmops.similarity import (
+        ann_topk,
+        ann_topk_partitioned,
+        write_lsh_partitioned,
+    )
+
+    path = str(tmp_path / "emb_by_bucket")
+    write_lsh_partitioned(embs, path, n_planes=3, dim=8)
+    # more than one partition directory exists, so pruning is meaningful
+    parts = [
+        p.name
+        for p in pathlib.Path(path).iterdir()
+        if p.name.startswith("bucket=")
+    ]
+    assert len(parts) > 1
+
+    query = embs.where("vec_id = 2")
+    probe = ann_topk_partitioned(
+        spark, path, query, 5, n_planes=3, dim=8
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # static partition filter reached the scan: only one directory is read
+    assert "PartitionFilters" in plan
+    qbucket = probe.select("bucket").first()["bucket"]
+    assert f"bucket = {qbucket}" in plan or f"bucket#" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # all returned rows come from the single probed bucket
+    assert {r["bucket"] for r in probe.collect()} <= {qbucket}
+
+    # parity with the unpartitioned probe on the same plane set
+    flat = ann_topk(embs, query, 5, n_planes=3, dim=8)
+    got = [(r["vec_id"], r["cosine"]) for r in probe.collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in flat.collect()]
+    assert got == want
