@@ -121,12 +121,24 @@ def translate_filter(config: dict[str, Any]) -> DeferredFilter:
 
 @dataclass(frozen=True)
 class RuleProgram:
-    """One rule: ordered pre-sync steps, sync filters, post-sync steps."""
+    """One rule: ordered pre-sync steps, sync filters, post-sync steps.
+
+    Under the ``runtime`` templating strategy the typed tuples stay empty
+    and the raw (store-resolved, untemplated) step dicts are kept instead,
+    together with the rule's merged local variables —
+    :meth:`Dischema.resolve` templates and parses them at evaluation time
+    (reference: dve backends/base/rules.py:572-594, per-step
+    ``step.template(...)`` when ``templating_strategy == "runtime"``).
+    """
 
     name: str
     pre_sync: tuple[AnyStep, ...] = ()
     sync_filters: tuple[DeferredFilter, ...] = ()
     post_sync: tuple[AnyStep, ...] = ()
+    raw_pre_sync: tuple[dict, ...] = ()
+    raw_filters: tuple[tuple[dict, dict], ...] = ()
+    raw_post_sync: tuple[dict, ...] = ()
+    variables: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -142,6 +154,61 @@ class Dischema:
     base_dir: Optional[str] = None
     """Directory of the dischema file — relative resources (rule stores,
     XSDs, error details) resolve against it."""
+    templating_strategy: str = "upfront"
+    """``upfront`` (default): templates render once at parse time.
+    ``runtime``: raw step dicts are kept and rendered per rule at
+    evaluation time via :meth:`resolve`, so variables can be bound per
+    submission (reference: dve backends/base/rules.py:572-594)."""
+
+    def resolve(
+        self, runtime_variables: Optional[dict[str, Any]] = None
+    ) -> "Dischema":
+        """Materialise typed steps for a ``runtime``-strategy dischema.
+
+        Each raw step/filter dict is Jinja-rendered with
+        ``{**globals, **rule locals, **runtime_variables}`` and parsed into
+        its typed config; the returned dischema behaves like an upfront one.
+        Upfront dischemas pass through unchanged; handing them runtime
+        variables is an error (their templates are already rendered — the
+        variables could never apply).
+        """
+        from dataclasses import replace
+
+        if self.templating_strategy != "runtime":
+            if runtime_variables:
+                raise ConfigurationError(
+                    "runtime_variables require templating_strategy="
+                    "'runtime' (this dischema is 'upfront': its templates "
+                    "were already rendered at parse time)"
+                )
+            return self
+        rt = dict(runtime_variables or {})
+        resolved: list[RuleProgram] = []
+        for rule in self.rules:
+            variables = {**rule.variables, **rt}
+            pre = tuple(
+                translate_step(template_object(s, variables))
+                for s in rule.raw_pre_sync
+            )
+            sync = tuple(
+                translate_filter(template_object(cfg, {**f_vars, **rt}))
+                for cfg, f_vars in rule.raw_filters
+            )
+            post = tuple(
+                translate_step(template_object(s, variables))
+                for s in rule.raw_post_sync
+            )
+            resolved.append(
+                RuleProgram(
+                    name=rule.name,
+                    pre_sync=pre,
+                    sync_filters=sync,
+                    post_sync=post,
+                )
+            )
+        return replace(
+            self, rules=tuple(resolved), templating_strategy="upfront"
+        )
 
     @property
     def sync_filters(self) -> tuple[DeferredFilter, ...]:
@@ -260,6 +327,14 @@ def parse_dischema(
         for name, cfg in tx.get("reference_data", {}).items()
     }
 
+    templating_strategy = str(
+        tx.get("templating_strategy", "upfront")
+    ).lower()
+    if templating_strategy not in ("upfront", "runtime"):
+        raise ConfigurationError(
+            f"unsupported templating_strategy {templating_strategy!r}"
+        )
+
     def build_rule(
         name: str,
         rules_cfg: list[dict],
@@ -268,6 +343,19 @@ def parse_dischema(
         local_vars: dict[str, Any],
     ) -> RuleProgram:
         variables = {**globals_, **local_vars}
+        if templating_strategy == "runtime":
+            # keep raw dicts; rule-store references still resolve now
+            # (structure is config-time), only STRING rendering is deferred
+            raw_filters = tuple(
+                _resolve_filter(f, store, variables) for f in filters_cfg
+            )
+            return RuleProgram(
+                name=name,
+                raw_pre_sync=tuple(rules_cfg),
+                raw_filters=raw_filters,
+                raw_post_sync=tuple(post_cfg),
+                variables=variables,
+            )
         pre = tuple(
             translate_step(template_object(s, variables)) for s in rules_cfg
         )
@@ -326,6 +414,7 @@ def parse_dischema(
         cache_originals=bool(contract_cfg.get("cache_originals", False)),
         error_details_uri=contract_cfg.get("error_details"),
         base_dir=str(base_dir) if base_dir is not None else None,
+        templating_strategy=templating_strategy,
     )
 
 

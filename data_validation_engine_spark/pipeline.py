@@ -54,7 +54,10 @@ from data_validation_engine_spark.messages import (
 )
 from data_validation_engine_spark.sinks.audit import AuditLog, new_submission_id
 from data_validation_engine_spark.sinks.errors import write_messages_jsonl
-from data_validation_engine_spark.sinks.report import write_error_report
+from data_validation_engine_spark.sinks.report import (
+    error_aggregates,
+    write_error_report,
+)
 from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
 from data_validation_engine_spark.sources.json import read_json
 from data_validation_engine_spark.sources.xml import read_xml
@@ -98,6 +101,7 @@ class PipelineResult:
     messages: Optional[DataFrame] = None
     errors_dir: Optional[str] = None
     report_path: Optional[str] = None
+    error_aggregates_path: Optional[str] = None
     statistics: dict[str, int] = field(default_factory=dict)
 
 
@@ -171,10 +175,17 @@ def run_pipeline(
     submission_id: str | None = None,
     submission_info: dict[str, Any] | None = None,
     write_report: bool = True,
+    runtime_variables: dict[str, Any] | None = None,
 ) -> PipelineResult:
-    """Run transform -> contract -> rules -> report for one submission."""
+    """Run transform -> contract -> rules -> report for one submission.
+
+    ``runtime_variables`` bind per-submission template variables for a
+    ``templating_strategy: runtime`` dischema (rendered at evaluation
+    time, not at config parse).
+    """
     if not isinstance(dischema, Dischema):
         dischema = load_dischema(dischema)
+    dischema = dischema.resolve(runtime_variables)
     work = Path(working_dir)
     errors_dir = work / "errors"
     submission_id = submission_id or new_submission_id()
@@ -444,6 +455,16 @@ def run_pipeline(
         result.report_path = write_error_report(
             all_messages, str(work / "error_report")
         )
+    # error_aggregates audit artifact: per (entity, code) counts persisted
+    # as parquet next to the report, stamped with the submission id — the
+    # reference publishes the same frame for auditing
+    # (dve pipeline/pipeline.py:730-746, 801-948); written unconditionally
+    # (it is the machine-readable artifact; the report is the human one)
+    agg_path = work / "audit" / "error_aggregates.parquet"
+    error_aggregates(all_messages).withColumn(
+        "submission_id", F.lit(submission_id)
+    ).write.mode("overwrite").parquet(str(agg_path))
+    result.error_aggregates_path = str(agg_path)
     stats_row = all_messages.select(
         F.count(F.lit(1)).alias("n_messages"),
         F.count_distinct(

@@ -508,3 +508,88 @@ def test_cache_originals_snapshots_exempt_from_rejection(
     assert not any(
         c.startswith("__") for c in res.entities["Originalcustomers"].columns
     )
+
+
+def test_error_aggregates_artifact(result, spark):
+    """Stage 6 persists the per-(entity, code) aggregate frame as a parquet
+    audit artifact stamped with the submission id (the reference publishes
+    the same frame: dve pipeline/pipeline.py:730-746)."""
+    assert result.error_aggregates_path is not None
+    agg = spark.read.parquet(result.error_aggregates_path)
+    assert set(agg.columns) == {
+        "entity",
+        "error_code",
+        "failure_type",
+        "n_errors",
+        "n_records",
+        "submission_id",
+    }
+    rows = {r["error_code"]: r for r in agg.collect()}
+    # the fixture's known dirt is aggregated: contract violations + filters
+    assert "MISSING_MANDATORY_VALUE" in rows
+    assert rows["MISSING_MANDATORY_VALUE"]["n_errors"] >= 1
+    assert all(
+        r["submission_id"] == result.submission_id for r in rows.values()
+    )
+    # aggregate counts reconcile with the raw message feed
+    n_msgs = result.messages.count()
+    assert sum(r["n_errors"] for r in rows.values()) == n_msgs
+
+
+def test_runtime_templating_binds_at_evaluation(
+    spark, workspace, tmp_path_factory
+):
+    """templating_strategy: runtime defers Jinja rendering to evaluation
+    time, so a variable with no config-time value binds per submission via
+    run_pipeline(runtime_variables=...) (reference strategy:
+    dve backends/base/rules.py:572-594)."""
+    from data_validation_engine_spark.errors import ConfigurationError
+
+    doc = json.loads(json.dumps(DISCHEMA))
+    doc["transformations"]["templating_strategy"] = "runtime"
+    # a filter whose threshold is ONLY known at run time
+    doc["transformations"]["filters"].append(
+        {
+            "entity": "customers",
+            "name": "runtime_floor",
+            "expression": "c_custkey <> {{banned_key}}",
+            "error_code": "BANNED_{{banned_key}}",
+            "failure_message": "runtime-banned customer",
+            "reporting_field": "c_custkey",
+        }
+    )
+    d = workspace / "runtime_tpl"
+    d.mkdir(exist_ok=True)
+    (d / "test_ruleset.json").write_text(json.dumps(RULESET))
+    (d / "dischema.json").write_text(json.dumps(doc))
+
+    ds = load_dischema(d / "dischema.json")
+    # parse kept the rules deferred: nothing typed yet, raw dicts present
+    assert ds.templating_strategy == "runtime"
+    assert all(not r.pre_sync and not r.sync_filters for r in ds.rules)
+    assert any(r.raw_filters for r in ds.rules)
+
+    work = tmp_path_factory.mktemp("runtime_tpl_work")
+    res = run_pipeline(
+        spark,
+        d / "dischema.json",
+        {"customers": str(workspace / "customers.csv")},
+        work,
+        refdata_base_path=str(workspace),
+        write_report=False,
+        runtime_variables={"banned_key": 8},
+    )
+    assert res.success
+    codes = {r["error_code"] for r in res.messages.collect()}
+    assert "BANNED_8" in codes  # code itself templated at evaluation time
+    keys = {
+        r["c_custkey"]
+        for r in res.entities["customers"].select("c_custkey").collect()
+    }
+    assert 8 not in keys
+
+    # upfront dischemas must refuse runtime variables (their templates are
+    # already rendered — silently ignoring them would be a trap)
+    upfront = load_dischema(workspace / "dischema.json")
+    with pytest.raises(ConfigurationError, match="runtime"):
+        upfront.resolve({"banned_key": 8})
