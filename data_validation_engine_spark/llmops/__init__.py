@@ -24,6 +24,7 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 
 from data_validation_engine_spark.llmops.dedup import (
     connected_components,
+    connected_components_star,
     exact_dedup,
     minhash_dedup,
     minhash_pairs,
@@ -50,6 +51,7 @@ from data_validation_engine_spark.llmops.text import (
 
 __all__ = [
     "connected_components",
+    "connected_components_star",
     "exact_dedup",
     "minhash_dedup",
     "minhash_pairs",

@@ -262,6 +262,7 @@ def connected_components(
     pairs: DataFrame,
     *,
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of a similarity-pair graph: (id, component)
     with component = min id reachable from each node.
@@ -271,11 +272,12 @@ def connected_components(
     label changes (checked with one count per round — the driver loop is
     over ROUNDS, never rows, so this scales with cluster width). Rounds
     needed = graph diameter; near-dup graphs are shallow clusters, so
-    convergence is typically 2-3 rounds. (The large-star/small-star
-    algorithm halves round counts on adversarially deep graphs; the plain
-    propagation is the right complexity for dedup clusters.)
+    convergence is typically 2-3 rounds. For adversarially DEEP graphs
+    (long chains), use :func:`connected_components_star`, which converges
+    in O(log² n) rounds instead of O(diameter).
 
-    ``pairs`` must have ``id_a`` / ``id_b`` columns.
+    ``pairs`` must have ``id_a`` / ``id_b`` columns. ``stats`` (optional
+    dict) receives ``{"rounds": N}`` for convergence diagnostics.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -329,9 +331,114 @@ def connected_components(
             .count()
         )
         labels = updated
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (the MapReduce CC algorithm of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014 — public algorithm, re-implemented
+    on DataFrames). Returns ``(id, component)`` with component = min id.
+
+    Each round is two grouped aggregations + joins:
+
+    - large-star: every node links its LARGER neighbours to its smallest
+      neighbour (or itself) — long chains contract toward their minimum
+      from every node at once;
+    - small-star: every node links its smaller-or-equal neighbours to the
+      local minimum — flattening partial stars.
+
+    Converges in O(log² n) rounds regardless of graph DIAMETER, vs
+    :func:`connected_components`'s one-hop-per-round label propagation —
+    the right choice when dedup clusters can chain deeply (A~B~C~...~Z
+    corpora: each doc near-dups only its neighbour). Convergence is
+    detected by the edge multiset reaching a fixpoint (count + order-
+    independent hash checksum: two narrow aggregates per round).
+    """
+    # canonical undirected edge list, self-loops dropped
+    edges = (
+        pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("lo"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        .distinct()
+    )
+    all_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                # decimal accumulator: an int64 sum of 64-bit hashes
+                # overflows (ANSI mode raises)
+                F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iterations):
+        # large-star over the symmetric neighbourhood
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("__m"))
+        mins = mins.select(
+            "src", F.least(F.col("__m"), F.col("src")).alias("__m")
+        )
+        large = (
+            sym.join(mins, on="src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star over min-oriented edges (src > dst by construction)
+        smins = large.groupBy("src").agg(F.min("dst").alias("__m"))
+        small = (
+            large.join(smins, on="src")
+            .select(
+                F.col("dst").alias("src"), F.col("__m").alias("dst")
+            )  # link each smaller neighbour to the local min
+            .unionByName(
+                smins.select(F.col("src"), F.col("__m").alias("dst"))
+            )  # and the centre itself
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    return (
+        all_ids.join(
+            edges.select(F.col("src").alias("id"), F.col("dst").alias("__c")),
+            on="id",
+            how="left",
+        )
+        .select(
+            "id", F.coalesce(F.col("__c"), F.col("id")).alias("component")
+        )
+    )
 
 
 def minhash_dedup(
@@ -340,6 +447,7 @@ def minhash_dedup(
     text_col: str,
     *,
     exact_components: bool = False,
+    component_algorithm: str = "label",
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one representative per cluster.
@@ -349,11 +457,19 @@ def minhash_dedup(
     whose members only pair through a higher id (e.g. pairs (1,3) and
     (2,3): greedy keeps 1 AND 2; they are one cluster through 3).
     ``exact_components=True`` resolves true connected components
-    iteratively and keeps exactly the minimum id of each cluster.
+    iteratively and keeps exactly the minimum id of each cluster;
+    ``component_algorithm="star"`` uses large-star/small-star (O(log² n)
+    rounds) instead of label propagation (O(diameter) rounds) — for
+    corpora whose duplicate clusters chain deeply.
     """
     pairs = minhash_pairs(df, id_col, text_col, **kwargs)
     if exact_components:
-        comps = connected_components(pairs)
+        cc = (
+            connected_components_star
+            if component_algorithm == "star"
+            else connected_components
+        )
+        comps = cc(pairs)
         drops = comps.where(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
         )

@@ -523,3 +523,50 @@ def test_ann_partition_pruning(spark, embs, tmp_path):
     got = [(r["vec_id"], r["cosine"]) for r in probe.collect()]
     want = [(r["vec_id"], r["cosine"]) for r in flat.collect()]
     assert got == want
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Same clusters as min-label propagation on a mixed graph (two
+    transitive clusters + a singleton pair + isolated chain piece)."""
+    from data_validation_engine_spark.llmops.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21), (30, 31)],
+        "id_a long, id_b long",
+    )
+    label = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    star = {
+        (r["id"], r["component"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert star == label
+    assert (13, 10) in star and (3, 1) in star and (31, 30) in star
+
+
+def test_connected_components_star_fewer_rounds_on_deep_chain(spark):
+    """A 33-node chain is the adversarial case for label propagation (the
+    min label travels one hop per round -> rounds ~ diameter); the
+    star algorithm contracts the chain in O(log^2 n) rounds."""
+    from data_validation_engine_spark.llmops.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "id_a long, id_b long"
+    )
+    s_label, s_star = {}, {}
+    lab = connected_components(chain, max_iterations=64, stats=s_label)
+    star = connected_components_star(chain, stats=s_star)
+    assert {tuple(r) for r in lab.collect()} == {(i, 0) for i in range(33)}
+    assert {tuple(r) for r in star.collect()} == {(i, 0) for i in range(33)}
+    assert s_star["rounds"] < s_label["rounds"], (s_star, s_label)
+    # the gap is asymptotic, not incidental: diameter rounds vs ~log^2
+    assert s_label["rounds"] >= 32
+    assert s_star["rounds"] <= 10
