@@ -907,6 +907,115 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contract_error_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract error-detail overrides: per (field, reporting-category)
+    custom code / message / informational flag rewriting the compiled
+    checks (reference DataContractErrorDetail, dve message.py:35-52).
+    'Bad value' covers type AND constraint categories, so both of price's
+    value checks surface the overridden code."""
+    from data_validation_engine_spark.contract import (
+        apply_contract,
+        parse_contract,
+    )
+
+    contract = parse_contract(
+        _CONTRACT_DISCHEMA,
+        error_details={
+            "price": {
+                "Blank": {
+                    "error_code": "PRICE_REQUIRED",
+                    "error_message": "price must be supplied",
+                },
+                "Bad value": {
+                    "error_code": "PRICE_NOT_NUMERIC",
+                    "is_informational": True,
+                },
+            },
+            "odate": {
+                "Bad value": {"error_code": "DATE_FORMAT_DDMMYYYY"},
+            },
+        },
+    )
+    _, messages = apply_contract(
+        contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
+    )
+    return messages.selectExpr(
+        "entity",
+        "error_code",
+        "error_message",
+        "category",
+        "is_informational",
+        "CAST(reporting_field AS BIGINT) AS record_key",
+    )
+
+
+def q_contract_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract value-function library in the cast+check path: ``split``
+    extracts the numeric tail of c_name, ``exclude_word`` nulls HOUSEHOLD
+    segments, ``normalise`` capitalizes, ``static_key`` emits the join
+    constant. Checks run on the TRANSFORMED value (reference runs
+    functions in the pydantic validator chain, dve
+    function_wrapper.py:48-201), so customers whose mandatory segment was
+    excluded are rejected from the typed output."""
+    from data_validation_engine_spark.contract import (
+        apply_contract,
+        parse_contract,
+    )
+
+    cust = _load(spark, sf_dir, ["customer"])["customer"]
+    stringified = cust.selectExpr(
+        "CAST(c_custkey AS STRING) AS ck",
+        "c_name AS name_num",
+        "c_mktsegment AS segment",
+        "c_mktsegment AS join_key",
+    )
+    contract = parse_contract(
+        {
+            "contract": {
+                "datasets": {
+                    "cust_fn": {
+                        "fields": {
+                            "ck": "int",
+                            "name_num": {
+                                "type": "int",
+                                "functions": [
+                                    {
+                                        "name": "split",
+                                        "kwargs": {
+                                            "split_on": "#",
+                                            "keep": 1,
+                                        },
+                                    }
+                                ],
+                            },
+                            "segment": {
+                                "type": "str",
+                                "functions": [
+                                    {
+                                        "name": "exclude_word",
+                                        "kwargs": {"word": "household"},
+                                    },
+                                    {
+                                        "name": "normalise",
+                                        "kwargs": {"capitalize": True},
+                                    },
+                                ],
+                            },
+                            "join_key": {
+                                "type": "str",
+                                "functions": [{"name": "static_key"}],
+                            },
+                        },
+                        "mandatory_fields": ["segment"],
+                    }
+                }
+            }
+        }
+    )
+    typed, _ = apply_contract(contract.entity("cust_fn"), stringified)
+    return typed.selectExpr("ck", "name_num", "segment", "join_key")
+
+
 def q_streaming_sync_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming lift of the sync-filter stage, oracle-checkable.
 
@@ -1437,6 +1546,76 @@ _ORACLES: dict[str, str] = {
         SELECT 'orders', 'PENDING', 'order pending', 'record', o_orderkey
         FROM orders WHERE NOT COALESCE(o_orderstatus <> 'P', FALSE)
     """,
+    "contract_error_details": """
+        WITH stringified AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        WHEN o_orderkey % 7 = 0 THEN 'junk'
+                        ELSE CAST(o_totalprice AS VARCHAR) END AS price,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%d/%m/%Y') END AS odate
+            FROM orders
+        )
+        SELECT 'orders_sub' AS entity, 'PRICE_REQUIRED' AS error_code,
+               'price must be supplied' AS error_message,
+               'missing' AS category, FALSE AS is_informational,
+               CAST(okey AS BIGINT) AS record_key
+        FROM stringified
+        WHERE NOT COALESCE(price IS NOT NULL AND TRIM(price) <> '', FALSE)
+        UNION ALL
+        SELECT 'orders_sub', 'PRICE_NOT_NUMERIC',
+               'Field price failed INVALID_NUMBER', 'type', TRUE,
+               CAST(okey AS BIGINT)
+        FROM stringified
+        WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
+              OR TRY_CAST(TRIM(price) AS DOUBLE) IS NOT NULL, FALSE)
+        UNION ALL
+        SELECT 'orders_sub', 'PRICE_NOT_NUMERIC',
+               'Field price failed OUT_OF_RANGE_GT', 'constraint', TRUE,
+               CAST(okey AS BIGINT)
+        FROM stringified
+        WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
+              OR TRY_CAST(TRIM(price) AS DOUBLE) > 0, FALSE)
+        UNION ALL
+        SELECT 'orders_sub', 'DATE_FORMAT_DDMMYYYY',
+               'Field odate failed INVALID_DATE', 'type', FALSE,
+               CAST(okey AS BIGINT)
+        FROM stringified
+        WHERE NOT COALESCE(odate IS NULL OR TRIM(odate) = ''
+              OR (CASE WHEN regexp_matches(TRIM(odate),
+                           '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+                       THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
+                       ELSE NULL END) IS NOT NULL, FALSE)
+    """,
+    "contract_functions": """
+        WITH s AS (
+            SELECT CAST(c_custkey AS VARCHAR) AS ck, c_name AS nm,
+                   c_mktsegment AS seg
+            FROM customer
+        ), excluded AS (
+            SELECT ck, nm,
+                   CASE WHEN seg IS NULL OR TRIM(seg) = '' THEN NULL
+                        WHEN LOWER(seg) LIKE '%household%' THEN NULL
+                        ELSE seg END AS seg2
+            FROM s
+        ), t AS (
+            SELECT
+                TRY_CAST(TRIM(ck) AS BIGINT) AS ck,
+                TRY_CAST(TRIM(
+                    CASE WHEN nm IS NULL OR TRIM(nm) = '' THEN NULL
+                         ELSE string_split(nm, '#')[2] END
+                ) AS BIGINT) AS name_num,
+                CASE WHEN seg2 IS NULL OR TRIM(seg2) = '' THEN NULL
+                     ELSE UPPER(SUBSTRING(seg2, 1, 1)) ||
+                          LOWER(SUBSTRING(seg2, 2))
+                END AS segment,
+                '1' AS join_key
+            FROM excluded
+        )
+        SELECT * FROM t
+        WHERE segment IS NOT NULL AND TRIM(segment) <> ''
+    """,
     "streaming_sync_messages": """
         SELECT 'stream' AS entity, 'VALUE_RANGE' AS error_code,
                'value out of range' AS error_message,
@@ -1659,6 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "contract_functions": q_contract_functions,
+        "contract_error_details": q_contract_error_details,
         # streaming (availableNow drain over the events table)
         "streaming_sync_messages": q_streaming_sync_messages,
     }

@@ -14,9 +14,10 @@ desc)`` (dve spark/auditing.py:143-162).
 from __future__ import annotations
 
 import datetime as dt
+import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -72,6 +73,56 @@ AUDIT_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# Delta commit-race exception class names (surface inside Py4J error text;
+# parquet appends never raise these, so the wrapper is a no-op there)
+_CONCURRENT_ERROR_NAMES = (
+    "ConcurrentAppendException",
+    "ConcurrentDeleteReadException",
+    "ConcurrentDeleteDeleteException",
+    "ConcurrentTransactionException",
+    "ConcurrentWriteException",
+    "DeltaConcurrentModificationException",
+    "MetadataChangedException",
+    "ProtocolChangedException",
+)
+
+
+def is_concurrent_write_error(exc: BaseException) -> bool:
+    """Does this exception indicate a lost Delta commit race?"""
+    text = f"{type(exc).__name__}: {exc}"
+    return any(name in text for name in _CONCURRENT_ERROR_NAMES)
+
+
+def retry_concurrent_append(
+    fn: Callable[[], Any],
+    *,
+    max_retries: int = 60,
+    sleep_seconds: float = 1.0,
+) -> Any:
+    """Bounded retry around an append that can lose a Delta commit race
+    when many submissions audit concurrently.
+
+    Same contract as the reference's ``audit_retry`` (1 s sleep, up to 60
+    attempts, dve spark_helpers.py:457-486) with one deliberate deviation:
+    on exhaustion the last error is RE-RAISED — the reference returns
+    ``None``, silently dropping the audit row, and a lost audit record is
+    worse than a loud failure. Non-concurrency errors propagate
+    immediately.
+    """
+    last: BaseException | None = None
+    for _ in range(max(1, max_retries)):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 - filtered below
+            if not is_concurrent_write_error(exc):
+                raise
+            last = exc
+            if sleep_seconds:
+                time.sleep(sleep_seconds)
+    assert last is not None
+    raise last
+
+
 def _has_delta(spark: SparkSession) -> bool:
     try:
         # py4j resolves missing packages lazily; Class.forName is a real probe
@@ -90,6 +141,8 @@ class AuditLog:
     spark: SparkSession
     base_uri: str
     fmt: str = field(default="")
+    max_append_retries: int = 60
+    retry_sleep_seconds: float = 1.0
 
     def __post_init__(self) -> None:
         if not self.fmt:
@@ -108,12 +161,20 @@ class AuditLog:
             rec.setdefault("date_updated", rec["time_updated"].date())
             rows.append(tuple(rec.get(f.name) for f in schema.fields))
         df = self.spark.createDataFrame(rows, schema)
-        (
-            df.coalesce(1)
-            .write.format(self.fmt)
-            .mode("append")
-            .partitionBy("date_updated")
-            .save(self._uri(table))
+
+        def _write() -> None:
+            (
+                df.coalesce(1)
+                .write.format(self.fmt)
+                .mode("append")
+                .partitionBy("date_updated")
+                .save(self._uri(table))
+            )
+
+        retry_concurrent_append(
+            _write,
+            max_retries=self.max_append_retries,
+            sleep_seconds=self.retry_sleep_seconds,
         )
 
     def read(self, table: str) -> DataFrame:

@@ -234,3 +234,60 @@ def test_csv_positional_without_header(spark, tmp_path):
     )
     rows = {r["name"]: r["age"] for r in df.collect()}
     assert rows == {"alice": "30", "bob": "40"}
+
+
+# -- concurrent-append retry (sinks/audit.py) --------------------------------
+
+
+def test_retry_concurrent_append_retries_commit_races():
+    from data_validation_engine_spark.sinks.audit import (
+        retry_concurrent_append,
+    )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "io.delta.exceptions.ConcurrentAppendException: Files were "
+                "added to partition [date_updated=2026-01-01] by a "
+                "concurrent update."
+            )
+        return "ok"
+
+    assert (
+        retry_concurrent_append(flaky, max_retries=5, sleep_seconds=0)
+        == "ok"
+    )
+    assert calls["n"] == 3
+
+
+def test_retry_concurrent_append_raises_on_exhaustion():
+    from data_validation_engine_spark.sinks.audit import (
+        retry_concurrent_append,
+    )
+
+    def always_racing():
+        raise RuntimeError("DeltaConcurrentModificationException: retry me")
+
+    with pytest.raises(RuntimeError, match="DeltaConcurrent"):
+        retry_concurrent_append(
+            always_racing, max_retries=3, sleep_seconds=0
+        )
+
+
+def test_retry_concurrent_append_propagates_other_errors():
+    from data_validation_engine_spark.sinks.audit import (
+        retry_concurrent_append,
+    )
+
+    calls = {"n": 0}
+
+    def broken():
+        calls["n"] += 1
+        raise ValueError("schema mismatch")
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        retry_concurrent_append(broken, max_retries=5, sleep_seconds=0)
+    assert calls["n"] == 1  # not a commit race: no retry
