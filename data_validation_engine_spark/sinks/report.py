@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 
 def error_aggregates(messages: DataFrame) -> DataFrame:
-    """Per (entity, error code) counts — the report's aggregates sheet."""
+    """Per (entity, error code) counts — the machine-readable audit
+    artifact (engine-native column names; the report sheets use the
+    reference-shaped frames below)."""
     return (
         messages.groupBy("entity", "error_code", "failure_type")
         .agg(
@@ -23,6 +25,76 @@ def error_aggregates(messages: DataFrame) -> DataFrame:
             F.count_distinct(F.col("__record_index__")).alias("n_records"),
         )
         .orderBy("entity", "error_code")
+    )
+
+
+def report_type_col() -> "F.Column":
+    """The reference's report category (dve reporting/constants.py:8-22):
+    informational -> Warning, record failures -> Record Rejection,
+    everything else (submission/integrity) -> File Rejection."""
+    return (
+        F.when(F.col("is_informational"), F.lit("Warning"))
+        .when(F.col("failure_type") == "record", F.lit("Record Rejection"))
+        .otherwise(F.lit("File Rejection"))
+    )
+
+
+def report_detail(messages: DataFrame) -> DataFrame:
+    """Reference-shaped error detail sheet (ERROR_SCHEMA, dve
+    reporting/error_report.py:16-26): Table/Type/Error_Code/Data_Item/
+    Error/Record_Index/Value/ID/Category, sorted by Type."""
+    return messages.select(
+        F.col("entity").alias("Table"),
+        report_type_col().alias("Type"),
+        F.col("error_code").alias("Error_Code"),
+        F.col("error_location").alias("Data_Item"),
+        F.col("error_message").alias("Error"),
+        F.col("__record_index__").alias("Record_Index"),
+        F.col("value").alias("Value"),
+        F.col("reporting_field").alias("ID"),
+        F.col("category").alias("Category"),
+    ).orderBy("Type", "Table", "Record_Index")
+
+
+def report_aggregates(messages: DataFrame) -> DataFrame:
+    """Reference-shaped aggregates sheet (AGGREGATE_SCHEMA +
+    calculate_aggregates, dve reporting/error_report.py:28-36,115-140):
+    counts per Type/Table/Data_Item/Category/Error_Code, Type ascending
+    then Count descending."""
+    return (
+        messages.select(
+            report_type_col().alias("Type"),
+            F.col("entity").alias("Table"),
+            F.col("error_location").alias("Data_Item"),
+            F.col("category").alias("Category"),
+            F.col("error_code").alias("Error_Code"),
+        )
+        .groupBy("Type", "Table", "Data_Item", "Category", "Error_Code")
+        .agg(F.count(F.lit(1)).alias("Count"))
+        .orderBy(F.col("Type").asc(), F.col("Count").desc())
+    )
+
+
+REPORT_CATEGORIES = ("File Rejection", "Record Rejection", "Warning")
+
+
+def report_summary(messages: DataFrame) -> DataFrame:
+    """Summary sheet: one row per report category in the reference's
+    heading order, zero-filled so all three rows are always present
+    (dve SummaryItems row_headings, reporting/excel_report.py)."""
+    spark = messages.sparkSession
+    headings = spark.createDataFrame(
+        [(c,) for c in REPORT_CATEGORIES], "Type string"
+    )
+    counts = (
+        messages.select(report_type_col().alias("Type"))
+        .groupBy("Type")
+        .agg(F.count(F.lit(1)).alias("Count"))
+    )
+    return (
+        headings.join(counts, on="Type", how="left")
+        .select("Type", F.coalesce("Count", F.lit(0)).alias("Count"))
+        .orderBy("Type")
     )
 
 
@@ -37,26 +109,9 @@ def write_error_report(
     Uses openpyxl when available (xlsx: summary + detail + aggregates
     sheets), else CSVs in a directory.
     """
-    aggregates = error_aggregates(messages).toPandas()
-    detail = (
-        messages.select(
-            "entity",
-            "__record_index__",
-            "error_code",
-            "error_message",
-            "error_location",
-            "failure_type",
-            "is_informational",
-            "reporting_field",
-        )
-        .limit(max_detail_rows)
-        .toPandas()
-    )
-    summary = (
-        messages.groupBy("failure_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .toPandas()
-    )
+    aggregates = report_aggregates(messages).toPandas()
+    detail = report_detail(messages).limit(max_detail_rows).toPandas()
+    summary = report_summary(messages).toPandas()
 
     try:
         import openpyxl  # noqa: F401

@@ -204,7 +204,24 @@ def test_error_report_csv_fallback(spark, tmp):
     import pandas as pd
 
     aggs = pd.read_csv(f"{out}/aggregates.csv")
-    assert aggs["n_errors"].sum() == 2
+    # reference-shaped aggregates sheet (Type/Table/Data_Item/Category/
+    # Error_Code/Count)
+    assert list(aggs.columns) == [
+        "Type", "Table", "Data_Item", "Category", "Error_Code", "Count",
+    ]
+    assert aggs["Count"].sum() == 2
+    assert set(aggs["Type"]) == {"Record Rejection"}
+    summary = pd.read_csv(f"{out}/summary.csv")
+    # all three category rows always present, zero-filled
+    assert list(summary["Type"]) == [
+        "File Rejection", "Record Rejection", "Warning",
+    ]
+    assert list(summary["Count"]) == [0, 2, 0]
+    detail = pd.read_csv(f"{out}/errors.csv")
+    assert list(detail.columns) == [
+        "Table", "Type", "Error_Code", "Data_Item", "Error",
+        "Record_Index", "Value", "ID", "Category",
+    ]
 
 
 def test_csv_maps_columns_by_header_name(spark, tmp_path):
