@@ -523,6 +523,7 @@ def process_landing(
     refdata_base_path: str | None = None,
     audit_path: str | None = None,
     write_report: bool = True,
+    runtime_variables: dict[str, Any] | None = None,
 ) -> list[PipelineResult]:
     """Process every submission waiting under a landing prefix.
 
@@ -602,6 +603,17 @@ def process_landing(
                 submission_id=submission_id,
                 submission_info=submission_info or None,
                 write_report=write_report,
+                # runtime-strategy dischemas can bind per-submission values:
+                # shared runtime_variables plus the submission's own
+                # metadata under `submission` (e.g. {{submission.file_name}})
+                runtime_variables=(
+                    {
+                        **(runtime_variables or {}),
+                        "submission": dict(submission_info or {}),
+                    }
+                    if dischema.templating_strategy == "runtime"
+                    else runtime_variables
+                ),
             )
         )
     return results

@@ -593,3 +593,51 @@ def test_runtime_templating_binds_at_evaluation(
     upfront = load_dischema(workspace / "dischema.json")
     with pytest.raises(ConfigurationError, match="runtime"):
         upfront.resolve({"banned_key": 8})
+
+
+def test_process_landing_binds_submission_metadata_at_runtime(
+    spark, workspace, tmp_path_factory
+):
+    """Under the runtime templating strategy, landing orchestration binds
+    each submission's metadata as the `submission` template variable, so
+    rules can reference e.g. {{submission.dataset_id}} per file."""
+    import shutil
+
+    from data_validation_engine_spark.pipeline import process_landing
+
+    doc = json.loads(json.dumps(DISCHEMA))
+    doc["transformations"]["templating_strategy"] = "runtime"
+    doc["transformations"]["rules"].append(
+        {
+            "operation": "add",
+            "entity": "customers",
+            "column_name": "dataset_tag",
+            "expression": "'{{submission.dataset_id}}'",
+        }
+    )
+    d = workspace / "landing_runtime"
+    d.mkdir(exist_ok=True)
+    (d / "test_ruleset.json").write_text(json.dumps(RULESET))
+    (d / "dischema.json").write_text(json.dumps(doc))
+
+    root = tmp_path_factory.mktemp("landing_runtime_root")
+    landing = root / "landing"
+    landing.mkdir()
+    shutil.copy(workspace / "customers.csv", landing / "customers.csv")
+    (landing / "customers.csv.metadata.json").write_text(
+        json.dumps({"dataset_id": "cohort_42", "file_name": "customers.csv"})
+    )
+    results = process_landing(
+        spark,
+        d / "dischema.json",
+        str(landing),
+        root / "out",
+        refdata_base_path=str(workspace),
+        write_report=False,
+    )
+    assert len(results) == 1 and results[0].success
+    tags = {
+        r["dataset_tag"]
+        for r in results[0].entities["customers"].select("dataset_tag").collect()
+    }
+    assert tags == {"cohort_42"}
