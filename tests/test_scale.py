@@ -75,3 +75,20 @@ def test_salted_join_matches_plain_join(spark):
     a = {tuple(r) for r in salted.select("c_custkey", "n_name").collect()}
     b = {tuple(r) for r in plain.select("c_custkey", "n_name").collect()}
     assert a == b
+
+def test_entry_contract_queries_single_scan_no_shuffle(spark):
+    """The contract check/message queries must stay one-scan, zero-shuffle
+    shapes: N checks compile to one projection + one explode, never a
+    scan-per-check or a join (the scan-per-filter shape is the reference
+    behaviour this engine deliberately replaced)."""
+    import __spark_entry__ as entry
+
+    for name in ("contract_functions", "contract_error_details",
+                 "contract_messages", "contract_cast"):
+        df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, name
+        assert not any(
+            "Exchange" in line for line in plan.splitlines()
+        ), name
+        assert "CartesianProduct" not in plan, name
