@@ -696,6 +696,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_step_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE path to exact dedup: the same operator driven as a
+    dischema step config through the step engine (steps/configs.py
+    ExactDedup -> engine.dedup_exact) instead of a direct library call —
+    proving the JSON-declarable corpus vocabulary computes identically.
+    Oracle: same SQL as dedup_exact."""
+    from data_validation_engine_spark.steps import parse_step
+
+    docs = _docs(spark, sf_dir)
+    entities = {"documents": docs.unionByName(docs.where("doc_id % 10 = 0"))}
+    _engine(spark).evaluate(
+        entities,
+        config=parse_step(
+            {
+                "operation": "dedup_exact",
+                "entity_name": "documents",
+                "key_columns": ["text"],
+                "order_column": "doc_id",
+                "new_entity_name": "deduped",
+            }
+        ),
+    )
+    return entities["deduped"].selectExpr("doc_id", "n_chars", "n_copies")
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (banded candidates, exact-Jaccard
     verified; no cartesian product in the plan)."""
@@ -1325,6 +1350,18 @@ _LLMOPS_ORACLES: dict[str, str] = {
         FROM dup_in
         GROUP BY md5(text)
     """,
+    "step_dedup_exact": """
+        WITH dup_in AS (
+            SELECT * FROM documents
+            UNION ALL
+            SELECT * FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT arg_min(doc_id, doc_id) AS doc_id,
+               arg_min(n_chars, doc_id) AS n_chars,
+               count(*) AS n_copies
+        FROM dup_in
+        GROUP BY md5(text)
+    """,
     "dedup_minhash": _dedup_minhash_oracle(),
     "dedup_simhash": _dedup_simhash_oracle(),
     "similarity_topk": _similarity_topk_oracle(),
@@ -1823,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_index": q_record_index,
         # llmops (training-data pipeline operators)
         "dedup_exact": q_dedup_exact,
+        "step_dedup_exact": q_step_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,

@@ -10,8 +10,11 @@ Two paths, one exact and one sub-linear:
 - :func:`ann_topk` — LSH-bucketed approximate path: random-hyperplane signs
   partition vectors into 2^planes buckets; a query probes only its own
   bucket, so the scored fraction is ~1/2^planes of the table. Bucketing is
-  a per-row projection (no shuffle); at scale the table would be written
-  partitioned by bucket so a probe prunes to one partition.
+  a per-row projection (no shuffle). The scale path for REPEATED probes is
+  :func:`write_lsh_partitioned` + :func:`ann_topk_partitioned`: the table
+  is persisted partitioned by bucket and a probe pushes a static partition
+  filter, so the scan reads one directory (plan-asserted in
+  ``tests/test_llmops.py::test_ann_partition_pruning``).
 
 Numeric portability: all arithmetic is double-precision left-fold sums in
 array index order (``aggregate(zip_with(...))``), which is bit-identical to
