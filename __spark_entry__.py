@@ -1061,10 +1061,9 @@ def q_streaming_sync_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_sync_filters,
     )
 
-    # explicit SUBSET schema: the filters never touch ts, and pruning it at
-    # the scan also sidesteps the TIMESTAMP(NANOS) parquet type Spark's
-    # vectorized reader rejects (events.parquet stores nanosecond
-    # timestamps; declared-schema pruning means the column is never read)
+    # explicit SUBSET schema: the filters never touch ts (events.parquet
+    # stores timestamp[us], directly readable), so declared-schema pruning
+    # keeps the column out of the scan entirely — narrower stream state
     schema = (
         "event_id long, user_id long, event_type string, "
         "value double, props string"

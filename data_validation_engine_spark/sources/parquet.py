@@ -22,7 +22,13 @@ def read_parquet_nanos_safe(
     (PARQUET_TYPE_ILLEGAL). This reads them as nano-precision longs
     (``spark.sql.legacy.parquet.nanosAsLong``) and converts the named
     columns to microsecond timestamps — precision loss below 1µs only.
+
+    Dtype-aware: a named column that already loads as a timestamp (the file
+    stores µs/ms precision, so ``nanosAsLong`` was a no-op) passes through
+    unchanged — the same call works on mixed-precision datasets.
     """
+    from pyspark.sql.types import LongType
+
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -30,9 +36,10 @@ def read_parquet_nanos_safe(
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     for c in nanos_timestamp_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-        )
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+            )
     return df
 
 

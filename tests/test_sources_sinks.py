@@ -308,3 +308,52 @@ def test_retry_concurrent_append_propagates_other_errors():
     with pytest.raises(ValueError, match="schema mismatch"):
         retry_concurrent_append(broken, max_retries=5, sleep_seconds=0)
     assert calls["n"] == 1  # not a commit race: no retry
+
+
+def test_read_parquet_nanos_safe_on_true_nanos_file(spark, tmp):
+    """A pyarrow-written TIMESTAMP(NANOS) column round-trips to a µs
+    timestamp (sub-µs precision truncated)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_validation_engine_spark.sources import read_parquet_nanos_safe
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [base, base + datetime.timedelta(microseconds=5)],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    p = str(tmp / "nanos.parquet")
+    pq.write_table(tbl, p)
+    assert pq.read_schema(p).field("ts").type == pa.timestamp("ns")
+
+    df = read_parquet_nanos_safe(spark, p, nanos_timestamp_cols=("ts",))
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = {r["id"]: r["ts"] for r in df.collect()}
+    assert got[1] == base
+    assert got[2] == base + datetime.timedelta(microseconds=5)
+    # conf restored — no leakage into the session
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    )
+
+
+def test_read_parquet_nanos_safe_passes_through_micros(spark):
+    """The real events.parquet stores timestamp[us]; naming its ts column
+    must be a no-op pass-through, not a crash (round-4 regression)."""
+    from data_validation_engine_spark.sources import read_parquet_nanos_safe
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    plain = spark.read.parquet(path)
+    safe = read_parquet_nanos_safe(spark, path, nanos_timestamp_cols=("ts",))
+    assert safe.schema == plain.schema
+    a = plain.orderBy("event_id").limit(5).collect()
+    b = safe.orderBy("event_id").limit(5).collect()
+    assert a == b

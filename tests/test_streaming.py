@@ -22,8 +22,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(autouse=True)
 def _nanos_as_long(spark):
-    # events.parquet carries TIMESTAMP(NANOS) — unreadable by Spark without
-    # the legacy long mapping (see sources.parquet.read_parquet_nanos_safe)
+    # Harmless for the current testdata (events.parquet stores timestamp[us]
+    # at every scale factor); lets the same fixtures read a TIMESTAMP(NANOS)
+    # file as nano-longs should the generator ever switch back — _with_ts
+    # below converts dtype-aware either way.
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     yield
@@ -31,11 +33,20 @@ def _nanos_as_long(spark):
 
 
 def _with_ts(df):
+    # Dtype-aware: a nanos-as-long read converts via timestamp_micros; the
+    # current µs files load as TIMESTAMP_NTZ, which watermarks reject, so
+    # cast to session-tz TIMESTAMP; a plain TIMESTAMP passes through.
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 @pytest.fixture()
