@@ -809,6 +809,46 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(embs, threshold=0.3)
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters end-to-end: MinHash-LSH near-dup pairs fed to
+    label-propagation connected components (component = min reachable id).
+    The oracle recomputes the same pair graph in SQL and resolves
+    components with a recursive CTE — the full fuzzy-dedup pipeline is
+    hash-checked, not just the pair stage."""
+    from data_validation_engine_spark.llmops import (
+        connected_components,
+        minhash_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+    return connected_components(pairs).select("id", "component")
+
+
+def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster resolution via the large-star/small-star algorithm
+    (O(log² n) rounds — the deep-chain scale path); identical oracle, so
+    both CC implementations are proven equal on the same graph."""
+    from data_validation_engine_spark.llmops import (
+        connected_components_star,
+        minhash_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+    return connected_components_star(pairs).select("id", "component")
+
+
+def q_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified multi-probe ANN: vec 0's bucket probed in 3
+    independent hyperplane tables, candidates unioned + deduplicated,
+    exact cosine ranking."""
+    from data_validation_engine_spark.llmops import multiprobe_ann_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return multiprobe_ann_topk(embs, embs.where("vec_id = 0"), 10)
+
+
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round-trip: nation written to CSV, read back stringified
     via the engine reader, cast to types (oracle = the parquet table)."""
@@ -1112,6 +1152,153 @@ def q_streaming_sync_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# full events schema with ts declared as session-tz TIMESTAMP: watermarks
+# reject TIMESTAMP_NTZ, and declaring the type up front reads the stored
+# µs values as session-local wall-clock — the same interpretation DuckDB's
+# naive timestamps give the oracle
+_EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup drained under availableNow.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first-seen row per key, so
+    only the KEY COLUMNS are deterministic — the query returns exactly
+    those, making the drained output hash-comparable to ``SELECT
+    DISTINCT`` over the same table. The watermark horizon covers the whole
+    synthetic range, so no key is dropped for lateness.
+    """
+    import tempfile
+
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_exact_dedup,
+    )
+
+    sdf = read_entity_stream(
+        spark,
+        sf_dir,
+        _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    deduped = streaming_exact_dedup(
+        sdf, ["user_id", "event_type"], ts_col="ts", watermark="366 days"
+    )
+    out = tempfile.mkdtemp(prefix="dve_stream_dedup_")
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{out}/data").select("user_id", "event_type")
+
+
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly windowed counts drained under availableNow.
+
+    Append mode emits exactly the windows closed by the final watermark
+    (window end <= max event time - delay; Spark runs a trailing no-data
+    micro-batch to flush them), so the drained set is deterministic and
+    the oracle is a plain filtered GROUP BY. Window starts are returned as
+    formatted strings so the comparison is engine-neutral.
+    """
+    import tempfile
+
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        windowed_counts,
+    )
+
+    sdf = read_entity_stream(
+        spark,
+        sf_dir,
+        _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    agg = windowed_counts(
+        sdf, "ts", window="1 hour", watermark="2 hours",
+        group_by=["event_type"],
+    )
+    out = tempfile.mkdtemp(prefix="dve_stream_win_")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{out}/data").selectExpr(
+        "date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS win_start",
+        "event_type",
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer-sink round-trips (SURVEY §2.2 — sinks proven by read-back)
+# ---------------------------------------------------------------------------
+
+def q_sink_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity parquet sink round-trip: nation (with the internal record
+    index attached) through ``write_entities`` and read back — proving the
+    overwrite write lands and the engine-internal index column is dropped
+    at the boundary (sinks/entities.py:18-38)."""
+    import tempfile
+
+    from data_validation_engine_spark.contract import add_record_index
+    from data_validation_engine_spark.sinks.entities import write_entities
+
+    ents = _load(spark, sf_dir, ["nation"])
+    out = tempfile.mkdtemp(prefix="dve_sink_entities_")
+    written = write_entities({"nation": add_record_index(ents["nation"])}, out)
+    back = spark.read.parquet(written["nation"])
+    assert "__record_index__" not in back.columns
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q_sink_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL error sink round-trip: notification messages written with
+    ``write_messages_jsonl`` and read back under the declared message
+    schema (sinks/errors.py:13-16) — same oracle as the notification
+    step, so the sink is proven value-preserving, not just non-crashing."""
+    import tempfile
+
+    from data_validation_engine_spark.messages import MESSAGE_SCHEMA
+    from data_validation_engine_spark.sinks.errors import write_messages_jsonl
+
+    ents = _load(spark, sf_dir, ["customer"])
+    msgs = _engine(spark).evaluate(
+        ents,
+        config=Notification(
+            entity_name="customer",
+            expression="c_acctbal < 0",
+            reporting=Reporting(
+                code="NEG_BAL",
+                message="customer {{c_name}} has negative balance",
+                reporting_field="c_custkey",
+            ),
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="dve_sink_errors_") + "/errors"
+    write_messages_jsonl(msgs, out, mode="overwrite")
+    feed = spark.read.schema(MESSAGE_SCHEMA).json(out)
+    return feed.selectExpr(
+        "entity",
+        "error_code",
+        "error_message",
+        "CAST(reporting_field AS BIGINT) AS record_key",
+    )
+
+
 # ---------------------------------------------------------------------------
 # llmops oracle SQL builders (DuckDB)
 # ---------------------------------------------------------------------------
@@ -1133,9 +1320,12 @@ def _duck_shingles(n: int = 3) -> str:
     )
 
 
-def _dedup_minhash_oracle(
+def _minhash_pair_ctes(
     num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
 ) -> str:
+    """Shared CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — used by
+    the minhash-pair oracle and, with a recursive suffix, the
+    connected-components oracles."""
     rows = num_hashes // bands
     sig = ", ".join(
         f"list_min(list_transform(shingles, s -> md5('mh{i}|' || s)))"
@@ -1144,8 +1334,7 @@ def _dedup_minhash_oracle(
     band_key = " || '|' || ".join(
         f"sig[b * {rows} + {j + 1}]" for j in range(rows)
     )
-    return f"""
-        WITH toked AS (
+    return f"""toked AS (
             SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
         ),
         sh AS (
@@ -1166,14 +1355,44 @@ def _dedup_minhash_oracle(
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                             / len(list_distinct(list_concat(sh_a, sh_b))), 6)
+                           AS jaccard
+                FROM cand
+            ) WHERE jaccard >= {threshold}
+        )"""
+
+
+def _dedup_minhash_oracle(
+    num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
+) -> str:
+    return (
+        f"WITH {_minhash_pair_ctes(num_hashes, bands, threshold)} "
+        f"SELECT id_a, id_b, jaccard FROM pairs"
+    )
+
+
+def _connected_components_oracle(threshold: float = 0.5) -> str:
+    """Components of the minhash pair graph: min reachable id per node via
+    a recursive reachability CTE (UNION dedups, so it terminates)."""
+    return f"""
+        WITH RECURSIVE {_minhash_pair_ctes(threshold=threshold)},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT reach.id, e.dst
+            FROM reach JOIN edges e ON reach.r = e.src
         )
-        SELECT id_a, id_b, jaccard FROM (
-            SELECT id_a, id_b,
-                   round(len(list_intersect(sh_a, sh_b))::DOUBLE
-                         / len(list_distinct(list_concat(sh_a, sh_b))), 6)
-                       AS jaccard
-            FROM cand
-        ) WHERE jaccard >= {threshold}
+        SELECT id, min(r) AS component FROM reach GROUP BY id
     """
 
 
@@ -1251,6 +1470,53 @@ def _similarity_ann_oracle(k: int = 10, n_planes: int = 4, dim: int = 64) -> str
         FROM t e JOIN q ON e.bucket = q.qbucket
         WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _multiprobe_ann_oracle(
+    k: int = 10, n_planes: int = 6, n_tables: int = 3, dim: int = 64
+) -> str:
+    from data_validation_engine_spark.llmops.similarity import hyperplanes
+
+    def bucket(vec: str, planes: list[list[float]]) -> str:
+        bits = []
+        for plane in planes:
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            bits.append(
+                f"CASE WHEN {_duck_dot(vec, lit, dim)} >= 0 "
+                f"THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits)
+
+    tables = [
+        hyperplanes(n_planes, dim, offset=t * n_planes)
+        for t in range(n_tables)
+    ]
+    q_buckets = ", ".join(
+        f"{bucket('embedding', planes)} AS qb{t}"
+        for t, planes in enumerate(tables)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT e.vec_id FROM embeddings e, q "
+        f"WHERE {bucket('e.embedding', planes)} = q.qb{t}"
+        for t, planes in enumerate(tables)
+    )
+    cos = (
+        f"round({_duck_dot('e.embedding', 'q.qv', dim)} / "
+        f"(sqrt({_duck_dot('e.embedding', 'e.embedding', dim)}) * "
+        f"sqrt({_duck_dot('q.qv', 'q.qv', dim)})), 6)"
+    )
+    return f"""
+        WITH q AS (
+            SELECT embedding AS qv, {q_buckets}
+            FROM embeddings WHERE vec_id = 0
+        ),
+        cand AS (SELECT DISTINCT vec_id FROM ({probes}))
+        SELECT e.vec_id, {cos} AS cosine
+        FROM embeddings e JOIN cand USING (vec_id), q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC
         LIMIT {k}
     """
 
@@ -1363,8 +1629,11 @@ _LLMOPS_ORACLES: dict[str, str] = {
     """,
     "dedup_minhash": _dedup_minhash_oracle(),
     "dedup_simhash": _dedup_simhash_oracle(),
+    "connected_components": _connected_components_oracle(),
+    "connected_components_star": _connected_components_oracle(),
     "similarity_topk": _similarity_topk_oracle(),
     "similarity_ann": _similarity_ann_oracle(),
+    "multiprobe_ann": _multiprobe_ann_oracle(),
     "embedding_neardup": _embedding_neardup_oracle(threshold=0.3),
     "source_csv": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -1661,6 +1930,33 @@ _ORACLES: dict[str, str] = {
         SELECT 'stream', 'ERROR_EVENT', 'error event', 'record', event_id
         FROM events WHERE NOT COALESCE(event_type <> 'error', FALSE)
     """,
+    "streaming_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # append-mode emission: windows closed by the final watermark
+    # (window end <= max event time - 2h); hourly Spark windows align to
+    # epoch, i.e. date_trunc('hour') for whole-hour widths
+    "streaming_window_counts": """
+        WITH m AS (SELECT max(ts) AS mx FROM events)
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS win_start,
+               event_type,
+               count(*) AS n
+        FROM events, m
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                  <= mx - INTERVAL 2 HOUR
+        GROUP BY 1, 2
+    """,
+    "sink_entities": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    "sink_errors": """
+        SELECT 'customer' AS entity, 'NEG_BAL' AS error_code,
+               'customer ' || c_name || ' has negative balance'
+                   AS error_message,
+               c_custkey AS record_key
+        FROM customer WHERE c_acctbal < 0
+    """,
     "entity_ops": """
         SELECT n_nationkey, n_name FROM nation
     """,
@@ -1862,8 +2158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "step_dedup_exact": q_step_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "connected_components": q_connected_components,
+        "connected_components_star": q_connected_components_star,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "multiprobe_ann": q_multiprobe_ann,
         "embedding_neardup": q_embedding_neardup,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
@@ -1877,8 +2176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "contract_functions": q_contract_functions,
         "contract_error_details": q_contract_error_details,
-        # streaming (availableNow drain over the events table)
+        # streaming (availableNow drains over the events table)
         "streaming_sync_messages": q_streaming_sync_messages,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_window_counts": q_streaming_window_counts,
+        # writer sinks proven by read-back
+        "sink_entities": q_sink_entities,
+        "sink_errors": q_sink_errors,
     }
 
 
