@@ -287,6 +287,10 @@ def connected_components(
             )
         )
         .distinct()
+        # materialise once: edges join into EVERY round, and ``pairs``
+        # usually carries an expensive lineage (minhash/LSH candidate
+        # generation) that would otherwise recompute per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -373,6 +377,10 @@ def connected_components_star(
         .where(F.col("lo") != F.col("hi"))
         .select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
         .distinct()
+        # materialise the input edge list: round 1 reads it twice (star
+        # join + checksum) and ``pairs`` usually carries an expensive
+        # candidate-generation lineage that must not recompute
+        .localCheckpoint(eager=True)
     )
     all_ids = (
         pairs.select(F.col("id_a").alias("id"))

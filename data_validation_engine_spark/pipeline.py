@@ -524,6 +524,7 @@ def process_landing(
     audit_path: str | None = None,
     write_report: bool = True,
     runtime_variables: dict[str, Any] | None = None,
+    max_workers: int = 1,
 ) -> list[PipelineResult]:
     """Process every submission waiting under a landing prefix.
 
@@ -532,9 +533,16 @@ def process_landing(
     ``.metadata.json``, mint a submission id, move the pair to
     ``processed/<submission_id>/`` (audited as a ``transfers`` row), then
     run the pipeline per submission. Unpaired files are dead-lettered to
-    ``dead_letter/``. Submissions are independent — callers wanting the
-    reference's thread-pool fan-out can map this body over their own
-    executor (Spark job submission is thread-safe).
+    ``dead_letter/``.
+
+    ``max_workers > 1`` fans submissions out over a thread pool, the
+    reference's concurrency model (dve pipeline/pipeline.py:950-977,
+    ``ThreadPoolExecutor(max_workers=7)``). Threads are the right unit
+    here: each worker just SUBMITS Spark jobs (scheduling across the
+    cluster is Spark's), and job submission is thread-safe. Submissions
+    are fully independent — ids are uuid4, working dirs are per-id, and
+    audit appends land as distinct files. Result order follows discovery
+    order regardless of completion order.
 
     ``entity_name`` names the dischema dataset each data file feeds; with
     one declared dataset it is inferred.
@@ -564,8 +572,8 @@ def process_landing(
     for f in dead:
         move_file(f, str(working_root / "dead_letter" / Path(f).name))
 
-    results: list[PipelineResult] = []
-    for data_uri, meta_uri in pairs:
+    def _process_one(pair: tuple[str, str]) -> PipelineResult:
+        data_uri, meta_uri = pair
         submission_id = new_submission_id()
         processed = working_root / "processed" / submission_id
         data_dest = str(processed / Path(data_uri).name)
@@ -592,28 +600,32 @@ def process_landing(
                     }
                 ],
             )
-        results.append(
-            run_pipeline(
-                spark,
-                dischema,
-                {entity_name: data_dest},
-                working_root / "work" / submission_id,
-                refdata_base_path=refdata_base_path,
-                audit_path=audit_path,
-                submission_id=submission_id,
-                submission_info=submission_info or None,
-                write_report=write_report,
-                # runtime-strategy dischemas can bind per-submission values:
-                # shared runtime_variables plus the submission's own
-                # metadata under `submission` (e.g. {{submission.file_name}})
-                runtime_variables=(
-                    {
-                        **(runtime_variables or {}),
-                        "submission": dict(submission_info or {}),
-                    }
-                    if dischema.templating_strategy == "runtime"
-                    else runtime_variables
-                ),
-            )
+        return run_pipeline(
+            spark,
+            dischema,
+            {entity_name: data_dest},
+            working_root / "work" / submission_id,
+            refdata_base_path=refdata_base_path,
+            audit_path=audit_path,
+            submission_id=submission_id,
+            submission_info=submission_info or None,
+            write_report=write_report,
+            # runtime-strategy dischemas can bind per-submission values:
+            # shared runtime_variables plus the submission's own
+            # metadata under `submission` (e.g. {{submission.file_name}})
+            runtime_variables=(
+                {
+                    **(runtime_variables or {}),
+                    "submission": dict(submission_info or {}),
+                }
+                if dischema.templating_strategy == "runtime"
+                else runtime_variables
+            ),
         )
-    return results
+
+    if max_workers > 1 and len(pairs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return list(pool.map(_process_one, pairs))
+    return [_process_one(pair) for pair in pairs]

@@ -14,10 +14,11 @@ desc)`` (dve spark/auditing.py:143-162).
 from __future__ import annotations
 
 import datetime as dt
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Any, Callable, ClassVar
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -151,6 +152,21 @@ class AuditLog:
     def _uri(self, table: str) -> str:
         return f"{self.base_uri.rstrip('/')}/{table}"
 
+    # Parquet appends to ONE table path share a _temporary staging dir, so
+    # two threads committing at once can delete each other's staged files
+    # (a silently lost audit row — observed under process_landing's thread
+    # pool). Delta appends are transactional and need no lock; for parquet
+    # a per-table in-process lock serialises just these tiny 1-row writes
+    # while the heavy per-submission jobs stay concurrent. Cross-process
+    # concurrency at production scale is what the Delta path is for.
+    _TABLE_LOCKS: ClassVar[dict[str, threading.Lock]] = {}
+    _TABLE_LOCKS_GUARD: ClassVar[threading.Lock] = threading.Lock()
+
+    def _append_lock(self, table: str) -> threading.Lock:
+        key = self._uri(table)
+        with AuditLog._TABLE_LOCKS_GUARD:
+            return AuditLog._TABLE_LOCKS.setdefault(key, threading.Lock())
+
     def append(self, table: str, records: list[dict[str, Any]]) -> None:
         schema = AUDIT_SCHEMAS[table]
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
@@ -171,6 +187,10 @@ class AuditLog:
                 .save(self._uri(table))
             )
 
+        if self.fmt == "parquet":
+            with self._append_lock(table):
+                _write()
+            return
         retry_concurrent_append(
             _write,
             max_retries=self.max_append_retries,

@@ -103,31 +103,43 @@ def write_error_report(
     out_path: str,
     *,
     max_detail_rows: int = 100_000,
+    output_format: str = "auto",
 ) -> str:
     """Write the error report; returns the path written.
 
-    Uses openpyxl when available (xlsx: summary + detail + aggregates
-    sheets), else CSVs in a directory.
+    ``output_format``: ``"auto"`` uses openpyxl when available (xlsx:
+    summary + detail + aggregates sheets) and falls back to CSVs in a
+    directory; ``"xlsx"`` forces the workbook (raising ImportError loudly
+    if openpyxl is missing); ``"csv"`` forces the directory of CSVs.
     """
+    if output_format not in ("auto", "xlsx", "csv"):
+        raise ValueError(f"unknown report output_format: {output_format!r}")
     aggregates = report_aggregates(messages).toPandas()
     detail = report_detail(messages).limit(max_detail_rows).toPandas()
     summary = report_summary(messages).toPandas()
 
-    try:
-        import openpyxl  # noqa: F401
+    use_xlsx = output_format == "xlsx"
+    if output_format == "auto":
+        try:
+            import openpyxl  # noqa: F401
 
-        path = out_path if out_path.endswith(".xlsx") else out_path + ".xlsx"
+            use_xlsx = True
+        except ImportError:
+            use_xlsx = False
+
+    if use_xlsx:
+        import openpyxl  # noqa: F401 - loud ImportError when forced
         import pandas as pd
 
+        path = out_path if out_path.endswith(".xlsx") else out_path + ".xlsx"
         with pd.ExcelWriter(path, engine="openpyxl") as writer:
             summary.to_excel(writer, sheet_name="summary", index=False)
             detail.to_excel(writer, sheet_name="errors", index=False)
             aggregates.to_excel(writer, sheet_name="aggregates", index=False)
         return path
-    except ImportError:
-        out_dir = Path(out_path.removesuffix(".xlsx"))
-        out_dir.mkdir(parents=True, exist_ok=True)
-        summary.to_csv(out_dir / "summary.csv", index=False)
-        detail.to_csv(out_dir / "errors.csv", index=False)
-        aggregates.to_csv(out_dir / "aggregates.csv", index=False)
-        return str(out_dir)
+    out_dir = Path(out_path.removesuffix(".xlsx"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    summary.to_csv(out_dir / "summary.csv", index=False)
+    detail.to_csv(out_dir / "errors.csv", index=False)
+    aggregates.to_csv(out_dir / "aggregates.csv", index=False)
+    return str(out_dir)

@@ -321,6 +321,75 @@ def test_process_landing_end_to_end(spark, workspace, tmp_path_factory):
     assert t["report_name"] == "customers.csv"
 
 
+def test_process_landing_thread_pool_fan_out(spark, workspace, tmp_path_factory):
+    """max_workers > 1 maps submissions over a thread pool (reference
+    concurrency model, dve pipeline/pipeline.py:950-977): three
+    submissions at max_workers=2 produce per-submission audit rows and
+    outputs identical to the sequential run."""
+    import shutil
+
+    from data_validation_engine_spark.pipeline import process_landing
+    from data_validation_engine_spark.sinks.audit import AuditLog
+
+    def stage(root):
+        landing = root / "landing"
+        landing.mkdir()
+        for i in range(3):
+            shutil.copy(workspace / "customers.csv", landing / f"c{i}.csv")
+            (landing / f"c{i}.csv.metadata.json").write_text(
+                json.dumps({"dataset_id": "test", "file_name": f"c{i}.csv"})
+            )
+        return landing
+
+    def run(root, workers):
+        return process_landing(
+            spark,
+            workspace / "dischema.json",
+            str(stage(root)),
+            root / "out",
+            refdata_base_path=str(workspace),
+            audit_path=str(root / "audit"),
+            write_report=False,
+            max_workers=workers,
+        )
+
+    seq_root = tmp_path_factory.mktemp("landing_seq")
+    par_root = tmp_path_factory.mktemp("landing_par")
+    seq = run(seq_root, 1)
+    par = run(par_root, 2)
+
+    assert len(par) == 3 and all(r.success for r in par)
+    # same outputs as sequential, submission by submission
+    for s, p in zip(seq, par):
+        assert p.statistics == s.statistics
+        assert sorted(p.entities) == sorted(s.entities)
+        for name in p.entities:
+            assert p.entities[name].count() == s.entities[name].count()
+    # per-submission audit rows: 3 transfers, 3 completed statuses
+    audit = AuditLog(spark, str(par_root / "audit"))
+    transfers = audit.read("transfers").collect()
+    assert {t["submission_id"] for t in transfers} == {
+        r.submission_id for r in par
+    }
+    for r in par:
+        assert audit.latest_status(r.submission_id).first()["status"] == "completed"
+
+    # result order follows discovery order regardless of completion order
+    def landed_names(root, results):
+        out = []
+        for r in results:
+            d = root / "out" / "processed" / r.submission_id
+            out.append(
+                sorted(
+                    f.name for f in d.iterdir()
+                    if not f.name.endswith(".metadata.json")
+                )[0]
+            )
+        return out
+
+    assert landed_names(par_root, par) == landed_names(seq_root, seq)
+
+
 def test_empty_input_flows_through(spark, workspace, tmp_path_factory):
     """Empty-entity handling: a header-only CSV produces empty (not failed)
     entities and no messages (SURVEY hard-parts watch list)."""

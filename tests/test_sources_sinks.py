@@ -176,13 +176,12 @@ def test_audit_log_roundtrip(spark, tmp):
     assert latest == {"s1": "processed", "s2": "received"}
 
 
-def test_error_report_csv_fallback(spark, tmp):
+def _report_messages(spark):
     from data_validation_engine_spark.contract import (
         apply_contract,
         parse_contract,
         add_record_index,
     )
-    from data_validation_engine_spark.sinks.report import write_error_report
 
     contract = parse_contract(
         {
@@ -200,7 +199,14 @@ def test_error_report_csv_fallback(spark, tmp):
         spark.createDataFrame([("1",), (None,), ("x",)], "id string")
     )
     _, messages = apply_contract(contract.entity("d"), df)
-    out = write_error_report(messages, str(tmp / "report"))
+    return messages
+
+
+def test_error_report_csv_fallback(spark, tmp):
+    from data_validation_engine_spark.sinks.report import write_error_report
+
+    messages = _report_messages(spark)
+    out = write_error_report(messages, str(tmp / "report"), output_format="csv")
     import pandas as pd
 
     aggs = pd.read_csv(f"{out}/aggregates.csv")
@@ -222,6 +228,48 @@ def test_error_report_csv_fallback(spark, tmp):
         "Table", "Type", "Error_Code", "Data_Item", "Error",
         "Record_Index", "Value", "ID", "Category",
     ]
+
+
+def test_error_report_xlsx_branch(spark, tmp):
+    """The xlsx branch, exercised wherever openpyxl exists (skipped — not
+    silently passed — in containers without it): workbook lands with the
+    three reference sheets and the same row counts as the frames."""
+    openpyxl = pytest.importorskip("openpyxl")
+
+    from data_validation_engine_spark.sinks.report import (
+        report_aggregates,
+        report_detail,
+        write_error_report,
+    )
+
+    messages = _report_messages(spark)
+    out = write_error_report(
+        messages, str(tmp / "report"), output_format="xlsx"
+    )
+    assert out.endswith(".xlsx")
+    wb = openpyxl.load_workbook(out)
+    assert wb.sheetnames == ["summary", "errors", "aggregates"]
+    # header row + data rows, matching the distributed frames
+    assert wb["summary"].max_row == 1 + 3
+    assert wb["errors"].max_row == 1 + report_detail(messages).count()
+    assert wb["aggregates"].max_row == 1 + report_aggregates(messages).count()
+
+
+def test_error_report_xlsx_forced_without_openpyxl_raises(spark, tmp):
+    """Forcing xlsx without the dependency fails loudly, never silently
+    degrades to CSV."""
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present in this environment")
+    except ImportError:
+        pass
+    from data_validation_engine_spark.sinks.report import write_error_report
+
+    with pytest.raises(ImportError):
+        write_error_report(
+            _report_messages(spark), str(tmp / "r2"), output_format="xlsx"
+        )
 
 
 def test_csv_maps_columns_by_header_name(spark, tmp_path):
