@@ -721,6 +721,33 @@ def q_step_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entities["deduped"].selectExpr("doc_id", "n_chars", "n_copies")
 
 
+def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE full fuzzy-dedup pipeline: one JSON step (minhash
+    candidates -> exact Jaccard verify -> connected components -> keep the
+    min id per cluster) through the step engine. Oracle: the same pair
+    graph in SQL, components by recursive reachability, survivors =
+    documents whose id IS its component."""
+    from data_validation_engine_spark.steps import parse_step
+
+    entities = {"documents": _docs(spark, sf_dir)}
+    _engine(spark).evaluate(
+        entities,
+        config=parse_step(
+            {
+                "operation": "dedup_minhash",
+                "entity_name": "documents",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "threshold": 0.5,
+                "exact_components": True,
+                "component_algorithm": "star",
+                "new_entity_name": "deduped",
+            }
+        ),
+    )
+    return entities["deduped"].selectExpr("doc_id", "n_chars", "lang")
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (banded candidates, exact-Jaccard
     verified; no cartesian product in the plan)."""
@@ -1299,6 +1326,173 @@ def q_sink_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_presence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity presence checks (pipeline.py:230-260): a dischema declaring
+    {alpha, beta} fed {alpha, gamma} fails the submission with one
+    critical message per missing/undeclared entity. The early return fires
+    before any file IO, so the message feed is fully deterministic."""
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from data_validation_engine_spark.pipeline import run_pipeline
+
+    root = Path(tempfile.mkdtemp(prefix="dve_presence_"))
+    (root / "dischema.json").write_text(
+        _json.dumps(
+            {
+                "contract": {
+                    "datasets": {
+                        "alpha": {"fields": {"id": "int"}},
+                        "beta": {"fields": {"id": "int"}},
+                    }
+                }
+            }
+        )
+    )
+    res = run_pipeline(
+        spark,
+        root / "dischema.json",
+        {"alpha": str(root / "a.csv"), "gamma": str(root / "g.csv")},
+        root / "work",
+        write_report=False,
+    )
+    assert not res.success
+    return res.messages.selectExpr(
+        "entity", "error_code", "error_message", "failure_type", "category"
+    )
+
+
+def q_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python/pandas UDF escape hatch (functions/library.py:184-201):
+    an Arrow-batched vectorised UDF and a row-at-a-time UDF registered and
+    applied over customer — results must equal the pure-SQL oracle."""
+    import pandas as pd
+
+    from data_validation_engine_spark.functions import register_python_udf
+
+    # no type hints: pandas_udf infers the signature from the explicit
+    # return type; pd.Series annotations would be re-inspected and rejected
+    def vlen(s):
+        return s.str.len().astype("int64")
+
+    def py_title(x):
+        return x.title() if x is not None else None
+
+    register_python_udf(spark, "py_vlen", vlen, "long", vectorised=True)
+    register_python_udf(spark, "py_title", py_title, "string")
+    ents = _load(spark, sf_dir, ["customer"])
+    return ents["customer"].selectExpr(
+        "c_custkey",
+        "py_vlen(c_name) AS name_len",
+        "py_title(c_mktsegment) AS seg_title",
+    )
+
+
+def q_contract_empty_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-entity handling: the full contract (casts, constraints,
+    mandatory checks) applied to a ZERO-ROW stringified frame must yield a
+    zero-row TYPED frame with the complete declared schema and no
+    messages — the schema comparison is the assertion."""
+    from data_validation_engine_spark.contract import (
+        apply_contract,
+        parse_contract,
+    )
+
+    contract = parse_contract(_CONTRACT_DISCHEMA)
+    empty = spark.createDataFrame(
+        [], "okey string, price string, odate string, status string, prio string"
+    )
+    typed, messages = apply_contract(contract.entity("orders_sub"), empty)
+    assert messages.count() == 0
+    return typed.selectExpr("okey", "price", "odate", "status", "prio")
+
+
+def q_file_service_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-handling URI service end-to-end (files.py): a CSV staged via
+    ``put_file`` + ``copy_file`` over file:// URIs (digest-verified), then
+    read through the engine CSV reader from the copied location."""
+    import tempfile
+    from pathlib import Path
+
+    from data_validation_engine_spark.files import (
+        copy_file,
+        file_digest,
+        list_files,
+        put_file,
+    )
+    from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
+
+    base = Path(tempfile.mkdtemp(prefix="dve_files_q_"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    local = base / "nation.csv"
+    nation.toPandas().to_csv(local, index=False)
+    put_file(local, f"file://{base}/staged/nation.csv")
+    copy_file(
+        f"file://{base}/staged/nation.csv", f"file://{base}/final/nation.csv"
+    )
+    assert file_digest(f"file://{base}/staged/nation.csv") == file_digest(
+        f"file://{base}/final/nation.csv"
+    )
+    assert list(list_files(f"file://{base}/final", suffix=".csv"))
+    df = read_csv(
+        spark,
+        f"{base}/final/nation.csv",
+        ["n_nationkey", "n_name", "n_regionkey"],
+        CSVOptions(field_check=True),
+    )
+    return df.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+
+
+def q_audit_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit table round-trip + latest-status window (sinks/audit.py):
+    explicit timestamps make the append-only history deterministic; the
+    window query must surface exactly the newest status per submission."""
+    import datetime as _dt
+    import tempfile
+
+    from data_validation_engine_spark.sinks.audit import AuditLog
+
+    audit = AuditLog(
+        spark, tempfile.mkdtemp(prefix="dve_audit_q_"), fmt="parquet"
+    )
+
+    def row(sub: str, status: str, hour: int) -> dict:
+        return {
+            "submission_id": sub,
+            "time_updated": _dt.datetime(2024, 1, 1, hour, 0, 0),
+            "status": status,
+            "job_run_id": None,
+            "submission_result": None,
+        }
+
+    audit.append("processing_status", [row("s1", "received", 9)])
+    audit.append("processing_status", [row("s1", "completed", 11)])
+    audit.append("processing_status", [row("s2", "received", 10)])
+    return audit.latest_status().selectExpr("submission_id", "status")
+
+
+def q_report_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped report aggregates sheet computed distributed
+    (sinks/report.py:59-75) over the contract validation feed — the sheet
+    the Excel/CSV report writes, proven against a SQL GROUP BY."""
+    from data_validation_engine_spark.contract import (
+        apply_contract,
+        parse_contract,
+    )
+    from data_validation_engine_spark.sinks.report import report_aggregates
+
+    contract = parse_contract(_CONTRACT_DISCHEMA)
+    _, messages = apply_contract(
+        contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
+    )
+    return report_aggregates(messages)
+
+
 # ---------------------------------------------------------------------------
 # llmops oracle SQL builders (DuckDB)
 # ---------------------------------------------------------------------------
@@ -1374,6 +1568,29 @@ def _dedup_minhash_oracle(
         f"WITH {_minhash_pair_ctes(num_hashes, bands, threshold)} "
         f"SELECT id_a, id_b, jaccard FROM pairs"
     )
+
+
+def _dedup_fuzzy_oracle(threshold: float = 0.5) -> str:
+    """Survivors of the full fuzzy dedup: documents whose id equals the
+    min id reachable in the near-dup pair graph (non-paired docs survive
+    trivially — they never appear in ``comp``)."""
+    return f"""
+        WITH RECURSIVE {_minhash_pair_ctes(threshold=threshold)},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT reach.id, e.dst
+            FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    """
 
 
 def _connected_components_oracle(threshold: float = 0.5) -> str:
@@ -1628,6 +1845,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
         GROUP BY md5(text)
     """,
     "dedup_minhash": _dedup_minhash_oracle(),
+    "step_dedup_fuzzy": _dedup_fuzzy_oracle(),
     "dedup_simhash": _dedup_simhash_oracle(),
     "connected_components": _connected_components_oracle(),
     "connected_components_star": _connected_components_oracle(),
@@ -1957,6 +2175,79 @@ _ORACLES: dict[str, str] = {
                c_custkey AS record_key
         FROM customer WHERE c_acctbal < 0
     """,
+    "presence_checks": """
+        SELECT 'beta' AS entity, 'MISSING_ENTITY' AS error_code,
+               'no file submitted for declared entity ''beta'''
+                   AS error_message,
+               'submission' AS failure_type, 'submission' AS category
+        UNION ALL
+        SELECT 'gamma', 'UNEXPECTED_ENTITY',
+               'file submitted for undeclared entity ''gamma''',
+               'submission', 'submission'
+    """,
+    "python_udf": """
+        SELECT c_custkey,
+               length(c_name) AS name_len,
+               UPPER(SUBSTRING(c_mktsegment, 1, 1)) ||
+                   LOWER(SUBSTRING(c_mktsegment, 2)) AS seg_title
+        FROM customer
+    """,
+    "contract_empty_entity": """
+        SELECT CAST(NULL AS BIGINT) AS okey,
+               CAST(NULL AS DOUBLE) AS price,
+               CAST(NULL AS DATE) AS odate,
+               CAST(NULL AS VARCHAR) AS status,
+               CAST(NULL AS VARCHAR) AS prio
+        WHERE FALSE
+    """,
+    "file_service_csv": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    "audit_latest_status": """
+        SELECT 's1' AS submission_id, 'completed' AS status
+        UNION ALL
+        SELECT 's2', 'received'
+    """,
+    "report_aggregates": """
+        WITH stringified AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        WHEN o_orderkey % 7 = 0 THEN 'junk'
+                        ELSE CAST(o_totalprice AS VARCHAR) END AS price,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%d/%m/%Y') END AS odate
+            FROM orders
+        ),
+        msgs AS (
+            SELECT 'MISSING_MANDATORY_VALUE' AS ec, 'price' AS di,
+                   'missing' AS cat
+            FROM stringified
+            WHERE NOT COALESCE(price IS NOT NULL AND TRIM(price) <> '', FALSE)
+            UNION ALL
+            SELECT 'INVALID_NUMBER', 'price', 'type'
+            FROM stringified
+            WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
+                  OR TRY_CAST(TRIM(price) AS DOUBLE) IS NOT NULL, FALSE)
+            UNION ALL
+            SELECT 'OUT_OF_RANGE_GT', 'price', 'constraint'
+            FROM stringified
+            WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
+                  OR TRY_CAST(TRIM(price) AS DOUBLE) > 0, FALSE)
+            UNION ALL
+            SELECT 'INVALID_DATE', 'odate', 'type'
+            FROM stringified
+            WHERE NOT COALESCE(odate IS NULL OR TRIM(odate) = ''
+                  OR (CASE WHEN regexp_matches(TRIM(odate),
+                               '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+                           THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
+                           ELSE NULL END) IS NOT NULL, FALSE)
+        )
+        SELECT 'Record Rejection' AS "Type", 'orders_sub' AS "Table",
+               di AS "Data_Item", cat AS "Category", ec AS "Error_Code",
+               count(*) AS "Count"
+        FROM msgs GROUP BY di, cat, ec
+    """,
     "entity_ops": """
         SELECT n_nationkey, n_name FROM nation
     """,
@@ -2157,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "step_dedup_exact": q_step_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "step_dedup_fuzzy": q_step_dedup_fuzzy,
         "dedup_simhash": q_dedup_simhash,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
@@ -2183,6 +2475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # writer sinks proven by read-back
         "sink_entities": q_sink_entities,
         "sink_errors": q_sink_errors,
+        # pipeline/infrastructure surfaces proven by oracle
+        "presence_checks": q_presence_checks,
+        "python_udf": q_python_udf,
+        "contract_empty_entity": q_contract_empty_entity,
+        "file_service_csv": q_file_service_csv,
+        "audit_latest_status": q_audit_latest_status,
+        "report_aggregates": q_report_aggregates,
     }
 
 

@@ -4,6 +4,7 @@ from data_validation_engine_spark.functions.library import (
     nhs_mod11_expr,
     normalise_postcode_expr,
     register_all_functions,
+    register_python_udf,
     valid_postcode_expr,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "nhs_mod11_expr",
     "normalise_postcode_expr",
     "register_all_functions",
+    "register_python_udf",
     "valid_postcode_expr",
 ]

@@ -239,6 +239,9 @@ class MinHashDedup(AbstractStep):
     num_hashes: Optional[int] = None
     bands: Optional[int] = None
     exact_components: bool = False
+    # with exact_components: "label" propagates min labels (O(diameter)
+    # rounds), "star" runs large-star/small-star (O(log² n) — deep chains)
+    component_algorithm: Literal["label", "star"] = "label"
 
 
 class QualityFilters(AbstractStep):
@@ -262,7 +265,10 @@ class SimilarityTopK(AbstractStep):
     """Top-k most-similar vectors to a single query row (``target_name``
     holds the 1-row query frame). ``method="exact"`` scores the whole
     table (broadcast query, per-partition top-k); ``method="ann"`` probes
-    only the query's LSH bucket (~1/2^n_planes of the table).
+    only the query's LSH bucket (~1/2^n_planes of the table);
+    ``method="multiprobe"`` unions the probe buckets of ``n_tables``
+    independent hyperplane tables (OR-amplified recall, cost linear in
+    table count).
     """
 
     operation: Literal["similarity_topk"] = "similarity_topk"
@@ -270,10 +276,76 @@ class SimilarityTopK(AbstractStep):
     k: int = 10
     id_column: str = "vec_id"
     vector_column: str = "embedding"
-    method: Literal["exact", "ann"] = "exact"
+    method: Literal["exact", "ann", "multiprobe"] = "exact"
     n_planes: int = 4
     dim: int = 64
+    n_tables: int = 3
     exclude_self: bool = True
+
+
+class EmbeddingNearDup(AbstractStep):
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join
+    (bounded hot buckets, never all-pairs) + exact cosine verification.
+    Output entity holds ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+    """
+
+    operation: Literal["embedding_neardup"] = "embedding_neardup"
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    n_planes: int = 6
+    dim: int = 64
+    threshold: float = 0.9
+
+
+class TextStats(AbstractStep):
+    """Per-document quality statistics (chars, whitespace/BPE-ish token
+    counts, average token length, punctuation/stopword ratios) plus a
+    boolean quality gate — one lambda-free projection, no shuffle."""
+
+    operation: Literal["text_stats"] = "text_stats"
+    id_column: str
+    text_column: str = "text"
+
+
+class LanguageId(AbstractStep):
+    """Heuristic language ID (CJK charset check + stopword vote) as a new
+    entity ``(id, lang_column)``."""
+
+    operation: Literal["lang_id"] = "lang_id"
+    id_column: str
+    text_column: str = "text"
+    lang_column: str = "lang_pred"
+
+
+class TfIdfTopTerms(AbstractStep):
+    """Top ``top_n`` TF-IDF terms per document (rank order tf desc, df
+    asc, term asc — integer/string keys only)."""
+
+    operation: Literal["tfidf_top_terms"] = "tfidf_top_terms"
+    id_column: str
+    text_column: str = "text"
+    top_n: int = 1
+
+
+class TextFingerprint(AbstractStep):
+    """Canonical md5 fingerprint + min-k winnowed shingle sketch per
+    document."""
+
+    operation: Literal["text_fingerprint"] = "text_fingerprint"
+    id_column: str
+    text_column: str = "text"
+    shingle_size: int = 3
+    winnow_k: int = 4
+
+
+class SimHashSignatures(AbstractStep):
+    """Per-document SimHash bit-string signatures (explode + hash
+    aggregation scale path)."""
+
+    operation: Literal["dedup_simhash"] = "dedup_simhash"
+    id_column: str
+    text_column: str = "text"
+    bits: int = 16
 
 
 AnyStep = Annotated[
@@ -301,6 +373,12 @@ AnyStep = Annotated[
         MinHashDedup,
         QualityFilters,
         SimilarityTopK,
+        EmbeddingNearDup,
+        TextStats,
+        LanguageId,
+        TfIdfTopTerms,
+        TextFingerprint,
+        SimHashSignatures,
     ],
     Field(discriminator="operation"),
 ]

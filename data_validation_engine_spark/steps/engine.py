@@ -48,11 +48,13 @@ from data_validation_engine_spark.steps.configs import (
     ConfirmJoinHasMatch,
     CopyEntity,
     DeferredFilter,
+    EmbeddingNearDup,
     EntityRemoval,
     ExactDedup,
     HeaderJoin,
     ImmediateFilter,
     InnerJoin,
+    LanguageId,
     LeftJoin,
     MinHashDedup,
     Notification,
@@ -62,8 +64,12 @@ from data_validation_engine_spark.steps.configs import (
     RenameEntity,
     SelectColumns,
     SemiJoin,
+    SimHashSignatures,
     SimilarityTopK,
     TableUnion,
+    TextFingerprint,
+    TextStats,
+    TfIdfTopTerms,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -122,6 +128,12 @@ class StepEngine:
             MinHashDedup: self.dedup_minhash,
             QualityFilters: self.quality_filters,
             SimilarityTopK: self.similarity_topk,
+            EmbeddingNearDup: self.embedding_neardup,
+            TextStats: self.text_stats,
+            LanguageId: self.lang_id,
+            TfIdfTopTerms: self.tfidf_top_terms,
+            TextFingerprint: self.text_fingerprint,
+            SimHashSignatures: self.dedup_simhash,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -599,7 +611,84 @@ class StepEngine:
             config.id_column,
             config.text_column,
             exact_components=config.exact_components,
+            component_algorithm=config.component_algorithm,
             **kwargs,
+        )
+        return None
+
+    def embedding_neardup(
+        self, entities: Entities, *, config: EmbeddingNearDup
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.similarity import (
+            embedding_neardup_pairs,
+        )
+
+        entities[config.output_name] = embedding_neardup_pairs(
+            entities[config.entity_name],
+            id_col=config.id_column,
+            vec_col=config.vector_column,
+            n_planes=config.n_planes,
+            dim=config.dim,
+            threshold=config.threshold,
+        )
+        return None
+
+    def text_stats(self, entities: Entities, *, config: TextStats) -> Messages:
+        from data_validation_engine_spark.llmops.text import text_stats
+
+        entities[config.output_name] = text_stats(
+            entities[config.entity_name], config.id_column, config.text_column
+        )
+        return None
+
+    def lang_id(self, entities: Entities, *, config: LanguageId) -> Messages:
+        from data_validation_engine_spark.llmops.text import language_id
+
+        entities[config.output_name] = language_id(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            out_col=config.lang_column,
+        )
+        return None
+
+    def tfidf_top_terms(
+        self, entities: Entities, *, config: TfIdfTopTerms
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.text import tfidf_top_terms
+
+        entities[config.output_name] = tfidf_top_terms(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            top_n=config.top_n,
+        )
+        return None
+
+    def text_fingerprint(
+        self, entities: Entities, *, config: TextFingerprint
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.text import text_fingerprint
+
+        entities[config.output_name] = text_fingerprint(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            shingle_size=config.shingle_size,
+            winnow_k=config.winnow_k,
+        )
+        return None
+
+    def dedup_simhash(
+        self, entities: Entities, *, config: SimHashSignatures
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import simhash_table
+
+        entities[config.output_name] = simhash_table(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            bits=config.bits,
         )
         return None
 
@@ -631,11 +720,24 @@ class StepEngine:
         from data_validation_engine_spark.llmops.similarity import (
             ann_topk,
             cosine_topk,
+            multiprobe_ann_topk,
         )
 
         table = entities[config.entity_name]
         query = entities[config.target_name]
-        if config.method == "ann":
+        if config.method == "multiprobe":
+            out = multiprobe_ann_topk(
+                table,
+                query,
+                config.k,
+                id_col=config.id_column,
+                vec_col=config.vector_column,
+                n_planes=config.n_planes,
+                n_tables=config.n_tables,
+                dim=config.dim,
+                exclude_self=config.exclude_self,
+            )
+        elif config.method == "ann":
             out = ann_topk(
                 table,
                 query,

@@ -255,3 +255,103 @@ def test_llmops_steps_parse_from_json():
         }
     )
     assert isinstance(s4, SimilarityTopK) and s4.k == 3
+
+
+def test_text_analysis_steps_match_library(spark):
+    """The six round-5 declarable corpus steps compute exactly what the
+    direct library calls compute (the JSON vocabulary adds no semantics)."""
+    from data_validation_engine_spark.llmops.dedup import simhash_table
+    from data_validation_engine_spark.llmops.similarity import (
+        embedding_neardup_pairs,
+        multiprobe_ann_topk,
+    )
+    from data_validation_engine_spark.llmops.text import (
+        language_id,
+        text_fingerprint,
+        text_stats,
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    engine = StepEngine(spark)
+    entities = {"documents": docs, "embeddings": emb, "q": emb.where("vec_id = 3")}
+    cases = [
+        (
+            {"operation": "text_stats", "entity_name": "documents",
+             "id_column": "doc_id", "new_entity_name": "stats"},
+            "stats",
+            text_stats(docs, "doc_id", "text"),
+        ),
+        (
+            {"operation": "lang_id", "entity_name": "documents",
+             "id_column": "doc_id", "new_entity_name": "langs"},
+            "langs",
+            language_id(docs, "doc_id", "text"),
+        ),
+        (
+            {"operation": "tfidf_top_terms", "entity_name": "documents",
+             "id_column": "doc_id", "new_entity_name": "terms"},
+            "terms",
+            tfidf_top_terms(docs, "doc_id", "text"),
+        ),
+        (
+            {"operation": "text_fingerprint", "entity_name": "documents",
+             "id_column": "doc_id", "new_entity_name": "prints"},
+            "prints",
+            text_fingerprint(docs, "doc_id", "text"),
+        ),
+        (
+            {"operation": "dedup_simhash", "entity_name": "documents",
+             "id_column": "doc_id", "new_entity_name": "sigs"},
+            "sigs",
+            simhash_table(docs, "doc_id", "text"),
+        ),
+        (
+            {"operation": "embedding_neardup", "entity_name": "embeddings",
+             "threshold": 0.3, "new_entity_name": "neardups"},
+            "neardups",
+            embedding_neardup_pairs(emb, threshold=0.3),
+        ),
+        (
+            {"operation": "similarity_topk", "entity_name": "embeddings",
+             "target_name": "q", "method": "multiprobe", "k": 5,
+             "n_planes": 6, "new_entity_name": "mp"},
+            "mp",
+            multiprobe_ann_topk(emb, emb.where("vec_id = 3"), 5),
+        ),
+    ]
+    for config, out_name, expected in cases:
+        engine.evaluate(entities, config=parse_step(config))
+        got = {tuple(r) for r in entities[out_name].collect()}
+        want = {tuple(r) for r in expected.collect()}
+        assert got == want and len(got) > 0, config["operation"]
+
+
+def test_minhash_star_component_algorithm_declarable(spark):
+    """component_algorithm='star' routes the declarative fuzzy dedup
+    through large-star/small-star CC and matches label propagation."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    engine = StepEngine(spark)
+    outs = {}
+    for algo in ("label", "star"):
+        entities = {"documents": docs}
+        engine.evaluate(
+            entities,
+            config=parse_step(
+                {
+                    "operation": "dedup_minhash",
+                    "entity_name": "documents",
+                    "id_column": "doc_id",
+                    "text_column": "text",
+                    "threshold": 0.5,
+                    "exact_components": True,
+                    "component_algorithm": algo,
+                    "new_entity_name": "deduped",
+                }
+            ),
+        )
+        outs[algo] = {
+            r["doc_id"] for r in entities["deduped"].select("doc_id").collect()
+        }
+    assert outs["label"] == outs["star"] and len(outs["star"]) > 0
