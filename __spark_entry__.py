@@ -1270,6 +1270,16 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization rollup (30-min gap rule): gaps-and-islands
+    via window functions — one shuffle by user, integer-µs arithmetic so
+    the oracle comparison is exact (streaming/sessions.py)."""
+    from data_validation_engine_spark.streaming import session_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, "user_id", "ts", gap_seconds=1800)
+
+
 # ---------------------------------------------------------------------------
 # writer-sink round-trips (SURVEY §2.2 — sinks proven by read-back)
 # ---------------------------------------------------------------------------
@@ -1470,8 +1480,13 @@ def q_audit_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "submission_result": None,
         }
 
-    audit.append("processing_status", [row("s1", "received", 9)])
-    audit.append("processing_status", [row("s1", "completed", 11)])
+    # two appends (not one): the second lands as a separate file, so the
+    # read-back proves append-accumulate, while s1's two rows prove the
+    # latest-wins window
+    audit.append(
+        "processing_status",
+        [row("s1", "received", 9), row("s1", "completed", 11)],
+    )
     audit.append("processing_status", [row("s2", "received", 10)])
     return audit.latest_status().selectExpr("submission_id", "status")
 
@@ -2165,6 +2180,28 @@ _ORACLES: dict[str, str] = {
                   <= mx - INTERVAL 2 HOUR
         GROUP BY 1, 2
     """,
+    "sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM sessions GROUP BY user_id, session_idx
+    """,
     "sink_entities": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
     """,
@@ -2472,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sync_messages": q_streaming_sync_messages,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window_counts": q_streaming_window_counts,
+        "sessionize": q_sessionize,
         # writer sinks proven by read-back
         "sink_entities": q_sink_entities,
         "sink_errors": q_sink_errors,

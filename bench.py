@@ -69,8 +69,16 @@ def main() -> None:
     # round-robin (all queries once, then again) so a transient load spike
     # degrades one sample of many queries rather than all samples of one.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # soft wall-clock budget: complete passes only, never fewer than one —
+    # the query set has grown past the point where k full passes always
+    # fit a fixed harness timeout, and a partially-sampled pass would bias
+    # medians; actual per-query run counts are reported in the stats
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "450"))
+    t0 = time.perf_counter()
     samples: dict[str, list[float]] = {name: [] for name in queries}
-    for _ in range(runs):
+    for i in range(runs):
+        if i > 0 and time.perf_counter() - t0 > budget:
+            break
         for name, fn in queries.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -105,7 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "query_stats": stats,
-                "runs_per_query": runs,
+                "runs_requested": runs,
+                "runs_per_query": min(len(xs) for xs in samples.values()),
                 "sf": sf,
             },
             indent=2,

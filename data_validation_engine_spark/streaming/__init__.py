@@ -16,11 +16,19 @@ from data_validation_engine_spark.streaming.filters import (
     streaming_sync_filters,
     windowed_counts,
 )
+from data_validation_engine_spark.streaming.sessions import (
+    session_stats,
+    sessionize,
+    streaming_sessionize,
+)
 
 __all__ = [
     "read_entity_stream",
+    "session_stats",
+    "sessionize",
     "start_message_sink",
     "streaming_exact_dedup",
+    "streaming_sessionize",
     "streaming_sync_filters",
     "windowed_counts",
 ]

@@ -249,3 +249,74 @@ def test_streaming_sync_messages_query_matches_batch(spark):
         (r["error_code"], int(r["value"])) for r in msgs.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_sessionize_matches_batch(spark, events_stream, events_batch):
+    """The applyInPandasWithState session operator on a single availableNow
+    drain assigns exactly the batch gaps-and-islands sessions."""
+    import tempfile
+
+    from data_validation_engine_spark.streaming import (
+        sessionize,
+        streaming_sessionize,
+    )
+
+    out = tempfile.mkdtemp(prefix="dve_sessions_")
+    q = (
+        streaming_sessionize(
+            events_stream, "user_id", "ts", gap_seconds=1800,
+            watermark="366 days",
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user"], r["event_ts"], r["session_idx"])
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    want = {
+        (r["user_id"], r["ts"], r["session_idx"])
+        for r in sessionize(
+            events_batch, "user_id", "ts", gap_seconds=1800
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_batch_only_guards(spark, events_stream, events_batch):
+    from data_validation_engine_spark.streaming import (
+        sessionize,
+        streaming_sessionize,
+    )
+
+    with pytest.raises(ConfigurationError, match="batch-only"):
+        sessionize(events_stream, "user_id", "ts")
+    with pytest.raises(ConfigurationError, match="streaming"):
+        streaming_sessionize(events_batch, "user_id", "ts")
+
+
+def test_session_stats_rollup(spark, events_batch):
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.streaming import (
+        session_stats,
+        sessionize,
+    )
+
+    stats = session_stats(events_batch, "user_id", "ts", gap_seconds=1800)
+    detail = sessionize(events_batch, "user_id", "ts", gap_seconds=1800)
+    assert stats.agg({"n_events": "sum"}).first()[0] == detail.count()
+    # session indices are 1-based and contiguous per user
+    per_user = {
+        r["user_id"]: r["mx"]
+        for r in stats.groupBy("user_id")
+        .agg(F.max("session_idx").alias("mx"), F.count("*").alias("n"))
+        .where("mx = n")
+        .collect()
+    }
+    assert len(per_user) == stats.select("user_id").distinct().count()
