@@ -866,6 +866,39 @@ def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs).select("id", "component")
 
 
+def q_similarity_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeated-probe ANN scale path: embeddings persisted PARTITIONED
+    BY LSH bucket, probe pushed as a static partition filter (the scan
+    reads one directory — plan-asserted in tests/test_llmops.py). Same
+    candidate set and ranking as the flat ANN probe, proven by oracle."""
+    import tempfile
+
+    from data_validation_engine_spark.llmops import (
+        ann_topk_partitioned,
+        write_lsh_partitioned,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="dve_lsh_part_") + "/table"
+    write_lsh_partitioned(embs, path)
+    out = ann_topk_partitioned(spark, path, embs.where("vec_id = 0"), 10)
+    # partition-column read-back is integer-typed ('0101' -> 101); pin to
+    # BIGINT so the oracle twin casts the same way
+    return out.selectExpr(
+        "vec_id", "cosine", "CAST(bucket AS BIGINT) AS bucket"
+    )
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic 16-cell coarse quantizer (first-K centroid
+    strategy, pluggable for offline k-means), map-side cell assignment,
+    probe of the 4 cells nearest vec 0, exact cosine ranking."""
+    from data_validation_engine_spark.llmops import ivf_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(embs, embs.where("vec_id = 0"), 10)
+
+
 def q_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified multi-probe ANN: vec 0's bucket probed in 3
     independent hyperplane tables, candidates unioned + deduplicated,
@@ -1706,6 +1739,47 @@ def _similarity_ann_oracle(k: int = 10, n_planes: int = 4, dim: int = 64) -> str
     """
 
 
+def _similarity_ann_partitioned_oracle(
+    k: int = 10, n_planes: int = 4, dim: int = 64
+) -> str:
+    """Same probe as the flat ANN oracle; the bucket bit-string is cast to
+    BIGINT the way Spark's partition-column inference reads it back."""
+    from data_validation_engine_spark.llmops.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+
+    def bucket(vec: str) -> str:
+        bits = []
+        for plane in planes:
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            bits.append(
+                f"CASE WHEN {_duck_dot(vec, lit, dim)} >= 0 "
+                f"THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits)
+
+    cos = (
+        f"round({_duck_dot('e.embedding', 'q.qv', dim)} / "
+        f"(sqrt({_duck_dot('e.embedding', 'e.embedding', dim)}) * "
+        f"sqrt({_duck_dot('q.qv', 'q.qv', dim)})), 6)"
+    )
+    return f"""
+        WITH q AS (
+            SELECT embedding AS qv, {bucket('embedding')} AS qbucket
+            FROM embeddings WHERE vec_id = 0
+        ),
+        t AS (
+            SELECT vec_id, embedding, {bucket('embedding')} AS bucket
+            FROM embeddings
+        )
+        SELECT vec_id, {cos} AS cosine, CAST(bucket AS BIGINT) AS bucket
+        FROM t e JOIN q ON e.bucket = q.qbucket
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _multiprobe_ann_oracle(
     k: int = 10, n_planes: int = 6, n_tables: int = 3, dim: int = 64
 ) -> str:
@@ -1749,6 +1823,53 @@ def _multiprobe_ann_oracle(
         FROM embeddings e JOIN cand USING (vec_id), q
         WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _similarity_ivf_oracle(
+    k: int = 10, n_cells: int = 16, n_probe: int = 4, dim: int = 64
+) -> str:
+    """IVF twin: centroids re-derived from the table (first n_cells by
+    id), squared-L2 folds in index order, cell ties to the lower id via
+    struct min — all matching llmops/ivf.py exactly."""
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * "
+            f"({a}[i]::DOUBLE - {b}[i]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    cos = (
+        f"round({_duck_dot('a.embedding', 'q.qv', dim)} / "
+        f"(sqrt({_duck_dot('a.embedding', 'a.embedding', dim)}) * "
+        f"sqrt({_duck_dot('q.qv', 'q.qv', dim)})), 6)"
+    )
+    return f"""
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+            SELECT e.vec_id, e.embedding,
+                   (min(struct_pack(
+                        d := {l2sq('e.embedding', 'c.cv')},
+                        cell := c.cell))).cell AS cell
+            FROM embeddings e CROSS JOIN cent c
+            GROUP BY e.vec_id, e.embedding
+        ),
+        probe AS (
+            SELECT c.cell FROM cent c, q
+            ORDER BY {l2sq('q.qv', 'c.cv')} ASC, c.cell ASC
+            LIMIT {n_probe}
+        )
+        SELECT a.vec_id, {cos} AS cosine, a.cell
+        FROM assign a JOIN probe p ON a.cell = p.cell, q
+        WHERE a.vec_id <> 0
+        ORDER BY cosine DESC, a.vec_id ASC
         LIMIT {k}
     """
 
@@ -1866,6 +1987,8 @@ _LLMOPS_ORACLES: dict[str, str] = {
     "connected_components_star": _connected_components_oracle(),
     "similarity_topk": _similarity_topk_oracle(),
     "similarity_ann": _similarity_ann_oracle(),
+    "similarity_ann_partitioned": _similarity_ann_partitioned_oracle(),
+    "similarity_ivf": _similarity_ivf_oracle(),
     "multiprobe_ann": _multiprobe_ann_oracle(),
     "embedding_neardup": _embedding_neardup_oracle(threshold=0.3),
     "source_csv": """
@@ -2491,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": q_connected_components_star,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "similarity_ann_partitioned": q_similarity_ann_partitioned,
+        "similarity_ivf": q_similarity_ivf,
         "multiprobe_ann": q_multiprobe_ann,
         "embedding_neardup": q_embedding_neardup,
         "source_csv": q_source_csv,

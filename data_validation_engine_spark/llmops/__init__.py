@@ -32,6 +32,11 @@ from data_validation_engine_spark.llmops.dedup import (
     simhash_table,
     with_shingles,
 )
+from data_validation_engine_spark.llmops.ivf import (
+    default_centroids,
+    ivf_assign,
+    ivf_topk,
+)
 from data_validation_engine_spark.llmops.similarity import (
     ann_topk,
     ann_topk_partitioned,
@@ -61,7 +66,10 @@ __all__ = [
     "ann_topk",
     "ann_topk_partitioned",
     "cosine_topk",
+    "default_centroids",
     "embedding_neardup_pairs",
+    "ivf_assign",
+    "ivf_topk",
     "multiprobe_ann_topk",
     "with_lsh_bucket",
     "write_lsh_partitioned",

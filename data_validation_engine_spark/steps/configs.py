@@ -268,7 +268,8 @@ class SimilarityTopK(AbstractStep):
     only the query's LSH bucket (~1/2^n_planes of the table);
     ``method="multiprobe"`` unions the probe buckets of ``n_tables``
     independent hyperplane tables (OR-amplified recall, cost linear in
-    table count).
+    table count); ``method="ivf"`` coarse-quantizes into ``n_cells``
+    cells and scores only the ``n_probe`` nearest.
     """
 
     operation: Literal["similarity_topk"] = "similarity_topk"
@@ -276,10 +277,12 @@ class SimilarityTopK(AbstractStep):
     k: int = 10
     id_column: str = "vec_id"
     vector_column: str = "embedding"
-    method: Literal["exact", "ann", "multiprobe"] = "exact"
+    method: Literal["exact", "ann", "multiprobe", "ivf"] = "exact"
     n_planes: int = 4
     dim: int = 64
     n_tables: int = 3
+    n_cells: int = 16
+    n_probe: int = 4
     exclude_self: bool = True
 
 

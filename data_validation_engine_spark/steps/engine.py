@@ -717,6 +717,7 @@ class StepEngine:
     def similarity_topk(
         self, entities: Entities, *, config: SimilarityTopK
     ) -> Messages:
+        from data_validation_engine_spark.llmops.ivf import ivf_topk
         from data_validation_engine_spark.llmops.similarity import (
             ann_topk,
             cosine_topk,
@@ -725,7 +726,18 @@ class StepEngine:
 
         table = entities[config.entity_name]
         query = entities[config.target_name]
-        if config.method == "multiprobe":
+        if config.method == "ivf":
+            out = ivf_topk(
+                table,
+                query,
+                config.k,
+                id_col=config.id_column,
+                vec_col=config.vector_column,
+                n_cells=config.n_cells,
+                n_probe=config.n_probe,
+                exclude_self=config.exclude_self,
+            )
+        elif config.method == "multiprobe":
             out = multiprobe_ann_topk(
                 table,
                 query,

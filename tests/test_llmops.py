@@ -570,3 +570,80 @@ def test_connected_components_star_fewer_rounds_on_deep_chain(spark):
     # the gap is asymptotic, not incidental: diameter rounds vs ~log^2
     assert s_label["rounds"] >= 32
     assert s_star["rounds"] <= 10
+
+
+def test_ivf_assignment_is_map_side_and_total(spark):
+    """IVF cell assignment is one per-row projection (zero shuffles) and
+    assigns every vector to a valid cell."""
+    from data_validation_engine_spark.llmops import (
+        default_centroids,
+        ivf_assign,
+    )
+    from data_validation_engine_spark.scale import count_shuffles
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = default_centroids(emb, n_cells=8)
+    assert len(cents) == 8
+    assigned = ivf_assign(emb, cents)
+    assert count_shuffles(assigned) == 0
+    row = assigned.selectExpr(
+        "count(*) AS n",
+        "count(cell) AS n_assigned",
+        "min(cell) AS lo",
+        "max(cell) AS hi",
+    ).first()
+    assert row["n"] == row["n_assigned"] and 0 <= row["lo"] <= row["hi"] <= 7
+
+
+def test_ivf_topk_subset_of_bruteforce_order(spark):
+    """IVF results are drawn from the probed cells and ranked by the same
+    exact cosine as brute force: every IVF hit appears in the brute-force
+    ranking with the identical score; full probe (n_probe = n_cells)
+    recovers the exact top-k."""
+    from data_validation_engine_spark.llmops import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id = 0")
+    brute = {
+        r["vec_id"]: r["cosine"] for r in cosine_topk(emb, q, 200).collect()
+    }
+    ivf = ivf_topk(emb, q, 10, n_cells=8, n_probe=2).collect()
+    assert 0 < len(ivf) <= 10
+    for r in ivf:
+        assert brute.get(r["vec_id"]) == pytest.approx(r["cosine"], abs=0)
+    full = ivf_topk(emb, q, 10, n_cells=8, n_probe=8)
+    exact = cosine_topk(emb, q, 10)
+    assert [
+        (r["vec_id"], r["cosine"]) for r in full.select("vec_id", "cosine").collect()
+    ] == [(r["vec_id"], r["cosine"]) for r in exact.collect()]
+
+
+def test_ivf_declarable_step_matches_library(spark):
+    from data_validation_engine_spark.llmops import ivf_topk
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    entities = {"embeddings": emb, "q": emb.where("vec_id = 5")}
+    StepEngine(spark).evaluate(
+        entities,
+        config=parse_step(
+            {
+                "operation": "similarity_topk",
+                "entity_name": "embeddings",
+                "target_name": "q",
+                "method": "ivf",
+                "k": 7,
+                "n_cells": 8,
+                "n_probe": 3,
+                "new_entity_name": "hits",
+            }
+        ),
+    )
+    got = [tuple(r) for r in entities["hits"].collect()]
+    want = [
+        tuple(r)
+        for r in ivf_topk(
+            emb, emb.where("vec_id = 5"), 7, n_cells=8, n_probe=3
+        ).collect()
+    ]
+    assert got == want and len(got) > 0

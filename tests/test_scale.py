@@ -92,3 +92,29 @@ def test_entry_contract_queries_single_scan_no_shuffle(spark):
             "Exchange" in line for line in plan.splitlines()
         ), name
         assert "CartesianProduct" not in plan, name
+
+
+def test_sessionize_plan_single_shuffle(spark):
+    """Sessionization is ONE shuffle (hash by user): the window pass and
+    the per-session rollup both reuse the user-keyed partitioning — the
+    shape that holds at 100x (no per-session re-shuffle)."""
+    from data_validation_engine_spark.streaming import session_stats
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stats = session_stats(events, "user_id", "ts", gap_seconds=1800)
+    assert count_shuffles(stats) == 1
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_ann_plan_no_cartesian(spark):
+    """Multi-probe ANN must stay per-table bucket equi-joins (broadcast
+    query row) — an OR-of-buckets condition would degrade to a nested-loop
+    join over the whole table."""
+    from data_validation_engine_spark.llmops import multiprobe_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = multiprobe_ann_topk(emb, emb.where("vec_id = 0"), 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
