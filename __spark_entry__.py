@@ -740,7 +740,10 @@ def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "text_column": "text",
                 "threshold": 0.5,
                 "exact_components": True,
-                "component_algorithm": "star",
+                # label propagation: near-dup graphs are shallow, so it
+                # converges in fewer rounds than star here; the star path
+                # has its own oracle row (connected_components_star)
+                "component_algorithm": "label",
                 "new_entity_name": "deduped",
             }
         ),
