@@ -351,6 +351,19 @@ class SimHashSignatures(AbstractStep):
     bits: int = 16
 
 
+class Sessionize(AbstractStep):
+    """Per-user sessionization (gap rule) as a declarable step:
+    ``output="events"`` keeps every row and adds ``session_idx``;
+    ``output="sessions"`` rolls up to ``(user, session_idx, n_events,
+    duration_us)``. One user-keyed window shuffle either way."""
+
+    operation: Literal["sessionize"] = "sessionize"
+    user_column: str
+    ts_column: str
+    gap_seconds: int = 1800
+    output: Literal["events", "sessions"] = "sessions"
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -382,6 +395,7 @@ AnyStep = Annotated[
         TfIdfTopTerms,
         TextFingerprint,
         SimHashSignatures,
+        Sessionize,
     ],
     Field(discriminator="operation"),
 ]

@@ -64,6 +64,7 @@ from data_validation_engine_spark.steps.configs import (
     RenameEntity,
     SelectColumns,
     SemiJoin,
+    Sessionize,
     SimHashSignatures,
     SimilarityTopK,
     TableUnion,
@@ -134,6 +135,7 @@ class StepEngine:
             TfIdfTopTerms: self.tfidf_top_terms,
             TextFingerprint: self.text_fingerprint,
             SimHashSignatures: self.dedup_simhash,
+            Sessionize: self.sessionize,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -689,6 +691,21 @@ class StepEngine:
             config.id_column,
             config.text_column,
             bits=config.bits,
+        )
+        return None
+
+    def sessionize(self, entities: Entities, *, config: Sessionize) -> Messages:
+        from data_validation_engine_spark.streaming.sessions import (
+            session_stats,
+            sessionize,
+        )
+
+        fn = session_stats if config.output == "sessions" else sessionize
+        entities[config.output_name] = fn(
+            entities[config.entity_name],
+            config.user_column,
+            config.ts_column,
+            gap_seconds=config.gap_seconds,
         )
         return None
 

@@ -355,3 +355,61 @@ def test_minhash_star_component_algorithm_declarable(spark):
             r["doc_id"] for r in entities["deduped"].select("doc_id").collect()
         }
     assert outs["label"] == outs["star"] and len(outs["star"]) > 0
+
+
+def test_sessionize_step_matches_library(spark):
+    """The declarable sessionize step equals the library calls in both
+    output modes."""
+    from data_validation_engine_spark.streaming import (
+        session_stats,
+        sessionize,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    engine = StepEngine(spark)
+    entities = {"events": events}
+    engine.evaluate(
+        entities,
+        config=parse_step(
+            {
+                "operation": "sessionize",
+                "entity_name": "events",
+                "user_column": "user_id",
+                "ts_column": "ts",
+                "gap_seconds": 1800,
+                "new_entity_name": "sessions",
+            }
+        ),
+    )
+    got = {tuple(r) for r in entities["sessions"].collect()}
+    want = {
+        tuple(r)
+        for r in session_stats(events, "user_id", "ts", gap_seconds=1800).collect()
+    }
+    assert got == want and len(got) > 0
+
+    engine.evaluate(
+        entities,
+        config=parse_step(
+            {
+                "operation": "sessionize",
+                "entity_name": "events",
+                "user_column": "user_id",
+                "ts_column": "ts",
+                "output": "events",
+                "new_entity_name": "tagged",
+            }
+        ),
+    )
+    assert entities["tagged"].count() == events.count()
+    got_idx = {
+        (r["event_id"], r["session_idx"])
+        for r in entities["tagged"].select("event_id", "session_idx").collect()
+    }
+    want_idx = {
+        (r["event_id"], r["session_idx"])
+        for r in sessionize(events, "user_id", "ts")
+        .select("event_id", "session_idx")
+        .collect()
+    }
+    assert got_idx == want_idx
