@@ -118,3 +118,42 @@ def test_multiprobe_ann_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_per_row_text_operators_zero_shuffle_single_scan(spark):
+    """text_stats / language_id / text_fingerprint / multimodal metadata
+    are pure per-row projections: one parquet scan, zero Exchange — the
+    shape that runs at any scale without cluster coordination."""
+    from data_validation_engine_spark.llmops import (
+        language_id,
+        text_fingerprint,
+        text_stats,
+    )
+    from data_validation_engine_spark.llmops.multimodal import binary_meta
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    frames = [
+        text_stats(docs, "doc_id", "text"),
+        language_id(docs, "doc_id", "text"),
+        text_fingerprint(docs, "doc_id", "text"),
+        binary_meta(
+            docs.selectExpr("doc_id", "CAST(text AS BINARY) AS content"),
+            "doc_id",
+        ),
+    ]
+    for df in frames:
+        assert count_shuffles(df) == 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+
+
+def test_exact_dedup_is_one_narrow_shuffle(spark):
+    """Exact dedup: exactly one Exchange, keyed on the 32-byte md5 — text
+    bytes shuffle once inside the survivor struct, the key stays narrow."""
+    from data_validation_engine_spark.llmops import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = exact_dedup(docs, "text", order_col="doc_id")
+    assert count_shuffles(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
