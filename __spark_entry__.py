@@ -839,6 +839,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(embs, threshold=0.3)
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded-signature self-join (pigeonhole-
+    exact candidates, skew-bounded) + exact hamming verify. Runs over a
+    deterministic 10% slice: the synthetic corpus is template-generated
+    and mutually similar, so the full table's pair set is near-quadratic
+    noise — the slice keeps the oracle row sharp and the bench honest
+    while exercising the identical plan."""
+    from data_validation_engine_spark.llmops import simhash_pairs
+
+    docs = _docs(spark, sf_dir).where("doc_id % 10 = 0")
+    return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=1)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters end-to-end: MinHash-LSH near-dup pairs fed to
     label-propagation connected components (component = min reachable id).
@@ -1680,6 +1693,43 @@ def _dedup_simhash_oracle(bits: int = 16) -> str:
     """
 
 
+def _dedup_simhash_pairs_oracle(
+    bits: int = 32, max_hamming: int = 1, n_bands: int = 2
+) -> str:
+    from data_validation_engine_spark.llmops.dedup import simhash_band_bounds
+
+    bounds = simhash_band_bounds(bits, n_bands)
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band_idx, "
+        f"substring(simhash, {s}, {w}) AS band_key FROM sigs"
+        for i, (s, w) in enumerate(bounds)
+    )
+    hamming = (
+        f"list_sum(list_transform(generate_series(1, {bits}), i -> "
+        f"CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1) "
+        f"THEN 1 ELSE 0 END))"
+    )
+    sliced_sigs = _dedup_simhash_oracle(bits).replace(
+        "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 10 = 0)"
+    )
+    return f"""
+        WITH sigs AS ({sliced_sigs}),
+        bands AS ({band_sel}),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b, CAST({hamming} AS BIGINT) AS hamming
+            FROM cand
+        ) WHERE hamming <= {max_hamming}
+    """
+
+
 def _duck_dot(a: str, b: str, dim: int = 64) -> str:
     """Left-fold double dot product in index order (bit-identical to the
     Spark ``aggregate(zip_with(...))`` fold)."""
@@ -1986,6 +2036,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
     "dedup_minhash": _dedup_minhash_oracle(),
     "step_dedup_fuzzy": _dedup_fuzzy_oracle(),
     "dedup_simhash": _dedup_simhash_oracle(),
+    "dedup_simhash_pairs": _dedup_simhash_pairs_oracle(),
     "connected_components": _connected_components_oracle(),
     "connected_components_star": _connected_components_oracle(),
     "similarity_topk": _similarity_topk_oracle(),
@@ -2613,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "step_dedup_fuzzy": q_step_dedup_fuzzy,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
         "similarity_topk": q_similarity_topk,

@@ -29,6 +29,7 @@ from data_validation_engine_spark.llmops.dedup import (
     minhash_dedup,
     minhash_pairs,
     simhash,
+    simhash_pairs,
     simhash_table,
     with_shingles,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "minhash_dedup",
     "minhash_pairs",
     "simhash",
+    "simhash_pairs",
     "simhash_table",
     "with_shingles",
     "ann_topk",

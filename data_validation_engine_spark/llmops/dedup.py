@@ -601,3 +601,93 @@ def hamming_distance(a: Column, b: Column, *, bits: int = 16) -> Column:
             lambda i: a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
         )
     )
+
+
+def simhash_band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(1-based start, width) of each contiguous signature band; the first
+    ``bits % n_bands`` bands absorb the remainder."""
+    base, rem = divmod(bits, n_bands)
+    bounds, start = [], 1
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 16,
+    max_hamming: int = 2,
+    n_bands: int | None = None,
+    max_bucket_rows: int = 4096,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded signature self-join + exact
+    hamming verification. Returns ``(id_a, id_b, hamming)``, ``id_a <
+    id_b``, ``hamming <= max_hamming``.
+
+    Candidate generation is EXACT by pigeonhole: the signature splits into
+    ``n_bands`` (default ``max_hamming + 1``) contiguous bands, and any
+    pair within hamming ``max_hamming`` differs in at most ``max_hamming``
+    bands, so at least one band matches — every qualifying pair is a
+    candidate, never a cartesian product. The band-bucket self-join is
+    skew-bounded (``bounded_self_join``), which matters here specifically:
+    degenerate docs share the all-ones signature and would otherwise pile
+    one n² bucket onto a single task.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not 1 <= n_bands <= bits:
+        raise ValueError(f"n_bands must be in [1, {bits}], got {n_bands}")
+    sigs = simhash_table(df, id_col, text_col, bits=bits)
+    bounds = simhash_band_bounds(bits, n_bands)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.substring("simhash", s, w).alias("band_key"),
+                    )
+                    for i, (s, w) in enumerate(bounds)
+                ]
+            )
+        ).alias("__band"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("__band.band_idx").alias("band_idx"),
+        F.col("__band.band_key").alias("band_key"),
+    )
+    cand = (
+        bounded_self_join(
+            bands,
+            ["band_idx", "band_key"],
+            order_col=id_col,
+            max_bucket_rows=max_bucket_rows,
+        )
+        .select(
+            F.col(f"a.`{id_col}`").alias("id_a"),
+            F.col(f"b.`{id_col}`").alias("id_b"),
+            F.col("a.simhash").alias("__sh_a"),
+            F.col("b.simhash").alias("__sh_b"),
+        )
+        # a pair can surface from several matching bands: one row per pair
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.any_value(F.col("__sh_a")).alias("__sh_a"),
+            F.any_value(F.col("__sh_b")).alias("__sh_b"),
+        )
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming_distance(
+            F.col("__sh_a"), F.col("__sh_b"), bits=bits
+        ).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

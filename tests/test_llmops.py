@@ -647,3 +647,49 @@ def test_ivf_declarable_step_matches_library(spark):
         ).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_simhash_pairs_finds_near_dups_no_cartesian(docs, spark):
+    """Banded simhash pairs: the planted near-dup (one token changed) is
+    found within hamming 2 with pigeonhole-exact candidates; identical
+    docs pair at hamming 0; the plan never goes cartesian."""
+    from data_validation_engine_spark.llmops import simhash_pairs
+
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs.get((0, 3)) == 0  # identical texts
+    assert (0, 1) in pairs  # near dup (1 token changed)
+    assert (1, 3) in pairs
+
+
+def test_simhash_pairs_candidates_are_exact_vs_bruteforce(spark):
+    """Within max_hamming, banded candidate generation loses NOTHING: the
+    pair set equals the brute-force all-pairs hamming filter."""
+    from data_validation_engine_spark.llmops import simhash_pairs, simhash_table
+    from data_validation_engine_spark.llmops.dedup import hamming_distance
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    sigs = simhash_table(docs, "doc_id", "text")
+    a = sigs.selectExpr("doc_id AS id_a", "simhash AS sa")
+    b = sigs.selectExpr("doc_id AS id_b", "simhash AS sb")
+    brute = (
+        a.crossJoin(b)
+        .where("id_a < id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("sa"), F.col("sb")).cast("long").alias("hamming"),
+        )
+        .where("hamming <= 3")
+    )
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    assert got == want and len(want) > 0
