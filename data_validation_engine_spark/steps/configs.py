@@ -351,6 +351,28 @@ class SimHashSignatures(AbstractStep):
     bits: int = 16
 
 
+class SimHashPairs(AbstractStep):
+    """SimHash near-duplicate pairs: banded-signature self-join
+    (pigeonhole-exact candidates, skew-bounded) + exact hamming verify.
+    Output entity holds ``(id_a, id_b, hamming)``."""
+
+    operation: Literal["dedup_simhash_pairs"] = "dedup_simhash_pairs"
+    id_column: str
+    text_column: str = "text"
+    bits: int = 32
+    max_hamming: int = 1
+
+
+class ConnectedComponents(AbstractStep):
+    """Connected components over a pair entity (``id_a``/``id_b``
+    columns): output ``(id, component)`` with component = min reachable
+    id. ``algorithm="star"`` uses large-star/small-star (O(log² n)
+    rounds) for deep-chained graphs."""
+
+    operation: Literal["connected_components"] = "connected_components"
+    algorithm: Literal["label", "star"] = "label"
+
+
 class Sessionize(AbstractStep):
     """Per-user sessionization (gap rule) as a declarable step:
     ``output="events"`` keeps every row and adds ``session_idx``;
@@ -395,6 +417,8 @@ AnyStep = Annotated[
         TfIdfTopTerms,
         TextFingerprint,
         SimHashSignatures,
+        SimHashPairs,
+        ConnectedComponents,
         Sessionize,
     ],
     Field(discriminator="operation"),

@@ -46,6 +46,7 @@ from data_validation_engine_spark.steps.configs import (
     ColumnAddition,
     ColumnRemoval,
     ConfirmJoinHasMatch,
+    ConnectedComponents,
     CopyEntity,
     DeferredFilter,
     EmbeddingNearDup,
@@ -65,6 +66,7 @@ from data_validation_engine_spark.steps.configs import (
     SelectColumns,
     SemiJoin,
     Sessionize,
+    SimHashPairs,
     SimHashSignatures,
     SimilarityTopK,
     TableUnion,
@@ -135,6 +137,8 @@ class StepEngine:
             TfIdfTopTerms: self.tfidf_top_terms,
             TextFingerprint: self.text_fingerprint,
             SimHashSignatures: self.dedup_simhash,
+            SimHashPairs: self.dedup_simhash_pairs,
+            ConnectedComponents: self.connected_components,
             Sessionize: self.sessionize,
         }
 
@@ -692,6 +696,36 @@ class StepEngine:
             config.text_column,
             bits=config.bits,
         )
+        return None
+
+    def dedup_simhash_pairs(
+        self, entities: Entities, *, config: SimHashPairs
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import simhash_pairs
+
+        entities[config.output_name] = simhash_pairs(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            bits=config.bits,
+            max_hamming=config.max_hamming,
+        )
+        return None
+
+    def connected_components(
+        self, entities: Entities, *, config: ConnectedComponents
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        cc = (
+            connected_components_star
+            if config.algorithm == "star"
+            else connected_components
+        )
+        entities[config.output_name] = cc(entities[config.entity_name])
         return None
 
     def sessionize(self, entities: Entities, *, config: Sessionize) -> Messages:

@@ -413,3 +413,58 @@ def test_sessionize_step_matches_library(spark):
         .collect()
     }
     assert got_idx == want_idx
+
+
+def test_pair_graph_steps_match_library(spark):
+    """Declarable simhash-pairs and connected-components steps chain into
+    the full pair-graph pipeline and equal the library calls."""
+    from data_validation_engine_spark.llmops import (
+        connected_components,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        "doc_id % 5 = 0"
+    )
+    engine = StepEngine(spark)
+    entities = {"documents": docs}
+    engine.evaluate(
+        entities,
+        config=parse_step(
+            {
+                "operation": "dedup_simhash_pairs",
+                "entity_name": "documents",
+                "id_column": "doc_id",
+                "bits": 32,
+                "max_hamming": 1,
+                "new_entity_name": "pairs",
+            }
+        ),
+    )
+    got_pairs = {tuple(r) for r in entities["pairs"].collect()}
+    want_pairs = {
+        tuple(r)
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bits=32, max_hamming=1
+        ).collect()
+    }
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+
+    engine.evaluate(
+        entities,
+        config=parse_step(
+            {
+                "operation": "connected_components",
+                "entity_name": "pairs",
+                "new_entity_name": "clusters",
+            }
+        ),
+    )
+    got_cc = {tuple(r) for r in entities["clusters"].collect()}
+    want_cc = {
+        tuple(r)
+        for r in connected_components(
+            simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=1)
+        ).collect()
+    }
+    assert got_cc == want_cc and len(got_cc) > 0
