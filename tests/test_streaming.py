@@ -320,3 +320,43 @@ def test_session_stats_rollup(spark, events_batch):
         .collect()
     }
     assert len(per_user) == stats.select("user_id").distinct().count()
+
+
+def test_streaming_corpus_quality_gates(spark, tmp_path):
+    """Corpus cleaning composes onto streams with no new code: the llmops
+    quality gates are ordinary DeferredFilters, so streaming_sync_filters
+    lifts them verbatim — survivors match the batch sync stage."""
+    import shutil
+
+    from data_validation_engine_spark.llmops import quality_filters
+    from data_validation_engine_spark.steps.sync_filters import (
+        apply_sync_filters,
+    )
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_sync_filters,
+    )
+
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    gates = quality_filters("stream", min_tokens=40)
+
+    sdf = read_entity_stream(spark, str(d), schema)
+    survivors, _ = streaming_sync_filters(sdf, gates)
+    out = str(tmp_path / "clean")
+    q = (
+        survivors.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    ents = {"stream": spark.read.parquet(f"{SF_DIR}/documents.parquet")}
+    apply_sync_filters(ents, quality_filters("stream", min_tokens=40))
+    want = {r["doc_id"] for r in ents["stream"].select("doc_id").collect()}
+    assert got == want and 0 < len(got) < 500
