@@ -57,12 +57,20 @@ def bounded_self_join(
     # contiguous block id: floor(rank * S / n) — balanced, and rank order
     # is preserved across blocks (block i's rows all precede block j's for
     # i < j), which is what makes cross-block pairs pre-ordered
+    #
+    # materialise once: both join sides branch from this frame, and Spark
+    # does NOT reuse the exchange across the branches (verified on the
+    # adaptive plan), so ``df``'s lineage — typically the CPU-heavy
+    # minhash/simhash signature pipeline — would execute twice. Measured
+    # ~25% off minhash_pairs at sf0.1; the saving scales with signature
+    # cost. Same recompute-on-executor-loss tradeoff as the CC rounds'
+    # localCheckpoints (dedup.py) — acceptable for a frame this narrow.
     tagged = df.select(
         *key_cols,
         F.struct(*[F.col(c) for c in payload]).alias("__row"),
         F.floor(rank * n_blocks / n).cast("int").alias("__blk"),
         n_blocks.alias("__nblk"),
-    )
+    ).localCheckpoint(eager=True)
     a_side = tagged.select(
         *key_cols,
         F.col("__row").alias("a"),
