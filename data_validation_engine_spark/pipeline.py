@@ -626,6 +626,22 @@ def process_landing(
     if max_workers > 1 and len(pairs) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        # Failure semantics mirror the sequential path as closely as a
+        # pool allows: on the first submission failure (in discovery
+        # order) every not-yet-started submission is cancelled and the
+        # error propagates. In-flight submissions cannot be interrupted
+        # — their side effects (file moves, audit rows) may still land,
+        # exactly as the reference's per-submission fan-out allows
+        # (dve pipeline/pipeline.py:957-975).
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            return list(pool.map(_process_one, pairs))
+            futures = [pool.submit(_process_one, pair) for pair in pairs]
+            results: list[PipelineResult] = []
+            try:
+                for fut in futures:
+                    results.append(fut.result())
+            except BaseException:
+                for fut in futures:
+                    fut.cancel()
+                raise
+            return results
     return [_process_one(pair) for pair in pairs]

@@ -2,8 +2,17 @@
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# spark.conf is session-global; the set/read/restore in
+# read_parquet_nanos_safe must not interleave across the
+# process_landing(max_workers>1) thread pool or a caller could scan with
+# the wrong conf (or leak it). One lock serialises the conf window only —
+# the scan itself stays lazy and parallel.
+_NANOS_CONF_LOCK = threading.Lock()
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -29,12 +38,19 @@ def read_parquet_nanos_safe(
     """
     from pyspark.sql.types import LongType
 
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        df = spark.read.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    with _NANOS_CONF_LOCK:
+        prev = spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", "false"
+        )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            # .schema forces plan resolution (and thus the parquet footer
+            # read) inside the lock; holding the conf open any longer is
+            # unnecessary because the resolved schema is baked into the plan
+            df = spark.read.parquet(path)
+            df.schema
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     for c in nanos_timestamp_cols:
         if isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(

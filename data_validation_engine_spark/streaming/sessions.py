@@ -100,7 +100,8 @@ def streaming_sessionize(
     single ``availableNow`` drain the output equals :func:`sessionize`
     (pytest-asserted); across batches, state carries the boundary.
 
-    Emits ``(user, event_ts, session_idx)``.
+    Emits ``(<user_col>, event_ts, session_idx)`` — the key column keeps
+    its input name and type.
     """
     if not sdf.isStreaming:
         raise ConfigurationError(
@@ -108,6 +109,12 @@ def streaming_sessionize(
             "sessionize for batch frames"
         )
     from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
 
     gap_us = int(gap_seconds) * 1_000_000
 
@@ -119,36 +126,43 @@ def streaming_sessionize(
             last_us, idx = state.get
         else:
             last_us, idx = None, 0
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            ts_us = (
-                pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
-            ).tolist()
-            idxs = []
-            for t in ts_us:
-                if last_us is None or t - last_us > gap_us:
-                    idx += 1
-                last_us = t
-                idxs.append(idx)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "user": [user] * len(idxs),
-                        "event_ts": pd.to_datetime(pdf[ts_col]),
-                        "session_idx": idxs,
-                    }
-                )
-            )
+        # applyInPandasWithState delivers a key's micro-batch rows as
+        # MULTIPLE Arrow chunks in shuffle-arrival order; sorting each chunk
+        # independently would break global event-time order for keys whose
+        # rows span chunks. Concatenate first, sort once per key.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts_us = (
+            pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        ).tolist()
+        idxs = []
+        for t in ts_us:
+            if last_us is None or t - last_us > gap_us:
+                idx += 1
+            last_us = t
+            idxs.append(idx)
         state.update((last_us, idx))
-        yield from out
+        yield pd.DataFrame(
+            {
+                user_col: [user] * len(idxs),
+                "event_ts": pd.to_datetime(pdf[ts_col]),
+                "session_idx": idxs,
+            }
+        )
 
+    out_schema = StructType(
+        [
+            StructField(user_col, sdf.schema[user_col].dataType),
+            StructField("event_ts", TimestampType()),
+            StructField("session_idx", LongType()),
+        ]
+    )
     return (
         sdf.withWatermark(ts_col, watermark)
         .groupBy(F.col(user_col))
         .applyInPandasWithState(
             assign,
-            outputStructType="user long, event_ts timestamp, session_idx long",
+            outputStructType=out_schema,
             stateStructType="last_ts_micros long, session_idx long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

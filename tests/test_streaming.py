@@ -276,13 +276,70 @@ def test_streaming_sessionize_matches_batch(spark, events_stream, events_batch):
     )
     q.awaitTermination(180)
     got = {
-        (r["user"], r["event_ts"], r["session_idx"])
+        (r["user_id"], r["event_ts"], r["session_idx"])
         for r in spark.read.parquet(f"{out}/data").collect()
     }
     want = {
         (r["user_id"], r["ts"], r["session_idx"])
         for r in sessionize(
             events_batch, "user_id", "ts", gap_seconds=1800
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sessionize_multichunk_string_key(
+    spark, events_stream, events_batch
+):
+    """Arrow delivers a key's rows as multiple chunks in shuffle-arrival
+    order; the operator must still assign sessions in global event-time
+    order (pd.concat-then-sort, not per-chunk sort). Forced here with a
+    tiny maxRecordsPerBatch and a string key (non-long key types must
+    round-trip through the derived output schema)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.streaming import (
+        sessionize,
+        streaming_sessionize,
+    )
+
+    skey_stream = events_stream.withColumn(
+        "user_s", F.concat(F.lit("u"), F.col("user_id"))
+    )
+    skey_batch = events_batch.withColumn(
+        "user_s", F.concat(F.lit("u"), F.col("user_id"))
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    out = tempfile.mkdtemp(prefix="dve_sessions_chunk_")
+    try:
+        q = (
+            streaming_sessionize(
+                skey_stream, "user_s", "ts", gap_seconds=1800,
+                watermark="366 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    res = spark.read.parquet(f"{out}/data")
+    assert res.schema["user_s"].dataType.simpleString() == "string"
+    got = {
+        (r["user_s"], r["event_ts"], r["session_idx"])
+        for r in res.collect()
+    }
+    want = {
+        (r["user_s"], r["ts"], r["session_idx"])
+        for r in sessionize(
+            skey_batch, "user_s", "ts", gap_seconds=1800
         ).collect()
     }
     assert got == want and len(got) > 0
