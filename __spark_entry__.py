@@ -219,8 +219,11 @@ def q_one_to_one_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ents["customer"]
 
 
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemiJoin: customers with at least one high-value order."""
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemiJoin + AntiJoin over the same customer/orders graph, tagged and
+    unioned through the engine — one driver row attests both existence-join
+    kinds (merged from the former semi_join/anti_join rows to fit the
+    driver's query window)."""
     ents = _load(spark, sf_dir, ["customer", "orders"])
     eng = _engine(spark)
     eng.evaluate(
@@ -232,37 +235,49 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "customer.c_custkey = orders.o_custkey "
                 "AND orders.o_totalprice > 100000"
             ),
+            new_entity_name="semi_out",
         ),
     )
-    eng.evaluate(
-        ents,
-        config=SelectColumns(entity_name="customer", columns="c_custkey, c_name"),
-    )
-    return ents["customer"]
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AntiJoin: customers with no orders."""
-    ents = _load(spark, sf_dir, ["customer", "orders"])
-    eng = _engine(spark)
     eng.evaluate(
         ents,
         config=AntiJoin(
             entity_name="customer",
             target_name="orders",
             join_condition="customer.c_custkey = orders.o_custkey",
+            new_entity_name="anti_out",
         ),
     )
     eng.evaluate(
         ents,
-        config=SelectColumns(entity_name="customer", columns="c_custkey, c_name"),
+        config=SelectColumns(
+            entity_name="semi_out",
+            columns="'semi' AS join_kind, c_custkey, c_name",
+        ),
     )
-    return ents["customer"]
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="anti_out",
+            columns="'anti' AS join_kind, c_custkey, c_name",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="semi_out",
+            target_name="anti_out",
+            new_entity_name="both",
+        ),
+    )
+    return ents["both"]
 
 
-def q_has_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ConfirmJoinHasMatch: boolean match flag (match-at-most-once target)."""
-    ents = _load(spark, sf_dir, ["orders", "customer"])
+def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConfirmJoinHasMatch + OrphanIdentification, the two flag-producing
+    joins, normalised to (op, key, flag) and unioned through the engine —
+    one driver row attests both (merged from the former has_match /
+    identify_orphans rows)."""
+    ents = _load(spark, sf_dir, ["orders", "customer", "part", "lineitem"])
     eng = _engine(spark)
     eng.evaluate(
         ents,
@@ -278,11 +293,33 @@ def q_has_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.evaluate(
         ents,
-        config=SelectColumns(
-            entity_name="orders", columns="o_orderkey, rich_customer"
+        config=OrphanIdentification(
+            entity_name="part",
+            target_name="lineitem",
+            join_condition="part.p_partkey = lineitem.l_partkey",
         ),
     )
-    return ents["orders"]
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="orders",
+            columns="'has_match' AS op, o_orderkey AS key, rich_customer AS flag",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="part",
+            columns="'orphans' AS op, p_partkey AS key, IsOrphaned AS flag",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="orders", target_name="part", new_entity_name="flags"
+        ),
+    )
+    return ents["flags"]
 
 
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,27 +359,6 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ents["unioned"]
-
-
-def q_identify_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OrphanIdentification: parts never ordered (IsOrphaned flag)."""
-    ents = _load(spark, sf_dir, ["part", "lineitem"])
-    eng = _engine(spark)
-    eng.evaluate(
-        ents,
-        config=OrphanIdentification(
-            entity_name="part",
-            target_name="lineitem",
-            join_condition="part.p_partkey = lineitem.l_partkey",
-        ),
-    )
-    eng.evaluate(
-        ents,
-        config=SelectColumns(
-            entity_name="part", columns="p_partkey, IsOrphaned"
-        ),
-    )
-    return ents["part"]
 
 
 def q_join_header(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +462,17 @@ def q_sync_filter_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Notification: distributed message emission with compiled template."""
+    """Notification (distributed message emission with compiled template)
+    PLUS the JSONL error sink: the message feed is written with
+    ``write_messages_jsonl`` and read back under the declared message
+    schema (sinks/errors.py:13-16), so the returned frame proves the sink
+    value-preserving, not just the step (merged from the former
+    sink_errors round-trip row)."""
+    import tempfile
+
+    from data_validation_engine_spark.messages import MESSAGE_SCHEMA
+    from data_validation_engine_spark.sinks.errors import write_messages_jsonl
+
     ents = _load(spark, sf_dir, ["customer"])
     msgs = _engine(spark).evaluate(
         ents,
@@ -460,7 +486,10 @@ def q_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    return msgs.selectExpr(
+    out = tempfile.mkdtemp(prefix="dve_sink_errors_") + "/errors"
+    write_messages_jsonl(msgs, out, mode="overwrite")
+    feed = spark.read.schema(MESSAGE_SCHEMA).json(out)
+    return feed.selectExpr(
         "entity",
         "error_code",
         "error_message",
@@ -469,7 +498,16 @@ def q_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity namespace ops: copy -> column removal -> rename -> removal."""
+    """Entity namespace ops (copy -> column removal -> rename -> removal)
+    PLUS the entity parquet sink: the final entity (with the internal
+    record index attached) round-trips through ``write_entities`` and is
+    read back — proving the overwrite write lands and the engine-internal
+    index column is dropped at the boundary (sinks/entities.py:18-38;
+    merged from the former sink_entities row)."""
+    import tempfile
+
+    from data_validation_engine_spark.contract import add_record_index
+    from data_validation_engine_spark.sinks.entities import write_entities
     from data_validation_engine_spark.steps import (
         ColumnRemoval,
         CopyEntity,
@@ -491,7 +529,13 @@ def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.evaluate(ents, config=EntityRemoval(entity_names=("nation",)))
     assert set(ents) == {"trimmed"}
-    return ents["trimmed"]
+    out = tempfile.mkdtemp(prefix="dve_sink_entities_")
+    written = write_entities(
+        {"trimmed": add_record_index(ents["trimmed"])}, out
+    )
+    back = spark.read.parquet(written["trimmed"])
+    assert "__record_index__" not in back.columns
+    return back
 
 
 def q_refdata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,7 +574,23 @@ def q_refdata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL function library incl. NHS mod-11 as a pure expression."""
+    """SQL function library (incl. NHS mod-11 as a pure expression) PLUS
+    the Python/pandas UDF escape hatch (functions/library.py:184-201): an
+    Arrow-batched vectorised UDF and a row-at-a-time UDF registered and
+    applied in the same engine select — all against the pure-SQL oracle
+    (merged from the former python_udf row)."""
+    from data_validation_engine_spark.functions import register_python_udf
+
+    # no type hints: pandas_udf infers the signature from the explicit
+    # return type; pd.Series annotations would be re-inspected and rejected
+    def vlen(s):
+        return s.str.len().astype("int64")
+
+    def py_title(x):
+        return x.title() if x is not None else None
+
+    register_python_udf(spark, "py_vlen", vlen, "long", vectorised=True)
+    register_python_udf(spark, "py_title", py_title, "string")
     ents = _load(spark, sf_dir, ["customer"])
     eng = _engine(spark)
     eng.evaluate(
@@ -544,7 +604,9 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "number_matches_within_percentage(5000.0, c_acctbal, 0.5)"
                 " AS near_5k, "
                 "nhsno_mod11_check(lpad(cast(c_custkey AS STRING), 10, '4'))"
-                " AS nhs_ok"
+                " AS nhs_ok, "
+                "py_vlen(c_name) AS name_len, "
+                "py_title(c_mktsegment) AS seg_title"
             ),
         ),
     )
@@ -601,32 +663,70 @@ def _stringified_orders(spark: SparkSession, sf_dir: str):
 def q_contract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract cast: TRIM+TRY_CAST scalars, regex-guarded formatted date
     parse; records failing any check are dropped (reference record
-    rejection)."""
+    rejection). The SAME contract is also applied to a zero-row
+    stringified frame and unioned in — the empty path must yield the full
+    declared schema, zero rows, and zero messages (merged from the former
+    contract_empty_entity row)."""
     from data_validation_engine_spark.contract import apply_contract, parse_contract
 
     contract = parse_contract(_CONTRACT_DISCHEMA)
     typed, _ = apply_contract(
         contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
     )
-    return typed.selectExpr(
+    empty = spark.createDataFrame(
+        [], "okey string, price string, odate string, status string, prio string"
+    )
+    typed_empty, empty_messages = apply_contract(
+        contract.entity("orders_sub"), empty
+    )
+    assert empty_messages.count() == 0
+    return typed.unionByName(typed_empty).selectExpr(
         "okey", "price", "odate", "status", "prio"
     )
 
 
 def q_contract_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract validation feed: one message per (record, failed check)."""
+    """Contract validation feed (one message per record+failed check),
+    tagged 'base', unioned with the SAME dataset validated under
+    per-field error-detail OVERRIDES (custom code / informational flag per
+    reporting category, reference DataContractErrorDetail) tagged 'ovr' —
+    one driver row attests the default and the overridden compilation
+    (merged from the former contract_error_details row)."""
     from data_validation_engine_spark.contract import apply_contract, parse_contract
 
-    contract = parse_contract(_CONTRACT_DISCHEMA)
-    _, messages = apply_contract(
-        contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
-    )
-    return messages.selectExpr(
+    cols = (
         "entity",
         "error_code",
         "error_location",
+        "error_message",
         "category",
+        "is_informational",
         "CAST(reporting_field AS BIGINT) AS record_key",
+    )
+    stringified = _stringified_orders(spark, sf_dir)
+    base = parse_contract(_CONTRACT_DISCHEMA)
+    _, base_messages = apply_contract(base.entity("orders_sub"), stringified)
+    ovr = parse_contract(
+        _CONTRACT_DISCHEMA,
+        error_details={
+            "price": {
+                "Blank": {
+                    "error_code": "PRICE_REQUIRED",
+                    "error_message": "price must be supplied",
+                },
+                "Bad value": {
+                    "error_code": "PRICE_NOT_NUMERIC",
+                    "is_informational": True,
+                },
+            },
+            "odate": {
+                "Bad value": {"error_code": "DATE_FORMAT_DDMMYYYY"},
+            },
+        },
+    )
+    _, ovr_messages = apply_contract(ovr.entity("orders_sub"), stringified)
+    return base_messages.selectExpr("'base' AS part", *cols).unionByName(
+        ovr_messages.selectExpr("'ovr' AS part", *cols)
     )
 
 
@@ -686,26 +786,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents with a deterministically re-inserted 10%
-    sample (so the operator visibly collapses duplicates)."""
+    sample (so the operator visibly collapses duplicates), computed BOTH
+    ways: the direct library call and the DECLARATIVE dischema step
+    (steps/configs.py ExactDedup -> engine.dedup_exact), inner-joined on
+    the survivor id — the hash covers both paths, so the JSON-declarable
+    vocabulary is proven to compute identically (merged from the former
+    step_dedup_exact row)."""
     from data_validation_engine_spark.llmops import exact_dedup
-
-    docs = _docs(spark, sf_dir)
-    dup_in = docs.unionByName(docs.where("doc_id % 10 = 0"))
-    return exact_dedup(dup_in, "text", order_col="doc_id").selectExpr(
-        "doc_id", "n_chars", "n_copies"
-    )
-
-
-def q_step_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DECLARATIVE path to exact dedup: the same operator driven as a
-    dischema step config through the step engine (steps/configs.py
-    ExactDedup -> engine.dedup_exact) instead of a direct library call —
-    proving the JSON-declarable corpus vocabulary computes identically.
-    Oracle: same SQL as dedup_exact."""
     from data_validation_engine_spark.steps import parse_step
 
     docs = _docs(spark, sf_dir)
-    entities = {"documents": docs.unionByName(docs.where("doc_id % 10 = 0"))}
+    dup_in = docs.unionByName(docs.where("doc_id % 10 = 0"))
+    lib = exact_dedup(dup_in, "text", order_col="doc_id").selectExpr(
+        "doc_id", "n_chars", "n_copies"
+    )
+    entities = {"documents": dup_in}
     _engine(spark).evaluate(
         entities,
         config=parse_step(
@@ -718,7 +813,10 @@ def q_step_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ),
     )
-    return entities["deduped"].selectExpr("doc_id", "n_chars", "n_copies")
+    step = entities["deduped"].selectExpr(
+        "doc_id", "n_copies AS n_copies_step"
+    )
+    return lib.join(step, "doc_id")
 
 
 def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,27 +876,51 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN probe: top-10 within vec 0's random-hyperplane LSH bucket."""
-    from data_validation_engine_spark.llmops import ann_topk
+    """ANN probe: top-10 within vec 0's random-hyperplane LSH bucket,
+    computed over the flat table AND over the LSH-PARTITIONED layout
+    (embeddings persisted PARTITIONED BY bucket, probe pushed as a static
+    partition filter so the scan reads one directory — plan-asserted in
+    tests/test_llmops.py), inner-joined on vec_id: the hash proves the
+    partitioned scale path returns the identical candidate set and
+    ranking (merged from the former similarity_ann_partitioned row)."""
+    import tempfile
+
+    from data_validation_engine_spark.llmops import (
+        ann_topk,
+        ann_topk_partitioned,
+        write_lsh_partitioned,
+    )
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_topk(embs, embs.where("vec_id = 0"), 10)
+    flat = ann_topk(embs, embs.where("vec_id = 0"), 10)
+    path = tempfile.mkdtemp(prefix="dve_lsh_part_") + "/table"
+    write_lsh_partitioned(embs, path)
+    part = ann_topk_partitioned(spark, path, embs.where("vec_id = 0"), 10)
+    # partition-column read-back is integer-typed ('0101' -> 101); pin to
+    # BIGINT so the oracle twin casts the same way
+    return flat.join(
+        part.selectExpr("vec_id", "CAST(bucket AS BIGINT) AS bucket_part"),
+        "vec_id",
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality statistics + quality gate."""
-    from data_validation_engine_spark.llmops import text_stats
+    """The per-row text-analysis suite in one row: quality statistics +
+    gate, heuristic language ID (CJK charset check + stopword vote), and
+    the canonical md5 fingerprint + min-k winnowed shingle sketch —
+    three zero-shuffle projections inner-joined on doc_id (merged from
+    the former lang_id and text_fingerprint rows)."""
+    from data_validation_engine_spark.llmops import (
+        language_id,
+        text_fingerprint,
+        text_stats,
+    )
 
     docs = _docs(spark, sf_dir)
-    return text_stats(docs, "doc_id", "text")
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (CJK charset check + stopword vote)."""
-    from data_validation_engine_spark.llmops import language_id
-
-    docs = _docs(spark, sf_dir)
-    return language_id(docs, "doc_id", "text")
+    stats = text_stats(docs, "doc_id", "text")
+    lang = language_id(docs, "doc_id", "text")
+    fp = text_fingerprint(docs, "doc_id", "text")
+    return stats.join(lang, "doc_id").join(fp, "doc_id")
 
 
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,14 +942,6 @@ def q_quality_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercised, not just the predicate
     apply_sync_filters(ents, quality_filters("documents", min_tokens=40))
     return ents["documents"].selectExpr("doc_id", "n_chars", "lang")
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical md5 fingerprint + min-k winnowed shingle sketch."""
-    from data_validation_engine_spark.llmops import text_fingerprint
-
-    docs = _docs(spark, sf_dir)
-    return text_fingerprint(docs, "doc_id", "text")
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,57 +966,100 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=1)
 
 
-def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup clusters end-to-end: MinHash-LSH near-dup pairs fed to
-    label-propagation connected components (component = min reachable id).
-    The oracle recomputes the same pair graph in SQL and resolves
-    components with a recursive CTE — the full fuzzy-dedup pipeline is
-    hash-checked, not just the pair stage."""
-    from data_validation_engine_spark.llmops import (
-        connected_components,
-        minhash_pairs,
+def q_bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct oracle evidence for the skew-bounded self-join that
+    underpins every LSH candidate stage (llmops/pairs.py:36-93): a
+    deliberately SKEWED bucket table (every third id lands in one hot
+    bucket holding ~a third of all rows) self-joined with
+    max_bucket_rows=32, so the hot bucket decomposes into many bounded
+    block-pair tasks — and the emitted pair set must STILL equal the
+    naive SQL self-join exactly (the no-sampling, no-cap-loss
+    guarantee)."""
+    from data_validation_engine_spark.llmops.pairs import bounded_self_join
+
+    rows = _docs(spark, sf_dir).where("doc_id % 2 = 0").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 7 END AS bucket",
+    )
+    pairs = bounded_self_join(
+        rows, ["bucket"], order_col="doc_id", max_bucket_rows=32
+    )
+    return pairs.selectExpr(
+        "bucket", "a.doc_id AS id_a", "b.doc_id AS id_b"
     )
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_pairs(docs, "doc_id", "text", threshold=0.5)
-    return connected_components(pairs).select("id", "component")
 
-
-def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same cluster resolution via the large-star/small-star algorithm
-    (O(log² n) rounds — the deep-chain scale path); identical oracle, so
-    both CC implementations are proven equal on the same graph."""
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters end-to-end: MinHash-LSH near-dup pairs fed to BOTH
+    connected-components implementations — label propagation (O(diameter)
+    rounds) and large-star/small-star (O(log² n) rounds, the deep-chain
+    scale path) — inner-joined on the node id. The oracle recomputes the
+    pair graph in SQL and resolves components with a recursive CTE, so the
+    hash proves both algorithms equal AND correct on the same graph
+    (merged from the former connected_components_star row). The pair
+    frame is materialised once so the signature pipeline doesn't run
+    per-algorithm."""
     from data_validation_engine_spark.llmops import (
+        connected_components,
         connected_components_star,
         minhash_pairs,
     )
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_pairs(docs, "doc_id", "text", threshold=0.5)
-    return connected_components_star(pairs).select("id", "component")
-
-
-def q_similarity_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The repeated-probe ANN scale path: embeddings persisted PARTITIONED
-    BY LSH bucket, probe pushed as a static partition filter (the scan
-    reads one directory — plan-asserted in tests/test_llmops.py). Same
-    candidate set and ranking as the flat ANN probe, proven by oracle."""
-    import tempfile
-
-    from data_validation_engine_spark.llmops import (
-        ann_topk_partitioned,
-        write_lsh_partitioned,
+    pairs = pairs.localCheckpoint(eager=True)
+    lab = connected_components(pairs).select("id", "component")
+    star = connected_components_star(pairs).selectExpr(
+        "id", "component AS component_star"
     )
+    return lab.join(star, "id")
+
+
+def q_step_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE path to every ANN variant: hyperplane-LSH probe,
+    multi-probe (3 OR-amplified tables), and IVF (16-cell coarse
+    quantizer, 4-cell probe) each driven as a dischema step config through
+    the step engine (steps/configs.py SimilarityTopK method=ann|multiprobe
+    |ivf -> engine.similarity_topk), normalised to (method, vec_id,
+    cosine) and unioned — proving the JSON-declarable similarity
+    vocabulary computes identically to the library oracles."""
+    from data_validation_engine_spark.steps import parse_step
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    path = tempfile.mkdtemp(prefix="dve_lsh_part_") + "/table"
-    write_lsh_partitioned(embs, path)
-    out = ann_topk_partitioned(spark, path, embs.where("vec_id = 0"), 10)
-    # partition-column read-back is integer-typed ('0101' -> 101); pin to
-    # BIGINT so the oracle twin casts the same way
-    return out.selectExpr(
-        "vec_id", "cosine", "CAST(bucket AS BIGINT) AS bucket"
+    eng = _engine(spark)
+    ents = {"embeddings": embs, "query": embs.where("vec_id = 0")}
+    for method, out in (("ann", "o_ann"), ("multiprobe", "o_mp"), ("ivf", "o_ivf")):
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "similarity_topk",
+                    "entity_name": "embeddings",
+                    "target_name": "query",
+                    "method": method,
+                    "k": 10,
+                    "new_entity_name": out,
+                }
+            ),
+        )
+        eng.evaluate(
+            ents,
+            config=SelectColumns(
+                entity_name=out,
+                columns=f"'{method}' AS method, vec_id, cosine",
+            ),
+        )
+    eng.evaluate(
+        ents,
+        config=TableUnion(entity_name="o_ann", target_name="o_mp"),
     )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="o_ann", target_name="o_ivf", new_entity_name="all"
+        ),
+    )
+    return ents["all"]
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,19 +1083,38 @@ def q_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source round-trip: nation written to CSV, read back stringified
-    via the engine reader, cast to types (oracle = the parquet table)."""
+    """CSV source round-trip THROUGH the file-handling URI service
+    (files.py): nation written to CSV, staged via ``put_file`` +
+    ``copy_file`` over file:// URIs (digest-verified, listed), then read
+    back stringified via the engine reader from the copied location and
+    cast to types (oracle = the parquet table; merged from the former
+    file_service_csv row)."""
     import tempfile
     from pathlib import Path
 
+    from data_validation_engine_spark.files import (
+        copy_file,
+        file_digest,
+        list_files,
+        put_file,
+    )
     from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
 
+    base = Path(tempfile.mkdtemp(prefix="dve_files_q_"))
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    out = Path(tempfile.gettempdir()) / "dve_spark_csv_roundtrip"
-    nation.toPandas().to_csv(out.with_suffix(".csv"), index=False)
+    local = base / "nation.csv"
+    nation.toPandas().to_csv(local, index=False)
+    put_file(local, f"file://{base}/staged/nation.csv")
+    copy_file(
+        f"file://{base}/staged/nation.csv", f"file://{base}/final/nation.csv"
+    )
+    assert file_digest(f"file://{base}/staged/nation.csv") == file_digest(
+        f"file://{base}/final/nation.csv"
+    )
+    assert list(list_files(f"file://{base}/final", suffix=".csv"))
     df = read_csv(
         spark,
-        str(out.with_suffix(".csv")),
+        f"{base}/final/nation.csv",
         ["n_nationkey", "n_name", "n_regionkey"],
         CSVOptions(field_check=True),
     )
@@ -1007,87 +1183,32 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column metadata (payload bytes + content hash) — the JVM side
-    of the multimodal convention."""
+    """The multimodal binary-column convention in one row: JVM-side
+    metadata (payload bytes + content hash) inner-joined with the
+    Arrow-batched decode plumbing (mapInPandas + the deterministic fake
+    decoder; the ``features array<double>`` projected to scalar DOUBLE
+    columns for the oracle canonicalizer) — merged from the former
+    multimodal_decode row."""
     from data_validation_engine_spark.llmops.multimodal import (
         attach_binary,
         binary_meta,
-    )
-
-    docs = _docs(spark, sf_dir)
-    return binary_meta(attach_binary(docs, "text"), "doc_id")
-
-
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode plumbing (mapInPandas) with the deterministic
-    fake decoder.
-
-    The ``features array<double>`` is projected to four scalar DOUBLE
-    columns so the driver's oracle canonicalizer (pandas sort + hash) can
-    compare it — the mapInPandas hop stays fully under test; only the
-    final projection changed (round-2 verdict item #1).
-    """
-    from data_validation_engine_spark.llmops.multimodal import (
-        attach_binary,
         decode_binary,
         fake_decoder,
     )
 
     docs = _docs(spark, sf_dir)
-    decoded = decode_binary(
-        attach_binary(docs, "text"), "doc_id", decoder=fake_decoder
-    )
-    return decoded.select(
-        "id",
-        "n_bytes",
+    with_bin = attach_binary(docs, "text")
+    meta = binary_meta(with_bin, "doc_id")
+    decoded = decode_binary(with_bin, "doc_id", decoder=fake_decoder)
+    features = decoded.select(
+        F.col("id").alias("doc_id"),
         F.col("features")[0].alias("f_len"),
         F.col("features")[1].alias("f_mean"),
         F.col("features")[2].alias("f_min"),
         F.col("features")[3].alias("f_max"),
         "decode_error",
     )
-
-
-def q_contract_error_details(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract error-detail overrides: per (field, reporting-category)
-    custom code / message / informational flag rewriting the compiled
-    checks (reference DataContractErrorDetail, dve message.py:35-52).
-    'Bad value' covers type AND constraint categories, so both of price's
-    value checks surface the overridden code."""
-    from data_validation_engine_spark.contract import (
-        apply_contract,
-        parse_contract,
-    )
-
-    contract = parse_contract(
-        _CONTRACT_DISCHEMA,
-        error_details={
-            "price": {
-                "Blank": {
-                    "error_code": "PRICE_REQUIRED",
-                    "error_message": "price must be supplied",
-                },
-                "Bad value": {
-                    "error_code": "PRICE_NOT_NUMERIC",
-                    "is_informational": True,
-                },
-            },
-            "odate": {
-                "Bad value": {"error_code": "DATE_FORMAT_DDMMYYYY"},
-            },
-        },
-    )
-    _, messages = apply_contract(
-        contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
-    )
-    return messages.selectExpr(
-        "entity",
-        "error_code",
-        "error_message",
-        "category",
-        "is_informational",
-        "CAST(reporting_field AS BIGINT) AS record_key",
-    )
+    return meta.join(features, "doc_id")
 
 
 def q_contract_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1320,70 +1441,58 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sessionization rollup (30-min gap rule): gaps-and-islands
-    via window functions — one shuffle by user, integer-µs arithmetic so
-    the oracle comparison is exact (streaming/sessions.py)."""
-    from data_validation_engine_spark.streaming import session_stats
+    """Per-user sessionization (30-min gap rule) BOTH ways: the batch
+    gaps-and-islands rollup (one user-keyed window shuffle, integer-µs
+    arithmetic) inner-joined on (user, session) with the rollup of the
+    STREAMING custom stateful operator (applyInPandasWithState per-user
+    state, drained under availableNow) — the hash proves batch/stream
+    session parity against the SQL oracle instead of claiming it
+    (streaming/sessions.py; closes the streaming_sessionize oracle gap)."""
+    import tempfile
+
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        session_stats,
+        streaming_sessionize,
+    )
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return session_stats(events, "user_id", "ts", gap_seconds=1800)
+    batch = session_stats(events, "user_id", "ts", gap_seconds=1800)
+
+    sdf = read_entity_stream(
+        spark,
+        sf_dir,
+        _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    out = tempfile.mkdtemp(prefix="dve_sessions_q_")
+    q = (
+        streaming_sessionize(
+            sdf, "user_id", "ts", gap_seconds=1800, watermark="366 days"
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ts_us = F.unix_micros(F.col("event_ts"))
+    stream = (
+        spark.read.parquet(f"{out}/data")
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_stream"),
+            (F.max(ts_us) - F.min(ts_us)).alias("duration_us_stream"),
+        )
+    )
+    return batch.join(stream, ["user_id", "session_idx"])
 
 
 # ---------------------------------------------------------------------------
 # writer-sink round-trips (SURVEY §2.2 — sinks proven by read-back)
 # ---------------------------------------------------------------------------
-
-def q_sink_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity parquet sink round-trip: nation (with the internal record
-    index attached) through ``write_entities`` and read back — proving the
-    overwrite write lands and the engine-internal index column is dropped
-    at the boundary (sinks/entities.py:18-38)."""
-    import tempfile
-
-    from data_validation_engine_spark.contract import add_record_index
-    from data_validation_engine_spark.sinks.entities import write_entities
-
-    ents = _load(spark, sf_dir, ["nation"])
-    out = tempfile.mkdtemp(prefix="dve_sink_entities_")
-    written = write_entities({"nation": add_record_index(ents["nation"])}, out)
-    back = spark.read.parquet(written["nation"])
-    assert "__record_index__" not in back.columns
-    return back.select("n_nationkey", "n_name", "n_regionkey")
-
-
-def q_sink_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL error sink round-trip: notification messages written with
-    ``write_messages_jsonl`` and read back under the declared message
-    schema (sinks/errors.py:13-16) — same oracle as the notification
-    step, so the sink is proven value-preserving, not just non-crashing."""
-    import tempfile
-
-    from data_validation_engine_spark.messages import MESSAGE_SCHEMA
-    from data_validation_engine_spark.sinks.errors import write_messages_jsonl
-
-    ents = _load(spark, sf_dir, ["customer"])
-    msgs = _engine(spark).evaluate(
-        ents,
-        config=Notification(
-            entity_name="customer",
-            expression="c_acctbal < 0",
-            reporting=Reporting(
-                code="NEG_BAL",
-                message="customer {{c_name}} has negative balance",
-                reporting_field="c_custkey",
-            ),
-        ),
-    )
-    out = tempfile.mkdtemp(prefix="dve_sink_errors_") + "/errors"
-    write_messages_jsonl(msgs, out, mode="overwrite")
-    feed = spark.read.schema(MESSAGE_SCHEMA).json(out)
-    return feed.selectExpr(
-        "entity",
-        "error_code",
-        "error_message",
-        "CAST(reporting_field AS BIGINT) AS record_key",
-    )
-
 
 def q_presence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity presence checks (pipeline.py:230-260): a dischema declaring
@@ -1422,124 +1531,6 @@ def q_presence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Python/pandas UDF escape hatch (functions/library.py:184-201):
-    an Arrow-batched vectorised UDF and a row-at-a-time UDF registered and
-    applied over customer — results must equal the pure-SQL oracle."""
-    import pandas as pd
-
-    from data_validation_engine_spark.functions import register_python_udf
-
-    # no type hints: pandas_udf infers the signature from the explicit
-    # return type; pd.Series annotations would be re-inspected and rejected
-    def vlen(s):
-        return s.str.len().astype("int64")
-
-    def py_title(x):
-        return x.title() if x is not None else None
-
-    register_python_udf(spark, "py_vlen", vlen, "long", vectorised=True)
-    register_python_udf(spark, "py_title", py_title, "string")
-    ents = _load(spark, sf_dir, ["customer"])
-    return ents["customer"].selectExpr(
-        "c_custkey",
-        "py_vlen(c_name) AS name_len",
-        "py_title(c_mktsegment) AS seg_title",
-    )
-
-
-def q_contract_empty_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Empty-entity handling: the full contract (casts, constraints,
-    mandatory checks) applied to a ZERO-ROW stringified frame must yield a
-    zero-row TYPED frame with the complete declared schema and no
-    messages — the schema comparison is the assertion."""
-    from data_validation_engine_spark.contract import (
-        apply_contract,
-        parse_contract,
-    )
-
-    contract = parse_contract(_CONTRACT_DISCHEMA)
-    empty = spark.createDataFrame(
-        [], "okey string, price string, odate string, status string, prio string"
-    )
-    typed, messages = apply_contract(contract.entity("orders_sub"), empty)
-    assert messages.count() == 0
-    return typed.selectExpr("okey", "price", "odate", "status", "prio")
-
-
-def q_file_service_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-handling URI service end-to-end (files.py): a CSV staged via
-    ``put_file`` + ``copy_file`` over file:// URIs (digest-verified), then
-    read through the engine CSV reader from the copied location."""
-    import tempfile
-    from pathlib import Path
-
-    from data_validation_engine_spark.files import (
-        copy_file,
-        file_digest,
-        list_files,
-        put_file,
-    )
-    from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
-
-    base = Path(tempfile.mkdtemp(prefix="dve_files_q_"))
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    local = base / "nation.csv"
-    nation.toPandas().to_csv(local, index=False)
-    put_file(local, f"file://{base}/staged/nation.csv")
-    copy_file(
-        f"file://{base}/staged/nation.csv", f"file://{base}/final/nation.csv"
-    )
-    assert file_digest(f"file://{base}/staged/nation.csv") == file_digest(
-        f"file://{base}/final/nation.csv"
-    )
-    assert list(list_files(f"file://{base}/final", suffix=".csv"))
-    df = read_csv(
-        spark,
-        f"{base}/final/nation.csv",
-        ["n_nationkey", "n_name", "n_regionkey"],
-        CSVOptions(field_check=True),
-    )
-    return df.selectExpr(
-        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
-        "n_name",
-        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
-    )
-
-
-def q_audit_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit table round-trip + latest-status window (sinks/audit.py):
-    explicit timestamps make the append-only history deterministic; the
-    window query must surface exactly the newest status per submission."""
-    import datetime as _dt
-    import tempfile
-
-    from data_validation_engine_spark.sinks.audit import AuditLog
-
-    audit = AuditLog(
-        spark, tempfile.mkdtemp(prefix="dve_audit_q_"), fmt="parquet"
-    )
-
-    def row(sub: str, status: str, hour: int) -> dict:
-        return {
-            "submission_id": sub,
-            "time_updated": _dt.datetime(2024, 1, 1, hour, 0, 0),
-            "status": status,
-            "job_run_id": None,
-            "submission_result": None,
-        }
-
-    # two appends (not one): the second lands as a separate file, so the
-    # read-back proves append-accumulate, while s1's two rows prove the
-    # latest-wins window
-    audit.append(
-        "processing_status",
-        [row("s1", "received", 9), row("s1", "completed", 11)],
-    )
-    audit.append("processing_status", [row("s2", "received", 10)])
-    return audit.latest_status().selectExpr("submission_id", "status")
-
-
 def q_report_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-shaped report aggregates sheet computed distributed
     (sinks/report.py:59-75) over the contract validation feed — the sheet
@@ -1555,6 +1546,92 @@ def q_report_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
     )
     return report_aggregates(messages)
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production path in one oracle row (reference
+    pipeline/pipeline.py:950-977 analogue): two CSV submissions with
+    metadata are dropped in a landing prefix, discovered/paired/moved and
+    audited by ``process_landing`` (thread-pool fan-out, max_workers=2),
+    each run through transform -> contract -> business rules -> entity
+    sinks -> audit. The returned frame is the validated entity read back
+    from the parquet SINK, cross-joined with the audit trail's distinct
+    latest status — exactly one ('completed') iff every stage of both
+    submissions succeeded, so the hash attests the pipeline AND the audit
+    table (absorbs the former audit_latest_status row)."""
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from data_validation_engine_spark.pipeline import process_landing
+    from data_validation_engine_spark.sinks.audit import AuditLog
+
+    root = Path(tempfile.mkdtemp(prefix="dve_e2e_"))
+    dischema = {
+        "contract": {
+            "datasets": {
+                "nations": {
+                    "fields": {
+                        "n_nationkey": "int",
+                        "n_name": "str",
+                        "n_regionkey": "int",
+                    },
+                    "key_field": "n_nationkey",
+                    "mandatory_fields": ["n_nationkey", "n_name"],
+                }
+            }
+        },
+        "transformations": {
+            "rules": [
+                {
+                    "operation": "add",
+                    "entity": "nations",
+                    "column_name": "name_len",
+                    "expression": "length(n_name)",
+                }
+            ]
+        },
+    }
+    (root / "dischema.json").write_text(_json.dumps(dischema))
+    landing = root / "landing"
+    landing.mkdir()
+    pdf = spark.read.parquet(f"{sf_dir}/nation.parquet").toPandas()
+    halves = (
+        pdf[pdf.n_nationkey % 2 == 0],
+        pdf[pdf.n_nationkey % 2 == 1],
+    )
+    for i, part in enumerate(halves):
+        part.to_csv(landing / f"nations_{i}.csv", index=False)
+        (landing / f"nations_{i}.csv.metadata.json").write_text(
+            _json.dumps({"file_name": f"nations_{i}.csv"})
+        )
+    results = process_landing(
+        spark,
+        root / "dischema.json",
+        str(landing),
+        root / "out",
+        audit_path=str(root / "audit"),
+        write_report=True,
+        max_workers=2,
+    )
+    assert len(results) == 2 and all(r.success for r in results)
+    ent = None
+    for r in results:
+        back = spark.read.parquet(r.entity_paths["nations"])
+        ent = back if ent is None else ent.unionByName(back)
+    status = (
+        AuditLog(spark, str(root / "audit"))
+        .latest_status()
+        .select("status")
+        .distinct()
+    )
+    return ent.crossJoin(status).selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+        "CAST(name_len AS BIGINT) AS name_len",
+        "status AS pipeline_status",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2009,6 +2086,8 @@ def _lang_id_oracle() -> str:
 
 
 _LLMOPS_ORACLES: dict[str, str] = {
+    # n_copies twice: the Spark row inner-joins the library survivors with
+    # the declarative-step survivors, so the hash covers both paths
     "dedup_exact": """
         WITH dup_in AS (
             SELECT * FROM documents
@@ -2017,19 +2096,8 @@ _LLMOPS_ORACLES: dict[str, str] = {
         )
         SELECT arg_min(doc_id, doc_id) AS doc_id,
                arg_min(n_chars, doc_id) AS n_chars,
-               count(*) AS n_copies
-        FROM dup_in
-        GROUP BY md5(text)
-    """,
-    "step_dedup_exact": """
-        WITH dup_in AS (
-            SELECT * FROM documents
-            UNION ALL
-            SELECT * FROM documents WHERE doc_id % 10 = 0
-        )
-        SELECT arg_min(doc_id, doc_id) AS doc_id,
-               arg_min(n_chars, doc_id) AS n_chars,
-               count(*) AS n_copies
+               count(*) AS n_copies,
+               count(*) AS n_copies_step
         FROM dup_in
         GROUP BY md5(text)
     """,
@@ -2037,11 +2105,39 @@ _LLMOPS_ORACLES: dict[str, str] = {
     "step_dedup_fuzzy": _dedup_fuzzy_oracle(),
     "dedup_simhash": _dedup_simhash_oracle(),
     "dedup_simhash_pairs": _dedup_simhash_pairs_oracle(),
-    "connected_components": _connected_components_oracle(),
-    "connected_components_star": _connected_components_oracle(),
+    "bounded_pairs": """
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 0
+                        ELSE doc_id % 7 END AS bucket
+            FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT a.bucket, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    # component twice: label propagation joined with large-star/small-star
+    "connected_components": _connected_components_oracle().replace(
+        "min(r) AS component",
+        "min(r) AS component, min(r) AS component_star",
+    ),
     "similarity_topk": _similarity_topk_oracle(),
-    "similarity_ann": _similarity_ann_oracle(),
-    "similarity_ann_partitioned": _similarity_ann_partitioned_oracle(),
+    # bucket AND bucket_part: the flat probe joined with the
+    # partition-pruned probe (same planes, same candidate set)
+    "similarity_ann": _similarity_ann_partitioned_oracle().replace(
+        "CAST(bucket AS BIGINT) AS bucket",
+        "bucket, CAST(bucket AS BIGINT) AS bucket_part",
+    ),
+    "step_similarity_ann": f"""
+        SELECT 'ann' AS method, vec_id, cosine
+        FROM ({_similarity_ann_oracle(k=10, n_planes=4)})
+        UNION ALL
+        SELECT 'multiprobe', vec_id, cosine
+        FROM ({_multiprobe_ann_oracle(k=10, n_planes=4, n_tables=3)})
+        UNION ALL
+        SELECT 'ivf', vec_id, cosine
+        FROM ({_similarity_ivf_oracle(k=10, n_cells=16, n_probe=4)})
+    """,
     "similarity_ivf": _similarity_ivf_oracle(),
     "multiprobe_ann": _multiprobe_ann_oracle(),
     "embedding_neardup": _embedding_neardup_oracle(threshold=0.3),
@@ -2064,8 +2160,28 @@ _LLMOPS_ORACLES: dict[str, str] = {
                   / len(string_split_regex(trim(text), '\s+')))
                   BETWEEN 2.0 AND 15.0, FALSE)
     """,
-    "text_stats": _text_stats_oracle(),
-    "lang_id": _lang_id_oracle(),
+    # text stats + language id + fingerprint joined on doc_id (the Spark
+    # row inner-joins the three per-row projections)
+    "text_stats": f"""
+        WITH ts AS ({_text_stats_oracle()}),
+        li AS ({_lang_id_oracle()}),
+        fp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                   array_to_string(
+                       list_sort(list_transform(shingles, s -> md5(s)))[1:4],
+                       '') AS winnow
+            FROM (
+                SELECT doc_id, text, {_duck_shingles()} AS shingles
+                FROM (
+                    SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+                )
+            )
+        )
+        SELECT ts.*, li.lang_pred, fp.fingerprint, fp.winnow
+        FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
+    """,
     "tfidf_topterms": """
         WITH terms AS (
             SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -2086,36 +2202,20 @@ _LLMOPS_ORACLES: dict[str, str] = {
             FROM tf JOIN dfreq USING (term), n
         ) WHERE rk = 1
     """,
-    "text_fingerprint": f"""
-        SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                   AS fingerprint,
-               array_to_string(
-                   list_sort(list_transform(shingles, s -> md5(s)))[1:4], '')
-                   AS winnow
-        FROM (
-            SELECT doc_id, text, {_duck_shingles()} AS shingles
-            FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
-        )
-    """,
+    # metadata + fake_decoder byte statistics joined on doc_id. The
+    # decoder stats are recomputed in SQL: UTF-8 bytes via hex(encode(..))
+    # decomposed with a strpos hex-digit lookup (exact integer sum then
+    # one double division == the Python float path).
     "multimodal_meta": """
-        SELECT doc_id,
-               octet_length(text::BLOB) AS n_bytes,
-               md5(text) AS content_hash
-        FROM documents
-    """,
-    # fake_decoder byte statistics recomputed in SQL: UTF-8 bytes via
-    # hex(encode(..)) decomposed with a strpos hex-digit lookup (exact
-    # integer sum then one double division == the Python float path).
-    "multimodal_decode": """
         WITH b AS (
             SELECT doc_id,
                    hex(encode(COALESCE(text, ''))) AS h,
-                   octet_length(encode(COALESCE(text, ''))) AS n
+                   octet_length(encode(COALESCE(text, ''))) AS n,
+                   md5(text) AS content_hash
             FROM documents
         ),
         e AS (
-            SELECT doc_id, n,
+            SELECT doc_id, n, content_hash,
                    list_transform(generate_series(1, n), i ->
                        (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
                            * 16
@@ -2123,8 +2223,9 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    ) AS bs
             FROM b
         )
-        SELECT doc_id AS id,
+        SELECT doc_id,
                CAST(n AS BIGINT) AS n_bytes,
+               content_hash,
                CAST(n AS DOUBLE) AS f_len,
                CASE WHEN n = 0 THEN 0.0
                     ELSE CAST(list_sum(bs) AS DOUBLE) / n END AS f_mean,
@@ -2199,26 +2300,31 @@ _ORACLES: dict[str, str] = {
         SELECT c_custkey, n_regionkey AS regionkey
         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
     """,
-    "semi_join": """
-        SELECT c_custkey, c_name FROM customer c
+    "semi_anti_join": """
+        SELECT 'semi' AS join_kind, c_custkey, c_name FROM customer c
         WHERE EXISTS (
             SELECT 1 FROM orders o
             WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
         )
-    """,
-    "anti_join": """
-        SELECT c_custkey, c_name FROM customer c
+        UNION ALL
+        SELECT 'anti', c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey
         )
     """,
-    "has_match": """
-        SELECT o_orderkey,
+    "flag_joins": """
+        SELECT 'has_match' AS op, o_orderkey AS key,
                EXISTS (
                    SELECT 1 FROM customer c
                    WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 5000
-               ) AS rich_customer
+               ) AS flag
         FROM orders o
+        UNION ALL
+        SELECT 'orphans', p_partkey,
+               NOT EXISTS (
+                   SELECT 1 FROM lineitem l WHERE p.p_partkey = l.l_partkey
+               )
+        FROM part p
     """,
     "union": """
         SELECT *,
@@ -2230,13 +2336,6 @@ _ORACLES: dict[str, str] = {
             UNION ALL
             SELECT s_suppkey, s_name, NULL, s_nationkey FROM supplier
         )
-    """,
-    "identify_orphans": """
-        SELECT p_partkey,
-               NOT EXISTS (
-                   SELECT 1 FROM lineitem l WHERE p.p_partkey = l.l_partkey
-               ) AS IsOrphaned
-        FROM part p
     """,
     "join_header": """
         SELECT n_nationkey, n_name, h.n_orders, h.max_price
@@ -2260,48 +2359,6 @@ _ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'orders', 'PENDING', 'order pending', 'record', o_orderkey
         FROM orders WHERE NOT COALESCE(o_orderstatus <> 'P', FALSE)
-    """,
-    "contract_error_details": """
-        WITH stringified AS (
-            SELECT CAST(o_orderkey AS VARCHAR) AS okey,
-                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
-                        WHEN o_orderkey % 7 = 0 THEN 'junk'
-                        ELSE CAST(o_totalprice AS VARCHAR) END AS price,
-                   CASE WHEN o_orderkey % 13 = 0
-                        THEN strftime(o_orderdate, '%Y-%m-%d')
-                        ELSE strftime(o_orderdate, '%d/%m/%Y') END AS odate
-            FROM orders
-        )
-        SELECT 'orders_sub' AS entity, 'PRICE_REQUIRED' AS error_code,
-               'price must be supplied' AS error_message,
-               'missing' AS category, FALSE AS is_informational,
-               CAST(okey AS BIGINT) AS record_key
-        FROM stringified
-        WHERE NOT COALESCE(price IS NOT NULL AND TRIM(price) <> '', FALSE)
-        UNION ALL
-        SELECT 'orders_sub', 'PRICE_NOT_NUMERIC',
-               'Field price failed INVALID_NUMBER', 'type', TRUE,
-               CAST(okey AS BIGINT)
-        FROM stringified
-        WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
-              OR TRY_CAST(TRIM(price) AS DOUBLE) IS NOT NULL, FALSE)
-        UNION ALL
-        SELECT 'orders_sub', 'PRICE_NOT_NUMERIC',
-               'Field price failed OUT_OF_RANGE_GT', 'constraint', TRUE,
-               CAST(okey AS BIGINT)
-        FROM stringified
-        WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
-              OR TRY_CAST(TRIM(price) AS DOUBLE) > 0, FALSE)
-        UNION ALL
-        SELECT 'orders_sub', 'DATE_FORMAT_DDMMYYYY',
-               'Field odate failed INVALID_DATE', 'type', FALSE,
-               CAST(okey AS BIGINT)
-        FROM stringified
-        WHERE NOT COALESCE(odate IS NULL OR TRIM(odate) = ''
-              OR (CASE WHEN regexp_matches(TRIM(odate),
-                           '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
-                       THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
-                       ELSE NULL END) IS NOT NULL, FALSE)
     """,
     "contract_functions": """
         WITH s AS (
@@ -2376,18 +2433,10 @@ _ORACLES: dict[str, str] = {
             FROM flagged
         )
         SELECT user_id, session_idx, count(*) AS n_events,
-               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+               count(*) AS n_events_stream,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us_stream
         FROM sessions GROUP BY user_id, session_idx
-    """,
-    "sink_entities": """
-        SELECT n_nationkey, n_name, n_regionkey FROM nation
-    """,
-    "sink_errors": """
-        SELECT 'customer' AS entity, 'NEG_BAL' AS error_code,
-               'customer ' || c_name || ' has negative balance'
-                   AS error_message,
-               c_custkey AS record_key
-        FROM customer WHERE c_acctbal < 0
     """,
     "presence_checks": """
         SELECT 'beta' AS entity, 'MISSING_ENTITY' AS error_code,
@@ -2399,28 +2448,13 @@ _ORACLES: dict[str, str] = {
                'file submitted for undeclared entity ''gamma''',
                'submission', 'submission'
     """,
-    "python_udf": """
-        SELECT c_custkey,
-               length(c_name) AS name_len,
-               UPPER(SUBSTRING(c_mktsegment, 1, 1)) ||
-                   LOWER(SUBSTRING(c_mktsegment, 2)) AS seg_title
-        FROM customer
-    """,
-    "contract_empty_entity": """
-        SELECT CAST(NULL AS BIGINT) AS okey,
-               CAST(NULL AS DOUBLE) AS price,
-               CAST(NULL AS DATE) AS odate,
-               CAST(NULL AS VARCHAR) AS status,
-               CAST(NULL AS VARCHAR) AS prio
-        WHERE FALSE
-    """,
-    "file_service_csv": """
-        SELECT n_nationkey, n_name, n_regionkey FROM nation
-    """,
-    "audit_latest_status": """
-        SELECT 's1' AS submission_id, 'completed' AS status
-        UNION ALL
-        SELECT 's2', 'received'
+    # the crossJoin collapses to exactly one distinct audit status row
+    # ('completed') iff every stage of both submissions succeeded
+    "pipeline_e2e": """
+        SELECT n_nationkey, n_name, n_regionkey,
+               length(n_name) AS name_len,
+               'completed' AS pipeline_status
+        FROM nation
     """,
     "report_aggregates": """
         WITH stringified AS (
@@ -2513,6 +2547,9 @@ _ORACLES: dict[str, str] = {
           AND COALESCE(status IS NULL OR TRIM(status) = ''
                 OR LENGTH(TRIM(status)) <= 1, FALSE)
     """,
+    # 'base' = default compiled checks; 'ovr' = the same checks compiled
+    # with per-field error-detail overrides (custom code/message/flag) —
+    # the Spark row unions both feeds
     "contract_messages": """
         WITH stringified AS (
             SELECT CAST(o_orderkey AS VARCHAR) AS okey,
@@ -2525,33 +2562,55 @@ _ORACLES: dict[str, str] = {
                    o_orderstatus AS status,
                    o_orderpriority AS prio
             FROM orders
+        ),
+        fails AS (
+            SELECT 'blank_price' AS kind, CAST(okey AS BIGINT) AS record_key
+            FROM stringified
+            WHERE NOT COALESCE(price IS NOT NULL AND TRIM(price) <> '', FALSE)
+            UNION ALL
+            SELECT 'nan_price', CAST(okey AS BIGINT)
+            FROM stringified
+            WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
+                  OR TRY_CAST(TRIM(price) AS DOUBLE) IS NOT NULL, FALSE)
+            UNION ALL
+            SELECT 'neg_price', CAST(okey AS BIGINT)
+            FROM stringified
+            WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
+                  OR TRY_CAST(TRIM(price) AS DOUBLE) > 0, FALSE)
+            UNION ALL
+            SELECT 'bad_date', CAST(okey AS BIGINT)
+            FROM stringified
+            WHERE NOT COALESCE(odate IS NULL OR TRIM(odate) = ''
+                  OR (CASE WHEN regexp_matches(TRIM(odate),
+                               '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+                           THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
+                           ELSE NULL END) IS NOT NULL, FALSE)
+        ),
+        detail AS (
+            SELECT * FROM (VALUES
+                ('base', 'blank_price', 'MISSING_MANDATORY_VALUE', 'price',
+                 'Mandatory field price missing', 'missing', FALSE),
+                ('base', 'nan_price', 'INVALID_NUMBER', 'price',
+                 'Field price failed INVALID_NUMBER', 'type', FALSE),
+                ('base', 'neg_price', 'OUT_OF_RANGE_GT', 'price',
+                 'Field price failed OUT_OF_RANGE_GT', 'constraint', FALSE),
+                ('base', 'bad_date', 'INVALID_DATE', 'odate',
+                 'Field odate failed INVALID_DATE', 'type', FALSE),
+                ('ovr', 'blank_price', 'PRICE_REQUIRED', 'price',
+                 'price must be supplied', 'missing', FALSE),
+                ('ovr', 'nan_price', 'PRICE_NOT_NUMERIC', 'price',
+                 'Field price failed INVALID_NUMBER', 'type', TRUE),
+                ('ovr', 'neg_price', 'PRICE_NOT_NUMERIC', 'price',
+                 'Field price failed OUT_OF_RANGE_GT', 'constraint', TRUE),
+                ('ovr', 'bad_date', 'DATE_FORMAT_DDMMYYYY', 'odate',
+                 'Field odate failed INVALID_DATE', 'type', FALSE)
+            ) AS t(part, kind, error_code, error_location, error_message,
+                   category, is_informational)
         )
-        SELECT 'orders_sub' AS entity, 'MISSING_MANDATORY_VALUE' AS error_code,
-               'price' AS error_location, 'missing' AS category,
-               CAST(okey AS BIGINT) AS record_key
-        FROM stringified
-        WHERE NOT COALESCE(price IS NOT NULL AND TRIM(price) <> '', FALSE)
-        UNION ALL
-        SELECT 'orders_sub', 'INVALID_NUMBER', 'price', 'type',
-               CAST(okey AS BIGINT)
-        FROM stringified
-        WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
-              OR TRY_CAST(TRIM(price) AS DOUBLE) IS NOT NULL, FALSE)
-        UNION ALL
-        SELECT 'orders_sub', 'OUT_OF_RANGE_GT', 'price', 'constraint',
-               CAST(okey AS BIGINT)
-        FROM stringified
-        WHERE NOT COALESCE(price IS NULL OR TRIM(price) = ''
-              OR TRY_CAST(TRIM(price) AS DOUBLE) > 0, FALSE)
-        UNION ALL
-        SELECT 'orders_sub', 'INVALID_DATE', 'odate', 'type',
-               CAST(okey AS BIGINT)
-        FROM stringified
-        WHERE NOT COALESCE(odate IS NULL OR TRIM(odate) = ''
-              OR (CASE WHEN regexp_matches(TRIM(odate),
-                           '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
-                       THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
-                       ELSE NULL END) IS NOT NULL, FALSE)
+        SELECT d.part, 'orders_sub' AS entity, d.error_code,
+               d.error_location, d.error_message, d.category,
+               d.is_informational, f.record_key
+        FROM fails f JOIN detail d USING (kind)
     """,
     "contract_unique": """
         WITH dup_in AS (
@@ -2569,13 +2628,18 @@ _ORACLES: dict[str, str] = {
     "record_index": """
         SELECT c_custkey, row_number() OVER () AS record_index FROM customer
     """,
+    # name_len / seg_title are produced by the registered Python UDFs on
+    # the Spark side (the escape hatch); the oracle recomputes them in SQL
     "scalar_functions": f"""
         SELECT c_custkey,
                c_acctbal > 10000 AS big_bal,
                c_acctbal <= 5000.0 AS le_5k,
                ABS(c_acctbal - 5000.0) <= ABS(5000.0 * 0.5) AS near_5k,
                {_nhs_mod11_oracle("lpad(cast(c_custkey AS VARCHAR), 10, '4')")}
-                   AS nhs_ok
+                   AS nhs_ok,
+               length(c_name) AS name_len,
+               UPPER(SUBSTRING(c_mktsegment, 1, 1)) ||
+                   LOWER(SUBSTRING(c_mktsegment, 2)) AS seg_title
         FROM customer
     """,
 }
@@ -2633,7 +2697,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 queries: the driver's correctness artifact records at
+    most 50 rows (round 5 declared 62 and the last 12 silently fell out of
+    CORRECTNESS_r05), so redundant rows are MERGED — each merge keeps its
+    full proof by tagged union or inner join inside one query — and every
+    remaining name lands a driver row. Merge map (old row -> new home):
+    semi_join+anti_join -> semi_anti_join; has_match+identify_orphans ->
+    flag_joins; sink_errors -> notification; sink_entities -> entity_ops;
+    python_udf -> scalar_functions; contract_empty_entity ->
+    contract_cast; contract_error_details -> contract_messages;
+    step_dedup_exact -> dedup_exact; connected_components_star ->
+    connected_components; similarity_ann_partitioned -> similarity_ann;
+    lang_id+text_fingerprint -> text_stats; multimodal_decode ->
+    multimodal_meta; file_service_csv -> source_csv; audit_latest_status
+    -> pipeline_e2e; streaming sessionize parity -> sessionize."""
     return {
+        # relational steps (SURVEY §2.3)
         "add_select": q_add_select,
         "filter": q_filter,
         "group_by": q_group_by,
@@ -2642,11 +2721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join": q_left_join,
         "inner_join": q_inner_join,
         "one_to_one_join": q_one_to_one_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "has_match": q_has_match,
+        "semi_anti_join": q_semi_anti_join,
+        "flag_joins": q_flag_joins,
         "union": q_union,
-        "identify_orphans": q_identify_orphans,
         "join_header": q_join_header,
         "sync_filters": q_sync_filters,
         "sync_filter_messages": q_sync_filter_messages,
@@ -2654,52 +2731,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_ops": q_entity_ops,
         "refdata_join": q_refdata_join,
         "scalar_functions": q_scalar_functions,
+        # data contract (SURVEY §2.5-2.6)
         "contract_cast": q_contract_cast,
         "contract_messages": q_contract_messages,
         "contract_unique": q_contract_unique,
+        "contract_functions": q_contract_functions,
         "record_index": q_record_index,
         # llmops (training-data pipeline operators)
         "dedup_exact": q_dedup_exact,
-        "step_dedup_exact": q_step_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "step_dedup_fuzzy": q_step_dedup_fuzzy,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "bounded_pairs": q_bounded_pairs,
         "connected_components": q_connected_components,
-        "connected_components_star": q_connected_components_star,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
-        "similarity_ann_partitioned": q_similarity_ann_partitioned,
+        "step_similarity_ann": q_step_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
         "multiprobe_ann": q_multiprobe_ann,
         "embedding_neardup": q_embedding_neardup,
+        "quality_sync": q_quality_sync,
+        "text_stats": q_text_stats,
+        "tfidf_topterms": q_tfidf_topterms,
+        "multimodal_meta": q_multimodal_meta,
+        # sources (SURVEY §2.1)
         "source_csv": q_source_csv,
         "source_json": q_source_json,
         "source_xml": q_source_xml,
-        "quality_sync": q_quality_sync,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "tfidf_topterms": q_tfidf_topterms,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "contract_functions": q_contract_functions,
-        "contract_error_details": q_contract_error_details,
         # streaming (availableNow drains over the events table)
         "streaming_sync_messages": q_streaming_sync_messages,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window_counts": q_streaming_window_counts,
         "sessionize": q_sessionize,
-        # writer sinks proven by read-back
-        "sink_entities": q_sink_entities,
-        "sink_errors": q_sink_errors,
         # pipeline/infrastructure surfaces proven by oracle
         "presence_checks": q_presence_checks,
-        "python_udf": q_python_udf,
-        "contract_empty_entity": q_contract_empty_entity,
-        "file_service_csv": q_file_service_csv,
-        "audit_latest_status": q_audit_latest_status,
         "report_aggregates": q_report_aggregates,
+        "pipeline_e2e": q_pipeline_e2e,
     }
 
 

@@ -73,16 +73,21 @@ def fake_decoder(payload: bytes) -> list[float]:
     """Deterministic stand-in for a codec: cheap byte statistics.
 
     Returns [n_bytes, mean_byte, min_byte, max_byte] — enough to verify the
-    Arrow plumbing end to end without an image/audio library.
-    """
+    Arrow plumbing end to end without an image/audio library. Vectorised
+    over the payload (numpy byte view, exact int64 sum, then ONE double
+    division — bit-identical to the pure-Python float path, ~10x less
+    per-payload CPU; round-5 bench flagged the decode floor)."""
     if not payload:
         return [0.0, 0.0, 0.0, 0.0]
-    n = len(payload)
+    import numpy as np
+
+    a = np.frombuffer(payload, dtype=np.uint8)
+    n = a.size
     return [
         float(n),
-        float(sum(payload)) / n,
-        float(min(payload)),
-        float(max(payload)),
+        float(int(a.sum(dtype=np.int64))) / n,
+        float(a.min()),
+        float(a.max()),
     ]
 
 

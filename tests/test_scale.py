@@ -83,11 +83,18 @@ def test_entry_contract_queries_single_scan_no_shuffle(spark):
     behaviour this engine deliberately replaced)."""
     import __spark_entry__ as entry
 
-    for name in ("contract_functions", "contract_error_details",
-                 "contract_messages", "contract_cast"):
+    # max_scans: the merged contract_messages row unions the base feed
+    # with the error-detail-override feed (two compiled contracts -> two
+    # single-scan branches); every branch is still scan+project+explode
+    # with ZERO Exchange — N checks never become a scan-per-check or join
+    for name, max_scans in (
+        ("contract_functions", 1),
+        ("contract_messages", 2),
+        ("contract_cast", 1),
+    ):
         df = entry.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Scan parquet") == 1, name
+        assert 1 <= plan.count("Scan parquet") <= max_scans, name
         assert not any(
             "Exchange" in line for line in plan.splitlines()
         ), name
