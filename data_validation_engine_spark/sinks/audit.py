@@ -179,8 +179,16 @@ class AuditLog:
         df = self.spark.createDataFrame(rows, schema)
 
         def _write() -> None:
+            # repartition(1), NOT coalesce(1): both give the one-file-per-
+            # append layout (the reference uses coalesce, dve
+            # spark/auditing.py:124), but coalesce folds all N parent
+            # partitions of the tiny local relation into a single task
+            # whose setup costs a measured constant ~3 s per append on
+            # local[32] — 3 status appends made the audit trail the most
+            # expensive line of an otherwise sub-second pipeline run. A
+            # 1-row shuffle is microseconds.
             (
-                df.coalesce(1)
+                df.repartition(1)
                 .write.format(self.fmt)
                 .mode("append")
                 .partitionBy("date_updated")
