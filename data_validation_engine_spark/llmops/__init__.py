@@ -28,6 +28,7 @@ from data_validation_engine_spark.llmops.dedup import (
     exact_dedup,
     minhash_dedup,
     minhash_pairs,
+    ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
     simhash_table,
@@ -61,6 +62,7 @@ __all__ = [
     "exact_dedup",
     "minhash_dedup",
     "minhash_pairs",
+    "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
     "simhash_table",

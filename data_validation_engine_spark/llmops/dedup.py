@@ -235,6 +235,19 @@ def minhash_pairs(
         # a pair may collide in several bands — dedupe before verification
         .distinct()
     )
+    return _verify_jaccard(candidates, shingled, id_col, threshold)
+
+
+def _verify_jaccard(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate ``(id_a, id_b)`` pairs:
+    join each side's full distinct-shingle set back in by id (the wide
+    arrays never rode the candidate shuffle) and keep pairs at or above
+    ``threshold``. Shared by every shingle-based candidate generator."""
     sets = shingled.groupBy(id_col).agg(
         F.collect_list("shingle").alias("__shingles")
     )
@@ -258,6 +271,81 @@ def minhash_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    threshold: float = 0.5,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs via prefix filtering
+    (the AllPairs/PPJoin candidate principle — Bayardo et al., WWW 2007;
+    Xiao et al., WWW 2008 — public algorithms, re-expressed on
+    DataFrames). Unlike :func:`minhash_pairs` this is not probabilistic:
+    the result is exactly every pair with Jaccard >= ``threshold``.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    Candidate generation without an all-pairs join: order each document's
+    shingles by a GLOBAL total order (document frequency ascending, then
+    shingle — rarest first, which minimises candidate fan-out), keep only
+    the first ``|S| - ceil(t*|S|) + 1`` shingles (the prefix), and
+    self-join the prefix postings on shingle. The prefix-filter theorem
+    guarantees zero lost pairs: any pair with Jaccard >= t shares its
+    smallest common shingle inside BOTH prefixes (J >= t implies overlap
+    >= ceil(t*|S|) on each side, and an overlap-alpha pair must place its
+    first common element within the first ``|S| - alpha + 1`` positions
+    of each side). Candidates are then verified with the exact Jaccard.
+
+    Scale shape: two grouped aggregations (per-doc size, per-shingle
+    document frequency), one window rank per doc, and a skew-bounded
+    equi-join on shingle (``max_bucket_rows`` decomposes hot shingles
+    into bounded block pairs with no pair loss) — never a cartesian
+    product. Rare-first ordering keeps hot (high-df) shingles out of
+    prefixes wherever a rarer shingle can stand in, so the posting join
+    is naturally skew-light; the bound handles the rest.
+    """
+    from pyspark.sql import Window
+
+    shingled = shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    dfreq = shingled.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix = (
+        shingled.join(dfreq, on="shingle")
+        .join(sizes, on=id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(
+            F.col("__rk")
+            <= F.col("__sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("__sz"))
+            + F.lit(1)
+        )
+        .select(id_col, "shingle")
+    )
+    candidates = (
+        bounded_self_join(
+            prefix,
+            ["shingle"],
+            order_col=id_col,
+            max_bucket_rows=max_bucket_rows,
+        )
+        .select(
+            F.col(f"a.`{id_col}`").alias("id_a"),
+            F.col(f"b.`{id_col}`").alias("id_b"),
+        )
+        # a pair may share several prefix shingles — dedupe before verify
+        .distinct()
+    )
+    return _verify_jaccard(candidates, shingled, id_col, threshold)
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -269,8 +357,12 @@ def connected_components(
 
     Iterative min-label propagation: each round every node adopts the
     smallest label among itself and its neighbours; converged when no
-    label changes (checked with one count per round — the driver loop is
-    over ROUNDS, never rows, so this scales with cluster width). Rounds
+    label changes. Each round is ONE Spark action: the self-label rides
+    the neighbour union (so no update join is needed), the changed flag
+    is computed inline (so convergence needs no compare join), and the
+    convergence count materialises a lazily local-checkpointed frame —
+    join + aggregate + count all land in a single job. The driver loop is
+    over ROUNDS, never rows, so this scales with cluster width. Rounds
     needed = graph diameter; near-dup graphs are shallow clusters, so
     convergence is typically 2-3 rounds. For adversarially DEEP graphs
     (long chains), use :func:`connected_components_star`, which converges
@@ -297,44 +389,51 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    id_type = labels.schema["component"].dataType
     for _ in range(max_iterations):
-        neighbour_min = (
+        # each node's candidate labels: its neighbours' components plus
+        # its own (the self row also carries the OLD component so the
+        # changed flag falls out of the same aggregation — exactly one
+        # self row per id, so max(__old) is that row's value)
+        contrib = (
             edges.join(
                 labels.select(
                     F.col("id").alias("dst"),
-                    F.col("component").alias("__nc"),
+                    F.col("component").alias("__c"),
                 ),
                 on="dst",
             )
-            .groupBy("src")
-            .agg(F.min("__nc").alias("__mc"))
+            .select(
+                F.col("src").alias("id"),
+                "__c",
+                F.lit(None).cast(id_type).alias("__old"),
+            )
+            .unionByName(
+                labels.select(
+                    "id",
+                    F.col("component").alias("__c"),
+                    F.col("component").alias("__old"),
+                )
+            )
         )
         updated = (
-            labels.join(
-                neighbour_min.select(
-                    F.col("src").alias("id"), F.col("__mc")
-                ),
-                on="id",
-                how="left",
+            contrib.groupBy("id")
+            .agg(
+                F.min("__c").alias("component"),
+                F.max("__old").alias("__old"),
             )
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce("__mc", F.col("component"))
-                ).alias("component"),
+                "component",
+                (F.col("component") < F.col("__old")).alias("__chg"),
             )
+            # lazy checkpoint: the convergence count below scans every
+            # partition, so ONE job materialises the round, truncates the
+            # lineage, and answers convergence
+            .localCheckpoint(eager=False)
         )
-        # materialise the round (breaks the growing lineage) and test
-        # convergence with one narrow count
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="id")
-            .where("u.component <> l.component")
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where("__chg").count()
+        labels = updated.drop("__chg")
         if stats is not None:
             stats["rounds"] = stats.get("rounds", 0) + 1
         if changed == 0:
@@ -366,7 +465,9 @@ def connected_components_star(
     the right choice when dedup clusters can chain deeply (A~B~C~...~Z
     corpora: each doc near-dups only its neighbour). Convergence is
     detected by the edge multiset reaching a fixpoint (count + order-
-    independent hash checksum: two narrow aggregates per round).
+    independent hash checksum), computed in the SAME job that
+    materialises the round's lazily checkpointed edges — one Spark
+    action per round.
     """
     # canonical undirected edge list, self-loops dropped
     edges = (
@@ -429,7 +530,10 @@ def connected_components_star(
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
-        edges = small.localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum aggregate scans every partition,
+        # so ONE job materialises the round's edges, truncates lineage,
+        # and answers convergence (was two jobs per round)
+        edges = small.localCheckpoint(eager=False)
         if stats is not None:
             stats["rounds"] = stats.get("rounds", 0) + 1
         cur = checksum(edges)
