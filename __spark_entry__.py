@@ -850,12 +850,27 @@ def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs (banded candidates, exact-Jaccard
-    verified; no cartesian product in the plan)."""
-    from data_validation_engine_spark.llmops import minhash_pairs
+    """Near-duplicate pairs by BOTH shingle-based modalities, tagged and
+    unioned: MinHash-LSH (banded probabilistic candidates, exact-Jaccard
+    verified) and EXACT n-gram Jaccard via AllPairs/PPJoin prefix
+    filtering (rare-first global order, skew-bounded posting self-join).
+    The ngram oracle twin generates candidates NAIVELY (any shared
+    shingle), so the hash pins the prefix-filter theorem: dropping every
+    non-prefix posting loses zero qualifying pairs. Neither plan contains
+    a cartesian product."""
+    from data_validation_engine_spark.llmops import (
+        minhash_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = _docs(spark, sf_dir)
-    return minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+    mh = minhash_pairs(docs, "doc_id", "text", threshold=0.5).withColumn(
+        "method", F.lit("minhash")
+    )
+    ng = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).withColumn("method", F.lit("ngram"))
+    return mh.unionByName(ng)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,10 +1720,33 @@ def _minhash_pair_ctes(
 def _dedup_minhash_oracle(
     num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
 ) -> str:
-    return (
-        f"WITH {_minhash_pair_ctes(num_hashes, bands, threshold)} "
-        f"SELECT id_a, id_b, jaccard FROM pairs"
-    )
+    """Both near-dup modalities, tagged: the minhash CTE chain, plus the
+    NAIVE exact-Jaccard twin for the prefix-filtered ngram operator —
+    candidates here are every pair sharing ANY shingle, so equality with
+    Spark's prefix-filtered plan proves the filter loses no pairs."""
+    return f"""
+        WITH {_minhash_pair_ctes(num_hashes, bands, threshold)},
+        posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        ngcand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        ngpairs AS (
+            SELECT id_a, id_b,
+                   round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                         / len(list_distinct(
+                               list_concat(x.shingles, y.shingles))), 6)
+                       AS jaccard
+            FROM ngcand
+            JOIN sh x ON ngcand.id_a = x.doc_id
+            JOIN sh y ON ngcand.id_b = y.doc_id
+        )
+        SELECT id_a, id_b, jaccard, 'minhash' AS method FROM pairs
+        UNION ALL
+        SELECT id_a, id_b, jaccard, 'ngram' AS method FROM ngpairs
+        WHERE jaccard >= {threshold}
+    """
 
 
 def _dedup_fuzzy_oracle(threshold: float = 0.5) -> str:

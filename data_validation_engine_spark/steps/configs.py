@@ -363,6 +363,20 @@ class SimHashPairs(AbstractStep):
     max_hamming: int = 1
 
 
+class NgramJaccardPairs(AbstractStep):
+    """EXACT n-gram Jaccard near-duplicate pairs (not probabilistic):
+    AllPairs/PPJoin prefix filtering over rare-first ordered shingles,
+    skew-bounded posting self-join, exact-Jaccard verification. Output
+    entity holds ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` —
+    exactly every pair at or above ``threshold``."""
+
+    operation: Literal["dedup_ngram_pairs"] = "dedup_ngram_pairs"
+    id_column: str
+    text_column: str = "text"
+    threshold: float = 0.5
+    shingle_size: int = 3
+
+
 class ConnectedComponents(AbstractStep):
     """Connected components over a pair entity (``id_a``/``id_b``
     columns): output ``(id, component)`` with component = min reachable
@@ -418,6 +432,7 @@ AnyStep = Annotated[
         TextFingerprint,
         SimHashSignatures,
         SimHashPairs,
+        NgramJaccardPairs,
         ConnectedComponents,
         Sessionize,
     ],

@@ -66,6 +66,7 @@ from data_validation_engine_spark.steps.configs import (
     SelectColumns,
     SemiJoin,
     Sessionize,
+    NgramJaccardPairs,
     SimHashPairs,
     SimHashSignatures,
     SimilarityTopK,
@@ -138,6 +139,7 @@ class StepEngine:
             TextFingerprint: self.text_fingerprint,
             SimHashSignatures: self.dedup_simhash,
             SimHashPairs: self.dedup_simhash_pairs,
+            NgramJaccardPairs: self.dedup_ngram_pairs,
             ConnectedComponents: self.connected_components,
             Sessionize: self.sessionize,
         }
@@ -709,6 +711,22 @@ class StepEngine:
             config.text_column,
             bits=config.bits,
             max_hamming=config.max_hamming,
+        )
+        return None
+
+    def dedup_ngram_pairs(
+        self, entities: Entities, *, config: NgramJaccardPairs
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        entities[config.output_name] = ngram_jaccard_pairs(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            shingle_size=config.shingle_size,
+            threshold=config.threshold,
         )
         return None
 

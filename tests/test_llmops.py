@@ -693,3 +693,103 @@ def test_simhash_pairs_candidates_are_exact_vs_bruteforce(spark):
     )
     want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+# -- exact n-gram Jaccard pairs (prefix filtering) ---------------------------
+
+def test_ngram_jaccard_exact_pairs(docs):
+    """The exact operator returns EVERY pair at/above threshold: the
+    duplicate pair at 1.0, both near-dup pairs, nothing touching the
+    unrelated doc."""
+    from data_validation_engine_spark.llmops import ngram_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got[(0, 3)] == 1.0
+    assert set(got) == {(0, 1), (0, 3), (1, 3)}
+    assert got[(0, 1)] == got[(1, 3)] and 0.5 <= got[(0, 1)] < 1.0
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    """Prefix filtering loses NOTHING: the pair set equals the brute-force
+    all-pairs exact Jaccard over the same shingle sets (the AllPairs
+    prefix-filter theorem, pinned on real corpus text)."""
+    from data_validation_engine_spark.llmops import ngram_jaccard_pairs
+    from data_validation_engine_spark.llmops.dedup import (
+        jaccard_col,
+        shingles_col,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    sh = docs.select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")
+    )
+    a = sh.selectExpr("doc_id AS id_a", "sh AS sha")
+    b = sh.selectExpr("doc_id AS id_b", "sh AS shb")
+    brute = (
+        a.crossJoin(b)
+        .where("id_a < id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                jaccard_col(F.col("sha"), F.col("shb")), 6
+            ).alias("jaccard"),
+        )
+        .where("jaccard >= 0.3")
+    )
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_ngram_jaccard_plan_no_cartesian(docs):
+    from data_validation_engine_spark.llmops import ngram_jaccard_pairs
+
+    plan = (
+        ngram_jaccard_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_declarable_step_matches_library(spark, docs):
+    from data_validation_engine_spark.llmops import ngram_jaccard_pairs
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    ents = {"documents": docs}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "dedup_ngram_pairs",
+                "entity_name": "documents",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "threshold": 0.5,
+                "new_entity_name": "pairs",
+            }
+        ),
+    )
+    step = {tuple(r) for r in ents["pairs"].collect()}
+    lib = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert step == lib and len(lib) == 3
