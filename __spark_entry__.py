@@ -921,11 +921,14 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-row text-analysis suite in one row: quality statistics +
-    gate, heuristic language ID (CJK charset check + stopword vote), and
-    the canonical md5 fingerprint + min-k winnowed shingle sketch —
-    three zero-shuffle projections inner-joined on doc_id (merged from
-    the former lang_id and text_fingerprint rows)."""
+    gate, heuristic language ID (CJK charset check + stopword vote), the
+    canonical md5 fingerprint + min-k winnowed shingle sketch, and the
+    deterministic md5-bucket train/val/test split — four zero-shuffle
+    projections inner-joined on doc_id (merged from the former lang_id
+    and text_fingerprint rows; the split oracle twin recomputes the
+    identical bucket in DuckDB, pinning engine-independence)."""
     from data_validation_engine_spark.llmops import (
+        hash_split,
         language_id,
         text_fingerprint,
         text_stats,
@@ -935,7 +938,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = text_stats(docs, "doc_id", "text")
     lang = language_id(docs, "doc_id", "text")
     fp = text_fingerprint(docs, "doc_id", "text")
-    return stats.join(lang, "doc_id").join(fp, "doc_id")
+    # deterministic 80/10/10 train/val/test assignment by doc_id hash —
+    # row-stable across engines, which is exactly what the oracle twin
+    # (same md5-bucket formula in DuckDB) proves
+    split = hash_split(
+        docs.select("doc_id"), "doc_id", bucket_col="bucket"
+    )
+    return (
+        stats.join(lang, "doc_id").join(fp, "doc_id").join(split, "doc_id")
+    )
 
 
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2216,9 +2227,20 @@ _LLMOPS_ORACLES: dict[str, str] = {
                     SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
                 )
             )
+        ),
+        sp AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                       AS bucket
+            FROM documents
         )
-        SELECT ts.*, li.lang_pred, fp.fingerprint, fp.winnow
+        SELECT ts.*, li.lang_pred, fp.fingerprint, fp.winnow,
+               CASE WHEN sp.bucket < 52428 THEN 'train'
+                    WHEN sp.bucket < 58982 THEN 'val'
+                    ELSE 'test' END AS split,
+               sp.bucket
         FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
+                JOIN sp USING (doc_id)
     """,
     "tfidf_topterms": """
         WITH terms AS (

@@ -48,6 +48,11 @@ from data_validation_engine_spark.llmops.similarity import (
     with_lsh_bucket,
     write_lsh_partitioned,
 )
+from data_validation_engine_spark.llmops.split import (
+    deterministic_sample,
+    hash_bucket,
+    hash_split,
+)
 from data_validation_engine_spark.llmops.text import (
     language_id,
     quality_filters,
@@ -59,6 +64,7 @@ from data_validation_engine_spark.llmops.text import (
 __all__ = [
     "connected_components",
     "connected_components_star",
+    "deterministic_sample",
     "exact_dedup",
     "minhash_dedup",
     "minhash_pairs",
@@ -77,6 +83,8 @@ __all__ = [
     "multiprobe_ann_topk",
     "with_lsh_bucket",
     "write_lsh_partitioned",
+    "hash_bucket",
+    "hash_split",
     "language_id",
     "quality_filters",
     "text_fingerprint",

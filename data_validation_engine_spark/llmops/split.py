@@ -1,0 +1,94 @@
+"""Deterministic dataset splitting and sampling by key hash.
+
+A 100 TB training pipeline cannot use ``df.sample()`` / ``randomSplit()``
+for train/val/test assignment: those are seed- and partitioning-dependent
+(a re-read with different file splits reassigns rows), and they cannot be
+reproduced by another engine auditing the split. The standard fix —
+public practice in every large ML-data stack — is HASH bucketing: assign
+each row a bucket from a cryptographic hash of a stable key and cut the
+bucket range. Properties:
+
+- row-stable: a document keeps its split forever, across reruns, engines,
+  repartitions, and appends (new data lands proportionally);
+- leakage-safe: assignment depends only on the key, so near-duplicate
+  handling can share the key (e.g. split by the dedup CLUSTER id so all
+  near-copies of a doc land in the same side);
+- zero-shuffle: one per-row md5 projection, fully codegen'd JVM-side;
+- oracle-checkable: md5 is engine-independent, so the exact assignment is
+  reproducible in any SQL engine.
+
+The bucket is the first 4 hex digits of ``md5(seed || key)`` read as an
+integer (0..65535) — uniform for md5's avalanche, and wide enough that
+split fractions resolve to 0.0015%% granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space: 16^4 — 4 hex chars of the md5
+N_BUCKETS = 65536
+
+
+def hash_bucket(key: Column, *, seed: str = "") -> Column:
+    """Deterministic bucket in ``[0, 65536)`` from ``md5(seed || key)``.
+
+    ``seed`` derives an independent assignment (e.g. per experiment);
+    ``key`` is cast to string so any key type works. Pure per-row
+    projection — no shuffle, no Python.
+    """
+    digest = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    return F.conv(F.substring(digest, 1, 4), 16, 10).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    splits: dict[str, float] | None = None,
+    seed: str = "",
+    bucket_col: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic ``split`` label column cut from the key's hash
+    bucket: ``{"train": 0.8, "val": 0.1, "test": 0.1}`` maps buckets
+    ``[0, 52428)`` / ``[52428, 58982)`` / ``[58982, 65536)``. Fractions
+    must sum to 1 (the last split absorbs the rounding remainder so every
+    bucket is labelled). Set ``bucket_col`` to also keep the raw bucket.
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not splits:
+        raise ValueError("splits must name at least one part")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), seed=seed)
+    names = list(splits)
+    # cumulative integer cut points; the last split takes everything left
+    cuts, acc = [], 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cuts.append(int(acc * N_BUCKETS))
+    expr: Column = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
+    out = df.withColumn(split_col, expr)
+    if bucket_col:
+        out = out.withColumn(bucket_col, bucket)
+    return out
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, *, seed: str = ""
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows by key hash — unlike
+    ``df.sample()`` the kept set is a pure function of the keys: re-runs,
+    repartitions, appends, and other engines agree row-for-row. The kept
+    set of a smaller fraction is a SUBSET of a larger one (nested
+    samples), which is what makes scaling-law subsample ladders
+    comparable."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(round(fraction * N_BUCKETS))
+    return df.where(hash_bucket(F.col(key_col), seed=seed) < F.lit(cut))

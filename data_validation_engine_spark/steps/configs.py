@@ -363,6 +363,22 @@ class SimHashPairs(AbstractStep):
     max_hamming: int = 1
 
 
+class HashSplit(AbstractStep):
+    """Deterministic train/val/test assignment by key hash: adds a
+    ``split`` label cut from bucket ``md5(seed || key)[0:4]`` — row-stable
+    across reruns, engines, and repartitions (never ``randomSplit``,
+    which is partitioning-dependent). ``splits`` fractions must sum to 1;
+    ``seed`` derives independent assignments per experiment."""
+
+    operation: Literal["hash_split"] = "hash_split"
+    key_column: str
+    splits: dict[str, float] = Field(
+        default_factory=lambda: {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    seed: str = ""
+    split_column: str = "split"
+
+
 class NgramJaccardPairs(AbstractStep):
     """EXACT n-gram Jaccard near-duplicate pairs (not probabilistic):
     AllPairs/PPJoin prefix filtering over rare-first ordered shingles,
@@ -433,6 +449,7 @@ AnyStep = Annotated[
         SimHashSignatures,
         SimHashPairs,
         NgramJaccardPairs,
+        HashSplit,
         ConnectedComponents,
         Sessionize,
     ],

@@ -66,6 +66,7 @@ from data_validation_engine_spark.steps.configs import (
     SelectColumns,
     SemiJoin,
     Sessionize,
+    HashSplit,
     NgramJaccardPairs,
     SimHashPairs,
     SimHashSignatures,
@@ -140,6 +141,7 @@ class StepEngine:
             SimHashSignatures: self.dedup_simhash,
             SimHashPairs: self.dedup_simhash_pairs,
             NgramJaccardPairs: self.dedup_ngram_pairs,
+            HashSplit: self.hash_split,
             ConnectedComponents: self.connected_components,
             Sessionize: self.sessionize,
         }
@@ -711,6 +713,18 @@ class StepEngine:
             config.text_column,
             bits=config.bits,
             max_hamming=config.max_hamming,
+        )
+        return None
+
+    def hash_split(self, entities: Entities, *, config: HashSplit) -> Messages:
+        from data_validation_engine_spark.llmops.split import hash_split
+
+        entities[config.output_name] = hash_split(
+            entities[config.entity_name],
+            config.key_column,
+            splits=dict(config.splits),
+            seed=config.seed,
+            split_col=config.split_column,
         )
         return None
 

@@ -793,3 +793,108 @@ def test_ngram_jaccard_declarable_step_matches_library(spark, docs):
         ).collect()
     }
     assert step == lib and len(lib) == 3
+
+
+# -- deterministic hash split / sample ---------------------------------------
+
+def test_hash_split_deterministic_and_total(spark):
+    """Every row gets exactly one stable label; proportions land near the
+    requested fractions; a rerun (and a repartition) reproduces the
+    assignment bit-for-bit — the property randomSplit does NOT have."""
+    from data_validation_engine_spark.llmops import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b and len(a) == docs.count()
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert abs(c["train"] / n - 0.8) < 0.15  # 50 docs: coarse but present
+
+
+def test_hash_split_fractions_must_sum_to_one(spark):
+    import pytest as _pytest
+
+    from data_validation_engine_spark.llmops import hash_split
+
+    docs = spark.range(5).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        hash_split(docs, "k", splits={"a": 0.5, "b": 0.2})
+
+
+def test_deterministic_sample_nested(spark):
+    """Smaller fractions are SUBSETS of larger ones (subsample ladders),
+    and the kept count tracks the fraction."""
+    from data_validation_engine_spark.llmops import deterministic_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s10 = {r["k"] for r in deterministic_sample(df, "k", 0.1).collect()}
+    s50 = {r["k"] for r in deterministic_sample(df, "k", 0.5).collect()}
+    assert s10 <= s50
+    assert abs(len(s50) / 2000 - 0.5) < 0.05
+    assert abs(len(s10) / 2000 - 0.1) < 0.03
+    # independent seed decorrelates
+    t10 = {
+        r["k"]
+        for r in deterministic_sample(df, "k", 0.1, seed="exp2").collect()
+    }
+    assert t10 != s10
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    """The bucket formula is engine-independent: DuckDB computes the
+    identical assignment from the same keys."""
+    import duckdb
+
+    from data_validation_engine_spark.llmops import hash_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_bucket(F.col("k")).alias("b")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT k, ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 4))::INT"
+            " FROM range(500) t(k)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hash_split_declarable_step(spark):
+    from data_validation_engine_spark.llmops import hash_split
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ents = {"documents": docs}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "hash_split",
+                "entity_name": "documents",
+                "key_column": "doc_id",
+                "splits": {"train": 0.9, "test": 0.1},
+                "seed": "exp1",
+                "new_entity_name": "split_docs",
+            }
+        ),
+    )
+    step = {
+        r["doc_id"]: r["split"] for r in ents["split_docs"].collect()
+    }
+    lib = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs, "doc_id", splits={"train": 0.9, "test": 0.1}, seed="exp1"
+        ).collect()
+    }
+    assert step == lib and set(lib.values()) <= {"train", "test"}
