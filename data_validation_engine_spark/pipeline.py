@@ -398,7 +398,14 @@ def run_pipeline(
         rule_msgs = rule_messages.union_or_empty(spark)
         write_messages_jsonl(rule_msgs, str(errors_dir / "business_rules"))
         collector.add(rule_msgs)
-        all_messages = collector.union_or_empty(spark)
+        # lazy checkpoint: all_messages feeds MANY downstream actions (the
+        # per-entity rejection anti-joins, the report collect, the
+        # error-aggregates write, the statistics aggregate) — materialise
+        # the union once at the first consumer instead of re-running the
+        # whole message DAG per action
+        all_messages = collector.union_or_empty(spark).localCheckpoint(
+            eager=False
+        )
 
         result = PipelineResult(
             submission_id=submission_id,

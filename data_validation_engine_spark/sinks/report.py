@@ -39,10 +39,9 @@ def report_type_col() -> "F.Column":
     )
 
 
-def report_detail(messages: DataFrame) -> DataFrame:
-    """Reference-shaped error detail sheet (ERROR_SCHEMA, dve
-    reporting/error_report.py:16-26): Table/Type/Error_Code/Data_Item/
-    Error/Record_Index/Value/ID/Category, sorted by Type."""
+def report_detail_unsorted(messages: DataFrame) -> DataFrame:
+    """The detail-sheet projection without the output sort — the writer's
+    single-collect fast path sorts driver-side instead (same keys)."""
     return messages.select(
         F.col("entity").alias("Table"),
         report_type_col().alias("Type"),
@@ -53,7 +52,16 @@ def report_detail(messages: DataFrame) -> DataFrame:
         F.col("value").alias("Value"),
         F.col("reporting_field").alias("ID"),
         F.col("category").alias("Category"),
-    ).orderBy("Type", "Table", "Record_Index")
+    )
+
+
+def report_detail(messages: DataFrame) -> DataFrame:
+    """Reference-shaped error detail sheet (ERROR_SCHEMA, dve
+    reporting/error_report.py:16-26): Table/Type/Error_Code/Data_Item/
+    Error/Record_Index/Value/ID/Category, sorted by Type."""
+    return report_detail_unsorted(messages).orderBy(
+        "Type", "Table", "Record_Index"
+    )
 
 
 def report_aggregates(messages: DataFrame) -> DataFrame:
@@ -114,9 +122,54 @@ def write_error_report(
     """
     if output_format not in ("auto", "xlsx", "csv"):
         raise ValueError(f"unknown report output_format: {output_format!r}")
-    aggregates = report_aggregates(messages).toPandas()
-    detail = report_detail(messages).limit(max_detail_rows).toPandas()
-    summary = report_summary(messages).toPandas()
+    # One Spark job for the whole report in the common case: collect the
+    # UNSORTED detail projection once (cap + 1 rows to detect truncation)
+    # and derive all three sheets driver-side — the aggregates and summary
+    # are groupings of columns the detail sheet already carries, and the
+    # report is a driver-sized artifact by definition (the reference's
+    # report is a spreadsheet). Only when the cap is exceeded does the
+    # original three-query distributed path run: there the aggregates must
+    # cover ALL messages, not the truncated detail, and the sorted LIMIT
+    # keeps the reference's deterministic first-N-by-type truncation.
+    unsorted = report_detail_unsorted(messages).limit(max_detail_rows + 1)
+    detail = unsorted.toPandas()
+    if len(detail) <= max_detail_rows:
+        detail = detail.sort_values(
+            ["Type", "Table", "Record_Index"],
+            na_position="first",
+            kind="mergesort",
+        ).reset_index(drop=True)
+        # dropna=False: Spark groupBy keys keep nulls
+        aggregates = (
+            detail.groupby(
+                ["Type", "Table", "Data_Item", "Category", "Error_Code"],
+                dropna=False,
+                as_index=False,
+            )
+            .size()
+            .rename(columns={"size": "Count"})
+            .sort_values(
+                ["Type", "Count"],
+                ascending=[True, False],
+                kind="mergesort",
+            )
+            .reset_index(drop=True)
+        )
+        summary = (
+            detail["Type"]
+            .value_counts()
+            .reindex(REPORT_CATEGORIES)
+            .fillna(0)
+            .astype("int64")
+            .rename_axis("Type")
+            .reset_index(name="Count")
+            .sort_values("Type", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    else:
+        aggregates = report_aggregates(messages).toPandas()
+        detail = report_detail(messages).limit(max_detail_rows).toPandas()
+        summary = report_summary(messages).toPandas()
 
     use_xlsx = output_format == "xlsx"
     if output_format == "auto":

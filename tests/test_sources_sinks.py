@@ -405,3 +405,50 @@ def test_read_parquet_nanos_safe_passes_through_micros(spark):
     a = plain.orderBy("event_id").limit(5).collect()
     b = safe.orderBy("event_id").limit(5).collect()
     assert a == b
+
+
+def test_error_report_fast_path_matches_distributed(spark, tmp):
+    """The single-collect fast path and the distributed fallback produce
+    byte-identical sheets: force the fallback with max_detail_rows=1
+    (2 messages > cap) and compare against the default path."""
+    import pandas as pd
+
+    from data_validation_engine_spark.sinks.report import (
+        report_aggregates,
+        report_summary,
+        write_error_report,
+    )
+
+    messages = _report_messages(spark)
+    fast = write_error_report(
+        messages, str(tmp / "fast"), output_format="csv"
+    )
+    slow = write_error_report(
+        messages,
+        str(tmp / "slow"),
+        output_format="csv",
+        max_detail_rows=1,
+    )
+    for sheet in ("summary.csv", "aggregates.csv"):
+        a = pd.read_csv(f"{fast}/{sheet}")
+        b = pd.read_csv(f"{slow}/{sheet}")
+        pd.testing.assert_frame_equal(a, b)
+    # the truncated detail keeps the SORTED first row (deterministic
+    # truncation), a prefix of the fast path's full sorted sheet
+    fa = pd.read_csv(f"{fast}/errors.csv")
+    sl = pd.read_csv(f"{slow}/errors.csv")
+    assert len(fa) == 2 and len(sl) == 1
+    pd.testing.assert_frame_equal(fa.iloc[:1], sl, check_dtype=False)
+    # and the fast-path aggregates equal the distributed frames exactly
+    agg_df = report_aggregates(messages).toPandas()
+    pd.testing.assert_frame_equal(
+        pd.read_csv(f"{fast}/aggregates.csv").fillna(""),
+        agg_df.fillna("").astype(
+            {"Count": "int64"}
+        ),
+        check_dtype=False,
+    )
+    sum_df = report_summary(messages).toPandas()
+    pd.testing.assert_frame_equal(
+        pd.read_csv(f"{fast}/summary.csv"), sum_df, check_dtype=False
+    )
