@@ -867,8 +867,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = minhash_pairs(docs, "doc_id", "text", threshold=0.5).withColumn(
         "method", F.lit("minhash")
     )
+    # the ngram branch runs over a deterministic 5% slice UNIONED with a
+    # perturbed copy of itself (one appended word, offset ids): appending
+    # one word keeps every original shingle and adds one, so each
+    # (d, d+1000000) pair has Jaccard (w-2)/(w-1) — guaranteed non-trivial
+    # pairs at every scale. The full-table exact pair set would be
+    # near-quadratic noise on this template-generated corpus (same device
+    # as the dedup_simhash_pairs row); the slice keeps the oracle row
+    # sharp and the bench honest while exercising the identical
+    # prefix-filter plan.
+    sl = docs.where("doc_id % 20 = 0").select("doc_id", "text")
+    ng_in = sl.unionByName(
+        sl.selectExpr(
+            "doc_id + 1000000 AS doc_id", "text || ' spark' AS text"
+        )
+    )
     ng = ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.5
+        ng_in, "doc_id", "text", threshold=0.5
     ).withColumn("method", F.lit("ngram"))
     return mh.unionByName(ng)
 
@@ -1737,7 +1752,19 @@ def _dedup_minhash_oracle(
     Spark's prefix-filtered plan proves the filter loses no pairs."""
     return f"""
         WITH {_minhash_pair_ctes(num_hashes, bands, threshold)},
-        posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        ngdocs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' spark'
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        ngtoked AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM ngdocs
+        ),
+        ngsh AS (
+            SELECT doc_id, {_duck_shingles()} AS shingles FROM ngtoked
+        ),
+        posts AS (SELECT doc_id, unnest(shingles) AS s FROM ngsh),
         ngcand AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1750,8 +1777,8 @@ def _dedup_minhash_oracle(
                                list_concat(x.shingles, y.shingles))), 6)
                        AS jaccard
             FROM ngcand
-            JOIN sh x ON ngcand.id_a = x.doc_id
-            JOIN sh y ON ngcand.id_b = y.doc_id
+            JOIN ngsh x ON ngcand.id_a = x.doc_id
+            JOIN ngsh y ON ngcand.id_b = y.doc_id
         )
         SELECT id_a, id_b, jaccard, 'minhash' AS method FROM pairs
         UNION ALL

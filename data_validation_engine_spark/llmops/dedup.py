@@ -335,6 +335,10 @@ def ngram_jaccard_pairs(
             ["shingle"],
             order_col=id_col,
             max_bucket_rows=max_bucket_rows,
+            # prefix's lineage is one scan + three shuffles — cheap enough
+            # that recomputing per join side inside the final job beats a
+            # serialized up-front materialization action
+            materialize=False,
         )
         .select(
             F.col(f"a.`{id_col}`").alias("id_a"),

@@ -39,6 +39,7 @@ def bounded_self_join(
     *,
     order_col: str,
     max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+    materialize: bool = True,
 ) -> DataFrame:
     """All unordered row pairs of ``df`` sharing ``key_cols``, skew-bounded.
 
@@ -48,6 +49,12 @@ def bounded_self_join(
     order that makes blocks contiguous). ``__blk_i``/``__blk_j`` are the
     internal block tags, exposed for plan/skew assertions — callers drop
     them.
+
+    ``materialize=False`` skips the eager checkpoint of the tagged frame:
+    the right call when ``df``'s lineage is CHEAP (a scan plus a few
+    shuffles) — computing it once per join side inside the final job
+    beats a serialized up-front materialization action. Keep the default
+    when the lineage is expensive (minhash/simhash signature pipelines).
     """
     payload = [c for c in df.columns if c not in key_cols]
     w = Window.partitionBy(*[F.col(c) for c in key_cols])
@@ -70,7 +77,9 @@ def bounded_self_join(
         F.struct(*[F.col(c) for c in payload]).alias("__row"),
         F.floor(rank * n_blocks / n).cast("int").alias("__blk"),
         n_blocks.alias("__nblk"),
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        tagged = tagged.localCheckpoint(eager=True)
     a_side = tagged.select(
         *key_cols,
         F.col("__row").alias("a"),
