@@ -417,3 +417,44 @@ def test_streaming_corpus_quality_gates(spark, tmp_path):
     apply_sync_filters(ents, quality_filters("stream", min_tokens=40))
     want = {r["doc_id"] for r in ents["stream"].select("doc_id").collect()}
     assert got == want and 0 < len(got) < 500
+
+
+def test_streaming_hash_split_lifts_unchanged(spark, tmp_path):
+    """hash_split is a stateless per-row projection, so it lifts onto a
+    stream with zero new code and assigns every doc the SAME split as the
+    batch path — the row-stability claim, proven across execution modes."""
+    import shutil
+
+    from data_validation_engine_spark.llmops import hash_split
+    from data_validation_engine_spark.streaming import read_entity_stream
+
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+
+    sdf = hash_split(
+        read_entity_stream(spark, str(d), schema).select("doc_id"), "doc_id"
+    )
+    out = str(tmp_path / "split_out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_split"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["split"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                "doc_id"
+            ),
+            "doc_id",
+        ).collect()
+    }
+    assert got == want and len(set(got.values())) > 1
