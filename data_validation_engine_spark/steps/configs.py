@@ -269,7 +269,9 @@ class SimilarityTopK(AbstractStep):
     ``method="multiprobe"`` unions the probe buckets of ``n_tables``
     independent hyperplane tables (OR-amplified recall, cost linear in
     table count); ``method="ivf"`` coarse-quantizes into ``n_cells``
-    cells and scores only the ``n_probe`` nearest.
+    cells and scores only the ``n_probe`` nearest. ``centroids``
+    (ivf only) injects an offline-trained quantizer — e.g. k-means cell
+    centres — instead of the deterministic first-``n_cells`` placeholder.
     """
 
     operation: Literal["similarity_topk"] = "similarity_topk"
@@ -284,6 +286,7 @@ class SimilarityTopK(AbstractStep):
     n_cells: int = 16
     n_probe: int = 4
     exclude_self: bool = True
+    centroids: Optional[tuple[tuple[float, ...], ...]] = None
 
 
 class EmbeddingNearDup(AbstractStep):
@@ -379,6 +382,18 @@ class HashSplit(AbstractStep):
     split_column: str = "split"
 
 
+class HashSample(AbstractStep):
+    """Deterministic stable sampling by key hash: keeps ``fraction`` of
+    rows as a pure function of the keys (reruns, repartitions, appends,
+    and other engines agree row-for-row; smaller fractions are nested
+    subsets of larger ones — subsample-ladder comparable)."""
+
+    operation: Literal["hash_sample"] = "hash_sample"
+    key_column: str
+    fraction: float
+    seed: str = ""
+
+
 class NgramJaccardPairs(AbstractStep):
     """EXACT n-gram Jaccard near-duplicate pairs (not probabilistic):
     AllPairs/PPJoin prefix filtering over rare-first ordered shingles,
@@ -450,6 +465,7 @@ AnyStep = Annotated[
         SimHashPairs,
         NgramJaccardPairs,
         HashSplit,
+        HashSample,
         ConnectedComponents,
         Sessionize,
     ],

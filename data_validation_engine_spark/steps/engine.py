@@ -66,6 +66,7 @@ from data_validation_engine_spark.steps.configs import (
     SelectColumns,
     SemiJoin,
     Sessionize,
+    HashSample,
     HashSplit,
     NgramJaccardPairs,
     SimHashPairs,
@@ -142,6 +143,7 @@ class StepEngine:
             SimHashPairs: self.dedup_simhash_pairs,
             NgramJaccardPairs: self.dedup_ngram_pairs,
             HashSplit: self.hash_split,
+            HashSample: self.hash_sample,
             ConnectedComponents: self.connected_components,
             Sessionize: self.sessionize,
         }
@@ -728,6 +730,21 @@ class StepEngine:
         )
         return None
 
+    def hash_sample(
+        self, entities: Entities, *, config: HashSample
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.split import (
+            deterministic_sample,
+        )
+
+        entities[config.output_name] = deterministic_sample(
+            entities[config.entity_name],
+            config.key_column,
+            config.fraction,
+            seed=config.seed,
+        )
+        return None
+
     def dedup_ngram_pairs(
         self, entities: Entities, *, config: NgramJaccardPairs
     ) -> Messages:
@@ -816,6 +833,11 @@ class StepEngine:
                 config.k,
                 id_col=config.id_column,
                 vec_col=config.vector_column,
+                centroids=(
+                    [list(c) for c in config.centroids]
+                    if config.centroids
+                    else None
+                ),
                 n_cells=config.n_cells,
                 n_probe=config.n_probe,
                 exclude_self=config.exclude_self,

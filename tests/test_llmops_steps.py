@@ -468,3 +468,67 @@ def test_pair_graph_steps_match_library(spark):
         ).collect()
     }
     assert got_cc == want_cc and len(got_cc) > 0
+
+
+def test_hash_sample_declarable_step(spark):
+    from data_validation_engine_spark.llmops import deterministic_sample
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    ents = {"rows": df}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "hash_sample",
+                "entity_name": "rows",
+                "key_column": "k",
+                "fraction": 0.25,
+                "new_entity_name": "kept",
+            }
+        ),
+    )
+    step = {r["k"] for r in ents["kept"].collect()}
+    lib = {r["k"] for r in deterministic_sample(df, "k", 0.25).collect()}
+    assert step == lib and 0 < len(lib) < 1000
+
+
+def test_ivf_step_accepts_explicit_centroids(spark):
+    """An offline-trained quantizer rides the step config: explicit
+    centroids change the cell layout vs the placeholder quantizer, and
+    the step path equals the library call with the same centroids."""
+    from data_validation_engine_spark.llmops.ivf import ivf_topk
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    dim = len(embs.first()["embedding"])
+    cents = [
+        [1.0 if i == (j % dim) else 0.0 for i in range(dim)]
+        for j in range(4)
+    ]
+    ents = {"embeddings": embs, "q": embs.where("vec_id = 0")}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "similarity_topk",
+                "entity_name": "embeddings",
+                "target_name": "q",
+                "method": "ivf",
+                "k": 5,
+                "n_probe": 2,
+                "centroids": cents,
+                "new_entity_name": "out",
+            }
+        ),
+    )
+    step = [(r["vec_id"], r["cosine"]) for r in ents["out"].collect()]
+    lib = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(
+            embs, embs.where("vec_id = 0"), 5, centroids=cents, n_probe=2
+        ).collect()
+    ]
+    assert step == lib and len(lib) == 5
