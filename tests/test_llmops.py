@@ -898,3 +898,43 @@ def test_hash_split_declarable_step(spark):
         ).collect()
     }
     assert step == lib and set(lib.values()) <= {"train", "test"}
+
+
+def test_leakage_safe_split_by_dedup_cluster(spark):
+    """Operator composition for the production concern the split operator
+    exists for: near-duplicate documents must never straddle train/test.
+    minhash pairs -> connected components -> split by CLUSTER id: every
+    member of a near-dup cluster lands in the same split, deterministically."""
+    from data_validation_engine_spark.llmops import (
+        connected_components,
+        hash_split,
+        minhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, DOC), (1, NEAR), (2, OTHER), (3, DOC), (4, NEAR)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+    comps = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    labelled = (
+        docs.join(comps, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    split = hash_split(labelled, "component", splits={"train": 0.5, "test": 0.5})
+    rows = {r["doc_id"]: (r["component"], r["split"]) for r in split.collect()}
+    # docs 0,1,3,4 form one near-dup cluster; 2 is isolated
+    assert len({rows[d][0] for d in (0, 1, 3, 4)}) == 1
+    assert len({rows[d][1] for d in (0, 1, 3, 4)}) == 1  # same split
+    # assignment is keyed on the cluster id, not the doc id: a member's
+    # split equals hash_split of its component value
+    comp_split = {
+        r["component"]: r["split"]
+        for r in hash_split(
+            split.select("component").distinct(),
+            "component",
+            splits={"train": 0.5, "test": 0.5},
+        ).collect()
+    }
+    for d, (c, s) in rows.items():
+        assert comp_split[c] == s
