@@ -442,6 +442,16 @@ def connected_components(
             stats["rounds"] = stats.get("rounds", 0) + 1
         if changed == 0:
             break
+    else:
+        # silently returning partial labels would hand the caller WRONG
+        # components (half-merged clusters) — at dedup scale that means
+        # survivors that are actually duplicates; fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations}"
+            " rounds; the graph's diameter exceeds the budget — raise"
+            " max_iterations or use connected_components_star (O(log² n)"
+            " rounds)"
+        )
     return labels
 
 
@@ -544,6 +554,15 @@ def connected_components_star(
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within"
+            f" {max_iterations} rounds — raise max_iterations (the"
+            " algorithm needs O(log² n); 30 covers any graph that fits"
+            " on hardware, so non-convergence here usually means the"
+            " pair input is being regenerated nondeterministically"
+            " between rounds)"
+        )
 
     return (
         all_ids.join(

@@ -938,3 +938,20 @@ def test_leakage_safe_split_by_dedup_cluster(spark):
     }
     for d, (c, s) in rows.items():
         assert comp_split[c] == s
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Hitting max_iterations with labels still moving is a WRONG-RESULT
+    condition (half-merged clusters), so it raises instead of returning."""
+    import pytest as _pytest
+
+    from data_validation_engine_spark.llmops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+    # and one round above the diameter budget converges cleanly
+    ok = connected_components(chain, max_iterations=13)
+    assert {tuple(r) for r in ok.collect()} == {(i, 0) for i in range(13)}
