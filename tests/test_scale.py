@@ -164,3 +164,41 @@ def test_exact_dedup_is_one_narrow_shuffle(spark):
     assert count_shuffles(out) == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_no_accidental_cartesian_in_any_query_plan(spark):
+    """Plan lint over the whole oracle surface: no query's physical plan
+    may contain a cartesian product or nested-loop join EXCEPT the four
+    documented 1-row broadcast cross joins (header struct, 1-row query
+    vector, 1-row corpus count). Heavy end-to-end rows (streaming drains,
+    the full pipeline, sink round-trips) are excluded here — each has its
+    own plan/behaviour tests — so this sweep stays cheap enough to run
+    per-commit."""
+    import __spark_entry__ as entry_mod
+
+    # BNLJ is legitimate ONLY for a broadcast 1-row side
+    allowed_bnlj = {"join_header", "similarity_topk", "tfidf_topterms"}
+    skip = {
+        "pipeline_e2e",  # full pipeline (own tests; intended status cross)
+        "presence_checks",
+        "report_aggregates",
+        "sessionize",
+        "source_csv",
+        "source_json",
+        "source_xml",
+        "streaming_dedup",
+        "streaming_sync_messages",
+        "streaming_window_counts",
+    }
+    for name, fn in entry_mod.queries().items():
+        if name in skip:
+            continue
+        plan = (
+            fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
