@@ -6,11 +6,16 @@ operators extend the same entity-namespace model to the operations a
 large-scale training-data pipeline needs:
 
 - :mod:`dedup` — exact dedup, MinHash-LSH fuzzy dedup (banded candidate
-  generation, never all-pairs), SimHash.
+  generation, never all-pairs), SimHash, EXACT n-gram Jaccard pairs via
+  AllPairs/PPJoin prefix filtering, connected components (label
+  propagation + large-star/small-star).
 - :mod:`similarity` — cosine top-k over embedding columns (exact brute force
-  + LSH-bucketed ANN probe).
+  + LSH-bucketed ANN probe, multi-probe, partition-pruned); :mod:`ivf` —
+  coarse-quantized ANN.
 - :mod:`text` — tokenisation, token counting, quality stats, language ID,
   TF-IDF top terms, document fingerprinting.
+- :mod:`split` — deterministic md5-bucket train/val/test assignment and
+  stable nested sampling (row-stable across engines and repartitions).
 - :mod:`multimodal` — opaque binary columns with typed metadata and
   Arrow-batched decode/feature plumbing (``mapInPandas``).
 
