@@ -273,12 +273,57 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ConfirmJoinHasMatch + OrphanIdentification, the two flag-producing
-    joins, normalised to (op, key, flag) and unioned through the engine —
-    one driver row attests both (merged from the former has_match /
-    identify_orphans rows)."""
+    """ConfirmJoinHasMatch + OrphanIdentification + the AS-OF join, all
+    normalised to (op, key, flag, detail) and unioned through the engine —
+    one driver row attests all three (merged from the former has_match /
+    identify_orphans rows). The asof branch runs as a DECLARED step
+    (AsofJoin config) joining every non-purchase event to its user's
+    latest purchase at-or-before the event; detail encodes the matched
+    row as integers (epoch micros + value cents), so the hash pins
+    EXACTLY which row the as-of selected against DuckDB's native
+    ASOF LEFT JOIN."""
+    from data_validation_engine_spark.steps import parse_step
+
     ents = _load(spark, sf_dir, ["orders", "customer", "part", "lineitem"])
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ents["clicks"] = events.where("event_type <> 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    ents["purchases"] = (
+        events.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
     eng = _engine(spark)
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "asof_join",
+                "entity_name": "clicks",
+                "target_name": "purchases",
+                "on": ["user_id"],
+                "left_ts": "ts",
+                "new_entity_name": "enriched",
+            }
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="enriched",
+            columns=(
+                "'asof' AS op, event_id AS key, asof_ts IS NOT NULL AS flag,"
+                " CASE WHEN asof_ts IS NULL THEN NULL"
+                # NTZ-safe: the parquet timestamp may read as TIMESTAMP_NTZ;
+                # under the UTC session the cast is wall-clock identity
+                " ELSE CONCAT(CAST(unix_micros(CAST(asof_ts AS TIMESTAMP))"
+                " AS STRING), ':',"
+                " CAST(CAST(ROUND(asof_v * 100) AS BIGINT) AS STRING)) END"
+                " AS detail"
+            ),
+        ),
+    )
     eng.evaluate(
         ents,
         config=ConfirmJoinHasMatch(
@@ -303,20 +348,32 @@ def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ents,
         config=SelectColumns(
             entity_name="orders",
-            columns="'has_match' AS op, o_orderkey AS key, rich_customer AS flag",
+            columns=(
+                "'has_match' AS op, o_orderkey AS key,"
+                " rich_customer AS flag, CAST(NULL AS STRING) AS detail"
+            ),
         ),
     )
     eng.evaluate(
         ents,
         config=SelectColumns(
             entity_name="part",
-            columns="'orphans' AS op, p_partkey AS key, IsOrphaned AS flag",
+            columns=(
+                "'orphans' AS op, p_partkey AS key, IsOrphaned AS flag,"
+                " CAST(NULL AS STRING) AS detail"
+            ),
         ),
     )
     eng.evaluate(
         ents,
         config=TableUnion(
             entity_name="orders", target_name="part", new_entity_name="flags"
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="flags", target_name="enriched", new_entity_name="flags"
         ),
     )
     return ents["flags"]
@@ -2404,14 +2461,28 @@ _ORACLES: dict[str, str] = {
                EXISTS (
                    SELECT 1 FROM customer c
                    WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 5000
-               ) AS flag
+               ) AS flag,
+               NULL::VARCHAR AS detail
         FROM orders o
         UNION ALL
         SELECT 'orphans', p_partkey,
                NOT EXISTS (
                    SELECT 1 FROM lineitem l WHERE p.p_partkey = l.l_partkey
-               )
+               ),
+               NULL::VARCHAR
         FROM part p
+        UNION ALL
+        SELECT 'asof', e.event_id,
+               p.ts IS NOT NULL,
+               CASE WHEN p.ts IS NULL THEN NULL
+                    ELSE epoch_us(p.ts)::VARCHAR || ':' ||
+                         CAST(CAST(round(p.v * 100) AS BIGINT) AS VARCHAR)
+               END
+        FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, max(value) AS v FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2
+        ) p ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
     "union": """
         SELECT *,

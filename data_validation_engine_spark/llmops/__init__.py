@@ -27,6 +27,9 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 ``mapInPandas``.
 """
 
+from data_validation_engine_spark.llmops.asof import (
+    asof_join,
+)
 from data_validation_engine_spark.llmops.dedup import (
     connected_components,
     connected_components_star,
@@ -67,6 +70,7 @@ from data_validation_engine_spark.llmops.text import (
 )
 
 __all__ = [
+    "asof_join",
     "connected_components",
     "connected_components_star",
     "deterministic_sample",

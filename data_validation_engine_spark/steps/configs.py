@@ -382,6 +382,22 @@ class HashSplit(AbstractStep):
     split_column: str = "split"
 
 
+class AsofJoin(AbstractStep):
+    """Point-in-time join: attach to every row of ``entity_name`` the
+    latest row of ``target_name`` at-or-before its timestamp, per key —
+    feature materialisation / leakage-safe label construction. One keyed
+    window shuffle (tagged union + carry-forward), never a range join.
+    ``value_columns=None`` carries every non-key, non-timestamp column."""
+
+    operation: Literal["asof_join"] = "asof_join"
+    target_name: str
+    on: tuple[str, ...]
+    left_ts: str
+    right_ts: Optional[str] = None
+    value_columns: Optional[tuple[str, ...]] = None
+    prefix: str = "asof_"
+
+
 class HashSample(AbstractStep):
     """Deterministic stable sampling by key hash: keeps ``fraction`` of
     rows as a pure function of the keys (reruns, repartitions, appends,
@@ -466,6 +482,7 @@ AnyStep = Annotated[
         NgramJaccardPairs,
         HashSplit,
         HashSample,
+        AsofJoin,
         ConnectedComponents,
         Sessionize,
     ],

@@ -66,6 +66,7 @@ from data_validation_engine_spark.steps.configs import (
     SelectColumns,
     SemiJoin,
     Sessionize,
+    AsofJoin,
     HashSample,
     HashSplit,
     NgramJaccardPairs,
@@ -144,6 +145,7 @@ class StepEngine:
             NgramJaccardPairs: self.dedup_ngram_pairs,
             HashSplit: self.hash_split,
             HashSample: self.hash_sample,
+            AsofJoin: self.asof_join,
             ConnectedComponents: self.connected_components,
             Sessionize: self.sessionize,
         }
@@ -727,6 +729,24 @@ class StepEngine:
             splits=dict(config.splits),
             seed=config.seed,
             split_col=config.split_column,
+        )
+        return None
+
+    def asof_join(self, entities: Entities, *, config: AsofJoin) -> Messages:
+        from data_validation_engine_spark.llmops.asof import asof_join
+
+        entities[config.output_name] = asof_join(
+            entities[config.entity_name],
+            entities[config.target_name],
+            list(config.on),
+            left_ts=config.left_ts,
+            right_ts=config.right_ts,
+            value_cols=(
+                list(config.value_columns)
+                if config.value_columns is not None
+                else None
+            ),
+            prefix=config.prefix,
         )
         return None
 

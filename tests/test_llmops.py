@@ -955,3 +955,137 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and one round above the diameter budget converges cleanly
     ok = connected_components(chain, max_iterations=13)
     assert {tuple(r) for r in ok.collect()} == {(i, 0) for i in range(13)}
+
+
+# -- as-of (point-in-time) join ----------------------------------------------
+
+def test_asof_join_semantics(spark):
+    """Inclusive at-or-before, per-key, LEFT semantics."""
+    from data_validation_engine_spark.llmops import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r["ev"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, "k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    assert got == {
+        "c": (None, None),       # nothing at-or-before 5
+        "a": (10, 100.0),        # equal timestamp matches
+        "b": (15, 150.0),        # latest preceding, not first
+        "d": (None, None),       # other key's rows invisible
+    }
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """The window formulation equals the definitional join: for every
+    left row, the right row with max(ts) among those <= left.ts."""
+    from data_validation_engine_spark.llmops import asof_join
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.where("event_type <> 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    got = {
+        (r["event_id"], r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, "user_id", left_ts="ts", right_ts="ts",
+            value_cols=["v"],
+        ).collect()
+    }
+    w = Window.partitionBy("event_id").orderBy(F.col("r_ts").desc())
+    best = (
+        left.join(
+            right.selectExpr("user_id", "ts AS r_ts", "v"), on="user_id"
+        )
+        .where("r_ts <= ts")
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select("event_id", "r_ts", "v")
+    )
+    # unmatched left rows (no purchase at-or-before, or none at all) must
+    # surface with nulls — LEFT semantics
+    brute = left.join(best, on="event_id", how="left")
+    want = {
+        (r["event_id"], r["r_ts"], r["v"]) for r in brute.collect()
+    }
+    assert got == want and len(got) > 100
+    assert any(m is None for _, m, _ in got)  # both outcomes exercised
+    assert any(m is not None for _, m, _ in got)
+
+
+def test_asof_join_single_shuffle_and_no_range_join(spark):
+    from data_validation_engine_spark.llmops import asof_join
+    from data_validation_engine_spark.scale import count_shuffles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, "user_id", left_ts="ts", right_ts="ts")
+    assert count_shuffles(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_prefix_collision_raises(spark):
+    import pytest as _pytest
+
+    from data_validation_engine_spark.llmops import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0.0)], "k long, ts long, asof_v double")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, v double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", left_ts="ts", value_cols=["v"])
+
+
+def test_asof_join_declarable_step(spark):
+    from data_validation_engine_spark.llmops import asof_join
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ents = {
+        "clicks": ev.where("event_type = 'click'").select(
+            "event_id", "user_id", "ts"
+        ),
+        "purchases": ev.where("event_type = 'purchase'").select(
+            "user_id", "ts", "value"
+        ),
+    }
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "asof_join",
+                "entity_name": "clicks",
+                "target_name": "purchases",
+                "on": ["user_id"],
+                "left_ts": "ts",
+                "new_entity_name": "enriched",
+            }
+        ),
+    )
+    step = {tuple(r) for r in ents["enriched"].collect()}
+    lib = {
+        tuple(r)
+        for r in asof_join(
+            ents["clicks"], ents["purchases"], "user_id", left_ts="ts"
+        ).collect()
+    }
+    assert step == lib and len(lib) > 10
