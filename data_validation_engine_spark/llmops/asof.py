@@ -32,8 +32,18 @@ public SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ts_seconds(col: Column, dtype: T.DataType) -> Column:
+    """Timestamp-or-numeric column as epoch/raw seconds (double) — NTZ
+    casts through TIMESTAMP first (wall-clock identity under a UTC
+    session), numerics pass straight through."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+    return col.cast("double")
 
 
 def asof_join(
@@ -45,17 +55,31 @@ def asof_join(
     right_ts: str | None = None,
     value_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus ``prefix``-named copies
     of ``value_cols`` (and ``<prefix><right_ts>``) from the latest
-    ``right`` row with ``right.ts <= left.ts`` sharing ``on``.
+    ``right`` row with ``right.ts <= left.ts`` sharing ``on``
+    (``direction="backward"``, the default) — or the EARLIEST right row
+    with ``right.ts >= left.ts`` (``direction="forward"``, e.g.
+    next-event labelling).
+
+    ``tolerance`` (same units as the timestamp columns — seconds for
+    timestamps, raw difference for numeric ts) nulls out matches staler
+    than the cap: a feature older than the staleness budget is treated
+    as missing, the standard feature-store guard.
 
     Unmatched left rows keep nulls (LEFT semantics). Equal timestamps
-    match ("at-or-before" is inclusive). If several right rows share a
+    match (inclusive both directions). If several right rows share a
     key+timestamp the LAST in ``right_ts``-then-input order wins — make
     the right side unique per (key, ts) for full determinism, as with
     any as-of implementation.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     on = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     if value_cols is None:
@@ -86,9 +110,16 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
     )
+    # backward: ascending ts, so "last right row seen" = latest <= ts.
+    # forward: DESCENDING ts, so "last right row seen" = earliest >= ts.
+    # Either way the right row sorts before the left row at equal ts
+    # (__is_left asc), making the boundary inclusive.
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(ts_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried_fwd = l_tagged.unionByName(r_tagged).select(
@@ -101,4 +132,25 @@ def asof_join(
             for c in carried
         ],
     )
-    return carried_fwd.where(F.col("__is_left") == 1).drop("__is_left")
+    out = carried_fwd.where(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance is not None:
+        lag = _ts_seconds(
+            F.col(left_ts), left.schema[left_ts].dataType
+        ) - _ts_seconds(
+            F.col(out_names[right_ts]), right.schema[right_ts].dataType
+        )
+        if direction == "forward":
+            lag = -lag
+        within = lag <= F.lit(float(tolerance))
+        # a match staler than the budget is MISSING, not approximate:
+        # null every carried column together
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(within, F.col(out_names[c]))
+                .otherwise(F.lit(None))
+                .alias(out_names[c])
+                for c in carried
+            ],
+        )
+    return out

@@ -396,6 +396,10 @@ class AsofJoin(AbstractStep):
     right_ts: Optional[str] = None
     value_columns: Optional[tuple[str, ...]] = None
     prefix: str = "asof_"
+    direction: Literal["backward", "forward"] = "backward"
+    # staleness budget in timestamp units (seconds for timestamps);
+    # matches beyond it are treated as missing
+    tolerance: Optional[float] = None
 
 
 class HashSample(AbstractStep):

@@ -747,6 +747,8 @@ class StepEngine:
                 else None
             ),
             prefix=config.prefix,
+            direction=config.direction,
+            tolerance=config.tolerance,
         )
         return None
 

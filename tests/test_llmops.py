@@ -1089,3 +1089,64 @@ def test_asof_join_declarable_step(spark):
         ).collect()
     }
     assert step == lib and len(lib) > 10
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward': the EARLIEST right row at-or-after, per key
+    (next-event labelling)."""
+    from data_validation_engine_spark.llmops import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 7, "d")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 25, 250.0), (2, 5, 500.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r["ev"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, "k", left_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert got == {
+        "a": (10, 100.0),   # equal ts matches (inclusive)
+        "b": (25, 250.0),   # earliest following, not latest
+        "c": (None, None),  # nothing at-or-after 30
+        "d": (None, None),  # key 2's only row is in the past
+    }
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from data_validation_engine_spark.llmops import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b")], "k long, ts long, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, 1.0)], "k long, ts long, v double"
+    )
+    no_cap = {
+        r["ev"]: r["asof_v"]
+        for r in asof_join(left, right, "k", left_ts="ts").collect()
+    }
+    capped = {
+        r["ev"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, "k", left_ts="ts", tolerance=10
+        ).collect()
+    }
+    assert no_cap == {"a": 1.0, "b": 1.0}
+    # within 10 units: kept; 105 units stale: BOTH carried columns null
+    assert capped == {"a": (95, 1.0), "b": (None, None)}
+
+
+def test_asof_join_bad_direction_raises(spark):
+    import pytest as _pytest
+
+    from data_validation_engine_spark.llmops import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, "k", left_ts="ts", direction="nearest")
