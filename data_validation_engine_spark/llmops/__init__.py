@@ -60,6 +60,7 @@ from data_validation_engine_spark.llmops.split import (
     deterministic_sample,
     hash_bucket,
     hash_split,
+    stratified_sample,
 )
 from data_validation_engine_spark.llmops.text import (
     language_id,
@@ -78,6 +79,7 @@ __all__ = [
     "minhash_dedup",
     "minhash_pairs",
     "ngram_jaccard_pairs",
+    "stratified_sample",
     "simhash",
     "simhash_pairs",
     "simhash_table",

@@ -79,6 +79,46 @@ def hash_split(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the stable analog of
+    ``df.sampleBy``: keep a row iff its key's hash bucket clears its
+    stratum's fraction. Strata absent from ``fractions`` fall back to
+    ``default_fraction`` (0 = drop). Same key ⇒ same outcome across
+    reruns/engines, and per-stratum kept-sets nest as fractions grow
+    (the subsample-ladder property, per stratum). The canonical corpus
+    use: downsample over-represented languages/domains to a target mix
+    without sacrificing reproducibility.
+
+    One zero-shuffle projection: the fraction map compiles to a CASE
+    over ``strata_col`` (strata are config-sized, like every fixed
+    values list in the engine).
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(
+                f"fraction for stratum {name!r} must be in [0, 1], got {frac}"
+            )
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0, 1], got {default_fraction}"
+        )
+    cut: Column = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for name, frac in fractions.items():
+        cut = F.when(
+            F.col(strata_col) == F.lit(name),
+            F.lit(int(round(frac * N_BUCKETS))),
+        ).otherwise(cut)
+    return df.where(hash_bucket(F.col(key_col), seed=seed) < cut)
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, *, seed: str = ""
 ) -> DataFrame:

@@ -382,6 +382,21 @@ class HashSplit(AbstractStep):
     split_column: str = "split"
 
 
+class StratifiedSample(AbstractStep):
+    """Deterministic per-stratum sampling (stable ``sampleBy``): keep a
+    row iff its key's hash bucket clears its stratum's fraction —
+    downsample over-represented languages/domains to a target mix,
+    reproducibly. Strata absent from ``fractions`` fall back to
+    ``default_fraction`` (0 = drop)."""
+
+    operation: Literal["stratified_sample"] = "stratified_sample"
+    key_column: str
+    strata_column: str
+    fractions: dict[str, float]
+    default_fraction: float = 0.0
+    seed: str = ""
+
+
 class AsofJoin(AbstractStep):
     """Point-in-time join: attach to every row of ``entity_name`` the
     latest row of ``target_name`` at-or-before its timestamp, per key —
@@ -486,6 +501,7 @@ AnyStep = Annotated[
         NgramJaccardPairs,
         HashSplit,
         HashSample,
+        StratifiedSample,
         AsofJoin,
         ConnectedComponents,
         Sessionize,

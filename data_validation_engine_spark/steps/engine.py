@@ -69,6 +69,7 @@ from data_validation_engine_spark.steps.configs import (
     AsofJoin,
     HashSample,
     HashSplit,
+    StratifiedSample,
     NgramJaccardPairs,
     SimHashPairs,
     SimHashSignatures,
@@ -145,6 +146,7 @@ class StepEngine:
             NgramJaccardPairs: self.dedup_ngram_pairs,
             HashSplit: self.hash_split,
             HashSample: self.hash_sample,
+            StratifiedSample: self.stratified_sample,
             AsofJoin: self.asof_join,
             ConnectedComponents: self.connected_components,
             Sessionize: self.sessionize,
@@ -749,6 +751,23 @@ class StepEngine:
             prefix=config.prefix,
             direction=config.direction,
             tolerance=config.tolerance,
+        )
+        return None
+
+    def stratified_sample(
+        self, entities: Entities, *, config: StratifiedSample
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.split import (
+            stratified_sample,
+        )
+
+        entities[config.output_name] = stratified_sample(
+            entities[config.entity_name],
+            config.key_column,
+            config.strata_column,
+            dict(config.fractions),
+            default_fraction=config.default_fraction,
+            seed=config.seed,
         )
         return None
 

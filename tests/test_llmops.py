@@ -1150,3 +1150,89 @@ def test_asof_join_bad_direction_raises(spark):
     df = spark.createDataFrame([(1, 1)], "k long, ts long")
     with _pytest.raises(ValueError, match="direction"):
         asof_join(df, df, "k", left_ts="ts", direction="nearest")
+
+
+def test_stratified_sample_deterministic_per_stratum(spark):
+    """Per-stratum fractions apply independently; same key ⇒ same outcome
+    across reruns; kept sets nest as a stratum's fraction grows; absent
+    strata default to dropped."""
+    from data_validation_engine_spark.llmops import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fr = {"en": 0.5, "code": 0.1}
+    s1 = {r["doc_id"] for r in stratified_sample(
+        docs, "doc_id", "lang", fr).collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(
+        docs, "doc_id", "lang", fr).collect()}
+    assert s1 == s2 and len(s1) > 0
+    # per-stratum equivalence: stratum members kept by stratified ==
+    # plain deterministic sampling of that stratum at its fraction
+    for lang, frac in fr.items():
+        sub = docs.where(F.col("lang") == lang)
+        want = {r["doc_id"] for r in deterministic_sample(
+            sub, "doc_id", frac).collect()}
+        got = {d for d in s1} & {
+            r["doc_id"] for r in sub.select("doc_id").collect()}
+        assert got == want, lang
+    # strata not named are dropped entirely by default
+    named = {r["doc_id"] for r in docs.where(
+        F.col("lang").isin(list(fr))).select("doc_id").collect()}
+    assert s1 <= named
+    # nesting within a stratum
+    grown = {r["doc_id"] for r in stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.8, "code": 0.1}).collect()}
+    assert s1 <= grown
+
+
+def test_stratified_sample_declarable_step(spark):
+    from data_validation_engine_spark.llmops import stratified_sample
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ents = {"documents": docs}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "stratified_sample",
+                "entity_name": "documents",
+                "key_column": "doc_id",
+                "strata_column": "lang",
+                "fractions": {"en": 0.3},
+                "default_fraction": 1.0,
+                "new_entity_name": "mixed",
+            }
+        ),
+    )
+    step = {r["doc_id"] for r in ents["mixed"].collect()}
+    lib = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.3}, default_fraction=1.0
+        ).collect()
+    }
+    assert step == lib and 0 < len(lib) < docs.count()
+
+
+def test_asof_join_composite_key(spark):
+    """Multi-column keys partition the as-of lookup correctly."""
+    from data_validation_engine_spark.llmops import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 10), (2, "x", 10)],
+        "k long, sub string, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 5, 1.0), (1, "y", 7, 2.0), (2, "y", 3, 9.0)],
+        "k long, sub string, ts long, v double",
+    )
+    got = {
+        (r["k"], r["sub"]): r["asof_v"]
+        for r in asof_join(
+            left, right, ["k", "sub"], left_ts="ts"
+        ).collect()
+    }
+    assert got == {(1, "x"): 1.0, (1, "y"): 2.0, (2, "x"): None}
