@@ -458,3 +458,43 @@ def test_streaming_hash_split_lifts_unchanged(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(set(got.values())) > 1
+
+
+def test_streaming_stratified_sample_lifts_unchanged(spark, tmp_path):
+    """stratified_sample is a stateless predicate, so the streaming drain
+    keeps exactly the batch path's rows — target-mix downsampling works
+    identically on a stream."""
+    import shutil
+
+    from data_validation_engine_spark.llmops import stratified_sample
+    from data_validation_engine_spark.streaming import read_entity_stream
+
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    fr = {"en": 0.4, "code": 0.1}
+
+    sdf = stratified_sample(
+        read_entity_stream(spark, str(d), schema), "doc_id", "lang", fr
+    )
+    out = str(tmp_path / "mix_out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_mix"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["doc_id"]
+        for r in stratified_sample(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            "doc_id",
+            "lang",
+            fr,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
