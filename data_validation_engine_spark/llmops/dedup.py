@@ -818,3 +818,129 @@ def simhash_pairs(
             F.col("__sh_a"), F.col("__sh_b"), bits=bits
         ).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    order_col: str,
+    normalize_text: bool = False,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an existing corpus — the
+    append-only production shape: the corpus is never re-clustered, only
+    its 32-byte keys are joined.
+
+    Keeps each new row iff (a) its key is absent from the corpus and
+    (b) it is the ``order_col``-min holder of its key within the batch.
+    Cost: one grouped agg over the batch + one broadcast-or-shuffled
+    anti-join of batch keys against corpus keys; the corpus side is a
+    key-projection scan only (at 100 TB the corpus keys can be a
+    maintained parquet side-table instead of a rescan — same plan).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    def _key(frame: DataFrame) -> Column:
+        parts = [F.col(c).cast("string") for c in key_cols]
+        if normalize_text:
+            parts = [
+                F.trim(F.regexp_replace(F.lower(p), r"\s+", " "))
+                for p in parts
+            ]
+        return F.md5(F.concat_ws("", *parts))
+
+    batch_survivors = exact_dedup(
+        new_df, key_cols, order_col=order_col, normalize_text=normalize_text
+    )
+    corpus_keys = corpus_df.select(_key(corpus_df).alias("__dedup_key"))
+    return (
+        batch_survivors.withColumn("__dedup_key", _key(batch_survivors))
+        .join(corpus_keys, on="__dedup_key", how="left_anti")
+        .drop("__dedup_key")
+    )
+
+
+def incremental_ngram_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+) -> DataFrame:
+    """Fuzzy (EXACT n-gram Jaccard) dedup of a NEW batch against an
+    existing corpus, without paying corpus x corpus: candidate postings
+    are joined NEW-side-only against the union postings, so corpus rows
+    never pair with each other.
+
+    Semantics (conservative filter, deterministic, SQL-expressible): a
+    new row is DROPPED iff some corpus row, or some new row with a
+    smaller ``id_col``, has Jaccard >= ``threshold`` with it — ids must
+    be unique across corpus and batch together. This is a filter, not a
+    clustering: a new row is compared against every earlier row whether
+    or not that row itself survives (exactly the EXISTS twin DuckDB
+    runs as the oracle).
+
+    Candidate completeness across the two sets uses the same
+    prefix-filter theorem as :func:`ngram_jaccard_pairs` — document
+    frequencies and the rare-first total order are computed over the
+    UNION, so any qualifying (new, other) pair shares a shingle inside
+    both prefixes. The postings join is an equi-join on shingle with the
+    new side only on the left (AQE skew-join splits hot shingles; the
+    rare-first prefix keeps them scarce).
+    """
+    tagged = corpus_df.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
+    ).unionByName(
+        new_df.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
+        )
+    )
+    shingled = shingle_rows(tagged, id_col, text_col, shingle_size=shingle_size)
+    tags = tagged.select(id_col, "__new")
+
+    from pyspark.sql import Window
+
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix = (
+        shingled.join(dfreq, on="shingle")
+        .join(sizes, on=id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(
+            F.col("__rk")
+            <= F.col("__sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("__sz"))
+            + F.lit(1)
+        )
+        .join(tags, on=id_col)
+        .select(id_col, "shingle", "__new")
+    )
+    new_postings = prefix.where(F.col("__new")).select(
+        F.col(id_col).alias("id_a"), "shingle"
+    )
+    all_postings = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("__new").alias("__new_b")
+    )
+    candidates = (
+        new_postings.join(all_postings, on="shingle")
+        # corpus partner, or an earlier new row — never self, never a
+        # corpus x corpus pair (left side is new-only by construction)
+        .where(
+            (~F.col("__new_b")) | (F.col("id_b") < F.col("id_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    drops = (
+        _verify_jaccard(candidates, shingled, id_col, threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(drops, on=id_col, how="left_anti")

@@ -466,6 +466,75 @@ class Sessionize(AbstractStep):
     output: Literal["events", "sessions"] = "sessions"
 
 
+class IntervalJoin(AbstractStep):
+    """Interval-overlap (range) join: all (entity, target) row pairs
+    whose closed ``[start, end]`` intervals overlap, optionally per
+    ``on`` key — restated as a bucketized equi-join (explode onto
+    fixed-width time buckets, join on (key, bucket), exact predicate +
+    anchor-bucket dedup) so Catalyst never falls back to a nested-loop
+    join. ``bucket_width`` is in seconds on the epoch line; pick it near
+    the typical interval span."""
+
+    operation: Literal["interval_join"] = "interval_join"
+    target_name: str
+    left_start: str
+    left_end: str
+    right_start: str
+    right_end: str
+    on: tuple[str, ...] = ()
+    bucket_width: float = 3600.0
+    prefix: str = "r_"
+
+
+class TopKPerGroup(AbstractStep):
+    """Top-``k`` rows per group by ``order_column`` (descending by
+    default), deterministic under ``tiebreak_columns``; adds a 1-based
+    ``rank_column``. One shuffle; the rank filter rides the window so
+    Spark's WindowGroupLimit keeps a size-k heap per key map-side."""
+
+    operation: Literal["top_k"] = "top_k"
+    group_by: tuple[str, ...]
+    order_column: str
+    k: int
+    descending: bool = True
+    tiebreak_columns: tuple[str, ...] = ()
+    rank_column: str = "rank"
+
+
+class RollingAggregate(AbstractStep):
+    """Trailing event-time window aggregates per key: for each row,
+    aggregate the partition's rows with timestamp in
+    ``[ts - window_seconds, ts]``. ``aggregations`` maps output column
+    -> SQL aggregate expression (e.g. ``"avg(value)"``);
+    ``include_current=False`` gives the leakage-safe strictly-before
+    frame. One keyed window shuffle, exact microsecond RANGE frame."""
+
+    operation: Literal["rolling_agg"] = "rolling_agg"
+    partition_by: tuple[str, ...]
+    ts_column: str
+    window_seconds: float
+    aggregations: tuple[tuple[str, str], ...]
+    include_current: bool = True
+
+
+class IncrementalDedup(AbstractStep):
+    """Dedup a NEW batch against an existing corpus entity without
+    re-clustering (or even re-pairing) the corpus. ``method="exact"``
+    anti-joins 32-byte text-hash keys; ``method="ngram"`` drops a new
+    row iff some corpus row or smaller-id new row has exact n-gram
+    Jaccard >= ``threshold`` (conservative filter semantics — ids must
+    be unique across both entities)."""
+
+    operation: Literal["dedup_incremental"] = "dedup_incremental"
+    target_name: str  # the corpus entity
+    method: Literal["exact", "ngram"] = "exact"
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    threshold: float = 0.5
+    shingle_size: int = 3
+    normalize_text: bool = False
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -505,6 +574,10 @@ AnyStep = Annotated[
         AsofJoin,
         ConnectedComponents,
         Sessionize,
+        IntervalJoin,
+        TopKPerGroup,
+        RollingAggregate,
+        IncrementalDedup,
     ],
     Field(discriminator="operation"),
 ]

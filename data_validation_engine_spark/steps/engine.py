@@ -78,6 +78,10 @@ from data_validation_engine_spark.steps.configs import (
     TextFingerprint,
     TextStats,
     TfIdfTopTerms,
+    IntervalJoin,
+    TopKPerGroup,
+    RollingAggregate,
+    IncrementalDedup,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -150,6 +154,10 @@ class StepEngine:
             AsofJoin: self.asof_join,
             ConnectedComponents: self.connected_components,
             Sessionize: self.sessionize,
+            IntervalJoin: self.interval_join,
+            TopKPerGroup: self.top_k,
+            RollingAggregate: self.rolling_agg,
+            IncrementalDedup: self.dedup_incremental,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -914,6 +922,84 @@ class StepEngine:
                 id_col=config.id_column,
                 vec_col=config.vector_column,
                 exclude_self=config.exclude_self,
+            )
+        entities[config.output_name] = out
+        return None
+
+    # -- interval / windowed analytics (round 6) ---------------------------
+    def interval_join(
+        self, entities: Entities, *, config: IntervalJoin
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.interval import interval_join
+
+        entities[config.output_name] = interval_join(
+            entities[config.entity_name],
+            entities[config.target_name],
+            left_start=config.left_start,
+            left_end=config.left_end,
+            right_start=config.right_start,
+            right_end=config.right_end,
+            on=list(config.on) or None,
+            bucket_width=config.bucket_width,
+            prefix=config.prefix,
+        )
+        return None
+
+    def top_k(self, entities: Entities, *, config: TopKPerGroup) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import grouped_topk
+
+        entities[config.output_name] = grouped_topk(
+            entities[config.entity_name],
+            list(config.group_by),
+            config.order_column,
+            config.k,
+            descending=config.descending,
+            tiebreak_cols=list(config.tiebreak_columns) or None,
+            rank_col=config.rank_column,
+        )
+        return None
+
+    def rolling_agg(
+        self, entities: Entities, *, config: RollingAggregate
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import rolling_agg
+
+        entities[config.output_name] = rolling_agg(
+            entities[config.entity_name],
+            partition_cols=list(config.partition_by),
+            ts_col=config.ts_column,
+            window_seconds=config.window_seconds,
+            aggs={name: F.expr(expr) for name, expr in config.aggregations},
+            include_current=config.include_current,
+        )
+        return None
+
+    def dedup_incremental(
+        self, entities: Entities, *, config: IncrementalDedup
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import (
+            incremental_exact_dedup,
+            incremental_ngram_dedup,
+        )
+
+        new_df = entities[config.entity_name]
+        corpus = entities[config.target_name]
+        if config.method == "ngram":
+            out = incremental_ngram_dedup(
+                new_df,
+                corpus,
+                config.id_column,
+                config.text_column,
+                threshold=config.threshold,
+                shingle_size=config.shingle_size,
+            )
+        else:
+            out = incremental_exact_dedup(
+                new_df,
+                corpus,
+                config.text_column,
+                order_col=config.id_column,
+                normalize_text=config.normalize_text,
             )
         entities[config.output_name] = out
         return None
