@@ -99,9 +99,13 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregation: TPC-H Q1-shaped pricing summary."""
+    """Aggregation: TPC-H Q1-shaped pricing summary, with the pivot
+    variant (fixed value list, no extra distinct job) joined on per
+    linestatus — one driver row attests plain AND pivoted aggregation
+    (merged from the former group_by_pivot row)."""
     ents = _load(spark, sf_dir, ["lineitem"])
-    _engine(spark).evaluate(
+    eng = _engine(spark)
+    eng.evaluate(
         ents,
         config=Aggregation(
             entity_name="lineitem",
@@ -113,15 +117,10 @@ def q_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "round(avg(l_quantity), 4)": "avg_qty",
                 "count(1)": "count_order",
             },
+            new_entity_name="q1",
         ),
     )
-    return ents["lineitem"]
-
-
-def q_group_by_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregation with pivot (fixed value list, no extra distinct job)."""
-    ents = _load(spark, sf_dir, ["lineitem"])
-    _engine(spark).evaluate(
+    eng.evaluate(
         ents,
         config=Aggregation(
             entity_name="lineitem",
@@ -129,9 +128,122 @@ def q_group_by_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg_columns={"round(sum(l_quantity), 2)": "q"},
             pivot_column="l_returnflag",
             pivot_values=["A", "N", "R"],
+            new_entity_name="pivoted",
         ),
     )
-    return ents["lineitem"]
+    return ents["q1"].join(ents["pivoted"], on="l_linestatus").select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "avg_qty",
+        "count_order",
+        "A",
+        "N",
+        "R",
+    )
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-ranking / rolling-window analytics, all via DECLARED steps,
+    normalised to (op, key, idx, val) and unioned:
+
+    - ``topk``: top-5 events per event_type by value (TopKPerGroup step ->
+      llmops/analytics.grouped_topk; WindowGroupLimit plan) — val pins the
+      exact chosen row (event_id + value cents).
+    - ``roll``: per-user trailing 1-hour rolling count + sum over event
+      time (RollingAggregate step -> rolling_agg; exact microsecond RANGE
+      frame). The summed measure is pre-rounded to integer cents so the
+      hash is FP-order-proof.
+    - ``pct``: exact grouped percentiles (p25/p50/p75 of extendedprice per
+      returnflag) through the ORDINARY Aggregation step — the expression
+      library needs no new step type for percentile; DuckDB quantile_cont
+      is the independent twin.
+    """
+    from data_validation_engine_spark.steps import parse_step
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ents: dict = {"events": ev}
+    eng = _engine(spark)
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "top_k",
+                "entity_name": "events",
+                "new_entity_name": "tk",
+                "group_by": ["event_type"],
+                "order_column": "value",
+                "k": 5,
+                "tiebreak_columns": ["event_id"],
+            }
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="tk",
+            columns=(
+                "'topk' AS op, event_type AS key, CAST(rank AS BIGINT) AS idx,"
+                " CONCAT(CAST(event_id AS STRING), ':',"
+                " CAST(CAST(ROUND(value * 100) AS BIGINT) AS STRING)) AS val"
+            ),
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "rolling_agg",
+                "entity_name": "events",
+                "new_entity_name": "rl",
+                "partition_by": ["user_id"],
+                "ts_column": "ts",
+                "window_seconds": 3600,
+                "aggregations": [
+                    ["n_1h", "count(1)"],
+                    # integer cents BEFORE the sum: exact arithmetic, so
+                    # the value hash cannot drift on FP addition order
+                    ["cents_1h", "sum(cast(round(value * 100) as bigint))"],
+                ],
+            }
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="rl",
+            columns=(
+                "'roll' AS op, CAST(event_id AS STRING) AS key,"
+                " n_1h AS idx, CAST(cents_1h AS STRING) AS val"
+            ),
+        ),
+    )
+    ents2 = _load(spark, sf_dir, ["lineitem"])
+    eng.evaluate(
+        ents2,
+        config=Aggregation(
+            entity_name="lineitem",
+            group_by="l_returnflag",
+            agg_columns={
+                "cast(cast(round(percentile(l_extendedprice, 0.25) * 10000)"
+                " as bigint) as string)": "p25",
+                "cast(cast(round(percentile(l_extendedprice, 0.5) * 10000)"
+                " as bigint) as string)": "p50",
+                "cast(cast(round(percentile(l_extendedprice, 0.75) * 10000)"
+                " as bigint) as string)": "p75",
+            },
+            new_entity_name="pct",
+        ),
+    )
+    pct = ents2["pct"].selectExpr(
+        "'pct' AS op",
+        "l_returnflag AS key",
+        "CAST(0 AS BIGINT) AS idx",
+        "CONCAT(p25, ':', p50, ':', p75) AS val",
+    )
+    return ents["tk"].unionByName(ents["rl"]).unionByName(pct)
 
 
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,15 +385,20 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ConfirmJoinHasMatch + OrphanIdentification + the AS-OF join, all
-    normalised to (op, key, flag, detail) and unioned through the engine —
-    one driver row attests all three (merged from the former has_match /
-    identify_orphans rows). The asof branch runs as a DECLARED step
-    (AsofJoin config) joining every non-purchase event to its user's
-    latest purchase at-or-before the event; detail encodes the matched
-    row as integers (epoch micros + value cents), so the hash pins
-    EXACTLY which row the as-of selected against DuckDB's native
-    ASOF LEFT JOIN."""
+    """ConfirmJoinHasMatch + OrphanIdentification + the AS-OF join + the
+    INTERVAL-overlap join, all normalised to (op, key, flag, detail) and
+    unioned through the engine — one driver row attests all four (merged
+    from the former has_match / identify_orphans rows). The asof branch
+    runs as a DECLARED step (AsofJoin config) joining every non-purchase
+    event to its user's latest purchase at-or-before the event; detail
+    encodes the matched row as integers (epoch micros + value cents), so
+    the hash pins EXACTLY which row the as-of selected against DuckDB's
+    native ASOF LEFT JOIN. The interval branch runs as a DECLARED step
+    (IntervalJoin config, bucketized equi-join — llmops/interval.py):
+    click windows [ts, ts+10min] x the same user's purchase windows
+    [ts, ts+30min]; one row per overlapping pair against DuckDB's naive
+    inequality join proves the bucket reformulation loses and invents no
+    pairs."""
     from data_validation_engine_spark.steps import parse_step
 
     ents = _load(spark, sf_dir, ["orders", "customer", "part", "lineitem"])
@@ -321,6 +438,45 @@ def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS STRING), ':',"
                 " CAST(CAST(ROUND(asof_v * 100) AS BIGINT) AS STRING)) END"
                 " AS detail"
+            ),
+        ),
+    )
+    ents["click_wins"] = events.where("event_type <> 'purchase'").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    ents["purch_wins"] = events.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "interval_join",
+                "entity_name": "click_wins",
+                "target_name": "purch_wins",
+                "new_entity_name": "ivhits",
+                "left_start": "s",
+                "left_end": "e",
+                "right_start": "s",
+                "right_end": "e",
+                "on": ["user_id"],
+                "bucket_width": 600.0,
+            }
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="ivhits",
+            columns=(
+                "'interval' AS op, event_id AS key, TRUE AS flag,"
+                " CAST(r_win_id AS STRING) AS detail"
             ),
         ),
     )
@@ -374,6 +530,12 @@ def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ents,
         config=TableUnion(
             entity_name="flags", target_name="enriched", new_entity_name="flags"
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="flags", target_name="ivhits", new_entity_name="flags"
         ),
     )
     return ents["flags"]
@@ -848,7 +1010,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (steps/configs.py ExactDedup -> engine.dedup_exact), inner-joined on
     the survivor id — the hash covers both paths, so the JSON-declarable
     vocabulary is proven to compute identically (merged from the former
-    step_dedup_exact row)."""
+    step_dedup_exact row).
+
+    Round 6 adds the INCREMENTAL branches as a tagged union (op, doc_id,
+    a, b): the corpus is docs with ``doc_id % 5 <> 0``; the new batch is
+    the rest PLUS planted re-inserts of corpus texts (shifted ids), so
+    the corpus anti-join provably drops rows. ``inc_exact`` = survivors
+    of the declared dedup_incremental step (method=exact, batch-min-id +
+    corpus key anti-join); ``inc_ngram`` = survivors of method=ngram
+    (dropped iff some corpus row or smaller-id new row has n-gram
+    Jaccard >= 0.5 — DuckDB's naive EXISTS is the twin, proving the
+    new-side-only posting join loses no pairs)."""
     from data_validation_engine_spark.llmops import exact_dedup
     from data_validation_engine_spark.steps import parse_step
 
@@ -857,8 +1029,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     lib = exact_dedup(dup_in, "text", order_col="doc_id").selectExpr(
         "doc_id", "n_chars", "n_copies"
     )
+    eng = _engine(spark)
     entities = {"documents": dup_in}
-    _engine(spark).evaluate(
+    eng.evaluate(
         entities,
         config=parse_step(
             {
@@ -873,7 +1046,60 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = entities["deduped"].selectExpr(
         "doc_id", "n_copies AS n_copies_step"
     )
-    return lib.join(step, "doc_id")
+    survivor = lib.join(step, "doc_id").selectExpr(
+        "'survivor' AS op",
+        "doc_id",
+        "n_copies AS a",
+        "n_copies_step AS b",
+    )
+
+    corpus = docs.where("doc_id % 5 <> 0")
+    newb = docs.where("doc_id % 5 = 0").unionByName(
+        corpus.where("doc_id % 9 = 0").select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    inc_ents = {"new": newb, "corpus": corpus}
+    eng.evaluate(
+        inc_ents,
+        config=parse_step(
+            {
+                "operation": "dedup_incremental",
+                "entity_name": "new",
+                "target_name": "corpus",
+                "new_entity_name": "inc_exact",
+                "method": "exact",
+                "id_column": "doc_id",
+                "text_column": "text",
+            }
+        ),
+    )
+    eng.evaluate(
+        inc_ents,
+        config=parse_step(
+            {
+                "operation": "dedup_incremental",
+                "entity_name": "new",
+                "target_name": "corpus",
+                "new_entity_name": "inc_ngram",
+                "method": "ngram",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "threshold": 0.5,
+            }
+        ),
+    )
+    inc_exact = inc_ents["inc_exact"].selectExpr(
+        "'inc_exact' AS op", "doc_id", "n_chars AS a", "CAST(-1 AS BIGINT) AS b"
+    )
+    inc_ngram = inc_ents["inc_ngram"].selectExpr(
+        "'inc_ngram' AS op", "doc_id", "n_chars AS a", "CAST(-2 AS BIGINT) AS b"
+    )
+    return survivor.unionByName(inc_exact).unionByName(inc_ngram)
 
 
 def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2219,20 +2445,77 @@ def _lang_id_oracle() -> str:
 
 
 _LLMOPS_ORACLES: dict[str, str] = {
-    # n_copies twice: the Spark row inner-joins the library survivors with
-    # the declarative-step survivors, so the hash covers both paths
-    "dedup_exact": """
+    # survivor branch: a = b = copy count, because the Spark row
+    # inner-joins the library survivors with the declarative-step
+    # survivors — the hash covers both paths. inc_* branches: the
+    # incremental-dedup twins (EXISTS over the naive pair predicate).
+    "dedup_exact": f"""
         WITH dup_in AS (
             SELECT * FROM documents
             UNION ALL
             SELECT * FROM documents WHERE doc_id % 10 = 0
+        ),
+        survivor AS (
+            SELECT 'survivor' AS op,
+                   arg_min(doc_id, doc_id) AS doc_id,
+                   count(*) AS a,
+                   count(*) AS b
+            FROM dup_in
+            GROUP BY md5(text)
+        ),
+        corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        newb AS (
+            SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text, n_chars
+            FROM corpus WHERE doc_id % 9 = 0
+        ),
+        inc_exact AS (
+            SELECT 'inc_exact' AS op,
+                   arg_min(doc_id, doc_id) AS doc_id,
+                   arg_min(n_chars, doc_id) AS a,
+                   CAST(-1 AS BIGINT) AS b
+            FROM newb
+            GROUP BY text
+            HAVING NOT EXISTS (
+                SELECT 1 FROM corpus c WHERE c.text = newb.text
+            )
+        ),
+        alldocs AS (
+            SELECT doc_id, text, FALSE AS is_new FROM corpus
+            UNION ALL
+            SELECT doc_id, text, TRUE FROM newb
+        ),
+        itoked AS (
+            SELECT doc_id, is_new, {_DUCK_TOKS} AS toks FROM alldocs
+        ),
+        ish AS (
+            SELECT doc_id, is_new, {_duck_shingles()} AS shingles FROM itoked
+        ),
+        iposts AS (SELECT doc_id, is_new, unnest(shingles) AS s FROM ish),
+        icand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM iposts a JOIN iposts b
+              ON a.s = b.s AND a.doc_id <> b.doc_id
+             AND a.is_new AND (NOT b.is_new OR b.doc_id < a.doc_id)
+            GROUP BY 1, 2
+        ),
+        idrop AS (
+            SELECT DISTINCT id_a FROM icand
+            JOIN ish x ON icand.id_a = x.doc_id
+            JOIN ish y ON icand.id_b = y.doc_id
+            WHERE round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                  / len(list_distinct(
+                        list_concat(x.shingles, y.shingles))), 6) >= 0.5
+        ),
+        inc_ngram AS (
+            SELECT 'inc_ngram' AS op, doc_id, n_chars AS a,
+                   CAST(-2 AS BIGINT) AS b
+            FROM newb WHERE doc_id NOT IN (SELECT id_a FROM idrop)
         )
-        SELECT arg_min(doc_id, doc_id) AS doc_id,
-               arg_min(n_chars, doc_id) AS n_chars,
-               count(*) AS n_copies,
-               count(*) AS n_copies_step
-        FROM dup_in
-        GROUP BY md5(text)
+        SELECT * FROM survivor
+        UNION ALL SELECT * FROM inc_exact
+        UNION ALL SELECT * FROM inc_ngram
     """,
     "dedup_minhash": _dedup_minhash_oracle(),
     "step_dedup_fuzzy": _dedup_fuzzy_oracle(),
@@ -2411,22 +2694,57 @@ _ORACLES: dict[str, str] = {
         WHERE l_quantity > 45 AND l_shipdate >= '1997-01-01'
     """,
     "group_by": """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_quantity), 4) AS avg_qty,
-               count(1) AS count_order
-        FROM lineitem
-        GROUP BY l_returnflag, l_linestatus
+        WITH q1 AS (
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(1) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        ), pivoted AS (
+            SELECT l_linestatus,
+                   round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+                   round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+                   round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+            FROM lineitem
+            GROUP BY l_linestatus
+        )
+        SELECT l_returnflag, q1.l_linestatus, sum_qty, sum_base_price,
+               sum_disc_price, avg_qty, count_order, "A", "N", "R"
+        FROM q1 JOIN pivoted ON q1.l_linestatus = pivoted.l_linestatus
     """,
-    "group_by_pivot": """
-        SELECT l_linestatus,
-               round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
-               round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
-               round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
-        FROM lineitem
-        GROUP BY l_linestatus
+    "window_analytics": """
+        SELECT 'topk' AS op, event_type AS key, CAST(rank AS BIGINT) AS idx,
+               CAST(event_id AS VARCHAR) || ':' ||
+               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS val
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY value DESC, event_id
+            ) AS rank FROM events
+        ) WHERE rank <= 5
+        UNION ALL
+        SELECT 'roll', CAST(event_id AS VARCHAR), n_1h, CAST(cents_1h AS VARCHAR)
+        FROM (
+            SELECT event_id,
+                   count(1) OVER w AS n_1h,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_1h
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
+        )
+        UNION ALL
+        SELECT 'pct', l_returnflag, 0,
+               CAST(CAST(round(quantile_cont(l_extendedprice, 0.25) * 10000)
+                    AS BIGINT) AS VARCHAR) || ':' ||
+               CAST(CAST(round(quantile_cont(l_extendedprice, 0.5) * 10000)
+                    AS BIGINT) AS VARCHAR) || ':' ||
+               CAST(CAST(round(quantile_cont(l_extendedprice, 0.75) * 10000)
+                    AS BIGINT) AS VARCHAR)
+        FROM lineitem GROUP BY l_returnflag
     """,
     "distinct": """
         SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
@@ -2483,6 +2801,15 @@ _ORACLES: dict[str, str] = {
             SELECT user_id, ts, max(value) AS v FROM events
             WHERE event_type = 'purchase' GROUP BY 1, 2
         ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+        UNION ALL
+        SELECT 'interval', c.event_id, TRUE, CAST(p.event_id AS VARCHAR)
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type <> 'purchase') c
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts + INTERVAL 30 MINUTE
+         AND p.ts <= c.ts + INTERVAL 10 MINUTE
     """,
     "union": """
         SELECT *,
@@ -2868,13 +3195,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     connected_components; similarity_ann_partitioned -> similarity_ann;
     lang_id+text_fingerprint -> text_stats; multimodal_decode ->
     multimodal_meta; file_service_csv -> source_csv; audit_latest_status
-    -> pipeline_e2e; streaming sessionize parity -> sessionize."""
+    -> pipeline_e2e; streaming sessionize parity -> sessionize.
+    Round-6 merges: group_by_pivot -> group_by (freeing the slot for
+    window_analytics); interval_join -> flag_joins; incremental dedup
+    (exact + ngram vs a corpus) -> dedup_exact."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,
         "filter": q_filter,
         "group_by": q_group_by,
-        "group_by_pivot": q_group_by_pivot,
+        "window_analytics": q_window_analytics,
         "distinct": q_distinct,
         "left_join": q_left_join,
         "inner_join": q_inner_join,
