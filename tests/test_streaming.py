@@ -498,3 +498,79 @@ def test_streaming_stratified_sample_lifts_unchanged(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_interval_join_lifts_unchanged(spark, tmp_path):
+    """interval_join against a STATIC window table is explode + inner
+    equi-join — both stream-legal, so the bucketized range join lifts
+    onto a stream with zero new code and emits exactly the batch pairs
+    (stream-static enrichment: live events x published windows)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.llmops.interval import interval_join
+    from data_validation_engine_spark.streaming import read_entity_stream
+
+    d = tmp_path / "ev_src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    batch = _with_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+
+    windows = (
+        batch.where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("win_id"),
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+        )
+    )
+
+    def clicks(df):
+        return df.where("event_type <> 'purchase'").select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+        )
+
+    sdf = interval_join(
+        clicks(_with_ts(read_entity_stream(spark, str(d), schema))),
+        windows,
+        left_start="s",
+        left_end="e",
+        right_start="s",
+        right_end="e",
+        on="user_id",
+        bucket_width=600.0,
+    ).select("event_id", "r_win_id")
+    out = str(tmp_path / "iv_out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_iv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.r_win_id) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.event_id, r.r_win_id)
+        for r in interval_join(
+            clicks(batch),
+            windows,
+            left_start="s",
+            left_end="e",
+            right_start="s",
+            right_end="e",
+            on="user_id",
+            bucket_width=600.0,
+        )
+        .select("event_id", "r_win_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
