@@ -160,6 +160,10 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       returnflag) through the ORDINARY Aggregation step — the expression
       library needs no new step type for percentile; DuckDB quantile_cont
       is the independent twin.
+    - ``rollup``: hierarchy subtotals via the Aggregation step's
+      ``grouping="rollup"`` (round 6), levels tagged with
+      ``grouping_id()`` — DuckDB GROUP BY ROLLUP + GROUPING() is the
+      twin, integer-cents measure so the hash is FP-proof.
     """
     from data_validation_engine_spark.steps import parse_step
 
@@ -243,7 +247,29 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0 AS BIGINT) AS idx",
         "CONCAT(p25, ':', p50, ':', p75) AS val",
     )
-    return ents["tk"].unionByName(ents["rl"]).unionByName(pct)
+    eng.evaluate(
+        ents2,
+        config=Aggregation(
+            entity_name="lineitem",
+            group_by="l_returnflag, l_linestatus",
+            grouping="rollup",
+            agg_columns={
+                "sum(cast(round(l_quantity * 100) as bigint))": "cents",
+                "cast(grouping_id() as bigint)": "gid",
+            },
+            new_entity_name="ru",
+        ),
+    )
+    ru = ents2["ru"].selectExpr(
+        "'rollup' AS op",
+        "CONCAT(COALESCE(l_returnflag, '*'), ':',"
+        " COALESCE(l_linestatus, '*')) AS key",
+        "gid AS idx",
+        "CAST(cents AS STRING) AS val",
+    )
+    return (
+        ents["tk"].unionByName(ents["rl"]).unionByName(pct).unionByName(ru)
+    )
 
 
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2745,6 +2771,13 @@ _ORACLES: dict[str, str] = {
                CAST(CAST(round(quantile_cont(l_extendedprice, 0.75) * 10000)
                     AS BIGINT) AS VARCHAR)
         FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'rollup',
+               COALESCE(l_returnflag, '*') || ':' ||
+               COALESCE(l_linestatus, '*'),
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT),
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR)
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     "distinct": """
         SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

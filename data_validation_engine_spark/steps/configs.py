@@ -57,13 +57,20 @@ class SelectColumns(AbstractStep):
 
 
 class Aggregation(AbstractStep):
-    """Group-by + aggregate expressions, with optional pivot."""
+    """Group-by + aggregate expressions, with optional pivot.
+
+    ``grouping`` extends the plain GROUP BY to hierarchy subtotals:
+    ``rollup`` adds the prefix-subtotal grid (a,b), (a), (); ``cube``
+    every subset. Aggregate expressions may call ``grouping_id()`` to
+    tag which level a row belongs to. Pivot composes only with plain
+    grouping."""
 
     operation: Literal["group_by"] = "group_by"
     group_by: MultipleExpressions
     agg_columns: Optional[MultipleExpressions] = None
     pivot_column: Optional[str] = None
     pivot_values: Optional[list[str]] = None
+    grouping: Literal["groups", "rollup", "cube"] = "groups"
 
 
 # -- filters / notifications -------------------------------------------------

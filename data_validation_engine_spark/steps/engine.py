@@ -205,14 +205,27 @@ class StepEngine:
             for e in parse_multiple_expressions(config.agg_columns or [])
         ]
 
-        grouped = df.groupBy(*group_exprs)
+        if config.grouping == "rollup":
+            grouped = df.rollup(*group_exprs)
+        elif config.grouping == "cube":
+            grouped = df.cube(*group_exprs)
+        else:
+            grouped = df.groupBy(*group_exprs)
         if config.pivot_column:
+            if config.grouping != "groups":
+                raise ConfigurationError(
+                    "pivot composes only with plain grouping"
+                )
             if not agg_exprs:
                 raise ConfigurationError("pivot requires agg_columns")
             # fixed pivot values avoid the extra distinct-values job
             grouped = grouped.pivot(config.pivot_column, config.pivot_values)
         if agg_exprs:
             out = grouped.agg(*agg_exprs)
+        elif config.grouping != "groups":
+            raise ConfigurationError(
+                f"{config.grouping} requires agg_columns"
+            )
         else:
             # aggregation with no agg expressions == distinct group keys
             out = df.select(*group_exprs).distinct()

@@ -396,3 +396,73 @@ def test_incremental_ngram_never_pairs_corpus_with_corpus(corpus_and_new):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# -- rollup / cube grouping --------------------------------------------------
+def test_group_by_rollup_subtotals(spark, events):
+    from data_validation_engine_spark.errors import ConfigurationError
+
+    engine = StepEngine(spark, register_functions=False)
+    ents = {"ev": events}
+    engine.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "group_by",
+                "entity_name": "ev",
+                "new_entity_name": "r",
+                "group_by": "event_type",
+                "grouping": "rollup",
+                "agg_columns": {
+                    "count(1)": "n",
+                    "cast(grouping_id() as bigint)": "gid",
+                },
+            }
+        ),
+    )
+    rows = {(r.event_type, r.gid): r.n for r in ents["r"].collect()}
+    # grand-total row aggregates everything, tagged gid=1
+    assert rows[(None, 1)] == events.count()
+    per_type = {
+        r.event_type: r["count(1)"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1))).collect()
+    }
+    for t, n in per_type.items():
+        assert rows[(t, 0)] == n
+    # pivot + rollup is rejected loudly
+    with pytest.raises(ConfigurationError):
+        engine.evaluate(
+            {"ev": events},
+            config=parse_step(
+                {
+                    "operation": "group_by",
+                    "entity_name": "ev",
+                    "group_by": "event_type",
+                    "grouping": "rollup",
+                    "pivot_column": "event_type",
+                    "agg_columns": {"count(1)": "n"},
+                }
+            ),
+        )
+
+
+def test_group_by_cube_covers_all_subsets(spark, events):
+    engine = StepEngine(spark, register_functions=False)
+    ents = {"ev": events}
+    engine.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "group_by",
+                "entity_name": "ev",
+                "new_entity_name": "c",
+                "group_by": "event_type, user_id % 2",
+                "grouping": "cube",
+                "agg_columns": {"count(1)": "n"},
+            }
+        ),
+    )
+    out = ents["c"].collect()
+    n_types = events.select("event_type").distinct().count()
+    # (types+1) x (parities+1) grouping grid
+    assert len(out) == (n_types + 1) * 3
