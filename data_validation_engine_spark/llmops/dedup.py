@@ -870,6 +870,7 @@ def incremental_ngram_dedup(
     *,
     threshold: float = 0.5,
     shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fuzzy (EXACT n-gram Jaccard) dedup of a NEW batch against an
     existing corpus, without paying corpus x corpus: candidate postings
@@ -900,6 +901,14 @@ def incremental_ngram_dedup(
         )
     )
     shingled = shingle_rows(tagged, id_col, text_col, shingle_size=shingle_size)
+    # the shingle frame feeds FIVE consumers (sizes, dfreq, the prefix
+    # window, and both verify sides) and Spark does not reuse the exchange
+    # across those branches — left lazy, the plan re-expands the whole
+    # tokenise-and-shingle lineage per consumer (~190 Exchanges observed
+    # at sf0.1). Same materialise-once tradeoff as bounded_self_join
+    # (pairs.py): one narrow (id, shingle) frame, recompute-on-loss.
+    if materialize:
+        shingled = shingled.localCheckpoint(eager=True)
     tags = tagged.select(id_col, "__new")
 
     from pyspark.sql import Window
@@ -922,6 +931,9 @@ def incremental_ngram_dedup(
         .join(tags, on=id_col)
         .select(id_col, "shingle", "__new")
     )
+    if materialize:
+        # both posting sides branch from the prefix frame
+        prefix = prefix.localCheckpoint(eager=True)
     new_postings = prefix.where(F.col("__new")).select(
         F.col(id_col).alias("id_a"), "shingle"
     )
