@@ -27,6 +27,10 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 ``mapInPandas``.
 """
 
+from data_validation_engine_spark.llmops.analytics import (
+    grouped_topk,
+    rolling_agg,
+)
 from data_validation_engine_spark.llmops.asof import (
     asof_join,
 )
@@ -34,6 +38,8 @@ from data_validation_engine_spark.llmops.dedup import (
     connected_components,
     connected_components_star,
     exact_dedup,
+    incremental_exact_dedup,
+    incremental_ngram_dedup,
     minhash_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
@@ -41,6 +47,9 @@ from data_validation_engine_spark.llmops.dedup import (
     simhash_pairs,
     simhash_table,
     with_shingles,
+)
+from data_validation_engine_spark.llmops.interval import (
+    interval_join,
 )
 from data_validation_engine_spark.llmops.ivf import (
     default_centroids,
@@ -72,6 +81,11 @@ from data_validation_engine_spark.llmops.text import (
 
 __all__ = [
     "asof_join",
+    "grouped_topk",
+    "incremental_exact_dedup",
+    "incremental_ngram_dedup",
+    "interval_join",
+    "rolling_agg",
     "connected_components",
     "connected_components_star",
     "deterministic_sample",
