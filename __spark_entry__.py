@@ -1039,9 +1039,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     step_dedup_exact row).
 
     Round 6 adds the INCREMENTAL branches as a tagged union (op, doc_id,
-    a, b): the corpus is docs with ``doc_id % 5 <> 0``; the new batch is
-    the rest PLUS planted re-inserts of corpus texts (shifted ids), so
-    the corpus anti-join provably drops rows. ``inc_exact`` = survivors
+    a, b) over the EVEN half of documents (bench-scope compensation like
+    the minhash row's ngram slice — candidate volume is quadratic-ish in
+    corpus size and the proof needs semantics, not volume): the corpus is
+    even docs with ``doc_id % 5 <> 0``; the new batch is the rest PLUS
+    planted re-inserts of corpus texts (shifted ids), so the corpus
+    anti-join provably drops rows. ``inc_exact`` = survivors
     of the declared dedup_incremental step (method=exact, batch-min-id +
     corpus key anti-join); ``inc_ngram`` = survivors of method=ngram
     (dropped iff some corpus row or smaller-id new row has n-gram
@@ -1079,8 +1082,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies_step AS b",
     )
 
-    corpus = docs.where("doc_id % 5 <> 0")
-    newb = docs.where("doc_id % 5 = 0").unionByName(
+    base = docs.where("doc_id % 2 = 0")
+    corpus = base.where("doc_id % 5 <> 0")
+    newb = base.where("doc_id % 5 = 0").unionByName(
         corpus.where("doc_id % 9 = 0").select(
             (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
             "text",
@@ -2489,9 +2493,13 @@ _LLMOPS_ORACLES: dict[str, str] = {
             FROM dup_in
             GROUP BY md5(text)
         ),
-        corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        corpus AS (
+            SELECT * FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 5 <> 0
+        ),
         newb AS (
-            SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 5 = 0
+            SELECT doc_id, text, n_chars FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
             UNION ALL
             SELECT doc_id + 2000000, text, n_chars
             FROM corpus WHERE doc_id % 9 = 0
