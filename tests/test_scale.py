@@ -202,3 +202,80 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         assert "CartesianProduct" not in plan, name
         if name not in allowed_bnlj:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_rolling_agg_plan_single_shuffle(spark):
+    """Rolling event-time aggregates are ONE shuffle (hash by key): every
+    aggregate in the call shares the same window frame, so adding
+    measures must not add Exchanges."""
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.llmops import rolling_agg
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = rolling_agg(
+        events,
+        partition_cols="user_id",
+        ts_col="ts",
+        window_seconds=3600,
+        aggs={
+            "n": F.count(F.lit(1)),
+            "s": F.sum("value"),
+            "m": F.max("value"),
+        },
+    )
+    assert count_shuffles(out) == 1
+
+
+def test_grouped_topk_plan_single_shuffle_with_group_limit(spark):
+    """Top-k per group is ONE shuffle and the rank filter rides the
+    window (WindowGroupLimit: map-side size-k heaps) — at 100 TB the
+    shuffle carries at most k rows per key per map partition."""
+    from data_validation_engine_spark.llmops import grouped_topk
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = grouped_topk(
+        events, "event_type", "value", 5, tiebreak_cols=["event_id"]
+    )
+    assert count_shuffles(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The bucketized interval join must reach the executor as a plain
+    equi-join (hash/sort-merge on (key, bucket)) — never the nested-loop
+    fallback the naive inequality predicate produces."""
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.llmops import interval_join
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    win = events.select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    out = interval_join(
+        ev,
+        win,
+        left_start="s",
+        left_end="e",
+        right_start="s",
+        right_end="e",
+        on="user_id",
+        bucket_width=600.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
