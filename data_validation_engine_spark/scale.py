@@ -103,3 +103,82 @@ def repartition_for_parallelism(
     parquet = one input split = one busy core for CPU-heavy operators)."""
     spark = spark or df.sparkSession
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str] | str,
+    *,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on ``cluster_cols``: rows are range-
+    partitioned across files and sorted within each file, so every file
+    (and row group) covers a narrow value range. Parquet min/max
+    statistics then let later range/point predicates on those columns
+    skip whole files — the poor man's Z-order, and the right layout for
+    time-series or id-range scan patterns at 100 TB.
+
+    One range shuffle at write time (sampling pass + exchange); reads pay
+    nothing. Unlike ``partitionBy`` (directory-per-value, wrong for
+    high-cardinality keys) this keeps file count = ``num_partitions``.
+    """
+    cols = [cluster_cols] if isinstance(cluster_cols, str) else list(cluster_cols)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(parts, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*[F.col(c) for c in cols])
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Physical-plan audit of a DataFrame, as data: the checks the scale
+    tests pin (shuffle count, join strategies, nested-loop fallbacks,
+    whole-stage codegen, scan-level filter pushdown) packaged for use in
+    CI or a REPL — ``assert plan_report(df)["cartesian_or_nested_loop"]
+    == 0`` is the one-line 100 TB smoke test.
+    """
+    import contextlib
+    import io
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = {
+        kind: plan.count(kind)
+        for kind in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
+        if kind in plan
+    }
+    # under AQE neither the pre-execution plan nor the codegen explain
+    # reports WholeStageCodegen subtrees (codegen happens per-stage at
+    # runtime), so probe codegen on a NON-adaptive re-plan of the same
+    # logical plan — ``select("*")`` makes a fresh Dataset whose physical
+    # planning picks up the temporarily-flipped conf
+    spark = df.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    buf = io.StringIO()
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with contextlib.redirect_stdout(buf):
+            df.select("*").explain("codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+    return {
+        "shuffles": count_shuffles(df),
+        "joins": joins,
+        "cartesian_or_nested_loop": plan.count("CartesianProduct")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "whole_stage_codegen": bool(m) and int(m.group(1)) > 0,
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+        "window_group_limit": "WindowGroupLimit" in plan,
+    }

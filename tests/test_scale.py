@@ -279,3 +279,52 @@ def test_interval_join_plan_is_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_write_range_partitioned_clusters_files(spark, tmp_path):
+    """Range-clustered write: each parquet file covers a disjoint
+    o_orderkey range (file-level min/max prune-ability), rows sorted
+    within files, content unchanged."""
+    import pyarrow.parquet as pq
+
+    from data_validation_engine_spark.scale import write_range_partitioned
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_ranged")
+    write_range_partitioned(orders, out, "o_orderkey", num_partitions=4)
+
+    files = sorted((tmp_path / "orders_ranged").glob("*.parquet"))
+    assert len(files) >= 3  # range sampling may merge near-empty tails
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["o_orderkey"])
+        ks = t.column("o_orderkey").to_pylist()
+        assert ks == sorted(ks)  # sorted within file
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint coverage -> min/max stats prune
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+
+def test_plan_report_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.scale import plan_report
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    joined = orders.where("o_totalprice > 100000").join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    rep = plan_report(joined)
+    assert rep["cartesian_or_nested_loop"] == 0
+    assert rep["joins"].get("BroadcastHashJoin", 0) == 1
+    assert rep["whole_stage_codegen"]
+    assert rep["pushed_filters"]  # the where() reached the parquet scan
+
+    bad = orders.alias("a").join(
+        cust.alias("b"), F.col("a.o_totalprice") > F.col("b.c_acctbal")
+    )
+    assert plan_report(bad)["cartesian_or_nested_loop"] >= 1
