@@ -164,6 +164,11 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``grouping="rollup"`` (round 6), levels tagged with
       ``grouping_id()`` — DuckDB GROUP BY ROLLUP + GROUPING() is the
       twin, integer-cents measure so the hash is FP-proof.
+    - ``sroll``: the SAME trailing count emitted by the STREAMING custom
+      stateful operator (streaming/rolling.py, applyInPandasWithState
+      per-key timestamp-tail state, availableNow drain) — its DuckDB
+      twin is the identical window SQL, so the hash proves batch/stream
+      rolling parity instead of claiming it.
     """
     from data_validation_engine_spark.steps import parse_step
 
@@ -267,8 +272,59 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid AS idx",
         "CAST(cents AS STRING) AS val",
     )
+
+    import tempfile
+
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_rolling_counts,
+    )
+
+    sdf = read_entity_stream(
+        spark,
+        sf_dir,
+        _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    sout = tempfile.mkdtemp(prefix="dve_sroll_q_")
+    sq = (
+        streaming_rolling_counts(
+            sdf, "user_id", "ts", window_seconds=3600, watermark="366 days"
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{sout}/data")
+        .option("checkpointLocation", f"{sout}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    # join the event_id back on (user, ts): the streamed frame carries
+    # only (key, event_ts, n_window); ties on (user, ts) are impossible
+    # in the events table (event_id is unique per instant per user)
+    sroll = (
+        spark.read.parquet(f"{sout}/data")
+        .join(
+            ev.select(
+                "event_id",
+                "user_id",
+                F.col("ts").cast("timestamp").alias("event_ts"),
+            ),
+            ["user_id", "event_ts"],
+        )
+        .selectExpr(
+            "'sroll' AS op",
+            "CAST(event_id AS STRING) AS key",
+            "n_window AS idx",
+            "'' AS val",
+        )
+    )
     return (
-        ents["tk"].unionByName(ents["rl"]).unionByName(pct).unionByName(ru)
+        ents["tk"]
+        .unionByName(ents["rl"])
+        .unionByName(pct)
+        .unionByName(ru)
+        .unionByName(sroll)
     )
 
 
@@ -2792,6 +2848,16 @@ _ORACLES: dict[str, str] = {
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT),
                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR)
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'sroll', CAST(event_id AS VARCHAR), n_1h, ''
+        FROM (
+            SELECT event_id, count(1) OVER w AS n_1h
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
+        )
     """,
     "distinct": """
         SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

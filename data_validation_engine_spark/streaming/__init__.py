@@ -16,6 +16,9 @@ from data_validation_engine_spark.streaming.filters import (
     streaming_sync_filters,
     windowed_counts,
 )
+from data_validation_engine_spark.streaming.rolling import (
+    streaming_rolling_counts,
+)
 from data_validation_engine_spark.streaming.sessions import (
     session_stats,
     sessionize,
@@ -28,6 +31,7 @@ __all__ = [
     "sessionize",
     "start_message_sink",
     "streaming_exact_dedup",
+    "streaming_rolling_counts",
     "streaming_sessionize",
     "streaming_sync_filters",
     "windowed_counts",

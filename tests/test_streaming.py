@@ -574,3 +574,116 @@ def test_streaming_interval_join_lifts_unchanged(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_rolling_counts_matches_batch(
+    spark, events_stream, events_batch, tmp_path
+):
+    """The custom stateful trailing-window counter emits, for every
+    event, exactly the batch RANGE-frame count — rolling analytics that
+    Structured Streaming's built-in (grouped) windows cannot express."""
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.llmops.analytics import rolling_agg
+    from data_validation_engine_spark.streaming import (
+        streaming_rolling_counts,
+    )
+
+    out = str(tmp_path / "roll_out")
+    q = (
+        streaming_rolling_counts(
+            _with_ts(events_stream),
+            "user_id",
+            "ts",
+            window_seconds=3600,
+            watermark="366 days",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_roll"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.event_ts, r.n_window)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id, r.ts, r.n_window)
+        for r in rolling_agg(
+            events_batch,
+            partition_cols="user_id",
+            ts_col="ts",
+            window_seconds=3600,
+            aggs={"n_window": F.count(F.lit(1))},
+        )
+        .select("user_id", "ts", "n_window")
+        .collect()
+    }
+    assert got == want and len(got) == events_batch.count()
+
+
+def test_streaming_rolling_counts_carries_state_across_batches(
+    spark, tmp_path
+):
+    """State carries the window tail across micro-batches: a second file
+    drop's counts include first-drop events inside the trailing hour."""
+    import datetime as dt
+
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_rolling_counts,
+    )
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    schema = "user long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        import shutil, glob
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    write_batch(
+        "b1",
+        [(1, t0), (1, t0 + dt.timedelta(minutes=30))],
+    )
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            streaming_rolling_counts(
+                read_entity_stream(spark, str(src), schema),
+                "user",
+                "ts",
+                window_seconds=3600,
+                watermark="366 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    # second drop: 50 min after t0 — both earlier events are inside its
+    # trailing hour, so the count must be 3 (state, not just this batch)
+    write_batch("b2", [(1, t0 + dt.timedelta(minutes=50))])
+    drain()
+    rows = {
+        (r.event_ts, r.n_window) for r in spark.read.parquet(out).collect()
+    }
+    assert (t0, 1) in rows
+    assert (t0 + dt.timedelta(minutes=30), 2) in rows
+    assert (t0 + dt.timedelta(minutes=50), 3) in rows
