@@ -1254,7 +1254,32 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = ngram_jaccard_pairs(
         ng_in, "doc_id", "text", threshold=0.5
     ).withColumn("method", F.lit("ngram"))
-    return mh.unionByName(ng)
+    # third modality (round 6): ASYMMETRIC containment over the same
+    # slice — each original is fully contained in its perturbed superset
+    # (appending a word keeps every shingle), so (d, d+1000000) pairs at
+    # containment 1.0 are guaranteed; the oracle twin is the naive
+    # all-pairs ratio, pinning the one-sided prefix filter. Runs as the
+    # DECLARED dedup_containment_pairs step.
+    from data_validation_engine_spark.steps import parse_step
+
+    cents = {"docs": ng_in}
+    _engine(spark).evaluate(
+        cents,
+        config=parse_step(
+            {
+                "operation": "dedup_containment_pairs",
+                "entity_name": "docs",
+                "new_entity_name": "cpairs",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "threshold": 0.8,
+            }
+        ),
+    )
+    cp = cents["cpairs"].selectExpr(
+        "id_a", "id_b", "containment AS jaccard", "'containment' AS method"
+    )
+    return mh.unionByName(ng).unionByName(cp)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2159,6 +2184,14 @@ def _dedup_minhash_oracle(
         UNION ALL
         SELECT id_a, id_b, jaccard, 'ngram' AS method FROM ngpairs
         WHERE jaccard >= {threshold}
+        UNION ALL
+        SELECT x.doc_id, y.doc_id,
+               round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                     / len(x.shingles), 6) AS c,
+               'containment'
+        FROM ngsh x JOIN ngsh y ON x.doc_id <> y.doc_id
+        WHERE round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                    / len(x.shingles), 6) >= 0.8
     """
 
 

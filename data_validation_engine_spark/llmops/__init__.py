@@ -37,6 +37,7 @@ from data_validation_engine_spark.llmops.asof import (
 from data_validation_engine_spark.llmops.dedup import (
     connected_components,
     connected_components_star,
+    containment_pairs,
     exact_dedup,
     incremental_exact_dedup,
     incremental_ngram_dedup,
@@ -81,6 +82,7 @@ from data_validation_engine_spark.llmops.text import (
 
 __all__ = [
     "asof_join",
+    "containment_pairs",
     "grouped_topk",
     "incremental_exact_dedup",
     "incremental_ngram_dedup",

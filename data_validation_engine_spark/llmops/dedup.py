@@ -995,3 +995,83 @@ def incremental_ngram_dedup(
         .distinct()
     )
     return new_df.join(drops, on=id_col, how="left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: ordered pairs ``(id_a, id_b,
+    containment)`` where at least ``threshold`` of ``id_a``'s shingles
+    also appear in ``id_b`` (``|Sa ∩ Sb| / |Sa| >= t``, ``a != b``).
+
+    Catches what symmetric Jaccard structurally cannot: a document
+    quoted, wrapped, or embedded inside a much longer one drives J
+    toward 0 as the host grows, while containment stays 1.0 — the
+    boilerplate-wrapper and quote-chain cases in corpus dedup.
+
+    Candidates via the one-sided prefix filter: containment >= t forces
+    overlap >= ceil(t*|Sa|), so a qualifying pair must share a shingle
+    inside ``a``'s first ``|Sa| - ceil(t*|Sa|) + 1`` rare-first-ordered
+    shingles — only the INNER side is pruned (the host side must keep
+    full postings, which is what makes the asymmetric join costlier than
+    the symmetric one; same posting machinery as
+    :func:`incremental_ngram_dedup`). Verification is the postings
+    intersection count — narrow rows, no array shuffles.
+    """
+    from pyspark.sql import Window
+
+    shingled = shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
+    shingled = shingled.localCheckpoint(eager=True)
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix = (
+        shingled.join(dfreq, on="shingle")
+        .join(sizes, on=id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(
+            F.col("__rk")
+            <= F.col("__sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("__sz"))
+            + F.lit(1)
+        )
+        .select(F.col(id_col).alias("id_a"), "shingle")
+    )
+    full_postings = shingled.select(
+        F.col(id_col).alias("id_b"), "shingle"
+    )
+    candidates = (
+        prefix.join(full_postings, on="shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sz_a = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")
+    )
+    posts_a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    posts_b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sz_a, on="id_a")
+        .join(posts_a, on="id_a")
+        .join(posts_b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "__sz_a")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__inter") / F.col("__sz_a"), 6).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -524,6 +524,20 @@ class RollingAggregate(AbstractStep):
     include_current: bool = True
 
 
+class ContainmentPairs(AbstractStep):
+    """ASYMMETRIC near-dup pairs: ``(id_a, id_b, containment)`` where at
+    least ``threshold`` of id_a's shingles appear in id_b — catches a
+    document quoted or wrapped inside a longer one, which symmetric
+    Jaccard structurally misses. One-sided prefix-filter candidates,
+    postings-count verification."""
+
+    operation: Literal["dedup_containment_pairs"] = "dedup_containment_pairs"
+    id_column: str
+    text_column: str = "text"
+    threshold: float = 0.8
+    shingle_size: int = 3
+
+
 class IncrementalDedup(AbstractStep):
     """Dedup a NEW batch against an existing corpus entity without
     re-clustering (or even re-pairing) the corpus. ``method="exact"``
@@ -585,6 +599,7 @@ AnyStep = Annotated[
         TopKPerGroup,
         RollingAggregate,
         IncrementalDedup,
+        ContainmentPairs,
     ],
     Field(discriminator="operation"),
 ]

@@ -82,6 +82,7 @@ from data_validation_engine_spark.steps.configs import (
     TopKPerGroup,
     RollingAggregate,
     IncrementalDedup,
+    ContainmentPairs,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -158,6 +159,7 @@ class StepEngine:
             TopKPerGroup: self.top_k,
             RollingAggregate: self.rolling_agg,
             IncrementalDedup: self.dedup_incremental,
+            ContainmentPairs: self.dedup_containment_pairs,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1015,4 +1017,20 @@ class StepEngine:
                 normalize_text=config.normalize_text,
             )
         entities[config.output_name] = out
+        return None
+
+    def dedup_containment_pairs(
+        self, entities: Entities, *, config: ContainmentPairs
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import (
+            containment_pairs,
+        )
+
+        entities[config.output_name] = containment_pairs(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            threshold=config.threshold,
+            shingle_size=config.shingle_size,
+        )
         return None

@@ -466,3 +466,63 @@ def test_group_by_cube_covers_all_subsets(spark, events):
     n_types = events.select("event_type").distinct().count()
     # (types+1) x (parities+1) grouping grid
     assert len(out) == (n_types + 1) * 3
+
+
+# -- containment (asymmetric near-dup) ---------------------------------------
+def test_containment_pairs_matches_naive_and_catches_wrapper(spark, docs):
+    from data_validation_engine_spark.llmops.dedup import containment_pairs
+
+    row = docs.where("doc_id = 3").first()
+    host = f"header intro words {row.text} footer closing words here"
+    extra = spark.createDataFrame(
+        [(99001, host, "en", "planted", len(host))], docs.schema
+    )
+    d2 = docs.unionByName(extra)
+    out = containment_pairs(d2, "doc_id", "text", threshold=0.8)
+    got = {(r.id_a, r.id_b): r.containment for r in out.collect()}
+    # the wrapped doc is fully contained in its host; Jaccard would be low
+    assert got.get((3, 99001)) == 1.0
+
+    sh = d2.select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")
+    )
+    naive = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size("a.sh"),
+                6,
+            ).alias("c"),
+        )
+        .where(F.col("c") >= 0.8)
+    )
+    assert got == {(r.id_a, r.id_b): r.c for r in naive.collect()}
+
+
+def test_containment_pairs_declared_step_and_plan(spark, docs):
+    from data_validation_engine_spark.llmops.dedup import containment_pairs
+
+    engine = StepEngine(spark, register_functions=False)
+    ents = {"d": docs}
+    engine.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "dedup_containment_pairs",
+                "entity_name": "d",
+                "new_entity_name": "p",
+                "id_column": "doc_id",
+                "threshold": 0.8,
+            }
+        ),
+    )
+    lib = containment_pairs(docs, "doc_id", "text", threshold=0.8)
+    got = {tuple(r) for r in ents["p"].collect()}
+    assert got == {tuple(r) for r in lib.collect()}
+    plan = _plan(ents["p"])
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
