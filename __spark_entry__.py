@@ -1331,17 +1331,21 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-row text-analysis suite in one row: quality statistics +
     gate, heuristic language ID (CJK charset check + stopword vote), the
-    canonical md5 fingerprint + min-k winnowed shingle sketch, and the
-    deterministic md5-bucket train/val/test split — four zero-shuffle
-    projections inner-joined on doc_id (merged from the former lang_id
-    and text_fingerprint rows; the split oracle twin recomputes the
-    identical bucket in DuckDB, pinning engine-independence)."""
+    canonical md5 fingerprint + min-k winnowed shingle sketch, the
+    deterministic md5-bucket train/val/test split, and (round 6) the
+    deterministic WEIGHTED Bernoulli keep-decision (probability
+    min(1, n_chars/2000), decided by the same bucket — quality-weighted
+    downsampling) — five zero-shuffle projections inner-joined on doc_id
+    (merged from the former lang_id and text_fingerprint rows; the
+    split/weighted twins recompute the identical bucket arithmetic in
+    DuckDB, pinning engine-independence)."""
     from data_validation_engine_spark.llmops import (
         hash_split,
         language_id,
         text_fingerprint,
         text_stats,
     )
+    from data_validation_engine_spark.llmops.split import weighted_keep
 
     docs = _docs(spark, sf_dir)
     stats = text_stats(docs, "doc_id", "text")
@@ -1353,8 +1357,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = hash_split(
         docs.select("doc_id"), "doc_id", bucket_col="bucket"
     )
+    wkeep = docs.select(
+        "doc_id",
+        weighted_keep(
+            F.col("doc_id"), F.col("n_chars"), rate=1.0 / 2000.0
+        ).alias("w_kept"),
+    )
     return (
-        stats.join(lang, "doc_id").join(fp, "doc_id").join(split, "doc_id")
+        stats.join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .join(split, "doc_id")
+        .join(wkeep, "doc_id")
     )
 
 
@@ -2727,14 +2740,17 @@ _LLMOPS_ORACLES: dict[str, str] = {
         sp AS (
             SELECT doc_id,
                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
-                       AS bucket
+                       AS bucket,
+                   n_chars
             FROM documents
         )
         SELECT ts.*, li.lang_pred, fp.fingerprint, fp.winnow,
                CASE WHEN sp.bucket < 52428 THEN 'train'
                     WHEN sp.bucket < 58982 THEN 'val'
                     ELSE 'test' END AS split,
-               sp.bucket
+               sp.bucket,
+               sp.bucket::DOUBLE <
+                   LEAST(1.0, sp.n_chars / 2000.0) * 65536.0 AS w_kept
         FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
                 JOIN sp USING (doc_id)
     """,

@@ -71,6 +71,8 @@ from data_validation_engine_spark.llmops.split import (
     hash_bucket,
     hash_split,
     stratified_sample,
+    weighted_keep,
+    weighted_sample,
 )
 from data_validation_engine_spark.llmops.text import (
     language_id,
@@ -112,6 +114,8 @@ __all__ = [
     "write_lsh_partitioned",
     "hash_bucket",
     "hash_split",
+    "weighted_keep",
+    "weighted_sample",
     "language_id",
     "quality_filters",
     "text_fingerprint",

@@ -132,3 +132,47 @@ def deterministic_sample(
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     cut = int(round(fraction * N_BUCKETS))
     return df.where(hash_bucket(F.col(key_col), seed=seed) < F.lit(cut))
+
+
+def weighted_keep(
+    key: Column, weight: Column, *, rate: float, seed: str = ""
+) -> Column:
+    """Boolean keep-decision for DETERMINISTIC weighted (PPS-style)
+    Bernoulli sampling: row kept with probability
+    ``min(1, rate * weight)``, decided by the key's md5 bucket — a pure
+    function of (key, weight, seed), so reruns, appends, repartitions
+    and other engines agree row-for-row (``df.sample`` can do none of
+    this, and true PPS-without-replacement needs a global sort).
+
+    The comparison is ``bucket < p * 65536`` with only +,*,/ and
+    ``least`` on doubles — IEEE-exact in every engine, no
+    transcendentals, so the decision is bit-identical cross-engine (the
+    oracle-checkability the ``u^(1/w)`` reservoir formulation cannot
+    offer, since ``pow``/``ln`` are not correctly rounded everywhere).
+
+    The canonical corpus use: quality-weighted downsampling — weight =
+    a quality score, rate tuned so the expected kept volume hits the
+    token budget, high-quality documents kept proportionally more often.
+    """
+    p = F.least(F.lit(1.0), F.lit(float(rate)) * weight.cast("double"))
+    return hash_bucket(key, seed=seed).cast("double") < p * F.lit(
+        float(N_BUCKETS)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    *,
+    rate: float,
+    seed: str = "",
+) -> DataFrame:
+    """Filter to the rows :func:`weighted_keep` selects. Zero-shuffle
+    per-row projection; expected kept rows = ``sum(min(1, rate * w))``.
+    """
+    return df.where(
+        weighted_keep(
+            F.col(key_col), F.col(weight_col), rate=rate, seed=seed
+        )
+    )

@@ -436,6 +436,20 @@ class HashSample(AbstractStep):
     seed: str = ""
 
 
+class WeightedSample(AbstractStep):
+    """Deterministic weighted (PPS-style) Bernoulli sample: keep a row
+    with probability ``min(1, rate * weight)``, decided by the key's md5
+    bucket — quality-weighted corpus downsampling that is a pure
+    function of (key, weight, seed). Integer/rational arithmetic only,
+    so the decision is bit-identical in any engine."""
+
+    operation: Literal["weighted_sample"] = "weighted_sample"
+    key_column: str
+    weight_column: str
+    rate: float
+    seed: str = ""
+
+
 class NgramJaccardPairs(AbstractStep):
     """EXACT n-gram Jaccard near-duplicate pairs (not probabilistic):
     AllPairs/PPJoin prefix filtering over rare-first ordered shingles,
@@ -600,6 +614,7 @@ AnyStep = Annotated[
         RollingAggregate,
         IncrementalDedup,
         ContainmentPairs,
+        WeightedSample,
     ],
     Field(discriminator="operation"),
 ]

@@ -83,6 +83,7 @@ from data_validation_engine_spark.steps.configs import (
     RollingAggregate,
     IncrementalDedup,
     ContainmentPairs,
+    WeightedSample,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -160,6 +161,7 @@ class StepEngine:
             RollingAggregate: self.rolling_agg,
             IncrementalDedup: self.dedup_incremental,
             ContainmentPairs: self.dedup_containment_pairs,
+            WeightedSample: self.weighted_sample,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1032,5 +1034,19 @@ class StepEngine:
             config.text_column,
             threshold=config.threshold,
             shingle_size=config.shingle_size,
+        )
+        return None
+
+    def weighted_sample(
+        self, entities: Entities, *, config: WeightedSample
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.split import weighted_sample
+
+        entities[config.output_name] = weighted_sample(
+            entities[config.entity_name],
+            config.key_column,
+            config.weight_column,
+            rate=config.rate,
+            seed=config.seed,
         )
         return None

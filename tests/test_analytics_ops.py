@@ -526,3 +526,77 @@ def test_containment_pairs_declared_step_and_plan(spark, docs):
     plan = _plan(ents["p"])
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# -- weighted sampling -------------------------------------------------------
+def test_weighted_sample_is_deterministic_and_weight_monotone(spark, docs):
+    from data_validation_engine_spark.llmops.split import weighted_sample
+
+    a = weighted_sample(docs, "doc_id", "n_chars", rate=1 / 2000)
+    b = weighted_sample(
+        docs.repartition(7), "doc_id", "n_chars", rate=1 / 2000
+    )
+    ka = {r.doc_id for r in a.select("doc_id").collect()}
+    kb = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ka == kb and 0 < len(ka) < docs.count()  # partitioning-stable
+
+    # monotone in weight: raising every weight can only ADD rows
+    import pyspark.sql.functions as G
+
+    bigger = weighted_sample(
+        docs.withColumn("n_chars", G.col("n_chars") * 2),
+        "doc_id",
+        "n_chars",
+        rate=1 / 2000,
+    )
+    kc = {r.doc_id for r in bigger.select("doc_id").collect()}
+    assert ka <= kc
+
+    # a different seed draws a different (still deterministic) sample
+    other = weighted_sample(
+        docs, "doc_id", "n_chars", rate=1 / 2000, seed="exp2"
+    )
+    ko = {r.doc_id for r in other.select("doc_id").collect()}
+    assert ko != ka
+
+
+def test_weighted_sample_keep_rate_tracks_weights(spark, docs):
+    from data_validation_engine_spark.llmops.split import weighted_sample
+
+    total = docs.count()
+    rate = 1 / 4000
+    kept = weighted_sample(docs, "doc_id", "n_chars", rate=rate).count()
+    expected = (
+        docs.selectExpr(
+            f"CAST(sum(least(1.0, n_chars * {rate})) AS DOUBLE) AS e"
+        )
+        .first()
+        .e
+    )
+    # binomial concentration: within 5 sigma of the expected volume
+    sigma = (expected * (1 - expected / total)) ** 0.5
+    assert abs(kept - expected) < 5 * sigma + 1
+
+
+def test_weighted_sample_declared_step(spark, docs):
+    from data_validation_engine_spark.llmops.split import weighted_sample
+
+    engine = StepEngine(spark, register_functions=False)
+    ents = {"d": docs}
+    engine.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "weighted_sample",
+                "entity_name": "d",
+                "new_entity_name": "s",
+                "key_column": "doc_id",
+                "weight_column": "n_chars",
+                "rate": 0.0005,
+            }
+        ),
+    )
+    lib = weighted_sample(docs, "doc_id", "n_chars", rate=0.0005)
+    assert {r.doc_id for r in ents["s"].select("doc_id").collect()} == {
+        r.doc_id for r in lib.select("doc_id").collect()
+    }
