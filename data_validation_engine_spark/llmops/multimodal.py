@@ -167,3 +167,85 @@ def sample_frames(
         "video frame sampling requires a media container parser; the "
         "operator contract is (id, frame_index, frame_bytes) via mapInPandas"
     )
+
+
+#: Output schema of the transform stage (resize/crop/re-encode family):
+#: payload out, payload-sized metadata, per-row error containment.
+TRANSFORM_SCHEMA = (
+    "id long, content binary, n_bytes long, transform_error string"
+)
+
+TransformFn = Callable[[bytes], bytes]
+
+
+def fake_resizer(target_bytes: int = 64) -> TransformFn:
+    """Deterministic stand-in for an image/audio resize: truncate-or-pad
+    the payload to ``target_bytes`` (keeps the plumbing — batch shapes,
+    schema, error containment — real and testable without codec libs)."""
+
+    def _resize(payload: bytes) -> bytes:
+        return payload[:target_bytes].ljust(target_bytes, b"\0")
+
+    return _resize
+
+
+def codec_resizer(payload: bytes) -> bytes:
+    """Real resize/transcode — STUB: no codec library in this container.
+
+    Inject a Pillow/ffmpeg-backed callable as ``transform=`` in
+    :func:`transform_binary`; the loud failure keeps the missing
+    capability explicit.
+    """
+    raise NotImplementedError(
+        "no codec library available: pass transform= to transform_binary "
+        "(e.g. a Pillow resize); fake_resizer exercises the plumbing "
+        "deterministically"
+    )
+
+
+def transform_binary(
+    df: DataFrame,
+    id_col: str,
+    *,
+    content_col: str = "content",
+    transform: TransformFn = codec_resizer,
+) -> DataFrame:
+    """Payload-to-payload transform (resize / crop / re-encode) via
+    Arrow-batched Python — the write-side twin of :func:`decode_binary`:
+    same narrow (id, content) projection before the Arrow hop, same
+    per-row error containment, but emitting BYTES so the result can be
+    written straight back as a multimodal column.
+    """
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(content_col).alias("c")
+    )
+
+    def _transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, outs, sizes, errs = [], [], [], []
+            for rid, payload in zip(batch["id"], batch["c"]):
+                raw = bytes(payload) if payload is not None else b""
+                ids.append(rid)
+                try:
+                    out = transform(raw)
+                    outs.append(out)
+                    sizes.append(len(out))
+                    errs.append(None)
+                except NotImplementedError:
+                    # missing CAPABILITY (the codec stub) aborts loudly;
+                    # only per-ROW data errors are contained below
+                    raise
+                except Exception as exc:  # per-row containment
+                    outs.append(None)
+                    sizes.append(0)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "content": outs,
+                    "n_bytes": sizes,
+                    "transform_error": errs,
+                }
+            )
+
+    return narrow.mapInPandas(_transform, schema=TRANSFORM_SCHEMA)

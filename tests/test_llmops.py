@@ -1236,3 +1236,44 @@ def test_asof_join_composite_key(spark):
         ).collect()
     }
     assert got == {(1, "x"): 1.0, (1, "y"): 2.0, (2, "x"): None}
+
+
+def test_transform_binary_fake_resizer(spark):
+    """Resize plumbing: payloads come back exactly target_bytes long,
+    bytes out (writable as a multimodal column), per-row errors contained."""
+    from data_validation_engine_spark.llmops.multimodal import (
+        attach_binary,
+        codec_resizer,
+        fake_resizer,
+        transform_binary,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    wb = attach_binary(docs, "text")
+    out = transform_binary(
+        wb, "doc_id", transform=fake_resizer(target_bytes=64)
+    ).collect()
+    assert len(out) == 50
+    assert all(r.n_bytes == 64 and len(r.content) == 64 for r in out)
+    assert all(r.transform_error is None for r in out)
+    # truncate-or-pad is deterministic: prefix matches the source text
+    src = {r.doc_id: r.text.encode()[:64] for r in docs.collect()}
+    assert all(bytes(r.content).rstrip(b"\0") == src[r.id].rstrip(b"\0") for r in out)
+
+    # a failing transform is contained per-row, not per-task
+    def explode_on_short(payload: bytes) -> bytes:
+        if len(payload) < 400:
+            raise ValueError("too small")
+        return payload[:8]
+
+    mixed = transform_binary(wb, "doc_id", transform=explode_on_short).collect()
+    assert any(r.transform_error is not None for r in mixed)
+    assert any(r.transform_error is None for r in mixed)
+
+    # the codec stub fails loudly, by contract
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        transform_binary(wb, "doc_id").collect()
