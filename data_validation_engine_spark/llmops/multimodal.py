@@ -135,6 +135,12 @@ def decode_binary(
                 try:
                     feats.append(decoder(raw))
                     errs.append(None)
+                except NotImplementedError:
+                    # missing CAPABILITY (the codec stub) aborts loudly —
+                    # containing it per-row would let a run with no codec
+                    # "succeed" with every row errored; only per-ROW data
+                    # errors are contained below
+                    raise
                 except Exception as exc:  # per-row containment
                     feats.append(None)
                     errs.append(f"{type(exc).__name__}: {exc}")

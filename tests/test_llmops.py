@@ -376,11 +376,11 @@ def test_decode_binary_contains_row_failures(spark):
 
 def test_codec_stubs_fail_loudly(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
-    # default decoder is the codec stub: every row reports the missing codec
-    # in decode_error (per-row containment), never silent fake output
-    r = decode_binary(attach_binary(df, "text"), "doc_id").first()
-    assert r["features"] is None
-    assert "NotImplementedError" in r["decode_error"]
+    # default decoder is the codec stub: a missing CAPABILITY aborts the
+    # job loudly (containing it per-row would let a codec-less run
+    # "succeed" with every row errored); data errors stay per-row
+    with pytest.raises(Exception):
+        decode_binary(attach_binary(df, "text"), "doc_id").first()
     with pytest.raises(NotImplementedError):
         sample_frames(df, "doc_id")
     with pytest.raises(NotImplementedError):
