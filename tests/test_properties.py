@@ -192,3 +192,58 @@ def test_band_bounds_partition_exactly(bits, n_bands):
     nonzero = [w for w in widths if w]
     if nonzero:
         assert max(nonzero) - min(nonzero) <= 1
+
+
+# -- interval-join anchor-bucket math ---------------------------------------
+# Pure-Python mirror of llmops/interval.py's bucketized formulation: a pair
+# is emitted iff the two intervals share the bucket containing
+# floor(max(starts)/w) AND the exact overlap predicate holds. The property
+# pins, over arbitrary intervals and widths, that this equals the naive
+# predicate with each pair emitted EXACTLY once (anchor dedup).
+
+
+def _bucketized_pairs(lefts, rights, width):
+    import math
+
+    def buckets(s, e):
+        lo, hi = math.floor(s / width), math.floor(e / width)
+        step = 1 if hi >= lo else -1
+        return set(range(lo, hi + step, step))
+
+    out = []
+    for li, (ls, le) in enumerate(lefts):
+        lb = buckets(ls, le)
+        for ri, (rs, re_) in enumerate(rights):
+            for b in lb & buckets(rs, re_):
+                if (
+                    ls <= re_
+                    and rs <= le
+                    and b == math.floor(max(ls, rs) / width)
+                ):
+                    out.append((li, ri))
+    return out
+
+
+_interval = st.tuples(
+    st.floats(-1e5, 1e5, allow_nan=False, allow_infinity=False),
+    st.floats(0, 500, allow_nan=False, allow_infinity=False),
+).map(lambda t: (t[0], t[0] + t[1]))
+
+
+@given(
+    st.lists(_interval, max_size=12),
+    st.lists(_interval, max_size=12),
+    st.floats(0.5, 1000, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_anchor_bucket_equals_naive_exactly_once(
+    lefts, rights, width
+):
+    got = _bucketized_pairs(lefts, rights, width)
+    naive = [
+        (li, ri)
+        for li, (ls, le) in enumerate(lefts)
+        for ri, (rs, re_) in enumerate(rights)
+        if ls <= re_ and rs <= le
+    ]
+    assert sorted(got) == sorted(naive)  # complete AND duplicate-free
