@@ -13,7 +13,10 @@ large-scale training-data pipeline needs:
   + LSH-bucketed ANN probe, multi-probe, partition-pruned); :mod:`ivf` —
   coarse-quantized ANN.
 - :mod:`text` — tokenisation, token counting, quality stats, language ID,
-  TF-IDF top terms, document fingerprinting.
+  TF-IDF top terms, document fingerprinting, repetition signals
+  (Gopher-style), PII scrubbing.
+- :mod:`decontam` — benchmark decontamination by exact word-n-gram
+  overlap (broadcast benchmark, corpus scanned once).
 - :mod:`split` — deterministic md5-bucket train/val/test assignment and
   stable nested sampling (row-stable across engines and repartitions).
 - :mod:`multimodal` — opaque binary columns with typed metadata and
@@ -33,6 +36,9 @@ from data_validation_engine_spark.llmops.analytics import (
 )
 from data_validation_engine_spark.llmops.asof import (
     asof_join,
+)
+from data_validation_engine_spark.llmops.decontam import (
+    decontaminate,
 )
 from data_validation_engine_spark.llmops.dedup import (
     connected_components,
@@ -76,7 +82,9 @@ from data_validation_engine_spark.llmops.split import (
 )
 from data_validation_engine_spark.llmops.text import (
     language_id,
+    pii_scrub,
     quality_filters,
+    repetition_stats,
     text_fingerprint,
     text_stats,
     tfidf_top_terms,
@@ -116,8 +124,11 @@ __all__ = [
     "hash_split",
     "weighted_keep",
     "weighted_sample",
+    "decontaminate",
     "language_id",
+    "pii_scrub",
     "quality_filters",
+    "repetition_stats",
     "text_fingerprint",
     "text_stats",
     "tfidf_top_terms",

@@ -171,6 +171,124 @@ def quality_filters(
     ]
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_top_token_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality heuristics).
+
+    Columns: ``n_tokens``, ``top_token_frac`` (count of the most frequent
+    token / total tokens — the "most common word" signal), ``dup_bigram_frac``
+    and ``dup_trigram_frac`` (1 - distinct/total word n-grams — the
+    duplicated-n-gram signal), and a boolean ``repetitive`` gate.
+
+    Scale shape: the n-gram fractions are pure per-row array expressions
+    (zero shuffle); the token mode is computed the distributed way —
+    explode → (id, token) count → per-id max — because a per-row
+    nested-lambda mode is O(distinct·n) per document and melts on real
+    corpora. Both aggregations combine map-side, keyed by the doc id, so
+    the plan is two narrow hash aggregates at any corpus size. No
+    reference counterpart (the reference has no corpus-quality surface);
+    heuristics follow Rae et al. 2021 (Gopher), public.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+
+    def dup_frac(n: int) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), n_tokens - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        total = n_tokens - (n - 1)
+        return F.when(
+            n_tokens >= n,
+            F.round(
+                1.0
+                - F.size(F.array_distinct(grams)).cast("double")
+                / total.cast("double"),
+                round_to,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    per_row = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__n"))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("__top").cast("double") / F.col("__n").cast("double"),
+                round_to,
+            ).alias("top_token_frac"),
+        )
+    )
+    # left join: zero-token docs have no exploded rows; they are not
+    # repetitive by definition
+    out = per_row.join(counts, id_col, "left").withColumn(
+        "top_token_frac", F.coalesce(F.col("top_token_frac"), F.lit(0.0))
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_token_frac") > max_top_token_frac)
+        | (F.col("dup_bigram_frac") > max_dup_bigram_frac),
+    )
+
+
+#: PII patterns — conservative syntax valid in both Java regex (Spark) and
+#: RE2 (DuckDB): no backrefs, no lookaround, no \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{13,19}"
+PII_IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    out_col: str = "clean",
+) -> DataFrame:
+    """Redact common PII shapes from a text column.
+
+    Replaces emails with ``<EMAIL>``, 13-19 digit runs (card-like) with
+    ``<NUM>``, then IPv4-like dotted quads with ``<IP>``, in that order
+    (emails are matched before their digit substrings can be). Returns
+    ``(id, n_emails, n_longnums, n_ips, out_col)`` with the per-row match
+    counts taken before replacement. One per-row projection — zero
+    shuffle, pushes beneath any downstream filter. No reference
+    counterpart; standard training-data-hygiene pass.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def n_hits(pat: str, col: Column) -> Column:
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    after_num = F.regexp_replace(after_email, PII_LONGNUM_RE, "<NUM>")
+    after_ip = F.regexp_replace(after_num, PII_IPV4_RE, "<IP>")
+    return df.select(
+        F.col(id_col),
+        n_hits(PII_EMAIL_RE, text).alias("n_emails"),
+        n_hits(PII_LONGNUM_RE, after_email).alias("n_longnums"),
+        n_hits(PII_IPV4_RE, after_num).alias("n_ips"),
+        after_ip.alias(out_col),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -570,6 +570,40 @@ class IncrementalDedup(AbstractStep):
     normalize_text: bool = False
 
 
+class RepetitionStats(AbstractStep):
+    """Per-document repetition signals (Gopher-style): top-token fraction
+    (distributed mode), duplicated bigram/trigram fractions (per-row),
+    and a boolean ``repetitive`` gate."""
+
+    operation: Literal["text_repetition"] = "text_repetition"
+    id_column: str
+    text_column: str = "text"
+    max_top_token_frac: float = 0.2
+    max_dup_bigram_frac: float = 0.6
+
+
+class PiiScrub(AbstractStep):
+    """Redact emails / card-like digit runs / IPv4s from a text column;
+    per-row match counts + the scrubbed column. One projection, zero
+    shuffle."""
+
+    operation: Literal["pii_scrub"] = "pii_scrub"
+    id_column: str
+    text_column: str = "text"
+    clean_column: str = "clean"
+
+
+class Decontaminate(AbstractStep):
+    """Flag entity docs whose word n-grams overlap the benchmark entity
+    ``target_name`` (exact n-gram decontamination; benchmark broadcast)."""
+
+    operation: Literal["decontaminate"] = "decontaminate"
+    target_name: str  # the benchmark entity
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    ngram: int = 5
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -615,6 +649,9 @@ AnyStep = Annotated[
         IncrementalDedup,
         ContainmentPairs,
         WeightedSample,
+        RepetitionStats,
+        PiiScrub,
+        Decontaminate,
     ],
     Field(discriminator="operation"),
 ]

@@ -84,6 +84,9 @@ from data_validation_engine_spark.steps.configs import (
     IncrementalDedup,
     ContainmentPairs,
     WeightedSample,
+    RepetitionStats,
+    PiiScrub,
+    Decontaminate,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -144,6 +147,9 @@ class StepEngine:
             SimilarityTopK: self.similarity_topk,
             EmbeddingNearDup: self.embedding_neardup,
             TextStats: self.text_stats,
+            RepetitionStats: self.text_repetition,
+            PiiScrub: self.pii_scrub,
+            Decontaminate: self.decontaminate,
             LanguageId: self.lang_id,
             TfIdfTopTerms: self.tfidf_top_terms,
             TextFingerprint: self.text_fingerprint,
@@ -679,6 +685,45 @@ class StepEngine:
 
         entities[config.output_name] = text_stats(
             entities[config.entity_name], config.id_column, config.text_column
+        )
+        return None
+
+    def text_repetition(
+        self, entities: Entities, *, config: RepetitionStats
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.text import repetition_stats
+
+        entities[config.output_name] = repetition_stats(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            max_top_token_frac=config.max_top_token_frac,
+            max_dup_bigram_frac=config.max_dup_bigram_frac,
+        )
+        return None
+
+    def pii_scrub(self, entities: Entities, *, config: PiiScrub) -> Messages:
+        from data_validation_engine_spark.llmops.text import pii_scrub
+
+        entities[config.output_name] = pii_scrub(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            out_col=config.clean_column,
+        )
+        return None
+
+    def decontaminate(
+        self, entities: Entities, *, config: Decontaminate
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.decontam import decontaminate
+
+        entities[config.output_name] = decontaminate(
+            entities[config.entity_name],
+            entities[config.target_name],
+            config.id_column,
+            config.text_column,
+            ngram=config.ngram,
         )
         return None
 

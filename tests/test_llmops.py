@@ -1277,3 +1277,122 @@ def test_transform_binary_fake_resizer(spark):
 
     with _pytest.raises(Exception):
         transform_binary(wb, "doc_id").collect()
+
+
+# -- round-6 corpus hygiene: repetition / PII / decontamination ---------------
+
+
+def test_repetition_stats_semantics(spark):
+    from data_validation_engine_spark.llmops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a"),            # one token repeated: fully repetitive
+            (2, "one two three four five six"),  # all distinct
+            (3, "x y x y x y"),          # bigram cycle
+            (4, ""),                     # degenerate: zero tokens
+            (5, "solo"),                 # shorter than any n-gram
+            (6, None),                   # NULL text == blank
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == 0.75  # 4 bigrams, 1 distinct
+    assert rows[1]["repetitive"]
+    assert rows[2]["top_token_frac"] == round(1 / 6, 6)
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert not rows[2]["repetitive"]
+    # 'x y x y x y': 5 bigrams, 2 distinct -> 0.6; top token 3/6
+    assert rows[3]["dup_bigram_frac"] == 0.6
+    assert rows[3]["top_token_frac"] == 0.5
+    for d in (4, 5, 6):
+        assert rows[d]["dup_bigram_frac"] == 0.0
+        assert rows[d]["dup_trigram_frac"] == 0.0
+    assert rows[4]["top_token_frac"] == 0.0 and not rows[4]["repetitive"]
+    assert rows[6]["n_tokens"] == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from data_validation_engine_spark.llmops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@example.co.uk today"),
+            (2, "card 4111111111111111 exp 12/29"),
+            (3, "from 192.168.0.1 to 10.0.0.254"),
+            (4, "clean text, nothing to redact"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert rows[1]["n_emails"] == 1 and "<EMAIL>" in rows[1]["clean"]
+    assert "alice" not in rows[1]["clean"]
+    assert rows[2]["n_longnums"] == 1 and "<NUM>" in rows[2]["clean"]
+    assert rows[3]["n_ips"] == 2 and rows[3]["clean"].count("<IP>") == 2
+    assert rows[4]["clean"] == "clean text, nothing to redact"
+    assert (rows[4]["n_emails"], rows[4]["n_longnums"], rows[4]["n_ips"]) == (0, 0, 0)
+    assert rows[5]["clean"] == ""  # NULL normalises to blank
+
+
+def test_pii_scrub_email_digits_not_double_redacted(spark):
+    """An email containing a long digit run is redacted as ONE email, not
+    an email plus a card number (replacement order is load-bearing)."""
+    from data_validation_engine_spark.llmops import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "user12345678901234@host.org")], "doc_id int, text string"
+    )
+    row = pii_scrub(df, "doc_id", "text").first()
+    assert row["n_emails"] == 1 and row["n_longnums"] == 0
+    assert row["clean"] == "<EMAIL>"
+
+
+def test_decontaminate_flags_overlap(spark):
+    from data_validation_engine_spark.llmops import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains a benchmark 5-gram verbatim
+            (1, "intro text the quick brown fox jumps and more"),
+            # same words, different order: no shared 5-gram
+            (2, "fox brown quick the jumps dog lazy the over"),
+            # exact copy: every 5-gram hits
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, bench, "doc_id", "text").collect()
+    }
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert rows[3]["contaminated"] and rows[3]["n_hits"] == 5
+    assert not rows[4]["contaminated"]
+    assert len(rows) == 4  # one row per corpus doc, flagged or not
+
+
+def test_decontaminate_short_doc_whole_text_gram(spark):
+    """Docs shorter than the n-gram contribute their whole text, so an
+    exact short-text leak still flags."""
+    from data_validation_engine_spark.llmops import decontaminate
+
+    bench = spark.createDataFrame([(9, "two words")], "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "two words"), (2, "other words")], "doc_id int, text string"
+    )
+    rows = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, "doc_id", "text").collect()
+    }
+    assert rows == {1: True, 2: False}

@@ -532,3 +532,50 @@ def test_ivf_step_accepts_explicit_centroids(spark):
         ).collect()
     ]
     assert step == lib and len(lib) == 5
+
+
+def test_hygiene_steps_match_library(spark):
+    """The round-6 corpus-hygiene steps (repetition signals, PII scrub,
+    benchmark decontamination) compute exactly what the direct library
+    calls compute."""
+    from data_validation_engine_spark.llmops import (
+        decontaminate,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    engine = StepEngine(spark)
+    entities = {
+        "documents": docs.where("doc_id % 97 != 0"),
+        "benchmark": docs.where("doc_id % 97 = 0"),
+    }
+    cases = [
+        (
+            {"operation": "text_repetition", "entity_name": "documents",
+             "id_column": "doc_id", "new_entity_name": "rep"},
+            "rep",
+            repetition_stats(entities["documents"], "doc_id", "text"),
+        ),
+        (
+            {"operation": "pii_scrub", "entity_name": "documents",
+             "id_column": "doc_id", "new_entity_name": "scrubbed"},
+            "scrubbed",
+            pii_scrub(entities["documents"], "doc_id", "text"),
+        ),
+        (
+            {"operation": "decontaminate", "entity_name": "documents",
+             "target_name": "benchmark", "ngram": 5,
+             "new_entity_name": "flags"},
+            "flags",
+            decontaminate(
+                entities["documents"], entities["benchmark"],
+                "doc_id", "text", ngram=5,
+            ),
+        ),
+    ]
+    for config, out_name, expected in cases:
+        engine.evaluate(entities, config=parse_step(config))
+        got = {tuple(r) for r in entities[out_name].collect()}
+        want = {tuple(r) for r in expected.collect()}
+        assert got == want and len(got) > 0, config["operation"]
