@@ -1283,11 +1283,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signature per document (md5-derived bit votes,
-    explode+aggregate scale path)."""
-    from data_validation_engine_spark.llmops import simhash_table
+    """The SimHash surface in one row (tagged union, merged from the
+    former dedup_simhash_pairs row): 'sig' rows carry the 16-bit
+    signature per document (md5-derived bit votes, explode+aggregate
+    scale path) over the FULL corpus; 'pair' rows carry the 32-bit
+    banded near-dup pairs (pigeonhole-exact candidates, skew-bounded
+    self-join, exact hamming verify) over the deterministic 10% slice —
+    the slice keeps the pair set sharp on the mutually-similar synthetic
+    corpus while exercising the identical plan."""
+    from data_validation_engine_spark.llmops import simhash_pairs, simhash_table
 
-    return simhash_table(_docs(spark, sf_dir), "doc_id", "text")
+    docs = _docs(spark, sf_dir)
+    sigs = simhash_table(docs, "doc_id", "text").selectExpr(
+        "'sig' AS op", "doc_id AS a", "CAST(-1 AS BIGINT) AS b",
+        "simhash AS v",
+    )
+    pairs = simhash_pairs(
+        docs.where("doc_id % 10 = 0"), "doc_id", "text",
+        bits=32, max_hamming=1,
+    ).selectExpr(
+        "'pair' AS op", "id_a AS a", "id_b AS b", "CAST(hamming AS STRING) AS v"
+    )
+    return sigs.unionAll(pairs)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1399,19 +1416,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_neardup_pairs(embs, threshold=0.3)
-
-
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded-signature self-join (pigeonhole-
-    exact candidates, skew-bounded) + exact hamming verify. Runs over a
-    deterministic 10% slice: the synthetic corpus is template-generated
-    and mutually similar, so the full table's pair set is near-quadratic
-    noise — the slice keeps the oracle row sharp and the bench honest
-    while exercising the identical plan."""
-    from data_validation_engine_spark.llmops import simhash_pairs
-
-    docs = _docs(spark, sf_dir).where("doc_id % 10 = 0")
-    return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=1)
 
 
 def q_bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,45 +1577,39 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL source round-trip with explicit stringified schema."""
+def q_source_xml_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both structured-text readers in one row (tagged union, merged from
+    the former source_json and source_xml rows): 'json' rows prove the
+    JSONL round-trip with explicit stringified schema over region; 'xml'
+    rows prove the XML round-trip (nation rendered to XML, read back via
+    the engine's XML reader with rowTag records) — each reader keeps its
+    own full proof, distinguishable by the tag."""
     import tempfile
     from pathlib import Path
 
     from pyspark.sql import types as T
 
     from data_validation_engine_spark.sources.json import read_json
+    from data_validation_engine_spark.sources.xml import read_xml
 
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    out = Path(tempfile.gettempdir()) / "dve_spark_json_roundtrip.jsonl"
+    out_json = Path(tempfile.gettempdir()) / "dve_spark_json_roundtrip.jsonl"
     rows = region.selectExpr(
         "CAST(r_regionkey AS STRING) AS r_regionkey", "r_name"
     ).toPandas()
-    out.write_text(rows.to_json(orient="records", lines=True))
+    out_json.write_text(rows.to_json(orient="records", lines=True))
     schema = T.StructType(
         [
             T.StructField("r_regionkey", T.StringType()),
             T.StructField("r_name", T.StringType()),
         ]
     )
-    df = read_json(spark, str(out), schema, multi_line=False)
-    return df.selectExpr(
-        "CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name"
-    )
-
-
-def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XML source round-trip: nation rendered to XML, read back via the
-    engine's XML reader (rowTag records), cast to types."""
-    import tempfile
-    from pathlib import Path
-
-    from data_validation_engine_spark.sources.xml import read_xml
+    json_df = read_json(spark, str(out_json), schema, multi_line=False)
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    rows = nation.toPandas().to_dict("records")
+    nrows = nation.toPandas().to_dict("records")
     parts = ["<nations>"]
-    for r in rows:
+    for r in nrows:
         parts.append(
             "<nation>"
             f"<n_nationkey>{r['n_nationkey']}</n_nationkey>"
@@ -1620,13 +1618,62 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</nation>"
         )
     parts.append("</nations>")
-    out = Path(tempfile.gettempdir()) / "dve_spark_xml_roundtrip.xml"
-    out.write_text("".join(parts))
-    df = read_xml(spark, str(out), "nation")
-    return df.selectExpr(
-        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
-        "CAST(n_name AS STRING) AS n_name",
-        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    out_xml = Path(tempfile.gettempdir()) / "dve_spark_xml_roundtrip.xml"
+    out_xml.write_text("".join(parts))
+    xml_df = read_xml(spark, str(out_xml), "nation")
+
+    return json_df.selectExpr(
+        "'json' AS src",
+        "CAST(r_regionkey AS BIGINT) AS k",
+        "r_name AS name",
+        "CAST(-1 AS BIGINT) AS rk",
+    ).unionAll(
+        xml_df.selectExpr(
+            "'xml' AS src",
+            "CAST(n_nationkey AS BIGINT) AS k",
+            "CAST(n_name AS STRING) AS name",
+            "CAST(n_regionkey AS BIGINT) AS rk",
+        )
+    )
+
+
+def q_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 corpus hygiene in one row: Gopher-style repetition signals
+    (top-token fraction via distributed mode, duplicated bigram/trigram
+    fractions per-row) inner-joined with the PII scrub run over PLANTED
+    PII (the corpus is synthetic word soup, so an email + IPv4 + card
+    number are concatenated per doc from doc_id — deterministic in both
+    engines — proving every redaction branch actually fires; the
+    scrubbed text rides as its md5)."""
+    from data_validation_engine_spark.llmops import pii_scrub, repetition_stats
+
+    docs = _docs(spark, sf_dir)
+    rep = repetition_stats(docs, "doc_id", "text")
+    planted = docs.selectExpr(
+        "doc_id",
+        "concat(text, ' mail u', doc_id, '@ex.org ip 10.0.', doc_id % 256,"
+        " '.7 card 4111111111111111') AS text",
+    )
+    pii = pii_scrub(planted, "doc_id", "text").selectExpr(
+        "doc_id", "n_emails", "n_longnums", "n_ips", "md5(clean) AS clean_md5"
+    )
+    return rep.join(pii, "doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word 5-gram
+    with the benchmark slice (doc_id % 97 = 0 stands in for the eval set).
+    The benchmark's distinct n-gram set is broadcast; the corpus is
+    scanned once and never shuffles for the match."""
+    from data_validation_engine_spark.llmops import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where("doc_id % 97 != 0"),
+        docs.where("doc_id % 97 = 0"),
+        "doc_id",
+        "text",
+        ngram=5,
     )
 
 
@@ -2106,6 +2153,17 @@ def _duck_shingles(n: int = 3) -> str:
         f"list_transform(generate_series(0, len(toks) - {n}), "
         f"i -> array_to_string(toks[i + 1:i + {n}], ' ')) "
         f"ELSE [array_to_string(toks, ' ')] END)"
+    )
+
+
+def _duck_dup_gram_frac(n: int) -> str:
+    """DuckDB expression: 1 - distinct/total word n-grams over ``toks``
+    (0.0 for docs shorter than ``n`` words) — the repetition_stats twin."""
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN round(1.0 - len(list_distinct("
+        f"list_transform(generate_series(0, len(toks) - {n}), "
+        f"i -> array_to_string(toks[i + 1:i + {n}], ' '))))::DOUBLE "
+        f"/ (len(toks) - {n - 1})::DOUBLE, 6) ELSE 0.0 END"
     )
 
 
@@ -2661,8 +2719,15 @@ _LLMOPS_ORACLES: dict[str, str] = {
     """,
     "dedup_minhash": _dedup_minhash_oracle(),
     "step_dedup_fuzzy": _dedup_fuzzy_oracle(),
-    "dedup_simhash": _dedup_simhash_oracle(),
-    "dedup_simhash_pairs": _dedup_simhash_pairs_oracle(),
+    # signatures (full corpus) unioned with banded pairs (10% slice)
+    "dedup_simhash": f"""
+        SELECT 'sig' AS op, doc_id AS a, CAST(-1 AS BIGINT) AS b,
+               simhash AS v
+        FROM ({_dedup_simhash_oracle()})
+        UNION ALL
+        SELECT 'pair', id_a, id_b, CAST(hamming AS VARCHAR)
+        FROM ({_dedup_simhash_pairs_oracle()})
+    """,
     "bounded_pairs": """
         WITH t AS (
             SELECT doc_id,
@@ -2702,11 +2767,12 @@ _LLMOPS_ORACLES: dict[str, str] = {
     "source_csv": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
     """,
-    "source_json": """
-        SELECT r_regionkey, r_name FROM region
-    """,
-    "source_xml": """
-        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    "source_xml_json": """
+        SELECT 'json' AS src, r_regionkey AS k, r_name AS name,
+               CAST(-1 AS BIGINT) AS rk
+        FROM region
+        UNION ALL
+        SELECT 'xml', n_nationkey, n_name, n_regionkey FROM nation
     """,
     "quality_sync": r"""
         SELECT doc_id, n_chars, lang FROM documents
@@ -2753,6 +2819,84 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    LEAST(1.0, sp.n_chars / 2000.0) * 65536.0 AS w_kept
         FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
                 JOIN sp USING (doc_id)
+    """,
+    # repetition signals + PII scrub over planted PII, joined on doc_id
+    "text_hygiene": rf"""
+        WITH toked AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        per_row AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   {_duck_dup_gram_frac(2)} AS dup_bigram_frac,
+                   {_duck_dup_gram_frac(3)} AS dup_trigram_frac
+            FROM toked
+        ),
+        tok_rows AS (SELECT doc_id, unnest(toks) AS tok FROM toked),
+        cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok_rows GROUP BY 1, 2),
+        top AS (
+            SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6)
+                       AS top_token_frac
+            FROM cnt GROUP BY 1
+        ),
+        rep AS (
+            SELECT p.doc_id, p.n_tokens, p.dup_bigram_frac,
+                   p.dup_trigram_frac,
+                   COALESCE(t.top_token_frac, 0.0) AS top_token_frac,
+                   (COALESCE(t.top_token_frac, 0.0) > 0.2
+                        OR p.dup_bigram_frac > 0.6) AS repetitive
+            FROM per_row p LEFT JOIN top t USING (doc_id)
+        ),
+        planted AS (
+            SELECT doc_id,
+                   text || ' mail u' || doc_id || '@ex.org ip 10.0.'
+                        || (doc_id % 256) || '.7 card 4111111111111111'
+                       AS text
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id, text,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g') AS a1
+            FROM planted
+        ),
+        s2 AS (
+            SELECT doc_id, text, a1,
+                   regexp_replace(a1, '[0-9]{{13,19}}', '<NUM>', 'g') AS a2
+            FROM s1
+        ),
+        pii AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                       AS n_emails,
+                   len(regexp_extract_all(a1, '[0-9]{{13,19}}'))
+                       AS n_longnums,
+                   len(regexp_extract_all(a2,
+                       '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}')) AS n_ips,
+                   md5(regexp_replace(a2,
+                       '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'))
+                       AS clean_md5
+            FROM s2
+        )
+        SELECT rep.*, pii.n_emails, pii.n_longnums, pii.n_ips, pii.clean_md5
+        FROM rep JOIN pii USING (doc_id)
+    """,
+    # exact word-5-gram overlap vs the doc_id % 97 = 0 benchmark slice
+    "decontaminate": f"""
+        WITH toked AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        grams AS (
+            SELECT doc_id, unnest({_duck_shingles(5)}) AS gram FROM toked
+        ),
+        bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bg USING (gram)
+            WHERE g.doc_id % 97 != 0
+            GROUP BY 1
+        )
+        SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 97 != 0
     """,
     "tfidf_topterms": """
         WITH terms AS (
@@ -3360,7 +3504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     -> pipeline_e2e; streaming sessionize parity -> sessionize.
     Round-6 merges: group_by_pivot -> group_by (freeing the slot for
     window_analytics); interval_join -> flag_joins; incremental dedup
-    (exact + ngram vs a corpus) -> dedup_exact."""
+    (exact + ngram vs a corpus) -> dedup_exact; dedup_simhash_pairs ->
+    dedup_simhash and source_json+source_xml -> source_xml_json (freeing
+    the slots for text_hygiene and decontaminate)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,
@@ -3392,7 +3538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "step_dedup_fuzzy": q_step_dedup_fuzzy,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "bounded_pairs": q_bounded_pairs,
         "connected_components": q_connected_components,
         "similarity_topk": q_similarity_topk,
@@ -3403,12 +3548,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "quality_sync": q_quality_sync,
         "text_stats": q_text_stats,
+        "text_hygiene": q_text_hygiene,
+        "decontaminate": q_decontaminate,
         "tfidf_topterms": q_tfidf_topterms,
         "multimodal_meta": q_multimodal_meta,
         # sources (SURVEY §2.1)
         "source_csv": q_source_csv,
-        "source_json": q_source_json,
-        "source_xml": q_source_xml,
+        "source_xml_json": q_source_xml_json,
         # streaming (availableNow drains over the events table)
         "streaming_sync_messages": q_streaming_sync_messages,
         "streaming_dedup": q_streaming_dedup,

@@ -184,8 +184,7 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         "report_aggregates",
         "sessionize",
         "source_csv",
-        "source_json",
-        "source_xml",
+        "source_xml_json",
         "streaming_dedup",
         "streaming_sync_messages",
         "streaming_window_counts",
