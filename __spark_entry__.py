@@ -1514,24 +1514,57 @@ def q_step_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ents["all"]
 
 
-def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic 16-cell coarse quantizer (first-K centroid
-    strategy, pluggable for offline k-means), map-side cell assignment,
-    probe of the 4 cells nearest vec 0, exact cosine ranking."""
-    from data_validation_engine_spark.llmops import ivf_topk
+def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both advanced ANN library paths in one row (tagged union, merged
+    from the former similarity_ivf and multiprobe_ann rows — the step
+    path keeps its own hash-identical proof in step_similarity_ann):
+    'ivf' rows are the deterministic 16-cell coarse quantizer with
+    map-side cell assignment and a 4-cell probe; 'multiprobe' rows are
+    vec 0's bucket probed in 3 independent hyperplane tables, candidates
+    unioned + deduplicated. Exact cosine ranking in both."""
+    from data_validation_engine_spark.llmops import (
+        ivf_topk,
+        multiprobe_ann_topk,
+    )
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(embs, embs.where("vec_id = 0"), 10)
+    q = embs.where("vec_id = 0")
+    ivf = ivf_topk(embs, q, 10).selectExpr(
+        "'ivf' AS method", "vec_id", "cosine"
+    )
+    mp = multiprobe_ann_topk(embs, q, 10).selectExpr(
+        "'multiprobe' AS method", "vec_id", "cosine"
+    )
+    return ivf.unionAll(mp)
 
 
-def q_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR-amplified multi-probe ANN: vec 0's bucket probed in 3
-    independent hyperplane tables, candidates unioned + deduplicated,
-    exact cosine ranking."""
-    from data_validation_engine_spark.llmops import multiprobe_ann_topk
+def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 sequence preparation in one row (tagged union): 'chunk'
+    rows split every document into 32-token windows with an 8-token
+    overlap (per-row + posexplode, zero shuffle); 'pack' rows assign each
+    document to a fixed-512-token pack under the concat-and-split rule,
+    sharded 8 ways by md5 bucket so shards pack independently (one
+    narrow shuffle, integer arithmetic only — bit-exact cross-engine)."""
+    from data_validation_engine_spark.llmops import (
+        chunk_documents,
+        pack_sequences,
+    )
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return multiprobe_ann_topk(embs, embs.where("vec_id = 0"), 10)
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    ).selectExpr(
+        "'chunk' AS op", "doc_id", "chunk_idx AS idx",
+        "CAST(n_chunk_tokens AS BIGINT) AS n", "md5(chunk_text) AS payload",
+    )
+    packs = pack_sequences(
+        docs, "doc_id", "text", capacity=512, n_shards=8
+    ).selectExpr(
+        "'pack' AS op", "doc_id", "CAST(shard AS INT) AS idx",
+        "CAST(pack_idx * 512 + pack_offset AS BIGINT) AS n",
+        "CAST(n_tokens AS STRING) AS payload",
+    )
+    return chunks.unionAll(packs)
 
 
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2761,8 +2794,13 @@ _LLMOPS_ORACLES: dict[str, str] = {
         SELECT 'ivf', vec_id, cosine
         FROM ({_similarity_ivf_oracle(k=10, n_cells=16, n_probe=4)})
     """,
-    "similarity_ivf": _similarity_ivf_oracle(),
-    "multiprobe_ann": _multiprobe_ann_oracle(),
+    "ann_variants": f"""
+        SELECT 'ivf' AS method, vec_id, cosine
+        FROM ({_similarity_ivf_oracle()})
+        UNION ALL
+        SELECT 'multiprobe', vec_id, cosine
+        FROM ({_multiprobe_ann_oracle()})
+    """,
     "embedding_neardup": _embedding_neardup_oracle(threshold=0.3),
     "source_csv": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -2879,6 +2917,39 @@ _LLMOPS_ORACLES: dict[str, str] = {
         )
         SELECT rep.*, pii.n_emails, pii.n_longnums, pii.n_ips, pii.clean_md5
         FROM rep JOIN pii USING (doc_id)
+    """,
+    # 32/8 token-window chunks unioned with 512-capacity 8-shard packing
+    "sequence_prep": f"""
+        WITH toked AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        st AS (
+            SELECT doc_id, toks,
+                   unnest(CASE WHEN len(toks) > 0
+                          THEN generate_series(0, len(toks) - 1, 24)
+                          ELSE [] END) AS s
+            FROM toked
+        ),
+        chunks AS (
+            SELECT 'chunk' AS op, doc_id, CAST(s // 24 AS INT) AS idx,
+                   CAST(len(toks[s + 1:s + 32]) AS BIGINT) AS n,
+                   md5(array_to_string(toks[s + 1:s + 32], ' ')) AS payload
+            FROM st
+        ),
+        base AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       ::INT % 8 AS shard
+            FROM toked
+        ),
+        packs AS (
+            SELECT 'pack' AS op, doc_id, CAST(shard AS INT) AS idx,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS BIGINT) AS n,
+                   CAST(n_tokens AS VARCHAR) AS payload
+            FROM base
+        )
+        SELECT * FROM chunks UNION ALL SELECT * FROM packs
     """,
     # exact word-5-gram overlap vs the doc_id % 97 = 0 benchmark slice
     "decontaminate": f"""
@@ -3506,7 +3577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window_analytics); interval_join -> flag_joins; incremental dedup
     (exact + ngram vs a corpus) -> dedup_exact; dedup_simhash_pairs ->
     dedup_simhash and source_json+source_xml -> source_xml_json (freeing
-    the slots for text_hygiene and decontaminate)."""
+    the slots for text_hygiene and decontaminate); similarity_ivf +
+    multiprobe_ann -> ann_variants (freeing the slot for sequence_prep;
+    the step path keeps its own proof in step_similarity_ann)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,
@@ -3543,13 +3616,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "step_similarity_ann": q_step_similarity_ann,
-        "similarity_ivf": q_similarity_ivf,
-        "multiprobe_ann": q_multiprobe_ann,
+        "ann_variants": q_ann_variants,
         "embedding_neardup": q_embedding_neardup,
         "quality_sync": q_quality_sync,
         "text_stats": q_text_stats,
         "text_hygiene": q_text_hygiene,
         "decontaminate": q_decontaminate,
+        "sequence_prep": q_sequence_prep,
         "tfidf_topterms": q_tfidf_topterms,
         "multimodal_meta": q_multimodal_meta,
         # sources (SURVEY §2.1)

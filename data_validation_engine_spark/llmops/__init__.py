@@ -17,6 +17,8 @@ large-scale training-data pipeline needs:
   (Gopher-style), PII scrubbing.
 - :mod:`decontam` — benchmark decontamination by exact word-n-gram
   overlap (broadcast benchmark, corpus scanned once).
+- :mod:`chunking` — token-window document chunking (zero shuffle) and
+  shard-parallel greedy sequence packing (concat-and-split rule).
 - :mod:`split` — deterministic md5-bucket train/val/test assignment and
   stable nested sampling (row-stable across engines and repartitions).
 - :mod:`multimodal` — opaque binary columns with typed metadata and
@@ -36,6 +38,10 @@ from data_validation_engine_spark.llmops.analytics import (
 )
 from data_validation_engine_spark.llmops.asof import (
     asof_join,
+)
+from data_validation_engine_spark.llmops.chunking import (
+    chunk_documents,
+    pack_sequences,
 )
 from data_validation_engine_spark.llmops.decontam import (
     decontaminate,
@@ -124,8 +130,10 @@ __all__ = [
     "hash_split",
     "weighted_keep",
     "weighted_sample",
+    "chunk_documents",
     "decontaminate",
     "language_id",
+    "pack_sequences",
     "pii_scrub",
     "quality_filters",
     "repetition_stats",

@@ -1,0 +1,112 @@
+"""Sequence preparation for training: token-window chunking and
+greedy contiguous sequence packing.
+
+Two operators every pre-training data pipeline runs between "clean
+corpus" and "token shards" (public method — standard concat-and-split /
+fixed-window practice, e.g. the GPT/T5 packing recipes). No reference
+counterpart: the reference has no corpus surface.
+
+Scale shape:
+- :func:`chunk_documents` is one per-row projection + ``posexplode`` —
+  zero shuffle at any corpus size.
+- :func:`pack_sequences` needs a running token total, which is a global
+  sort in the naive formulation. Instead documents are sharded into
+  ``n_shards`` deterministic md5 buckets and packed independently per
+  shard (one narrow shuffle, each shard's cumulative sum is an ordinary
+  partitioned window) — exactly how production packers parallelise,
+  since shard-local contiguity is all that matters for training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.dedup import tokens_col
+from data_validation_engine_spark.llmops.split import hash_bucket
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_tokens`` words
+    with ``overlap`` tokens of context carried between windows.
+
+    Returns ``(id, chunk_idx, chunk_text, n_chunk_tokens)`` — one row per
+    window, ``chunk_idx`` counting from 0 in stride order. Window starts
+    step by ``chunk_tokens - overlap``; every start strictly inside the
+    document emits a window, so the tail window may be short. Documents
+    with zero tokens emit zero rows.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_chunk_tokens", F.size(tokens_col(F.col("chunk_text")))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    capacity: int = 2048,
+    n_shards: int = 64,
+    seed: str = "",
+) -> DataFrame:
+    """Greedy contiguous packing: assign each document to a fixed-capacity
+    token pack.
+
+    Documents are sharded by ``md5(seed || id) % n_shards`` and packed
+    independently per shard in ascending id order (deterministic across
+    engines and repartitions). Within a shard, a document starting at
+    running-token-offset ``s`` lands in ``pack_idx = s // capacity`` at
+    ``pack_offset = s % capacity`` — the concat-and-split rule, where a
+    document longer than the remaining pack space spills into the next
+    pack rather than being reordered. Integer arithmetic only, so the
+    DuckDB oracle is bit-exact.
+
+    Returns ``(id, n_tokens, shard, pack_idx, pack_offset)``.
+    """
+    if capacity <= 0 or n_shards <= 0:
+        raise ValueError("capacity and n_shards must be positive")
+    shard = (hash_bucket(F.col(id_col), seed=seed) % n_shards).alias("shard")
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).alias("n_tokens"),
+        shard,
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
+    return base.select(
+        id_col, "n_tokens", "shard", start
+    ).select(
+        id_col,
+        "n_tokens",
+        "shard",
+        # integer `div`, not float-divide-then-truncate: exact at any offset
+        F.expr(f"__start div {capacity}").alias("pack_idx"),
+        (F.col("__start") % capacity).alias("pack_offset"),
+    )

@@ -604,6 +604,31 @@ class Decontaminate(AbstractStep):
     ngram: int = 5
 
 
+class ChunkDocuments(AbstractStep):
+    """Split each document into ``chunk_tokens``-word windows with
+    ``overlap`` tokens carried between windows (per-row + posexplode,
+    zero shuffle)."""
+
+    operation: Literal["chunk_documents"] = "chunk_documents"
+    id_column: str
+    text_column: str = "text"
+    chunk_tokens: int = 256
+    overlap: int = 0
+
+
+class PackSequences(AbstractStep):
+    """Greedy contiguous sequence packing into fixed-capacity token packs,
+    sharded by md5 bucket so each shard packs independently (one narrow
+    shuffle; integer arithmetic only)."""
+
+    operation: Literal["pack_sequences"] = "pack_sequences"
+    id_column: str
+    text_column: str = "text"
+    capacity: int = 2048
+    n_shards: int = 64
+    seed: str = ""
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -652,6 +677,8 @@ AnyStep = Annotated[
         RepetitionStats,
         PiiScrub,
         Decontaminate,
+        ChunkDocuments,
+        PackSequences,
     ],
     Field(discriminator="operation"),
 ]

@@ -87,6 +87,8 @@ from data_validation_engine_spark.steps.configs import (
     RepetitionStats,
     PiiScrub,
     Decontaminate,
+    ChunkDocuments,
+    PackSequences,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -150,6 +152,8 @@ class StepEngine:
             RepetitionStats: self.text_repetition,
             PiiScrub: self.pii_scrub,
             Decontaminate: self.decontaminate,
+            ChunkDocuments: self.chunk_documents,
+            PackSequences: self.pack_sequences,
             LanguageId: self.lang_id,
             TfIdfTopTerms: self.tfidf_top_terms,
             TextFingerprint: self.text_fingerprint,
@@ -724,6 +728,39 @@ class StepEngine:
             config.id_column,
             config.text_column,
             ngram=config.ngram,
+        )
+        return None
+
+    def chunk_documents(
+        self, entities: Entities, *, config: ChunkDocuments
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.chunking import (
+            chunk_documents,
+        )
+
+        entities[config.output_name] = chunk_documents(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            chunk_tokens=config.chunk_tokens,
+            overlap=config.overlap,
+        )
+        return None
+
+    def pack_sequences(
+        self, entities: Entities, *, config: PackSequences
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.chunking import (
+            pack_sequences,
+        )
+
+        entities[config.output_name] = pack_sequences(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            capacity=config.capacity,
+            n_shards=config.n_shards,
+            seed=config.seed,
         )
         return None
 

@@ -1396,3 +1396,79 @@ def test_decontaminate_short_doc_whole_text_gram(spark):
         for r in decontaminate(corpus, bench, "doc_id", "text").collect()
     }
     assert rows == {1: True, 2: False}
+
+
+# -- round-6 sequence preparation: chunking + packing --------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from data_validation_engine_spark.llmops import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b"),                             # shorter than one chunk
+            (3, ""),                                # zero tokens -> zero rows
+        ],
+        "doc_id int, text string",
+    )
+    rows = chunk_documents(
+        df, "doc_id", "text", chunk_tokens=4, overlap=1
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # starts step by 3: 0,3,6,9 -> windows of <=4 tokens each
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    # overlap: last token of each window is the first of the next
+    assert by_doc[2][0]["chunk_text"] == "a b"
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from data_validation_engine_spark.llmops import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_concat_and_split_rule(spark):
+    from data_validation_engine_spark.llmops import pack_sequences
+
+    # single shard so the running offset is deterministic by doc_id order
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(1, 6), (2, 6), (3, 6), (4, 2)]],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "doc_id", "text", capacity=10, n_shards=1
+        ).collect()
+    }
+    # offsets 0, 6, 12, 18 -> packs 0, 0, 1, 1
+    assert [rows[i]["pack_idx"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert [rows[i]["pack_offset"] for i in (1, 2, 3, 4)] == [0, 6, 2, 8]
+    assert all(r["shard"] == 0 for r in rows.values())
+
+
+def test_pack_sequences_shards_partition_work(spark):
+    """Every shard's packs fill contiguously: within a shard, consecutive
+    docs' offsets are the running token sum (no cross-shard interference)."""
+    from data_validation_engine_spark.llmops import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(
+        docs, "doc_id", "text", capacity=512, n_shards=8
+    ).collect()
+    assert {r["shard"] for r in out} == set(range(8))
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        prev = by_shard.get(r["shard"], 0)
+        assert r["pack_idx"] * 512 + r["pack_offset"] == prev
+        by_shard[r["shard"]] = prev + r["n_tokens"]

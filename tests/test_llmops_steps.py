@@ -579,3 +579,38 @@ def test_hygiene_steps_match_library(spark):
         got = {tuple(r) for r in entities[out_name].collect()}
         want = {tuple(r) for r in expected.collect()}
         assert got == want and len(got) > 0, config["operation"]
+
+
+def test_sequence_prep_steps_match_library(spark):
+    """Declarable chunking/packing equals the direct library calls."""
+    from data_validation_engine_spark.llmops import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    engine = StepEngine(spark)
+    entities = {"documents": docs}
+    cases = [
+        (
+            {"operation": "chunk_documents", "entity_name": "documents",
+             "id_column": "doc_id", "chunk_tokens": 32, "overlap": 8,
+             "new_entity_name": "chunks"},
+            "chunks",
+            chunk_documents(docs, "doc_id", "text",
+                            chunk_tokens=32, overlap=8),
+        ),
+        (
+            {"operation": "pack_sequences", "entity_name": "documents",
+             "id_column": "doc_id", "capacity": 512, "n_shards": 8,
+             "new_entity_name": "packs"},
+            "packs",
+            pack_sequences(docs, "doc_id", "text",
+                           capacity=512, n_shards=8),
+        ),
+    ]
+    for config, out_name, expected in cases:
+        engine.evaluate(entities, config=parse_step(config))
+        got = {tuple(r) for r in entities[out_name].collect()}
+        want = {tuple(r) for r in expected.collect()}
+        assert got == want and len(got) > 0, config["operation"]
