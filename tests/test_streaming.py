@@ -687,3 +687,59 @@ def test_streaming_rolling_counts_carries_state_across_batches(
     assert (t0, 1) in rows
     assert (t0 + dt.timedelta(minutes=30), 2) in rows
     assert (t0 + dt.timedelta(minutes=50), 3) in rows
+
+
+def test_streaming_chunk_and_scrub_lift_unchanged(spark, tmp_path):
+    """chunk_documents and pii_scrub are stateless per-row projections
+    (+ explode), so they lift onto a stream with zero new code and emit
+    the SAME rows as the batch path."""
+    import shutil
+
+    from data_validation_engine_spark.llmops import chunk_documents, pii_scrub
+    from data_validation_engine_spark.streaming import read_entity_stream
+
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    schema = batch.schema
+
+    sdf = chunk_documents(
+        read_entity_stream(spark, str(d), schema),
+        "doc_id", "text", chunk_tokens=32, overlap=8,
+    )
+    out = str(tmp_path / "chunk_out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_chunk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in chunk_documents(
+            batch, "doc_id", "text", chunk_tokens=32, overlap=8
+        ).collect()
+    }
+    assert got == want and len(got) > len(
+        {r[0] for r in got}
+    )  # more chunks than docs: the explode really ran
+
+    sdf2 = pii_scrub(
+        read_entity_stream(spark, str(d), schema), "doc_id", "text"
+    )
+    out2 = str(tmp_path / "scrub_out")
+    q2 = (
+        sdf2.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ck_scrub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {tuple(r) for r in spark.read.parquet(out2).collect()}
+    want2 = {tuple(r) for r in pii_scrub(batch, "doc_id", "text").collect()}
+    assert got2 == want2 and len(got2) > 0
