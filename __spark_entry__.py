@@ -1307,15 +1307,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.unionAll(pairs)
 
 
-def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-20 neighbours of vec 0 (broadcast query, per-
-    partition top-k — no global sort)."""
-    from data_validation_engine_spark.llmops import cosine_topk
-
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_topk(embs, embs.where("vec_id = 0"), 20)
-
-
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN probe: top-10 within vec 0's random-hyperplane LSH bucket,
     computed over the flat table AND over the LSH-PARTITIONED layout
@@ -1515,27 +1506,70 @@ def q_step_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both advanced ANN library paths in one row (tagged union, merged
-    from the former similarity_ivf and multiprobe_ann rows — the step
-    path keeps its own hash-identical proof in step_similarity_ann):
+    """The similarity library paths in one row (tagged union, merged from
+    the former similarity_topk, similarity_ivf, and multiprobe_ann rows —
+    the step path keeps its own hash-identical proof in
+    step_similarity_ann): 'exact' rows are the brute-force cosine top-20
+    (broadcast query, TakeOrderedAndProject — the correctness baseline);
     'ivf' rows are the deterministic 16-cell coarse quantizer with
     map-side cell assignment and a 4-cell probe; 'multiprobe' rows are
     vec 0's bucket probed in 3 independent hyperplane tables, candidates
-    unioned + deduplicated. Exact cosine ranking in both."""
+    unioned + deduplicated. Exact cosine ranking in all three."""
     from data_validation_engine_spark.llmops import (
+        cosine_topk,
         ivf_topk,
         multiprobe_ann_topk,
     )
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = embs.where("vec_id = 0")
+    exact = cosine_topk(embs, q, 20).selectExpr(
+        "'exact' AS method", "vec_id", "cosine"
+    )
     ivf = ivf_topk(embs, q, 10).selectExpr(
         "'ivf' AS method", "vec_id", "cosine"
     )
     mp = multiprobe_ann_topk(embs, q, 10).selectExpr(
         "'multiprobe' AS method", "vec_id", "cosine"
     )
-    return ivf.unionAll(mp)
+    return exact.unionAll(ivf).unionAll(mp)
+
+
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed vector aggregation (round 6): per-label
+    centroids via the two-level ORDERED segment fold — the engine's only
+    cross-row float aggregation, partitioning-independent by construction
+    where a naive groupBy-sum is shuffle-order-dependent — plus the
+    nearest-prototype assignment of every vector to those centroids
+    (broadcast prototypes, rounded-cosine + label-asc tiebreak). Tagged
+    union: 'centroid' rows carry (label, n, fold-checksum, first
+    component) — the checksum pins all 64 components, and the assignment
+    cosines pin them again through the scoring; 'assign' rows carry
+    (vec_id, assigned_label, cosine)."""
+    from data_validation_engine_spark.llmops import (
+        label_centroids,
+        nearest_centroid,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = label_centroids(
+        embs, "label", "vec_id", "embedding", dim=64, segment_size=64
+    )
+    crow = cents.selectExpr(
+        "'centroid' AS op",
+        "CAST(label AS BIGINT) AS id",
+        "n AS a",
+        "aggregate(centroid, 0.0D, (acc, x) -> acc + x) AS x",
+        "centroid[0] AS y",
+    )
+    arow = nearest_centroid(embs, cents).selectExpr(
+        "'assign' AS op",
+        "vec_id AS id",
+        "CAST(assigned_label AS BIGINT) AS a",
+        "cosine AS x",
+        "CAST(0.0 AS DOUBLE) AS y",
+    )
+    return crow.unionAll(arow)
 
 
 def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2404,6 +2438,17 @@ def _duck_dot(a: str, b: str, dim: int = 64) -> str:
     )
 
 
+def _duck_vec_fold(lst: str, dim: int = 64) -> str:
+    """DuckDB expression: elementwise left-fold sum of an ordered list of
+    double-arrays, zero-vector start (bit-identical to the Spark
+    ``aggregate(..., zip_with(+))`` fold in vectors.py)."""
+    zero = f"list_transform(generate_series(1, {dim}), i -> 0.0)"
+    return (
+        f"list_reduce(list_prepend({zero}, {lst}), (a, b) -> "
+        f"list_transform(generate_series(1, {dim}), i -> a[i] + b[i]))"
+    )
+
+
 def _similarity_topk_oracle(k: int = 20, dim: int = 64) -> str:
     cos = (
         f"round({_duck_dot('e.embedding', 'q.qv', dim)} / "
@@ -2777,7 +2822,6 @@ _LLMOPS_ORACLES: dict[str, str] = {
         "min(r) AS component",
         "min(r) AS component, min(r) AS component_star",
     ),
-    "similarity_topk": _similarity_topk_oracle(),
     # bucket AND bucket_part: the flat probe joined with the
     # partition-pruned probe (same planes, same candidate set)
     "similarity_ann": _similarity_ann_partitioned_oracle().replace(
@@ -2795,11 +2839,59 @@ _LLMOPS_ORACLES: dict[str, str] = {
         FROM ({_similarity_ivf_oracle(k=10, n_cells=16, n_probe=4)})
     """,
     "ann_variants": f"""
-        SELECT 'ivf' AS method, vec_id, cosine
+        SELECT 'exact' AS method, vec_id, cosine
+        FROM ({_similarity_topk_oracle()})
+        UNION ALL
+        SELECT 'ivf', vec_id, cosine
         FROM ({_similarity_ivf_oracle()})
         UNION ALL
         SELECT 'multiprobe', vec_id, cosine
         FROM ({_multiprobe_ann_oracle()})
+    """,
+    # two-level ordered segment fold (centroids) + nearest-prototype
+    # assignment; checksum = left-fold sum over the centroid components
+    "vector_stats": f"""
+        WITH seg AS (
+            SELECT label, vec_id // 64 AS seg, count(*) AS n,
+                   {_duck_vec_fold("list(embedding::DOUBLE[] ORDER BY vec_id)")}
+                       AS segsum
+            FROM embeddings GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT label, sum(n) AS n,
+                   {_duck_vec_fold("list(segsum ORDER BY seg)")} AS vec_sum
+            FROM seg GROUP BY 1
+        ),
+        cents AS (
+            SELECT label, n,
+                   list_transform(vec_sum, x -> round(x / n::DOUBLE, 6))
+                       AS centroid
+            FROM tot
+        ),
+        scored AS (
+            SELECT e.vec_id, c.label AS clabel,
+                   round({_duck_dot('e.embedding', 'c.centroid')} /
+                         (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+                          * sqrt({_duck_dot('c.centroid', 'c.centroid')})),
+                         6) AS cosine
+            FROM embeddings e, cents c
+        ),
+        assigned AS (
+            SELECT vec_id, clabel, cosine FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cosine DESC, clabel ASC
+                ) AS rk FROM scored
+            ) WHERE rk = 1
+        )
+        SELECT 'centroid' AS op, CAST(label AS BIGINT) AS id,
+               CAST(n AS BIGINT) AS a,
+               list_reduce(list_prepend(0.0, centroid), (x, y) -> x + y)
+                   AS x,
+               centroid[1] AS y
+        FROM cents
+        UNION ALL
+        SELECT 'assign', vec_id, CAST(clabel AS BIGINT), cosine, 0.0
+        FROM assigned
     """,
     "embedding_neardup": _embedding_neardup_oracle(threshold=0.3),
     "source_csv": """
@@ -3577,9 +3669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window_analytics); interval_join -> flag_joins; incremental dedup
     (exact + ngram vs a corpus) -> dedup_exact; dedup_simhash_pairs ->
     dedup_simhash and source_json+source_xml -> source_xml_json (freeing
-    the slots for text_hygiene and decontaminate); similarity_ivf +
-    multiprobe_ann -> ann_variants (freeing the slot for sequence_prep;
-    the step path keeps its own proof in step_similarity_ann)."""
+    the slots for text_hygiene and decontaminate); similarity_topk +
+    similarity_ivf + multiprobe_ann -> ann_variants (freeing slots for
+    sequence_prep and vector_stats; the step path keeps its own proof in
+    step_similarity_ann)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,
@@ -3613,10 +3706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "bounded_pairs": q_bounded_pairs,
         "connected_components": q_connected_components,
-        "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "step_similarity_ann": q_step_similarity_ann,
         "ann_variants": q_ann_variants,
+        "vector_stats": q_vector_stats,
         "embedding_neardup": q_embedding_neardup,
         "quality_sync": q_quality_sync,
         "text_stats": q_text_stats,

@@ -19,6 +19,10 @@ large-scale training-data pipeline needs:
   overlap (broadcast benchmark, corpus scanned once).
 - :mod:`chunking` — token-window document chunking (zero shuffle) and
   shard-parallel greedy sequence packing (concat-and-split rule).
+- :mod:`vectors` — deterministic distributed vector aggregation
+  (two-level ordered segment fold; the only cross-row float aggregation,
+  engineered to be partitioning-independent) and nearest-prototype
+  assignment.
 - :mod:`split` — deterministic md5-bucket train/val/test assignment and
   stable nested sampling (row-stable across engines and repartitions).
 - :mod:`multimodal` — opaque binary columns with typed metadata and
@@ -86,6 +90,11 @@ from data_validation_engine_spark.llmops.split import (
     weighted_keep,
     weighted_sample,
 )
+from data_validation_engine_spark.llmops.vectors import (
+    grouped_vector_sum,
+    label_centroids,
+    nearest_centroid,
+)
 from data_validation_engine_spark.llmops.text import (
     language_id,
     pii_scrub,
@@ -132,7 +141,10 @@ __all__ = [
     "weighted_sample",
     "chunk_documents",
     "decontaminate",
+    "grouped_vector_sum",
+    "label_centroids",
     "language_id",
+    "nearest_centroid",
     "pack_sequences",
     "pii_scrub",
     "quality_filters",

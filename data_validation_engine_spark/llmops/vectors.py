@@ -1,0 +1,166 @@
+"""Deterministic distributed vector aggregation: per-label centroids and
+nearest-prototype assignment over embedding columns.
+
+This is the engine's only cross-row float aggregation, and floating-point
+addition is not associative — a naive ``groupBy(label).agg(sum)`` would
+give shuffle-order-dependent results that can never hash-match an oracle
+(or even a re-run of itself). The fix is a deterministic fold ORDER, made
+distributed by a two-level segment tree:
+
+1. rows are bucketed into fixed-size segments by ``id div segment_size``;
+   each ``(group, segment)`` folds its vectors elementwise in ascending id
+   order (one narrow shuffle; per-task memory bounded by ``segment_size``
+   vectors);
+2. each group folds its segment sums in ascending segment order.
+
+The result is bit-identical regardless of partitioning or cluster size,
+and equals the same two-level fold written in DuckDB SQL — which is what
+makes the oracle row possible. Groups larger than
+``segment_size * max-rows-per-task`` recurse by adding a level; two
+levels already cover ~10^9 vectors per group at the default size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.similarity import cosine_col
+
+DEFAULT_SEGMENT_SIZE = 1024
+
+
+def _zero(dim: int) -> Column:
+    return F.array_repeat(F.lit(0.0), dim)
+
+
+def _fold_sum(sorted_vecs: Column, dim: int) -> Column:
+    """Elementwise sum of an ordered array of double-arrays, left fold
+    starting at the zero vector (0.0 + x == x elementwise, so the zero
+    start matches an init-less first-element fold bit-for-bit)."""
+    return F.aggregate(
+        sorted_vecs,
+        _zero(dim),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+
+
+def grouped_vector_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+) -> DataFrame:
+    """Deterministic per-group elementwise vector sum + row count.
+
+    Returns ``(*group_cols, n, vec_sum)`` where ``vec_sum`` is the
+    two-level ordered fold described in the module docstring. ``order_col``
+    must be unique per row within a group (any total order works; ids are
+    the natural choice).
+    """
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("__ord"),
+        F.expr(f"{order_col} div {segment_size}").alias("__seg"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    seg_sums = base.groupBy(*group_cols, "__seg").agg(
+        F.count(F.lit(1)).alias("__n"),
+        _fold_sum(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__ord", "__v"))),
+                lambda s: s["__v"],
+            ),
+            dim,
+        ).alias("__segsum"),
+    )
+    return seg_sums.groupBy(*group_cols).agg(
+        F.sum("__n").alias("n"),
+        _fold_sum(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__seg", "__segsum"))),
+                lambda s: s["__segsum"],
+            ),
+            dim,
+        ).alias("vec_sum"),
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label centroid vectors: ``(label, n, centroid)``.
+
+    The sum is the deterministic two-level fold; the centroid divides each
+    component by ``n`` once at the end (one float division per dimension,
+    same operands in every engine), rounded to ``round_to`` for stable
+    cross-engine rendering.
+    """
+    sums = grouped_vector_sum(
+        df, [label_col], id_col, vec_col, dim=dim, segment_size=segment_size
+    )
+    return sums.select(
+        label_col,
+        "n",
+        F.transform(
+            F.col("vec_sum"),
+            lambda x: F.round(x / F.col("n").cast("double"), round_to),
+        ).alias("centroid"),
+    )
+
+
+def nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine: ``(id,
+    assigned_label, cosine)``.
+
+    ``centroids`` is small (one row per label) and is broadcast, so the
+    scoring join is map-side; the argmax is a per-id window ranked on
+    ``(rounded cosine DESC, label ASC)`` — the rounding plus the label
+    tiebreak make the winner engine-exact even when two centroids score
+    identically.
+    """
+    scored = df.select(id_col, vec_col).crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col(label_col).alias("__clabel"),
+                F.col(centroid_col).alias("__cvec"),
+            )
+        )
+    ).select(
+        F.col(id_col),
+        F.col("__clabel"),
+        F.round(cosine_col(F.col(vec_col), F.col("__cvec")), round_to).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("__clabel").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__clabel").alias("assigned_label"),
+            "cosine",
+        )
+    )

@@ -629,6 +629,31 @@ class PackSequences(AbstractStep):
     seed: str = ""
 
 
+class LabelCentroids(AbstractStep):
+    """Per-label centroid vectors via the deterministic two-level ordered
+    segment fold (partitioning-independent float sums)."""
+
+    operation: Literal["label_centroids"] = "label_centroids"
+    label_column: str = "label"
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    dim: int
+    segment_size: int = 1024
+
+
+class NearestCentroid(AbstractStep):
+    """Assign each vector of the entity to its nearest centroid in the
+    ``target_name`` entity by cosine (broadcast prototypes; rounded-cosine
+    + label tiebreak keeps the argmax engine-exact)."""
+
+    operation: Literal["nearest_centroid"] = "nearest_centroid"
+    target_name: str  # the centroids entity
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    label_column: str = "label"
+    centroid_column: str = "centroid"
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -679,6 +704,8 @@ AnyStep = Annotated[
         Decontaminate,
         ChunkDocuments,
         PackSequences,
+        LabelCentroids,
+        NearestCentroid,
     ],
     Field(discriminator="operation"),
 ]

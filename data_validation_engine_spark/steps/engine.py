@@ -89,6 +89,8 @@ from data_validation_engine_spark.steps.configs import (
     Decontaminate,
     ChunkDocuments,
     PackSequences,
+    LabelCentroids,
+    NearestCentroid,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -154,6 +156,8 @@ class StepEngine:
             Decontaminate: self.decontaminate,
             ChunkDocuments: self.chunk_documents,
             PackSequences: self.pack_sequences,
+            LabelCentroids: self.label_centroids,
+            NearestCentroid: self.nearest_centroid,
             LanguageId: self.lang_id,
             TfIdfTopTerms: self.tfidf_top_terms,
             TextFingerprint: self.text_fingerprint,
@@ -761,6 +765,40 @@ class StepEngine:
             capacity=config.capacity,
             n_shards=config.n_shards,
             seed=config.seed,
+        )
+        return None
+
+    def label_centroids(
+        self, entities: Entities, *, config: LabelCentroids
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.vectors import (
+            label_centroids,
+        )
+
+        entities[config.output_name] = label_centroids(
+            entities[config.entity_name],
+            config.label_column,
+            config.id_column,
+            config.vector_column,
+            dim=config.dim,
+            segment_size=config.segment_size,
+        )
+        return None
+
+    def nearest_centroid(
+        self, entities: Entities, *, config: NearestCentroid
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.vectors import (
+            nearest_centroid,
+        )
+
+        entities[config.output_name] = nearest_centroid(
+            entities[config.entity_name],
+            entities[config.target_name],
+            id_col=config.id_column,
+            vec_col=config.vector_column,
+            label_col=config.label_column,
+            centroid_col=config.centroid_column,
         )
         return None
 

@@ -1500,3 +1500,122 @@ def test_chunk_documents_reconstructs_corpus(spark):
         # trailing windows shorter than overlap re-emit already-seen tokens
         # (documented stride rule), so compare against the rebuilt prefix
         assert rebuilt[: len(originals[doc_id])] == originals[doc_id], doc_id
+
+
+# -- round-6 vector aggregation: centroids + nearest-prototype -----------------
+
+
+def test_label_centroids_exact_small_case(spark):
+    from data_validation_engine_spark.llmops import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [3.0, 2.0]),
+            (2, 1, [0.0, 4.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = {
+        r["label"]: r
+        for r in label_centroids(
+            df, "label", "vec_id", "embedding", dim=2
+        ).collect()
+    }
+    assert rows[0]["n"] == 2 and rows[0]["centroid"] == [2.0, 1.0]
+    assert rows[1]["n"] == 1 and rows[1]["centroid"] == [0.0, 4.0]
+
+
+def test_label_centroids_partitioning_independent(spark):
+    """The two-level ordered fold gives bit-identical centroids regardless
+    of input partitioning AND segment size — the determinism claim naive
+    float groupBy-sum cannot make."""
+    from data_validation_engine_spark.llmops import label_centroids
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = sorted(
+        tuple(r)
+        for r in label_centroids(
+            embs, "label", "vec_id", "embedding", dim=64, segment_size=16
+        ).collect()
+    )
+    reparted = sorted(
+        tuple(r)
+        for r in label_centroids(
+            embs.repartition(13),
+            "label", "vec_id", "embedding", dim=64, segment_size=16,
+        ).collect()
+    )
+    assert base == reparted and len(base) > 1
+    # NOTE: different segment sizes change fold grouping, hence potentially
+    # the last float bits — determinism is per (order, segment_size), which
+    # both engines share. Same size must match; that is the contract.
+
+
+def test_nearest_centroid_assigns_and_breaks_ties(spark):
+    from data_validation_engine_spark.llmops import (
+        label_centroids,
+        nearest_centroid,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (1, 1, [0.0, 1.0]),
+            (2, 0, [2.0, 0.1]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    cents = label_centroids(df, "label", "vec_id", "embedding", dim=2)
+    got = {
+        r["vec_id"]: r["assigned_label"]
+        for r in nearest_centroid(df, cents).collect()
+    }
+    assert got[0] == 0 and got[2] == 0 and got[1] == 1
+    # exact tie: equidistant vector -> lowest label wins deterministically
+    tie = spark.createDataFrame(
+        [(9, 0, [1.0, 1.0])], "vec_id long, label int, embedding array<float>"
+    )
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "label int, centroid array<double>",
+    )
+    r = nearest_centroid(tie, two).first()
+    assert r["assigned_label"] == 0
+
+
+def test_centroid_steps_match_library(spark):
+    from data_validation_engine_spark.llmops import (
+        label_centroids,
+        nearest_centroid,
+    )
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ents = {"embeddings": embs}
+    eng = StepEngine(spark)
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {"operation": "label_centroids", "entity_name": "embeddings",
+             "dim": 64, "new_entity_name": "cents"}
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {"operation": "nearest_centroid", "entity_name": "embeddings",
+             "target_name": "cents", "new_entity_name": "assigned"}
+        ),
+    )
+    lib_c = label_centroids(embs, "label", "vec_id", "embedding", dim=64)
+    lib_a = nearest_centroid(embs, lib_c)
+
+    def freeze(df):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        }
+
+    assert freeze(ents["cents"]) == freeze(lib_c)
+    assert freeze(ents["assigned"]) == freeze(lib_a)

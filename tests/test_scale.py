@@ -177,7 +177,12 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
     import __spark_entry__ as entry_mod
 
     # BNLJ is legitimate ONLY for a broadcast 1-row side
-    allowed_bnlj = {"join_header", "similarity_topk", "tfidf_topterms"}
+    allowed_bnlj = {
+        "join_header",
+        "ann_variants",  # exact brute-force arm: broadcast 1-row query
+        "vector_stats",  # nearest-prototype: broadcast k-row centroids
+        "tfidf_topterms",
+    }
     skip = {
         "pipeline_e2e",  # full pipeline (own tests; intended status cross)
         "presence_checks",
