@@ -126,3 +126,89 @@ def test_rollup_entity_from_json(result, spark):
     }
     total = sum(n for (t, g), n in ru.items() if g == 0)
     assert ru[(None, 1)] == total
+
+
+# -- corpus-hygiene vocabulary through the same JSON path ----------------------
+
+HYGIENE_DISCHEMA = {
+    "contract": {
+        "datasets": {
+            "documents": {
+                "fields": {
+                    "doc_id": "int",
+                    "text": "str",
+                    "lang": "str",
+                    "source": "str",
+                    "n_chars": "int",
+                },
+                "key_field": "doc_id",
+                "mandatory_fields": ["doc_id", "text"],
+            }
+        }
+    },
+    "transformations": {
+        "rules": [],
+        "filters": [],
+        "post_filter_rules": [
+            {"operation": "copy_entity", "entity": "documents",
+             "new_entity_name": "benchmark"},
+            {"operation": "filter_without_notifying", "entity": "benchmark",
+             "expression": "doc_id % 97 = 0"},
+            {"operation": "filter_without_notifying", "entity": "documents",
+             "expression": "doc_id % 97 != 0"},
+            {"operation": "text_repetition", "entity": "documents",
+             "id_column": "doc_id", "new_entity_name": "rep"},
+            {"operation": "pii_scrub", "entity": "documents",
+             "id_column": "doc_id", "new_entity_name": "scrubbed"},
+            {"operation": "chunk_documents", "entity": "documents",
+             "id_column": "doc_id", "chunk_tokens": 32, "overlap": 8,
+             "new_entity_name": "chunks"},
+            {"operation": "pack_sequences", "entity": "documents",
+             "id_column": "doc_id", "capacity": 512, "n_shards": 8,
+             "new_entity_name": "packs"},
+            {"operation": "decontaminate", "entity": "documents",
+             "target_name": "benchmark", "new_entity_name": "contam_flags"},
+        ],
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def hygiene_result(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("r6_hygiene")
+    (root / "dischema.json").write_text(json.dumps(HYGIENE_DISCHEMA))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.selectExpr(
+        "CAST(doc_id AS STRING) doc_id", "text", "lang", "source",
+        "CAST(n_chars AS STRING) n_chars",
+    ).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    work = tmp_path_factory.mktemp("r6_hygiene_work")
+    return run_pipeline(
+        spark,
+        root / "dischema.json",
+        {"documents": str(root / "documents.parquet")},
+        work,
+        write_report=False,
+    )
+
+
+def test_hygiene_pipeline_succeeds(hygiene_result):
+    assert hygiene_result.success
+    assert {
+        "rep", "scrubbed", "chunks", "packs", "contam_flags", "benchmark",
+    } <= set(hygiene_result.entities)
+
+
+def test_hygiene_entities_from_json(hygiene_result, spark):
+    ents = hygiene_result.entities
+    n_corpus = ents["documents"].count()
+    assert ents["rep"].count() == n_corpus
+    assert ents["scrubbed"].count() == n_corpus
+    assert ents["packs"].count() == n_corpus
+    assert ents["contam_flags"].count() == n_corpus
+    assert ents["chunks"].count() > n_corpus  # explode really ran
+    # benchmark docs are excluded from the corpus, so self-contamination
+    # can't inflate the flag; flags are boolean + hit counts agree
+    flags = ents["contam_flags"]
+    assert flags.where("contaminated AND n_hits = 0").count() == 0
+    assert flags.where("NOT contaminated AND n_hits > 0").count() == 0

@@ -332,3 +332,63 @@ def test_plan_report_shapes(spark):
         cust.alias("b"), F.col("a.o_totalprice") > F.col("b.c_acctbal")
     )
     assert plan_report(bad)["cartesian_or_nested_loop"] >= 1
+
+
+def test_round6_hygiene_ops_shuffle_budgets(spark):
+    """Pinned shuffle budgets for the corpus-hygiene/sequence ops:
+    - pii_scrub and chunk_documents are per-row (zero Exchange);
+    - pack_sequences is ONE shuffle (hash by shard for the window);
+    - decontaminate never shuffles the corpus for the match (benchmark
+      broadcast + one count aggregation keyed by doc id);
+    - repetition_stats is the two map-side-combining aggregates."""
+    from data_validation_engine_spark.llmops import (
+        chunk_documents,
+        decontaminate,
+        pack_sequences,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        pii_scrub(docs, "doc_id", "text"),
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8),
+    ):
+        assert count_shuffles(df) == 0
+        assert df._jdf.queryExecution().executedPlan().toString().count(
+            "Scan parquet"
+        ) == 1
+
+    packed = pack_sequences(docs, "doc_id", "text", capacity=512, n_shards=8)
+    assert count_shuffles(packed) == 1
+
+    dec = decontaminate(
+        docs.where("doc_id % 97 != 0"), docs.where("doc_id % 97 = 0"),
+        "doc_id", "text",
+    )
+    dplan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in dplan  # gram match rides the broadcast
+    assert "CartesianProduct" not in dplan
+    # corpus-side shuffles: the per-doc hit count + the flag join-back;
+    # the GRAM MATCH itself must not shuffle the corpus
+    assert count_shuffles(dec) <= 3
+
+    rep = repetition_stats(docs, "doc_id", "text")
+    assert count_shuffles(rep) <= 3
+    assert "CartesianProduct" not in (
+        rep._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_label_centroids_two_shuffles_only(spark):
+    """The two-level ordered fold costs exactly its two grouped
+    aggregations (segment level + group level) — no extra Exchange, no
+    sort of the whole table."""
+    from data_validation_engine_spark.llmops import label_centroids
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = label_centroids(embs, "label", "vec_id", "embedding", dim=64)
+    assert count_shuffles(cents) == 2
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
