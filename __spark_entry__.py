@@ -1380,11 +1380,25 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top TF-IDF term per document (integer-keyed ranking)."""
-    from data_validation_engine_spark.llmops import tfidf_top_terms
+    """The corpus term-frequency surface in one row (tagged union):
+    'tfidf' rows carry the top TF-IDF term per document (integer-keyed
+    ranking); 'vocab' rows carry the round-6 tokenizer-prep vocabulary
+    table (term, total count, doc frequency, min_count=3 floor) — the
+    same term aggregation exercised as a standalone corpus product."""
+    from data_validation_engine_spark.llmops import (
+        build_vocab,
+        tfidf_top_terms,
+    )
 
     docs = _docs(spark, sf_dir)
-    return tfidf_top_terms(docs, "doc_id", "text")
+    tfidf = tfidf_top_terms(docs, "doc_id", "text").selectExpr(
+        "'tfidf' AS op", "doc_id", "term", "tf AS a", "df AS b", "tfidf AS x"
+    )
+    vocab = build_vocab(docs, "doc_id", "text", min_count=3).selectExpr(
+        "'vocab' AS op", "CAST(-1 AS BIGINT) AS doc_id", "term",
+        "count AS a", "doc_freq AS b", "CAST(0.0 AS DOUBLE) AS x",
+    )
+    return tfidf.unionAll(vocab)
 
 
 def q_quality_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3071,7 +3085,8 @@ _LLMOPS_ORACLES: dict[str, str] = {
         ),
         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         n AS (SELECT count(*) AS n FROM documents)
-        SELECT doc_id, term, tf, df, tfidf FROM (
+        SELECT 'tfidf' AS op, doc_id, term, tf AS a, df AS b, tfidf AS x
+        FROM (
             SELECT doc_id, term, tf, df,
                    round(tf * ln(n::DOUBLE / df::DOUBLE), 6) AS tfidf,
                    row_number() OVER (
@@ -3080,6 +3095,10 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    ) AS rk
             FROM tf JOIN dfreq USING (term), n
         ) WHERE rk = 1
+        UNION ALL
+        SELECT 'vocab', CAST(-1 AS BIGINT), term,
+               count(*), count(DISTINCT doc_id), 0.0
+        FROM terms GROUP BY term HAVING count(*) >= 3
     """,
     # metadata + fake_decoder byte statistics joined on doc_id. The
     # decoder stats are recomputed in SQL: UTF-8 bytes via hex(encode(..))

@@ -96,6 +96,7 @@ from data_validation_engine_spark.llmops.vectors import (
     nearest_centroid,
 )
 from data_validation_engine_spark.llmops.text import (
+    build_vocab,
     language_id,
     pii_scrub,
     quality_filters,
@@ -139,6 +140,7 @@ __all__ = [
     "hash_split",
     "weighted_keep",
     "weighted_sample",
+    "build_vocab",
     "chunk_documents",
     "decontaminate",
     "grouped_vector_sum",

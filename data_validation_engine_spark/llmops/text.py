@@ -332,6 +332,40 @@ def tfidf_top_terms(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 1,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: ``(term, count, doc_freq)`` with frequency floors.
+
+    The tokenizer-training prep table (BPE/unigram vocab seeding): total
+    occurrences and document frequency per whitespace token, filtered to
+    ``count >= min_count AND doc_freq >= min_doc_freq``. One term-keyed
+    aggregation (count combines map-side; the distinct-doc count is
+    Spark's standard two-phase distinct aggregate) — the irreducible
+    shuffle of any corpus-frequency table. No reference counterpart.
+    """
+    terms = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.countDistinct("__id").alias("doc_freq"),
+        )
+        .where(
+            (F.col("count") >= min_count)
+            & (F.col("doc_freq") >= min_doc_freq)
+        )
+    )
+
+
 def text_fingerprint(
     df: DataFrame,
     id_col: str,

@@ -654,6 +654,17 @@ class NearestCentroid(AbstractStep):
     centroid_column: str = "centroid"
 
 
+class BuildVocab(AbstractStep):
+    """Corpus vocabulary table ``(term, count, doc_freq)`` with frequency
+    floors — tokenizer-training prep."""
+
+    operation: Literal["build_vocab"] = "build_vocab"
+    id_column: str
+    text_column: str = "text"
+    min_count: int = 1
+    min_doc_freq: int = 1
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -706,6 +717,7 @@ AnyStep = Annotated[
         PackSequences,
         LabelCentroids,
         NearestCentroid,
+        BuildVocab,
     ],
     Field(discriminator="operation"),
 ]

@@ -91,6 +91,7 @@ from data_validation_engine_spark.steps.configs import (
     PackSequences,
     LabelCentroids,
     NearestCentroid,
+    BuildVocab,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -158,6 +159,7 @@ class StepEngine:
             PackSequences: self.pack_sequences,
             LabelCentroids: self.label_centroids,
             NearestCentroid: self.nearest_centroid,
+            BuildVocab: self.build_vocab,
             LanguageId: self.lang_id,
             TfIdfTopTerms: self.tfidf_top_terms,
             TextFingerprint: self.text_fingerprint,
@@ -799,6 +801,20 @@ class StepEngine:
             vec_col=config.vector_column,
             label_col=config.label_column,
             centroid_col=config.centroid_column,
+        )
+        return None
+
+    def build_vocab(
+        self, entities: Entities, *, config: BuildVocab
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.text import build_vocab
+
+        entities[config.output_name] = build_vocab(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            min_count=config.min_count,
+            min_doc_freq=config.min_doc_freq,
         )
         return None
 

@@ -1619,3 +1619,50 @@ def test_centroid_steps_match_library(spark):
 
     assert freeze(ents["cents"]) == freeze(lib_c)
     assert freeze(ents["assigned"]) == freeze(lib_a)
+
+
+def test_build_vocab_counts_and_floors(spark):
+    from data_validation_engine_spark.llmops import build_vocab
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b c"),
+            (2, "a b"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    all_terms = {
+        r["term"]: (r["count"], r["doc_freq"])
+        for r in build_vocab(df, "doc_id", "text").collect()
+    }
+    assert all_terms == {"a": (3, 2), "b": (2, 2), "c": (1, 1)}
+    floored = {
+        r["term"]
+        for r in build_vocab(
+            df, "doc_id", "text", min_count=2, min_doc_freq=2
+        ).collect()
+    }
+    assert floored == {"a", "b"}
+
+
+def test_build_vocab_declarable_step(spark):
+    from data_validation_engine_spark.llmops import build_vocab
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ents = {"documents": docs}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {"operation": "build_vocab", "entity_name": "documents",
+             "id_column": "doc_id", "min_count": 3,
+             "new_entity_name": "vocab"}
+        ),
+    )
+    step = {tuple(r) for r in ents["vocab"].collect()}
+    lib = {
+        tuple(r)
+        for r in build_vocab(docs, "doc_id", "text", min_count=3).collect()
+    }
+    assert step == lib and len(lib) > 0
