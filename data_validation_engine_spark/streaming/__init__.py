@@ -13,6 +13,7 @@ from data_validation_engine_spark.streaming.filters import (
     read_entity_stream,
     start_message_sink,
     streaming_exact_dedup,
+    streaming_incremental_dedup,
     streaming_sync_filters,
     windowed_counts,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "sessionize",
     "start_message_sink",
     "streaming_exact_dedup",
+    "streaming_incremental_dedup",
     "streaming_rolling_counts",
     "streaming_sessionize",
     "streaming_sync_filters",

@@ -140,6 +140,57 @@ def streaming_exact_dedup(
     return sdf.dropDuplicates(key_cols)
 
 
+def streaming_incremental_dedup(
+    sdf: DataFrame,
+    corpus_df: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    normalize_text: bool = False,
+    ts_col: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Continuous-ingestion dedup: drop stream rows whose key already
+    exists in a STATIC corpus, then dedup within the stream itself.
+
+    The corpus side is the batch operator's 32-byte key projection
+    (llmops.dedup.incremental_exact_dedup's ``_key``), joined stream-static
+    LEFT ANTI — stateless and stream-legal at any corpus size (Spark
+    broadcasts or shuffles the static side once per micro-batch; at 100 TB
+    the corpus keys are a maintained side-table, same plan). Intra-stream
+    duplicates then dedup with the watermark-bounded state of
+    :func:`streaming_exact_dedup`. Composition of two proven parts — the
+    parity test pins it against the batch ``incremental_exact_dedup``.
+    """
+    from pyspark.sql import functions as F
+
+    if not sdf.isStreaming:
+        raise ConfigurationError(
+            "streaming_incremental_dedup requires a streaming DataFrame; "
+            "use llmops.incremental_exact_dedup for batch"
+        )
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    def _key(cols: list[str]):
+        parts = [F.col(c).cast("string") for c in cols]
+        if normalize_text:
+            parts = [
+                F.trim(F.regexp_replace(F.lower(p), r"\s+", " "))
+                for p in parts
+            ]
+        return F.md5(F.concat_ws("", *parts))
+
+    corpus_keys = corpus_df.select(_key(key_cols).alias("__dedup_key"))
+    fresh = (
+        sdf.withColumn("__dedup_key", _key(key_cols))
+        .join(corpus_keys, on="__dedup_key", how="left_anti")
+        .drop("__dedup_key")
+    )
+    return streaming_exact_dedup(
+        fresh, key_cols, ts_col=ts_col, watermark=watermark
+    )
+
+
 def windowed_counts(
     sdf: DataFrame,
     ts_col: str,

@@ -743,3 +743,70 @@ def test_streaming_chunk_and_scrub_lift_unchanged(spark, tmp_path):
     got2 = {tuple(r) for r in spark.read.parquet(out2).collect()}
     want2 = {tuple(r) for r in pii_scrub(batch, "doc_id", "text").collect()}
     assert got2 == want2 and len(got2) > 0
+
+
+def test_streaming_incremental_dedup_matches_batch_keys(spark, tmp_path):
+    """Continuous-ingestion dedup vs a static corpus: the streamed
+    survivor KEY SET equals the batch incremental_exact_dedup key set
+    (the batch operator picks the order-min representative, the stream
+    keeps first-arrival — the kept keys must be identical either way)."""
+    import shutil
+
+    from data_validation_engine_spark.llmops import incremental_exact_dedup
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where("doc_id % 3 = 0")
+    # the batch: planted corpus-dup (text already in corpus), planted
+    # intra-batch dup (same text twice), and fresh rows
+    batch = (
+        docs.where("doc_id % 3 = 1")
+        .unionAll(corpus.limit(20))                  # corpus dups
+        .unionAll(docs.where("doc_id % 3 = 1").limit(10))  # intra dups
+    )
+    d = tmp_path / "batch_src"
+    d.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    sdf = streaming_incremental_dedup(
+        read_entity_stream(spark, str(d), batch.schema),
+        corpus,
+        "text",
+    )
+    out = str(tmp_path / "inc_out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_keys = {
+        r["text"] for r in spark.read.parquet(out).select("text").collect()
+    }
+    want_keys = {
+        r["text"]
+        for r in incremental_exact_dedup(
+            batch, corpus, "text", order_col="doc_id"
+        ).collect()
+    }
+    assert got_keys == want_keys and len(got_keys) > 0
+    # corpus texts never survive
+    assert not (got_keys & {r["text"] for r in corpus.collect()})
+
+
+def test_streaming_incremental_dedup_rejects_batch_frame(spark):
+    import pytest as _pytest
+
+    from data_validation_engine_spark.errors import ConfigurationError
+    from data_validation_engine_spark.streaming import (
+        streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with _pytest.raises(ConfigurationError):
+        streaming_incremental_dedup(docs, docs, "text")
