@@ -810,3 +810,49 @@ def test_streaming_incremental_dedup_rejects_batch_frame(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with _pytest.raises(ConfigurationError):
         streaming_incremental_dedup(docs, docs, "text")
+
+
+def test_streaming_multimodal_transform_lifts_unchanged(spark, tmp_path):
+    """The Arrow-batched binary transform (mapInPandas bytes-to-bytes) is
+    stream-legal: draining an availableNow stream through transform_binary
+    emits row-identical output to the batch path — the multimodal decode/
+    resize plumbing needs zero new code for continuous ingestion."""
+    import shutil
+
+    from data_validation_engine_spark.llmops.multimodal import (
+        attach_binary,
+        fake_resizer,
+        transform_binary,
+    )
+    from data_validation_engine_spark.streaming import read_entity_stream
+
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def run(df):
+        wrapped = attach_binary(df, "text")
+        return transform_binary(
+            wrapped, "doc_id", transform=fake_resizer(32)
+        )
+
+    sdf = run(read_entity_stream(spark, str(d), batch.schema))
+    out = str(tmp_path / "mm_out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_mm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+        for r in run(batch).collect()
+    }
+    assert got == want and len(got) == batch.count()
