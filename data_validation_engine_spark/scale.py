@@ -182,3 +182,36 @@ def plan_report(df: DataFrame) -> dict:
         and "PushedFilters: []" not in plan,
         "window_group_limit": "WindowGroupLimit" in plan,
     }
+
+
+def entity_read_counts(steps) -> dict[str, int]:
+    """Static ref-count pass over a parsed step list: how many steps READ
+    each entity name (``entity_name`` on every step, ``target_name`` on
+    join-like steps).
+
+    This is the driver-side analysis SURVEY §7 leaves as the persist-
+    placement hook: an entity read by N>1 steps recomputes its whole
+    lineage N times unless persisted. The count is static and name-based —
+    a ``copy_entity``/``rename_entity`` read counts against the SOURCE
+    name; reads of the new name count separately (which is exactly how the
+    lineage behaves: the copy shares the source's plan until persisted).
+    """
+    counts: dict[str, int] = {}
+    for step in steps:
+        for attr in ("entity_name", "target_name"):
+            name = getattr(step, attr, None)
+            if name:
+                counts[name] = counts.get(name, 0) + 1
+        for name in getattr(step, "entity_names", None) or ():
+            counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def hot_entities(steps, *, threshold: int = 2) -> set[str]:
+    """Entity names read by at least ``threshold`` steps — the candidates
+    worth ``persist()``-ing before running the list."""
+    return {
+        name
+        for name, n in entity_read_counts(steps).items()
+        if n >= threshold
+    }

@@ -187,11 +187,52 @@ class StepEngine:
             raise ConfigurationError(f"unsupported step type {type(config).__name__}")
         return handler(entities, config=config)
 
-    def run(self, entities: Entities, steps: list[AnyStep]) -> Messages:
-        """Evaluate a list of steps in order; returns the unioned messages."""
+    def run(
+        self,
+        entities: Entities,
+        steps: list[AnyStep],
+        *,
+        persist_reused: bool = False,
+        persist_threshold: int = 2,
+    ) -> Messages:
+        """Evaluate a list of steps in order; returns the unioned messages.
+
+        ``persist_reused=True`` runs the driver-side ref-count pass
+        (scale.entity_read_counts — the SURVEY §7 persist-placement hook)
+        and persists every entity read by >= ``persist_threshold`` steps
+        the first time it is seen, so an N-consumer lineage computes once
+        instead of N times. Persists register with the engine's cache list
+        — call :meth:`cleanup` when the run's outputs have been
+        materialised. Opt-in: persisting trades executor memory for
+        recompute, a call the optimizer cannot make statically.
+        """
+        from pyspark import StorageLevel
+
+        from data_validation_engine_spark.scale import hot_entities
+
+        hot = (
+            hot_entities(steps, threshold=persist_threshold)
+            if persist_reused
+            else set()
+        )
+        pinned: set[int] = set()
+
+        def _pin_hot() -> None:
+            for name in hot & set(entities.keys()):
+                frame = entities[name]
+                if id(frame) not in pinned:
+                    entities[name] = frame.persist(
+                        StorageLevel.MEMORY_AND_DISK
+                    )
+                    self._persisted.append(entities[name])
+                    pinned.add(id(entities[name]))
+
+        _pin_hot()
         collector = MessageCollector()
         for step in steps:
             collector.add(self.evaluate(entities, config=step))
+            if hot:
+                _pin_hot()
         return collector.union()
 
     # -- column / projection ----------------------------------------------

@@ -538,3 +538,81 @@ def test_identify_orphans_sub_millisecond_timestamps(engine, spark):
         for r in entities["evts"].collect()
     }
     assert flags == {1: False, 2: True}
+
+
+# -- driver-side ref-count persist placement (SURVEY §7 optional hook) ---------
+
+
+def test_entity_read_counts_and_hot_set():
+    from data_validation_engine_spark.scale import (
+        entity_read_counts,
+        hot_entities,
+    )
+    from data_validation_engine_spark.steps import parse_step
+
+    steps = [
+        parse_step({"operation": "add", "entity_name": "a",
+                    "column_name": "x", "expression": "1"}),
+        parse_step({"operation": "left_join", "entity_name": "a",
+                    "target_name": "b",
+                    "join_condition": "a.k = b.k"}),
+        parse_step({"operation": "inner_join", "entity_name": "c",
+                    "target_name": "b",
+                    "join_condition": "c.k = b.k"}),
+        parse_step({"operation": "remove_entity", "entity_names": ["b"]}),
+    ]
+    counts = entity_read_counts(steps)
+    assert counts == {"a": 2, "b": 3, "c": 1}
+    assert hot_entities(steps) == {"a", "b"}
+    assert hot_entities(steps, threshold=3) == {"b"}
+
+
+def test_run_persist_reused_matches_plain_run(spark):
+    """persist_reused changes caching, never results: the multi-consumer
+    step list produces identical entities either way, and the reused
+    input is registered for unpersist."""
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    steps = [
+        parse_step(
+            {"operation": "group_by", "entity_name": "orders",
+             "group_by": "o_custkey",
+             "agg_columns": {"count(1)": "n"},
+             "new_entity_name": "per_cust"}
+        ),
+        parse_step(
+            {"operation": "left_join", "entity_name": "customer",
+             "target_name": "per_cust",
+             "join_condition": "customer.c_custkey = per_cust.o_custkey",
+             "new_columns": {"per_cust.n": "n_orders"}}
+        ),
+        parse_step(
+            {"operation": "semi_join", "entity_name": "customer",
+             "target_name": "per_cust",
+             "join_condition": "customer.c_custkey = per_cust.o_custkey"}
+        ),
+    ]
+
+    def load():
+        return {
+            "orders": spark.read.parquet(
+                "/root/testdata/sf0.001/orders.parquet"
+            ),
+            "customer": spark.read.parquet(
+                "/root/testdata/sf0.001/customer.parquet"
+            ),
+        }
+
+    plain_ents = load()
+    StepEngine(spark).run(plain_ents, steps)
+    plain = {tuple(r) for r in plain_ents["customer"].collect()}
+
+    eng = StepEngine(spark)
+    cached_ents = load()
+    eng.run(cached_ents, steps, persist_reused=True)
+    cached = {tuple(r) for r in cached_ents["customer"].collect()}
+    assert cached == plain
+    # per_cust is read twice -> it must be in the engine's cache registry
+    assert cached_ents["per_cust"].storageLevel.useMemory
+    eng.cleanup()
+    assert not cached_ents["per_cust"].storageLevel.useMemory
