@@ -215,3 +215,83 @@ def hot_entities(steps, *, threshold: int = 2) -> set[str]:
         for name, n in entity_read_counts(steps).items()
         if n >= threshold
     }
+
+
+def zorder_key(
+    cols: list[Column],
+    mins: list[float],
+    maxs: list[float],
+    *,
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key over numeric columns: each value is scaled to
+    ``[0, 2^bits)`` against its [min, max] domain and the dimensions'
+    bits are interleaved.
+
+    Lexicographic range clustering on (a, b) gives file skipping on ``a``
+    but none on ``b`` alone; the Morton key preserves locality in EVERY
+    dimension at once, so parquet min/max stats prune files for
+    predicates on any clustered column — the multi-dim layout lever
+    behind Delta/Iceberg's OPTIMIZE ZORDER, built from plain bitwise
+    expressions (JVM-side, no UDF). ``bits * len(cols)`` must fit a
+    signed 64-bit key.
+    """
+    if bits * len(cols) > 62:
+        raise ValueError("bits * dimensions must be <= 62 (long key)")
+    max_bucket = (1 << bits) - 1
+    scaled = []
+    for col, mn, mx in zip(cols, mins, maxs):
+        if mx > mn:
+            s = F.floor(
+                (col.cast("double") - F.lit(float(mn)))
+                * F.lit(float(max_bucket))
+                / F.lit(float(mx - mn))
+            )
+            # clamp: values at/above max land in the top bucket
+            s = F.least(F.greatest(s, F.lit(0)), F.lit(max_bucket))
+        else:
+            s = F.lit(0)
+        scaled.append(s.cast("long"))
+    ndims = len(scaled)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * ndims + d))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    bits: int = 16,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-order-clustered on numeric ``cluster_cols``.
+
+    One tiny aggregation computes each column's [min, max] (a 2-row
+    driver fetch, bounded at any scale), then rows range-partition and
+    sort on the Morton key — one shuffle at write time, multi-dimensional
+    file skipping on every read after.
+    """
+    aggs = []
+    for c in cluster_cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).first()
+    mins = [float(row[f"__mn_{c}"]) for c in cluster_cols]
+    maxs = [float(row[f"__mx_{c}"]) for c in cluster_cols]
+    key = zorder_key(
+        [F.col(c) for c in cluster_cols], mins, maxs, bits=bits
+    )
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(parts, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
