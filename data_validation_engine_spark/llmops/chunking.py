@@ -56,10 +56,18 @@ def chunk_documents(
     )
     out = df.select(
         F.col(id_col),
+        n.alias("__n"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     )
-    return out.withColumn(
-        "n_chunk_tokens", F.size(tokens_col(F.col("chunk_text")))
+    # token count by integer arithmetic (the slice length), not a second
+    # regex pass over every chunk's text
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.least(
+            F.lit(chunk_tokens), F.col("__n") - F.col("chunk_idx") * step
+        ).alias("n_chunk_tokens"),
     )
 
 

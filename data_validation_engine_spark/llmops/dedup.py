@@ -613,6 +613,28 @@ def minhash_dedup(
     return df.join(drops, on=id_col, how="left_anti")
 
 
+def dedup_key(
+    key_cols: list[str] | str, *, normalize_text: bool = False
+) -> Column:
+    """The canonical 32-byte dedup key: md5 of the key columns cast to
+    string and joined with a \\x01 separator (so ("ab","c") and
+    ("a","bc") can never collide), optionally canonicalised first
+    (lowercase, collapse whitespace).
+
+    THE single definition: exact_dedup, incremental_exact_dedup, and
+    streaming.streaming_incremental_dedup all key on this expression, so
+    batch/stream/corpus key sets can never drift apart.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    parts = [F.col(c).cast("string") for c in key_cols]
+    if normalize_text:
+        parts = [
+            F.trim(F.regexp_replace(F.lower(p), r"\s+", " ")) for p in parts
+        ]
+    return F.md5(F.concat_ws("", *parts))
+
+
 def exact_dedup(
     df: DataFrame,
     key_cols: list[str] | str,
@@ -628,16 +650,9 @@ def exact_dedup(
     ``normalize_text=True`` canonicalises each key part first (lowercase,
     collapse whitespace) — "same text modulo whitespace/case" dedup.
     """
-    if isinstance(key_cols, str):
-        key_cols = [key_cols]
-    parts = [F.col(c).cast("string") for c in key_cols]
-    if normalize_text:
-        parts = [
-            F.trim(F.regexp_replace(F.lower(p), r"\s+", " ")) for p in parts
-        ]
-    key = F.md5(F.concat_ws("", *parts))
-
-    keyed = df.withColumn("__dedup_key", key)
+    keyed = df.withColumn(
+        "__dedup_key", dedup_key(key_cols, normalize_text=normalize_text)
+    )
     # min_by keeps the whole winning row without a second join-back pass
     survivors = keyed.groupBy("__dedup_key").agg(
         F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(order_col)).alias(
@@ -839,24 +854,14 @@ def incremental_exact_dedup(
     key-projection scan only (at 100 TB the corpus keys can be a
     maintained parquet side-table instead of a rescan — same plan).
     """
-    if isinstance(key_cols, str):
-        key_cols = [key_cols]
-
-    def _key(frame: DataFrame) -> Column:
-        parts = [F.col(c).cast("string") for c in key_cols]
-        if normalize_text:
-            parts = [
-                F.trim(F.regexp_replace(F.lower(p), r"\s+", " "))
-                for p in parts
-            ]
-        return F.md5(F.concat_ws("", *parts))
+    key = dedup_key(key_cols, normalize_text=normalize_text)
 
     batch_survivors = exact_dedup(
         new_df, key_cols, order_col=order_col, normalize_text=normalize_text
     )
-    corpus_keys = corpus_df.select(_key(corpus_df).alias("__dedup_key"))
+    corpus_keys = corpus_df.select(key.alias("__dedup_key"))
     return (
-        batch_survivors.withColumn("__dedup_key", _key(batch_survivors))
+        batch_survivors.withColumn("__dedup_key", key)
         .join(corpus_keys, on="__dedup_key", how="left_anti")
         .drop("__dedup_key")
     )

@@ -61,11 +61,21 @@ def grouped_vector_sum(
     must be unique per row within a group (any total order works; ids are
     the natural choice).
     """
+    seg = F.when(
+        F.col("__ord") >= 0, F.expr(f"__ord div {segment_size}")
+    ).otherwise(-F.expr(f"(-__ord + {segment_size - 1}) div {segment_size}"))
     base = df.select(
         *group_cols,
         F.col(order_col).alias("__ord"),
-        F.expr(f"{order_col} div {segment_size}").alias("__seg"),
         F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        *group_cols,
+        "__ord",
+        # FLOOR division in exact long arithmetic (Spark `div` truncates
+        # toward zero; DuckDB `//` floors — negative order values must
+        # bucket identically in both engines)
+        seg.alias("__seg"),
+        "__v",
     )
     seg_sums = base.groupBy(*group_cols, "__seg").agg(
         F.count(F.lit(1)).alias("__n"),

@@ -194,7 +194,8 @@ def entity_read_counts(steps) -> dict[str, int]:
     lineage N times unless persisted. The count is static and name-based —
     a ``copy_entity``/``rename_entity`` read counts against the SOURCE
     name; reads of the new name count separately (which is exactly how the
-    lineage behaves: the copy shares the source's plan until persisted).
+    lineage behaves: the copy shares the source's plan until persisted);
+    ``remove_entity`` is not a read.
     """
     counts: dict[str, int] = {}
     for step in steps:
@@ -202,8 +203,9 @@ def entity_read_counts(steps) -> dict[str, int]:
             name = getattr(step, attr, None)
             if name:
                 counts[name] = counts.get(name, 0) + 1
-        for name in getattr(step, "entity_names", None) or ():
-            counts[name] = counts.get(name, 0) + 1
+        # entity_names (remove_entity) is deliberately NOT counted: a
+        # removal deletes the dict entry without computing the lineage,
+        # so it is not a read and must not inflate persist decisions
     return counts
 
 
@@ -247,8 +249,12 @@ def zorder_key(
                 * F.lit(float(max_bucket))
                 / F.lit(float(mx - mn))
             )
-            # clamp: values at/above max land in the top bucket
-            s = F.least(F.greatest(s, F.lit(0)), F.lit(max_bucket))
+            # clamp: values at/above max land in the top bucket; NULLs
+            # land in bucket 0 (kept, clustered together) instead of
+            # propagating a NULL key into one degenerate range partition
+            s = F.coalesce(
+                F.least(F.greatest(s, F.lit(0)), F.lit(max_bucket)), F.lit(0)
+            )
         else:
             s = F.lit(0)
         scaled.append(s.cast("long"))
@@ -281,6 +287,13 @@ def write_zordered(
     for c in cluster_cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     row = df.agg(*aggs).first()
+    for c in cluster_cols:
+        if row[f"__mn_{c}"] is None:
+            raise ValueError(
+                f"write_zordered: cluster column {c!r} has no non-NULL "
+                "values (empty input or all-NULL column) — no domain to "
+                "scale against"
+            )
     mins = [float(row[f"__mn_{c}"]) for c in cluster_cols]
     maxs = [float(row[f"__mx_{c}"]) for c in cluster_cols]
     key = zorder_key(

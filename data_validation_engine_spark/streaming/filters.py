@@ -152,43 +152,39 @@ def streaming_incremental_dedup(
     """Continuous-ingestion dedup: drop stream rows whose key already
     exists in a STATIC corpus, then dedup within the stream itself.
 
-    The corpus side is the batch operator's 32-byte key projection
-    (llmops.dedup.incremental_exact_dedup's ``_key``), joined stream-static
-    LEFT ANTI — stateless and stream-legal at any corpus size (Spark
-    broadcasts or shuffles the static side once per micro-batch; at 100 TB
-    the corpus keys are a maintained side-table, same plan). Intra-stream
-    duplicates then dedup with the watermark-bounded state of
-    :func:`streaming_exact_dedup`. Composition of two proven parts — the
-    parity test pins it against the batch ``incremental_exact_dedup``.
+    Both sides key on the SHARED ``llmops.dedup.dedup_key`` expression
+    (one definition, so batch/stream/corpus key sets can never drift),
+    joined stream-static LEFT ANTI — stateless and stream-legal at any
+    corpus size (Spark broadcasts or shuffles the static side once per
+    micro-batch; at 100 TB the corpus keys are a maintained side-table,
+    same plan). Intra-stream duplicates then dedup on the SAME key column
+    with the watermark-bounded state of :func:`streaming_exact_dedup`, so
+    ``normalize_text`` applies to both stages exactly as it does in the
+    batch ``incremental_exact_dedup`` — the parity test pins the key sets
+    against it.
     """
-    from pyspark.sql import functions as F
+    from data_validation_engine_spark.llmops.dedup import dedup_key
 
     if not sdf.isStreaming:
         raise ConfigurationError(
             "streaming_incremental_dedup requires a streaming DataFrame; "
             "use llmops.incremental_exact_dedup for batch"
         )
-    if isinstance(key_cols, str):
-        key_cols = [key_cols]
+    if corpus_df.isStreaming:
+        raise ConfigurationError(
+            "streaming_incremental_dedup needs a STATIC corpus_df (a "
+            "streaming right side of a left-anti join is unsupported); "
+            "snapshot the corpus or maintain its key side-table"
+        )
 
-    def _key(cols: list[str]):
-        parts = [F.col(c).cast("string") for c in cols]
-        if normalize_text:
-            parts = [
-                F.trim(F.regexp_replace(F.lower(p), r"\s+", " "))
-                for p in parts
-            ]
-        return F.md5(F.concat_ws("", *parts))
-
-    corpus_keys = corpus_df.select(_key(key_cols).alias("__dedup_key"))
-    fresh = (
-        sdf.withColumn("__dedup_key", _key(key_cols))
-        .join(corpus_keys, on="__dedup_key", how="left_anti")
-        .drop("__dedup_key")
+    key = dedup_key(key_cols, normalize_text=normalize_text)
+    corpus_keys = corpus_df.select(key.alias("__dedup_key"))
+    fresh = sdf.withColumn("__dedup_key", key).join(
+        corpus_keys, on="__dedup_key", how="left_anti"
     )
     return streaming_exact_dedup(
-        fresh, key_cols, ts_col=ts_col, watermark=watermark
-    )
+        fresh, ["__dedup_key"], ts_col=ts_col, watermark=watermark
+    ).drop("__dedup_key")
 
 
 def windowed_counts(

@@ -1666,3 +1666,21 @@ def test_build_vocab_declarable_step(spark):
         for r in build_vocab(docs, "doc_id", "text", min_count=3).collect()
     }
     assert step == lib and len(lib) > 0
+
+
+def test_label_centroids_negative_order_floor_semantics(spark):
+    """Segment bucketing uses FLOOR division (DuckDB `//`), not Spark's
+    truncate-toward-zero `div` — negative order values must land in the
+    same segments in both engines for the fold to be bit-identical."""
+    from data_validation_engine_spark.llmops import label_centroids
+
+    df = spark.createDataFrame(
+        [(-1, 0, [1.0, 2.0]), (1, 0, [3.0, 4.0]), (-65, 0, [5.0, 6.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    row = label_centroids(
+        df, "label", "vec_id", "embedding", dim=2, segment_size=64
+    ).first()
+    # floor buckets: -65 -> -2, -1 -> -1, 1 -> 0; fold order is
+    # (5,6) then (1,2) then (3,4) -> mean (3, 4)
+    assert row["n"] == 3 and row["centroid"] == [3.0, 4.0]

@@ -476,3 +476,18 @@ def test_write_zordered_skips_in_every_dimension(spark, tmp_path):
         == spark.read.parquet(lpath).count()
         == events.count()
     )
+
+
+def test_write_zordered_guards_empty_and_nulls(spark, tmp_path):
+    from data_validation_engine_spark.scale import write_zordered
+
+    empty = spark.createDataFrame([], "a int, b int")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        write_zordered(empty, str(tmp_path / "e"), ["a", "b"])
+    # NULL cluster values cluster into bucket 0 and survive the round-trip
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "a int, b int"
+    )
+    p = str(tmp_path / "n")
+    write_zordered(df, p, ["a", "b"], num_partitions=2)
+    assert spark.read.parquet(p).count() == 3

@@ -562,9 +562,10 @@ def test_entity_read_counts_and_hot_set():
         parse_step({"operation": "remove_entity", "entity_names": ["b"]}),
     ]
     counts = entity_read_counts(steps)
-    assert counts == {"a": 2, "b": 3, "c": 1}
+    # remove_entity is NOT a read (it deletes without computing lineage)
+    assert counts == {"a": 2, "b": 2, "c": 1}
     assert hot_entities(steps) == {"a", "b"}
-    assert hot_entities(steps, threshold=3) == {"b"}
+    assert hot_entities(steps, threshold=3) == set()
 
 
 def test_run_persist_reused_matches_plain_run(spark):

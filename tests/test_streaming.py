@@ -856,3 +856,68 @@ def test_streaming_multimodal_transform_lifts_unchanged(spark, tmp_path):
         for r in run(batch).collect()
     }
     assert got == want and len(got) == batch.count()
+
+
+def test_streaming_incremental_dedup_normalized_parity(spark, tmp_path):
+    """normalize_text applies to BOTH stages (corpus anti-join AND
+    intra-stream dedup), matching batch semantics: whitespace/case
+    variants of one text keep exactly one survivor."""
+    from data_validation_engine_spark.llmops import incremental_exact_dedup
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "known text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "Foo  Bar"), (2, "foo bar"), (3, "KNOWN   text"),
+         (4, "fresh thing")],
+        "doc_id long, text string",
+    )
+    d = tmp_path / "src"
+    d.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(d))
+    sdf = streaming_incremental_dedup(
+        read_entity_stream(spark, str(d), batch.schema),
+        corpus, "text", normalize_text=True,
+    )
+    out = str(tmp_path / "out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            batch, corpus, "text", order_col="doc_id", normalize_text=True
+        ).collect()
+    )
+    # 3 drops (corpus dup modulo case/whitespace); {1,2} collapse to one
+    assert len(got) == len(want) == 2 and 4 in got and 3 not in got
+
+
+def test_streaming_incremental_dedup_rejects_streaming_corpus(spark, tmp_path):
+    import shutil
+
+    import pytest as _pytest
+
+    from data_validation_engine_spark.errors import ConfigurationError
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_incremental_dedup,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "p.parquet")
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream = read_entity_stream(spark, str(d), schema)
+    with _pytest.raises(ConfigurationError):
+        streaming_incremental_dedup(stream, stream, "text")
