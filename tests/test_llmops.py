@@ -1684,3 +1684,37 @@ def test_label_centroids_negative_order_floor_semantics(spark):
     # floor buckets: -65 -> -2, -1 -> -1, 1 -> 0; fold order is
     # (5,6) then (1,2) then (3,4) -> mean (3, 4)
     assert row["n"] == 3 and row["centroid"] == [3.0, 4.0]
+
+
+def test_ivf_served_by_engine_trained_centroids(spark):
+    """Composition: the deterministic label centroids double as an IVF
+    coarse quantizer trained BY the engine itself — per-label prototypes
+    become the cell layout, and the probe still returns exact cosines
+    from the pruned cells (recall >= the same-k probe under the
+    placeholder quantizer, since label cells align with the corpus
+    structure)."""
+    from data_validation_engine_spark.llmops import (
+        cosine_topk,
+        ivf_topk,
+        label_centroids,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        list(r["centroid"])
+        for r in label_centroids(
+            embs, "label", "vec_id", "embedding", dim=64
+        ).orderBy("label").collect()
+    ]
+    q = embs.where("vec_id = 0")
+    got = ivf_topk(embs, q, 10, centroids=cents, n_probe=4)
+    rows = got.collect()
+    assert len(rows) == 10
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    # probed-cell results are a subset of the exact brute-force ranking
+    exact = {
+        r["vec_id"]: r["cosine"] for r in cosine_topk(embs, q, 500).collect()
+    }
+    for r in rows:
+        assert exact[r["vec_id"]] == r["cosine"]
