@@ -1415,12 +1415,27 @@ def q_quality_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH-bucket self-join + exact cosine
-    verify (no all-pairs cross join)."""
-    from data_validation_engine_spark.llmops import embedding_neardup_pairs
+    """The bucket-self-join similarity surface in one row (tagged union):
+    'pair' rows are the embedding-cosine near-dup pairs (LSH-bucket
+    self-join + exact cosine verify, no all-pairs cross join); 'knn' rows
+    are the round-6 k-NN JOIN (top-3 same-bucket neighbours for EVERY
+    row, both directions of each candidate pair, rounded-cosine +
+    id-asc window cutoff)."""
+    from data_validation_engine_spark.llmops import (
+        embedding_neardup_pairs,
+        knn_join,
+    )
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(embs, threshold=0.3)
+    pairs = embedding_neardup_pairs(embs, threshold=0.3).selectExpr(
+        "'pair' AS op", "id_a AS a", "id_b AS b", "cosine AS x",
+        "CAST(-1 AS INT) AS r",
+    )
+    knn = knn_join(embs, 3).selectExpr(
+        "'knn' AS op", "vec_id AS a", "neighbour AS b", "cosine AS x",
+        "rank AS r",
+    )
+    return pairs.unionAll(knn)
 
 
 def q_bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2479,6 +2494,48 @@ def _similarity_topk_oracle(k: int = 20, dim: int = 64) -> str:
     """
 
 
+def _knn_join_oracle(k: int = 3, n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of llmops.similarity.knn_join (n_tables=1): same-bucket
+    pairs symmetrised, per-source window on (cosine DESC, neighbour ASC)."""
+    from data_validation_engine_spark.llmops.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+    bits = []
+    for plane in planes:
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        bits.append(
+            f"CASE WHEN {_duck_dot('embedding', lit, dim)} >= 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(bits)
+    cos = (
+        f"round({_duck_dot('a.__va', 'b.__vb', dim)} / "
+        f"(sqrt({_duck_dot('a.__va', 'a.__va', dim)}) * "
+        f"sqrt({_duck_dot('b.__vb', 'b.__vb', dim)})), 6)"
+    )
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ),
+        half AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+            FROM (SELECT vec_id, embedding AS __va, bucket FROM bucketed) a
+            JOIN (SELECT vec_id, embedding AS __vb, bucket FROM bucketed) b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        sym AS (
+            SELECT id_a, id_b, cosine FROM half
+            UNION ALL
+            SELECT id_b, id_a, cosine FROM half
+        )
+        SELECT id_a AS vec_id, id_b AS neighbour, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY id_a ORDER BY cosine DESC, id_b ASC
+            ) AS rank FROM sym
+        ) WHERE rank <= {k}
+    """
+
+
 def _similarity_ann_oracle(k: int = 10, n_planes: int = 4, dim: int = 64) -> str:
     from data_validation_engine_spark.llmops.similarity import hyperplanes
 
@@ -2907,7 +2964,14 @@ _LLMOPS_ORACLES: dict[str, str] = {
         SELECT 'assign', vec_id, CAST(clabel AS BIGINT), cosine, 0.0
         FROM assigned
     """,
-    "embedding_neardup": _embedding_neardup_oracle(threshold=0.3),
+    "embedding_neardup": f"""
+        SELECT 'pair' AS op, id_a AS a, id_b AS b, cosine AS x,
+               CAST(-1 AS INT) AS r
+        FROM ({_embedding_neardup_oracle(threshold=0.3)})
+        UNION ALL
+        SELECT 'knn', vec_id, neighbour, cosine, CAST(rank AS INT)
+        FROM ({_knn_join_oracle(k=3)})
+    """,
     "source_csv": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
     """,

@@ -78,6 +78,7 @@ from data_validation_engine_spark.llmops.similarity import (
     ann_topk_partitioned,
     cosine_topk,
     embedding_neardup_pairs,
+    knn_join,
     multiprobe_ann_topk,
     with_lsh_bucket,
     write_lsh_partitioned,
@@ -133,6 +134,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "ivf_assign",
     "ivf_topk",
+    "knn_join",
     "multiprobe_ann_topk",
     "with_lsh_bucket",
     "write_lsh_partitioned",

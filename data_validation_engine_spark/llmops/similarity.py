@@ -275,6 +275,89 @@ def embedding_neardup_pairs(
     )
 
 
+def knn_join(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 1,
+    dim: int = 64,
+    round_to: int = 6,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+) -> DataFrame:
+    """Approximate k-nearest-neighbour JOIN: top-``k`` same-bucket
+    neighbours for EVERY row — the all-rows variant of the single-probe
+    ANN (retrieval-eval tables, dedup clustering feeds, link graphs).
+
+    Candidates come from the skew-bounded LSH-bucket self-join (never an
+    all-pairs cross join), optionally OR-amplified across ``n_tables``
+    independent plane sets (union + pair dedup); each unordered candidate
+    pair serves BOTH directions; ranking is a per-source window on
+    ``(cosine DESC, neighbour id ASC)`` — rounded cosine + id tiebreak
+    keep the cutoff engine-exact. Rows whose bucket is a singleton in
+    every table emit no neighbours (the LSH contract).
+
+    Returns ``(id, neighbour, cosine, rank)``, ``rank`` in 1..k.
+    """
+    from pyspark.sql import Window
+
+    half_pairs = []
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, offset=t * n_planes)
+        bucketed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            bucket_col(F.col(vec_col), planes).alias("__bucket"),
+            norm_col(F.col(vec_col)).alias("__norm"),
+        )
+        half_pairs.append(
+            bounded_self_join(
+                bucketed,
+                ["__bucket"],
+                order_col=id_col,
+                max_bucket_rows=max_bucket_rows,
+                materialize=False,
+            ).select(
+                F.col(f"a.`{id_col}`").alias("id_a"),
+                F.col(f"b.`{id_col}`").alias("id_b"),
+                F.round(
+                    dot_col(F.col(f"a.`{vec_col}`"), F.col(f"b.`{vec_col}`"))
+                    / (F.col("a.`__norm`") * F.col("b.`__norm`")),
+                    round_to,
+                ).alias("cosine"),
+            )
+        )
+    half = half_pairs[0]
+    for extra in half_pairs[1:]:
+        half = half.unionAll(extra)
+    if n_tables > 1:
+        # the same pair can surface from several tables; cosine is
+        # identical every time, so distinct is an exact dedup
+        half = half.distinct()
+    sym = half.unionAll(
+        half.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbour"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def ann_topk(
     df: DataFrame,
     query: DataFrame,

@@ -654,6 +654,20 @@ class NearestCentroid(AbstractStep):
     centroid_column: str = "centroid"
 
 
+class KnnJoin(AbstractStep):
+    """Approximate k-NN JOIN: top-k same-LSH-bucket neighbours for every
+    row (skew-bounded bucket self-join; optional OR-amplification across
+    ``n_tables`` plane sets)."""
+
+    operation: Literal["knn_join"] = "knn_join"
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    k: int = 10
+    n_planes: int = 6
+    n_tables: int = 1
+    dim: int = 64
+
+
 class BuildVocab(AbstractStep):
     """Corpus vocabulary table ``(term, count, doc_freq)`` with frequency
     floors — tokenizer-training prep."""
@@ -718,6 +732,7 @@ AnyStep = Annotated[
         LabelCentroids,
         NearestCentroid,
         BuildVocab,
+        KnnJoin,
     ],
     Field(discriminator="operation"),
 ]

@@ -92,6 +92,7 @@ from data_validation_engine_spark.steps.configs import (
     LabelCentroids,
     NearestCentroid,
     BuildVocab,
+    KnnJoin,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -160,6 +161,7 @@ class StepEngine:
             LabelCentroids: self.label_centroids,
             NearestCentroid: self.nearest_centroid,
             BuildVocab: self.build_vocab,
+            KnnJoin: self.knn_join,
             LanguageId: self.lang_id,
             TfIdfTopTerms: self.tfidf_top_terms,
             TextFingerprint: self.text_fingerprint,
@@ -842,6 +844,20 @@ class StepEngine:
             vec_col=config.vector_column,
             label_col=config.label_column,
             centroid_col=config.centroid_column,
+        )
+        return None
+
+    def knn_join(self, entities: Entities, *, config: KnnJoin) -> Messages:
+        from data_validation_engine_spark.llmops.similarity import knn_join
+
+        entities[config.output_name] = knn_join(
+            entities[config.entity_name],
+            config.k,
+            id_col=config.id_column,
+            vec_col=config.vector_column,
+            n_planes=config.n_planes,
+            n_tables=config.n_tables,
+            dim=config.dim,
         )
         return None
 

@@ -1718,3 +1718,70 @@ def test_ivf_served_by_engine_trained_centroids(spark):
     }
     for r in rows:
         assert exact[r["vec_id"]] == r["cosine"]
+
+
+def test_knn_join_all_rows_ranked(spark, embs):
+    from data_validation_engine_spark.llmops import knn_join
+
+    out = knn_join(embs, 3, dim=8, n_planes=2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["vec_id"], []).append(r)
+    assert len(by_src) > 1
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbour"] != src for r in rows)
+
+
+def test_knn_join_symmetric_candidates(spark):
+    """Every candidate pair serves both directions: if b is in a's
+    same-bucket candidate set, a is in b's (ranks may differ)."""
+    from data_validation_engine_spark.llmops import knn_join
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # k large enough to keep every candidate: directed edges come in pairs
+    out = knn_join(embs, 10_000)
+    edges = {(r["vec_id"], r["neighbour"]) for r in out.collect()}
+    assert edges and all((b, a) in edges for (a, b) in edges)
+
+
+def test_knn_join_or_amplification_adds_candidates(spark):
+    from data_validation_engine_spark.llmops import knn_join
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = knn_join(embs, 10_000, n_tables=1).count()
+    amplified = knn_join(embs, 10_000, n_tables=3).count()
+    assert amplified >= single
+
+
+def test_knn_join_plan_no_cartesian(spark):
+    from data_validation_engine_spark.llmops import knn_join
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        knn_join(embs, 5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_declarable_step(spark):
+    from data_validation_engine_spark.llmops import knn_join
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ents = {"embeddings": embs}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {"operation": "knn_join", "entity_name": "embeddings",
+             "k": 5, "new_entity_name": "knn"}
+        ),
+    )
+    step = {tuple(r) for r in ents["knn"].collect()}
+    lib = {tuple(r) for r in knn_join(embs, 5).collect()}
+    assert step == lib and len(lib) > 0
