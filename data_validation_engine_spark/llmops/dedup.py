@@ -583,6 +583,8 @@ def minhash_dedup(
     *,
     exact_components: bool = False,
     component_algorithm: str = "label",
+    quality_col: str | None = None,
+    higher_is_better: bool = True,
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one representative per cluster.
@@ -596,9 +598,39 @@ def minhash_dedup(
     ``component_algorithm="star"`` uses large-star/small-star (O(log² n)
     rounds) instead of label propagation (O(diameter) rounds) — for
     corpora whose duplicate clusters chain deeply.
+
+    ``quality_col`` switches survivor selection from min-id to
+    BEST-QUALITY (the production pipeline shape — keep the cleanest copy,
+    not the earliest): exact components are resolved, then each cluster
+    keeps its ``max(quality)`` member (``higher_is_better=False`` keeps
+    the min), ties broken by ascending id so the winner is deterministic
+    even on equal scores. One extra grouped aggregation per run.
     """
     pairs = minhash_pairs(df, id_col, text_col, **kwargs)
-    if exact_components:
+    if quality_col is not None:
+        cc = (
+            connected_components_star
+            if component_algorithm == "star"
+            else connected_components
+        )
+        members = cc(pairs).join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+            ),
+            on="id",
+        )
+        qkey = F.col("__q") if higher_is_better else -F.col("__q")
+        winners = members.groupBy("component").agg(
+            F.max_by(
+                F.col("id"), F.struct(qkey.alias("q"), (-F.col("id")).alias("t"))
+            ).alias("__win")
+        )
+        drops = (
+            members.join(winners, on="component")
+            .where(F.col("id") != F.col("__win"))
+            .select(F.col("id").alias(id_col))
+        )
+    elif exact_components:
         cc = (
             connected_components_star
             if component_algorithm == "star"

@@ -246,6 +246,10 @@ class MinHashDedup(AbstractStep):
     num_hashes: Optional[int] = None
     bands: Optional[int] = None
     exact_components: bool = False
+    # survivor selection: keep the best-QUALITY member per cluster instead
+    # of the minimum id (ties -> ascending id)
+    quality_column: Optional[str] = None
+    higher_is_better: bool = True
     # with exact_components: "label" propagates min labels (O(diameter)
     # rounds), "star" runs large-star/small-star (O(log² n) — deep chains)
     component_algorithm: Literal["label", "star"] = "label"

@@ -712,6 +712,8 @@ class StepEngine:
             config.text_column,
             exact_components=config.exact_components,
             component_algorithm=config.component_algorithm,
+            quality_col=config.quality_column,
+            higher_is_better=config.higher_is_better,
             **kwargs,
         )
         return None

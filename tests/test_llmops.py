@@ -1785,3 +1785,61 @@ def test_knn_join_declarable_step(spark):
     step = {tuple(r) for r in ents["knn"].collect()}
     lib = {tuple(r) for r in knn_join(embs, 5).collect()}
     assert step == lib and len(lib) > 0
+
+
+def test_minhash_dedup_best_quality_survivor(spark):
+    """quality_col switches survivor selection from min-id to best
+    quality per exact cluster (production shape: keep the cleanest copy);
+    ties break to the ascending id."""
+    from data_validation_engine_spark.llmops import minhash_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, DOC, 1.0),
+            (1, DOC, 9.0),   # same cluster as 0 and 3, best quality
+            (3, DOC, 9.0),   # ties with 1 -> 1 wins (lower id)
+            (2, OTHER, 0.1),  # unpaired: always survives
+        ],
+        "doc_id long, text string, quality double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "doc_id", "text", quality_col="quality"
+        ).collect()
+    }
+    assert kept == {1, 2}
+    worst = {
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "doc_id", "text",
+            quality_col="quality", higher_is_better=False,
+        ).collect()
+    }
+    assert worst == {0, 2}
+
+
+def test_minhash_dedup_quality_step_matches_library(spark):
+    from data_validation_engine_spark.llmops import minhash_dedup, text_stats
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("q", F.col("n_chars").cast("double"))
+    ents = {"documents": docs}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {"operation": "dedup_minhash", "entity_name": "documents",
+             "id_column": "doc_id", "text_column": "text",
+             "quality_column": "q", "new_entity_name": "kept"}
+        ),
+    )
+    step = {r["doc_id"] for r in ents["kept"].collect()}
+    lib = {
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "doc_id", "text", quality_col="q"
+        ).collect()
+    }
+    assert step == lib and 0 < len(lib) <= docs.count()
