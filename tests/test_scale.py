@@ -491,3 +491,19 @@ def test_write_zordered_guards_empty_and_nulls(spark, tmp_path):
     p = str(tmp_path / "n")
     write_zordered(df, p, ["a", "b"], num_partitions=2)
     assert spark.read.parquet(p).count() == 3
+
+
+def test_knn_join_shuffle_budget(spark):
+    """knn_join (single table): candidates ride the skew-bounded bucket
+    self-join and the final cutoff is one id-keyed window — no extra
+    exchanges beyond those two stages, no cartesian."""
+    from data_validation_engine_spark.llmops import knn_join
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = knn_join(embs, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket join (both sides) + block-tag scatter + window repartition:
+    # a bounded handful, not O(k) or O(tables)
+    assert count_shuffles(out) <= 6
