@@ -3125,7 +3125,9 @@ _LLMOPS_ORACLES: dict[str, str] = {
     "decontaminate": f"""
         WITH toked AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
         grams AS (
-            SELECT doc_id, unnest({_duck_shingles(5)}) AS gram FROM toked
+            SELECT doc_id,
+                   md5(unnest({_duck_shingles(5)})) AS gram
+            FROM toked
         ),
         bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
         hits AS (

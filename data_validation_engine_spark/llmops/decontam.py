@@ -45,8 +45,15 @@ def decontaminate(
 
     ``broadcast_benchmark=False`` falls back to a shuffle hash join for
     the (unusual) case of a benchmark too large to broadcast.
+
+    The match joins on ``md5(gram)`` rather than the raw n-gram string:
+    the broadcast side is 32 hex bytes per distinct benchmark n-gram
+    regardless of n-gram length, and md5-equality is gram-equality for
+    the oracle's purposes (identical deterministic hash both engines).
     """
-    grams = shingles_col(F.col(text_col), ngram)
+    grams = F.transform(
+        shingles_col(F.col(text_col), ngram), lambda g: F.md5(g)
+    )
     bench_grams = (
         benchmark.select(F.explode(grams).alias("__gram")).distinct()
     )
