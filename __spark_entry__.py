@@ -1574,11 +1574,17 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     union: 'centroid' rows carry (label, n, fold-checksum, first
     component) — the checksum pins all 64 components, and the assignment
     cosines pin them again through the scoring; 'assign' rows carry
-    (vec_id, assigned_label, cosine)."""
+    (vec_id, assigned_label, cosine); 'kmeans' rows (round 6) carry the
+    final cells of a 2-iteration deterministic distributed k-means
+    (squared-L2 argmin assignment + ordered-fold update — an ITERATIVE
+    algorithm with an exact unrolled-SQL oracle, which a float
+    groupBy-mean k-means can never have)."""
     from data_validation_engine_spark.llmops import (
+        kmeans_fit,
         label_centroids,
         nearest_centroid,
     )
+    from data_validation_engine_spark.llmops.ivf import ivf_assign
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = label_centroids(
@@ -1598,7 +1604,24 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine AS x",
         "CAST(0.0 AS DOUBLE) AS y",
     )
-    return crow.unionAll(arow)
+    km = kmeans_fit(embs, 4, dim=64, n_iters=2, segment_size=64)
+    km_counts = (
+        ivf_assign(embs.selectExpr("vec_id", "embedding"), km)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    km_cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(km)],
+        "cell int, centroid array<double>",
+    )
+    kmrow = km_cents.join(km_counts, on="cell", how="left").selectExpr(
+        "'kmeans' AS op",
+        "CAST(cell AS BIGINT) AS id",
+        "CAST(coalesce(n, 0) AS BIGINT) AS a",
+        "aggregate(centroid, 0.0D, (acc, v) -> acc + v) AS x",
+        "centroid[0] AS y",
+    )
+    return crow.unionAll(arow).unionAll(kmrow)
 
 
 def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2478,6 +2501,81 @@ def _duck_vec_fold(lst: str, dim: int = 64) -> str:
     )
 
 
+def _kmeans_oracle(
+    k: int = 4, n_iters: int = 2, seg: int = 64, dim: int = 64
+) -> str:
+    """Unrolled DuckDB twin of llmops.vectors.kmeans_fit + the final cell
+    stats: init = first-k by id, per iteration squared-L2 argmin
+    assignment (ties to the lower cell) then the two-level ordered fold
+    update rounded to 6, empty cells keeping the previous centroid."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        )
+
+    ctes = [
+        "v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+            FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        ctes.append(f"""a{it} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {l2('e.v', 'c.c')}, c.cell
+                       ) AS rk
+                FROM v0 e, {prev} c
+            ) WHERE rk = 1
+        )""")
+        ctes.append(f"""g{it} AS (
+            SELECT cell, vec_id // {seg} AS sg, count(*) AS n,
+                   {_duck_vec_fold("list(v ORDER BY vec_id)", dim)} AS ss
+            FROM a{it} GROUP BY 1, 2
+        )""")
+        ctes.append(f"""t{it} AS (
+            SELECT cell, sum(n) AS n,
+                   {_duck_vec_fold("list(ss ORDER BY sg)", dim)} AS vs
+            FROM g{it} GROUP BY 1
+        )""")
+        ctes.append(f"""c{it} AS (
+            SELECT p.cell,
+                   COALESCE(list_transform(t.vs,
+                       x -> round(x / t.n::DOUBLE, 6)), p.c) AS c
+            FROM {prev} p LEFT JOIN t{it} t USING (cell)
+        )""")
+        prev = f"c{it}"
+    # final assignment against the FINAL centroids -> member counts
+    ctes.append(f"""afin AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {l2('e.v', 'c.c')}, c.cell
+                   ) AS rk
+            FROM v0 e, {prev} c
+        ) WHERE rk = 1
+    )""")
+    ctes.append(
+        "nfin AS (SELECT cell, count(*) AS n FROM afin GROUP BY 1)"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT CAST(p.cell AS BIGINT) AS id,
+               CAST(COALESCE(nfin.n, 0) AS BIGINT) AS a,
+               list_reduce(list_prepend(0.0, p.c), (x, y) -> x + y) AS x,
+               p.c[1] AS y
+        FROM {prev} p LEFT JOIN nfin USING (cell)
+    """
+
+
 def _similarity_topk_oracle(k: int = 20, dim: int = 64) -> str:
     cos = (
         f"round({_duck_dot('e.embedding', 'q.qv', dim)} / "
@@ -2963,6 +3061,8 @@ _LLMOPS_ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'assign', vec_id, CAST(clabel AS BIGINT), cosine, 0.0
         FROM assigned
+        UNION ALL
+        SELECT 'kmeans', id, a, x, y FROM ({_kmeans_oracle()})
     """,
     "embedding_neardup": f"""
         SELECT 'pair' AS op, id_a AS a, id_b AS b, cosine AS x,

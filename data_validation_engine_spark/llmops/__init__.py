@@ -21,8 +21,9 @@ large-scale training-data pipeline needs:
   shard-parallel greedy sequence packing (concat-and-split rule).
 - :mod:`vectors` — deterministic distributed vector aggregation
   (two-level ordered segment fold; the only cross-row float aggregation,
-  engineered to be partitioning-independent) and nearest-prototype
-  assignment.
+  engineered to be partitioning-independent), nearest-prototype
+  assignment, and engine-exact distributed k-means (Lloyd's over the
+  deterministic fold — an ITERATIVE algorithm with an exact SQL oracle).
 - :mod:`split` — deterministic md5-bucket train/val/test assignment and
   stable nested sampling (row-stable across engines and repartitions).
 - :mod:`multimodal` — opaque binary columns with typed metadata and
@@ -93,6 +94,7 @@ from data_validation_engine_spark.llmops.split import (
 )
 from data_validation_engine_spark.llmops.vectors import (
     grouped_vector_sum,
+    kmeans_fit,
     label_centroids,
     nearest_centroid,
 )
@@ -134,6 +136,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "ivf_assign",
     "ivf_topk",
+    "kmeans_fit",
     "knn_join",
     "multiprobe_ann_topk",
     "with_lsh_bucket",

@@ -174,3 +174,60 @@ def nearest_centroid(
             "cosine",
         )
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_iters: int = 2,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Deterministic distributed k-means (Lloyd's), engine-exact.
+
+    Composition of two proven deterministic parts: assignment is the IVF
+    cell expression (squared-L2 argmin over broadcast centroid literals,
+    ties to the lower cell — map-side, no shuffle), and the update is
+    :func:`grouped_vector_sum`'s two-level ORDERED fold keyed by cell, so
+    every iteration is bit-identical under any partitioning AND equal to
+    the same unrolled chain written in DuckDB SQL — k-means with an exact
+    oracle, which a naive float groupBy-mean can never have. New
+    centroids are rounded to ``round_to`` in-engine each iteration (the
+    rounding is part of the contract: it pins the operands of the next
+    iteration), and an empty cell keeps its previous centroid. Driver
+    traffic per iteration is the k x dim centroid table only.
+
+    Returns the final centroids (feed to :func:`ivf_topk` /
+    :func:`ivf_assign` / :func:`nearest_centroid`).
+    """
+    from data_validation_engine_spark.llmops.ivf import (
+        default_centroids,
+        ivf_assign,
+    )
+
+    narrow = df.select(id_col, vec_col)
+    cents = default_centroids(
+        narrow, id_col=id_col, vec_col=vec_col, n_cells=k
+    )
+    for _ in range(n_iters):
+        assigned = ivf_assign(narrow, cents, vec_col=vec_col)
+        sums = grouped_vector_sum(
+            assigned, ["cell"], id_col, vec_col,
+            dim=dim, segment_size=segment_size,
+        )
+        rows = sums.select(
+            "cell",
+            F.transform(
+                "vec_sum",
+                lambda x: F.round(x / F.col("n").cast("double"), round_to),
+            ).alias("centroid"),
+        ).collect()
+        by_cell = {
+            r["cell"]: [float(v) for v in r["centroid"]] for r in rows
+        }
+        cents = [by_cell.get(i, cents[i]) for i in range(k)]
+    return cents

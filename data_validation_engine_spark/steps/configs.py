@@ -658,6 +658,20 @@ class NearestCentroid(AbstractStep):
     centroid_column: str = "centroid"
 
 
+class KMeansFit(AbstractStep):
+    """Deterministic distributed k-means: writes the entity
+    ``(cell, n, centroid)`` after ``n_iters`` Lloyd iterations (squared-L2
+    argmin assignment, ordered-fold centroid update — engine-exact)."""
+
+    operation: Literal["kmeans"] = "kmeans"
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    k: int = 8
+    n_iters: int = 2
+    dim: int = 64
+    segment_size: int = 1024
+
+
 class KnnJoin(AbstractStep):
     """Approximate k-NN JOIN: top-k same-LSH-bucket neighbours for every
     row (skew-bounded bucket self-join; optional OR-amplification across
@@ -737,6 +751,7 @@ AnyStep = Annotated[
         NearestCentroid,
         BuildVocab,
         KnnJoin,
+        KMeansFit,
     ],
     Field(discriminator="operation"),
 ]

@@ -92,6 +92,7 @@ from data_validation_engine_spark.steps.configs import (
     LabelCentroids,
     NearestCentroid,
     BuildVocab,
+    KMeansFit,
     KnnJoin,
 )
 
@@ -162,6 +163,7 @@ class StepEngine:
             NearestCentroid: self.nearest_centroid,
             BuildVocab: self.build_vocab,
             KnnJoin: self.knn_join,
+            KMeansFit: self.kmeans,
             LanguageId: self.lang_id,
             TfIdfTopTerms: self.tfidf_top_terms,
             TextFingerprint: self.text_fingerprint,
@@ -846,6 +848,43 @@ class StepEngine:
             vec_col=config.vector_column,
             label_col=config.label_column,
             centroid_col=config.centroid_column,
+        )
+        return None
+
+    def kmeans(self, entities: Entities, *, config: KMeansFit) -> Messages:
+        from data_validation_engine_spark.llmops.ivf import ivf_assign
+        from data_validation_engine_spark.llmops.vectors import kmeans_fit
+
+        df = entities[config.entity_name]
+        cents = kmeans_fit(
+            df,
+            config.k,
+            id_col=config.id_column,
+            vec_col=config.vector_column,
+            dim=config.dim,
+            n_iters=config.n_iters,
+            segment_size=config.segment_size,
+        )
+        counts = (
+            ivf_assign(
+                df.select(config.id_column, config.vector_column),
+                cents,
+                vec_col=config.vector_column,
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cent_rows = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        )
+        entities[config.output_name] = (
+            cent_rows.join(counts, on="cell", how="left")
+            .select(
+                "cell",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+                "centroid",
+            )
         )
         return None
 

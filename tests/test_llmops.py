@@ -1843,3 +1843,98 @@ def test_minhash_dedup_quality_step_matches_library(spark):
         ).collect()
     }
     assert step == lib and 0 < len(lib) <= docs.count()
+
+
+def test_kmeans_fit_deterministic_and_improving(spark):
+    """kmeans_fit is bit-identical under repartition (the whole point of
+    the ordered-fold update) and each iteration does not increase the
+    total squared-L2 cost (Lloyd's invariant, modulo the documented
+    per-iteration rounding)."""
+    from data_validation_engine_spark.llmops import kmeans_fit
+    from data_validation_engine_spark.llmops.ivf import ivf_assign, l2sq_col
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def cost(cents):
+        assigned = ivf_assign(embs.select("vec_id", "embedding"), cents)
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, c array<double>",
+        )
+        return (
+            assigned.join(cent_df, on="cell")
+            .select(
+                l2sq_col(F.col("embedding"), F.col("c")).alias("d")
+            )
+            .agg(F.sum("d"))
+            .first()[0]
+        )
+
+    c1 = kmeans_fit(embs, 4, dim=64, n_iters=1, segment_size=64)
+    c2 = kmeans_fit(embs, 4, dim=64, n_iters=2, segment_size=64)
+    c2_rep = kmeans_fit(
+        embs.repartition(7), 4, dim=64, n_iters=2, segment_size=64
+    )
+    assert c2 == c2_rep
+    assert len(c2) == 4 and all(len(c) == 64 for c in c2)
+    assert cost(c2) <= cost(c1) * 1.000001  # tolerance for 6dp rounding
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A centroid that captures no points keeps its previous coordinates
+    instead of vanishing or going NaN."""
+    from data_validation_engine_spark.llmops import kmeans_fit
+
+    # two tight clusters; k=3 seeded by the first three points leaves the
+    # seed inside a cluster with no exclusive territory after one update
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 10.0]),
+           (3, [10.1, 10.0]), (4, [0.05, 0.0])]
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>"
+    )
+    cents = kmeans_fit(df, 3, dim=2, n_iters=3, segment_size=4)
+    assert len(cents) == 3
+    assert all(all(v == v for v in c) for c in cents)  # no NaN
+
+
+def test_kmeans_declarable_step(spark):
+    from data_validation_engine_spark.llmops import kmeans_fit
+    from data_validation_engine_spark.llmops.ivf import ivf_assign
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ents = {"embeddings": embs}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {"operation": "kmeans", "entity_name": "embeddings",
+             "k": 4, "n_iters": 2, "segment_size": 64,
+             "new_entity_name": "cells"}
+        ),
+    )
+    got = {
+        r["cell"]: (r["n"], list(r["centroid"]))
+        for r in ents["cells"].collect()
+    }
+    cents = kmeans_fit(embs, 4, dim=64, n_iters=2, segment_size=64)
+    counts = {
+        r["cell"]: r["n"]
+        for r in ivf_assign(embs.select("vec_id", "embedding"), cents)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {
+        i: (counts.get(i, 0), c) for i, c in enumerate(cents)
+    }
+
+
+def test_kmeans_centroids_feed_ivf(spark):
+    """The trained quantizer drops straight into the IVF probe."""
+    from data_validation_engine_spark.llmops import ivf_topk, kmeans_fit
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(embs, 4, dim=64, n_iters=2, segment_size=64)
+    out = ivf_topk(embs, embs.where("vec_id = 0"), 5,
+                   centroids=cents, n_probe=2).collect()
+    assert len(out) == 5
+    cos = [r["cosine"] for r in out]
+    assert cos == sorted(cos, reverse=True)
