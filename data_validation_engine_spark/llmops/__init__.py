@@ -38,8 +38,21 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 """
 
 from data_validation_engine_spark.llmops.analytics import (
+    grouped_quantiles,
     grouped_topk,
+    profile_columns,
     rolling_agg,
+)
+from data_validation_engine_spark.llmops.graph import (
+    pagerank,
+)
+from data_validation_engine_spark.llmops.linkage import (
+    fuzzy_dedup_pairs,
+    fuzzy_string_join,
+)
+from data_validation_engine_spark.llmops.sketch import (
+    kmv_distinct,
+    kmv_merge,
 )
 from data_validation_engine_spark.llmops.asof import (
     asof_join,
@@ -99,6 +112,7 @@ from data_validation_engine_spark.llmops.vectors import (
     nearest_centroid,
 )
 from data_validation_engine_spark.llmops.text import (
+    bm25_search,
     build_vocab,
     language_id,
     pii_scrub,
@@ -159,4 +173,12 @@ __all__ = [
     "text_fingerprint",
     "text_stats",
     "tfidf_top_terms",
+    "bm25_search",
+    "fuzzy_dedup_pairs",
+    "fuzzy_string_join",
+    "grouped_quantiles",
+    "kmv_distinct",
+    "kmv_merge",
+    "pagerank",
+    "profile_columns",
 ]

@@ -98,3 +98,97 @@ def rolling_agg(
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out.drop("__us")
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    probs: list[float],
+    *,
+    names: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation on the sorted
+    values — SQL ``percentile_cont`` / R type-7, the definition every
+    engine shares, so results are reproducible bit-for-bit modulo the
+    final ``round_to`` rendering guard).
+
+    Returns ``(*group_cols, n, <one column per prob>)``; column names
+    default to ``q_25``-style from the prob's percent.
+
+    Scale shape: ONE shuffle on the group keys. Exact quantiles buffer
+    each group's value multiset in the aggregation state (the honest
+    exact algorithm; same as any engine's ``percentile_cont``) — right
+    for grouped distributions where groups are human-scale (per
+    source/day/language). For billion-row single groups use Spark's
+    ``percentile_approx`` (GK sketch, bounded state) as the scale path —
+    approximate, so it has no cross-engine oracle and is deliberately
+    not the default here.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not probs:
+        raise ValueError("probs must name at least one quantile")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"quantile prob out of [0,1]: {p}")
+    if names is None:
+        def _pname(p: float) -> str:
+            pct = round(p * 100, 4)
+            tag = str(int(pct)) if pct == int(pct) else str(pct).replace(".", "_")
+            return f"q_{tag}"
+
+        names = [_pname(p) for p in probs]
+    if len(names) != len(probs):
+        raise ValueError("names must match probs one-to-one")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.round(
+            F.expr(f"percentile({value_col}, {p!r})"), round_to
+        ).alias(name)
+        for p, name in zip(probs, names)
+    ]
+    return df.groupBy(*groups).agg(*aggs)
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Column-level data profile: one output row per profiled column with
+    ``(column, n_rows, n_null, n_distinct, min_value, max_value)`` —
+    min/max rendered as strings so heterogeneous column types share one
+    schema (the standard profiling-report shape).
+
+    This is the data-quality surface a validation engine owes its users
+    before any contract is written: null saturation, key-ness
+    (``n_distinct == n_rows``), and domain bounds per column, computed in
+    ONE pass — a single wide aggregate (Catalyst plans the multi-distinct
+    via its expand rewrite: one scan, one shuffle of the expanded
+    grouping rows) followed by a driver-side unpivot of the 1-row result
+    into the per-column layout. Nulls are excluded from ``n_distinct``
+    and min/max, matching ANSI aggregate semantics.
+    """
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile columns not in frame: {missing}")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row with stack() — still one job, no
+    # per-column re-scan of the input
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_null, n_distinct, min_value, max_value)"
+    )

@@ -1,0 +1,137 @@
+"""Distinct-count sketches: deterministic K-Minimum-Values (KMV).
+
+Exact ``COUNT(DISTINCT x)`` per group is a full shuffle of every distinct
+value; at 100 TB the distinct set itself can exceed executor memory for
+hot groups. The classic fix (Bar-Yossef et al. 2002, "Counting distinct
+elements in a data stream") is the KMV sketch: hash every value into a
+uniform space, keep only the ``k`` smallest hashes per group, and
+estimate the cardinality from the ``k``-th smallest — the sketch is
+``O(k)`` memory per group regardless of cardinality, mergeable, and the
+estimate's relative error is ~``1/sqrt(k-2)``.
+
+Engine-portability is the point of this implementation: the hash is the
+first 15 hex chars of ``md5(seed || value)`` read as a 60-bit integer
+(same trick as the split/sampling family, `llmops/split.py:34`), so any
+SQL engine reproduces the exact same sketch and the exact same estimate
+— the estimator divides two exactly-representable doubles
+(``(k-1) * 2^60`` and the k-th hash), which IEEE-754 rounds identically
+everywhere. Groups with fewer than ``k`` distinct values report the
+EXACT count (the sketch saw every value).
+
+Scale shape: one shuffle of ``(group, 8-byte hash)`` for the distinct,
+then a rank/aggregate pair that reuses the same hash partitioning on
+``group`` (single additional exchange). No value wider than 8 bytes ever
+shuffles; the raw values themselves never leave the map side.
+
+The reference engine has no sketch surface (batch row validation only);
+this is a net-new extension following SURVEY §8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash space: 16^15 = 2^60 — 15 hex chars of the md5, fits a signed long
+HASH_SPACE = float(1 << 60)
+
+DEFAULT_K = 256
+
+
+def kmv_hash(value: Column, *, seed: str = "") -> Column:
+    """Deterministic 60-bit hash of ``value`` in ``[0, 2^60)``.
+
+    ``seed`` derives an independent sketch family; the value is cast to
+    string so any type works. Pure per-row projection, codegen'd JVM-side.
+    """
+    digest = F.md5(F.concat(F.lit(seed), value.cast("string")))
+    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = DEFAULT_K,
+    seed: str = "",
+) -> DataFrame:
+    """Per-group approximate distinct count via a KMV sketch.
+
+    Returns ``(*group_cols, n_seen, kth_hash, approx_distinct)``:
+
+    - ``n_seen`` — number of sketch slots filled (= exact distinct count
+      when below ``k``);
+    - ``kth_hash`` — the k-th smallest hash (null while the sketch is
+      unsaturated);
+    - ``approx_distinct`` — ``n_seen`` exactly when unsaturated, else
+      ``(k-1) * 2^60 / kth_hash`` (double).
+
+    Deterministic and engine-exact: every intermediate is an integer
+    except the final single division.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = df.select(
+        *group_cols, kmv_hash(F.col(value_col), seed=seed).alias("__hv")
+    ).distinct()
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("__hv")
+        ranked = hashed.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= k
+        )
+    else:
+        # global sketch: sort+limit plans as TakeOrderedAndProject (each
+        # partition keeps a k-heap, driver merges k·P rows) — no
+        # single-partition window bottleneck
+        ranked = (
+            hashed.orderBy("__hv")
+            .limit(k)
+            .withColumn(
+                "__rn", F.row_number().over(Window.orderBy("__hv"))
+            )
+        )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("__rn") == k, F.col("__hv"))).alias("kth_hash"),
+    )
+    estimate = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * HASH_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return agg.withColumn("approx_distinct", estimate)
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Merge per-partition KMV sketches (rows of ``(group, __hv)``) into
+    the per-group estimate — the union of min-k sets re-ranked and cut at
+    ``k`` is exactly the sketch of the unioned data, which is what makes
+    KMV usable across independently-sketched shards / days / sources.
+
+    Input must carry one row per (group, hash) surviving each shard's
+    local cut; this is the same rank-and-aggregate tail as
+    :func:`kmv_distinct`.
+    """
+    w = Window.partitionBy(*group_cols).orderBy("__hv")
+    ranked = (
+        sketches.select(*group_cols, "__hv")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("__rn") == k, F.col("__hv"))).alias("kth_hash"),
+    )
+    estimate = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * HASH_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return agg.withColumn("approx_distinct", estimate)

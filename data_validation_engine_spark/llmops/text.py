@@ -404,3 +404,87 @@ def text_fingerprint(
             "winnow"
         ),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 relevance of every matching document against ``query``
+    (Robertson-Sparck Jones probabilistic ranking; the Okapi BM25 form
+    with the +1 idf smoothing Lucene uses, so scores are non-negative).
+
+    Returns ``(id, n_terms_hit, score)`` for each document containing at
+    least one query term; rank downstream with ``grouped_topk`` (score
+    is a double — tie-break on the id for determinism).
+
+    Scale shape: the document side explodes to ONLY the query's terms
+    (the ``isin`` prune sits before the shuffle, so the term aggregation
+    carries at most |query| rows per doc, not the corpus vocabulary);
+    corpus stats (N, avgdl) and per-term document frequencies are
+    broadcast. Per-term weights are rounded to ``round_to`` then summed
+    with an ORDERED fold over the term-sorted list, so the score is
+    reproducible bit-for-bit in any engine (float sums are the one
+    aggregate where partition order leaks into the answer; the fold
+    removes that).
+    """
+    qterms = sorted({t.lower() for t in query.split() if t})
+    if not qterms:
+        raise ValueError("query must contain at least one term")
+    toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__dl")
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+    )
+    hits = base.select(
+        F.col(id_col),
+        F.col("__dl"),
+        F.explode(F.col("__toks")).alias("__term"),
+    ).where(F.col("__term").isin(qterms))
+    tf = hits.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / n
+    idf = F.log(
+        F.lit(1.0)
+        + (n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tfd = F.col("__tf").cast("double")
+    weight = F.round(
+        idf
+        * (tfd * F.lit(k1 + 1.0))
+        / (
+            tfd
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+        ),
+        round_to,
+    )
+    weighted = (
+        tf.join(F.broadcast(dfreq), on="__term", how="inner")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("__w", weight)
+    )
+    folded = weighted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__term", "__w"))),
+                lambda s: s["__w"],
+            ),
+            F.lit(0.0),
+            lambda acc, w: acc + w,
+        ).alias("score"),
+    )
+    return folded

@@ -697,6 +697,78 @@ class BuildVocab(AbstractStep):
     min_doc_freq: int = 1
 
 
+class ApproxDistinct(AbstractStep):
+    """Per-group approximate distinct count via the deterministic KMV
+    sketch (k smallest md5 hashes; exact below ``k`` distinct values) —
+    O(k) state per group instead of the full distinct set."""
+
+    operation: Literal["approx_distinct"] = "approx_distinct"
+    group_by: tuple[str, ...]
+    value_column: str
+    k: int = 256
+    seed: str = ""
+
+
+class GroupedQuantiles(AbstractStep):
+    """Exact per-group quantiles (percentile_cont / type-7 linear
+    interpolation), rounded for cross-engine rendering."""
+
+    operation: Literal["grouped_quantiles"] = "grouped_quantiles"
+    group_by: tuple[str, ...]
+    value_column: str
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+    round_to: int = 6
+
+
+class ProfileColumns(AbstractStep):
+    """Column-level data profile: one row per column with row/null/
+    distinct counts and stringified min/max — the pre-contract
+    data-quality summary."""
+
+    operation: Literal["profile"] = "profile"
+    columns: Optional[tuple[str, ...]] = None
+
+
+class FuzzyJoin(AbstractStep):
+    """Blocked fuzzy string join against ``right_entity``: candidates
+    share the casefolded ``prefix_len``-char block, matches sit within
+    ``max_distance`` edits (exact Levenshtein verify). ``length_bucket``
+    splits hot blocks exactly."""
+
+    operation: Literal["fuzzy_join"] = "fuzzy_join"
+    right_entity: str
+    left_column: str
+    right_column: str
+    max_distance: int = 2
+    prefix_len: int = 2
+    length_bucket: Optional[int] = None
+    prefix: str = "r_"
+
+
+class Bm25Search(AbstractStep):
+    """BM25 relevance of every matching document against a fixed query
+    string (Okapi weights, +1 idf smoothing, ordered-fold score sum)."""
+
+    operation: Literal["bm25"] = "bm25"
+    id_column: str
+    text_column: str = "text"
+    query: str
+    k1: float = 1.2
+    b: float = 0.75
+    round_to: int = 6
+
+
+class PageRankStep(AbstractStep):
+    """Fixed-iteration deterministic PageRank over an edge-list entity;
+    writes ``(node, pagerank)``."""
+
+    operation: Literal["pagerank"] = "pagerank"
+    src_column: str = "src"
+    dst_column: str = "dst"
+    iterations: int = 3
+    damping: float = 0.85
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -752,6 +824,12 @@ AnyStep = Annotated[
         BuildVocab,
         KnnJoin,
         KMeansFit,
+        ApproxDistinct,
+        GroupedQuantiles,
+        ProfileColumns,
+        FuzzyJoin,
+        Bm25Search,
+        PageRankStep,
     ],
     Field(discriminator="operation"),
 ]

@@ -94,6 +94,12 @@ from data_validation_engine_spark.steps.configs import (
     BuildVocab,
     KMeansFit,
     KnnJoin,
+    ApproxDistinct,
+    GroupedQuantiles,
+    ProfileColumns,
+    FuzzyJoin,
+    Bm25Search,
+    PageRankStep,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -182,6 +188,12 @@ class StepEngine:
             IncrementalDedup: self.dedup_incremental,
             ContainmentPairs: self.dedup_containment_pairs,
             WeightedSample: self.weighted_sample,
+            ApproxDistinct: self.approx_distinct,
+            GroupedQuantiles: self.grouped_quantiles,
+            ProfileColumns: self.profile,
+            FuzzyJoin: self.fuzzy_join,
+            Bm25Search: self.bm25,
+            PageRankStep: self.pagerank,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1282,5 +1294,93 @@ class StepEngine:
             config.weight_column,
             rate=config.rate,
             seed=config.seed,
+        )
+        return None
+
+    def approx_distinct(
+        self, entities: Entities, *, config: ApproxDistinct
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.sketch import kmv_distinct
+
+        entities[config.output_name] = kmv_distinct(
+            entities[config.entity_name],
+            list(config.group_by),
+            config.value_column,
+            k=config.k,
+            seed=config.seed,
+        )
+        return None
+
+    def grouped_quantiles(
+        self, entities: Entities, *, config: GroupedQuantiles
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import (
+            grouped_quantiles,
+        )
+
+        entities[config.output_name] = grouped_quantiles(
+            entities[config.entity_name],
+            list(config.group_by),
+            config.value_column,
+            list(config.probs),
+            round_to=config.round_to,
+        )
+        return None
+
+    def profile(
+        self, entities: Entities, *, config: ProfileColumns
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import (
+            profile_columns,
+        )
+
+        entities[config.output_name] = profile_columns(
+            entities[config.entity_name],
+            list(config.columns) if config.columns is not None else None,
+        )
+        return None
+
+    def fuzzy_join(self, entities: Entities, *, config: FuzzyJoin) -> Messages:
+        from data_validation_engine_spark.llmops.linkage import (
+            fuzzy_string_join,
+        )
+
+        entities[config.output_name] = fuzzy_string_join(
+            entities[config.entity_name],
+            entities[config.right_entity],
+            config.left_column,
+            config.right_column,
+            max_distance=config.max_distance,
+            prefix_len=config.prefix_len,
+            length_bucket=config.length_bucket,
+            prefix=config.prefix,
+        )
+        return None
+
+    def bm25(self, entities: Entities, *, config: Bm25Search) -> Messages:
+        from data_validation_engine_spark.llmops.text import bm25_search
+
+        entities[config.output_name] = bm25_search(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            config.query,
+            k1=config.k1,
+            b=config.b,
+            round_to=config.round_to,
+        )
+        return None
+
+    def pagerank(
+        self, entities: Entities, *, config: PageRankStep
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.graph import pagerank
+
+        entities[config.output_name] = pagerank(
+            entities[config.entity_name],
+            src_col=config.src_column,
+            dst_col=config.dst_column,
+            iterations=config.iterations,
+            damping=config.damping,
         )
         return None

@@ -1,0 +1,413 @@
+"""Round-6 second-wave operators: KMV sketch, exact grouped quantiles,
+column profiling, blocked fuzzy join, BM25, PageRank — library semantics,
+determinism under repartitioning, and step-engine dispatch."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.analytics import (
+    grouped_quantiles,
+    profile_columns,
+)
+from data_validation_engine_spark.llmops.graph import pagerank
+from data_validation_engine_spark.llmops.linkage import (
+    fuzzy_dedup_pairs,
+    fuzzy_string_join,
+)
+from data_validation_engine_spark.llmops.sketch import (
+    kmv_distinct,
+    kmv_hash,
+    kmv_merge,
+)
+from data_validation_engine_spark.llmops.text import bm25_search
+from data_validation_engine_spark.steps.configs import parse_step
+from data_validation_engine_spark.steps.engine import StepEngine
+
+
+def _py_kmv(values, k, seed=""):
+    """Reference KMV in pure python over md5."""
+    hs = sorted(
+        {
+            int(hashlib.md5((seed + str(v)).encode()).hexdigest()[:15], 16)
+            for v in values
+        }
+    )
+    if len(hs) < k:
+        return len(hs), None, float(len(hs))
+    kth = hs[k - 1]
+    return k, kth, (k - 1) * float(1 << 60) / kth
+
+
+class TestKmvSketch:
+    def test_exact_below_k(self, spark):
+        rows = [(0, f"v{i % 7}") for i in range(100)]
+        df = spark.createDataFrame(rows, "g int, v string")
+        out = kmv_distinct(df, ["g"], "v", k=64).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_seen, r.kth_hash, r.approx_distinct) == (7, None, 7.0)
+
+    def test_matches_pure_python_formula(self, spark):
+        rows = [(g, f"u{(i * 37) % 500}") for g in (0, 1) for i in range(2000)]
+        df = spark.createDataFrame(rows, "g int, v string")
+        out = {
+            r.g: (r.n_seen, r.kth_hash, r.approx_distinct)
+            for r in kmv_distinct(df, ["g"], "v", k=32).collect()
+        }
+        for g in (0, 1):
+            vals = [v for gg, v in rows if gg == g]
+            assert out[g] == _py_kmv(vals, 32)
+
+    def test_estimate_accuracy(self, spark):
+        true_n = 5000
+        rows = [(0, f"item-{i}") for i in range(true_n)] * 3
+        df = spark.createDataFrame(rows, "g int, v string")
+        est = kmv_distinct(df, ["g"], "v", k=256).collect()[0].approx_distinct
+        # k=256 => ~6% relative error at 1 sigma; allow 4 sigma
+        assert abs(est - true_n) / true_n < 0.25
+
+    def test_partitioning_invariance(self, spark):
+        rows = [(i % 4, f"x{i % 977}") for i in range(5000)]
+        df = spark.createDataFrame(rows, "g int, v string")
+        a = {
+            (r.g, r.n_seen, r.kth_hash, r.approx_distinct)
+            for r in kmv_distinct(df, ["g"], "v", k=64).collect()
+        }
+        b = {
+            (r.g, r.n_seen, r.kth_hash, r.approx_distinct)
+            for r in kmv_distinct(
+                df.repartition(13), ["g"], "v", k=64
+            ).collect()
+        }
+        assert a == b
+
+    def test_merge_equals_global_sketch(self, spark):
+        rows = [(0, f"m{i}") for i in range(3000)]
+        df = spark.createDataFrame(rows, "g int, v string")
+        # shard the data, keep each shard's min-k hash rows, merge
+        shard_a = df.where(F.length("v") % 2 == 0)
+        shard_b = df.where(F.length("v") % 2 == 1)
+        k = 64
+        parts = []
+        for shard in (shard_a, shard_b):
+            hashed = shard.select(
+                "g", kmv_hash(F.col("v")).alias("__hv")
+            ).distinct()
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("g").orderBy("__hv")
+            parts.append(
+                hashed.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k)
+                .select("g", "__hv")
+            )
+        merged = kmv_merge(parts[0].unionAll(parts[1]), ["g"], k=k).collect()[0]
+        direct = kmv_distinct(df, ["g"], "v", k=k).collect()[0]
+        assert (merged.n_seen, merged.kth_hash, merged.approx_distinct) == (
+            direct.n_seen,
+            direct.kth_hash,
+            direct.approx_distinct,
+        )
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "g int, v string")
+        with pytest.raises(ValueError):
+            kmv_distinct(df, ["g"], "v", k=1)
+
+
+class TestGroupedQuantiles:
+    def test_matches_manual_interpolation(self, spark):
+        xs = [1.0, 2.0, 3.0, 4.0, 10.0]
+        df = spark.createDataFrame([(0, x) for x in xs], "g int, x double")
+        r = grouped_quantiles(df, "g", "x", [0.0, 0.5, 0.75, 1.0]).collect()[0]
+        assert r.n == 5
+        assert (r.q_0, r.q_50, r.q_100) == (1.0, 3.0, 10.0)
+        assert r.q_75 == 4.0 + (10.0 - 4.0) * 0.0  # pos = .75*4 = 3.0 exact
+        r2 = grouped_quantiles(df, "g", "x", [0.625]).collect()[0]
+        # pos = 0.625*4 = 2.5 -> 3 + 0.5*(4-3)
+        assert r2.q_62_5 == 3.5
+
+    def test_nulls_and_groups(self, spark):
+        rows = [(0, 1.0), (0, None), (0, 3.0), (1, 5.0)]
+        df = spark.createDataFrame(rows, "g int, x double")
+        out = {r.g: (r.n, r.q_50) for r in grouped_quantiles(df, "g", "x", [0.5]).collect()}
+        # n counts rows; percentile ignores nulls
+        assert out == {0: (3, 2.0), 1: (1, 5.0)}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0, 1.0)], "g int, x double")
+        with pytest.raises(ValueError):
+            grouped_quantiles(df, "g", "x", [])
+        with pytest.raises(ValueError):
+            grouped_quantiles(df, "g", "x", [1.5])
+
+
+class TestProfileColumns:
+    def test_profile_shapes(self, spark):
+        rows = [(1, "a", None), (2, "b", 1.5), (2, None, 2.5)]
+        df = spark.createDataFrame(rows, "id int, s string, x double")
+        out = {r.column: r for r in profile_columns(df).collect()}
+        assert set(out) == {"id", "s", "x"}
+        assert (out["id"].n_rows, out["id"].n_null, out["id"].n_distinct) == (3, 0, 2)
+        assert (out["s"].n_null, out["s"].n_distinct) == (1, 2)
+        assert (out["x"].min_value, out["x"].max_value) == ("1.5", "2.5")
+
+    def test_subset_and_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id int, s string")
+        assert profile_columns(df, ["s"]).count() == 1
+        with pytest.raises(ValueError):
+            profile_columns(df, ["nope"])
+
+
+class TestFuzzyJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "Smith"), (2, "Jones"), (3, "Taylor"), (4, "Smyth e")],
+            "id int, name string",
+        )
+        right = spark.createDataFrame(
+            [(10, "smith"), (11, "jonez"), (12, "tailor"), (13, "smythe"), (14, "zzz")],
+            "rid int, rname string",
+        )
+        return left, right
+
+    def test_blocked_match_set(self, spark):
+        left, right = self._frames(spark)
+        got = sorted(
+            (r.id, r.r_rid, r.distance)
+            for r in fuzzy_string_join(
+                left, right, "name", "rname", max_distance=2
+            ).collect()
+        )
+        # 'Taylor'~'tailor' d=2 shares block 'ta'; 'Smyth e'~'smythe' d=1
+        assert got == [(1, 10, 0), (1, 13, 2), (2, 11, 1), (3, 12, 1), (4, 13, 1)]
+
+    def test_length_bucket_is_result_invariant(self, spark):
+        left, right = self._frames(spark)
+        base = sorted(
+            (r.id, r.r_rid, r.distance)
+            for r in fuzzy_string_join(
+                left, right, "name", "rname", max_distance=2
+            ).collect()
+        )
+        for width in (1, 2, 3, 10):
+            bucketed = sorted(
+                (r.id, r.r_rid, r.distance)
+                for r in fuzzy_string_join(
+                    left,
+                    right,
+                    "name",
+                    "rname",
+                    max_distance=2,
+                    length_bucket=width,
+                ).collect()
+            )
+            assert bucketed == base, f"width={width}"
+
+    def test_self_dedup_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "colour"), (2, "color"), (3, "colour"), (4, "flavour")],
+            "id int, t string",
+        )
+        got = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in fuzzy_dedup_pairs(df, "id", "t", max_distance=1).collect()
+        )
+        assert got == [(1, 2, 1), (1, 3, 0), (2, 3, 1)]
+
+    def test_validation(self, spark):
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError):
+            fuzzy_string_join(left, right, "name", "rname", max_distance=-1)
+        with pytest.raises(ValueError):
+            fuzzy_string_join(
+                left, right, "name", "rname", length_bucket=0
+            )
+
+
+class TestBm25:
+    def test_matches_manual_formula(self, spark):
+        texts = {
+            1: "apple banana apple",
+            2: "apple cherry",
+            3: "banana banana banana",
+            4: "durian elderberry fig",
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id int, text string"
+        )
+        out = {
+            r.doc_id: (r.n_terms_hit, r.score)
+            for r in bm25_search(df, "doc_id", "text", "apple banana").collect()
+        }
+        # manual BM25 (k1=1.2, b=0.75, +1 idf)
+        n = 4
+        dls = {i: len(t.split()) for i, t in texts.items()}
+        avgdl = sum(dls.values()) / n
+        dfreq = {"apple": 2, "banana": 2}
+        tfs = {
+            1: {"apple": 2, "banana": 1},
+            2: {"apple": 1},
+            3: {"banana": 3},
+        }
+        expect = {}
+        for doc, terms in tfs.items():
+            ws = []
+            for term in sorted(terms):
+                tf = terms[term]
+                idf = math.log(
+                    1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5)
+                )
+                w = (
+                    idf
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * dls[doc] / avgdl))
+                )
+                ws.append(round(w, 6))
+            acc = 0.0
+            for w in ws:
+                acc += w
+            expect[doc] = (len(ws), acc)
+        assert out == pytest.approx(expect)
+        assert set(out) == {1, 2, 3}  # doc 4 hits no term
+
+    def test_empty_query_rejected(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        with pytest.raises(ValueError):
+            bm25_search(df, "doc_id", "text", "   ")
+
+
+class TestPageRank:
+    def test_against_power_iteration(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (5, 3), (3, 5)]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r.node: r.pagerank for r in pagerank(df, iterations=4).collect()}
+        # reference power iteration in plain python (sorted-src fold order)
+        nodes = sorted({u for e in edges for u in e})
+        n = len(nodes)
+        out = {}
+        for s, d in edges:
+            out.setdefault(s, set()).add(d)
+        pr = {v: 1.0 / n for v in nodes}
+        for _ in range(4):
+            new = {}
+            for v in nodes:
+                acc = 0.0
+                for u in sorted(nodes):
+                    if v in out.get(u, ()):
+                        acc += pr[u] / len(out[u])
+                new[v] = (1.0 - 0.85) / n + 0.85 * acc
+            pr = new
+        assert got == pytest.approx(pr, abs=1e-12)
+
+    def test_partitioning_invariant_bitwise(self, spark):
+        import random
+
+        random.seed(11)
+        edges = list(
+            {
+                (random.randrange(40), random.randrange(40))
+                for _ in range(300)
+            }
+        )
+        df = spark.createDataFrame(edges, "src int, dst int")
+        a = {r.node: r.pagerank for r in pagerank(df, iterations=3).collect()}
+        b = {
+            r.node: r.pagerank
+            for r in pagerank(df.repartition(17), iterations=3).collect()
+        }
+        assert a == b  # bit-identical, not approx — the ordered fold
+
+    def test_rank_mass_bounded(self, spark):
+        # graph with a sink: total rank <= 1 (leaked dangling mass)
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+        total = sum(
+            r.pagerank for r in pagerank(df, iterations=5).collect()
+        )
+        assert 0.0 < total <= 1.0 + 1e-12
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src int, dst int")
+        with pytest.raises(ValueError):
+            pagerank(df, iterations=0)
+
+
+class TestStepDispatch:
+    def test_all_six_steps_run(self, spark):
+        eng = StepEngine(spark, register_functions=False)
+        docs = spark.createDataFrame(
+            [(i, f"term{i % 5} shared word number {i}") for i in range(50)],
+            "doc_id int, text string",
+        )
+        nums = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(60)], "g int, x double"
+        )
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 20) for i in range(40)], "src int, dst int"
+        )
+        names = spark.createDataFrame(
+            [(1, "smith"), (2, "taylor")], "id int, name string"
+        )
+        entities = {
+            "docs": docs,
+            "nums": nums,
+            "edges": edges,
+            "names_l": names,
+            "names_r": names.select(
+                F.col("id").alias("rid"), F.col("name").alias("rname")
+            ),
+        }
+        steps = [
+            {
+                "operation": "approx_distinct",
+                "entity_name": "docs",
+                "group_by": [],
+                "value_column": "text",
+                "new_entity_name": "distinct_est",
+            },
+            {
+                "operation": "grouped_quantiles",
+                "entity_name": "nums",
+                "group_by": ["g"],
+                "value_column": "x",
+                "new_entity_name": "quants",
+            },
+            {
+                "operation": "profile",
+                "entity_name": "docs",
+                "new_entity_name": "prof",
+            },
+            {
+                "operation": "fuzzy_join",
+                "entity_name": "names_l",
+                "right_entity": "names_r",
+                "left_column": "name",
+                "right_column": "rname",
+                "new_entity_name": "linked",
+            },
+            {
+                "operation": "bm25",
+                "entity_name": "docs",
+                "id_column": "doc_id",
+                "query": "shared term1",
+                "new_entity_name": "scored",
+            },
+            {
+                "operation": "pagerank",
+                "entity_name": "edges",
+                "new_entity_name": "ranks",
+            },
+        ]
+        for raw in steps:
+            eng.evaluate(entities, config=parse_step(raw))
+        assert entities["distinct_est"].collect()[0].n_seen == 50
+        assert entities["quants"].count() == 3
+        assert entities["prof"].count() == 2
+        assert entities["linked"].count() == 2  # exact self matches
+        assert entities["scored"].count() == 50  # every doc has 'shared'
+        assert entities["ranks"].count() > 0
