@@ -700,35 +700,13 @@ def q_join_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sync_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sync-filter stage survivors: validate-all-then-drop over orders."""
-    ents = _load(spark, sf_dir, ["orders"])
-    apply_sync_filters(
-        ents,
-        [
-            DeferredFilter(
-                entity_name="orders",
-                expression="o_totalprice < 400000",
-                reporting=Reporting(code="HUGE_ORDER", message="too big"),
-            ),
-            DeferredFilter(
-                entity_name="orders",
-                expression="o_orderstatus <> 'P'",
-                reporting=Reporting(code="PENDING", message="pending"),
-            ),
-        ],
-    )
-    _engine(spark).evaluate(
-        ents,
-        config=SelectColumns(
-            entity_name="orders",
-            columns="o_orderkey, o_orderstatus, o_totalprice",
-        ),
-    )
-    return ents["orders"]
-
-
-def q_sync_filter_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sync-filter message feed: one row per (record, failed filter)."""
+    """The full sync-filter stage in one row (tagged union, merged from
+    the former sync_filter_messages row): 'row' rows are the survivors of
+    validate-all-then-drop over orders; 'msg' rows are the message feed —
+    one per (record, failed filter) with code and failure type. Both
+    sides come from ONE apply_sync_filters invocation, proving the
+    single-scan fused predicate evaluation emits consistent survivors
+    and messages."""
     ents = _load(spark, sf_dir, ["orders"])
     msgs = apply_sync_filters(
         ents,
@@ -753,13 +731,21 @@ def q_sync_filter_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
-    return msgs.selectExpr(
-        "entity",
-        "error_code",
-        "error_message",
-        "failure_type",
-        "CAST(reporting_field AS BIGINT) AS record_key",
+    rows = ents["orders"].selectExpr(
+        "'row' AS op",
+        "o_orderkey AS record_key",
+        "o_orderstatus AS code",
+        "CAST(NULL AS STRING) AS detail",
+        "CAST(o_totalprice AS DOUBLE) AS x",
     )
+    feed = msgs.selectExpr(
+        "'msg' AS op",
+        "CAST(reporting_field AS BIGINT) AS record_key",
+        "error_code AS code",
+        "error_message || '|' || failure_type AS detail",
+        "CAST(NULL AS DOUBLE) AS x",
+    )
+    return rows.unionAll(feed)
 
 
 def q_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,35 +1293,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.unionAll(pairs)
 
 
-def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN probe: top-10 within vec 0's random-hyperplane LSH bucket,
-    computed over the flat table AND over the LSH-PARTITIONED layout
-    (embeddings persisted PARTITIONED BY bucket, probe pushed as a static
-    partition filter so the scan reads one directory — plan-asserted in
-    tests/test_llmops.py), inner-joined on vec_id: the hash proves the
-    partitioned scale path returns the identical candidate set and
-    ranking (merged from the former similarity_ann_partitioned row)."""
-    import tempfile
-
-    from data_validation_engine_spark.llmops import (
-        ann_topk,
-        ann_topk_partitioned,
-        write_lsh_partitioned,
-    )
-
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    flat = ann_topk(embs, embs.where("vec_id = 0"), 10)
-    path = tempfile.mkdtemp(prefix="dve_lsh_part_") + "/table"
-    write_lsh_partitioned(embs, path)
-    part = ann_topk_partitioned(spark, path, embs.where("vec_id = 0"), 10)
-    # partition-column read-back is integer-typed ('0101' -> 101); pin to
-    # BIGINT so the oracle twin casts the same way
-    return flat.join(
-        part.selectExpr("vec_id", "CAST(bucket AS BIGINT) AS bucket_part"),
-        "vec_id",
-    )
-
-
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-row text-analysis suite in one row: quality statistics +
     gate, heuristic language ID (CJK charset check + stopword vote), the
@@ -1475,6 +1432,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         connected_components_star,
         minhash_pairs,
+        pagerank,
     )
 
     docs = _docs(spark, sf_dir)
@@ -1484,7 +1442,188 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = connected_components_star(pairs).selectExpr(
         "id", "component AS component_star"
     )
-    return lab.join(star, "id")
+    cc = lab.join(star, "id").selectExpr(
+        "'cc' AS op", "id", "component", "component_star",
+        "CAST(NULL AS DOUBLE) AS x",
+    )
+    # 'pr' rows (round 6): deterministic fixed-iteration PageRank over the
+    # supplier->part fulfilment graph (high-quantity lineitems; partkeys
+    # offset so the two key spaces stay disjoint). Every per-target float
+    # sum is an ORDERED fold, so ranks are bit-identical across
+    # partitionings AND to the oracle's unrolled 3-iteration SQL — the
+    # same exact-replay property the k-means row pins for Lloyd's.
+    edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        "l_quantity >= 48"
+    ).selectExpr("l_suppkey AS src", "l_partkey + 100000 AS dst")
+    pr = pagerank(edges, iterations=3).selectExpr(
+        "'pr' AS op", "node AS id", "CAST(NULL AS BIGINT) AS component",
+        "CAST(NULL AS BIGINT) AS component_star", "pagerank AS x",
+    )
+    return cc.unionAll(pr)
+
+
+def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-profiling family in one row (round 6, tagged union), every
+    branch driven as a DECLARED step: 'kmv' rows are the deterministic
+    K-Minimum-Values distinct sketch of customers per order priority
+    (k=128, 60-bit md5 hash space — saturated, so the estimator path is
+    exercised; the oracle recomputes the exact same sketch, pinning
+    engine-exactness of an APPROXIMATE algorithm); 'profile' rows are the
+    single-pass column profile of customer (rows/nulls/exact-distinct/
+    stringified min-max per column — the pre-contract data-quality
+    surface); 'quant' rows are exact per-group quantiles
+    (percentile_cont type-7) of lineitem quantity by return flag,
+    unpivoted one row per (group, prob)."""
+    from data_validation_engine_spark.steps import parse_step
+
+    eng = _engine(spark)
+    ents = _load(spark, sf_dir, ["orders", "customer", "lineitem"])
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "approx_distinct",
+                "entity_name": "orders",
+                "group_by": ["o_orderpriority"],
+                "value_column": "o_custkey",
+                "k": 128,
+                "new_entity_name": "kmv",
+            }
+        ),
+    )
+    kmv = ents["kmv"].selectExpr(
+        "'kmv' AS op",
+        "o_orderpriority AS key",
+        "n_seen AS a",
+        "kth_hash AS b",
+        "approx_distinct AS x",
+        "CAST(NULL AS STRING) AS s1",
+        "CAST(NULL AS STRING) AS s2",
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "profile",
+                "entity_name": "customer",
+                "columns": [
+                    "c_custkey",
+                    "c_name",
+                    "c_nationkey",
+                    "c_mktsegment",
+                ],
+                "new_entity_name": "prof",
+            }
+        ),
+    )
+    prof = ents["prof"].selectExpr(
+        "'profile' AS op",
+        "`column` AS key",
+        "n_rows AS a",
+        "n_null AS b",
+        "CAST(n_distinct AS DOUBLE) AS x",
+        "min_value AS s1",
+        "max_value AS s2",
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "grouped_quantiles",
+                "entity_name": "lineitem",
+                "group_by": ["l_returnflag"],
+                "value_column": "l_quantity",
+                "probs": [0.25, 0.5, 0.75],
+                "new_entity_name": "quants",
+            }
+        ),
+    )
+    quants = ents["quants"].selectExpr(
+        "l_returnflag",
+        "n",
+        "stack(3, 'p25', q_25, 'p50', q_50, 'p75', q_75) AS (tag, v)",
+    ).selectExpr(
+        "'quant' AS op",
+        "l_returnflag || ':' || tag AS key",
+        "n AS a",
+        "CAST(NULL AS BIGINT) AS b",
+        "v AS x",
+        "CAST(NULL AS STRING) AS s1",
+        "CAST(NULL AS STRING) AS s2",
+    )
+    return kmv.unionAll(prof).unionAll(quants)
+
+
+def q_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text retrieval + record linkage in one row (round 6, tagged
+    union), both branches DECLARED steps: 'bm25' rows score every
+    document matching the fixed query under Okapi BM25 (+1 idf, ordered
+    per-term fold — the scores replay bit-for-bit in the oracle); 'fuzzy'
+    rows are the blocked fuzzy-match pairs over part names unioned with a
+    one-char-truncated perturbed copy (offset ids — every original pairs
+    with its truncation at distance 1, the guaranteed-nontrivial device
+    the dedup rows use), candidates blocked on the 2-char casefolded
+    prefix with EXACT hot-block decomposition via length buckets
+    (result-invariance pytest-pinned), verified by exact Levenshtein
+    <= 2. The oracle recomputes the naive blocked join."""
+    from data_validation_engine_spark.steps import parse_step
+
+    eng = _engine(spark)
+    ents = {"documents": _docs(spark, sf_dir)}
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "bm25",
+                "entity_name": "documents",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "query": "spark merge window stream",
+                "new_entity_name": "scored",
+            }
+        ),
+    )
+    bm = ents["scored"].selectExpr(
+        "'bm25' AS op", "doc_id AS a", "n_terms_hit AS b", "score AS x"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        "p_partkey % 5 = 0"
+    )
+    names = part.selectExpr("p_partkey AS id", "p_name AS t").unionAll(
+        part.selectExpr(
+            "p_partkey + 1000000 AS id",
+            "substring(p_name, 1, length(p_name) - 1) AS t",
+        )
+    )
+    ents["names_l"] = names
+    ents["names_r"] = names.selectExpr("id AS rid", "t AS rt")
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "fuzzy_join",
+                "entity_name": "names_l",
+                "right_entity": "names_r",
+                "left_column": "t",
+                "right_column": "rt",
+                "max_distance": 2,
+                "prefix_len": 2,
+                "length_bucket": 2,
+                "new_entity_name": "linked",
+            }
+        ),
+    )
+    fz = (
+        ents["linked"]
+        .where("id < r_rid")
+        .selectExpr(
+            "'fuzzy' AS op",
+            "id AS a",
+            "r_rid AS b",
+            "CAST(distance AS DOUBLE) AS x",
+        )
+    )
+    return bm.unionAll(fz)
 
 
 def q_step_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,18 +1689,41 @@ def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         multiprobe_ann_topk,
     )
 
+    import tempfile
+
+    from data_validation_engine_spark.llmops import (
+        ann_topk,
+        ann_topk_partitioned,
+        write_lsh_partitioned,
+    )
+
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = embs.where("vec_id = 0")
+    pad = ("CAST(NULL AS STRING) AS bucket", "CAST(NULL AS BIGINT) AS bucket_part")
     exact = cosine_topk(embs, q, 20).selectExpr(
-        "'exact' AS method", "vec_id", "cosine"
+        "'exact' AS method", "vec_id", "cosine", *pad
     )
     ivf = ivf_topk(embs, q, 10).selectExpr(
-        "'ivf' AS method", "vec_id", "cosine"
+        "'ivf' AS method", "vec_id", "cosine", *pad
     )
     mp = multiprobe_ann_topk(embs, q, 10).selectExpr(
-        "'multiprobe' AS method", "vec_id", "cosine"
+        "'multiprobe' AS method", "vec_id", "cosine", *pad
     )
-    return exact.unionAll(ivf).unionAll(mp)
+    # 'ann' rows (merged from the former similarity_ann row): the flat
+    # hyperplane-LSH probe joined to the LSH-PARTITIONED layout's probe
+    # (embeddings persisted PARTITIONED BY bucket, probe pushed as a
+    # static partition filter reading ONE directory — plan-asserted in
+    # tests/test_llmops.py); carrying both bucket and bucket_part proves
+    # the partitioned scale path returns the identical candidate set.
+    flat = ann_topk(embs, q, 10)
+    path = tempfile.mkdtemp(prefix="dve_lsh_part_") + "/table"
+    write_lsh_partitioned(embs, path)
+    part = ann_topk_partitioned(spark, path, q, 10)
+    ann = flat.join(
+        part.selectExpr("vec_id", "CAST(bucket AS BIGINT) AS bucket_part"),
+        "vec_id",
+    ).selectExpr("'ann' AS method", "vec_id", "cosine", "bucket", "bucket_part")
+    return exact.unionAll(ivf).unionAll(mp).unionAll(ann)
 
 
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2428,6 +2590,54 @@ def _connected_components_oracle(threshold: float = 0.5) -> str:
     """
 
 
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank twin over the supplier->part
+    graph. Float literals ride as CAST('…' AS VARCHAR→DOUBLE) because
+    DuckDB parses bare decimal literals as DECIMAL (a different double
+    after conversion); init/base are computed IN SQL with the same
+    operation sequence Python uses (1.0/n; (1.0-d)/n). Every per-target
+    sum is the ordered list_reduce fold, matching Spark's sort_array +
+    aggregate fold bit-for-bit."""
+    damp = f"CAST('{damping!r}' AS DOUBLE)"
+    sql = f"""
+        WITH e AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst
+            FROM lineitem WHERE l_quantity >= 48
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+            )
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        links AS (SELECT e.src, e.dst, deg FROM e JOIN deg ON e.src = deg.src),
+        r0 AS (
+            SELECT node, CAST(1.0 AS DOUBLE) / n AS pr FROM nodes, nn
+        )"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+        c{i} AS (
+            SELECT l.src, l.dst, pr / deg AS c
+            FROM links l JOIN {prev} r ON l.src = r.node
+        ),
+        s{i} AS (
+            SELECT dst,
+                   list_reduce(list_prepend(0.0, list(c ORDER BY src)),
+                               (a, b) -> a + b) AS s
+            FROM c{i} GROUP BY dst
+        ),
+        r{i} AS (
+            SELECT node,
+                   (CAST(1.0 AS DOUBLE) - {damp}) / n
+                       + {damp} * coalesce(s, 0.0) AS pr
+            FROM nodes LEFT JOIN s{i} ON node = dst, nn
+        )"""
+        prev = f"r{i}"
+    return sql + f" SELECT node, pr FROM {prev}"
+
+
 def _dedup_simhash_oracle(bits: int = 16) -> str:
     high = "('8','9','a','b','c','d','e','f')"
     bit_exprs = " || ".join(
@@ -2987,16 +3197,134 @@ _LLMOPS_ORACLES: dict[str, str] = {
           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     """,
     # component twice: label propagation joined with large-star/small-star
-    "connected_components": _connected_components_oracle().replace(
-        "min(r) AS component",
-        "min(r) AS component, min(r) AS component_star",
-    ),
-    # bucket AND bucket_part: the flat probe joined with the
-    # partition-pruned probe (same planes, same candidate set)
-    "similarity_ann": _similarity_ann_partitioned_oracle().replace(
-        "CAST(bucket AS BIGINT) AS bucket",
-        "bucket, CAST(bucket AS BIGINT) AS bucket_part",
-    ),
+    "connected_components": f"""
+        SELECT 'cc' AS op, id, component, component_star,
+               CAST(NULL AS DOUBLE) AS x
+        FROM ({_connected_components_oracle().replace(
+            "min(r) AS component",
+            "min(r) AS component, min(r) AS component_star",
+        )})
+        UNION ALL
+        SELECT 'pr', node, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), pr
+        FROM ({_pagerank_oracle()})
+    """,
+    # KMV sketch + column profile + exact grouped quantiles; the kmv
+    # branch recomputes the identical min-128 md5 sketch so even the
+    # APPROXIMATE estimate is engine-exact
+    "data_profiling": f"""
+        WITH hp AS (
+            SELECT DISTINCT o_orderpriority,
+                   ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+            FROM orders
+        ),
+        rk AS (
+            SELECT o_orderpriority, hv, row_number() OVER (
+                PARTITION BY o_orderpriority ORDER BY hv) AS rn
+            FROM hp
+        ),
+        km AS (
+            SELECT o_orderpriority, count(*) AS n_seen,
+                   max(CASE WHEN rn = 128 THEN hv END) AS kth
+            FROM rk WHERE rn <= 128 GROUP BY 1
+        ),
+        gq AS (
+            SELECT l_returnflag, count(*) AS n,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75
+            FROM lineitem GROUP BY 1
+        )
+        SELECT 'kmv' AS op, o_orderpriority AS key, n_seen AS a, kth AS b,
+               CASE WHEN n_seen < 128 THEN CAST(n_seen AS DOUBLE)
+                    ELSE CAST('{float(127) * float(1 << 60)!r}' AS DOUBLE)
+                         / CAST(kth AS DOUBLE) END AS x,
+               CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2
+        FROM km
+        UNION ALL
+        SELECT 'profile', 'c_custkey', count(*),
+               sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END),
+               CAST(count(DISTINCT c_custkey) AS DOUBLE),
+               CAST(min(c_custkey) AS VARCHAR), CAST(max(c_custkey) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'profile', 'c_name', count(*),
+               sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+               CAST(count(DISTINCT c_name) AS DOUBLE),
+               min(c_name), max(c_name)
+        FROM customer
+        UNION ALL
+        SELECT 'profile', 'c_nationkey', count(*),
+               sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+               CAST(count(DISTINCT c_nationkey) AS DOUBLE),
+               CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'profile', 'c_mktsegment', count(*),
+               sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+               CAST(count(DISTINCT c_mktsegment) AS DOUBLE),
+               min(c_mktsegment), max(c_mktsegment)
+        FROM customer
+        UNION ALL
+        SELECT 'quant', l_returnflag || ':p25', n, CAST(NULL AS BIGINT),
+               q25, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM gq
+        UNION ALL
+        SELECT 'quant', l_returnflag || ':p50', n, CAST(NULL AS BIGINT),
+               q50, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM gq
+        UNION ALL
+        SELECT 'quant', l_returnflag || ':p75', n, CAST(NULL AS BIGINT),
+               q75, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM gq
+    """,
+    # BM25 (ordered-fold scores) + blocked fuzzy linkage pairs; the fuzzy
+    # twin is the NAIVE blocked join, pinning the length-bucket
+    # decomposition's exactness
+    "text_retrieval": rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_transform({_DUCK_TOKS}, t -> lower(t)) AS toks
+            FROM documents
+        ),
+        b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+        corpus AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM b2),
+        hits AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+            FROM hits WHERE term IN ('merge', 'spark', 'stream', 'window')
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        w AS (
+            SELECT doc_id, tf.term,
+                   round(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                         * (CAST(tf AS DOUBLE) * 2.2)
+                         / (CAST(tf AS DOUBLE)
+                            + 1.2 * (0.25 + 0.75 * dl
+                                     / (CAST(sumdl AS DOUBLE)
+                                        / CAST(n AS DOUBLE)))), 6) AS w
+            FROM tf, dfreq, corpus WHERE tf.term = dfreq.term
+        ),
+        bm AS (
+            SELECT doc_id, count(*) AS n_terms_hit,
+                   list_reduce(list_prepend(0.0, list(w ORDER BY term)),
+                               (a, b) -> a + b) AS score
+            FROM w GROUP BY doc_id
+        ),
+        names AS (
+            SELECT p_partkey AS id, lower(trim(p_name)) AS t
+            FROM part WHERE p_partkey % 5 = 0
+            UNION ALL
+            SELECT p_partkey + 1000000,
+                   lower(trim(substring(p_name, 1, length(p_name) - 1)))
+            FROM part WHERE p_partkey % 5 = 0
+        )
+        SELECT 'bm25' AS op, doc_id AS a, n_terms_hit AS b, score AS x
+        FROM bm
+        UNION ALL
+        SELECT 'fuzzy', l.id, r.id, CAST(levenshtein(l.t, r.t) AS DOUBLE)
+        FROM names l JOIN names r
+          ON substring(l.t, 1, 2) = substring(r.t, 1, 2) AND l.id < r.id
+        WHERE abs(length(l.t) - length(r.t)) <= 2
+          AND levenshtein(l.t, r.t) <= 2
+    """,
     "step_similarity_ann": f"""
         SELECT 'ann' AS method, vec_id, cosine
         FROM ({_similarity_ann_oracle(k=10, n_planes=4)})
@@ -3008,14 +3336,21 @@ _LLMOPS_ORACLES: dict[str, str] = {
         FROM ({_similarity_ivf_oracle(k=10, n_cells=16, n_probe=4)})
     """,
     "ann_variants": f"""
-        SELECT 'exact' AS method, vec_id, cosine
+        SELECT 'exact' AS method, vec_id, cosine,
+               CAST(NULL AS VARCHAR) AS bucket,
+               CAST(NULL AS BIGINT) AS bucket_part
         FROM ({_similarity_topk_oracle()})
         UNION ALL
-        SELECT 'ivf', vec_id, cosine
+        SELECT 'ivf', vec_id, cosine, CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT)
         FROM ({_similarity_ivf_oracle()})
         UNION ALL
-        SELECT 'multiprobe', vec_id, cosine
+        SELECT 'multiprobe', vec_id, cosine, CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT)
         FROM ({_multiprobe_ann_oracle()})
+        UNION ALL
+        SELECT 'ann', vec_id, cosine, bucket, CAST(bucket AS BIGINT)
+        FROM ({_similarity_ann_oracle()})
     """,
     # two-level ordered segment fold (centroids) + nearest-prototype
     # assignment; checksum = left-fold sum over the centroid components
@@ -3485,18 +3820,19 @@ _ORACLES: dict[str, str] = {
         ) h
     """,
     "sync_filters": """
-        SELECT o_orderkey, o_orderstatus, o_totalprice
+        SELECT 'row' AS op, o_orderkey AS record_key,
+               o_orderstatus AS code, CAST(NULL AS VARCHAR) AS detail,
+               CAST(o_totalprice AS DOUBLE) AS x
         FROM orders
         WHERE COALESCE(o_totalprice < 400000, FALSE)
           AND COALESCE(o_orderstatus <> 'P', FALSE)
-    """,
-    "sync_filter_messages": """
-        SELECT 'orders' AS entity, 'HUGE_ORDER' AS error_code,
-               'order too big' AS error_message, 'record' AS failure_type,
-               o_orderkey AS record_key
+        UNION ALL
+        SELECT 'msg', o_orderkey, 'HUGE_ORDER', 'order too big|record',
+               CAST(NULL AS DOUBLE)
         FROM orders WHERE NOT COALESCE(o_totalprice < 400000, FALSE)
         UNION ALL
-        SELECT 'orders', 'PENDING', 'order pending', 'record', o_orderkey
+        SELECT 'msg', o_orderkey, 'PENDING', 'order pending|record',
+               CAST(NULL AS DOUBLE)
         FROM orders WHERE NOT COALESCE(o_orderstatus <> 'P', FALSE)
     """,
     "contract_functions": """
@@ -3857,7 +4193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the slots for text_hygiene and decontaminate); similarity_topk +
     similarity_ivf + multiprobe_ann -> ann_variants (freeing slots for
     sequence_prep and vector_stats; the step path keeps its own proof in
-    step_similarity_ann)."""
+    step_similarity_ann). Round-6 second wave: sync_filter_messages ->
+    sync_filters and similarity_ann -> ann_variants (freeing the slots
+    for data_profiling and text_retrieval); pagerank rows ride in
+    connected_components (the graph-family row)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,
@@ -3873,7 +4212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union": q_union,
         "join_header": q_join_header,
         "sync_filters": q_sync_filters,
-        "sync_filter_messages": q_sync_filter_messages,
         "notification": q_notification,
         "entity_ops": q_entity_ops,
         "refdata_join": q_refdata_join,
@@ -3891,7 +4229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "bounded_pairs": q_bounded_pairs,
         "connected_components": q_connected_components,
-        "similarity_ann": q_similarity_ann,
         "step_similarity_ann": q_step_similarity_ann,
         "ann_variants": q_ann_variants,
         "vector_stats": q_vector_stats,
@@ -3902,6 +4239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sequence_prep": q_sequence_prep,
         "tfidf_topterms": q_tfidf_topterms,
+        "data_profiling": q_data_profiling,
+        "text_retrieval": q_text_retrieval,
         "multimodal_meta": q_multimodal_meta,
         # sources (SURVEY §2.1)
         "source_csv": q_source_csv,
