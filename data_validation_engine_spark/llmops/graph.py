@@ -69,6 +69,12 @@ def pagerank(
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if checkpoint:
+        # nodes re-enters the plan EVERY round (the left join that
+        # restores zero-in-degree vertices); without truncation each
+        # iteration would re-derive it from the raw edges — at scale,
+        # two extra edge scans per round
+        nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()  # bounded driver scalar (like CC's converge check)
     if n_nodes == 0:
         return nodes.withColumn("pagerank", F.lit(0.0))

@@ -212,3 +212,107 @@ def test_hygiene_entities_from_json(hygiene_result, spark):
     flags = ents["contam_flags"]
     assert flags.where("contaminated AND n_hits = 0").count() == 0
     assert flags.where("NOT contaminated AND n_hits > 0").count() == 0
+
+
+# -- profiling / linkage / retrieval / graph vocabulary, same JSON path -------
+
+PROFILING_DISCHEMA = {
+    "contract": {
+        "datasets": {
+            "documents": {
+                "fields": {
+                    "doc_id": "int",
+                    "text": "str",
+                    "lang": "str",
+                    "source": "str",
+                    "n_chars": "int",
+                },
+                "key_field": "doc_id",
+                "mandatory_fields": ["doc_id"],
+            }
+        }
+    },
+    "transformations": {
+        "rules": [],
+        "filters": [],
+        "post_filter_rules": [
+            {"operation": "approx_distinct", "entity": "documents",
+             "group_by": ["lang"], "value_column": "text", "k": 16,
+             "new_entity_name": "lang_cards"},
+            {"operation": "grouped_quantiles", "entity": "documents",
+             "group_by": ["lang"], "value_column": "n_chars",
+             "probs": [0.5], "new_entity_name": "len_quants"},
+            {"operation": "profile", "entity": "documents",
+             "columns": ["doc_id", "lang", "source"],
+             "new_entity_name": "doc_profile"},
+            {"operation": "bm25", "entity": "documents",
+             "id_column": "doc_id", "query": "spark window stream",
+             "new_entity_name": "hits"},
+            # self-linkage: documents vs a copied register of themselves
+            {"operation": "copy_entity", "entity": "documents",
+             "new_entity_name": "register"},
+            {"operation": "add", "entity": "register",
+             "column_name": "reg_name", "expression": "lang || source"},
+            {"operation": "add", "entity": "documents",
+             "column_name": "doc_name", "expression": "lang || source"},
+            {"operation": "fuzzy_join", "entity": "documents",
+             "right_entity": "register", "left_column": "doc_name",
+             "right_column": "reg_name", "max_distance": 1,
+             "new_entity_name": "linked"},
+            # graph: doc -> source-bucket edges, ranked
+            {"operation": "add", "entity": "documents",
+             "column_name": "src_bucket",
+             "expression": "CAST(1000000 + abs(hash(source)) % 50 AS BIGINT)"},
+            {"operation": "pagerank", "entity": "documents",
+             "src_column": "doc_id", "dst_column": "src_bucket",
+             "iterations": 2, "new_entity_name": "ranks"},
+        ],
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def profiling_result(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("r6_profiling")
+    (root / "dischema.json").write_text(json.dumps(PROFILING_DISCHEMA))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.selectExpr(
+        "CAST(doc_id AS STRING) doc_id", "text", "lang", "source",
+        "CAST(n_chars AS STRING) n_chars",
+    ).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    work = tmp_path_factory.mktemp("r6_profiling_work")
+    return run_pipeline(
+        spark,
+        root / "dischema.json",
+        {"documents": str(root / "documents.parquet")},
+        work,
+        write_report=False,
+    )
+
+
+def test_profiling_pipeline_succeeds(profiling_result):
+    assert profiling_result.success
+    assert {
+        "lang_cards", "len_quants", "doc_profile", "hits", "linked", "ranks",
+    } <= set(profiling_result.entities)
+
+
+def test_profiling_entities_from_json(profiling_result, spark):
+    ents = profiling_result.entities
+    langs = ents["documents"].select("lang").distinct().count()
+    assert ents["lang_cards"].count() == langs
+    # text values are near-unique: the k=16 sketch saturates, so the
+    # estimator path (not the exact path) is what the JSON drove
+    assert ents["lang_cards"].where("kth_hash IS NOT NULL").count() > 0
+    assert ents["len_quants"].count() == langs
+    assert {r.column for r in ents["doc_profile"].collect()} == {
+        "doc_id", "lang", "source",
+    }
+    assert ents["hits"].count() > 0
+    # every document matches its own register row at distance 0
+    n_docs = ents["documents"].count()
+    assert ents["linked"].where("distance = 0").count() >= n_docs
+    # every named source bucket received rank mass above the base
+    ranks = ents["ranks"]
+    assert ranks.where("node >= 1000000 AND pagerank > 0").count() > 0
+    assert ranks.count() > n_docs  # docs + buckets all ranked

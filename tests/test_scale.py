@@ -183,6 +183,7 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         "ann_variants",  # exact brute-force arm: broadcast 1-row query
         "vector_stats",  # nearest-prototype: broadcast k-row centroids
         "tfidf_topterms",
+        "text_retrieval",  # bm25 arm: broadcast 1-row corpus stats
     }
     skip = {
         "pipeline_e2e",  # full pipeline (own tests; intended status cross)
@@ -507,3 +508,94 @@ def test_knn_join_shuffle_budget(spark):
     # bucket join (both sides) + block-tag scatter + window repartition:
     # a bounded handful, not O(k) or O(tables)
     assert count_shuffles(out) <= 6
+
+
+def test_kmv_sketch_shuffle_budget(spark):
+    """Grouped KMV: distinct on (group, 8-byte hash) + the rank/agg pair
+    on the group key — two narrow exchanges, nothing wider than the hash
+    ever shuffles. Global KMV plans as a TakeOrdered (per-partition
+    k-heap), not a single-partition window sort."""
+    from data_validation_engine_spark.llmops.sketch import kmv_distinct
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    grouped = kmv_distinct(docs, ["lang"], "text", k=32)
+    assert count_shuffles(grouped) <= 3
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    g = kmv_distinct(docs, [], "text", k=32)
+    gplan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in gplan
+
+
+def test_profile_and_quantiles_shuffle_budget(spark):
+    """Column profile is ONE aggregate pass (the multi-distinct expands,
+    it does not re-scan); grouped quantiles is one group-key shuffle."""
+    from data_validation_engine_spark.llmops.analytics import (
+        grouped_quantiles,
+        profile_columns,
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    prof = profile_columns(cust, ["c_custkey", "c_name", "c_mktsegment"])
+    # expand-based multi-distinct: 2 exchanges (partial/final), 1 scan
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert count_shuffles(prof) <= 3
+    q = grouped_quantiles(cust, ["c_mktsegment"], "c_acctbal", [0.5])
+    assert count_shuffles(q) == 1
+
+
+def test_fuzzy_join_plan_is_equi_join(spark):
+    """Blocked fuzzy join: candidates come from an EQUI join on the block
+    key (hash/sort-merge, never cartesian or nested-loop), with or
+    without the length-bucket decomposition."""
+    from data_validation_engine_spark.llmops.linkage import fuzzy_string_join
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    left = part.selectExpr("p_partkey AS id", "p_name AS t")
+    right = part.selectExpr("p_partkey AS rid", "p_name AS rt")
+    for lb in (None, 2):
+        out = fuzzy_string_join(
+            left, right, "t", "rt", max_distance=2, length_bucket=lb
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert count_shuffles(out) <= 3
+
+
+def test_bm25_shuffle_budget_and_term_prune(spark):
+    """BM25: the isin prune sits under the term aggregation (the shuffle
+    carries only query-term hits), corpus stats broadcast, document
+    frequencies broadcast — bounded exchanges."""
+    from data_validation_engine_spark.llmops.text import bm25_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = bm25_search(docs, "doc_id", "text", "spark window")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the explode feeding the tf aggregation is filtered to query terms
+    # BEFORE the exchange: the Filter on __term must appear in the same
+    # pre-shuffle stage as the Generate (explode)
+    assert count_shuffles(out) <= 4
+
+
+def test_pagerank_iteration_plan(spark):
+    """One PageRank round = the links×ranks join + one grouped ordered
+    fold keyed by dst — no cartesian, bounded exchanges; ranks stay
+    distributed (the only driver scalar is the node count)."""
+    from data_validation_engine_spark.llmops.graph import pagerank
+
+    edges = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+        "l_suppkey AS src", "l_partkey AS dst"
+    )
+    plan = pagerank(edges, iterations=1, checkpoint=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # with checkpointing (the default), every round's lineage is
+    # truncated and nodes/links are materialised once — the FINAL plan's
+    # exchange count must not grow with the iteration count
+    one = count_shuffles(pagerank(edges, iterations=1))
+    three = count_shuffles(pagerank(edges, iterations=3))
+    assert three == one
+    assert one <= 6
