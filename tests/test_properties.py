@@ -247,3 +247,81 @@ def test_interval_anchor_bucket_equals_naive_exactly_once(
         if ls <= re_ and rs <= le
     ]
     assert sorted(got) == sorted(naive)  # complete AND duplicate-free
+
+
+# -- fuzzy-linkage length-bucket completeness (llmops/linkage.py) -----------
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=0, max_value=8),
+    st.integers(min_value=1, max_value=16),
+)
+def test_fuzzy_length_bucket_covers_all_close_pairs(ll, rl, d, w):
+    """The anchor-bucket lemma behind fuzzy_string_join's hot-block
+    decomposition: whenever two strings are within edit distance d their
+    lengths differ by at most d, and the left row's single bucket
+    floor(ll/w) must fall inside the right row's replicated range
+    floor((rl-d)/w) .. floor((rl+d)/w) — zero pair loss for ANY (d, w)."""
+    if abs(ll - rl) <= d:
+        assert (rl - d) // w <= ll // w <= (rl + d) // w
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=0, max_value=8),
+    st.integers(min_value=1, max_value=16),
+)
+def test_fuzzy_length_bucket_replication_is_bounded(rl, d, w):
+    """The replication factor is (range width)/w + 1 <= 2d/w + 2 — the
+    cost of exactness stays O(d/w) copies per register row, never data-
+    dependent."""
+    n_copies = (rl + d) // w - (rl - d) // w + 1
+    assert 1 <= n_copies <= 2 * d // w + 2
+
+
+# -- BM25 idf positivity (llmops/text.py) -----------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**9))
+def test_bm25_idf_positive_for_any_df(n):
+    """The +1-smoothed Okapi idf ln(1 + (n-df+0.5)/(df+0.5)) is strictly
+    positive for every df in [1, n] — scores can never flip sign on
+    ubiquitous terms (the classic negative-idf BM25 pitfall)."""
+    import math
+
+    for df in {1, n // 2 or 1, n}:
+        assert math.log(1.0 + (n - df + 0.5) / (df + 0.5)) > 0
+
+
+# -- KMV sketch formula (llmops/sketch.py) ----------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sets(
+        st.text(alphabet="abcdef0123456789", min_size=1, max_size=8),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+def test_kmv_exact_below_k_and_estimate_bounds(values, k):
+    """Pure-python mirror of the sketch: below saturation the sketch IS
+    the exact distinct count; at saturation the estimate is positive and
+    the k-th hash is a real member of the hash set."""
+    import hashlib
+
+    hs = sorted(
+        int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in values
+    )
+    if len(hs) < k:
+        assert float(len(hs)) == float(len(values))
+    else:
+        kth = hs[k - 1]
+        est = (k - 1) * float(1 << 60) / kth
+        assert est > 0 and kth in hs

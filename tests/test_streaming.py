@@ -921,3 +921,59 @@ def test_streaming_incremental_dedup_rejects_streaming_corpus(spark, tmp_path):
     stream = read_entity_stream(spark, str(d), schema)
     with _pytest.raises(ConfigurationError):
         streaming_incremental_dedup(stream, stream, "text")
+
+
+def test_streaming_fuzzy_linkage_lifts_unchanged(spark, tmp_path):
+    """Record linkage on ingest: fuzzy_string_join with a STREAMING left
+    side against a static register is a stream-static equi-join on the
+    block key plus per-row verification — stateless, so it lifts with
+    zero new code and emits the identical pair set as the batch path
+    (including the length-bucket hot-block decomposition, whose explode
+    replicates only the STATIC register side)."""
+    import shutil
+
+    from data_validation_engine_spark.llmops import fuzzy_string_join
+    from data_validation_engine_spark.streaming import read_entity_stream
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    register = part.selectExpr(
+        "p_partkey AS rid",
+        "substring(p_name, 1, length(p_name) - 1) AS rname",
+    )
+    d = tmp_path / "names_src"
+    d.mkdir()
+    left_batch = part.selectExpr("p_partkey AS id", "p_name AS name")
+    left_batch.write.parquet(str(d), mode="overwrite")
+
+    sdf = fuzzy_string_join(
+        read_entity_stream(spark, str(d), left_batch.schema),
+        register,
+        "name",
+        "rname",
+        max_distance=1,
+        length_bucket=2,
+    )
+    out = str(tmp_path / "linked_out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_linked"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r.r_rid, r.distance)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.id, r.r_rid, r.distance)
+        for r in fuzzy_string_join(
+            left_batch, register, "name", "rname",
+            max_distance=1, length_bucket=2,
+        ).collect()
+    }
+    assert got == want
+    # every part matches its truncated register twin at distance 1 (or 0
+    # for single-char tails) — non-trivial result guaranteed
+    assert len(got) >= part.count()
