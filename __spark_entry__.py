@@ -1341,21 +1341,45 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     'tfidf' rows carry the top TF-IDF term per document (integer-keyed
     ranking); 'vocab' rows carry the round-6 tokenizer-prep vocabulary
     table (term, total count, doc frequency, min_count=3 floor) — the
-    same term aggregation exercised as a standalone corpus product."""
+    same term aggregation exercised as a standalone corpus product;
+    'encode' rows (round 6) APPLY that vocabulary: every document encoded
+    to its token-id sequence (frequency-ranked ids, id 0 = UNK) via the
+    DECLARED encode_tokens step, the sequence pinned as an md5 of the
+    comma-joined ids plus token/UNK counts — learn-the-vocab and
+    apply-the-vocab proven against each other in one row."""
     from data_validation_engine_spark.llmops import (
         build_vocab,
         tfidf_top_terms,
     )
+    from data_validation_engine_spark.steps import parse_step
 
     docs = _docs(spark, sf_dir)
     tfidf = tfidf_top_terms(docs, "doc_id", "text").selectExpr(
         "'tfidf' AS op", "doc_id", "term", "tf AS a", "df AS b", "tfidf AS x"
     )
-    vocab = build_vocab(docs, "doc_id", "text", min_count=3).selectExpr(
+    vocab_df = build_vocab(docs, "doc_id", "text", min_count=3)
+    vocab = vocab_df.selectExpr(
         "'vocab' AS op", "CAST(-1 AS BIGINT) AS doc_id", "term",
         "count AS a", "doc_freq AS b", "CAST(0.0 AS DOUBLE) AS x",
     )
-    return tfidf.unionAll(vocab)
+    ents = {"documents": docs, "vocab": vocab_df}
+    _engine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "encode_tokens",
+                "entity_name": "documents",
+                "vocab_entity": "vocab",
+                "id_column": "doc_id",
+                "new_entity_name": "encoded",
+            }
+        ),
+    )
+    encoded = ents["encoded"].selectExpr(
+        "'encode' AS op", "doc_id", "md5(ids_csv) AS term",
+        "n_tokens AS a", "n_unk AS b", "CAST(0.0 AS DOUBLE) AS x",
+    )
+    return tfidf.unionAll(vocab).unionAll(encoded)
 
 
 def q_quality_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3620,6 +3644,28 @@ _LLMOPS_ORACLES: dict[str, str] = {
         SELECT 'vocab', CAST(-1 AS BIGINT), term,
                count(*), count(DISTINCT doc_id), 0.0
         FROM terms GROUP BY term HAVING count(*) >= 3
+        UNION ALL
+        SELECT 'encode', doc_id, md5(ids_csv), n_tokens, n_unk, 0.0
+        FROM (
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN tid IS NULL THEN 1 ELSE 0 END) AS n_unk,
+                   string_agg(CAST(COALESCE(tid, 0) AS VARCHAR), ','
+                              ORDER BY pos) AS ids_csv
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           string_split_regex(trim(text), '\\s+'),
+                           (x, i) -> {'term': x, 'pos': i}),
+                           recursive := true)
+                FROM documents
+            ) p
+            LEFT JOIN (
+                SELECT term, row_number() OVER (
+                    ORDER BY count(*) DESC, term ASC) AS tid
+                FROM terms GROUP BY term HAVING count(*) >= 3
+            ) v USING (term)
+            GROUP BY doc_id
+        )
     """,
     # metadata + fake_decoder byte statistics joined on doc_id. The
     # decoder stats are recomputed in SQL: UTF-8 bytes via hex(encode(..))

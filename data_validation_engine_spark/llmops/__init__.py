@@ -114,6 +114,8 @@ from data_validation_engine_spark.llmops.vectors import (
 from data_validation_engine_spark.llmops.text import (
     bm25_search,
     build_vocab,
+    encode_tokens,
+    vocab_ids,
     language_id,
     pii_scrub,
     quality_filters,
@@ -181,4 +183,6 @@ __all__ = [
     "kmv_merge",
     "pagerank",
     "profile_columns",
+    "encode_tokens",
+    "vocab_ids",
 ]

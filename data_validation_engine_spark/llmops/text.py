@@ -488,3 +488,59 @@ def bm25_search(
         ).alias("score"),
     )
     return folded
+
+
+def vocab_ids(vocab: DataFrame) -> DataFrame:
+    """Assign stable integer ids to a vocabulary table: rank by
+    (count DESC, term ASC) — frequency order, the convention tokenizer
+    vocabularies use (id 1 = most frequent term; 0 is reserved for UNK).
+
+    The global window sorts only the (small, frequency-floored) vocab
+    table, not the corpus."""
+    w = Window.orderBy(F.col("count").desc(), F.col("term").asc())
+    return vocab.select(
+        "term", F.row_number().over(w).cast("bigint").alias("token_id")
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Encode every document to its token-id sequence under ``vocab``
+    (a ``build_vocab`` output): returns ``(id, n_tokens, n_unk,
+    ids_csv)`` where ``ids_csv`` is the comma-joined id sequence in
+    token order (out-of-vocabulary tokens become ``unk_id``).
+
+    The model-input side of tokenizer prep: ``build_vocab`` learns the
+    table, this applies it. Scale shape: the vocab (small by
+    construction — frequency floors) broadcasts into the token join; the
+    only wide shuffle is the per-document regroup, keyed by the doc id
+    with positions carried so reassembly is order-exact under any
+    partitioning."""
+    ids = vocab_ids(vocab)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "term"),
+    )
+    joined = toks.join(F.broadcast(ids), on="term", how="left").select(
+        F.col(id_col),
+        "__pos",
+        F.coalesce(F.col("token_id"), F.lit(int(unk_id))).alias("__tid"),
+        F.col("token_id").isNull().cast("long").alias("__unk"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__unk").alias("n_unk"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__tid"))),
+                lambda s: s["__tid"].cast("string"),
+            ),
+        ).alias("ids_csv"),
+    )

@@ -697,6 +697,17 @@ class BuildVocab(AbstractStep):
     min_doc_freq: int = 1
 
 
+class EncodeTokens(AbstractStep):
+    """Encode documents to token-id sequences under a vocabulary entity
+    (a ``build_vocab`` output): ``(id, n_tokens, n_unk, ids_csv)``."""
+
+    operation: Literal["encode_tokens"] = "encode_tokens"
+    vocab_entity: str
+    id_column: str
+    text_column: str = "text"
+    unk_id: int = 0
+
+
 class ApproxDistinct(AbstractStep):
     """Per-group approximate distinct count via the deterministic KMV
     sketch (k smallest md5 hashes; exact below ``k`` distinct values) —
@@ -830,6 +841,7 @@ AnyStep = Annotated[
         FuzzyJoin,
         Bm25Search,
         PageRankStep,
+        EncodeTokens,
     ],
     Field(discriminator="operation"),
 ]

@@ -100,6 +100,7 @@ from data_validation_engine_spark.steps.configs import (
     FuzzyJoin,
     Bm25Search,
     PageRankStep,
+    EncodeTokens,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -194,6 +195,7 @@ class StepEngine:
             FuzzyJoin: self.fuzzy_join,
             Bm25Search: self.bm25,
             PageRankStep: self.pagerank,
+            EncodeTokens: self.encode_tokens,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1382,5 +1384,19 @@ class StepEngine:
             dst_col=config.dst_column,
             iterations=config.iterations,
             damping=config.damping,
+        )
+        return None
+
+    def encode_tokens(
+        self, entities: Entities, *, config: EncodeTokens
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.text import encode_tokens
+
+        entities[config.output_name] = encode_tokens(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            entities[config.vocab_entity],
+            unk_id=config.unk_id,
         )
         return None

@@ -411,3 +411,74 @@ class TestStepDispatch:
         assert entities["linked"].count() == 2  # exact self matches
         assert entities["scored"].count() == 50  # every doc has 'shared'
         assert entities["ranks"].count() > 0
+
+
+class TestEncodeTokens:
+    def test_frequency_ranked_ids_and_unk(self, spark):
+        from data_validation_engine_spark.llmops import (
+            build_vocab,
+            encode_tokens,
+            vocab_ids,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "b b b a a c"),
+                (2, "b a rare"),
+                (3, "b"),
+            ],
+            "doc_id int, text string",
+        )
+        vocab = build_vocab(docs, "doc_id", "text", min_count=2)
+        ids = {r.term: r.token_id for r in vocab_ids(vocab).collect()}
+        # b: 5 occurrences -> id 1; a: 3 -> id 2; c/rare below floor
+        assert ids == {"b": 1, "a": 2}
+        out = {
+            r.doc_id: (r.n_tokens, r.n_unk, r.ids_csv)
+            for r in encode_tokens(docs, "doc_id", "text", vocab).collect()
+        }
+        assert out[1] == (6, 1, "1,1,1,2,2,0")
+        assert out[2] == (3, 1, "1,2,0")
+        assert out[3] == (1, 0, "1")
+
+    def test_order_exact_under_repartition(self, spark):
+        from data_validation_engine_spark.llmops import (
+            build_vocab,
+            encode_tokens,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(30)))
+             for i in range(200)],
+            "doc_id int, text string",
+        )
+        vocab = build_vocab(docs, "doc_id", "text")
+        a = {r.doc_id: r.ids_csv
+             for r in encode_tokens(docs, "doc_id", "text", vocab).collect()}
+        b = {r.doc_id: r.ids_csv
+             for r in encode_tokens(
+                 docs.repartition(17), "doc_id", "text", vocab
+             ).collect()}
+        assert a == b
+
+    def test_step_dispatch(self, spark):
+        from data_validation_engine_spark.llmops import build_vocab
+
+        eng = StepEngine(spark, register_functions=False)
+        docs = spark.createDataFrame(
+            [(1, "x y x"), (2, "y z")], "doc_id int, text string"
+        )
+        ents = {"docs": docs, "vocab": build_vocab(docs, "doc_id", "text")}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "encode_tokens",
+                    "entity_name": "docs",
+                    "vocab_entity": "vocab",
+                    "id_column": "doc_id",
+                    "new_entity_name": "enc",
+                }
+            ),
+        )
+        assert ents["enc"].count() == 2
