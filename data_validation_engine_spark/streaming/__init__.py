@@ -17,6 +17,10 @@ from data_validation_engine_spark.streaming.filters import (
     streaming_sync_filters,
     windowed_counts,
 )
+from data_validation_engine_spark.streaming.cardinality import (
+    streaming_kmv_distinct,
+    window_start_col,
+)
 from data_validation_engine_spark.streaming.rolling import (
     streaming_rolling_counts,
 )
@@ -33,8 +37,10 @@ __all__ = [
     "start_message_sink",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
+    "streaming_kmv_distinct",
     "streaming_rolling_counts",
     "streaming_sessionize",
     "streaming_sync_filters",
+    "window_start_col",
     "windowed_counts",
 ]

@@ -1,0 +1,127 @@
+"""Streaming cardinality estimation: windowed KMV distinct counts with
+BOUNDED state.
+
+``COUNT(DISTINCT x)`` per event-time window is the canonical
+unbounded-state streaming trap: exact distinct requires remembering every
+value seen in the window, so a hot window's state grows without limit.
+The KMV sketch (`llmops/sketch.py`) is the standard fix — O(k) state per
+window regardless of cardinality — and because the sketch is MERGEABLE
+(union of min-k sets, re-cut at k), it folds incrementally across
+micro-batches: each batch merges its values' hashes into the window's
+k-smallest set and re-cuts.
+
+This is the third custom stateful operator built on
+``applyInPandasWithState`` (after sessionization and trailing rolling
+counts). The md5 hashing runs JVM-side BEFORE the stateful hop
+(`kmv_hash` — the same 60-bit space as batch), so Python only merges
+sorted long lists: the Arrow boundary carries ``(window_start, hash)``
+pairs, never values.
+
+Parity: on a single ``availableNow`` drain the final emission per window
+equals the BATCH ``kmv_distinct`` grouped by the same window bucket,
+field-for-field including the estimate (pytest-asserted) — the
+merge-equals-global law the batch ``kmv_merge`` tests pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.errors import ConfigurationError
+from data_validation_engine_spark.llmops.sketch import (
+    DEFAULT_K,
+    HASH_SPACE,
+    kmv_hash,
+)
+
+
+def window_start_col(ts_col: Column, window_seconds: int) -> Column:
+    """Tumbling-window start (epoch seconds, floor bucketing)."""
+    sec = F.unix_timestamp(ts_col)
+    w = int(window_seconds)
+    return (F.floor(sec / w) * w).cast("bigint")
+
+
+def streaming_kmv_distinct(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_seconds: int = 3600,
+    k: int = DEFAULT_K,
+    seed: str = "",
+    watermark: str = "1 hour",
+):
+    """Approximate distinct ``value_col`` per tumbling event-time window.
+
+    Emits ``(window_start, n_seen, kth_hash, approx_distinct)`` per
+    window per micro-batch (append mode; the last emission for a window
+    is its final sketch — one emission per window on an availableNow
+    drain). State per window: at most ``k`` 8-byte hashes.
+    """
+    if not sdf.isStreaming:
+        raise ConfigurationError(
+            "streaming_kmv_distinct requires a streaming DataFrame; use "
+            "llmops.sketch.kmv_distinct for batch frames"
+        )
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # watermarks require TIMESTAMP (with zone); NTZ sources cast through
+    # the session zone — identical window buckets to the batch path,
+    # which runs unix_timestamp on the same session zone
+    sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    hashed = sdf.withWatermark(ts_col, watermark).select(
+        window_start_col(F.col(ts_col), window_seconds).alias("__win"),
+        kmv_hash(F.col(value_col), seed=seed).alias("__hv"),
+    )
+
+    def merge_sketch(key, pdfs, state):
+        import pandas as pd
+
+        (win,) = key
+        kept: list[int] = list(state.get[0]) if state.exists else []
+        seen = set(kept)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["__hv"])
+        merged = sorted(seen)[:k]
+        state.update((merged,))
+        n_seen = len(merged)
+        if n_seen < k:
+            est = float(n_seen)
+            kth = None
+        else:
+            kth = merged[k - 1]
+            est = float(k - 1) * HASH_SPACE / kth
+        yield pd.DataFrame(
+            {
+                "window_start": [win],
+                "n_seen": [n_seen],
+                "kth_hash": pd.array([kth], dtype="Int64"),
+                "approx_distinct": [est],
+            }
+        )
+
+    out_schema = StructType(
+        [
+            StructField("window_start", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("kth_hash", LongType()),
+            StructField("approx_distinct", DoubleType()),
+        ]
+    )
+    return hashed.groupBy(F.col("__win")).applyInPandasWithState(
+        merge_sketch,
+        outputStructType=out_schema,
+        stateStructType="hashes array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
