@@ -2229,11 +2229,19 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch to flush them), so the drained set is deterministic and
     the oracle is a plain filtered GROUP BY. Window starts are returned as
     formatted strings so the comparison is engine-neutral.
+
+    'kmv' rows (round 6): the SAME drain discipline for the third custom
+    stateful operator — daily windowed APPROXIMATE distinct users via the
+    mergeable KMV sketch (O(k) state per window where exact distinct is
+    the canonical unbounded-state trap); the DuckDB twin recomputes the
+    identical min-16 md5 sketch per window, so even the streaming
+    estimate is engine-exact.
     """
     import tempfile
 
     from data_validation_engine_spark.streaming import (
         read_entity_stream,
+        streaming_kmv_distinct,
         windowed_counts,
     )
 
@@ -2257,11 +2265,42 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{out}/data").selectExpr(
+    counts = spark.read.parquet(f"{out}/data").selectExpr(
+        "'count' AS op",
         "date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS win_start",
         "event_type",
         "n",
+        "CAST(NULL AS DOUBLE) AS x",
     )
+    sk = streaming_kmv_distinct(
+        read_entity_stream(
+            spark,
+            sf_dir,
+            _EVENTS_TS_SCHEMA,
+            options={"pathGlobFilter": "events.parquet"},
+        ),
+        "ts",
+        "user_id",
+        window_seconds=86400,
+        k=16,
+    )
+    q2 = (
+        sk.writeStream.format("parquet")
+        .option("path", f"{out}/kmv")
+        .option("checkpointLocation", f"{out}/ckpt_kmv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    kmv = spark.read.parquet(f"{out}/kmv").selectExpr(
+        "'kmv' AS op",
+        "CAST(window_start AS STRING) AS win_start",
+        "CAST(kth_hash AS STRING) AS event_type",
+        "n_seen AS n",
+        "approx_distinct AS x",
+    )
+    return counts.unionAll(kmv)
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3944,16 +3983,40 @@ _ORACLES: dict[str, str] = {
     # append-mode emission: windows closed by the final watermark
     # (window end <= max event time - 2h); hourly Spark windows align to
     # epoch, i.e. date_trunc('hour') for whole-hour widths
-    "streaming_window_counts": """
-        WITH m AS (SELECT max(ts) AS mx FROM events)
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+    "streaming_window_counts": f"""
+        WITH m AS (SELECT max(ts) AS mx FROM events),
+        wh AS (
+            SELECT DISTINCT
+                   CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+            FROM events
+        ),
+        wr AS (
+            SELECT win, hv, row_number() OVER (
+                PARTITION BY win ORDER BY hv) AS rn
+            FROM wh
+        ),
+        wk AS (
+            SELECT win, count(*) AS n_seen,
+                   max(CASE WHEN rn = 16 THEN hv END) AS kth
+            FROM wr WHERE rn <= 16 GROUP BY win
+        )
+        SELECT 'count' AS op,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                    AS win_start,
                event_type,
-               count(*) AS n
+               count(*) AS n,
+               CAST(NULL AS DOUBLE) AS x
         FROM events, m
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
                   <= mx - INTERVAL 2 HOUR
-        GROUP BY 1, 2
+        GROUP BY 2, 3
+        UNION ALL
+        SELECT 'kmv', CAST(win AS VARCHAR), CAST(kth AS VARCHAR), n_seen,
+               CASE WHEN n_seen < 16 THEN CAST(n_seen AS DOUBLE)
+                    ELSE CAST('{float(15) * float(1 << 60)!r}' AS DOUBLE)
+                         / CAST(kth AS DOUBLE) END
+        FROM wk
     """,
     "sessionize": """
         WITH flagged AS (
