@@ -1479,7 +1479,10 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
         "l_quantity >= 48"
     ).selectExpr("l_suppkey AS src", "l_partkey + 100000 AS dst")
-    pr = pagerank(edges, iterations=3).selectExpr(
+    # checkpoint=False: at oracle scale the 3-round lineage is tiny, so
+    # skipping the per-round materialisation turns five jobs into one;
+    # the default (True) stays the 100 TB path and has its own plan test
+    pr = pagerank(edges, iterations=3, checkpoint=False).selectExpr(
         "'pr' AS op", "node AS id", "CAST(NULL AS BIGINT) AS component",
         "CAST(NULL AS BIGINT) AS component_star", "pagerank AS x",
     )
