@@ -740,6 +740,22 @@ class ProfileColumns(AbstractStep):
     columns: Optional[tuple[str, ...]] = None
 
 
+class ProfileGate(AbstractStep):
+    """Dataset-level quality gate over the column profile: one
+    SUBMISSION-severity message per violated threshold (null fraction
+    above ``max_null_frac``, distinct count below ``min_distinct``, row
+    count below ``min_rows``) — the pre-contract sanity check a
+    validation engine runs before row-level rules, computed from the
+    same single profiling pass as the ``profile`` step."""
+
+    operation: Literal["profile_gate"] = "profile_gate"
+    columns: Optional[tuple[str, ...]] = None
+    max_null_frac: Optional[float] = None
+    min_distinct: Optional[int] = None
+    min_rows: Optional[int] = None
+    code: str = "PROFILE_GATE"
+
+
 class FuzzyJoin(AbstractStep):
     """Blocked fuzzy string join against ``right_entity``: candidates
     share the casefolded ``prefix_len``-char block, matches sit within
@@ -842,6 +858,7 @@ AnyStep = Annotated[
         Bm25Search,
         PageRankStep,
         EncodeTokens,
+        ProfileGate,
     ],
     Field(discriminator="operation"),
 ]

@@ -101,6 +101,7 @@ from data_validation_engine_spark.steps.configs import (
     Bm25Search,
     PageRankStep,
     EncodeTokens,
+    ProfileGate,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -196,6 +197,7 @@ class StepEngine:
             Bm25Search: self.bm25,
             PageRankStep: self.pagerank,
             EncodeTokens: self.encode_tokens,
+            ProfileGate: self.profile_gate,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1400,3 +1402,88 @@ class StepEngine:
             unk_id=config.unk_id,
         )
         return None
+
+    def profile_gate(
+        self, entities: Entities, *, config: ProfileGate
+    ) -> Messages:
+        """Dataset-level thresholds over the single-pass column profile,
+        reported as SUBMISSION-severity messages (the reference's
+        failure_type taxonomy, messages.py:36) — entirely lazy: the
+        profile aggregate and the threshold filters are one plan, no
+        driver-side inspection of the stats."""
+        from data_validation_engine_spark.llmops.analytics import (
+            profile_columns,
+        )
+        from data_validation_engine_spark.messages import RECORD_INDEX
+
+        df = entities[config.entity_name]
+        prof = profile_columns(
+            df,
+            list(config.columns) if config.columns is not None else None,
+        )
+
+        def msg(filtered: DataFrame, template: Column, value: Column):
+            return filtered.select(
+                F.lit(config.entity_name).alias("entity"),
+                F.lit(config.entity_name).alias("original_entity"),
+                F.lit(None).cast("long").alias(RECORD_INDEX),
+                F.lit(config.code).alias("error_code"),
+                template.alias("error_message"),
+                F.lit(None).cast("string").alias("error_location"),
+                F.lit("submission").alias("failure_type"),
+                F.lit(False).alias("is_informational"),
+                F.lit("profile").alias("category"),
+                F.col("column").alias("reporting_field"),
+                value.cast("string").alias("value"),
+                F.lit(None).cast("string").alias("record_json"),
+            )
+
+        feeds = []
+        if config.max_null_frac is not None:
+            frac = F.col("n_null") / F.greatest(F.col("n_rows"), F.lit(1))
+            feeds.append(
+                msg(
+                    prof.where(frac > F.lit(float(config.max_null_frac))),
+                    F.concat(
+                        F.lit("column "), F.col("column"),
+                        F.lit(" null fraction "),
+                        F.round(frac, 4).cast("string"),
+                        F.lit(f" exceeds {float(config.max_null_frac)!r}"),
+                    ),
+                    frac,
+                )
+            )
+        if config.min_distinct is not None:
+            feeds.append(
+                msg(
+                    prof.where(
+                        F.col("n_distinct") < F.lit(int(config.min_distinct))
+                    ),
+                    F.concat(
+                        F.lit("column "), F.col("column"),
+                        F.lit(" has "), F.col("n_distinct").cast("string"),
+                        F.lit(f" distinct values, below {int(config.min_distinct)}"),
+                    ),
+                    F.col("n_distinct"),
+                )
+            )
+        if config.min_rows is not None:
+            feeds.append(
+                msg(
+                    prof.limit(1).where(
+                        F.col("n_rows") < F.lit(int(config.min_rows))
+                    ),
+                    F.concat(
+                        F.lit("entity has "),
+                        F.col("n_rows").cast("string"),
+                        F.lit(f" rows, below {int(config.min_rows)}"),
+                    ),
+                    F.col("n_rows"),
+                )
+            )
+        if not feeds:
+            return None
+        out = feeds[0]
+        for f in feeds[1:]:
+            out = out.unionAll(f)
+        return out

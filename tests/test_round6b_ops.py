@@ -482,3 +482,65 @@ class TestEncodeTokens:
             ),
         )
         assert ents["enc"].count() == 2
+
+
+class TestProfileGate:
+    def test_thresholds_emit_submission_messages(self, spark):
+        from data_validation_engine_spark.messages import MESSAGE_SCHEMA
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None), (3, "b")], "id int, s string"
+        )
+        eng = StepEngine(spark, register_functions=False)
+        msgs = eng.evaluate(
+            {"t": df},
+            config=parse_step(
+                {
+                    "operation": "profile_gate",
+                    "entity_name": "t",
+                    "max_null_frac": 0.25,
+                    "min_distinct": 4,
+                    "min_rows": 10,
+                }
+            ),
+        )
+        # literals make some fields non-nullable; names+types must match
+        # the engine message schema exactly
+        assert [(f.name, f.dataType) for f in msgs.schema.fields] == [
+            (f.name, f.dataType) for f in MESSAGE_SCHEMA.fields
+        ]
+        rows = msgs.collect()
+        assert all(r.failure_type == "submission" for r in rows)
+        kinds = {(r.reporting_field, r.value) for r in rows}
+        assert ("s", "0.5") in kinds            # null fraction
+        assert ("id", "3") in kinds             # distinct floor
+        assert ("id", "4") in kinds             # row floor
+        assert len(rows) == 4
+
+    def test_clean_entity_emits_nothing(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        eng = StepEngine(spark, register_functions=False)
+        msgs = eng.evaluate(
+            {"t": df},
+            config=parse_step(
+                {
+                    "operation": "profile_gate",
+                    "entity_name": "t",
+                    "max_null_frac": 0.5,
+                    "min_distinct": 2,
+                    "min_rows": 1,
+                }
+            ),
+        )
+        assert msgs.count() == 0
+
+    def test_no_thresholds_is_noop(self, spark):
+        df = spark.createDataFrame([(1,)], "id int")
+        eng = StepEngine(spark, register_functions=False)
+        msgs = eng.evaluate(
+            {"t": df},
+            config=parse_step(
+                {"operation": "profile_gate", "entity_name": "t"}
+            ),
+        )
+        assert msgs is None
