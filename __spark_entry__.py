@@ -1472,13 +1472,13 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 'pr' rows (round 6): deterministic fixed-iteration PageRank over the
     # supplier->part fulfilment graph (high-quantity lineitems; partkeys
-    # offset so the two key spaces stay disjoint). Every per-target float
+    # offset by 1e9 so the two key spaces stay disjoint at every SF). Every per-target float
     # sum is an ORDERED fold, so ranks are bit-identical across
     # partitionings AND to the oracle's unrolled 3-iteration SQL — the
     # same exact-replay property the k-means row pins for Lloyd's.
     edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
         "l_quantity >= 48"
-    ).selectExpr("l_suppkey AS src", "l_partkey + 100000 AS dst")
+    ).selectExpr("l_suppkey AS src", "l_partkey + 1000000000 AS dst")
     # checkpoint=False: at oracle scale the 3-round lineage is tiny, so
     # skipping the per-round materialisation turns five jobs into one;
     # the default (True) stays the 100 TB path and has its own plan test
@@ -2685,7 +2685,7 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     damp = f"CAST('{damping!r}' AS DOUBLE)"
     sql = f"""
         WITH e AS (
-            SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst
+            SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000 AS dst
             FROM lineitem WHERE l_quantity >= 48
         ),
         nodes AS (
@@ -3304,7 +3304,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
         rk AS (
             SELECT o_orderpriority, hv, row_number() OVER (
                 PARTITION BY o_orderpriority ORDER BY hv) AS rn
-            FROM hp
+            FROM hp WHERE hv IS NOT NULL
         ),
         km AS (
             SELECT o_orderpriority, count(*) AS n_seen,
@@ -3696,7 +3696,10 @@ _LLMOPS_ORACLES: dict[str, str] = {
             FROM (
                 SELECT doc_id,
                        unnest(list_transform(
-                           string_split_regex(trim(text), '\\s+'),
+                           CASE WHEN COALESCE(trim(text), '') = ''
+                                THEN CAST([] AS VARCHAR[])
+                                ELSE string_split_regex(trim(text), '\\s+')
+                           END,
                            (x, i) -> {'term': x, 'pos': i}),
                            recursive := true)
                 FROM documents
@@ -3997,7 +4000,7 @@ _ORACLES: dict[str, str] = {
         wr AS (
             SELECT win, hv, row_number() OVER (
                 PARTITION BY win ORDER BY hv) AS rn
-            FROM wh
+            FROM wh WHERE hv IS NOT NULL
         ),
         wk AS (
             SELECT win, count(*) AS n_seen,

@@ -141,9 +141,11 @@ def grouped_quantiles(
         names = [_pname(p) for p in probs]
     if len(names) != len(probs):
         raise ValueError("names must match probs one-to-one")
+    if "`" in value_col:
+        raise ValueError(f"value_col may not contain backticks: {value_col}")
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.round(
-            F.expr(f"percentile({value_col}, {p!r})"), round_to
+            F.expr(f"percentile(`{value_col}`, {p!r})"), round_to
         ).alias(name)
         for p, name in zip(probs, names)
     ]
@@ -172,21 +174,28 @@ def profile_columns(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile columns not in frame: {missing}")
+    # internal aliases are INDEX-based and the profiled name enters the
+    # stack only as an escaped string literal, so arbitrary column names
+    # (spaces, dots, quotes) profile cleanly
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        col = F.col(f"`{c}`") if "`" not in c else df[c]
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.sum(col.isNull().cast("long")).alias(f"__null_{i}"),
+            F.count_distinct(col).alias(f"__dist_{i}"),
+            F.min(col).cast("string").alias(f"__min_{i}"),
+            F.max(col).cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
     # unpivot the single wide row with stack() — still one job, no
     # per-column re-scan of the input
+    def _lit(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __min_{c}, __max_{c}"
-        for c in cols
+        f"{_lit(c)}, __n_{i}, __null_{i}, __dist_{i}, __min_{i}, __max_{i}"
+        for i, c in enumerate(cols)
     )
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "

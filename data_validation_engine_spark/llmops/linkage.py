@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 
 
 def _norm(col: Column) -> Column:
-    return F.lower(F.trim(col))
+    # NULL normalises to '' so null names behave like empty strings
+    # (blocked together, distance measured against the empty string)
+    # instead of silently vanishing through a NULL join key
+    return F.lower(F.trim(F.coalesce(col, F.lit(""))))
 
 
 def block_key(col: Column, *, prefix_len: int = 2) -> Column:

@@ -70,11 +70,45 @@ def kmv_distinct(
     Deterministic and engine-exact: every intermediate is an integer
     except the final single division.
     """
+    return _kmv_tail(
+        df.select(
+            *group_cols, kmv_hash(F.col(value_col), seed=seed).alias("__hv")
+        ),
+        group_cols,
+        k,
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Merge per-partition KMV sketches (rows of ``(group, __hv)``) into
+    the per-group estimate — the union of min-k sets re-ranked and cut at
+    ``k`` is exactly the sketch of the unioned data, which is what makes
+    KMV usable across independently-sketched shards / days / sources.
+
+    Input must carry one row per (group, hash) surviving each shard's
+    local cut; the rank-and-aggregate tail is SHARED with
+    :func:`kmv_distinct`, so the two paths can never diverge.
+    """
+    return _kmv_tail(sketches.select(*group_cols, "__hv"), group_cols, k)
+
+
+def _kmv_tail(
+    hashed: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Shared sketch tail: distinct hashes -> per-group min-k -> count /
+    k-th hash / estimate. NULL hashes (NULL input values) are dropped
+    first — ``COUNT(DISTINCT x)`` ignores NULLs, and a NULL would
+    otherwise sort NULLS-FIRST into sketch rank 1 on the Spark side while
+    DuckDB ranks NULLS LAST, corrupting both the estimate and the
+    cross-engine parity."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    hashed = df.select(
-        *group_cols, kmv_hash(F.col(value_col), seed=seed).alias("__hv")
-    ).distinct()
+    hashed = hashed.where(F.col("__hv").isNotNull()).distinct()
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy("__hv")
         ranked = hashed.withColumn("__rn", F.row_number().over(w)).where(
@@ -91,40 +125,6 @@ def kmv_distinct(
                 "__rn", F.row_number().over(Window.orderBy("__hv"))
             )
         )
-    agg = ranked.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_seen"),
-        F.max(F.when(F.col("__rn") == k, F.col("__hv"))).alias("kth_hash"),
-    )
-    estimate = F.when(
-        F.col("n_seen") < k, F.col("n_seen").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1) * HASH_SPACE) / F.col("kth_hash").cast("double")
-    )
-    return agg.withColumn("approx_distinct", estimate)
-
-
-def kmv_merge(
-    sketches: DataFrame,
-    group_cols: list[str],
-    *,
-    k: int = DEFAULT_K,
-) -> DataFrame:
-    """Merge per-partition KMV sketches (rows of ``(group, __hv)``) into
-    the per-group estimate — the union of min-k sets re-ranked and cut at
-    ``k`` is exactly the sketch of the unioned data, which is what makes
-    KMV usable across independently-sketched shards / days / sources.
-
-    Input must carry one row per (group, hash) surviving each shard's
-    local cut; this is the same rank-and-aggregate tail as
-    :func:`kmv_distinct`.
-    """
-    w = Window.partitionBy(*group_cols).orderBy("__hv")
-    ranked = (
-        sketches.select(*group_cols, "__hv")
-        .distinct()
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-    )
     agg = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_seen"),
         F.max(F.when(F.col("__rn") == k, F.col("__hv"))).alias("kth_hash"),

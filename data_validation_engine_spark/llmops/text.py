@@ -511,10 +511,12 @@ def encode_tokens(
     *,
     unk_id: int = 0,
 ) -> DataFrame:
-    """Encode every document to its token-id sequence under ``vocab``
-    (a ``build_vocab`` output): returns ``(id, n_tokens, n_unk,
-    ids_csv)`` where ``ids_csv`` is the comma-joined id sequence in
-    token order (out-of-vocabulary tokens become ``unk_id``).
+    """Encode every document WITH AT LEAST ONE TOKEN to its token-id
+    sequence under ``vocab`` (a ``build_vocab`` output): returns ``(id,
+    n_tokens, n_unk, ids_csv)`` where ``ids_csv`` is the comma-joined id
+    sequence in token order (out-of-vocabulary tokens become
+    ``unk_id``). Zero-token documents (null/blank text) have no sequence
+    and emit no row.
 
     The model-input side of tokenizer prep: ``build_vocab`` learns the
     table, this applies it. Scale shape: the vocab (small by

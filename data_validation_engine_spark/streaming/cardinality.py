@@ -79,21 +79,42 @@ def streaming_kmv_distinct(
     # the session zone — identical window buckets to the batch path,
     # which runs unix_timestamp on the same session zone
     sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    hashed = sdf.withWatermark(ts_col, watermark).select(
-        window_start_col(F.col(ts_col), window_seconds).alias("__win"),
-        kmv_hash(F.col(value_col), seed=seed).alias("__hv"),
+    hashed = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            window_start_col(F.col(ts_col), window_seconds).alias("__win"),
+            kmv_hash(F.col(value_col), seed=seed).alias("__hv"),
+        )
+        # NULL values hash to NULL; COUNT(DISTINCT) ignores them, and an
+        # unfiltered NULL would crash int() inside the stateful merge —
+        # drop JVM-side so one bad record can't kill the stream
+        .where(F.col("__hv").isNotNull())
     )
 
     def merge_sketch(key, pdfs, state):
         import pandas as pd
 
         (win,) = key
+        if state.hasTimedOut:
+            # watermark passed the window end: no more rows can arrive,
+            # the final sketch was already emitted — free the state (the
+            # window-keyed state space otherwise grows with wall clock)
+            state.remove()
+            return
         kept: list[int] = list(state.get[0]) if state.exists else []
         seen = set(kept)
         for pdf in pdfs:
             seen.update(int(h) for h in pdf["__hv"])
         merged = sorted(seen)[:k]
         state.update((merged,))
+        # evict once the watermark passes the window close (epoch ms);
+        # a late row for an already-closed window must not set a timeout
+        # behind the current watermark (Spark rejects that), so clamp
+        close_ms = (int(win) + int(window_seconds)) * 1000
+        state.setTimeoutTimestamp(
+            max(close_ms, state.getCurrentWatermarkMs() + 1)
+        )
         n_seen = len(merged)
         if n_seen < k:
             est = float(n_seen)
@@ -123,5 +144,5 @@ def streaming_kmv_distinct(
         outputStructType=out_schema,
         stateStructType="hashes array<bigint>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -544,3 +544,82 @@ class TestProfileGate:
             ),
         )
         assert msgs is None
+
+
+class TestReviewRegressions:
+    """Pins for the round-6 self-review findings: NULL handling in the
+    sketch/linkage paths and arbitrary column names in profiling."""
+
+    def test_kmv_ignores_null_values(self, spark):
+        rows = [(0, f"v{i}") for i in range(50)] + [(0, None)] * 5
+        df = spark.createDataFrame(rows, "g int, v string")
+        r = kmv_distinct(df, ["g"], "v", k=16).collect()[0]
+        clean = kmv_distinct(
+            spark.createDataFrame(rows[:50], "g int, v string"),
+            ["g"], "v", k=16,
+        ).collect()[0]
+        # NULLs neither fill a sketch slot nor shift the k-th hash
+        assert (r.n_seen, r.kth_hash, r.approx_distinct) == (
+            clean.n_seen, clean.kth_hash, clean.approx_distinct,
+        )
+
+    def test_fuzzy_join_null_names_match_empty(self, spark):
+        left = spark.createDataFrame(
+            [(1, None), (2, "ab")], "id int, name string"
+        )
+        right = spark.createDataFrame(
+            [(10, ""), (11, None)], "rid int, rname string"
+        )
+        got = sorted(
+            (r.id, r.r_rid, r.distance)
+            for r in fuzzy_string_join(
+                left, right, "name", "rname", max_distance=1
+            ).collect()
+        )
+        # null == '' under the blocking normalisation: the null/empty
+        # rows pair with each other at distance 0, not vanish
+        assert got == [(1, 10, 0), (1, 11, 0)]
+
+    def test_profile_handles_awkward_column_names(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, None)],
+            ["order id", "weird'name"],
+        )
+        out = {r.column: r for r in profile_columns(df).collect()}
+        assert set(out) == {"order id", "weird'name"}
+        assert out["weird'name"].n_null == 1
+
+    def test_quantiles_backticked_value_col(self, spark):
+        df = spark.createDataFrame([(0, 1.0), (0, 3.0)], ["g", "the x"])
+        r = grouped_quantiles(df, "g", "the x", [0.5]).collect()[0]
+        assert r.q_50 == 2.0
+
+    def test_streaming_kmv_survives_null_values(self, spark, tmp_path):
+        from data_validation_engine_spark.streaming import (
+            read_entity_stream,
+            streaming_kmv_distinct,
+        )
+
+        src = tmp_path / "null_src"
+        src.mkdir()
+        batch = spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1), ("2024-01-01 00:10:00", None),
+             ("2024-01-01 00:20:00", 2)],
+            "ts string, user_id int",
+        ).selectExpr("CAST(ts AS TIMESTAMP) ts", "user_id")
+        batch.write.parquet(str(src), mode="overwrite")
+        sdf = streaming_kmv_distinct(
+            read_entity_stream(spark, str(src), batch.schema),
+            "ts", "user_id", window_seconds=3600, k=4,
+        )
+        out = str(tmp_path / "null_out")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck_null"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1 and rows[0].n_seen == 2  # NULL ignored
