@@ -1578,7 +1578,31 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS STRING) AS s1",
         "CAST(NULL AS STRING) AS s2",
     )
-    return kmv.unionAll(prof).unionAll(quants)
+    # 'hh' rows (round 6): exact heavy hitters — top-3 order priorities
+    # per order status via the DECLARED frequent_items step
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "frequent_items",
+                "entity_name": "orders",
+                "group_by": ["o_orderstatus"],
+                "value_column": "o_orderpriority",
+                "k": 3,
+                "new_entity_name": "hh",
+            }
+        ),
+    )
+    hh = ents["hh"].selectExpr(
+        "'hh' AS op",
+        "o_orderstatus AS key",
+        "n AS a",
+        "CAST(rank AS BIGINT) AS b",
+        "CAST(NULL AS DOUBLE) AS x",
+        "value AS s1",
+        "CAST(NULL AS STRING) AS s2",
+    )
+    return kmv.unionAll(prof).unionAll(quants).unionAll(hh)
 
 
 def q_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3357,6 +3381,18 @@ _LLMOPS_ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'quant', l_returnflag || ':p75', n, CAST(NULL AS BIGINT),
                q75, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM gq
+        UNION ALL
+        SELECT 'hh', o_orderstatus, n, rk, CAST(NULL AS DOUBLE),
+               value, CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT o_orderstatus, o_orderpriority AS value,
+                   count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY count(*) DESC, o_orderpriority ASC
+                   ) AS rk
+            FROM orders GROUP BY 1, 2
+        ) WHERE rk <= 3
     """,
     # BM25 (ordered-fold scores) + blocked fuzzy linkage pairs; the fuzzy
     # twin is the NAIVE blocked join, pinning the length-bucket

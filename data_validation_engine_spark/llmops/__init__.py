@@ -38,6 +38,7 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 """
 
 from data_validation_engine_spark.llmops.analytics import (
+    frequent_items,
     grouped_quantiles,
     grouped_topk,
     profile_columns,
@@ -184,5 +185,6 @@ __all__ = [
     "pagerank",
     "profile_columns",
     "encode_tokens",
+    "frequent_items",
     "vocab_ids",
 ]

@@ -100,6 +100,36 @@ def rolling_agg(
     return out.drop("__us")
 
 
+def frequent_items(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    k: int,
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """Exact top-``k`` most frequent values per group (heavy hitters):
+    ``(*group_cols, value, n, rank)``, ranked by count descending with
+    the value ascending as the deterministic tiebreak.
+
+    Composition of the engine's own primitives: one (group, value)
+    count aggregation (map-side combine carries the load) then
+    :func:`grouped_topk`'s WindowGroupLimit ranking — the count shuffle
+    carries one row per distinct (group, value), and the rank shuffle at
+    most the distinct values per group, never the raw rows. Exact by
+    construction (this is the frequency table, not a sketch); for
+    streams-scale value domains, cap the domain upstream or use the KMV
+    sketch for cardinality first.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    counts = (
+        df.groupBy(*groups, F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= int(min_count))
+    )
+    return grouped_topk(counts, groups, "n", k, tiebreak_cols=["value"])
+
+
 def grouped_quantiles(
     df: DataFrame,
     group_cols: list[str] | str,

@@ -740,6 +740,17 @@ class ProfileColumns(AbstractStep):
     columns: Optional[tuple[str, ...]] = None
 
 
+class FrequentItems(AbstractStep):
+    """Exact top-k most frequent values per group (heavy-hitter table):
+    one (group, value) count aggregation + WindowGroupLimit ranking."""
+
+    operation: Literal["frequent_items"] = "frequent_items"
+    group_by: tuple[str, ...]
+    value_column: str
+    k: int = 10
+    min_count: int = 1
+
+
 class ProfileGate(AbstractStep):
     """Dataset-level quality gate over the column profile: one
     SUBMISSION-severity message per violated threshold (null fraction
@@ -859,6 +870,7 @@ AnyStep = Annotated[
         PageRankStep,
         EncodeTokens,
         ProfileGate,
+        FrequentItems,
     ],
     Field(discriminator="operation"),
 ]

@@ -102,6 +102,7 @@ from data_validation_engine_spark.steps.configs import (
     PageRankStep,
     EncodeTokens,
     ProfileGate,
+    FrequentItems,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -198,6 +199,7 @@ class StepEngine:
             PageRankStep: self.pagerank,
             EncodeTokens: self.encode_tokens,
             ProfileGate: self.profile_gate,
+            FrequentItems: self.frequent_items,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1487,3 +1489,19 @@ class StepEngine:
         for f in feeds[1:]:
             out = out.unionAll(f)
         return out
+
+    def frequent_items(
+        self, entities: Entities, *, config: FrequentItems
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import (
+            frequent_items,
+        )
+
+        entities[config.output_name] = frequent_items(
+            entities[config.entity_name],
+            list(config.group_by),
+            config.value_column,
+            config.k,
+            min_count=config.min_count,
+        )
+        return None

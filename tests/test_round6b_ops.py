@@ -623,3 +623,45 @@ class TestReviewRegressions:
         q.awaitTermination(120)
         rows = spark.read.parquet(out).collect()
         assert len(rows) == 1 and rows[0].n_seen == 2  # NULL ignored
+
+
+class TestFrequentItems:
+    def test_exact_heavy_hitters(self, spark):
+        from data_validation_engine_spark.llmops import frequent_items
+
+        rows = (
+            [(0, "a")] * 5 + [(0, "b")] * 3 + [(0, "c")] * 3 + [(0, "d")]
+            + [(1, "z")] * 2 + [(1, "y")]
+        )
+        df = spark.createDataFrame(rows, "g int, v string")
+        out = sorted(
+            (r.g, r.rank, r.value, r.n)
+            for r in frequent_items(df, "g", "v", 2).collect()
+        )
+        # count desc, value asc tiebreak: b beats c at 3
+        assert out == [
+            (0, 1, "a", 5), (0, 2, "b", 3), (1, 1, "z", 2), (1, 2, "y", 1),
+        ]
+
+    def test_min_count_floor_and_step(self, spark):
+        eng = StepEngine(spark, register_functions=False)
+        df = spark.createDataFrame(
+            [(0, "a"), (0, "a"), (0, "b")], "g int, v string"
+        )
+        ents = {"t": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "frequent_items",
+                    "entity_name": "t",
+                    "group_by": ["g"],
+                    "value_column": "v",
+                    "k": 5,
+                    "min_count": 2,
+                    "new_entity_name": "hh",
+                }
+            ),
+        )
+        got = [(r.value, r.n) for r in ents["hh"].collect()]
+        assert got == [("a", 2)]
