@@ -1602,7 +1602,39 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value AS s1",
         "CAST(NULL AS STRING) AS s2",
     )
-    return kmv.unionAll(prof).unionAll(quants).unionAll(hh)
+    # 'drift' rows (round 6): schema/stat drift via the DECLARED
+    # profile_diff step — "yesterday" is (c_custkey, c_name),
+    # "today" drops c_name, adds c_mktsegment, and nulls every 5th
+    # custkey, so all three statuses and a null-rate delta are exercised
+    ents["yesterday"] = ents["customer"].select("c_custkey", "c_name")
+    ents["today"] = ents["customer"].selectExpr(
+        "CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END"
+        " AS c_custkey",
+        "c_mktsegment",
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "profile_diff",
+                "entity_name": "yesterday",
+                "target_name": "today",
+                "new_entity_name": "drift",
+            }
+        ),
+    )
+    drift = ents["drift"].selectExpr(
+        "'drift' AS op",
+        "`column` AS key",
+        "l_rows AS a",
+        "r_rows AS b",
+        "null_frac_delta AS x",
+        "status AS s1",
+        "CAST(l_null AS STRING) || ':' || CAST(r_null AS STRING) AS s2",
+    )
+    return (
+        kmv.unionAll(prof).unionAll(quants).unionAll(hh).unionAll(drift)
+    )
 
 
 def q_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3393,6 +3425,35 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    ) AS rk
             FROM orders GROUP BY 1, 2
         ) WHERE rk <= 3
+        UNION ALL
+        SELECT 'drift', col, lr, rr,
+               CASE WHEN lr IS NOT NULL AND rr IS NOT NULL
+                    THEN round(nr / greatest(rr, 1) - nl / greatest(lr, 1), 6)
+               END,
+               CASE WHEN lr IS NULL THEN 'added'
+                    WHEN rr IS NULL THEN 'removed'
+                    ELSE 'common' END,
+               CAST(nl AS VARCHAR) || ':' || CAST(nr AS VARCHAR)
+        FROM (
+            SELECT 'c_custkey' AS col, count(*) AS lr,
+                   sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nl
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', count(*),
+                   sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+            FROM customer
+        ) lp
+        FULL OUTER JOIN (
+            SELECT 'c_custkey' AS col, count(*) AS rr,
+                   sum(CASE WHEN (CASE WHEN c_custkey % 5 = 0 THEN NULL
+                                       ELSE c_custkey END) IS NULL
+                       THEN 1 ELSE 0 END) AS nr
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', count(*),
+                   sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+            FROM customer
+        ) rp USING (col)
     """,
     # BM25 (ordered-fold scores) + blocked fuzzy linkage pairs; the fuzzy
     # twin is the NAIVE blocked join, pinning the length-bucket

@@ -40,6 +40,7 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 from data_validation_engine_spark.llmops.analytics import (
     frequent_items,
     grouped_quantiles,
+    profile_diff,
     grouped_topk,
     profile_columns,
     rolling_agg,
@@ -186,5 +187,6 @@ __all__ = [
     "profile_columns",
     "encode_tokens",
     "frequent_items",
+    "profile_diff",
     "vocab_ids",
 ]

@@ -130,6 +130,63 @@ def frequent_items(
     return grouped_topk(counts, groups, "n", k, tiebreak_cols=["value"])
 
 
+def profile_diff(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Schema/stat drift between two frames, computed over their column
+    profiles: one row per column present in EITHER side with
+    ``(column, status, l_rows, r_rows, l_null, r_null, l_distinct,
+    r_distinct, null_frac_delta)`` where ``status`` is ``added`` (right
+    only), ``removed`` (left only), or ``common``.
+
+    The monitoring companion to :func:`profile_columns`: run it between
+    yesterday's and today's landing (or a reference snapshot and a new
+    submission) to catch silent schema drift and null-rate shifts before
+    the contract stage turns them into thousands of row errors. Two
+    single-pass profiles + one tiny full-outer join on the column name —
+    the data itself is scanned once per side.
+    """
+    lp = profile_columns(left, columns and [c for c in columns if c in left.columns] or None)
+    rp = profile_columns(right, columns and [c for c in columns if c in right.columns] or None)
+    l = lp.select(
+        F.col("column"),
+        F.col("n_rows").alias("l_rows"),
+        F.col("n_null").alias("l_null"),
+        F.col("n_distinct").alias("l_distinct"),
+    )
+    r = rp.select(
+        F.col("column"),
+        F.col("n_rows").alias("r_rows"),
+        F.col("n_null").alias("r_null"),
+        F.col("n_distinct").alias("r_distinct"),
+    )
+    joined = l.join(r, on="column", how="full_outer")
+    status = (
+        F.when(F.col("l_rows").isNull(), F.lit("added"))
+        .when(F.col("r_rows").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    lfrac = F.col("l_null") / F.greatest(F.col("l_rows"), F.lit(1))
+    rfrac = F.col("r_null") / F.greatest(F.col("r_rows"), F.lit(1))
+    delta = F.when(
+        status == "common", F.round(rfrac - lfrac, 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return joined.select(
+        "column",
+        status.alias("status"),
+        "l_rows",
+        "r_rows",
+        "l_null",
+        "r_null",
+        "l_distinct",
+        "r_distinct",
+        delta.alias("null_frac_delta"),
+    )
+
+
 def grouped_quantiles(
     df: DataFrame,
     group_cols: list[str] | str,

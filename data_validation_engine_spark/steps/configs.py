@@ -740,6 +740,15 @@ class ProfileColumns(AbstractStep):
     columns: Optional[tuple[str, ...]] = None
 
 
+class ProfileDiff(AbstractStep):
+    """Schema/stat drift between this entity and ``target_name``: one row
+    per column in either side (added/removed/common + null-rate delta)."""
+
+    operation: Literal["profile_diff"] = "profile_diff"
+    target_name: str
+    columns: Optional[tuple[str, ...]] = None
+
+
 class FrequentItems(AbstractStep):
     """Exact top-k most frequent values per group (heavy-hitter table):
     one (group, value) count aggregation + WindowGroupLimit ranking."""
@@ -871,6 +880,7 @@ AnyStep = Annotated[
         EncodeTokens,
         ProfileGate,
         FrequentItems,
+        ProfileDiff,
     ],
     Field(discriminator="operation"),
 ]

@@ -103,6 +103,7 @@ from data_validation_engine_spark.steps.configs import (
     EncodeTokens,
     ProfileGate,
     FrequentItems,
+    ProfileDiff,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -200,6 +201,7 @@ class StepEngine:
             EncodeTokens: self.encode_tokens,
             ProfileGate: self.profile_gate,
             FrequentItems: self.frequent_items,
+            ProfileDiff: self.profile_diff,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1503,5 +1505,19 @@ class StepEngine:
             config.value_column,
             config.k,
             min_count=config.min_count,
+        )
+        return None
+
+    def profile_diff(
+        self, entities: Entities, *, config: ProfileDiff
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import (
+            profile_diff,
+        )
+
+        entities[config.output_name] = profile_diff(
+            entities[config.entity_name],
+            entities[config.target_name],
+            columns=list(config.columns) if config.columns else None,
         )
         return None

@@ -665,3 +665,42 @@ class TestFrequentItems:
         )
         got = [(r.value, r.n) for r in ents["hh"].collect()]
         assert got == [("a", 2)]
+
+
+class TestProfileDiff:
+    def test_added_removed_common_and_delta(self, spark):
+        from data_validation_engine_spark.llmops import profile_diff
+
+        left = spark.createDataFrame(
+            [(1, "a", 1.0), (2, None, 2.0)], "id int, s string, gone double"
+        )
+        right = spark.createDataFrame(
+            [(1, None), (2, None), (3, "c")],
+            ["id", "s"],
+        ).withColumn("fresh", F.lit(True))
+        out = {r.column: r for r in profile_diff(left, right).collect()}
+        assert out["gone"].status == "removed"
+        assert out["fresh"].status == "added"
+        assert out["id"].status == "common"
+        # s: null frac 0.5 -> 2/3
+        assert out["s"].null_frac_delta == round(2 / 3 - 0.5, 6)
+        assert out["gone"].null_frac_delta is None
+
+    def test_step_dispatch(self, spark):
+        eng = StepEngine(spark, register_functions=False)
+        a = spark.createDataFrame([(1,)], "id int")
+        b = spark.createDataFrame([(1, "x")], "id int, extra string")
+        ents = {"old": a, "new": b}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "profile_diff",
+                    "entity_name": "old",
+                    "target_name": "new",
+                    "new_entity_name": "drift",
+                }
+            ),
+        )
+        got = {r.column: r.status for r in ents["drift"].collect()}
+        assert got == {"id": "common", "extra": "added"}
