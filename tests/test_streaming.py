@@ -1048,3 +1048,83 @@ def test_streaming_kmv_rejects_batch_frame(spark):
     batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
     with _pytest.raises(ConfigurationError):
         streaming_kmv_distinct(batch, "ts", "user_id")
+
+
+def test_streaming_kmv_state_merges_across_batches(spark, tmp_path):
+    """The sketch state carries across micro-batches: a second file drop
+    MERGES into the window's min-k set (mergeable-sketch law), and the
+    final emission equals the batch sketch of the unioned data."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from data_validation_engine_spark.llmops.sketch import kmv_distinct
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_kmv_distinct,
+        window_start_col,
+    )
+
+    src = tmp_path / "kmvb_src"
+    src.mkdir()
+    schema = "user long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    out = str(tmp_path / "kmvb_out")
+    ck = str(tmp_path / "kmvb_ck")
+
+    def drain():
+        q = (
+            streaming_kmv_distinct(
+                read_entity_stream(spark, str(src), schema),
+                "ts",
+                "user",
+                window_seconds=3600,
+                k=4,
+                watermark="366 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1", [(u, t0) for u in range(1, 5)])
+    drain()
+    write_batch("b2", [(u, t0 + dt.timedelta(minutes=5)) for u in range(3, 10)])
+    drain()
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r.n_seen
+    )
+    # two emissions for the same window: first batch's partial sketch
+    # (4 users, exactly k -> saturated) then the merged final one
+    assert [r.window_start for r in rows] == [rows[0].window_start] * 2
+    final = rows[-1]
+    batch_all = spark.createDataFrame(
+        [(u, t0) for u in range(1, 5)]
+        + [(u, t0 + dt.timedelta(minutes=5)) for u in range(3, 10)],
+        schema,
+    )
+    want = kmv_distinct(
+        batch_all.withColumn(
+            "window_start", window_start_col(F.col("ts"), 3600)
+        ),
+        ["window_start"],
+        "user",
+        k=4,
+    ).collect()[0]
+    assert (final.n_seen, final.kth_hash, final.approx_distinct) == (
+        want.n_seen, want.kth_hash, want.approx_distinct,
+    )
