@@ -1632,8 +1632,79 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status AS s1",
         "CAST(l_null AS STRING) || ':' || CAST(r_null AS STRING) AS s2",
     )
+    # 'bin' rows (round 6): equi-depth quartile binning of order value
+    # per status (DECLARED quantile_buckets step), aggregated to
+    # (count, min, max) per bucket — populations and boundaries pin the
+    # ntile assignment without shipping per-row output
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "quantile_buckets",
+                "entity_name": "orders",
+                "group_by": ["o_orderstatus"],
+                "value_column": "o_totalprice",
+                "n_buckets": 4,
+                "new_entity_name": "binned",
+            }
+        ),
+    )
+    bins = (
+        ents["binned"]
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .selectExpr(
+            "'bin' AS op",
+            "o_orderstatus || ':' || CAST(bucket AS STRING) AS key",
+            "n AS a",
+            "CAST(bucket AS BIGINT) AS b",
+            "lo + hi AS x",
+            "CAST(NULL AS STRING) AS s1",
+            "CAST(NULL AS STRING) AS s2",
+        )
+    )
+    # 'outlier' rows (round 6): Tukey IQR flags on lineitem price per
+    # return flag (DECLARED outlier_flags step), reduced to counts
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "outlier_flags",
+                "entity_name": "lineitem",
+                "group_by": ["l_returnflag"],
+                "value_column": "l_extendedprice",
+                "new_entity_name": "flagged",
+            }
+        ),
+    )
+    outliers = (
+        ents["flagged"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_out"),
+        )
+        .selectExpr(
+            "'outlier' AS op",
+            "l_returnflag AS key",
+            "n AS a",
+            "n_out AS b",
+            "CAST(NULL AS DOUBLE) AS x",
+            "CAST(NULL AS STRING) AS s1",
+            "CAST(NULL AS STRING) AS s2",
+        )
+    )
     return (
-        kmv.unionAll(prof).unionAll(quants).unionAll(hh).unionAll(drift)
+        kmv.unionAll(prof)
+        .unionAll(quants)
+        .unionAll(hh)
+        .unionAll(drift)
+        .unionAll(bins)
+        .unionAll(outliers)
     )
 
 
@@ -3454,6 +3525,48 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
             FROM customer
         ) rp USING (col)
+        UNION ALL
+        SELECT 'bin', o_orderstatus || ':' || CAST(bucket AS VARCHAR),
+               n, bucket, lo + hi,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT o_orderstatus, bucket, count(*) AS n,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM (
+                SELECT o_orderstatus, o_totalprice,
+                       CAST(ntile(4) OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice ASC
+                       ) AS BIGINT) AS bucket
+                FROM orders
+            ) GROUP BY 1, 2
+        )
+        UNION ALL
+        SELECT 'outlier', l_returnflag, n, n_out,
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(CASE WHEN outside THEN 1 ELSE 0 END) AS n_out
+            FROM (
+                SELECT l.l_returnflag,
+                       CASE WHEN l.l_extendedprice IS NULL THEN FALSE
+                            ELSE l.l_extendedprice
+                                     < q.q25 - 1.5 * (q.q75 - q.q25)
+                              OR l.l_extendedprice
+                                     > q.q75 + 1.5 * (q.q75 - q.q25)
+                       END AS outside
+                FROM lineitem l JOIN (
+                    SELECT l_returnflag,
+                           round(quantile_cont(l_extendedprice, 0.25), 6)
+                               AS q25,
+                           round(quantile_cont(l_extendedprice, 0.75), 6)
+                               AS q75
+                    FROM lineitem GROUP BY 1
+                ) q USING (l_returnflag)
+            ) GROUP BY 1
+        )
     """,
     # BM25 (ordered-fold scores) + blocked fuzzy linkage pairs; the fuzzy
     # twin is the NAIVE blocked join, pinning the length-bucket

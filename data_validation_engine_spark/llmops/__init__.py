@@ -40,7 +40,9 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 from data_validation_engine_spark.llmops.analytics import (
     frequent_items,
     grouped_quantiles,
+    outlier_flags,
     profile_diff,
+    quantile_buckets,
     grouped_topk,
     profile_columns,
     rolling_agg,
@@ -187,6 +189,8 @@ __all__ = [
     "profile_columns",
     "encode_tokens",
     "frequent_items",
+    "outlier_flags",
     "profile_diff",
+    "quantile_buckets",
     "vocab_ids",
 ]

@@ -239,6 +239,69 @@ def grouped_quantiles(
     return df.groupBy(*groups).agg(*aggs)
 
 
+def quantile_buckets(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    n_buckets: int,
+    *,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equi-depth binning: assign every row its quantile bucket (1-based
+    ``ntile``) of ``value_col`` within its group — the standard
+    feature-engineering discretisation (equal POPULATION per bucket, not
+    equal width). Deterministic under a value tie by the ntile
+    definition itself (ties split by sorted position; the secondary sort
+    on the value alone is stable because ntile only depends on position
+    counts). One shuffle on the group keys.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*groups).orderBy(F.col(value_col).asc())
+    return df.withColumn(bucket_col, F.ntile(int(n_buckets)).over(w))
+
+
+def outlier_flags(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    *,
+    factor: float = 1.5,
+    flag_col: str = "is_outlier",
+    round_to: int = 6,
+) -> DataFrame:
+    """Tukey IQR outlier flags per group: a row is an outlier when its
+    value falls outside ``[q25 - factor*iqr, q75 + factor*iqr]`` of its
+    GROUP's distribution. Composition of the engine's own primitives:
+    one exact :func:`grouped_quantiles` pass, broadcast back onto the
+    rows (the quantile table has one row per group — always the small
+    side), one per-row comparison. NULL values are never outliers.
+
+    The distribution-level companion to row-level contract checks: a
+    physically-possible value can still be wildly implausible for its
+    cohort, and that is a data-quality signal a validation engine
+    should surface.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    q = grouped_quantiles(
+        df, groups, value_col, [0.25, 0.75], round_to=round_to
+    ).select(
+        *groups,
+        F.col("q_25").alias("__q25"),
+        F.col("q_75").alias("__q75"),
+    )
+    joined = df.join(F.broadcast(q), on=groups, how="left")
+    iqr = F.col("__q75") - F.col("__q25")
+    lo = F.col("__q25") - F.lit(float(factor)) * iqr
+    hi = F.col("__q75") + F.lit(float(factor)) * iqr
+    v = F.col(value_col)
+    flag = F.when(v.isNull(), F.lit(False)).otherwise(
+        (v < lo) | (v > hi)
+    )
+    return joined.withColumn(flag_col, flag).drop("__q25", "__q75")
+
+
 def profile_columns(
     df: DataFrame,
     columns: list[str] | None = None,

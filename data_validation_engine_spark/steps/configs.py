@@ -740,6 +740,28 @@ class ProfileColumns(AbstractStep):
     columns: Optional[tuple[str, ...]] = None
 
 
+class QuantileBuckets(AbstractStep):
+    """Equi-depth binning: 1-based ntile bucket of ``value_column``
+    within each group (equal population per bucket)."""
+
+    operation: Literal["quantile_buckets"] = "quantile_buckets"
+    group_by: tuple[str, ...] = ()
+    value_column: str
+    n_buckets: int = 10
+    bucket_column: str = "bucket"
+
+
+class OutlierFlags(AbstractStep):
+    """Tukey IQR outlier flags per group: value outside
+    [q25 - factor*iqr, q75 + factor*iqr] of its group's distribution."""
+
+    operation: Literal["outlier_flags"] = "outlier_flags"
+    group_by: tuple[str, ...] = ()
+    value_column: str
+    factor: float = 1.5
+    flag_column: str = "is_outlier"
+
+
 class ProfileDiff(AbstractStep):
     """Schema/stat drift between this entity and ``target_name``: one row
     per column in either side (added/removed/common + null-rate delta)."""
@@ -881,6 +903,8 @@ AnyStep = Annotated[
         ProfileGate,
         FrequentItems,
         ProfileDiff,
+        QuantileBuckets,
+        OutlierFlags,
     ],
     Field(discriminator="operation"),
 ]

@@ -104,6 +104,8 @@ from data_validation_engine_spark.steps.configs import (
     ProfileGate,
     FrequentItems,
     ProfileDiff,
+    QuantileBuckets,
+    OutlierFlags,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -202,6 +204,8 @@ class StepEngine:
             ProfileGate: self.profile_gate,
             FrequentItems: self.frequent_items,
             ProfileDiff: self.profile_diff,
+            QuantileBuckets: self.quantile_buckets,
+            OutlierFlags: self.outlier_flags,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1519,5 +1523,37 @@ class StepEngine:
             entities[config.entity_name],
             entities[config.target_name],
             columns=list(config.columns) if config.columns else None,
+        )
+        return None
+
+    def quantile_buckets(
+        self, entities: Entities, *, config: QuantileBuckets
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import (
+            quantile_buckets,
+        )
+
+        entities[config.output_name] = quantile_buckets(
+            entities[config.entity_name],
+            list(config.group_by),
+            config.value_column,
+            config.n_buckets,
+            bucket_col=config.bucket_column,
+        )
+        return None
+
+    def outlier_flags(
+        self, entities: Entities, *, config: OutlierFlags
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import (
+            outlier_flags,
+        )
+
+        entities[config.output_name] = outlier_flags(
+            entities[config.entity_name],
+            list(config.group_by),
+            config.value_column,
+            factor=config.factor,
+            flag_col=config.flag_column,
         )
         return None

@@ -704,3 +704,69 @@ class TestProfileDiff:
         )
         got = {r.column: r.status for r in ents["drift"].collect()}
         assert got == {"id": "common", "extra": "added"}
+
+
+class TestBinningAndOutliers:
+    def test_equi_depth_buckets(self, spark):
+        from data_validation_engine_spark.llmops import quantile_buckets
+
+        df = spark.createDataFrame(
+            [(0, float(i)) for i in range(12)], "g int, x double"
+        )
+        out = quantile_buckets(df, "g", "x", 4).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r.x)
+        # equal population, contiguous ranges
+        assert {b: len(v) for b, v in by_bucket.items()} == {
+            1: 3, 2: 3, 3: 3, 4: 3,
+        }
+        assert max(by_bucket[1]) < min(by_bucket[2])
+        assert max(by_bucket[3]) < min(by_bucket[4])
+
+    def test_iqr_outliers_per_group(self, spark):
+        from data_validation_engine_spark.llmops import outlier_flags
+
+        rows = [(0, float(v)) for v in [10, 11, 12, 13, 14, 100]] + [
+            (1, 100.0), (1, 101.0), (1, 99.0)
+        ]
+        df = spark.createDataFrame(rows, "g int, x double")
+        out = {(r.g, r.x): r.is_outlier for r in outlier_flags(df, "g", "x").collect()}
+        assert out[(0, 100.0)] is True        # wild for group 0
+        assert out[(1, 100.0)] is False       # normal for group 1
+        assert sum(out[(0, float(v))] for v in [10, 11, 12, 13, 14]) == 0
+
+    def test_null_never_outlier_and_steps(self, spark):
+        eng = StepEngine(spark, register_functions=False)
+        df = spark.createDataFrame(
+            [(0, 1.0), (0, 2.0), (0, None), (0, 50.0)], "g int, x double"
+        )
+        ents = {"t": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "outlier_flags",
+                    "entity_name": "t",
+                    "group_by": ["g"],
+                    "value_column": "x",
+                    "new_entity_name": "flagged",
+                }
+            ),
+        )
+        flags = {r.x: r.is_outlier for r in ents["flagged"].collect()}
+        assert flags[None] is False
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "quantile_buckets",
+                    "entity_name": "t",
+                    "group_by": ["g"],
+                    "value_column": "x",
+                    "n_buckets": 2,
+                    "new_entity_name": "binned",
+                }
+            ),
+        )
+        assert ents["binned"].where("bucket IS NOT NULL").count() == 4
