@@ -266,6 +266,28 @@ PROFILING_DISCHEMA = {
             {"operation": "pagerank", "entity": "documents",
              "src_column": "doc_id", "dst_column": "src_bucket",
              "iterations": 2, "new_entity_name": "ranks"},
+            # round-6 second wave: drift, binning, outliers, heavy
+            # hitters, vocab encoding, and the dataset-level gate
+            {"operation": "profile_diff", "entity": "documents",
+             "target_name": "register", "new_entity_name": "drift"},
+            {"operation": "quantile_buckets", "entity": "documents",
+             "group_by": ["lang"], "value_column": "n_chars",
+             "n_buckets": 4, "new_entity_name": "binned"},
+            {"operation": "outlier_flags", "entity": "documents",
+             "group_by": ["lang"], "value_column": "n_chars",
+             "new_entity_name": "flagged"},
+            {"operation": "frequent_items", "entity": "documents",
+             "group_by": ["lang"], "value_column": "source", "k": 2,
+             "new_entity_name": "top_sources"},
+            {"operation": "build_vocab", "entity": "documents",
+             "id_column": "doc_id", "min_count": 5,
+             "new_entity_name": "vocab"},
+            {"operation": "encode_tokens", "entity": "documents",
+             "vocab_entity": "vocab", "id_column": "doc_id",
+             "new_entity_name": "encoded"},
+            {"operation": "profile_gate", "entity": "documents",
+             "min_rows": 10, "max_null_frac": 0.99,
+             "new_entity_name": "documents"},
         ],
     },
 }
@@ -294,6 +316,7 @@ def test_profiling_pipeline_succeeds(profiling_result):
     assert profiling_result.success
     assert {
         "lang_cards", "len_quants", "doc_profile", "hits", "linked", "ranks",
+        "drift", "binned", "flagged", "top_sources", "vocab", "encoded",
     } <= set(profiling_result.entities)
 
 
@@ -316,3 +339,20 @@ def test_profiling_entities_from_json(profiling_result, spark):
     ranks = ents["ranks"]
     assert ranks.where("node >= 1000000 AND pagerank > 0").count() > 0
     assert ranks.count() > n_docs  # docs + buckets all ranked
+
+
+def test_second_wave_entities_from_json(profiling_result, spark):
+    ents = profiling_result.entities
+    n_docs = ents["documents"].count()
+    langs = ents["documents"].select("lang").distinct().count()
+    # drift: register has the two added name columns, documents too after
+    # the adds ran in order — statuses all present
+    statuses = {r.status for r in ents["drift"].collect()}
+    assert "common" in statuses
+    assert ents["binned"].where("bucket BETWEEN 1 AND 4").count() == n_docs
+    assert ents["flagged"].count() == n_docs
+    assert ents["flagged"].where("is_outlier").count() < n_docs
+    assert ents["top_sources"].where("rank <= 2").count() == \
+        ents["top_sources"].count()
+    assert ents["vocab"].count() > 0
+    assert ents["encoded"].count() == n_docs  # every doc has tokens
