@@ -3606,11 +3606,13 @@ _LLMOPS_ORACLES: dict[str, str] = {
             SELECT p_name, min(p_partkey) AS p_partkey FROM part GROUP BY 1
         ),
         names AS (
-            SELECT p_partkey AS id, lower(trim(p_name)) AS t FROM pn
-            UNION ALL
-            SELECT p_partkey + 1000000,
-                   lower(trim(substring(p_name, 1, length(p_name) - 1)))
-            FROM pn
+            SELECT id, t FROM (
+                SELECT p_partkey AS id, lower(trim(p_name)) AS t FROM pn
+                UNION ALL
+                SELECT p_partkey + 1000000,
+                       lower(trim(substring(p_name, 1, length(p_name) - 1)))
+                FROM pn
+            ) WHERE length(t) > 0
         )
         SELECT 'bm25' AS op, doc_id AS a, n_terms_hit AS b, score AS x
         FROM bm

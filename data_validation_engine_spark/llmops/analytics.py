@@ -122,8 +122,18 @@ def frequent_items(
     sketch for cardinality first.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    reserved = {"value", "n", "rank"} & set(groups)
+    if reserved:
+        raise ValueError(
+            f"group columns collide with output names {sorted(reserved)}; "
+            "rename them first"
+        )
     counts = (
-        df.groupBy(*groups, F.col(value_col).alias("value"))
+        # NULL is not a rankable item (same convention as the KMV sketch
+        # and COUNT DISTINCT); it would also sort NULLS-FIRST into the
+        # tiebreak here while the SQL oracle ranks NULLS LAST
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*groups, F.col(value_col).alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= int(min_count))
     )
@@ -149,8 +159,18 @@ def profile_diff(
     single-pass profiles + one tiny full-outer join on the column name —
     the data itself is scanned once per side.
     """
-    lp = profile_columns(left, columns and [c for c in columns if c in left.columns] or None)
-    rp = profile_columns(right, columns and [c for c in columns if c in right.columns] or None)
+    def _side(df: DataFrame) -> DataFrame:
+        if columns is None:
+            return profile_columns(df)
+        scoped = [c for c in columns if c in df.columns]
+        if scoped:
+            return profile_columns(df, scoped)
+        # an explicit scope that matches nothing on this side must
+        # contribute ZERO rows, not fall back to every column
+        return profile_columns(df.limit(0)).limit(0)
+
+    lp = _side(left)
+    rp = _side(right)
     l = lp.select(
         F.col("column"),
         F.col("n_rows").alias("l_rows"),
@@ -258,8 +278,19 @@ def quantile_buckets(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    w = Window.partitionBy(*groups).orderBy(F.col(value_col).asc())
-    return df.withColumn(bucket_col, F.ntile(int(n_buckets)).over(w))
+    # NULL values take a NULL bucket and do not occupy positions in the
+    # ntile split (Spark would otherwise sort them NULLS-FIRST into
+    # bucket 1, displacing real low values — and diverge from SQL
+    # engines that rank NULLS LAST)
+    v = F.col(value_col)
+    w = Window.partitionBy(*groups).orderBy(v.asc())
+    binned = df.where(v.isNotNull()).withColumn(
+        bucket_col, F.ntile(int(n_buckets)).over(w)
+    )
+    nulls = df.where(v.isNull()).withColumn(
+        bucket_col, F.lit(None).cast("int")
+    )
+    return binned.unionByName(nulls)
 
 
 def outlier_flags(
@@ -291,7 +322,12 @@ def outlier_flags(
         F.col("q_25").alias("__q25"),
         F.col("q_75").alias("__q75"),
     )
-    joined = df.join(F.broadcast(q), on=groups, how="left")
+    if groups:
+        joined = df.join(F.broadcast(q), on=groups, how="left")
+    else:
+        # global flagging: the quantile frame is one row — attach it to
+        # every row (join on [] is not a Spark join form)
+        joined = df.crossJoin(F.broadcast(q))
     iqr = F.col("__q75") - F.col("__q25")
     lo = F.col("__q25") - F.lit(float(factor)) * iqr
     hi = F.col("__q75") + F.lit(float(factor)) * iqr

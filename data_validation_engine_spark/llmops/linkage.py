@@ -39,16 +39,16 @@ from pyspark.sql import functions as F
 
 
 def _norm(col: Column) -> Column:
-    # NULL normalises to '' so null names behave like empty strings
-    # (blocked together, distance measured against the empty string)
-    # instead of silently vanishing through a NULL join key
     return F.lower(F.trim(F.coalesce(col, F.lit(""))))
 
 
 def block_key(col: Column, *, prefix_len: int = 2) -> Column:
     """Deterministic blocking key: first ``prefix_len`` chars of the
-    casefolded, trimmed string. Null/empty strings yield an empty key and
-    only ever match each other."""
+    casefolded, trimmed string. NULL and blank strings are EXCLUDED from
+    matching entirely (record-linkage convention: missing != missing —
+    scoring two absent names as a distance-0 match would weld unrelated
+    records into one cluster, and the shared empty block would be a
+    quadratic hot spot no length bucket can split)."""
     return F.substring(_norm(col), 1, prefix_len)
 
 
@@ -69,6 +69,8 @@ def fuzzy_string_join(
     Output = left columns + right columns renamed ``{prefix}{name}`` +
     ``distance`` (int). The comparison runs on the casefolded trimmed
     strings (the blocking normalisation) so "Smith " matches "smith".
+    Rows whose key is NULL or blank after normalisation are excluded
+    from both sides (missing != missing; see :func:`block_key`).
 
     ``length_bucket`` (chars) splits hot blocks by string length with
     exact right-side replication — same result set, bounded per-task
@@ -79,15 +81,22 @@ def fuzzy_string_join(
     d = int(max_distance)
     lkey = block_key(F.col(left_col), prefix_len=prefix_len)
     rkey = block_key(F.col(right_col), prefix_len=prefix_len)
-    lhs = left.withColumn("__bk", lkey).withColumn(
-        "__ln", F.length(_norm(F.col(left_col)))
+    lhs = (
+        left.withColumn("__bk", lkey)
+        .withColumn("__ln", F.length(_norm(F.col(left_col))))
+        .where(F.col("__ln") > 0)
     )
     renamed = right.select(
         [F.col(c).alias(f"{prefix}{c}") for c in right.columns]
     )
-    rhs = renamed.withColumn(
-        "__bk", block_key(F.col(f"{prefix}{right_col}"), prefix_len=prefix_len)
-    ).withColumn("__rn", F.length(_norm(F.col(f"{prefix}{right_col}"))))
+    rhs = (
+        renamed.withColumn(
+            "__bk",
+            block_key(F.col(f"{prefix}{right_col}"), prefix_len=prefix_len),
+        )
+        .withColumn("__rn", F.length(_norm(F.col(f"{prefix}{right_col}"))))
+        .where(F.col("__rn") > 0)
+    )
 
     join_keys = ["__bk"]
     if length_bucket is not None:

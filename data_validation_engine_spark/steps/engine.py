@@ -1430,7 +1430,17 @@ class StepEngine:
             list(config.columns) if config.columns is not None else None,
         )
 
-        def msg(filtered: DataFrame, template: Column, value: Column):
+        def msg(
+            filtered: DataFrame,
+            template: Column,
+            value: Column,
+            *,
+            field: Column | None = None,
+        ):
+            # entity-level violations (min_rows) carry a NULL
+            # reporting_field — blaming an arbitrary column would
+            # misattribute a dataset-wide failure
+            field = F.col("column") if field is None else field
             return filtered.select(
                 F.lit(config.entity_name).alias("entity"),
                 F.lit(config.entity_name).alias("original_entity"),
@@ -1441,7 +1451,7 @@ class StepEngine:
                 F.lit("submission").alias("failure_type"),
                 F.lit(False).alias("is_informational"),
                 F.lit("profile").alias("category"),
-                F.col("column").alias("reporting_field"),
+                field.alias("reporting_field"),
                 value.cast("string").alias("value"),
                 F.lit(None).cast("string").alias("record_json"),
             )
@@ -1487,6 +1497,7 @@ class StepEngine:
                         F.lit(f" rows, below {int(config.min_rows)}"),
                     ),
                     F.col("n_rows"),
+                    field=F.lit(None).cast("string"),
                 )
             )
         if not feeds:

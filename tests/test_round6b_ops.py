@@ -514,7 +514,7 @@ class TestProfileGate:
         kinds = {(r.reporting_field, r.value) for r in rows}
         assert ("s", "0.5") in kinds            # null fraction
         assert ("id", "3") in kinds             # distinct floor
-        assert ("id", "4") in kinds             # row floor
+        assert (None, "4") in kinds             # row floor: entity-level
         assert len(rows) == 4
 
     def test_clean_entity_emits_nothing(self, spark):
@@ -563,12 +563,12 @@ class TestReviewRegressions:
             clean.n_seen, clean.kth_hash, clean.approx_distinct,
         )
 
-    def test_fuzzy_join_null_names_match_empty(self, spark):
+    def test_fuzzy_join_excludes_null_and_blank_keys(self, spark):
         left = spark.createDataFrame(
-            [(1, None), (2, "ab")], "id int, name string"
+            [(1, None), (2, "ab"), (3, "  ")], "id int, name string"
         )
         right = spark.createDataFrame(
-            [(10, ""), (11, None)], "rid int, rname string"
+            [(10, ""), (11, None), (12, "ab")], "rid int, rname string"
         )
         got = sorted(
             (r.id, r.r_rid, r.distance)
@@ -576,9 +576,10 @@ class TestReviewRegressions:
                 left, right, "name", "rname", max_distance=1
             ).collect()
         )
-        # null == '' under the blocking normalisation: the null/empty
-        # rows pair with each other at distance 0, not vanish
-        assert got == [(1, 10, 0), (1, 11, 0)]
+        # missing != missing: null/blank keys never match anything (a
+        # distance-0 match between absent names would weld unrelated
+        # records, and the shared empty block is a quadratic hot spot)
+        assert got == [(2, 12, 0)]
 
     def test_profile_handles_awkward_column_names(self, spark):
         df = spark.createDataFrame(
@@ -769,4 +770,6 @@ class TestBinningAndOutliers:
                 }
             ),
         )
-        assert ents["binned"].where("bucket IS NOT NULL").count() == 4
+        # NULL values take a NULL bucket; the three real values split
+        assert ents["binned"].where("bucket IS NOT NULL").count() == 3
+        assert ents["binned"].where("bucket IS NULL AND x IS NULL").count() == 1
