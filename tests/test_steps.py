@@ -617,3 +617,19 @@ def test_run_persist_reused_matches_plain_run(spark):
     assert cached_ents["per_cust"].storageLevel.useMemory
     eng.cleanup()
     assert not cached_ents["per_cust"].storageLevel.useMemory
+
+
+def test_every_declared_step_type_has_a_handler(spark):
+    """The AnyStep union IS the public vocabulary: every config type in
+    it must dispatch to a registered engine handler (a new config without
+    a handler would otherwise only fail at evaluate() time in
+    production)."""
+    import typing
+
+    from data_validation_engine_spark.steps.configs import AnyStep
+    from data_validation_engine_spark.steps.engine import StepEngine
+
+    union = typing.get_args(typing.get_args(AnyStep)[0])
+    eng = StepEngine(spark, register_functions=False)
+    missing = [t.__name__ for t in union if t not in eng._handlers]
+    assert missing == []
