@@ -2830,14 +2830,23 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     for i in range(1, iters + 1):
         sql += f""",
         c{i} AS (
-            SELECT l.src, l.dst, pr / deg AS c
+            SELECT l.src, l.dst,
+                   ('0x' || substring(md5(CAST(l.src AS VARCHAR)), 1, 4))::INT
+                       % 64 AS seg,
+                   pr / deg AS c
             FROM links l JOIN {prev} r ON l.src = r.node
+        ),
+        g{i} AS (
+            SELECT dst, seg,
+                   list_reduce(list_prepend(0.0, list(c ORDER BY src)),
+                               (a, b) -> a + b) AS segsum
+            FROM c{i} GROUP BY dst, seg
         ),
         s{i} AS (
             SELECT dst,
-                   list_reduce(list_prepend(0.0, list(c ORDER BY src)),
+                   list_reduce(list_prepend(0.0, list(segsum ORDER BY seg)),
                                (a, b) -> a + b) AS s
-            FROM c{i} GROUP BY dst
+            FROM g{i} GROUP BY dst
         ),
         r{i} AS (
             SELECT node,

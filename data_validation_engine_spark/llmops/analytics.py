@@ -318,12 +318,20 @@ def outlier_flags(
     q = grouped_quantiles(
         df, groups, value_col, [0.25, 0.75], round_to=round_to
     ).select(
-        *groups,
+        *[F.col(g).alias(f"__g{i}") for i, g in enumerate(groups)],
         F.col("q_25").alias("__q25"),
         F.col("q_75").alias("__q75"),
     )
     if groups:
-        joined = df.join(F.broadcast(q), on=groups, how="left")
+        # NULL-SAFE key equality: a NULL group is still a cohort with a
+        # real distribution — a null-unsafe join would drop its quantile
+        # row and silently null out every flag in that group
+        cond = [
+            df[g].eqNullSafe(q[f"__g{i}"]) for i, g in enumerate(groups)
+        ]
+        joined = df.join(F.broadcast(q), on=cond, how="left").drop(
+            *[f"__g{i}" for i in range(len(groups))]
+        )
     else:
         # global flagging: the quantile frame is one row — attach it to
         # every row (join on [] is not a Spark join form)
@@ -356,7 +364,12 @@ def profile_columns(
     into the per-column layout. Nulls are excluded from ``n_distinct``
     and min/max, matching ANSI aggregate semantics.
     """
-    cols = columns or df.columns
+    if columns is not None and not columns:
+        raise ValueError(
+            "profile columns is an empty list; pass None to profile "
+            "every column"
+        )
+    cols = df.columns if columns is None else list(columns)
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile columns not in frame: {missing}")

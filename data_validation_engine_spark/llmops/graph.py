@@ -14,13 +14,14 @@ can replay).
 
 Determinism is the engineering point: a grouped float SUM is the one
 aggregate whose result depends on partition arrival order. Every
-per-target reduction here is an ORDERED fold — contributions are
-collected per target, sorted by source id, and folded left-to-right
-from 0.0 (`F.aggregate`), the same two-level trick as the vector
-aggregation family (`llmops/vectors.py:37`) — so the ranks are
-bit-identical across reruns, partitionings, and engines (IEEE-754
-operations are exactly specified; only ORDER is ambiguous, and the fold
-pins it).
+per-target reduction here is a TWO-LEVEL ordered fold (the
+`llmops/vectors.py:37` trick, keyed by an md5 segment of the source id
+because graph ids are not dense): contributions fold within their
+segment in source-id order, segment sums fold in segment order — so
+ranks are bit-identical across reruns, partitionings, and engines
+(IEEE-754 operations are exactly specified; only ORDER is ambiguous,
+and the fold pins it), and no single aggregation buffer holds more than
+~indegree/64 contributions even for a hot target.
 
 Scale shape: per iteration, one broadcast-or-shuffle join of edges to
 the current rank vector (narrow: ``(src, dst, double)``) and one grouped
@@ -87,21 +88,43 @@ def pagerank(
     if checkpoint:
         links = links.localCheckpoint(eager=False)
 
+    def _fold(sorted_structs: F.Column, field: str) -> F.Column:
+        return F.aggregate(
+            F.transform(sorted_structs, lambda s: s[field]),
+            F.lit(0.0),
+            lambda acc, c: acc + c,
+        )
+
     ranks = nodes.withColumn("pagerank", F.lit(init))
     for _ in range(iterations):
         contribs = links.join(ranks, on=[links.src == ranks.node]).select(
             "src",
             "dst",
+            # deterministic segment from the source id's md5 (uniform for
+            # md5's avalanche): bounds any single aggregation buffer to
+            # ~indegree/64 — a hot target with 10^8 in-links folds 64
+            # partial sums, never one 10^8-element list (the two-level
+            # trick of llmops/vectors.py, keyed by hash because src ids
+            # are not dense)
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("src").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("int")
+                % 64
+            ).alias("__seg"),
             (F.col("pagerank") / F.col("__deg")).alias("__c"),
         )
-        summed = contribs.groupBy("dst").agg(
-            F.aggregate(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("src", "__c"))),
-                    lambda s: s["__c"],
-                ),
-                F.lit(0.0),
-                lambda acc, c: acc + c,
+        seg_sums = contribs.groupBy("dst", "__seg").agg(
+            _fold(
+                F.sort_array(F.collect_list(F.struct("src", "__c"))), "__c"
+            ).alias("__segsum")
+        )
+        summed = seg_sums.groupBy("dst").agg(
+            _fold(
+                F.sort_array(F.collect_list(F.struct("__seg", "__segsum"))),
+                "__segsum",
             ).alias("__s")
         )
         ranks = (

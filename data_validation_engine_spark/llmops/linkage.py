@@ -78,6 +78,15 @@ def fuzzy_string_join(
     """
     if max_distance < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    reserved = {"distance", "__bk", "__ln", "__lb", "__rn"}
+    clashes = (reserved & set(left.columns)) | {
+        f"{prefix}{c}" for c in right.columns if f"{prefix}{c}" in reserved
+    }
+    if clashes:
+        raise ValueError(
+            f"input columns collide with fuzzy-join outputs/helpers "
+            f"{sorted(clashes)}; rename them first"
+        )
     d = int(max_distance)
     lkey = block_key(F.col(left_col), prefix_len=prefix_len)
     rkey = block_key(F.col(right_col), prefix_len=prefix_len)

@@ -1500,12 +1500,9 @@ class StepEngine:
                     field=F.lit(None).cast("string"),
                 )
             )
-        if not feeds:
-            return None
-        out = feeds[0]
-        for f in feeds[1:]:
-            out = out.unionAll(f)
-        return out
+        from data_validation_engine_spark.messages import union_messages
+
+        return union_messages(feeds)
 
     def frequent_items(
         self, entities: Entities, *, config: FrequentItems
@@ -1533,7 +1530,11 @@ class StepEngine:
         entities[config.output_name] = profile_diff(
             entities[config.entity_name],
             entities[config.target_name],
-            columns=list(config.columns) if config.columns else None,
+            # 'is not None': an explicitly-declared empty scope means
+            # 'diff zero columns', not 'diff everything'
+            columns=list(config.columns)
+            if config.columns is not None
+            else None,
         )
         return None
 
