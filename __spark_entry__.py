@@ -1472,8 +1472,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 'pr' rows (round 6): deterministic fixed-iteration PageRank over the
     # supplier->part fulfilment graph (high-quantity lineitems; partkeys
-    # offset by 1e9 so the two key spaces stay disjoint at every SF). Every per-target float
-    # sum is an ORDERED fold, so ranks are bit-identical across
+    # offset by 1e9 so the two key spaces stay disjoint at every SF).
+    # Every per-target float sum is a segmented two-level ORDERED fold
+    # (md5 segments of the source id), so ranks are bit-identical across
     # partitionings AND to the oracle's unrolled 3-iteration SQL — the
     # same exact-replay property the k-means row pins for Lloyd's.
     edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
