@@ -46,6 +46,7 @@ def pagerank(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint: bool = True,
@@ -55,16 +56,42 @@ def pagerank(
     Returns ``(node, pagerank)`` for every node appearing as a source or
     target. Duplicate edges are collapsed first (multi-edges would
     double-count contributions); self-loops participate like any edge.
+
+    ``weight_col`` switches to the weighted variant: a source splits its
+    rank proportionally to edge weight (``w / out_strength``) instead of
+    evenly. Non-positive and NULL weights drop the edge; duplicate
+    ``(src, dst)`` edges collapse to their MAXIMUM weight (an order-free
+    reduction — a float SUM over duplicates would be partition-order
+    dependent). Out-strength is the same segmented two-level ordered
+    fold as the contribution sum, so the weighted path keeps the
+    bit-determinism guarantee.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
         )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
+    else:
+        w = F.col(weight_col).cast("double")
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                w.alias("__w"),
+            )
+            .where(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("__w") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("__w").alias("__w"))
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -82,18 +109,41 @@ def pagerank(
     init = 1.0 / float(n_nodes)
     base = (1.0 - damping) / float(n_nodes)
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # (src, dst, deg): the static join structure reused every round
-    links = e.join(outdeg, on="src", how="inner")
-    if checkpoint:
-        links = links.localCheckpoint(eager=False)
-
     def _fold(sorted_structs: F.Column, field: str) -> F.Column:
         return F.aggregate(
             F.transform(sorted_structs, lambda s: s[field]),
             F.lit(0.0),
             lambda acc, c: acc + c,
         )
+
+    def _seg(col: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(col.cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 64
+        )
+
+    if weight_col is None:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    else:
+        # out-strength: deterministic segmented fold of the source's edge
+        # weights (dst-sorted within md5 segments) — a plain SUM would be
+        # shuffle-order dependent
+        wseg = e.groupBy("src", _seg(F.col("dst")).alias("__s")).agg(
+            _fold(
+                F.sort_array(F.collect_list(F.struct("dst", "__w"))), "__w"
+            ).alias("__ss")
+        )
+        outdeg = wseg.groupBy("src").agg(
+            _fold(
+                F.sort_array(F.collect_list(F.struct("__s", "__ss"))), "__ss"
+            ).alias("__deg")
+        )
+    # (src, dst[, w], deg/strength): the static join reused every round
+    links = e.join(outdeg, on="src", how="inner")
+    if checkpoint:
+        links = links.localCheckpoint(eager=False)
 
     ranks = nodes.withColumn("pagerank", F.lit(init))
     for _ in range(iterations):
@@ -106,15 +156,12 @@ def pagerank(
             # partial sums, never one 10^8-element list (the two-level
             # trick of llmops/vectors.py, keyed by hash because src ids
             # are not dense)
+            _seg(F.col("src")).alias("__seg"),
             (
-                F.conv(
-                    F.substring(F.md5(F.col("src").cast("string")), 1, 4),
-                    16,
-                    10,
-                ).cast("int")
-                % 64
-            ).alias("__seg"),
-            (F.col("pagerank") / F.col("__deg")).alias("__c"),
+                (F.col("pagerank") / F.col("__deg"))
+                if weight_col is None
+                else (F.col("pagerank") * F.col("__w") / F.col("__deg"))
+            ).alias("__c"),
         )
         seg_sums = contribs.groupBy("dst", "__seg").agg(
             _fold(

@@ -834,6 +834,7 @@ class PageRankStep(AbstractStep):
     operation: Literal["pagerank"] = "pagerank"
     src_column: str = "src"
     dst_column: str = "dst"
+    weight_column: Optional[str] = None
     iterations: int = 3
     damping: float = 0.85
 

@@ -1392,6 +1392,7 @@ class StepEngine:
             entities[config.entity_name],
             src_col=config.src_column,
             dst_col=config.dst_column,
+            weight_col=config.weight_column,
             iterations=config.iterations,
             damping=config.damping,
         )

@@ -773,3 +773,78 @@ class TestBinningAndOutliers:
         # NULL values take a NULL bucket; the three real values split
         assert ents["binned"].where("bucket IS NOT NULL").count() == 3
         assert ents["binned"].where("bucket IS NULL AND x IS NULL").count() == 1
+
+
+class TestWeightedPageRank:
+    def test_against_weighted_power_iteration(self, spark):
+        edges = [
+            (1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0),
+        ]
+        df = spark.createDataFrame(edges, "src int, dst int, w double")
+        got = {
+            r.node: r.pagerank
+            for r in pagerank(
+                df, weight_col="w", iterations=4, checkpoint=False
+            ).collect()
+        }
+        nodes = sorted({u for s, d, _ in edges for u in (s, d)})
+        n = len(nodes)
+        out = {}
+        for s, d, w in edges:
+            out.setdefault(s, {})[d] = w
+        pr = {v: 1.0 / n for v in nodes}
+        for _ in range(4):
+            new = {}
+            for v in nodes:
+                acc = 0.0
+                for u in sorted(nodes):
+                    if v in out.get(u, {}):
+                        acc += pr[u] * out[u][v] / sum(out[u].values())
+                new[v] = 0.15 / n + 0.85 * acc
+            pr = new
+        assert got == pytest.approx(pr, abs=1e-9)
+
+    def test_weighted_matches_unweighted_on_uniform_weights(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3)]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        uw = {r.node: r.pagerank for r in pagerank(df, iterations=3).collect()}
+        ww = {
+            r.node: r.pagerank
+            for r in pagerank(
+                df.withColumn("w", F.lit(2.0)),
+                weight_col="w",
+                iterations=3,
+            ).collect()
+        }
+        assert ww == pytest.approx(uw, abs=1e-12)
+
+    def test_nonpositive_weights_drop_edges(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2, 1.0), (1, 3, 0.0), (1, 4, -2.0), (1, 5, None)],
+            "src int, dst int, w double",
+        )
+        nodes = {
+            r.node
+            for r in pagerank(df, weight_col="w", iterations=1).collect()
+        }
+        assert nodes == {1, 2}  # only the positive-weight edge survives
+
+    def test_weighted_step_dispatch(self, spark):
+        eng = StepEngine(spark, register_functions=False)
+        ents = {
+            "e": spark.createDataFrame(
+                [(1, 2, 1.5), (2, 1, 0.5)], "src int, dst int, w double"
+            )
+        }
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "pagerank",
+                    "entity_name": "e",
+                    "weight_column": "w",
+                    "new_entity_name": "r",
+                }
+            ),
+        )
+        assert ents["r"].count() == 2
