@@ -1835,8 +1835,24 @@ def q_step_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ents["all"]
 
 
-#: LSH-partitioned layout path per sf_dir (written once per process)
+#: LSH-partitioned layout path per sf_dir (written once per process).
+#: All layouts live under ONE per-process root registered for atexit
+#: removal, so long-lived bench/driver processes don't leak a
+#: partitioned-parquet directory per sf_dir in /tmp (ADVICE r6).
 _LSH_LAYOUTS: dict[str, str] = {}
+_LSH_LAYOUT_ROOT: list[str] = []
+
+
+def _lsh_layout_dir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _LSH_LAYOUT_ROOT:
+        root = tempfile.mkdtemp(prefix="dve_lsh_part_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _LSH_LAYOUT_ROOT.append(root)
+    return _LSH_LAYOUT_ROOT[0]
 
 
 def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,8 +1870,6 @@ def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
         multiprobe_ann_topk,
     )
-
-    import tempfile
 
     from data_validation_engine_spark.llmops import (
         ann_topk,
@@ -1888,7 +1902,7 @@ def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercises the writer
     cache = _LSH_LAYOUTS
     if sf_dir not in cache:
-        path = tempfile.mkdtemp(prefix="dve_lsh_part_") + "/table"
+        path = f"{_lsh_layout_dir()}/{len(cache)}/table"
         write_lsh_partitioned(embs, path)
         cache[sf_dir] = path
     part = ann_topk_partitioned(spark, cache[sf_dir], q, 10)

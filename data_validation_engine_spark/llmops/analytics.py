@@ -266,14 +266,20 @@ def quantile_buckets(
     n_buckets: int,
     *,
     bucket_col: str = "bucket",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-depth binning: assign every row its quantile bucket (1-based
     ``ntile``) of ``value_col`` within its group — the standard
     feature-engineering discretisation (equal POPULATION per bucket, not
-    equal width). Deterministic under a value tie by the ntile
-    definition itself (ties split by sorted position; the secondary sort
-    on the value alone is stable because ntile only depends on position
-    counts). One shuffle on the group keys.
+    equal width). One shuffle on the group keys.
+
+    Determinism: bucket POPULATIONS are always reproducible, but when
+    equal values straddle a bucket boundary, WHICH tied row lands on
+    which side depends on partition order unless ``tiebreak_cols``
+    (ordered ascending after the value, same convention as
+    :func:`grouped_topk`) makes the sort total. Pass a unique key there
+    whenever per-row bucket assignment must be stable across runs or
+    engines.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -283,7 +289,8 @@ def quantile_buckets(
     # bucket 1, displacing real low values — and diverge from SQL
     # engines that rank NULLS LAST)
     v = F.col(value_col)
-    w = Window.partitionBy(*groups).orderBy(v.asc())
+    order = [v.asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*groups).orderBy(*order)
     binned = df.where(v.isNotNull()).withColumn(
         bucket_col, F.ntile(int(n_buckets)).over(w)
     )
@@ -315,6 +322,13 @@ def outlier_flags(
     should surface.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    helpers = {f"__g{i}" for i in range(len(groups))} | {"__q25", "__q75"}
+    clash = helpers & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with outlier_flags helper names "
+            f"{sorted(clash)}; rename them first"
+        )
     q = grouped_quantiles(
         df, groups, value_col, [0.25, 0.75], round_to=round_to
     ).select(

@@ -737,6 +737,33 @@ class TestBinningAndOutliers:
         assert out[(1, 100.0)] is False       # normal for group 1
         assert sum(out[(0, float(v))] for v in [10, 11, 12, 13, 14]) == 0
 
+    def test_bucket_tiebreak_makes_assignment_total(self, spark):
+        from data_validation_engine_spark.llmops import quantile_buckets
+
+        # four identical values straddling the 2-bucket boundary: without
+        # a tiebreak WHICH ids land in bucket 1 is partition-dependent;
+        # with tiebreak_cols=["id"] the assignment is a total order
+        df = spark.createDataFrame(
+            [(i, 7.0) for i in range(4)], "id int, x double"
+        ).repartition(4)
+        out = {
+            r.id: r.bucket
+            for r in quantile_buckets(
+                df, [], "x", 2, tiebreak_cols=["id"]
+            ).collect()
+        }
+        assert out == {0: 1, 1: 1, 2: 2, 3: 2}
+
+    def test_outlier_flags_rejects_helper_collisions(self, spark):
+        from data_validation_engine_spark.llmops import outlier_flags
+
+        df = spark.createDataFrame([(0, 1.0, 9)], "g int, x double, __q25 int")
+        with pytest.raises(ValueError, match="__q25"):
+            outlier_flags(df, "g", "x")
+        df2 = spark.createDataFrame([(0, 1.0, 9)], "g int, x double, __g0 int")
+        with pytest.raises(ValueError, match="__g0"):
+            outlier_flags(df2, "g", "x")
+
     def test_null_never_outlier_and_steps(self, spark):
         eng = StepEngine(spark, register_functions=False)
         df = spark.createDataFrame(
