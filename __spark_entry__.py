@@ -624,8 +624,19 @@ def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TableUnion: case-insensitive union by name with null-fill."""
-    ents = _load(spark, sf_dir, ["customer", "supplier"])
+    """Table-combination surface in one row (tagged union): 'union' rows
+    are the case-insensitive TableUnion with null-fill; 'upsert' rows
+    (round 7) are ANSI MERGE via the DECLARED merge_upsert step — every
+    customer with orders takes an updated name/balance, a disjoint
+    +10M keyspace inserts, everyone else passes through (the base table
+    never shuffles under a broadcast-able delta — plan-asserted in
+    tests/test_merge.py); 'cdc' rows are the DECLARED apply_changes step
+    over an I/U/D ledger derived from orders, collapsed latest-per-key
+    by o_orderkey (unique, so the collapse is engine-exact) with 'P'
+    status rows acting as deletes."""
+    from data_validation_engine_spark.steps import parse_step
+
+    ents = _load(spark, sf_dir, ["customer", "supplier", "orders"])
     eng = _engine(spark)
     eng.evaluate(
         ents,
@@ -659,7 +670,111 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             expression="CASE WHEN nationkey IS NULL THEN 'cust' ELSE 'supp' END",
         ),
     )
-    return ents["unioned"]
+    union_rows = ents["unioned"].selectExpr(
+        "'union' AS op",
+        "id",
+        "name",
+        "acctbal AS bal",
+        "CONCAT(src, ':', CAST(COALESCE(nationkey, -1) AS STRING)) AS src",
+    )
+
+    # -- 'upsert': MERGE INTO customer-projection from an orders delta --
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="customer",
+            columns="c_custkey AS id, c_name AS name, c_acctbal AS bal",
+            new_entity_name="base",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=Aggregation(
+            entity_name="orders",
+            group_by="o_custkey",
+            agg_columns={"cast(count(1) as double)": "bal"},
+            new_entity_name="delta0",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="delta0",
+            columns=(
+                "o_custkey AS id,"
+                " CONCAT('updated_', CAST(o_custkey AS STRING)) AS name, bal"
+            ),
+            new_entity_name="delta_upd",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="delta_upd",
+            columns=(
+                "id + 10000000 AS id, CONCAT('inserted_',"
+                " CAST(id AS STRING)) AS name, bal"
+            ),
+            new_entity_name="delta_ins",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="delta_upd",
+            target_name="delta_ins",
+            new_entity_name="delta",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "merge_upsert",
+                "entity_name": "base",
+                "target_name": "delta",
+                "keys": ["id"],
+                "new_entity_name": "merged",
+            }
+        ),
+    )
+    upsert_rows = ents["merged"].selectExpr(
+        "'upsert' AS op", "id", "name", "bal", "CAST(NULL AS STRING) AS src"
+    )
+
+    # -- 'cdc': apply_changes over a per-order I/U/D ledger --
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="orders",
+            columns=(
+                "o_custkey AS id,"
+                " CONCAT('cdc_', CAST(o_custkey AS STRING)) AS name,"
+                " CAST(o_orderkey % 1000 AS DOUBLE) AS bal,"
+                " CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS cop,"
+                " o_orderkey AS seq"
+            ),
+            new_entity_name="ledger",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "apply_changes",
+                "entity_name": "base",
+                "target_name": "ledger",
+                "keys": ["id"],
+                "op_column": "cop",
+                "sequence_column": "seq",
+                "new_entity_name": "current",
+            }
+        ),
+    )
+    cdc_rows = ents["current"].selectExpr(
+        "'cdc' AS op", "id", "name", "bal", "CAST(NULL AS STRING) AS src"
+    )
+    return union_rows.unionAll(upsert_rows).unionAll(cdc_rows)
 
 
 def q_join_header(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4152,15 +4267,74 @@ _ORACLES: dict[str, str] = {
          AND p.ts <= c.ts + INTERVAL 10 MINUTE
     """,
     "union": """
-        SELECT *,
-               CASE WHEN nationkey IS NULL THEN 'cust' ELSE 'supp' END AS src
-        FROM (
-            SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        WITH unioned AS (
+            SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
                    NULL::INT AS nationkey
             FROM customer
             UNION ALL
             SELECT s_suppkey, s_name, NULL, s_nationkey FROM supplier
+        ),
+        base AS (
+            SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+            FROM customer
+        ),
+        delta AS (
+            SELECT o_custkey AS id,
+                   CONCAT('updated_', CAST(o_custkey AS VARCHAR)) AS name,
+                   CAST(COUNT(1) AS DOUBLE) AS bal
+            FROM orders GROUP BY o_custkey
+            UNION ALL
+            SELECT o_custkey + 10000000,
+                   CONCAT('inserted_', CAST(o_custkey AS VARCHAR)),
+                   CAST(COUNT(1) AS DOUBLE)
+            FROM orders GROUP BY o_custkey
+        ),
+        merged AS (
+            SELECT b.id,
+                   CASE WHEN u.id IS NOT NULL THEN u.name ELSE b.name END
+                       AS name,
+                   CASE WHEN u.id IS NOT NULL THEN u.bal ELSE b.bal END
+                       AS bal
+            FROM base b LEFT JOIN delta u ON b.id = u.id
+            UNION ALL
+            SELECT u.id, u.name, u.bal FROM delta u
+            WHERE u.id NOT IN (SELECT id FROM base)
+        ),
+        ledger AS (
+            SELECT o_custkey AS id,
+                   CONCAT('cdc_', CAST(o_custkey AS VARCHAR)) AS name,
+                   CAST(o_orderkey % 1000 AS DOUBLE) AS bal,
+                   CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END
+                       AS cop,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        ),
+        latest AS (SELECT id, name, bal, cop FROM ledger WHERE rn = 1),
+        ups AS (SELECT id, name, bal FROM latest WHERE cop = 'U'),
+        dels AS (SELECT id FROM latest WHERE cop = 'D'),
+        cdc_merged AS (
+            SELECT b.id,
+                   CASE WHEN u.id IS NOT NULL THEN u.name ELSE b.name END
+                       AS name,
+                   CASE WHEN u.id IS NOT NULL THEN u.bal ELSE b.bal END
+                       AS bal
+            FROM base b LEFT JOIN ups u ON b.id = u.id
+            UNION ALL
+            SELECT u.id, u.name, u.bal FROM ups u
+            WHERE u.id NOT IN (SELECT id FROM base)
         )
+        SELECT 'union' AS op, id, name, bal,
+               CONCAT(CASE WHEN nationkey IS NULL THEN 'cust' ELSE 'supp'
+                      END, ':',
+                      CAST(COALESCE(nationkey, -1) AS VARCHAR)) AS src
+        FROM unioned
+        UNION ALL
+        SELECT 'upsert', id, name, bal, NULL FROM merged
+        UNION ALL
+        SELECT 'cdc', m.id, m.name, m.bal, NULL FROM cdc_merged m
+        WHERE m.id NOT IN (SELECT id FROM dels)
     """,
     "join_header": """
         SELECT n_nationkey, n_name, h.n_orders, h.max_price
@@ -4571,7 +4745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     step_similarity_ann). Round-6 second wave: sync_filter_messages ->
     sync_filters and similarity_ann -> ann_variants (freeing the slots
     for data_profiling and text_retrieval); pagerank rows ride in
-    connected_components (the graph-family row)."""
+    connected_components (the graph-family row). Round 7: the
+    merge_upsert + apply_changes incremental operators ride in union
+    (the table-combination row)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,

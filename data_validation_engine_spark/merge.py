@@ -1,0 +1,260 @@
+"""Incremental table maintenance: MERGE-style upsert and CDC apply.
+
+The reference engine re-validates full snapshots per submission
+(``/root/reference/src/dve/pipeline/pipeline.py`` polls a landing prefix
+and processes whole files); production pipelines at 100 TB instead
+receive DELTAS — a small batch of changed rows against a huge validated
+base. These operators give that incremental path first-class, declarable
+semantics (ANSI ``MERGE INTO`` / CDC ``APPLY CHANGES``) built purely from
+equi-joins, so Catalyst can broadcast the (typically tiny) delta and the
+base table never shuffles:
+
+- :func:`merge_upsert` — SQL MERGE: update matched rows, insert unmatched
+  ones. The base side's plan is one join keyed on the merge keys; when the
+  delta is broadcast-able (the normal case) the base is a single
+  map-side pass.
+- :func:`apply_changes` — CDC ledger application: collapse an
+  insert/update/delete change stream to its latest state per key, then
+  merge it (deletes drop rows).
+
+Both are deterministic under concurrent duplicate keys only when given a
+``sequence_col`` (latest wins; remaining columns break exact ties) —
+without one, duplicate update keys are the caller's contract violation
+and fail loudly rather than picking a partition-dependent winner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["merge_upsert", "apply_changes", "latest_per_key"]
+
+_MATCH_FLAG = "__dve_upd_matched"
+
+
+def _check_keys(df: DataFrame, keys: list[str], side: str) -> None:
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"merge keys missing from {side}: {missing}")
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    sequence_col: str,
+) -> DataFrame:
+    """Collapse to the single latest row per key by ``sequence_col``
+    descending, remaining columns ascending as the deterministic
+    tiebreak (so exact sequence ties cannot flip winners between runs
+    or partitionings). One shuffle on the keys; WindowGroupLimit keeps
+    only the running top-1 per partition before the final rank."""
+    if sequence_col not in df.columns:
+        raise ValueError(f"sequence column not in frame: {sequence_col}")
+    others = [
+        c for c in df.columns if c not in keys and c != sequence_col
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(sequence_col).desc(),
+        *[F.col(c).asc() for c in others],
+    )
+    rank = "__dve_seq_rank"
+    if rank in df.columns:
+        raise ValueError(f"input column collides with helper name: {rank}")
+    return (
+        df.withColumn(rank, F.row_number().over(w))
+        .where(F.col(rank) == 1)
+        .drop(rank)
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str] | str,
+    *,
+    update_cols: list[str] | None = None,
+    sequence_col: str | None = None,
+    insert_missing: bool = True,
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` as a DataFrame transform: rows of ``base``
+    whose key appears in ``updates`` take the update's values for
+    ``update_cols`` (NULL in an update means SET NULL, not keep — SQL
+    MERGE semantics); unmatched update rows are inserted (base-only
+    columns NULL-filled) unless ``insert_missing=False``; all other base
+    rows pass through untouched.
+
+    - ``update_cols`` defaults to every non-key update column; it may be
+      a subset (partial-column updates), but every update column must
+      already exist on ``base`` — schema widening is a different
+      operation and is rejected loudly.
+    - ``sequence_col`` (an updates-side column, never written to the
+      output) collapses duplicate update keys to the latest row first
+      via :func:`latest_per_key`. Without it, duplicate keys in
+      ``updates`` would multiply matched base rows, so they are rejected
+      with a lazy guard compiled into the plan (fails the action, costs
+      no extra job).
+    - NULL key values follow SQL equality: they never match, so a
+      NULL-keyed update row inserts (its own contract problem to filter
+      upstream; the behaviour is documented rather than hidden).
+
+    Scale shape: the base table NEVER shuffles when the delta is
+    broadcast-able (the normal 100 TB case). Updates + pass-through are
+    one equi-join of base against the delta. Inserts avoid the naive
+    ``delta ANTI base`` (which would shuffle the base's key column) by
+    first semi-joining base's keys against the broadcast delta keys —
+    a result bounded by the delta size — then anti-joining the delta
+    against THAT broadcast-able matched set: two key-pruned base scans,
+    zero base shuffles. With a delta too large to broadcast, AQE
+    degrades every join to co-partitioned shuffles on the keys — the
+    honest fallback.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
+    _check_keys(base, keys, "base")
+    _check_keys(updates, keys, "updates")
+    if _MATCH_FLAG in base.columns or _MATCH_FLAG in updates.columns:
+        raise ValueError(
+            f"input column collides with helper name: {_MATCH_FLAG}"
+        )
+
+    if sequence_col is not None:
+        updates = latest_per_key(updates, keys, sequence_col).drop(
+            sequence_col
+        )
+
+    upd_value_cols = [c for c in updates.columns if c not in keys]
+    if update_cols is None:
+        update_cols = upd_value_cols
+    else:
+        update_cols = list(update_cols)
+        missing = [c for c in update_cols if c not in upd_value_cols]
+        if missing:
+            raise ValueError(
+                f"update_cols not present on updates (or are keys): "
+                f"{missing}"
+            )
+    widening = [c for c in updates.columns if c not in base.columns]
+    if widening:
+        raise ValueError(
+            f"updates carry columns unknown to base {widening}; "
+            "merge_upsert never widens the base schema"
+        )
+
+    upd = updates.select(
+        *keys, *update_cols, F.lit(True).alias(_MATCH_FLAG)
+    )
+    if sequence_col is None:
+        # lazy duplicate-key guard: a duplicated update key would silently
+        # multiply its matched base row; make the plan itself refuse.
+        # count(*) over the key window is a no-op for unique keys and
+        # raises at action time otherwise — no separate validation job.
+        w = Window.partitionBy(*[F.col(k) for k in keys])
+        upd = upd.withColumn(
+            _MATCH_FLAG,
+            F.when(F.count(F.lit(1)).over(w) == 1, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "merge_upsert: duplicate update keys; pass "
+                        "sequence_col to collapse them deterministically"
+                    )
+                ).cast("boolean")
+            ),
+        )
+
+    aliased_upd = upd.select(
+        *[F.col(k).alias(f"__u_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+        F.col(_MATCH_FLAG),
+    )
+    cond = None
+    for k in keys:
+        clause: Column = base[k] == F.col(f"__u_{k}")
+        cond = clause if cond is None else (cond & clause)
+
+    merged = base.join(aliased_upd, cond, "left").select(
+        *[
+            (
+                F.when(
+                    F.col(_MATCH_FLAG).isNotNull(), F.col(f"__u_{c}")
+                ).otherwise(base[c])
+                if c in update_cols
+                else base[c]
+            ).alias(c)
+            for c in base.columns
+        ]
+    )
+    if not insert_missing:
+        return merged
+
+    # keys of the delta that DO exist in base: base scans its (pruned)
+    # key columns and probes the delta — never shuffling base; the
+    # distinct bounds the result by the delta's key count so the anti
+    # join below can broadcast it
+    matched_keys = (
+        base.select(*keys)
+        .join(updates.select(*keys), keys, "left_semi")
+        .distinct()
+    )
+    inserts = updates.join(matched_keys, keys, "left_anti").select(
+        *[
+            F.col(c) if c in updates.columns
+            else F.lit(None).cast(base.schema[c].dataType).alias(c)
+            for c in base.columns
+        ]
+    )
+    return merged.unionByName(inserts)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str] | str,
+    *,
+    op_col: str = "op",
+    sequence_col: str | None = None,
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_ops: tuple[str, ...] = ("D",),
+) -> DataFrame:
+    """Apply a CDC change ledger to ``base``: collapse the ledger to its
+    LATEST change per key (``sequence_col``, required whenever a key can
+    change more than once per batch), then upsert the surviving
+    inserts/updates and anti-join away the surviving deletes.
+
+    An unknown ``op_col`` value fails the action loudly (a typo'd op
+    silently dropped is a correctness hole). Delete-then-reinsert within
+    one batch resolves to whichever is latest — exactly the ledger's
+    meaning. Scale shape: :func:`merge_upsert`'s single-join plan plus
+    one anti-join on the (small) delete set.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if op_col not in changes.columns:
+        raise ValueError(f"op column not in changes: {op_col}")
+    known = list(upsert_ops) + list(delete_ops)
+    guarded = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin(known), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"apply_changes: unknown {op_col} value: "),
+                    F.col(op_col).cast("string"),
+                )
+            ).cast("string")
+        ),
+    )
+    if sequence_col is not None:
+        guarded = latest_per_key(guarded, keys, sequence_col).drop(
+            sequence_col
+        )
+    upserts = guarded.where(F.col(op_col).isin(list(upsert_ops))).drop(
+        op_col
+    )
+    deletes = guarded.where(F.col(op_col).isin(list(delete_ops))).select(
+        *keys
+    )
+    # the ledger is now at most one row per key (collapsed above, or the
+    # caller's single-change-per-batch contract — merge_upsert's lazy
+    # duplicate guard enforces the latter)
+    merged = merge_upsert(base, upserts, keys)
+    return merged.join(deletes, keys, "left_anti")

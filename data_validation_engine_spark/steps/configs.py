@@ -762,6 +762,30 @@ class OutlierFlags(AbstractStep):
     flag_column: str = "is_outlier"
 
 
+class MergeUpsert(AbstractStep):
+    """ANSI MERGE INTO: rows of the entity matched by ``target_name``'s
+    keys take the target's values; unmatched target rows insert (unless
+    ``insert_missing`` is false). The incremental-refresh primitive."""
+
+    operation: Literal["merge_upsert"] = "merge_upsert"
+    target_name: str
+    keys: tuple[str, ...]
+    update_columns: Optional[tuple[str, ...]] = None
+    sequence_column: Optional[str] = None
+    insert_missing: bool = True
+
+
+class ApplyChanges(AbstractStep):
+    """CDC ledger application: collapse ``target_name``'s change rows to
+    the latest per key, upsert inserts/updates, delete deletes."""
+
+    operation: Literal["apply_changes"] = "apply_changes"
+    target_name: str
+    keys: tuple[str, ...]
+    op_column: str = "op"
+    sequence_column: Optional[str] = None
+
+
 class ProfileDiff(AbstractStep):
     """Schema/stat drift between this entity and ``target_name``: one row
     per column in either side (added/removed/common + null-rate delta)."""
@@ -906,6 +930,8 @@ AnyStep = Annotated[
         ProfileDiff,
         QuantileBuckets,
         OutlierFlags,
+        MergeUpsert,
+        ApplyChanges,
     ],
     Field(discriminator="operation"),
 ]

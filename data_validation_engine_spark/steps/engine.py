@@ -106,6 +106,8 @@ from data_validation_engine_spark.steps.configs import (
     ProfileDiff,
     QuantileBuckets,
     OutlierFlags,
+    MergeUpsert,
+    ApplyChanges,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -206,6 +208,8 @@ class StepEngine:
             ProfileDiff: self.profile_diff,
             QuantileBuckets: self.quantile_buckets,
             OutlierFlags: self.outlier_flags,
+            MergeUpsert: self.merge_upsert,
+            ApplyChanges: self.apply_changes,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1568,5 +1572,36 @@ class StepEngine:
             config.value_column,
             factor=config.factor,
             flag_col=config.flag_column,
+        )
+        return None
+
+    def merge_upsert(
+        self, entities: Entities, *, config: MergeUpsert
+    ) -> Messages:
+        from data_validation_engine_spark.merge import merge_upsert
+
+        entities[config.output_name] = merge_upsert(
+            entities[config.entity_name],
+            entities[config.target_name],
+            list(config.keys),
+            update_cols=list(config.update_columns)
+            if config.update_columns is not None
+            else None,
+            sequence_col=config.sequence_column,
+            insert_missing=config.insert_missing,
+        )
+        return None
+
+    def apply_changes(
+        self, entities: Entities, *, config: ApplyChanges
+    ) -> Messages:
+        from data_validation_engine_spark.merge import apply_changes
+
+        entities[config.output_name] = apply_changes(
+            entities[config.entity_name],
+            entities[config.target_name],
+            list(config.keys),
+            op_col=config.op_column,
+            sequence_col=config.sequence_column,
         )
         return None
