@@ -1566,13 +1566,17 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash proves both algorithms equal AND correct on the same graph
     (merged from the former connected_components_star row). The pair
     frame is materialised once so the signature pipeline doesn't run
-    per-algorithm."""
+    per-algorithm. 'tri' rows (round 7): exact per-node triangle counts
+    of the SAME pair graph via the DECLARED triangle_count step
+    (degree-oriented wedge join — cluster-density signal separating
+    near-dup cliques from borderline chains)."""
     from data_validation_engine_spark.llmops import (
         connected_components,
         connected_components_star,
         minhash_pairs,
         pagerank,
     )
+    from data_validation_engine_spark.steps import parse_step
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_pairs(docs, "doc_id", "text", threshold=0.5)
@@ -1602,7 +1606,24 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'pr' AS op", "node AS id", "CAST(NULL AS BIGINT) AS component",
         "CAST(NULL AS BIGINT) AS component_star", "pagerank AS x",
     )
-    return cc.unionAll(pr)
+    ents = {"pairs": pairs}
+    _engine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "triangle_count",
+                "entity_name": "pairs",
+                "src_column": "id_a",
+                "dst_column": "id_b",
+                "new_entity_name": "tri",
+            }
+        ),
+    )
+    tri = ents["tri"].selectExpr(
+        "'tri' AS op", "node AS id", "n_tri AS component",
+        "CAST(NULL AS BIGINT) AS component_star", "CAST(NULL AS DOUBLE) AS x",
+    )
+    return cc.unionAll(pr).unionAll(tri)
 
 
 def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2935,6 +2956,28 @@ def _connected_components_oracle(threshold: float = 0.5) -> str:
     """
 
 
+def _triangle_oracle(threshold: float = 0.5) -> str:
+    """Per-node triangle counts of the minhash pair graph: pairs are
+    already canonical (id_a < id_b), so each triangle x<y<z matches the
+    3-way self-join exactly once; every triangle credits its three
+    vertices."""
+    return f"""
+        WITH {_minhash_pair_ctes(threshold=threshold)},
+        te AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+        tris AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM te e1
+            JOIN te e2 ON e2.a = e1.b
+            JOIN te e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, count(*) AS n_tri FROM (
+            SELECT x AS node FROM tris
+            UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris
+        ) GROUP BY node
+    """
+
+
 def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank twin over the supplier->part
     graph. Float literals ride as CAST('…' AS VARCHAR→DOUBLE) because
@@ -3561,6 +3604,10 @@ _LLMOPS_ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'pr', node, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), pr
         FROM ({_pagerank_oracle()})
+        UNION ALL
+        SELECT 'tri', node, n_tri, CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM ({_triangle_oracle()})
     """,
     # KMV sketch + column profile + exact grouped quantiles; the kmv
     # branch recomputes the identical min-128 md5 sketch so even the

@@ -49,6 +49,7 @@ from data_validation_engine_spark.llmops.analytics import (
 )
 from data_validation_engine_spark.llmops.graph import (
     pagerank,
+    triangle_count,
 )
 from data_validation_engine_spark.llmops.linkage import (
     fuzzy_dedup_pairs,
@@ -186,6 +187,7 @@ __all__ = [
     "kmv_distinct",
     "kmv_merge",
     "pagerank",
+    "triangle_count",
     "profile_columns",
     "encode_tokens",
     "frequent_items",

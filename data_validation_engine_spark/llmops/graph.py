@@ -1,4 +1,5 @@
-"""Graph centrality over edge tables: deterministic PageRank.
+"""Graph analytics over edge tables: deterministic PageRank and
+degree-oriented triangle counting.
 
 Extends the engine's graph family (connected components,
 `llmops/dedup.py:353,458`) with the other canonical MapReduce graph
@@ -187,3 +188,85 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph, exact.
+
+    Returns ``(node, n_tri)`` for every node that closes at least one
+    triangle (left-join onto the node table for zero-filled counts).
+    Edges are treated as undirected: direction is dropped, duplicates
+    and self-loops are removed before counting, so the result is a pure
+    function of the edge SET. Counts are integers — no float aggregation,
+    so the result is trivially partition-order-independent.
+
+    Corpus use: triangle density inside a near-dup pair graph separates
+    tight plagiarism clusters (cliques — high counts) from chains of
+    borderline matches (paths — zero triangles) before any survivor
+    decision.
+
+    Scale shape — the degree-oriented wedge algorithm (the MapReduce
+    formulation used by GraphX/Cohen): orient every canonical edge from
+    its lower-(degree, id) endpoint to the higher one, so each node's
+    OUT-adjacency is O(sqrt(m)) regardless of its raw degree; wedges
+    (pairs of out-neighbours of one apex) are a self-equi-join on the
+    apex; a wedge closes iff its endpoint pair is itself a canonical
+    edge — one more equi-join. Every triangle materialises exactly once
+    (its vertices carry a strict orientation order), so no /3 or /6
+    correction is needed — the per-triangle row then attributes one
+    count to each of its three vertices. The hot-node n² blow-up the
+    naive wedge join suffers is exactly what the orientation removes:
+    a 10M-degree hub in 100 TB of edges still fans out only to
+    out-neighbours of yet-higher degree.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select("b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient from the strictly-smaller (deg, id) endpoint; (deg, id) is a
+    # total order so orientation is deterministic and acyclic
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        canon.join(da, "a").join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    o1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
+    o2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
+    wedges = o1.join(o2, "apex").where(F.col("x") < F.col("y"))
+    closing = canon.select(
+        F.col("a").alias("cx"), F.col("b").alias("cy")
+    )
+    triangles = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("cx"))
+        & (F.greatest("x", "y") == F.col("cy")),
+    ).select("apex", "x", "y")
+    return (
+        triangles.select(F.col("apex").alias("node"))
+        .unionAll(triangles.select("x"))
+        .unionAll(triangles.select("y"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )

@@ -863,6 +863,15 @@ class PageRankStep(AbstractStep):
     damping: float = 0.85
 
 
+class TriangleCount(AbstractStep):
+    """Exact per-node triangle counts over an (undirected) edge-list
+    entity; writes ``(node, n_tri)`` for triangle-closing nodes."""
+
+    operation: Literal["triangle_count"] = "triangle_count"
+    src_column: str = "src"
+    dst_column: str = "dst"
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -932,6 +941,7 @@ AnyStep = Annotated[
         OutlierFlags,
         MergeUpsert,
         ApplyChanges,
+        TriangleCount,
     ],
     Field(discriminator="operation"),
 ]

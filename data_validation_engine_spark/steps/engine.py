@@ -108,6 +108,7 @@ from data_validation_engine_spark.steps.configs import (
     OutlierFlags,
     MergeUpsert,
     ApplyChanges,
+    TriangleCount,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -210,6 +211,7 @@ class StepEngine:
             OutlierFlags: self.outlier_flags,
             MergeUpsert: self.merge_upsert,
             ApplyChanges: self.apply_changes,
+            TriangleCount: self.triangle_count,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1603,5 +1605,17 @@ class StepEngine:
             list(config.keys),
             op_col=config.op_column,
             sequence_col=config.sequence_column,
+        )
+        return None
+
+    def triangle_count(
+        self, entities: Entities, *, config: TriangleCount
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.graph import triangle_count
+
+        entities[config.output_name] = triangle_count(
+            entities[config.entity_name],
+            src_col=config.src_column,
+            dst_col=config.dst_column,
         )
         return None

@@ -875,3 +875,82 @@ class TestWeightedPageRank:
             ),
         )
         assert ents["r"].count() == 2
+
+
+class TestTriangleCount:
+    def test_known_graph(self, spark):
+        from data_validation_engine_spark.llmops import triangle_count
+
+        # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant
+        # 4-5 edge (closes nothing) plus a disjoint triangle {6,7,8}
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = k4 + [(4, 5), (6, 7), (7, 8), (6, 8)]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r.node: r.n_tri for r in triangle_count(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+    def test_direction_duplicates_selfloops_ignored(self, spark):
+        from data_validation_engine_spark.llmops import triangle_count
+
+        messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3), (3, 2)]
+        df = spark.createDataFrame(messy, "src int, dst int")
+        got = {r.node: r.n_tri for r in triangle_count(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_against_bruteforce_random_graph(self, spark):
+        import itertools
+        import random
+
+        from data_validation_engine_spark.llmops import triangle_count
+
+        rng = random.Random(7)
+        nodes = list(range(24))
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.25
+        ]
+        adj = set(edges)
+        expected: dict[int, int] = {}
+        for x, y, z in itertools.combinations(nodes, 3):
+            if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+                for v in (x, y, z):
+                    expected[v] = expected.get(v, 0) + 1
+        df = spark.createDataFrame(edges, "src int, dst int").repartition(5)
+        got = {r.node: r.n_tri for r in triangle_count(df).collect()}
+        assert got == expected
+
+    def test_declared_step(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark, register_functions=False)
+        ents = {
+            "edges": spark.createDataFrame(
+                [(1, 2), (2, 3), (3, 1)], "a int, b int"
+            )
+        }
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "triangle_count",
+                    "entity_name": "edges",
+                    "src_column": "a",
+                    "dst_column": "b",
+                    "new_entity_name": "tri",
+                }
+            ),
+        )
+        assert {(r.node, r.n_tri) for r in ents["tri"].collect()} == {
+            (1, 1), (2, 1), (3, 1)
+        }
+
+    def test_no_cartesian_in_plan(self, spark):
+        from data_validation_engine_spark.llmops import triangle_count
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+        plan = (
+            triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
