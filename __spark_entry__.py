@@ -1637,7 +1637,10 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stringified min-max per column — the pre-contract data-quality
     surface); 'quant' rows are exact per-group quantiles
     (percentile_cont type-7) of lineitem quantity by return flag,
-    unpivoted one row per (group, prob)."""
+    unpivoted one row per (group, prob); 'squant' rows (round 7) are the
+    APPROXIMATE quantiles from the deterministic min-256 hash sample
+    (sampled_quantiles step) — the mergeable 100 TB path, engine-exact
+    because the oracle recomputes the identical sample."""
     from data_validation_engine_spark.steps import parse_step
 
     eng = _engine(spark)
@@ -1835,6 +1838,51 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS STRING) AS s2",
         )
     )
+    # 'squant' rows (round 7): approximate per-group quantiles from the
+    # deterministic min-256 hash SAMPLE (DECLARED sampled_quantiles step)
+    # — the 100 TB path where exact percentile's whole-group buffer is
+    # the trap; the oracle recomputes the identical sample, so even the
+    # approximation is engine-exact (same property as the kmv rows)
+    eng.evaluate(
+        ents,
+        config=ColumnAddition(
+            entity_name="lineitem",
+            column_name="li_key",
+            expression=(
+                "CAST(l_orderkey AS STRING) || '-' ||"
+                " CAST(l_linenumber AS STRING)"
+            ),
+            new_entity_name="li_keyed",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "sampled_quantiles",
+                "entity_name": "li_keyed",
+                "group_by": ["l_returnflag"],
+                "value_column": "l_extendedprice",
+                "key_column": "li_key",
+                "probs": [0.25, 0.5, 0.75],
+                "k": 256,
+                "new_entity_name": "squants",
+            }
+        ),
+    )
+    squants = ents["squants"].selectExpr(
+        "l_returnflag",
+        "n",
+        "stack(3, 'p25', q_25, 'p50', q_50, 'p75', q_75) AS (tag, v)",
+    ).selectExpr(
+        "'squant' AS op",
+        "l_returnflag || ':' || tag AS key",
+        "n AS a",
+        "CAST(NULL AS BIGINT) AS b",
+        "v AS x",
+        "CAST(NULL AS STRING) AS s1",
+        "CAST(NULL AS STRING) AS s2",
+    )
     return (
         kmv.unionAll(prof)
         .unionAll(quants)
@@ -1842,6 +1890,7 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(drift)
         .unionAll(bins)
         .unionAll(outliers)
+        .unionAll(squants)
     )
 
 
@@ -3757,6 +3806,30 @@ _LLMOPS_ORACLES: dict[str, str] = {
                 ) q USING (l_returnflag)
             ) GROUP BY 1
         )
+        UNION ALL
+        SELECT 'squant', l_returnflag || ':' || tag, n,
+               CAST(NULL AS BIGINT), v,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT l_returnflag, count(*) AS n,
+                   round(quantile_cont(x, 0.25), 6) AS p25,
+                   round(quantile_cont(x, 0.5), 6) AS p50,
+                   round(quantile_cont(x, 0.75), 6) AS p75
+            FROM (
+                SELECT l_returnflag, x, row_number() OVER (
+                    PARTITION BY l_returnflag ORDER BY hv, x
+                ) AS rn
+                FROM (
+                    SELECT l_returnflag, l_extendedprice AS x,
+                           ('0x' || substring(md5(
+                               CAST(l_orderkey AS VARCHAR) || '-'
+                               || CAST(l_linenumber AS VARCHAR)
+                           ), 1, 15))::BIGINT AS hv
+                    FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL
+                )
+            ) WHERE rn <= 256 GROUP BY 1
+        ) UNPIVOT (v FOR tag IN (p25, p50, p75))
     """,
     # BM25 (ordered-fold scores) + blocked fuzzy linkage pairs; the fuzzy
     # twin is the NAIVE blocked join, pinning the length-bucket

@@ -43,6 +43,7 @@ from data_validation_engine_spark.llmops.analytics import (
     outlier_flags,
     profile_diff,
     quantile_buckets,
+    sampled_quantiles,
     grouped_topk,
     profile_columns,
     rolling_agg,
@@ -194,5 +195,6 @@ __all__ = [
     "outlier_flags",
     "profile_diff",
     "quantile_buckets",
+    "sampled_quantiles",
     "vocab_ids",
 ]

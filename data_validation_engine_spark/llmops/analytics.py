@@ -259,6 +259,72 @@ def grouped_quantiles(
     return df.groupBy(*groups).agg(*aggs)
 
 
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    key_col: str,
+    probs: list[float],
+    *,
+    k: int = 1024,
+    names: list[str] | None = None,
+    round_to: int = 6,
+    seed: str = "",
+) -> DataFrame:
+    """Approximate per-group quantiles from a DETERMINISTIC hash sample:
+    the ``k`` rows with the smallest md5 hash of ``key_col`` form a
+    uniform sample of the group (the KMV trick applied to row sampling),
+    and the exact type-7 quantiles of that sample estimate the group's
+    (relative error ~1/sqrt(k)). Output mirrors
+    :func:`grouped_quantiles` with ``n`` = sampled row count.
+
+    Why not exact quantiles at 100 TB: ``percentile`` buffers the whole
+    group per aggregation state. This sketch shuffles AT MOST ``k`` rows
+    per group per map task — Spark's WindowGroupLimit rewrite pushes the
+    rank<=k cut BELOW the exchange, so each task forwards only its local
+    min-k candidates — and the sample is MERGEABLE across shards exactly
+    like the KMV sketch (min-k of a union = min-k of the min-ks), so
+    shard-parallel ingestion composes. Unlike a random sample, the hash
+    sample is a pure function of the data: reruns, repartitionings, and
+    other engines produce the IDENTICAL sample, hence engine-exact
+    estimates of an approximate statistic (the same property the KMV
+    distinct sketch pins). NULL values are excluded on both sides (a
+    NULL cannot contribute to a quantile); ``key_col`` should identify
+    rows (duplicate keys stay deterministic via the value tiebreak, they
+    just correlate the sample). ``seed`` derives an independent sample
+    family.
+    """
+    from data_validation_engine_spark.llmops.sketch import kmv_hash
+
+    if k < 1:
+        raise ValueError(f"sample size k must be >= 1, got {k}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    hv = "__hv"
+    if hv in df.columns:
+        raise ValueError(
+            f"input column collides with helper name: {hv}"
+        )
+    hashed = df.where(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        *groups,
+        F.col(value_col),
+        kmv_hash(F.col(key_col), seed=seed).alias(hv),
+    )
+    sample = grouped_topk(
+        hashed,
+        groups,
+        hv,
+        k,
+        descending=False,
+        tiebreak_cols=[value_col],
+        rank_col="__rank",
+    ).drop(hv, "__rank")
+    return grouped_quantiles(
+        sample, groups, value_col, probs, names=names, round_to=round_to
+    )
+
+
 def quantile_buckets(
     df: DataFrame,
     group_cols: list[str] | str,

@@ -762,6 +762,20 @@ class OutlierFlags(AbstractStep):
     flag_column: str = "is_outlier"
 
 
+class SampledQuantiles(AbstractStep):
+    """Approximate per-group quantiles from the deterministic min-k hash
+    sample of ``key_column`` (mergeable, engine-exact estimates)."""
+
+    operation: Literal["sampled_quantiles"] = "sampled_quantiles"
+    group_by: tuple[str, ...] = ()
+    value_column: str
+    key_column: str
+    probs: tuple[float, ...]
+    k: int = 1024
+    round_to: int = 6
+    seed: str = ""
+
+
 class MergeUpsert(AbstractStep):
     """ANSI MERGE INTO: rows of the entity matched by ``target_name``'s
     keys take the target's values; unmatched target rows insert (unless
@@ -942,6 +956,7 @@ AnyStep = Annotated[
         MergeUpsert,
         ApplyChanges,
         TriangleCount,
+        SampledQuantiles,
     ],
     Field(discriminator="operation"),
 ]

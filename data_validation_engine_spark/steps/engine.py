@@ -109,6 +109,7 @@ from data_validation_engine_spark.steps.configs import (
     MergeUpsert,
     ApplyChanges,
     TriangleCount,
+    SampledQuantiles,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -212,6 +213,7 @@ class StepEngine:
             MergeUpsert: self.merge_upsert,
             ApplyChanges: self.apply_changes,
             TriangleCount: self.triangle_count,
+            SampledQuantiles: self.sampled_quantiles,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1617,5 +1619,24 @@ class StepEngine:
             entities[config.entity_name],
             src_col=config.src_column,
             dst_col=config.dst_column,
+        )
+        return None
+
+    def sampled_quantiles(
+        self, entities: Entities, *, config: SampledQuantiles
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import (
+            sampled_quantiles,
+        )
+
+        entities[config.output_name] = sampled_quantiles(
+            entities[config.entity_name],
+            list(config.group_by),
+            config.value_column,
+            config.key_column,
+            list(config.probs),
+            k=config.k,
+            round_to=config.round_to,
+            seed=config.seed,
         )
         return None

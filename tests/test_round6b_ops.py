@@ -954,3 +954,111 @@ class TestTriangleCount:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSampledQuantiles:
+    def test_sample_is_deterministic_and_partition_invariant(self, spark):
+        from data_validation_engine_spark.llmops import sampled_quantiles
+
+        rows = [(i % 3, float((i * 37) % 1000), f"k{i}") for i in range(3000)]
+        df = spark.createDataFrame(rows, "g int, x double, key string")
+        a = sorted(
+            tuple(r) for r in sampled_quantiles(
+                df, "g", "x", "key", [0.5], k=64
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in sampled_quantiles(
+                df.repartition(17), "g", "x", "key", [0.5], k=64
+            ).collect()
+        )
+        assert a == b
+
+    def test_exact_when_k_covers_group(self, spark):
+        from data_validation_engine_spark.llmops import (
+            grouped_quantiles,
+            sampled_quantiles,
+        )
+
+        rows = [(0, float(i), f"k{i}") for i in range(100)]
+        df = spark.createDataFrame(rows, "g int, x double, key string")
+        approx = sampled_quantiles(
+            df, "g", "x", "key", [0.25, 0.5, 0.75], k=1000
+        ).collect()[0]
+        exact = grouped_quantiles(df, "g", "x", [0.25, 0.5, 0.75]).collect()[0]
+        assert (approx.q_25, approx.q_50, approx.q_75) == (
+            exact.q_25, exact.q_50, exact.q_75,
+        )
+        assert approx.n == 100
+
+    def test_estimate_accuracy(self, spark):
+        from data_validation_engine_spark.llmops import sampled_quantiles
+
+        rows = [(0, float(i), f"id-{i}") for i in range(20000)]
+        df = spark.createDataFrame(rows, "g int, x double, key string")
+        r = sampled_quantiles(df, "g", "x", "key", [0.5], k=1024).collect()[0]
+        # median of U[0, 20000) ~ 10000; k=1024 => sigma ~ 1.6%; allow 4x
+        assert abs(r.q_50 - 10000.0) / 20000.0 < 0.07
+        assert r.n == 1024
+
+    def test_mergeable_min_k_law(self, spark):
+        from data_validation_engine_spark.llmops import sampled_quantiles
+
+        # min-k of a union == min-k over the union of per-shard min-ks:
+        # running the sketch over two shards' SAMPLES equals the global one
+        rows = [(0, float((i * 61) % 5000), f"r{i}") for i in range(4000)]
+        df = spark.createDataFrame(rows, "g int, x double, key string")
+        sh_a = df.where("length(key) % 2 = 0")
+        sh_b = df.where("length(key) % 2 = 1")
+        from data_validation_engine_spark.llmops.analytics import grouped_topk
+        from data_validation_engine_spark.llmops.sketch import kmv_hash
+
+        def mink(frame, k=128):
+            hashed = frame.select(
+                "g", "x", kmv_hash(F.col("key")).alias("hv")
+            )
+            return grouped_topk(
+                hashed, ["g"], "hv", k, descending=False,
+                tiebreak_cols=["x"], rank_col="rnk",
+            ).drop("rnk")
+
+        both = mink(sh_a).unionAll(mink(sh_b))
+        merged = grouped_topk(
+            both, ["g"], "hv", 128, descending=False,
+            tiebreak_cols=["x"], rank_col="rnk",
+        ).drop("rnk")
+        direct = mink(df)
+        assert sorted((r.g, r.x) for r in direct.collect()) == sorted(
+            (r.g, r.x) for r in merged.collect()
+        )
+
+    def test_declared_step_and_validation(self, spark):
+        from data_validation_engine_spark.llmops import sampled_quantiles
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [(0, 1.0, "a"), (0, 2.0, "b"), (0, None, "c"), (0, 3.0, None)],
+            "g int, x double, key string",
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"t": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "sampled_quantiles",
+                    "entity_name": "t",
+                    "group_by": ["g"],
+                    "value_column": "x",
+                    "key_column": "key",
+                    "probs": [0.5],
+                    "k": 10,
+                    "new_entity_name": "sq",
+                }
+            ),
+        )
+        r = ents["sq"].collect()[0]
+        # NULL value and NULL key rows are both excluded
+        assert (r.n, r.q_50) == (2, 1.5)
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            sampled_quantiles(df, "g", "x", "key", [0.5], k=0)
