@@ -2752,8 +2752,11 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited by ``process_landing`` (thread-pool fan-out, max_workers=2),
     each run through transform -> contract -> business rules -> entity
     sinks -> audit. The returned frame is the validated entity read back
-    from the parquet SINK, cross-joined with the audit trail's distinct
-    latest status — exactly one ('completed') iff every stage of both
+    from a COMPACTED rewrite of the parquet SINK (scale.compact_parquet,
+    round 7 — the small-file maintenance an incremental pipeline needs;
+    reading the compacted copy makes the oracle hash prove compaction
+    lossless), cross-joined with the audit trail's distinct latest
+    status — exactly one ('completed') iff every stage of both
     submissions succeeded, so the hash attests the pipeline AND the audit
     table (absorbs the former audit_latest_status row)."""
     import json as _json
@@ -2812,9 +2815,16 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_workers=2,
     )
     assert len(results) == 2 and all(r.success for r in results)
+    from data_validation_engine_spark.scale import compact_parquet
+
     ent = None
-    for r in results:
-        back = spark.read.parquet(r.entity_paths["nations"])
+    for i, r in enumerate(results):
+        compacted = str(root / f"compact_{i}")
+        stats = compact_parquet(
+            spark, r.entity_paths["nations"], compacted
+        )
+        assert stats["files_after"] <= max(1, stats["files_before"])
+        back = spark.read.parquet(compacted)
         ent = back if ent is None else ent.unionByName(back)
     status = (
         AuditLog(spark, str(root / "audit"))

@@ -308,3 +308,81 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> dict:
+    """Data-file inventory of a parquet directory via the Hadoop
+    FileSystem API (works for file/s3a/abfs/dbfs URIs alike):
+    ``{"n_files": int, "total_bytes": int, "max_bytes": int}``.
+    Hidden/_metadata files are excluded. Driver-side metadata listing
+    only — no Spark job."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    sizes = []
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        sizes.append(status.getLen())
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "max_bytes": max(sizes) if sizes else 0,
+    }
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    *,
+    target_mb: int = 512,
+    sort_cols: list[str] | str | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_mb`` files — the
+    small-file maintenance every long-lived 100 TB table needs (each
+    incremental append lands a few small files; a thousand appends later
+    the scan pays per-file open/footer costs and the driver pays a
+    million-entry listing).
+
+    - Without ``sort_cols`` the rewrite COALESCES down to the target
+      file count: a narrow dependency, zero shuffle — each output task
+      concatenates whole input splits.
+    - With ``sort_cols`` the rewrite range-clusters instead
+      (:func:`write_range_partitioned`): one shuffle, buying min/max
+      file skipping on those columns forever after.
+
+    Writes to ``dest`` (refusing ``dest == src``: overwrite-while-read
+    of the same directory corrupts the scan mid-job; transactional
+    in-place compaction is a table-format concern — Delta/Iceberg — not
+    a directory concern). Returns ``{"files_before", "bytes_before",
+    "target_files", "files_after"}``. Row-for-row losslessness is the
+    readback-equality proof in the oracle row (pipeline_e2e).
+    """
+    if not dest or dest.rstrip("/") == src.rstrip("/"):
+        raise ValueError(
+            "compact_parquet needs a destination distinct from the "
+            "source (in-place overwrite would corrupt the running scan)"
+        )
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    before = parquet_file_stats(spark, src)
+    target_bytes = target_mb * 1024 * 1024
+    n_out = max(1, -(-before["total_bytes"] // target_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols is not None:
+        write_range_partitioned(
+            df, dest, sort_cols, num_partitions=n_out
+        )
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(dest)
+    after = parquet_file_stats(spark, dest)
+    return {
+        "files_before": before["n_files"],
+        "bytes_before": before["total_bytes"],
+        "target_files": n_out,
+        "files_after": after["n_files"],
+    }

@@ -599,3 +599,40 @@ def test_pagerank_iteration_plan(spark):
     three = count_shuffles(pagerank(edges, iterations=3))
     assert three == one
     assert one <= 6
+
+
+def test_compact_parquet_coalesce_and_clustered(spark, tmp_path):
+    from data_validation_engine_spark.scale import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    # fragment: 16 files for a tiny table (the small-file problem)
+    spark.range(10_000).selectExpr(
+        "id", "id % 7 AS k"
+    ).repartition(16).write.parquet(src)
+    assert parquet_file_stats(spark, src)["n_files"] == 16
+
+    dest = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, dest, target_mb=512)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1  # tiny table -> one target file
+    # lossless: same rows
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dest).collect())
+    assert a == b
+    # coalesce path must not shuffle
+    from data_validation_engine_spark.scale import count_shuffles
+
+    assert count_shuffles(spark.read.parquet(src).coalesce(1)) == 0
+
+    clustered = str(tmp_path / "clustered")
+    compact_parquet(spark, src, clustered, target_mb=512, sort_cols=["id"])
+    c = sorted(tuple(r) for r in spark.read.parquet(clustered).collect())
+    assert a == c
+
+    with pytest.raises(ValueError, match="distinct from the source"):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="target_mb"):
+        compact_parquet(spark, src, dest + "2", target_mb=0)
