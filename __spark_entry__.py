@@ -2442,6 +2442,13 @@ def q_streaming_sync_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``availableNow`` trigger. Returning the read-back feed makes
     batch/stream message parity a hash-checked property instead of a
     claim: the oracle is plain SQL over the same events table.
+
+    'sjoin' rows (round 7): the STREAM-STREAM event-time interval join
+    (streaming/joins.py) — every purchase joined to the same user's
+    clicks in the preceding 6 hours (the attribution shape), both sides
+    live streams with watermarks + the range condition that lets Spark
+    evict join state, drained under availableNow. The DuckDB twin is the
+    identical batch join, so stream-stream parity is hash-checked too.
     """
     import tempfile
 
@@ -2492,15 +2499,51 @@ def q_streaming_sync_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = start_message_sink(
         messages, f"{out}/data", f"{out}/ckpt", available_now=True
     )
+
+    from data_validation_engine_spark.streaming import stream_interval_join
+
+    ev = read_entity_stream(
+        spark,
+        sf_dir,
+        _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    attributed = stream_interval_join(
+        ev.where("event_type = 'purchase'"),
+        ev.where("event_type = 'click'"),
+        "user_id",
+        lower_seconds=6 * 3600,
+        upper_seconds=0,
+        watermark="366 days",
+    ).selectExpr(
+        "'sjoin' AS op",
+        "'attribution' AS entity",
+        "CAST(event_id AS STRING) AS error_code",
+        "CAST(r_event_id AS STRING) AS error_message",
+        "CAST(unix_micros(ts) - unix_micros(r_ts) AS STRING)"
+        " AS failure_type",
+        "user_id AS record_key",
+    )
+    q2 = (
+        attributed.writeStream.format("parquet")
+        .option("path", f"{out}/attr")
+        .option("checkpointLocation", f"{out}/ckpt_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     query.awaitTermination()
+    q2.awaitTermination()
     feed = spark.read.schema(MESSAGE_SCHEMA).json(f"{out}/data")
-    return feed.selectExpr(
+    msgs = feed.selectExpr(
+        "'msg' AS op",
         "entity",
         "error_code",
         "error_message",
         "failure_type",
         "CAST(value AS BIGINT) AS record_key",
     )
+    return msgs.unionAll(spark.read.parquet(f"{out}/attr"))
 
 
 # full events schema with ts declared as session-tz TIMESTAMP: watermarks
@@ -4519,13 +4562,23 @@ _ORACLES: dict[str, str] = {
         WHERE segment IS NOT NULL AND TRIM(segment) <> ''
     """,
     "streaming_sync_messages": """
-        SELECT 'stream' AS entity, 'VALUE_RANGE' AS error_code,
+        SELECT 'msg' AS op, 'stream' AS entity, 'VALUE_RANGE' AS error_code,
                'value out of range' AS error_message,
                'record' AS failure_type, event_id AS record_key
         FROM events WHERE NOT COALESCE(value BETWEEN 0 AND 90, FALSE)
         UNION ALL
-        SELECT 'stream', 'ERROR_EVENT', 'error event', 'record', event_id
+        SELECT 'msg', 'stream', 'ERROR_EVENT', 'error event', 'record',
+               event_id
         FROM events WHERE NOT COALESCE(event_type <> 'error', FALSE)
+        UNION ALL
+        SELECT 'sjoin', 'attribution', CAST(a.event_id AS VARCHAR),
+               CAST(b.event_id AS VARCHAR),
+               CAST(epoch_us(a.ts) - epoch_us(b.ts) AS VARCHAR),
+               a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'purchase' AND b.event_type = 'click'
+         AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
     """,
     "streaming_dedup": """
         SELECT DISTINCT user_id, event_type FROM events

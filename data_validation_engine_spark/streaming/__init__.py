@@ -21,6 +21,9 @@ from data_validation_engine_spark.streaming.cardinality import (
     streaming_kmv_distinct,
     window_start_col,
 )
+from data_validation_engine_spark.streaming.joins import (
+    stream_interval_join,
+)
 from data_validation_engine_spark.streaming.rolling import (
     streaming_rolling_counts,
 )
@@ -35,6 +38,7 @@ __all__ = [
     "session_stats",
     "sessionize",
     "start_message_sink",
+    "stream_interval_join",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
     "streaming_kmv_distinct",

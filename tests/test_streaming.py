@@ -1128,3 +1128,69 @@ def test_streaming_kmv_state_merges_across_batches(spark, tmp_path):
     assert (final.n_seen, final.kth_hash, final.approx_distinct) == (
         want.n_seen, want.kth_hash, want.approx_distinct,
     )
+
+
+def test_stream_interval_join_matches_batch(
+    spark, events_stream, events_batch, tmp_path
+):
+    """Stream-stream interval join (purchase <- preceding clicks) drained
+    under availableNow equals the identical join over batch frames."""
+    from data_validation_engine_spark.streaming import stream_interval_join
+
+    def attribution(left, right):
+        joined = stream_interval_join(
+            left.where("event_type = 'purchase'"),
+            right.where("event_type = 'click'"),
+            "user_id",
+            lower_seconds=6 * 3600,
+            upper_seconds=0,
+            watermark="366 days",
+        )
+        return joined.selectExpr(
+            "user_id",
+            "event_id AS purchase_id",
+            "r_event_id AS click_id",
+            "CAST(unix_micros(ts) - unix_micros(r_ts) AS BIGINT) AS gap_us",
+        )
+
+    out = str(tmp_path / "attr")
+    q = (
+        attribution(events_stream, events_stream)
+        .writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/data").collect()
+    )
+    batch = sorted(
+        tuple(r) for r in attribution(events_batch, events_batch).collect()
+    )
+    assert streamed == batch
+    assert len(batch) > 0
+    assert all(0 <= g <= 6 * 3600 * 1_000_000 for *_, g in batch)
+
+
+def test_stream_interval_join_validation(spark, events_batch):
+    from data_validation_engine_spark.streaming import stream_interval_join
+
+    with pytest.raises(ValueError, match="at least one key"):
+        stream_interval_join(
+            events_batch, events_batch, [],
+            lower_seconds=1, upper_seconds=1, watermark="1 hour",
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        stream_interval_join(
+            events_batch, events_batch, "user_id",
+            lower_seconds=-1, upper_seconds=0, watermark="1 hour",
+        )
+    with pytest.raises(ValueError, match="prefix"):
+        stream_interval_join(
+            events_batch.withColumnRenamed("props", "r_props"),
+            events_batch, "user_id",
+            lower_seconds=1, upper_seconds=1, watermark="1 hour",
+        )
