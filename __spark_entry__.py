@@ -2557,18 +2557,30 @@ _EVENTS_TS_SCHEMA = (
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup drained under availableNow.
+    """Streaming stateful maintenance in one row (tagged union).
 
-    ``dropDuplicatesWithinWatermark`` keeps the first-seen row per key, so
-    only the KEY COLUMNS are deterministic — the query returns exactly
-    those, making the drained output hash-comparable to ``SELECT
-    DISTINCT`` over the same table. The watermark horizon covers the whole
-    synthetic range, so no key is dropped for lateness.
+    'dedup' rows: ``dropDuplicatesWithinWatermark`` drained under
+    availableNow — it keeps the first-seen row per key, so only the KEY
+    COLUMNS are deterministic; the query returns exactly those, making
+    the drained output hash-comparable to ``SELECT DISTINCT`` over the
+    same table. The watermark horizon covers the whole synthetic range,
+    so no key is dropped for lateness.
+
+    'scdc' rows (round 7): a CDC ledger derived from orders ('P' status
+    = delete, o_orderkey = sequence) is STREAMED through
+    ``streaming_apply_changes`` (foreachBatch + the declared-semantics
+    batch apply_changes, write-staging-then-swap) into a parquet table
+    bootstrapped from empty; the final maintained table is returned. The
+    DuckDB twin replays the ledger with a ranked window — so the
+    continuously-maintained table is hash-proven equal to the batch
+    semantics, the same parity discipline every other streaming row
+    follows.
     """
     import tempfile
 
     from data_validation_engine_spark.streaming import (
         read_entity_stream,
+        streaming_apply_changes,
         streaming_exact_dedup,
     )
 
@@ -2590,8 +2602,38 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+
+    # 'scdc': materialise the orders-derived ledger, stream it into a
+    # foreachBatch-maintained table (concurrently with the dedup drain)
+    ledger_schema = "id bigint, name string, bal double, cop string, seq bigint"
+    spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_custkey AS id",
+        "CONCAT('cdc_', CAST(o_custkey AS STRING)) AS name",
+        "CAST(o_orderkey % 1000 AS DOUBLE) AS bal",
+        "CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS cop",
+        "o_orderkey AS seq",
+    ).write.parquet(f"{out}/ledger")
+    q2 = streaming_apply_changes(
+        spark.readStream.schema(ledger_schema).parquet(f"{out}/ledger"),
+        f"{out}/table",
+        ["id"],
+        op_col="cop",
+        sequence_col="seq",
+        checkpoint=f"{out}/ckpt_cdc",
+        available_now=True,
+    )
     q.awaitTermination()
-    return spark.read.parquet(f"{out}/data").select("user_id", "event_type")
+    q2.awaitTermination()
+    dedup_rows = spark.read.parquet(f"{out}/data").selectExpr(
+        "'dedup' AS op",
+        "user_id AS k",
+        "event_type AS s",
+        "CAST(NULL AS DOUBLE) AS x",
+    )
+    cdc_rows = spark.read.parquet(f"{out}/table").selectExpr(
+        "'scdc' AS op", "id AS k", "name AS s", "bal AS x"
+    )
+    return dedup_rows.unionAll(cdc_rows)
 
 
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4581,7 +4623,21 @@ _ORACLES: dict[str, str] = {
          AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
     """,
     "streaming_dedup": """
-        SELECT DISTINCT user_id, event_type FROM events
+        SELECT 'dedup' AS op, user_id AS k, event_type AS s,
+               CAST(NULL AS DOUBLE) AS x
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        UNION ALL
+        SELECT 'scdc', id, name, bal FROM (
+            SELECT o_custkey AS id,
+                   CONCAT('cdc_', CAST(o_custkey AS VARCHAR)) AS name,
+                   CAST(o_orderkey % 1000 AS DOUBLE) AS bal,
+                   CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END
+                       AS cop,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn = 1 AND cop = 'U'
     """,
     # append-mode emission: windows closed by the final watermark
     # (window end <= max event time - 2h); hourly Spark windows align to

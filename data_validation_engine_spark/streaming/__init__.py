@@ -21,6 +21,9 @@ from data_validation_engine_spark.streaming.cardinality import (
     streaming_kmv_distinct,
     window_start_col,
 )
+from data_validation_engine_spark.streaming.cdc import (
+    streaming_apply_changes,
+)
 from data_validation_engine_spark.streaming.joins import (
     stream_interval_join,
 )
@@ -39,6 +42,7 @@ __all__ = [
     "sessionize",
     "start_message_sink",
     "stream_interval_join",
+    "streaming_apply_changes",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
     "streaming_kmv_distinct",
