@@ -386,3 +386,61 @@ def compact_parquet(
         "target_files": n_out,
         "files_after": after["n_files"],
     }
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    top: int = 10,
+) -> dict:
+    """Quantify key skew before it becomes a straggler: per-key row
+    counts reduced to ``{"n_keys", "n_rows", "max_rows", "mean_rows",
+    "skew_factor", "top_keys"}`` where ``skew_factor = max/mean`` (1.0 =
+    perfectly uniform; >10 = the shuffle partition holding the hot key
+    will run ~10x longer than average) and ``top_keys`` lists the
+    ``top`` heaviest keys with counts, sorted by count desc then key
+    repr asc (deterministic under ties).
+
+    Use it to DECIDE between the levers, not as a hot-path operator: a
+    skewed join side → :func:`salted_left_join` or AQE skew-join; a
+    skewed group-by → pre-aggregate or two-level fold; a skewed bucket
+    column → pick a different bucketing key. One count aggregation
+    (map-side combined) + a driver-side reduction of ``top`` rows —
+    the collect is bounded by ``top``, never by the key count.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("skew_report needs at least one key column")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_rows"),
+    ).collect()[0]
+    n_keys = summary["n_keys"] or 0
+    n_rows = summary["n_rows"] or 0
+    if n_keys == 0:
+        return {
+            "n_keys": 0, "n_rows": 0, "max_rows": 0,
+            "mean_rows": 0.0, "skew_factor": 0.0, "top_keys": [],
+        }
+    mean = n_rows / n_keys
+    hot = (
+        counts.orderBy(
+            F.col("__n").desc(),
+            *[F.col(k).asc() for k in keys],
+        )
+        .limit(int(top))
+        .collect()
+    )
+    return {
+        "n_keys": int(n_keys),
+        "n_rows": int(n_rows),
+        "max_rows": int(summary["max_rows"]),
+        "mean_rows": mean,
+        "skew_factor": float(summary["max_rows"]) / mean,
+        "top_keys": [
+            (tuple(r[k] for k in keys), r["__n"]) for r in hot
+        ],
+    }

@@ -636,3 +636,25 @@ def test_compact_parquet_coalesce_and_clustered(spark, tmp_path):
         compact_parquet(spark, src, src)
     with pytest.raises(ValueError, match="target_mb"):
         compact_parquet(spark, src, dest + "2", target_mb=0)
+
+
+def test_skew_report(spark):
+    from data_validation_engine_spark.scale import skew_report
+
+    rows = [(0, "hot") for _ in range(90)] + [
+        (i, f"k{i}") for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "id int, k string")
+    rep = skew_report(df, "k", top=3)
+    assert rep["n_keys"] == 11
+    assert rep["n_rows"] == 100
+    assert rep["max_rows"] == 90
+    assert rep["skew_factor"] == pytest.approx(90 / (100 / 11))
+    assert rep["top_keys"][0] == (("hot",), 90)
+    # deterministic tiebreak: the 1-row keys rank by key asc
+    assert rep["top_keys"][1] == (("k1",), 1)
+
+    empty = spark.createDataFrame([], "id int, k string")
+    assert skew_report(empty, "k")["n_keys"] == 0
+    with pytest.raises(ValueError):
+        skew_report(df, [])
