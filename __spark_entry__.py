@@ -980,8 +980,16 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Python/pandas UDF escape hatch (functions/library.py:184-201): an
     Arrow-batched vectorised UDF and a row-at-a-time UDF registered and
     applied in the same engine select — all against the pure-SQL oracle
-    (merged from the former python_udf row)."""
-    from data_validation_engine_spark.functions import register_python_udf
+    (merged from the former python_udf row). 'udtf' rows (round 7): the
+    user-defined TABLE function escape hatch — a '#'-splitting UDTF
+    LATERAL-joined against customer names, one row per part, whose twin
+    is DuckDB unnest-with-ordinality; the set-returning surface the
+    reference lacks entirely (its only generator is the XML reader's
+    internal explode)."""
+    from data_validation_engine_spark.functions import (
+        register_python_udf,
+        register_python_udtf,
+    )
 
     # no type hints: pandas_udf infers the signature from the explicit
     # return type; pd.Series annotations would be re-inspected and rejected
@@ -993,6 +1001,16 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_python_udf(spark, "py_vlen", vlen, "long", vectorised=True)
     register_python_udf(spark, "py_title", py_title, "string")
+
+    class HashParts:
+        def eval(self, key, name):
+            for pos, part in enumerate((name or "").split("#")):
+                yield (key, pos, part)
+
+    register_python_udtf(
+        spark, "hash_parts", HashParts,
+        "key bigint, pos int, part string",
+    )
     ents = _load(spark, sf_dir, ["customer"])
     eng = _engine(spark)
     eng.evaluate(
@@ -1010,9 +1028,24 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "py_vlen(c_name) AS name_len, "
                 "py_title(c_mktsegment) AS seg_title"
             ),
+            new_entity_name="scalars",
         ),
     )
-    return ents["customer"]
+    scalar_rows = ents["scalars"].selectExpr(
+        "'scalar' AS op", "c_custkey", "big_bal", "le_5k", "near_5k",
+        "nhs_ok", "name_len", "seg_title",
+    )
+    ents["customer"].createOrReplaceTempView("__udtf_customer")
+    udtf_rows = spark.sql(
+        "SELECT s.key AS c_custkey, s.pos, s.part "
+        "FROM __udtf_customer c, LATERAL hash_parts(c.c_custkey, c.c_name) s"
+    ).selectExpr(
+        "'udtf' AS op", "c_custkey",
+        "CAST(NULL AS BOOLEAN) AS big_bal", "CAST(NULL AS BOOLEAN) AS le_5k",
+        "CAST(NULL AS BOOLEAN) AS near_5k", "CAST(NULL AS BOOLEAN) AS nhs_ok",
+        "CAST(pos AS BIGINT) AS name_len", "part AS seg_title",
+    )
+    return scalar_rows.unionAll(udtf_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -4894,7 +4927,7 @@ _ORACLES: dict[str, str] = {
     # name_len / seg_title are produced by the registered Python UDFs on
     # the Spark side (the escape hatch); the oracle recomputes them in SQL
     "scalar_functions": f"""
-        SELECT c_custkey,
+        SELECT 'scalar' AS op, c_custkey,
                c_acctbal > 10000 AS big_bal,
                c_acctbal <= 5000.0 AS le_5k,
                ABS(c_acctbal - 5000.0) <= ABS(5000.0 * 0.5) AS near_5k,
@@ -4904,6 +4937,18 @@ _ORACLES: dict[str, str] = {
                UPPER(SUBSTRING(c_mktsegment, 1, 1)) ||
                    LOWER(SUBSTRING(c_mktsegment, 2)) AS seg_title
         FROM customer
+        UNION ALL
+        SELECT 'udtf', c_custkey,
+               NULL, NULL, NULL, NULL,
+               CAST(p['pos'] AS BIGINT), p['part']
+        FROM (
+            SELECT c_custkey,
+                   unnest(list_transform(
+                       string_split(COALESCE(c_name, ''), '#'),
+                       (x, i) -> struct_pack(pos := i - 1, part := x)
+                   )) AS p
+            FROM customer
+        )
     """,
 }
 

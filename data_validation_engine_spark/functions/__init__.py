@@ -5,6 +5,7 @@ from data_validation_engine_spark.functions.library import (
     normalise_postcode_expr,
     register_all_functions,
     register_python_udf,
+    register_python_udtf,
     valid_postcode_expr,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "normalise_postcode_expr",
     "register_all_functions",
     "register_python_udf",
+    "register_python_udtf",
     "valid_postcode_expr",
 ]

@@ -199,3 +199,29 @@ def register_python_udf(
         spark.udf.register(name, F.pandas_udf(fn, return_type))
     else:
         spark.udf.register(name, F.udf(fn, return_type))
+
+
+def register_python_udtf(
+    spark: SparkSession,
+    name: str,
+    cls: type,
+    return_type: str,
+) -> None:
+    """Escape hatch for user-defined TABLE functions (Spark 3.5+
+    ``udtf``): ``cls`` is a plain class with an ``eval(self, ...)``
+    generator yielding output tuples; registered, it is callable in any
+    rule SQL as ``name(...)`` in the FROM clause (including LATERAL
+    joins against entity columns).
+
+    The reference's only table-generating construct is explode inside
+    the XML reader (dve spark/readers/xml.py:181) — this extends the
+    §2.6 function surface to set-returning user logic (e.g. custom
+    tokenisers, span extractors) without touching engine code. Executes
+    in the Python worker (Arrow-batched rows): like register_python_udf
+    this is the deliberate slow path — prefer built-in generators
+    (explode/posexplode/inline/stack) whenever they can express the
+    shape.
+    """
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register(name, _udtf(cls, returnType=return_type))
