@@ -213,8 +213,10 @@ def test_streaming_sync_messages_query_matches_batch(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     feed = entry.queries()["streaming_sync_messages"](spark, sf_dir)
+    # the row is a tagged union since round 7; 'msg' rows are the feed
     got = {
-        (r["error_code"], r["record_key"]) for r in feed.collect()
+        (r["error_code"], r["record_key"])
+        for r in feed.where("op = 'msg'").collect()
     }
 
     events = spark.read.schema(
