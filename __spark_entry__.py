@@ -51,6 +51,28 @@ def _load(spark: SparkSession, sf_dir: str, names: Iterable[str]) -> dict[str, D
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` while a STATEFUL streaming
+    query plans (the value is frozen into the checkpoint at first
+    start). Stateful operators pay a per-partition state-store
+    initialisation on every micro-batch — measured 11.8s vs 2.6s for the
+    identical stream-stream join at 32 vs 4 partitions on this box — so
+    sizing state partitions to the stream's keyspace/volume is a real
+    deployment decision AQE cannot make (it never re-plans stateful
+    exchanges). Batch queries planned outside the ``with`` are
+    unaffected; restore is in a finally."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 # ---------------------------------------------------------------------------
 # relational step queries (SURVEY §2.3)
 # ---------------------------------------------------------------------------
@@ -287,17 +309,19 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         options={"pathGlobFilter": "events.parquet"},
     )
     sout = tempfile.mkdtemp(prefix="dve_sroll_q_")
-    sq = (
-        streaming_rolling_counts(
-            sdf, "user_id", "ts", window_seconds=3600, watermark="366 days"
+    with _state_partitions(spark):
+        sq = (
+            streaming_rolling_counts(
+                sdf, "user_id", "ts", window_seconds=3600,
+                watermark="366 days"
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{sout}/data")
+            .option("checkpointLocation", f"{sout}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", f"{sout}/data")
-        .option("checkpointLocation", f"{sout}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
     sq.awaitTermination()
     # join the event_id back on (user, ts): the streamed frame carries
     # only (key, event_ts, n_window); ties on (user, ts) are impossible
@@ -2557,14 +2581,15 @@ def q_streaming_sync_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS failure_type",
         "user_id AS record_key",
     )
-    q2 = (
-        attributed.writeStream.format("parquet")
-        .option("path", f"{out}/attr")
-        .option("checkpointLocation", f"{out}/ckpt_attr")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_partitions(spark):
+        q2 = (
+            attributed.writeStream.format("parquet")
+            .option("path", f"{out}/attr")
+            .option("checkpointLocation", f"{out}/ckpt_attr")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     query.awaitTermination()
     q2.awaitTermination()
     feed = spark.read.schema(MESSAGE_SCHEMA).json(f"{out}/data")
@@ -2627,14 +2652,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, ["user_id", "event_type"], ts_col="ts", watermark="366 days"
     )
     out = tempfile.mkdtemp(prefix="dve_stream_dedup_")
-    q = (
-        deduped.select("user_id", "event_type")
-        .writeStream.format("parquet")
-        .option("path", f"{out}/data")
-        .option("checkpointLocation", f"{out}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_partitions(spark):
+        q = (
+            deduped.select("user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
 
     # 'scdc': materialise the orders-derived ledger, stream it into a
     # foreachBatch-maintained table (concurrently with the dedup drain)
@@ -2708,14 +2734,15 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # await both: availableNow drains carry ~2s of fixed micro-batch
     # plumbing each, and running them concurrently pays it once in wall
     # time (the production shape too: independent streams share a session)
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", f"{out}/data")
-        .option("checkpointLocation", f"{out}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     sk = streaming_kmv_distinct(
         read_entity_stream(
             spark,
@@ -2728,14 +2755,15 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_seconds=86400,
         k=16,
     )
-    q2 = (
-        sk.writeStream.format("parquet")
-        .option("path", f"{out}/kmv")
-        .option("checkpointLocation", f"{out}/ckpt_kmv")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_partitions(spark):
+        q2 = (
+            sk.writeStream.format("parquet")
+            .option("path", f"{out}/kmv")
+            .option("checkpointLocation", f"{out}/ckpt_kmv")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     q2.awaitTermination()
     counts = spark.read.parquet(f"{out}/data").selectExpr(
@@ -2781,17 +2809,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         options={"pathGlobFilter": "events.parquet"},
     )
     out = tempfile.mkdtemp(prefix="dve_sessions_q_")
-    q = (
-        streaming_sessionize(
-            sdf, "user_id", "ts", gap_seconds=1800, watermark="366 days"
+    with _state_partitions(spark):
+        q = (
+            streaming_sessionize(
+                sdf, "user_id", "ts", gap_seconds=1800, watermark="366 days"
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", f"{out}/data")
-        .option("checkpointLocation", f"{out}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
     q.awaitTermination()
     ts_us = F.unix_micros(F.col("event_ts"))
     stream = (
