@@ -2212,7 +2212,33 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(centroid, 0.0D, (acc, v) -> acc + v) AS x",
         "centroid[0] AS y",
     )
-    return crow.unionAll(arow).unionAll(kmrow)
+    # 'quant' rows (round 7): symmetric per-vector int8 quantization via
+    # the DECLARED quantize_vectors step — the 4x storage form for 100 TB
+    # embedding tables; zero-shuffle projection, and the integer qvec
+    # checksum + rounded scale replay exactly in the oracle
+    from data_validation_engine_spark.steps import parse_step
+
+    ents_q = {"embeddings": embs}
+    _engine(spark).evaluate(
+        ents_q,
+        config=parse_step(
+            {
+                "operation": "quantize_vectors",
+                "entity_name": "embeddings",
+                "id_column": "vec_id",
+                "vector_column": "embedding",
+                "new_entity_name": "quantized",
+            }
+        ),
+    )
+    qrow = ents_q["quantized"].selectExpr(
+        "'quant' AS op",
+        "vec_id AS id",
+        "aggregate(qvec, 0L, (acc, q) -> acc + CAST(q AS BIGINT)) AS a",
+        "scale AS x",
+        "CAST(qvec[0] AS DOUBLE) AS y",
+    )
+    return crow.unionAll(arow).unionAll(kmrow).unionAll(qrow)
 
 
 def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4116,6 +4142,24 @@ _LLMOPS_ORACLES: dict[str, str] = {
         FROM assigned
         UNION ALL
         SELECT 'kmeans', id, a, x, y FROM ({_kmeans_oracle()})
+        UNION ALL
+        SELECT 'quant', vec_id,
+               list_aggregate(qvec, 'sum'),
+               scale,
+               CAST(qvec[1] AS DOUBLE)
+        FROM (
+            SELECT vec_id,
+                   round(list_max(list_transform(
+                       embedding::DOUBLE[], v -> abs(v))) / 127.0, 9)
+                       AS scale,
+                   list_transform(
+                       embedding::DOUBLE[],
+                       v -> CAST(round(v / round(list_max(list_transform(
+                           embedding::DOUBLE[], z -> abs(z))) / 127.0, 9))
+                           AS BIGINT)
+                   ) AS qvec
+            FROM embeddings
+        )
     """,
     "embedding_neardup": f"""
         SELECT 'pair' AS op, id_a AS a, id_b AS b, cosine AS x,

@@ -112,10 +112,12 @@ from data_validation_engine_spark.llmops.split import (
     weighted_sample,
 )
 from data_validation_engine_spark.llmops.vectors import (
+    dequantize_col,
     grouped_vector_sum,
     kmeans_fit,
     label_centroids,
     nearest_centroid,
+    quantize_vectors,
 )
 from data_validation_engine_spark.llmops.text import (
     bm25_search,
@@ -171,6 +173,8 @@ __all__ = [
     "chunk_documents",
     "decontaminate",
     "grouped_vector_sum",
+    "quantize_vectors",
+    "dequantize_col",
     "label_centroids",
     "language_id",
     "nearest_centroid",

@@ -231,3 +231,59 @@ def kmeans_fit(
         }
         cents = [by_cell.get(i, cents[i]) for i in range(k)]
     return cents
+
+
+def quantize_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    round_to: int = 9,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    each vector stores ``scale = round(max(|v_i|)/127, round_to)`` and
+    ``q_i = round(v_i / scale)`` in [-127, 127] — 4x smaller at rest
+    than float32 (8x vs Spark's in-memory doubles), the standard
+    storage/serving trade for 100 TB embedding tables (recall loss under
+    int8 symmetric quantization is typically <1% for cosine ranking).
+
+    Determinism is the design point, as everywhere in this module: the
+    scale is per-row (no cross-row aggregation at all — a zero-shuffle
+    projection), the division is a single IEEE op on a ROUNDED scale
+    (the round pins the decimal literal any engine reconstructs
+    bit-identically), and ties round half-up via SQL ROUND on both
+    engines. All-zero and NULL vectors take scale 0 with a zero/NULL
+    qvec respectively (documented edge, not UB).
+
+    Returns ``(id, scale, qvec)``. :func:`dequantize_col` rebuilds the
+    approximate float vector as ``q_i * scale`` for downstream exact-SQL
+    scoring; quantized dot products can also run entirely in integer
+    arithmetic (exact) and rescale once per pair.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.round(amax / F.lit(127.0), round_to)
+    qvec = F.when(
+        scale > 0,
+        F.transform(
+            v, lambda x: F.round(x / scale).cast("tinyint")
+        ),
+    ).otherwise(
+        F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .otherwise(scale)
+        .alias(scale_col),
+        F.when(v.isNull(), F.lit(None)).otherwise(qvec).alias(qvec_col),
+    )
+
+
+def dequantize_col(qvec: Column, scale: Column) -> Column:
+    """Approximate float vector from an int8-quantized one:
+    ``q_i * scale`` elementwise (one IEEE multiply per component —
+    engine-exact given the stored rounded scale)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)

@@ -762,6 +762,16 @@ class OutlierFlags(AbstractStep):
     flag_column: str = "is_outlier"
 
 
+class QuantizeVectors(AbstractStep):
+    """Symmetric per-vector int8 quantization of an embedding column:
+    writes ``(id, scale, qvec)`` — the 4x-smaller storage form."""
+
+    operation: Literal["quantize_vectors"] = "quantize_vectors"
+    id_column: str
+    vector_column: str
+    round_to: int = 9
+
+
 class SampledQuantiles(AbstractStep):
     """Approximate per-group quantiles from the deterministic min-k hash
     sample of ``key_column`` (mergeable, engine-exact estimates)."""
@@ -957,6 +967,7 @@ AnyStep = Annotated[
         ApplyChanges,
         TriangleCount,
         SampledQuantiles,
+        QuantizeVectors,
     ],
     Field(discriminator="operation"),
 ]

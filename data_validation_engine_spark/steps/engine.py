@@ -110,6 +110,7 @@ from data_validation_engine_spark.steps.configs import (
     ApplyChanges,
     TriangleCount,
     SampledQuantiles,
+    QuantizeVectors,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -214,6 +215,7 @@ class StepEngine:
             ApplyChanges: self.apply_changes,
             TriangleCount: self.triangle_count,
             SampledQuantiles: self.sampled_quantiles,
+            QuantizeVectors: self.quantize_vectors,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1638,5 +1640,20 @@ class StepEngine:
             k=config.k,
             round_to=config.round_to,
             seed=config.seed,
+        )
+        return None
+
+    def quantize_vectors(
+        self, entities: Entities, *, config: QuantizeVectors
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.vectors import (
+            quantize_vectors,
+        )
+
+        entities[config.output_name] = quantize_vectors(
+            entities[config.entity_name],
+            config.id_column,
+            config.vector_column,
+            round_to=config.round_to,
         )
         return None

@@ -1062,3 +1062,61 @@ class TestSampledQuantiles:
         assert (r.n, r.q_50) == (2, 1.5)
         with pytest.raises(ValueError, match="k must be >= 1"):
             sampled_quantiles(df, "g", "x", "key", [0.5], k=0)
+
+
+class TestQuantizeVectors:
+    def test_roundtrip_error_bounded(self, spark):
+        from data_validation_engine_spark.llmops import (
+            dequantize_col,
+            quantize_vectors,
+        )
+
+        rows = [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [100.0, -50.0, 0.1, 99.9]),
+            (3, [0.0, 0.0, 0.0, 0.0]),     # all-zero -> scale 0, qvec 0
+            (4, None),                      # NULL vector -> NULL row
+        ]
+        df = spark.createDataFrame(rows, "id int, vec array<double>")
+        q = quantize_vectors(df, "id", "vec")
+        got = {r.id: (r.scale, r.qvec) for r in q.collect()}
+        assert got[3] == (0.0, [0, 0, 0, 0])
+        assert got[4] == (None, None)
+        # max |component| maps to +-127 exactly
+        assert max(abs(x) for x in got[2][1]) == 127
+        # dequantized error bounded by scale/2 per component
+        back = q.where("id IN (1, 2)").select(
+            "id",
+            dequantize_col(F.col("qvec"), F.col("scale")).alias("approx"),
+            "scale",
+        ).collect()
+        originals = {1: rows[0][1], 2: rows[1][1]}
+        for r in back:
+            for orig, approx in zip(originals[r.id], r.approx):
+                assert abs(orig - approx) <= r.scale / 2 + 1e-12
+
+    def test_zero_shuffle_and_step(self, spark):
+        from data_validation_engine_spark.llmops import quantize_vectors
+        from data_validation_engine_spark.scale import count_shuffles
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "id int, vec array<double>"
+        )
+        assert count_shuffles(quantize_vectors(df, "id", "vec")) == 0
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"embs": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "quantize_vectors",
+                    "entity_name": "embs",
+                    "id_column": "id",
+                    "vector_column": "vec",
+                    "new_entity_name": "q",
+                }
+            ),
+        )
+        assert ents["q"].columns == ["id", "scale", "qvec"]
+        assert ents["q"].schema["qvec"].dataType.simpleString() == "array<tinyint>"
