@@ -1638,10 +1638,17 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = minhash_pairs(docs, "doc_id", "text", threshold=0.5)
     pairs = pairs.localCheckpoint(eager=True)
-    lab = connected_components(pairs).select("id", "component")
-    star = connected_components_star(pairs).selectExpr(
-        "id", "component AS component_star"
-    )
+    # iterative rounds are planned (and materialised) per round, so their
+    # shuffle width should be sized to the GRAPH, not the session default
+    # — the pair graph is thousands of edges, and at 32 partitions each
+    # round is pure task-scheduling overhead (measured ~40% of the row).
+    # Same decision as the streaming state stores; at 100 TB the same
+    # knob goes UP with the edge count instead.
+    with _state_partitions(spark, 8):
+        lab = connected_components(pairs).select("id", "component")
+        star = connected_components_star(pairs).selectExpr(
+            "id", "component AS component_star"
+        )
     cc = lab.join(star, "id").selectExpr(
         "'cc' AS op", "id", "component", "component_star",
         "CAST(NULL AS DOUBLE) AS x",
