@@ -238,7 +238,11 @@ def apply_changes(
             F.raise_error(
                 F.concat(
                     F.lit(f"apply_changes: unknown {op_col} value: "),
-                    F.col(op_col).cast("string"),
+                    # NULL op must still raise WITH a readable message
+                    # (concat of NULL would null the whole error string)
+                    F.coalesce(
+                        F.col(op_col).cast("string"), F.lit("NULL")
+                    ),
                 )
             ).cast("string")
         ),

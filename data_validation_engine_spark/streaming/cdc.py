@@ -88,11 +88,15 @@ def streaming_apply_changes(
         target_fields = [
             f for f in batch.schema.fields if f.name not in drop_cols
         ]
+        from pyspark.errors import AnalysisException
         from pyspark.sql.types import StructType
 
         try:
             base = spark.read.parquet(table_path)
-        except Exception:
+        except AnalysisException:
+            # first batch: the table does not exist yet. Anything else
+            # (corruption, permissions) must propagate and fail the
+            # query, not silently restart the table from empty.
             base = spark.createDataFrame([], StructType(target_fields))
         merged = apply_changes(
             base,

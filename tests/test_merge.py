@@ -195,3 +195,12 @@ class TestDeclaredSteps:
             ),
         )
         assert {r.id for r in ents["current"].collect()} == {2, 3}
+
+
+def test_null_op_raises_with_readable_message(spark):
+    base = spark.createDataFrame([(1, "a")], "id int, name string")
+    changes = spark.createDataFrame(
+        [(None, 1, "z")], "op string, id int, name string"
+    )
+    with pytest.raises(Exception, match="unknown op value: NULL"):
+        apply_changes(base, changes, ["id"]).collect()
