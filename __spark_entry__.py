@@ -5109,9 +5109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     step_similarity_ann). Round-6 second wave: sync_filter_messages ->
     sync_filters and similarity_ann -> ann_variants (freeing the slots
     for data_profiling and text_retrieval); pagerank rows ride in
-    connected_components (the graph-family row). Round 7: the
-    merge_upsert + apply_changes incremental operators ride in union
-    (the table-combination row)."""
+    connected_components (the graph-family row). Round 7 additions ride
+    as tags in their family rows: merge_upsert 'upsert' + apply_changes
+    'cdc' -> union; triangle_count 'tri' -> connected_components;
+    sampled_quantiles 'squant' -> data_profiling; stream-stream interval
+    join 'sjoin' -> streaming_sync_messages; streaming_apply_changes
+    'scdc' -> streaming_dedup; quantize_vectors 'quant' -> vector_stats;
+    the UDTF escape hatch 'udtf' -> scalar_functions; compact_parquet
+    losslessness -> pipeline_e2e (entities read back from the compacted
+    rewrite)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,

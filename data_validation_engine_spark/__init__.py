@@ -15,7 +15,9 @@ Public surface:
 - :mod:`functions` — the shipped scalar function library (Column exprs).
 - :mod:`llmops` — large-scale training-data operators (dedup, similarity,
   text analysis, multimodal plumbing).
+- :mod:`merge` — incremental maintenance (MERGE upsert, CDC apply).
 - :mod:`streaming` — Structured Streaming lift of rule programs.
+- :mod:`scale` — explicit 100 TB layout/skew/compaction levers.
 """
 
 __version__ = "0.2.0"
