@@ -204,3 +204,59 @@ def test_null_op_raises_with_readable_message(spark):
     )
     with pytest.raises(Exception, match="unknown op value: NULL"):
         apply_changes(base, changes, ["id"]).collect()
+
+
+class TestMergeModelBased:
+    """Hypothesis model check: apply_changes over arbitrary small ledgers
+    equals a pure-Python dictionary replay. Few examples (each costs a
+    Spark job), wide shapes (overlapping keys, dup-key updates, deletes
+    of absent keys, delete-then-reinsert)."""
+
+    def test_against_dict_model(self, spark):
+        from hypothesis import given, settings, HealthCheck
+        from hypothesis import strategies as st
+
+        keys = st.integers(min_value=0, max_value=6)
+        vals = st.integers(min_value=-3, max_value=3)
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(
+            base_rows=st.dictionaries(keys, vals, max_size=5),
+            ledger=st.lists(
+                st.tuples(st.sampled_from("IUD"), keys, vals),
+                max_size=8,
+            ),
+        )
+        def check(base_rows, ledger):
+            model = dict(base_rows)
+            for op, k, v in ledger:          # ledger order = seq order
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+            base = spark.createDataFrame(
+                [(k, v) for k, v in base_rows.items()] or [(None, None)],
+                "id int, val int",
+            ).where("id IS NOT NULL")
+            changes = spark.createDataFrame(
+                [
+                    (op, k, v, seq)
+                    for seq, (op, k, v) in enumerate(ledger)
+                ] or [("U", None, None, None)],
+                "op string, id int, val int, seq int",
+            ).where("id IS NOT NULL")
+            from data_validation_engine_spark.merge import apply_changes
+
+            got = {
+                r.id: r.val
+                for r in apply_changes(
+                    base, changes, ["id"], sequence_col="seq"
+                ).collect()
+            }
+            assert got == model
+
+        check()
