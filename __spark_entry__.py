@@ -2997,14 +2997,18 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(results) == 2 and all(r.success for r in results)
     from data_validation_engine_spark.scale import compact_parquet
 
+    # compact ONE submission's sink and read it back (the read-back
+    # equality in the oracle hash proves the rewrite lossless; compacting
+    # the second too would prove nothing more and cost another write job)
     ent = None
     for i, r in enumerate(results):
-        compacted = str(root / f"compact_{i}")
-        stats = compact_parquet(
-            spark, r.entity_paths["nations"], compacted
-        )
-        assert stats["files_after"] <= max(1, stats["files_before"])
-        back = spark.read.parquet(compacted)
+        path = r.entity_paths["nations"]
+        if i == 0:
+            compacted = str(root / "compact_0")
+            stats = compact_parquet(spark, path, compacted)
+            assert stats["files_after"] <= max(1, stats["files_before"])
+            path = compacted
+        back = spark.read.parquet(path)
         ent = back if ent is None else ent.unionByName(back)
     status = (
         AuditLog(spark, str(root / "audit"))
