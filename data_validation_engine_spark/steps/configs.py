@@ -762,6 +762,19 @@ class OutlierFlags(AbstractStep):
     flag_column: str = "is_outlier"
 
 
+class SaltedJoin(AbstractStep):
+    """Skew-resistant equi-join: the entity's hot keys scatter over
+    ``n_salts`` sub-keys, ``target_name`` replicates to match — when one
+    key dominates and AQE's skew split doesn't trigger. Result equals
+    the plain join for 1:1/1:N targets."""
+
+    operation: Literal["salted_join"] = "salted_join"
+    target_name: str
+    key: str
+    n_salts: int = 8
+    how: str = "left"
+
+
 class QuantizeVectors(AbstractStep):
     """Symmetric per-vector int8 quantization of an embedding column:
     writes ``(id, scale, qvec)`` — the 4x-smaller storage form."""
@@ -968,6 +981,7 @@ AnyStep = Annotated[
         TriangleCount,
         SampledQuantiles,
         QuantizeVectors,
+        SaltedJoin,
     ],
     Field(discriminator="operation"),
 ]

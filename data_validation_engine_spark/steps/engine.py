@@ -111,6 +111,7 @@ from data_validation_engine_spark.steps.configs import (
     TriangleCount,
     SampledQuantiles,
     QuantizeVectors,
+    SaltedJoin,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -216,6 +217,7 @@ class StepEngine:
             TriangleCount: self.triangle_count,
             SampledQuantiles: self.sampled_quantiles,
             QuantizeVectors: self.quantize_vectors,
+            SaltedJoin: self.salted_join,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1640,6 +1642,20 @@ class StepEngine:
             k=config.k,
             round_to=config.round_to,
             seed=config.seed,
+        )
+        return None
+
+    def salted_join(
+        self, entities: Entities, *, config: SaltedJoin
+    ) -> Messages:
+        from data_validation_engine_spark.scale import salted_left_join
+
+        entities[config.output_name] = salted_left_join(
+            entities[config.entity_name],
+            entities[config.target_name],
+            config.key,
+            n_salts=config.n_salts,
+            how=config.how,
         )
         return None
 

@@ -658,3 +658,39 @@ def test_skew_report(spark):
     assert skew_report(empty, "k")["n_keys"] == 0
     with pytest.raises(ValueError):
         skew_report(df, [])
+
+
+def test_salted_join_declared_step(spark):
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    # one hot key (90% of rows) joined against a small dim
+    src = spark.createDataFrame(
+        [(0, i) for i in range(90)] + [(k, 0) for k in range(1, 11)],
+        "k int, payload int",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(11)], "k int, label string"
+    )
+    eng = StepEngine(spark, register_functions=False)
+    ents = {"facts": src, "dim": dim}
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "salted_join",
+                "entity_name": "facts",
+                "target_name": "dim",
+                "key": "k",
+                "n_salts": 4,
+                "new_entity_name": "joined",
+            }
+        ),
+    )
+    plain = {
+        (r.k, r.payload, r.label)
+        for r in src.join(dim, "k", "left").collect()
+    }
+    salted = {
+        (r.k, r.payload, r.label) for r in ents["joined"].collect()
+    }
+    assert salted == plain and len(salted) == 100
