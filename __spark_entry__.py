@@ -2245,7 +2245,35 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale AS x",
         "CAST(qvec[0] AS DOUBLE) AS y",
     )
-    return crow.unionAll(arow).unionAll(kmrow).unionAll(qrow)
+    # 'proj' rows (round 7): JL random projection 64 -> 8 through the
+    # DECLARED project_vectors step (deterministic md5 Rademacher matrix
+    # shipped as plan literals — zero-shuffle map-side, the preprocessing
+    # that shrinks 100 TB ANN/IVF indexes 8x); the raw ordered-fold
+    # components replay exactly in the oracle, no rounding needed
+    _engine(spark).evaluate(
+        ents_q,
+        config=parse_step(
+            {
+                "operation": "project_vectors",
+                "entity_name": "embeddings",
+                "id_column": "vec_id",
+                "vector_column": "embedding",
+                "in_dim": 64,
+                "out_dim": 8,
+                "new_entity_name": "projected",
+            }
+        ),
+    )
+    prow = ents_q["projected"].selectExpr(
+        "'proj' AS op",
+        "vec_id AS id",
+        "CAST(NULL AS BIGINT) AS a",
+        "aggregate(proj, 0.0D, (acc, p) -> acc + p) AS x",
+        "proj[0] AS y",
+    )
+    return (
+        crow.unionAll(arow).unionAll(kmrow).unionAll(qrow).unionAll(prow)
+    )
 
 
 def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3340,6 +3368,30 @@ def _duck_dot(a: str, b: str, dim: int = 64) -> str:
     )
 
 
+def _projection_oracle(out_dim: int = 8) -> str:
+    """JL-projection twin: the SAME md5 Rademacher matrix the engine
+    builds (vectors.projection_matrix) inlined as literal arrays; each
+    component is the ordered _duck_dot fold, and the checksum is the
+    explicit left-parenthesised sum matching Spark's aggregate fold."""
+    from data_validation_engine_spark.llmops.vectors import (
+        projection_matrix,
+    )
+
+    m = projection_matrix(64, out_dim)
+
+    def lit(row: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in row) + "]"
+
+    comps = [_duck_dot("embedding", lit(row)) for row in m]
+    checksum = "0.0"
+    for c in comps:
+        checksum = f"({checksum} + ({c}))"
+    return f"""
+        SELECT vec_id, {checksum} AS proj_sum, ({comps[0]}) AS proj0
+        FROM embeddings
+    """
+
+
 def _duck_vec_fold(lst: str, dim: int = 64) -> str:
     """DuckDB expression: elementwise left-fold sum of an ordered list of
     double-arrays, zero-vector start (bit-identical to the Spark
@@ -4153,6 +4205,9 @@ _LLMOPS_ORACLES: dict[str, str] = {
         FROM assigned
         UNION ALL
         SELECT 'kmeans', id, a, x, y FROM ({_kmeans_oracle()})
+        UNION ALL
+        SELECT 'proj', vec_id, CAST(NULL AS BIGINT), proj_sum, proj0
+        FROM ({_projection_oracle()})
         UNION ALL
         SELECT 'quant', vec_id,
                list_aggregate(qvec, 'sum'),
@@ -5118,7 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     'cdc' -> union; triangle_count 'tri' -> connected_components;
     sampled_quantiles 'squant' -> data_profiling; stream-stream interval
     join 'sjoin' -> streaming_sync_messages; streaming_apply_changes
-    'scdc' -> streaming_dedup; quantize_vectors 'quant' -> vector_stats;
+    'scdc' -> streaming_dedup; quantize_vectors 'quant' + project_vectors 'proj' -> vector_stats;
     the UDTF escape hatch 'udtf' -> scalar_functions; compact_parquet
     losslessness -> pipeline_e2e (entities read back from the compacted
     rewrite)."""

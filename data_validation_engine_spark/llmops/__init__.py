@@ -117,6 +117,8 @@ from data_validation_engine_spark.llmops.vectors import (
     kmeans_fit,
     label_centroids,
     nearest_centroid,
+    project_vectors,
+    projection_matrix,
     quantize_vectors,
 )
 from data_validation_engine_spark.llmops.text import (
@@ -174,6 +176,8 @@ __all__ = [
     "decontaminate",
     "grouped_vector_sum",
     "quantize_vectors",
+    "project_vectors",
+    "projection_matrix",
     "dequantize_col",
     "label_centroids",
     "language_id",

@@ -287,3 +287,75 @@ def dequantize_col(qvec: Column, scale: Column) -> Column:
     ``q_i * scale`` elementwise (one IEEE multiply per component —
     engine-exact given the stored rounded scale)."""
     return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
+def projection_matrix(
+    in_dim: int,
+    out_dim: int,
+    *,
+    seed: str = "",
+) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) random-projection matrix from md5:
+    component ``(i, j)`` is the sign of the low bit of
+    ``md5(seed:i:j)`` — reproducible from the seed alone on any machine
+    or engine, no RNG state to ship. By Johnson-Lindenstrauss /
+    Achlioptas, +-1 entries preserve pairwise distances as well as
+    Gaussian ones; ``out_dim`` of 8-32 already separates well for
+    64-dim inputs.
+    """
+    import hashlib
+
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError(
+            f"projection dims must be >= 1, got ({in_dim}, {out_dim})"
+        )
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[-1] & 1
+            else -1.0
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def project_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    matrix: list[list[float]],
+    *,
+    proj_col: str = "proj",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Project an embedding column through a literal matrix (one row per
+    output dimension): ``proj[i] = dot(vec, matrix[i])``, each dot an
+    ordered left fold so the result is bit-identical across engines and
+    partitionings. With a :func:`projection_matrix`, this is the JL
+    dimensionality reduction that makes 100 TB ANN/IVF tractable: a
+    zero-shuffle map-side projection (the matrix ships as plan literals,
+    never a join), cutting every downstream distance computation and
+    index size by ``in_dim/out_dim``.
+
+    ``round_to`` optionally rounds components (use 6 before comparing
+    across engines after any transcendental post-processing; the raw
+    projection itself needs no rounding — products and ordered sums of
+    literals are exact IEEE replays).
+    """
+    if not matrix or not matrix[0]:
+        raise ValueError("projection matrix must be non-empty")
+    width = len(matrix[0])
+    if any(len(row) != width for row in matrix):
+        raise ValueError("projection matrix rows must have equal length")
+    from data_validation_engine_spark.llmops.similarity import dot_col
+
+    v = F.col(vec_col)
+    comps = []
+    for row in matrix:
+        lit_row = F.array(*[F.lit(float(x)) for x in row])
+        c = dot_col(v, lit_row)
+        if round_to is not None:
+            c = F.round(c, round_to)
+        comps.append(c)
+    return df.select(F.col(id_col), F.array(*comps).alias(proj_col))

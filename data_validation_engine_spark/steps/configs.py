@@ -762,6 +762,18 @@ class OutlierFlags(AbstractStep):
     flag_column: str = "is_outlier"
 
 
+class ProjectVectors(AbstractStep):
+    """JL random projection of an embedding column to ``out_dim`` via the
+    deterministic md5 Rademacher matrix; writes ``(id, proj)``."""
+
+    operation: Literal["project_vectors"] = "project_vectors"
+    id_column: str
+    vector_column: str
+    in_dim: int
+    out_dim: int
+    seed: str = ""
+
+
 class SaltedJoin(AbstractStep):
     """Skew-resistant equi-join: the entity's hot keys scatter over
     ``n_salts`` sub-keys, ``target_name`` replicates to match — when one
@@ -982,6 +994,7 @@ AnyStep = Annotated[
         SampledQuantiles,
         QuantizeVectors,
         SaltedJoin,
+        ProjectVectors,
     ],
     Field(discriminator="operation"),
 ]

@@ -112,6 +112,7 @@ from data_validation_engine_spark.steps.configs import (
     SampledQuantiles,
     QuantizeVectors,
     SaltedJoin,
+    ProjectVectors,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -218,6 +219,7 @@ class StepEngine:
             SampledQuantiles: self.sampled_quantiles,
             QuantizeVectors: self.quantize_vectors,
             SaltedJoin: self.salted_join,
+            ProjectVectors: self.project_vectors,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1671,5 +1673,23 @@ class StepEngine:
             config.id_column,
             config.vector_column,
             round_to=config.round_to,
+        )
+        return None
+
+    def project_vectors(
+        self, entities: Entities, *, config: ProjectVectors
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.vectors import (
+            project_vectors,
+            projection_matrix,
+        )
+
+        entities[config.output_name] = project_vectors(
+            entities[config.entity_name],
+            config.id_column,
+            config.vector_column,
+            projection_matrix(
+                config.in_dim, config.out_dim, seed=config.seed
+            ),
         )
         return None

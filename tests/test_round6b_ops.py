@@ -1120,3 +1120,86 @@ class TestQuantizeVectors:
         )
         assert ents["q"].columns == ["id", "scale", "qvec"]
         assert ents["q"].schema["qvec"].dataType.simpleString() == "array<tinyint>"
+
+
+class TestProjectVectors:
+    def test_matches_numpy_and_preserves_distances(self, spark):
+        import numpy as np
+
+        from data_validation_engine_spark.llmops import (
+            project_vectors,
+            projection_matrix,
+        )
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(20, 64)
+        m = projection_matrix(64, 16)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+            "id int, vec array<double>",
+        )
+        got = {
+            r.id: np.array(r.proj)
+            for r in project_vectors(df, "id", "vec", m).collect()
+        }
+        M = np.array(m)
+        for i in range(20):
+            # ordered fold == numpy within accumulation-order noise
+            assert np.allclose(got[i], M @ vecs[i], atol=1e-9)
+        # JL property: relative pairwise distances roughly preserved
+        # (k=16: loose tolerance, just shaping, not a proof)
+        d_in = np.linalg.norm(vecs[0] - vecs[1]) / np.linalg.norm(
+            vecs[0] - vecs[2]
+        )
+        d_out = np.linalg.norm(got[0] - got[1]) / np.linalg.norm(
+            got[0] - got[2]
+        )
+        assert 0.3 < d_out / (d_in * np.sqrt(1.0)) < 3.0
+
+    def test_matrix_deterministic_and_seeded(self, spark):
+        from data_validation_engine_spark.llmops import projection_matrix
+
+        a = projection_matrix(8, 4)
+        assert a == projection_matrix(8, 4)
+        assert a != projection_matrix(8, 4, seed="other")
+        assert all(x in (1.0, -1.0) for row in a for x in row)
+        with pytest.raises(ValueError):
+            projection_matrix(0, 4)
+
+    def test_zero_shuffle_and_declared_step(self, spark):
+        from data_validation_engine_spark.llmops import (
+            project_vectors,
+            projection_matrix,
+        )
+        from data_validation_engine_spark.scale import count_shuffles
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0])], "id int, vec array<double>"
+        )
+        m = projection_matrix(4, 2)
+        assert count_shuffles(project_vectors(df, "id", "vec", m)) == 0
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"embs": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "project_vectors",
+                    "entity_name": "embs",
+                    "id_column": "id",
+                    "vector_column": "vec",
+                    "in_dim": 4,
+                    "out_dim": 2,
+                    "new_entity_name": "small",
+                }
+            ),
+        )
+        row = ents["small"].collect()[0]
+        expect = [
+            sum(v * h for v, h in zip([1.0, 2.0, 3.0, 4.0], m[i]))
+            for i in range(2)
+        ]
+        assert row.proj == expect
+        with pytest.raises(ValueError, match="non-empty"):
+            project_vectors(df, "id", "vec", [])
