@@ -2282,11 +2282,21 @@ def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap (per-row + posexplode, zero shuffle); 'pack' rows assign each
     document to a fixed-512-token pack under the concat-and-split rule,
     sharded 8 ways by md5 bucket so shards pack independently (one
-    narrow shuffle, integer arithmetic only — bit-exact cross-engine)."""
+    narrow shuffle, integer arithmetic only — bit-exact cross-engine).
+
+    'mix' rows (round 7): deterministic corpus mixing through the
+    DECLARED corpus_mix step — documents labelled web/code/books by
+    doc_id mod 3 are downsampled to 50/30/20 shares of a fixed 200k-char
+    budget (md5 keep-decisions, +,*,/ only, so the exact kept SET
+    replays in the oracle; the per-source totals agg is the only job,
+    its collect bounded by the number of sources). One label is scarce
+    enough to clamp at keep-everything, exercising the under-delivery
+    branch."""
     from data_validation_engine_spark.llmops import (
         chunk_documents,
         pack_sequences,
     )
+    from data_validation_engine_spark.steps import parse_step
 
     docs = _docs(spark, sf_dir)
     chunks = chunk_documents(
@@ -2302,7 +2312,33 @@ def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(pack_idx * 512 + pack_offset AS BIGINT) AS n",
         "CAST(n_tokens AS STRING) AS payload",
     )
-    return chunks.unionAll(packs)
+    eng = _engine(spark)
+    ents = {"labelled": docs.selectExpr(
+        "doc_id",
+        "n_chars",
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web'"
+        " WHEN 1 THEN 'code' ELSE 'books' END AS src",
+    )}
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "corpus_mix",
+                "entity_name": "labelled",
+                "key_column": "doc_id",
+                "label_column": "src",
+                "weight_column": "n_chars",
+                "targets": {"web": 0.5, "code": 0.3, "books": 0.2},
+                "budget": 200_000,
+                "new_entity_name": "mixed",
+            }
+        ),
+    )
+    mixed = ents["mixed"].selectExpr(
+        "'mix' AS op", "doc_id", "CAST(NULL AS INT) AS idx",
+        "CAST(n_chars AS BIGINT) AS n", "src AS payload",
+    )
+    return chunks.unionAll(packs).unionAll(mixed)
 
 
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4381,8 +4417,36 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    ) - n_tokens AS BIGINT) AS n,
                    CAST(n_tokens AS VARCHAR) AS payload
             FROM base
+        ),
+        labelled AS (
+            SELECT doc_id, n_chars,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web'
+                        WHEN 1 THEN 'code' ELSE 'books' END AS src
+            FROM documents
+        ),
+        mix_totals AS (
+            SELECT src, sum(CAST(n_chars AS BIGINT)) AS tok
+            FROM labelled GROUP BY 1
+        ),
+        mix_fracs AS (
+            SELECT src,
+                   least(1.0, CAST(CASE src
+                       WHEN 'web' THEN '0.5' WHEN 'code' THEN '0.3'
+                       ELSE '0.2' END AS DOUBLE)
+                       * CAST(200000 AS DOUBLE) / CAST(tok AS DOUBLE))
+                       AS frac
+            FROM mix_totals
+        ),
+        mixed AS (
+            SELECT 'mix' AS op, l.doc_id, CAST(NULL AS INT) AS idx,
+                   CAST(l.n_chars AS BIGINT) AS n, l.src AS payload
+            FROM labelled l JOIN mix_fracs f USING (src)
+            WHERE CAST(('0x' || substring(
+                      md5(CAST(l.doc_id AS VARCHAR)), 1, 4))::INT AS DOUBLE)
+                  < f.frac * CAST(65536 AS DOUBLE)
         )
         SELECT * FROM chunks UNION ALL SELECT * FROM packs
+        UNION ALL SELECT * FROM mixed
     """,
     # exact word-5-gram overlap vs the doc_id % 97 = 0 benchmark slice
     "decontaminate": f"""
@@ -5174,7 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sampled_quantiles 'squant' -> data_profiling; stream-stream interval
     join 'sjoin' -> streaming_sync_messages; streaming_apply_changes
     'scdc' -> streaming_dedup; quantize_vectors 'quant' + project_vectors 'proj' -> vector_stats;
-    the UDTF escape hatch 'udtf' -> scalar_functions; compact_parquet
+    the UDTF escape hatch 'udtf' -> scalar_functions; corpus_mix 'mix' -> sequence_prep; compact_parquet
     losslessness -> pipeline_e2e (entities read back from the compacted
     rewrite)."""
     return {

@@ -104,6 +104,7 @@ from data_validation_engine_spark.llmops.similarity import (
     write_lsh_partitioned,
 )
 from data_validation_engine_spark.llmops.split import (
+    corpus_mix,
     deterministic_sample,
     hash_bucket,
     hash_split,
@@ -168,6 +169,7 @@ __all__ = [
     "with_lsh_bucket",
     "write_lsh_partitioned",
     "hash_bucket",
+    "corpus_mix",
     "hash_split",
     "weighted_keep",
     "weighted_sample",

@@ -176,3 +176,80 @@ def weighted_sample(
             F.col(key_col), F.col(weight_col), rate=rate, seed=seed
         )
     )
+
+
+def mix_fractions(
+    label_tokens: dict[str, int],
+    targets: dict[str, float],
+    budget: int,
+) -> dict[str, float]:
+    """Per-label keep fractions for :func:`corpus_mix`:
+    ``min(1, share * budget / available)`` — a label with less material
+    than its share under-delivers rather than stealing from others
+    (water-filling reallocation is a policy decision left to the
+    caller). Pure float arithmetic in a fixed operation order so any
+    engine replays it bit-for-bit."""
+    if budget < 0:
+        raise ValueError(f"token budget must be >= 0, got {budget}")
+    bad = [k for k, v in targets.items() if v < 0]
+    if bad:
+        raise ValueError(f"negative target shares: {bad}")
+    fracs = {}
+    for label, share in targets.items():
+        avail = label_tokens.get(label, 0)
+        fracs[label] = (
+            min(1.0, share * float(budget) / float(avail))
+            if avail > 0
+            else 0.0
+        )
+    return fracs
+
+
+def corpus_mix(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    weight_col: str,
+    targets: dict[str, float],
+    budget: int,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministically downsample a multi-source corpus to target
+    token proportions: each ``label_col`` source keeps rows with
+    probability ``min(1, share * budget / source_tokens)`` decided by
+    the row key's md5 bucket, so the EXPECTED kept volume of source
+    ``l`` is ``min(source_tokens_l, share_l * budget)`` — the
+    data-mixing step every multi-source training run needs (web vs code
+    vs books at 60/30/10), reproducible row-for-row across reruns,
+    engines, and repartitionings. Labels absent from ``targets`` are
+    dropped (an unlisted source in the mix is a bug, not a default).
+
+    Scale shape: ONE map-side-combined aggregation for the per-source
+    token totals (driver collect bounded by the number of SOURCES, never
+    rows) + one zero-shuffle per-row keep projection against the
+    literal fraction map. The keep rule is +,*,/ and a comparison — no
+    transcendentals — so the decision replays exactly in the SQL oracle.
+    """
+    totals = {
+        r["__label"]: r["__tok"]
+        for r in df.groupBy(F.col(label_col).alias("__label"))
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__tok"))
+        .collect()
+    }
+    fracs = mix_fractions(totals, targets, budget)
+    frac_col = None
+    for label, frac in fracs.items():
+        clause = F.when(
+            F.col(label_col) == F.lit(label), F.lit(frac)
+        )
+        frac_col = clause if frac_col is None else frac_col.when(
+            F.col(label_col) == F.lit(label), F.lit(frac)
+        )
+    if frac_col is None:
+        return df.where(F.lit(False))
+    frac_col = frac_col.otherwise(F.lit(0.0))
+    keep = hash_bucket(F.col(key_col), seed=seed).cast(
+        "double"
+    ) < frac_col * F.lit(float(N_BUCKETS))
+    return df.where(keep)

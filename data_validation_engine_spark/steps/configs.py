@@ -762,6 +762,20 @@ class OutlierFlags(AbstractStep):
     flag_column: str = "is_outlier"
 
 
+class CorpusMix(AbstractStep):
+    """Deterministic multi-source downsampling to target token shares:
+    each source keeps ``min(1, share*budget/source_tokens)`` of its rows
+    by md5 keep-decision; unlisted sources are dropped."""
+
+    operation: Literal["corpus_mix"] = "corpus_mix"
+    key_column: str
+    label_column: str
+    weight_column: str
+    targets: dict[str, float]
+    budget: int
+    seed: str = ""
+
+
 class ProjectVectors(AbstractStep):
     """JL random projection of an embedding column to ``out_dim`` via the
     deterministic md5 Rademacher matrix; writes ``(id, proj)``."""
@@ -995,6 +1009,7 @@ AnyStep = Annotated[
         QuantizeVectors,
         SaltedJoin,
         ProjectVectors,
+        CorpusMix,
     ],
     Field(discriminator="operation"),
 ]

@@ -113,6 +113,7 @@ from data_validation_engine_spark.steps.configs import (
     QuantizeVectors,
     SaltedJoin,
     ProjectVectors,
+    CorpusMix,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -220,6 +221,7 @@ class StepEngine:
             QuantizeVectors: self.quantize_vectors,
             SaltedJoin: self.salted_join,
             ProjectVectors: self.project_vectors,
+            CorpusMix: self.corpus_mix,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1673,6 +1675,22 @@ class StepEngine:
             config.id_column,
             config.vector_column,
             round_to=config.round_to,
+        )
+        return None
+
+    def corpus_mix(
+        self, entities: Entities, *, config: CorpusMix
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.split import corpus_mix
+
+        entities[config.output_name] = corpus_mix(
+            entities[config.entity_name],
+            config.key_column,
+            config.label_column,
+            config.weight_column,
+            dict(config.targets),
+            config.budget,
+            seed=config.seed,
         )
         return None
 

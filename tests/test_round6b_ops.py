@@ -1203,3 +1203,70 @@ class TestProjectVectors:
         assert row.proj == expect
         with pytest.raises(ValueError, match="non-empty"):
             project_vectors(df, "id", "vec", [])
+
+
+class TestCorpusMix:
+    def test_expected_volumes_and_determinism(self, spark):
+        from data_validation_engine_spark.llmops import corpus_mix
+
+        rows = (
+            [(f"w{i}", "web", 100) for i in range(400)]
+            + [(f"c{i}", "code", 100) for i in range(100)]
+            + [(f"b{i}", "books", 100) for i in range(20)]
+            + [(f"x{i}", "junk", 100) for i in range(50)]
+        )
+        df = spark.createDataFrame(rows, "key string, src string, toks int")
+        targets = {"web": 0.5, "code": 0.3, "books": 0.2}
+        out = corpus_mix(df, "key", "src", "toks", targets, budget=20_000)
+        kept = out.groupBy("src").count().collect()
+        got = {r.src: r["count"] for r in kept}
+        # unlisted source dropped entirely
+        assert "junk" not in got
+        # web: share*budget = 10k of 40k available -> ~25% of 400 rows
+        assert 60 <= got.get("web", 0) <= 140
+        # code: 6k of 10k -> ~60% of 100
+        assert 40 <= got.get("code", 0) <= 80
+        # books: 4k wanted, only 2k available -> keep everything
+        assert got.get("books", 0) == 20
+        # deterministic: identical keep set under repartitioning
+        again = corpus_mix(
+            df.repartition(7), "key", "src", "toks", targets, budget=20_000
+        )
+        assert sorted(r.key for r in out.collect()) == sorted(
+            r.key for r in again.collect()
+        )
+
+    def test_declared_step_and_validation(self, spark):
+        from data_validation_engine_spark.llmops.split import mix_fractions
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        assert mix_fractions({"a": 100}, {"a": 1.0, "b": 0.5}, 50) == {
+            "a": 0.5,
+            "b": 0.0,
+        }
+        with pytest.raises(ValueError, match="budget"):
+            mix_fractions({}, {}, -1)
+        with pytest.raises(ValueError, match="negative"):
+            mix_fractions({}, {"a": -0.1}, 10)
+
+        df = spark.createDataFrame(
+            [("k1", "a", 10), ("k2", "b", 10)], "key string, src string, t int"
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"corpus": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "corpus_mix",
+                    "entity_name": "corpus",
+                    "key_column": "key",
+                    "label_column": "src",
+                    "weight_column": "t",
+                    "targets": {"a": 1.0},
+                    "budget": 1000,
+                    "new_entity_name": "mixed",
+                }
+            ),
+        )
+        assert [r.key for r in ents["mixed"].collect()] == ["k1"]
