@@ -929,7 +929,15 @@ def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     record index attached) round-trips through ``write_entities`` and is
     read back — proving the overwrite write lands and the engine-internal
     index column is dropped at the boundary (sinks/entities.py:18-38;
-    merged from the former sink_entities row)."""
+    merged from the former sink_entities row).
+
+    'diff' rows (round 7): row-level snapshot diff via the DECLARED
+    snapshot_diff step — today's nation (every 3rd name uppercased, keys
+    0-1 dropped, a +100 keyspace added) diffed against yesterday's as a
+    CDC ledger (merge.snapshot_diff, one full-outer join; the
+    apply_changes round-trip law is property-tested). The regression
+    surface profile_diff's schema drift can't see: exactly WHICH rows
+    changed."""
     import tempfile
 
     from data_validation_engine_spark.contract import add_record_index
@@ -939,6 +947,7 @@ def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         CopyEntity,
         EntityRemoval,
         RenameEntity,
+        parse_step,
     )
 
     ents = _load(spark, sf_dir, ["nation"])
@@ -961,7 +970,39 @@ def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(written["trimmed"])
     assert "__record_index__" not in back.columns
-    return back
+    ent_rows = back.selectExpr(
+        "'ent' AS op", "n_nationkey", "n_name", "CAST(NULL AS STRING) AS cop"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ents2 = {
+        "yesterday": nation.select("n_nationkey", "n_name"),
+        "today": nation.where("n_nationkey >= 2").selectExpr(
+            "n_nationkey",
+            "CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name)"
+            " ELSE n_name END AS n_name",
+        ).unionAll(
+            nation.where("n_nationkey < 3").selectExpr(
+                "n_nationkey + 100", "n_name"
+            )
+        ),
+    }
+    eng.evaluate(
+        ents2,
+        config=parse_step(
+            {
+                "operation": "snapshot_diff",
+                "entity_name": "yesterday",
+                "target_name": "today",
+                "keys": ["n_nationkey"],
+                "op_column": "cop",
+                "new_entity_name": "ledger",
+            }
+        ),
+    )
+    diff_rows = ents2["ledger"].selectExpr(
+        "'diff' AS op", "n_nationkey", "n_name", "cop"
+    )
+    return ent_rows.unionAll(diff_rows)
 
 
 def q_refdata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4996,7 +5037,32 @@ _ORACLES: dict[str, str] = {
         FROM msgs GROUP BY di, cat, ec
     """,
     "entity_ops": """
-        SELECT n_nationkey, n_name FROM nation
+        WITH today AS (
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name)
+                        ELSE n_name END AS n_name
+            FROM nation WHERE n_nationkey >= 2
+            UNION ALL
+            SELECT n_nationkey + 100, n_name
+            FROM nation WHERE n_nationkey < 3
+        ),
+        yesterday AS (SELECT n_nationkey, n_name FROM nation)
+        SELECT 'ent' AS op, n_nationkey, n_name,
+               CAST(NULL AS VARCHAR) AS cop
+        FROM nation
+        UNION ALL
+        SELECT 'diff', COALESCE(t.n_nationkey, y.n_nationkey),
+               t.n_name,
+               CASE WHEN y.n_nationkey IS NULL THEN 'I'
+                    WHEN t.n_nationkey IS NULL THEN 'D'
+                    WHEN t.n_name IS DISTINCT FROM y.n_name THEN 'U'
+               END
+        FROM yesterday y FULL OUTER JOIN today t
+          ON y.n_nationkey = t.n_nationkey
+        WHERE (CASE WHEN y.n_nationkey IS NULL THEN 'I'
+                    WHEN t.n_nationkey IS NULL THEN 'D'
+                    WHEN t.n_name IS DISTINCT FROM y.n_name THEN 'U'
+               END) IS NOT NULL
     """,
     "refdata_join": """
         SELECT n_nationkey, n_name, r_name AS region_name
@@ -5238,7 +5304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sampled_quantiles 'squant' -> data_profiling; stream-stream interval
     join 'sjoin' -> streaming_sync_messages; streaming_apply_changes
     'scdc' -> streaming_dedup; quantize_vectors 'quant' + project_vectors 'proj' -> vector_stats;
-    the UDTF escape hatch 'udtf' -> scalar_functions; corpus_mix 'mix' -> sequence_prep; compact_parquet
+    the UDTF escape hatch 'udtf' -> scalar_functions; corpus_mix 'mix' -> sequence_prep; snapshot_diff 'diff' -> entity_ops; compact_parquet
     losslessness -> pipeline_e2e (entities read back from the compacted
     rewrite)."""
     return {

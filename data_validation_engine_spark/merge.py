@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "apply_changes", "latest_per_key"]
+__all__ = ["merge_upsert", "apply_changes", "latest_per_key", "snapshot_diff"]
 
 _MATCH_FLAG = "__dve_upd_matched"
 
@@ -262,3 +262,88 @@ def apply_changes(
     # duplicate guard enforces the latter)
     merged = merge_upsert(base, upserts, keys)
     return merged.join(deletes, keys, "left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str,
+    *,
+    op_col: str = "op",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Derive the CDC ledger between two snapshots — the inverse of
+    :func:`apply_changes`: one row per key whose state differs, with
+    ``op_col`` = 'I' (key only in ``new``), 'D' (only in ``old``), or
+    'U' (present in both with any compared column differing, NULL-safe).
+    Unchanged keys emit nothing — at 100 TB you materialise the DELTA,
+    never the cross product of snapshots. Row values come from the NEW
+    side ('D' rows carry the keys with non-key columns NULL).
+
+    Round-trip law (property-tested): ``apply_changes(old,
+    snapshot_diff(old, new, keys), keys) == new`` whenever keys are
+    unique per snapshot. The validation use: regression-diff
+    yesterday's validated entities against today's — profile_diff tells
+    you the SCHEMA drifted, this tells you exactly WHICH rows.
+
+    Scale shape: one full-outer co-partitioned join on the keys (the
+    irreducible cost of any exact diff); the change test is a per-row
+    null-safe comparison, no second pass. Both snapshots must share the
+    compared columns; keys must be non-null on the side they exist.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys:
+        raise ValueError("snapshot_diff needs at least one key column")
+    _check_keys(old, keys, "old snapshot")
+    _check_keys(new, keys, "new snapshot")
+    if op_col in old.columns or op_col in new.columns:
+        raise ValueError(
+            f"op column name collides with a snapshot column: {op_col}"
+        )
+    value_cols = compare_cols if compare_cols is not None else [
+        c for c in new.columns if c not in keys
+    ]
+    missing = [
+        c for c in value_cols if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"compared columns missing from a snapshot: {missing}"
+        )
+    o = old.select(
+        *[F.col(k).alias(f"__o_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in value_cols],
+        F.lit(True).alias("__o_present"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__n_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in value_cols],
+        F.lit(True).alias("__n_present"),
+    )
+    cond = None
+    for k in keys:
+        clause = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+        cond = clause if cond is None else (cond & clause)
+    joined = o.join(n, cond, "full_outer")
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(
+            F.col(f"__n_{c}")
+        )
+    op = (
+        F.when(F.col("__o_present").isNull(), F.lit("I"))
+        .when(F.col("__n_present").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            F.col(op_col),
+            *[
+                F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k)
+                for k in keys
+            ],
+            *[F.col(f"__n_{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -762,6 +762,18 @@ class OutlierFlags(AbstractStep):
     flag_column: str = "is_outlier"
 
 
+class SnapshotDiff(AbstractStep):
+    """Row-level diff of two snapshots as a CDC ledger: one I/U/D row
+    per key whose state differs (NULL-safe compare; values from the
+    ``target_name`` NEW side). The inverse of apply_changes."""
+
+    operation: Literal["snapshot_diff"] = "snapshot_diff"
+    target_name: str
+    keys: tuple[str, ...]
+    op_column: str = "op"
+    compare_columns: Optional[tuple[str, ...]] = None
+
+
 class CorpusMix(AbstractStep):
     """Deterministic multi-source downsampling to target token shares:
     each source keeps ``min(1, share*budget/source_tokens)`` of its rows
@@ -1010,6 +1022,7 @@ AnyStep = Annotated[
         SaltedJoin,
         ProjectVectors,
         CorpusMix,
+        SnapshotDiff,
     ],
     Field(discriminator="operation"),
 ]

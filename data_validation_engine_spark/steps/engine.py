@@ -114,6 +114,7 @@ from data_validation_engine_spark.steps.configs import (
     SaltedJoin,
     ProjectVectors,
     CorpusMix,
+    SnapshotDiff,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -222,6 +223,7 @@ class StepEngine:
             SaltedJoin: self.salted_join,
             ProjectVectors: self.project_vectors,
             CorpusMix: self.corpus_mix,
+            SnapshotDiff: self.snapshot_diff,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1675,6 +1677,22 @@ class StepEngine:
             config.id_column,
             config.vector_column,
             round_to=config.round_to,
+        )
+        return None
+
+    def snapshot_diff(
+        self, entities: Entities, *, config: SnapshotDiff
+    ) -> Messages:
+        from data_validation_engine_spark.merge import snapshot_diff
+
+        entities[config.output_name] = snapshot_diff(
+            entities[config.entity_name],
+            entities[config.target_name],
+            list(config.keys),
+            op_col=config.op_column,
+            compare_cols=list(config.compare_columns)
+            if config.compare_columns is not None
+            else None,
         )
         return None
 
