@@ -39,6 +39,8 @@ only in the multimodal decode boundary, by design, as Arrow-batched
 
 from data_validation_engine_spark.llmops.analytics import (
     frequent_items,
+    impute_nulls,
+    winsorize,
     grouped_quantiles,
     outlier_flags,
     profile_diff,
@@ -59,6 +61,8 @@ from data_validation_engine_spark.llmops.linkage import (
 from data_validation_engine_spark.llmops.sketch import (
     kmv_distinct,
     kmv_merge,
+    kmv_set_estimates,
+    kmv_sketch,
 )
 from data_validation_engine_spark.llmops.asof import (
     asof_join,
@@ -106,6 +110,7 @@ from data_validation_engine_spark.llmops.similarity import (
 from data_validation_engine_spark.llmops.split import (
     corpus_mix,
     deterministic_sample,
+    exact_quota_sample,
     hash_bucket,
     hash_split,
     stratified_sample,
@@ -147,6 +152,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "deterministic_sample",
+    "exact_quota_sample",
     "exact_dedup",
     "minhash_dedup",
     "minhash_pairs",
@@ -195,7 +201,11 @@ __all__ = [
     "fuzzy_dedup_pairs",
     "fuzzy_string_join",
     "grouped_quantiles",
+    "impute_nulls",
+    "winsorize",
     "kmv_distinct",
+    "kmv_set_estimates",
+    "kmv_sketch",
     "kmv_merge",
     "pagerank",
     "triangle_count",

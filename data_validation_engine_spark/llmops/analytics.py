@@ -480,3 +480,154 @@ def profile_columns(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_rows, n_null, n_distinct, min_value, max_value)"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Winsorize (clip) ``value_col`` to its group's
+    ``[lower, upper]`` quantiles — the standard tail-taming transform
+    before averaging noisy quality scores or training on heavy-tailed
+    features. Same composition discipline as :func:`outlier_flags`: one
+    exact :func:`grouped_quantiles` pass, a BROADCAST of the one-row-
+    per-group bound table back onto the rows, one per-row
+    least/greatest. NULLs pass through unclipped.
+
+    Writes ``out_col`` (default: replaces ``value_col``). Quantiles use
+    the same interpolation both engines share, so clipped values stay
+    hash-exact when the inputs are (integerize money first, as
+    everywhere).
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got ({lower}, {upper})"
+        )
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    out_col = out_col or value_col
+    helpers = {f"__g{i}" for i in range(len(groups))} | {"__lo", "__hi"}
+    clash = helpers & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with winsorize helper names "
+            f"{sorted(clash)}; rename them first"
+        )
+    q = grouped_quantiles(
+        df,
+        groups,
+        value_col,
+        [lower, upper],
+        names=["__q_lo", "__q_hi"],
+        round_to=round_to,
+    ).select(
+        *[F.col(g).alias(f"__g{i}") for i, g in enumerate(groups)],
+        F.col("__q_lo").alias("__lo"),
+        F.col("__q_hi").alias("__hi"),
+    )
+    if groups:
+        cond = [
+            df[g].eqNullSafe(q[f"__g{i}"]) for i, g in enumerate(groups)
+        ]
+        joined = df.join(F.broadcast(q), on=cond, how="left").drop(
+            *[f"__g{i}" for i in range(len(groups))]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(q))
+    v = F.col(value_col)
+    clipped = F.when(v.isNull(), v).otherwise(
+        F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
+    return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
+
+
+def impute_nulls(
+    df: DataFrame,
+    columns: Mapping[str, str | int | float],
+    *,
+    group_cols: list[str] | str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fill NULLs per column by strategy: ``"mean"``, ``"median"``, or a
+    literal constant (any non-strategy value). With ``group_cols`` the
+    statistic is computed per cohort (a missing reading imputes to ITS
+    group's centre, not the global one) and broadcast back — one
+    aggregation pass for ALL mean/median columns together, one
+    broadcast join, zero shuffles of the data itself.
+
+    Mean is ``sum/count`` (exact for integer inputs — integerize money
+    first); median is the same exact interpolated percentile as
+    :func:`grouped_quantiles`. Groups whose statistic is NULL (all-NULL
+    cohort) leave the value NULL — silently inventing a global fallback
+    would hide a dead cohort. The fill is cast to the column's own type
+    (an INTEGER column truncates a fractional mean — cast the column to
+    double first if you want fractional fills).
+    """
+    if not columns:
+        raise ValueError("impute_nulls needs at least one column")
+    groups = (
+        [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"impute columns not in frame: {missing}")
+    stat_cols = {
+        c: strat
+        for c, strat in columns.items()
+        if strat in ("mean", "median")
+    }
+    aggs = []
+    for c, strat in stat_cols.items():
+        if strat == "mean":
+            aggs.append(
+                (
+                    F.sum(F.col(c)).cast("double")
+                    / F.count(F.col(c)).cast("double")
+                ).alias(f"__fill_{c}")
+            )
+        else:
+            aggs.append(
+                F.round(
+                    F.expr(f"percentile({c}, 0.5)"), round_to
+                ).alias(f"__fill_{c}")
+            )
+    out = df
+    if aggs:
+        helpers = {f"__g{i}" for i in range(len(groups))} | {
+            f"__fill_{c}" for c in stat_cols
+        }
+        clash = helpers & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"input columns collide with impute helper names "
+                f"{sorted(clash)}; rename them first"
+            )
+        if groups:
+            stats = df.groupBy(*groups).agg(*aggs).select(
+                *[F.col(g).alias(f"__g{i}") for i, g in enumerate(groups)],
+                *[F.col(f"__fill_{c}") for c in stat_cols],
+            )
+            cond = [
+                df[g].eqNullSafe(stats[f"__g{i}"])
+                for i, g in enumerate(groups)
+            ]
+            out = df.join(F.broadcast(stats), on=cond, how="left").drop(
+                *[f"__g{i}" for i in range(len(groups))]
+            )
+        else:
+            stats = df.agg(*aggs)
+            out = df.crossJoin(F.broadcast(stats))
+    for c, strat in columns.items():
+        if strat in ("mean", "median"):
+            fill = F.col(f"__fill_{c}").cast(df.schema[c].dataType)
+        else:
+            fill = F.lit(strat).cast(df.schema[c].dataType)
+        out = out.withColumn(c, F.coalesce(F.col(c), fill))
+    return out.drop(*[f"__fill_{c}" for c in stat_cols])

@@ -135,3 +135,112 @@ def _kmv_tail(
         F.lit(float(k - 1) * HASH_SPACE) / F.col("kth_hash").cast("double")
     )
     return agg.withColumn("approx_distinct", estimate)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = DEFAULT_K,
+    seed: str = "",
+) -> DataFrame:
+    """Materialise the sketch itself — one ``(group..., __hv)`` row per
+    surviving min-k hash — rather than the estimate. This is the
+    shippable O(k)-per-group synopsis: persist it per shard/day/source,
+    then :func:`kmv_merge` re-estimates unions and
+    :func:`kmv_set_estimates` answers set-overlap questions WITHOUT
+    touching the raw data again."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = (
+        df.select(
+            *group_cols, kmv_hash(F.col(value_col), seed=seed).alias("__hv")
+        )
+        .where(F.col("__hv").isNotNull())
+        .distinct()
+    )
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("__hv")
+    else:
+        w = Window.orderBy("__hv")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_set_estimates(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Distinct-count estimates for the UNION and INTERSECTION of two
+    sketched sets, plus their Jaccard similarity — per group — from the
+    sketches ALONE (Beyer et al. 2007, "On synopses for distinct value
+    estimation under multiset operations"): cut the combined hash sets
+    back to min-k (that IS the sketch of A∪B); within that cut, the
+    fraction of hashes present in both sketches estimates Jaccard;
+    intersection = jaccard x union.
+
+    Returns ``(*group_cols, union_n_seen, union_est, n_both, jaccard,
+    intersect_est)``. When BOTH sketches are unsaturated the sketch saw
+    every value, so union/intersection are exact counts.
+
+    Engine-exact: every intermediate is an integer; jaccard is one
+    division and intersect one multiply of IEEE doubles. Scale shape:
+    the inputs are already O(k) per group — the whole computation
+    shuffles sketch rows only, never data.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    a = sketch_a.select(*group_cols, "__hv").withColumn(
+        "__in_a", F.lit(1)
+    ).withColumn("__in_b", F.lit(0))
+    b = sketch_b.select(*group_cols, "__hv").withColumn(
+        "__in_a", F.lit(0)
+    ).withColumn("__in_b", F.lit(1))
+    both = (
+        a.unionByName(b)
+        .groupBy(*group_cols, "__hv")
+        .agg(
+            F.max("__in_a").alias("__in_a"),
+            F.max("__in_b").alias("__in_b"),
+        )
+    )
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("__hv")
+    else:
+        w = Window.orderBy("__hv")
+    cut = both.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    agg = cut.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("union_n_seen"),
+        F.max(F.when(F.col("__rn") == k, F.col("__hv"))).alias(
+            "__kth"
+        ),
+        F.sum(
+            F.when((F.col("__in_a") == 1) & (F.col("__in_b") == 1), 1)
+            .otherwise(0)
+        ).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("union_n_seen") < k, F.col("union_n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * HASH_SPACE) / F.col("__kth").cast("double")
+    )
+    jaccard = F.col("n_both").cast("double") / F.col(
+        "union_n_seen"
+    ).cast("double")
+    return (
+        agg.withColumn("union_est", union_est)
+        .withColumn("jaccard", jaccard)
+        .withColumn(
+            "intersect_est", F.col("jaccard") * F.col("union_est")
+        )
+        .drop("__kth")
+    )

@@ -24,7 +24,7 @@ split fractions resolve to 0.0015%% granularity.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bucket space: 16^4 — 4 hex chars of the md5
@@ -253,3 +253,50 @@ def corpus_mix(
         "double"
     ) < frac_col * F.lit(float(N_BUCKETS))
     return df.where(keep)
+
+
+def exact_quota_sample(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    *,
+    strata_cols: list[str] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-size sample: exactly ``min(n, stratum_size)``
+    rows per stratum (or globally with no strata), chosen by ranking on
+    ``md5(seed || key)`` — the same engine-portable hash family as
+    :func:`hash_split`, so the selection replays identically anywhere
+    and is stable under repartitioning. Rate-based sampling
+    (:func:`stratified_sample`) only hits its quota in expectation; eval
+    sets, benchmark slices, and labelling budgets need exact counts.
+
+    Ties (hash collisions) break on the key itself, so the sample is a
+    total-order prefix — fully deterministic even across engines.
+
+    Scale shape, per stratum: ``row_number`` over the stratum window
+    plans with WindowGroupLimit, which keeps a running top-``n`` per
+    partition BEFORE the exchange — the shuffle carries at most
+    ``n x partitions`` rows, not the stratum. The global (no-strata)
+    case plans as TakeOrderedAndProject (per-partition ``n``-heaps, one
+    driver merge of ``n x P`` rows); for ``n`` too large for one driver
+    merge, pass a constant stratum instead.
+    """
+    if n < 1:
+        raise ValueError(f"sample size must be >= 1, got {n}")
+    digest = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    if strata_cols:
+        w = Window.partitionBy(*strata_cols).orderBy(
+            digest.asc(), F.col(key_col).asc()
+        )
+        rank = "__dve_quota_rank"
+        if rank in df.columns:
+            raise ValueError(
+                f"input column collides with helper name: {rank}"
+            )
+        return (
+            df.withColumn(rank, F.row_number().over(w))
+            .where(F.col(rank) <= n)
+            .drop(rank)
+        )
+    return df.orderBy(digest.asc(), F.col(key_col).asc()).limit(n)

@@ -299,9 +299,13 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top TF-IDF terms per document.
 
-    Returns ``(id, term, tf, df, tfidf)`` for the ``top_n`` terms per doc.
-    Rank order is (tf desc, df asc, term asc) — integers and strings only,
-    so ranking is engine-exact; the float tfidf is reported, not ranked on.
+    Returns ``(id, term, tf, df, n_docs, tfidf)`` for the ``top_n`` terms
+    per doc. Rank order is (tf desc, df asc, term asc) — integers and
+    strings only, so ranking is engine-exact; the float tfidf is reported,
+    not ranked on. ``(tf, df, n_docs)`` are the exact rational inputs the
+    tfidf value derives from — cross-engine comparisons should pin those
+    integers, not the float (``ln`` is not IEEE-correctly-rounded, so
+    JVM vs libm can differ by 1 ulp and flip a rounded decimal).
     Shuffles: one per term aggregation (tf, document frequency) — the
     irreducible cost of TF-IDF; doc count joins in via broadcast.
     """
@@ -328,7 +332,9 @@ def tfidf_top_terms(
         )
         .withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= top_n)
-        .select(id_col, "term", "tf", "df", "tfidf")
+        .select(
+            id_col, "term", "tf", "df", F.col("__n").alias("n_docs"), "tfidf"
+        )
     )
 
 
@@ -415,6 +421,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    detail: bool = False,
 ) -> DataFrame:
     """BM25 relevance of every matching document against ``query``
     (Robertson-Sparck Jones probabilistic ranking; the Okapi BM25 form
@@ -422,7 +429,12 @@ def bm25_search(
 
     Returns ``(id, n_terms_hit, score)`` for each document containing at
     least one query term; rank downstream with ``grouped_topk`` (score
-    is a double — tie-break on the id for determinism).
+    is a double — tie-break on the id for determinism). With
+    ``detail=True`` returns the pre-fold per-term rows instead:
+    ``(id, term, tf, df, dl, n_docs, sum_dl, weight)`` — the exact
+    integer inputs every weight derives from (the explain-the-score
+    surface, and the environment-invariant frame to pin cross-engine:
+    ``ln`` is libm-dependent, the integers are not).
 
     Scale shape: the document side explodes to ONLY the query's terms
     (the ``isin`` prune sits before the shuffle, so the term aggregation
@@ -476,6 +488,17 @@ def bm25_search(
         .crossJoin(F.broadcast(corpus))
         .withColumn("__w", weight)
     )
+    if detail:
+        return weighted.select(
+            F.col(id_col),
+            F.col("__term").alias("term"),
+            F.col("__tf").alias("tf"),
+            F.col("__df").alias("df"),
+            F.col("__dl").alias("dl"),
+            F.col("__n").alias("n_docs"),
+            F.col("__sumdl").alias("sum_dl"),
+            F.col("__w").alias("weight"),
+        )
     folded = weighted.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms_hit"),
         F.aggregate(

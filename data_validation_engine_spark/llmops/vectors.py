@@ -255,7 +255,10 @@ def quantize_vectors(
     (the round pins the decimal literal any engine reconstructs
     bit-identically), and ties round half-up via SQL ROUND on both
     engines. All-zero and NULL vectors take scale 0 with a zero/NULL
-    qvec respectively (documented edge, not UB).
+    qvec respectively (documented edge, not UB); a non-zero vector whose
+    max magnitude is below the rounding grain keeps its exact unrounded
+    ``max(|v_i|)/127`` scale rather than underflowing to an all-zero
+    qvec.
 
     Returns ``(id, scale, qvec)``. :func:`dequantize_col` rebuilds the
     approximate float vector as ``q_i * scale`` for downstream exact-SQL
@@ -264,7 +267,14 @@ def quantize_vectors(
     """
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.round(amax / F.lit(127.0), round_to)
+    rounded = F.round(amax / F.lit(127.0), round_to)
+    # underflow guard: a non-zero vector with max|v| below the rounding
+    # grain (~6.4e-8 at round_to=9) would round its scale to 0 and
+    # silently quantize to all zeros — keep the exact unrounded scale for
+    # those rows instead (still a single IEEE division, engine-exact)
+    scale = F.when((rounded == 0) & (amax > 0), amax / F.lit(127.0)).otherwise(
+        rounded
+    )
     qvec = F.when(
         scale > 0,
         F.transform(

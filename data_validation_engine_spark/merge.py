@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "apply_changes", "latest_per_key", "snapshot_diff"]
+__all__ = [
+    "merge_upsert",
+    "apply_changes",
+    "latest_per_key",
+    "snapshot_diff",
+    "scd2_from_ledger",
+    "scd2_snapshot",
+]
 
 _MATCH_FLAG = "__dve_upd_matched"
 
@@ -47,8 +54,11 @@ def latest_per_key(
     """Collapse to the single latest row per key by ``sequence_col``
     descending, remaining columns ascending as the deterministic
     tiebreak (so exact sequence ties cannot flip winners between runs
-    or partitionings). One shuffle on the keys; WindowGroupLimit keeps
-    only the running top-1 per partition before the final rank."""
+    or partitionings; NULLS LAST on the tiebreak columns — the ANSI
+    ascending default — so a DuckDB/ANSI replay of the same ORDER BY
+    picks the same winner even when tied rows carry NULLs). One shuffle
+    on the keys; WindowGroupLimit keeps only the running top-1 per
+    partition before the final rank."""
     if sequence_col not in df.columns:
         raise ValueError(f"sequence column not in frame: {sequence_col}")
     others = [
@@ -56,7 +66,7 @@ def latest_per_key(
     ]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col(sequence_col).desc(),
-        *[F.col(c).asc() for c in others],
+        *[F.col(c).asc_nulls_last() for c in others],
     )
     rank = "__dve_seq_rank"
     if rank in df.columns:
@@ -289,7 +299,11 @@ def snapshot_diff(
     Scale shape: one full-outer co-partitioned join on the keys (the
     irreducible cost of any exact diff); the change test is a per-row
     null-safe comparison, no second pass. Both snapshots must share the
-    compared columns; keys must be non-null on the side they exist.
+    compared columns. Key values must be NON-NULL, enforced with a lazy
+    in-plan guard that fails the action: ``apply_changes``/``merge_upsert``
+    match keys with SQL equality, so a NULL-keyed 'U'/'D' row could
+    never match during apply and the round-trip law would silently turn
+    updates into spurious inserts — better to refuse the diff loudly.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if not keys:
@@ -310,13 +324,26 @@ def snapshot_diff(
         raise ValueError(
             f"compared columns missing from a snapshot: {missing}"
         )
+    def _nn_key(df: DataFrame, k: str, side: str) -> Column:
+        # lazy NULL-key guard compiled into the plan: costs nothing for
+        # clean data, fails the action with a readable message otherwise
+        return F.when(F.col(k).isNotNull(), F.col(k)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"snapshot_diff: NULL key value in {side}.{k}; "
+                    "NULL-keyed rows cannot round-trip through "
+                    "apply_changes (keys match with SQL equality)"
+                )
+            ).cast(df.schema[k].dataType)
+        )
+
     o = old.select(
-        *[F.col(k).alias(f"__o_{k}") for k in keys],
+        *[_nn_key(old, k, "old").alias(f"__o_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in value_cols],
         F.lit(True).alias("__o_present"),
     )
     n = new.select(
-        *[F.col(k).alias(f"__n_{k}") for k in keys],
+        *[_nn_key(new, k, "new").alias(f"__n_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in value_cols],
         F.lit(True).alias("__n_present"),
     )
@@ -347,3 +374,133 @@ def snapshot_diff(
             *[F.col(f"__n_{c}").alias(c) for c in value_cols],
         )
     )
+
+
+def scd2_from_ledger(
+    changes: DataFrame,
+    keys: list[str] | str,
+    *,
+    sequence_col: str,
+    op_col: str = "op",
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_ops: tuple[str, ...] = ("D",),
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Build a slowly-changing-dimension TYPE 2 history table from a CDC
+    ledger: one row per (key, version) with validity bounds in sequence
+    units — the feature-store/warehouse companion to
+    :func:`apply_changes` (which keeps only latest state, this keeps ALL
+    states).
+
+    Semantics: each upsert opens a version at its sequence; the version
+    closes at the key's NEXT change (upsert or delete) and the last open
+    version is current (``valid_to`` NULL). Delete changes close their
+    predecessor's interval without opening one — the key simply has no
+    current row while deleted. Unknown ops fail the action loudly (same
+    guard as :func:`apply_changes`); duplicate (key, sequence) pairs are
+    rejected in-plan, because two changes at one instant have no defined
+    version order.
+
+    Point-in-time reads: ``history.where((F.col('valid_from') <= s) &
+    (F.col('valid_to').isNull() | (F.col('valid_to') > s)))`` — or use
+    :func:`scd2_snapshot`, whose agreement with
+    ``apply_changes(empty, ledger[seq <= s])`` is the property-tested
+    consistency law.
+
+    Scale shape: ONE shuffle on the keys (the lead window); everything
+    else is a per-row projection. History size = ledger upsert count —
+    no joins, no blow-up. All validity arithmetic is in the caller's
+    integer sequence domain; nothing here floats.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys:
+        raise ValueError("scd2_from_ledger needs at least one key column")
+    _check_keys(changes, keys, "changes")
+    if op_col not in changes.columns:
+        raise ValueError(f"op column not in changes: {op_col}")
+    if sequence_col not in changes.columns:
+        raise ValueError(f"sequence column not in changes: {sequence_col}")
+    for c in (valid_from_col, valid_to_col, current_col):
+        if c in changes.columns:
+            raise ValueError(
+                f"output column collides with a ledger column: {c}"
+            )
+    known = list(upsert_ops) + list(delete_ops)
+    guarded = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin(known), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"scd2_from_ledger: unknown {op_col} value: "),
+                    F.coalesce(
+                        F.col(op_col).cast("string"), F.lit("NULL")
+                    ),
+                )
+            ).cast("string")
+        ),
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(sequence_col).asc()
+    )
+    # in-plan duplicate-(key, sequence) guard: version order would be
+    # undefined. Folded into the SELECTED valid_from expression so column
+    # pruning cannot optimise the check away; costs nothing for clean
+    # ledgers.
+    wdup = Window.partitionBy(
+        *[F.col(k) for k in keys], F.col(sequence_col)
+    )
+    seq_guarded = F.when(
+        F.count(F.lit(1)).over(wdup) == 1, F.col(sequence_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "scd2_from_ledger: duplicate (key, sequence) — two "
+                "changes at one sequence have no version order"
+            )
+        ).cast(changes.schema[sequence_col].dataType)
+    )
+    nxt = F.lead(F.col(sequence_col)).over(w)
+    return (
+        guarded.withColumn("__dve_scd_from", seq_guarded)
+        .withColumn(valid_to_col, nxt)
+        .where(F.col(op_col).isin(list(upsert_ops)))
+        .select(
+            *keys,
+            *[
+                c
+                for c in changes.columns
+                if c not in keys and c not in (op_col, sequence_col)
+            ],
+            F.col("__dve_scd_from").alias(valid_from_col),
+            F.col(valid_to_col),
+            F.col(valid_to_col).isNull().alias(current_col),
+        )
+    )
+
+
+def scd2_snapshot(
+    history: DataFrame,
+    as_of,
+    *,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """The table state at sequence point ``as_of`` from a type-2 history:
+    rows whose validity interval covers ``as_of`` (half-open
+    ``[valid_from, valid_to)``; NULL ``valid_to`` = open). Zero-shuffle
+    filter — at 100 TB, partition the history by ``valid_to IS NULL`` /
+    date so point-in-time scans prune to the live slice.
+
+    Consistency law (property-tested): equals ``apply_changes(empty,
+    ledger[seq <= as_of])`` over the ledger the history was built from.
+    """
+    return history.where(
+        (F.col(valid_from_col) <= F.lit(as_of))
+        & (
+            F.col(valid_to_col).isNull()
+            | (F.col(valid_to_col) > F.lit(as_of))
+        )
+    ).drop(valid_from_col, valid_to_col, current_col)

@@ -861,6 +861,68 @@ class ApplyChanges(AbstractStep):
     sequence_column: Optional[str] = None
 
 
+class Scd2Build(AbstractStep):
+    """Slowly-changing-dimension TYPE 2 history from a CDC ledger: one
+    row per (key, version) with ``valid_from``/``valid_to`` bounds in
+    sequence units and an ``is_current`` flag. Deletes close intervals
+    without opening one."""
+
+    operation: Literal["scd2"] = "scd2"
+    keys: tuple[str, ...]
+    sequence_column: str
+    op_column: str = "op"
+
+
+class ExactQuotaSample(AbstractStep):
+    """Deterministic exactly-n sample per stratum (or globally), ranked
+    by md5(seed || key) with key tiebreak — exact counts where
+    rate-based sampling only hits quota in expectation."""
+
+    operation: Literal["exact_quota_sample"] = "exact_quota_sample"
+    key_column: str
+    n: int
+    strata_columns: Optional[tuple[str, ...]] = None
+    seed: str = ""
+
+
+class Winsorize(AbstractStep):
+    """Clip a column to its group's [lower, upper] quantiles (exact
+    interpolated percentiles, broadcast bounds, per-row clamp)."""
+
+    operation: Literal["winsorize"] = "winsorize"
+    value_column: str
+    lower: float = 0.05
+    upper: float = 0.95
+    group_by: Optional[tuple[str, ...]] = None
+    output_column: Optional[str] = None
+    round_to: int = 6
+
+
+class Impute(AbstractStep):
+    """Fill NULLs per column by strategy — 'mean', 'median', or a
+    literal constant — optionally per group (cohort-local centres,
+    broadcast back)."""
+
+    operation: Literal["impute"] = "impute"
+    columns: dict[str, object]
+    group_by: Optional[tuple[str, ...]] = None
+    round_to: int = 6
+
+
+class KmvSetOps(AbstractStep):
+    """Union/intersection/Jaccard distinct-count estimates between this
+    entity's and ``target_name``'s value sets from O(k) KMV sketches —
+    set-overlap questions answered without shuffling the data."""
+
+    operation: Literal["kmv_set"] = "kmv_set"
+    target_name: str
+    value_column: str
+    target_value_column: Optional[str] = None
+    group_by: tuple[str, ...] = ()
+    k: int = 256
+    seed: str = ""
+
+
 class ProfileDiff(AbstractStep):
     """Schema/stat drift between this entity and ``target_name``: one row
     per column in either side (added/removed/common + null-rate delta)."""
@@ -924,6 +986,10 @@ class Bm25Search(AbstractStep):
     k1: float = 1.2
     b: float = 0.75
     round_to: int = 6
+    #: emit the pre-fold per-term rows (id, term, tf, df, dl, n_docs,
+    #: sum_dl, weight) instead of the folded scores — the
+    #: explain-the-score surface whose integers are engine-exact
+    detail: bool = False
 
 
 class PageRankStep(AbstractStep):
@@ -1023,6 +1089,11 @@ AnyStep = Annotated[
         ProjectVectors,
         CorpusMix,
         SnapshotDiff,
+        Scd2Build,
+        ExactQuotaSample,
+        Winsorize,
+        Impute,
+        KmvSetOps,
     ],
     Field(discriminator="operation"),
 ]

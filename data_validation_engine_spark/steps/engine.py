@@ -1398,6 +1398,7 @@ class StepEngine:
             k1=config.k1,
             b=config.b,
             round_to=config.round_to,
+            detail=config.detail,
         )
         return None
 

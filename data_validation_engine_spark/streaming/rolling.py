@@ -41,8 +41,13 @@ def streaming_rolling_counts(
     watermark: str = "1 hour",
 ):
     """Per-key trailing-window event counts as a custom stateful
-    streaming operator. Emits ``(<key_col>, event_ts, n_window)``; the
-    key column keeps its input name and type.
+    streaming operator. Emits ``(<key_col>, event_ts_us, n_window)``; the
+    key column keeps its input name and type; ``event_ts_us`` is integer
+    epoch-microseconds (``timestamp_micros()`` recovers the instant).
+    Timestamp arithmetic happens JVM-side (``unix_micros``) before the
+    Python hop — the Arrow/pandas datetime conversion respects the driver
+    session timezone and is therefore not environment-invariant
+    (sessions.py documents the failure mode); longs are.
     """
     if not sdf.isStreaming:
         raise ConfigurationError(
@@ -50,12 +55,7 @@ def streaming_rolling_counts(
             "llmops.analytics.rolling_agg for batch frames"
         )
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.types import (
-        LongType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
     win_us = int(round(float(window_seconds) * 1_000_000))
 
@@ -69,10 +69,8 @@ def streaming_rolling_counts(
         # one concat + one sort per key: chunks arrive in shuffle order
         # (same multi-chunk hazard sessions.py documents)
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        batch_us = (
-            pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
-        ).tolist()
+        pdf = pdf.sort_values("__ts_us", kind="mergesort")
+        batch_us = [int(t) for t in pdf["__ts_us"].tolist()]
         # merged timeline: state is already sorted; batch is sorted; the
         # count for each batch row is a closed-interval slice of it
         merged = sorted(hist + batch_us)
@@ -88,7 +86,7 @@ def streaming_rolling_counts(
         yield pd.DataFrame(
             {
                 key_col: [k] * len(batch_us),
-                "event_ts": pd.to_datetime(pdf[ts_col]),
+                "event_ts_us": batch_us,
                 "n_window": counts,
             }
         )
@@ -96,12 +94,15 @@ def streaming_rolling_counts(
     out_schema = StructType(
         [
             StructField(key_col, sdf.schema[key_col].dataType),
-            StructField("event_ts", TimestampType()),
+            StructField("event_ts_us", LongType()),
             StructField("n_window", LongType()),
         ]
     )
     return (
         sdf.withWatermark(ts_col, watermark)
+        .withColumn(
+            "__ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+        )
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             count_windows,

@@ -100,8 +100,14 @@ def streaming_sessionize(
     single ``availableNow`` drain the output equals :func:`sessionize`
     (pytest-asserted); across batches, state carries the boundary.
 
-    Emits ``(<user_col>, event_ts, session_idx)`` — the key column keeps
-    its input name and type.
+    Emits ``(<user_col>, event_ts_us, session_idx)`` — the key column
+    keeps its input name and type; ``event_ts_us`` is the event time as
+    integer epoch-microseconds (``timestamp_micros()`` recovers the
+    instant). All timestamp arithmetic happens JVM-side via
+    ``unix_micros`` BEFORE the Python hop: the Arrow/pandas timestamp
+    conversion localizes to the driver session's timezone, and a non-UTC
+    session under DST shifts event spacing non-uniformly — integer-long
+    plumbing is immune by construction (the round-7 driver red-row fix).
     """
     if not sdf.isStreaming:
         raise ConfigurationError(
@@ -109,12 +115,7 @@ def streaming_sessionize(
             "sessionize for batch frames"
         )
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.types import (
-        LongType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
     gap_us = int(gap_seconds) * 1_000_000
 
@@ -131,10 +132,8 @@ def streaming_sessionize(
         # independently would break global event-time order for keys whose
         # rows span chunks. Concatenate first, sort once per key.
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ts_us = (
-            pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
-        ).tolist()
+        pdf = pdf.sort_values("__ts_us", kind="mergesort")
+        ts_us = [int(t) for t in pdf["__ts_us"].tolist()]
         idxs = []
         for t in ts_us:
             if last_us is None or t - last_us > gap_us:
@@ -145,7 +144,7 @@ def streaming_sessionize(
         yield pd.DataFrame(
             {
                 user_col: [user] * len(idxs),
-                "event_ts": pd.to_datetime(pdf[ts_col]),
+                "event_ts_us": ts_us,
                 "session_idx": idxs,
             }
         )
@@ -153,12 +152,18 @@ def streaming_sessionize(
     out_schema = StructType(
         [
             StructField(user_col, sdf.schema[user_col].dataType),
-            StructField("event_ts", TimestampType()),
+            StructField("event_ts_us", LongType()),
             StructField("session_idx", LongType()),
         ]
     )
     return (
         sdf.withWatermark(ts_col, watermark)
+        # integer epoch-µs computed JVM-side: the state math never touches
+        # a pandas datetime (the ts column itself stays in the frame only
+        # to carry the watermark)
+        .withColumn(
+            "__ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+        )
         .groupBy(F.col(user_col))
         .applyInPandasWithState(
             assign,

@@ -118,6 +118,16 @@ class TestMergeUpsert:
         rows = latest_per_key(df, ["k"], "seq").collect()
         assert [(r.k, r.seq, r.v) for r in rows] == [(1, 5, "a")]
 
+    def test_latest_per_key_ties_with_nulls_follow_ansi(self, spark):
+        # tiebreak is ascending NULLS LAST (the ANSI/DuckDB default), so
+        # a cross-engine replay of the same ORDER BY picks one winner
+        # even when a tied row carries NULLs
+        df = spark.createDataFrame(
+            [(1, 5, None), (1, 5, "a")], "k int, seq int, v string"
+        ).repartition(4)
+        rows = latest_per_key(df, ["k"], "seq").collect()
+        assert [(r.k, r.seq, r.v) for r in rows] == [(1, 5, "a")]
+
 
 class TestApplyChanges:
     def test_cdc_ledger(self, spark, base):
@@ -347,3 +357,18 @@ class TestSnapshotDiff:
         with pytest.raises(ValueError, match="missing from a snapshot"):
             snapshot_diff(b, a, ["id"])
         assert snapshot_diff(a, b, ["id"]).count() == 0
+
+    def test_null_key_fails_loudly(self, spark):
+        # a NULL-keyed ledger row could never match during apply (keys
+        # match with SQL equality), silently breaking the round-trip law
+        # — the in-plan guard must fail the action instead
+        from data_validation_engine_spark.merge import snapshot_diff
+
+        clean = spark.createDataFrame([(1, "a")], "id int, v string")
+        dirty = spark.createDataFrame(
+            [(1, "b"), (None, "x")], "id int, v string"
+        )
+        with pytest.raises(Exception, match="NULL key value"):
+            snapshot_diff(clean, dirty, ["id"]).collect()
+        with pytest.raises(Exception, match="NULL key value"):
+            snapshot_diff(dirty, clean, ["id"]).collect()

@@ -277,15 +277,19 @@ def test_streaming_sessionize_matches_batch(spark, events_stream, events_batch):
         .start()
     )
     q.awaitTermination(180)
+    from pyspark.sql import functions as F
+
     got = {
-        (r["user_id"], r["event_ts"], r["session_idx"])
+        (r["user_id"], r["event_ts_us"], r["session_idx"])
         for r in spark.read.parquet(f"{out}/data").collect()
     }
     want = {
-        (r["user_id"], r["ts"], r["session_idx"])
+        (r["user_id"], r["ts_us"], r["session_idx"])
         for r in sessionize(
             events_batch, "user_id", "ts", gap_seconds=1800
-        ).collect()
+        )
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .collect()
     }
     assert got == want and len(got) > 0
 
@@ -335,14 +339,16 @@ def test_streaming_sessionize_multichunk_string_key(
     res = spark.read.parquet(f"{out}/data")
     assert res.schema["user_s"].dataType.simpleString() == "string"
     got = {
-        (r["user_s"], r["event_ts"], r["session_idx"])
+        (r["user_s"], r["event_ts_us"], r["session_idx"])
         for r in res.collect()
     }
     want = {
-        (r["user_s"], r["ts"], r["session_idx"])
+        (r["user_s"], r["ts_us"], r["session_idx"])
         for r in sessionize(
             skey_batch, "user_s", "ts", gap_seconds=1800
-        ).collect()
+        )
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .collect()
     }
     assert got == want and len(got) > 0
 
@@ -609,11 +615,11 @@ def test_streaming_rolling_counts_matches_batch(
     )
     q.awaitTermination(180)
     got = {
-        (r.user_id, r.event_ts, r.n_window)
+        (r.user_id, r.event_ts_us, r.n_window)
         for r in spark.read.parquet(out).collect()
     }
     want = {
-        (r.user_id, r.ts, r.n_window)
+        (r.user_id, r.ts_us, r.n_window)
         for r in rolling_agg(
             events_batch,
             partition_cols="user_id",
@@ -621,7 +627,8 @@ def test_streaming_rolling_counts_matches_batch(
             window_seconds=3600,
             aggs={"n_window": F.count(F.lit(1))},
         )
-        .select("user_id", "ts", "n_window")
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "ts_us", "n_window")
         .collect()
     }
     assert got == want and len(got) == events_batch.count()
@@ -683,8 +690,13 @@ def test_streaming_rolling_counts_carries_state_across_batches(
     # trailing hour, so the count must be 3 (state, not just this batch)
     write_batch("b2", [(1, t0 + dt.timedelta(minutes=50))])
     drain()
+    from pyspark.sql import functions as F
+
     rows = {
-        (r.event_ts, r.n_window) for r in spark.read.parquet(out).collect()
+        (r.event_ts, r.n_window)
+        for r in spark.read.parquet(out)
+        .withColumn("event_ts", F.timestamp_micros(F.col("event_ts_us")))
+        .collect()
     }
     assert (t0, 1) in rows
     assert (t0 + dt.timedelta(minutes=30), 2) in rows

@@ -4,7 +4,27 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
 row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [flags] [sf_dir] [query ...]
+
+Flags (the driver's environment degrees of freedom — everything it can
+legitimately do differently from this replica):
+
+--session-tz=ZONE|none   Spark session timezone (default UTC; ``none``
+                         leaves it unpinned, inheriting the JVM/OS zone —
+                         what the driver may do)
+--os-tz=ZONE             set the OS ``TZ`` for this process BEFORE any
+                         engine starts (JVM default zone, DuckDB ICU zone,
+                         pandas/pytz all follow it)
+--arrow-batch=N          spark.sql.execution.arrow.maxRecordsPerBatch
+--shuffle=N              spark.sql.shuffle.partitions
+--matrix                 run the sweep as SUBPROCESSES under a matrix of
+                         adverse configs (non-UTC OS zone + unpinned
+                         session tz + odd shuffle widths + tiny Arrow
+                         chunks); any red here is a latent driver red
+
+The matrix exists because rounds 6-7 had two rows red ONLY on the driver
+box: hashed surfaces must be environment-invariant by construction, and
+this is the harness that falsifies that locally.
 """
 
 from __future__ import annotations
@@ -59,23 +79,101 @@ def value_hash(columns: list[str], rows: list[tuple]) -> str:
     return digest.hexdigest()[:16]
 
 
+# the driver-like adverse configurations --matrix sweeps: a DST zone and
+# a +14 no-DST zone, session tz UNPINNED (inherits the OS zone), shuffle
+# widths 7 and 1 (forces different partition orders/merge paths), small
+# Arrow chunks (forces the multi-chunk pandas-state path)
+MATRIX = (
+    {"os_tz": "America/New_York", "session_tz": "none", "shuffle": "7",
+     "arrow_batch": "33"},
+    {"os_tz": "Pacific/Kiritimati", "session_tz": "none", "shuffle": "1",
+     "arrow_batch": "7"},
+)
+
+
+def parse_args(argv: list[str]):
+    opts = {
+        "session_tz": "UTC",
+        "os_tz": None,
+        "arrow_batch": None,
+        "shuffle": "16",
+        "matrix": False,
+    }
+    rest: list[str] = []
+    for a in argv:
+        if a == "--matrix":
+            opts["matrix"] = True
+        elif a.startswith("--session-tz="):
+            opts["session_tz"] = a.split("=", 1)[1]
+        elif a.startswith("--os-tz="):
+            opts["os_tz"] = a.split("=", 1)[1]
+        elif a.startswith("--arrow-batch="):
+            opts["arrow_batch"] = a.split("=", 1)[1]
+        elif a.startswith("--shuffle="):
+            opts["shuffle"] = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    return opts, sf_dir, set(rest[1:])
+
+
+def run_matrix(sf_dir: str, only: set[str]) -> int:
+    import os
+    import subprocess
+
+    failures = 0
+    for cfg in MATRIX:
+        flags = [
+            f"--session-tz={cfg['session_tz']}",
+            f"--shuffle={cfg['shuffle']}",
+            f"--arrow-batch={cfg['arrow_batch']}",
+        ]
+        env = dict(os.environ)
+        env["TZ"] = cfg["os_tz"]
+        print(f"=== matrix: TZ={cfg['os_tz']} {' '.join(flags)} ===",
+              flush=True)
+        rc = subprocess.call(
+            [sys.executable, __file__, *flags, sf_dir, *sorted(only)],
+            env=env,
+        )
+        failures += 1 if rc else 0
+    print("matrix configs failed:", failures)
+    return 1 if failures else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    opts, sf_dir, only = parse_args(sys.argv[1:])
+    if opts["matrix"]:
+        return run_matrix(sf_dir, only)
+    if opts["os_tz"]:
+        import os
+        import time
+
+        os.environ["TZ"] = opts["os_tz"]
+        time.tzset()
 
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[16]")
         .appName("oracle-check")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", opts["shuffle"])
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    if opts["session_tz"] != "none":
+        builder = builder.config(
+            "spark.sql.session.timeZone", opts["session_tz"]
+        )
+    if opts["arrow_batch"]:
+        builder = builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            opts["arrow_batch"],
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
