@@ -670,7 +670,13 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_merge.py); 'cdc' rows are the DECLARED apply_changes step
     over an I/U/D ledger derived from orders, collapsed latest-per-key
     by o_orderkey (unique, so the collapse is engine-exact) with 'P'
-    status rows acting as deletes."""
+    status rows acting as deletes; 'scd2'/'scd2s' rows (round 8) build
+    the TYPE-2 history from the SAME ledger via the DECLARED scd2 step
+    (merge.py scd2_from_ledger: one keyed lead-window, validity bounds
+    in the integer sequence domain, deletes close intervals) plus its
+    point-in-time snapshot at half the max sequence (broadcast scalar,
+    no driver collect) — latest-state, full-history, and as-of reads of
+    one change feed proven against each other."""
     from data_validation_engine_spark.steps import parse_step
 
     ents = _load(spark, sf_dir, ["customer", "supplier", "orders"])
@@ -811,7 +817,53 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc_rows = ents["current"].selectExpr(
         "'cdc' AS op", "id", "name", "bal", "CAST(NULL AS STRING) AS src"
     )
-    return union_rows.unionAll(upsert_rows).unionAll(cdc_rows)
+
+    # -- 'scd2'/'scd2s': type-2 history + point-in-time snapshot over the
+    # SAME ledger the cdc tag applies — latest-state and full-history
+    # maintenance proven against each other from one change feed. The
+    # declared scd2 step builds the history (one keyed window, validity
+    # bounds in the integer o_orderkey sequence domain); the snapshot tag
+    # reads it as of half the max sequence via a broadcast scalar (no
+    # driver collect).
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "scd2",
+                "entity_name": "ledger",
+                "keys": ["id"],
+                "sequence_column": "seq",
+                "op_column": "cop",
+                "new_entity_name": "history",
+            }
+        ),
+    )
+    scd2_rows = ents["history"].selectExpr(
+        "'scd2' AS op",
+        "id",
+        "CONCAT(name, ':', CAST(valid_from AS STRING), ':',"
+        " CAST(COALESCE(valid_to, -1) AS STRING), ':',"
+        " CAST(CAST(is_current AS INT) AS STRING)) AS name",
+        "bal",
+        "CAST(NULL AS STRING) AS src",
+    )
+    from data_validation_engine_spark.merge import scd2_snapshot
+
+    as_of = ents["orders"].agg(
+        F.expr("max(o_orderkey) DIV 2").alias("__as_of")
+    )
+    snap_rows = scd2_snapshot(
+        ents["history"].crossJoin(F.broadcast(as_of)),
+        F.col("__as_of"),
+    ).selectExpr(
+        "'scd2s' AS op", "id", "name", "bal", "CAST(NULL AS STRING) AS src"
+    )
+    return (
+        union_rows.unionAll(upsert_rows)
+        .unionAll(cdc_rows)
+        .unionAll(scd2_rows)
+        .unionAll(snap_rows)
+    )
 
 
 def q_join_header(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2006,6 +2058,167 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS STRING) AS s1",
         "CAST(NULL AS STRING) AS s2",
     )
+    # 'kmvset' rows (round 8): KMV SET ALGEBRA through the DECLARED
+    # kmv_set step — union/intersection/Jaccard of the open-order vs
+    # finished-order customer sets per priority, estimated from the two
+    # O(k) sketches alone (llmops/sketch.py kmv_set_estimates, Beyer et
+    # al. 2007). The oracle recomputes the identical sketches, so the
+    # approximate set algebra is engine-exact — the same property the
+    # 'kmv' rows pin for plain cardinality.
+    ents["open_orders"] = ents["orders"].where("o_orderstatus = 'O'")
+    ents["done_orders"] = ents["orders"].where("o_orderstatus = 'F'")
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "kmv_set",
+                "entity_name": "open_orders",
+                "target_name": "done_orders",
+                "value_column": "o_custkey",
+                "group_by": ["o_orderpriority"],
+                "k": 128,
+                "new_entity_name": "setest",
+            }
+        ),
+    )
+    kmvset = ents["setest"].selectExpr(
+        "o_orderpriority",
+        "union_n_seen",
+        "n_both",
+        "stack(3, 'union', union_est, 'inter', intersect_est,"
+        " 'jac', jaccard) AS (tag, v)",
+    ).selectExpr(
+        "'kmvset' AS op",
+        "o_orderpriority || ':' || tag AS key",
+        "union_n_seen AS a",
+        "n_both AS b",
+        "v AS x",
+        "CAST(NULL AS STRING) AS s1",
+        "CAST(NULL AS STRING) AS s2",
+    )
+    # 'wins' rows (round 8): DECLARED winsorize of integer price cents
+    # per return flag to the exact [p5, p95] interpolated bounds —
+    # hashed surface = clip counts + the two deterministic bounds (the
+    # clipped SUM would be a float-order trap; counts and bounds pin the
+    # same semantics exactly)
+    eng.evaluate(
+        ents,
+        config=ColumnAddition(
+            entity_name="lineitem",
+            column_name="cents",
+            expression="CAST(round(l_extendedprice * 100) AS DOUBLE)",
+            new_entity_name="li_cents",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "winsorize",
+                "entity_name": "li_cents",
+                "value_column": "cents",
+                "lower": 0.05,
+                "upper": 0.95,
+                "group_by": ["l_returnflag"],
+                "output_column": "cents_w",
+                "new_entity_name": "winsored",
+            }
+        ),
+    )
+    wins = (
+        ents["winsored"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("cents_w") > F.col("cents")).cast("long")
+            ).alias("n_lo"),
+            F.sum(
+                (F.col("cents_w") < F.col("cents")).cast("long")
+            ).alias("n_hi"),
+            F.max(
+                F.when(F.col("cents_w") > F.col("cents"), F.col("cents_w"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cents_w") < F.col("cents"), F.col("cents_w"))
+            ).alias("hi"),
+        )
+        .selectExpr(
+            "'wins' AS op",
+            "l_returnflag AS key",
+            "n_lo AS a",
+            "n_hi AS b",
+            "lo + hi AS x",
+            "CAST(NULL AS STRING) AS s1",
+            "CAST(NULL AS STRING) AS s2",
+        )
+    )
+    # 'imp' rows (round 8): DECLARED impute step — synthetic NULLs
+    # (orderkey mod 13 / mod 17) filled with the cohort mean / exact
+    # median per return flag; hashed surface = imputed-row counts + the
+    # fill values themselves (mean = exact-integer sum / count, one
+    # division; median = round-6 percentile — both engine-exact)
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="lineitem",
+            columns=(
+                "l_returnflag, l_orderkey,"
+                " CASE WHEN l_orderkey % 13 = 0 THEN NULL"
+                " ELSE CAST(round(l_extendedprice * 100) AS DOUBLE)"
+                " END AS vmean,"
+                " CASE WHEN l_orderkey % 17 = 0 THEN NULL"
+                " ELSE CAST(round(l_extendedprice * 100) AS DOUBLE)"
+                " END AS vmed"
+            ),
+            new_entity_name="li_holes",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "impute",
+                "entity_name": "li_holes",
+                "columns": {"vmean": "mean", "vmed": "median"},
+                "group_by": ["l_returnflag"],
+                "new_entity_name": "imputed",
+            }
+        ),
+    )
+    imp = (
+        ents["imputed"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_orderkey") % 13 == 0).cast("long")).alias(
+                "n13"
+            ),
+            F.sum((F.col("l_orderkey") % 17 == 0).cast("long")).alias(
+                "n17"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.when(F.col("l_orderkey") % 13 == 0, F.col("vmean"))
+            ).alias("fmean"),
+            F.max(
+                F.when(F.col("l_orderkey") % 17 == 0, F.col("vmed"))
+            ).alias("fmed"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "n",
+            "stack(2, 'mean', n13, fmean, 'med', n17, fmed)"
+            " AS (tag, cnt, v)",
+        )
+        .selectExpr(
+            "'imp' AS op",
+            "l_returnflag || ':' || tag AS key",
+            "cnt AS a",
+            "n AS b",
+            "v AS x",
+            "CAST(NULL AS STRING) AS s1",
+            "CAST(NULL AS STRING) AS s2",
+        )
+    )
     return (
         kmv.unionAll(prof)
         .unionAll(quants)
@@ -2014,6 +2227,9 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(bins)
         .unionAll(outliers)
         .unionAll(squants)
+        .unionAll(kmvset)
+        .unionAll(wins)
+        .unionAll(imp)
     )
 
 
@@ -2437,7 +2653,30 @@ def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'mix' AS op", "doc_id", "CAST(NULL AS INT) AS idx",
         "CAST(n_chars AS BIGINT) AS n", "src AS payload",
     )
-    return chunks.unionAll(packs).unionAll(mixed)
+    # 'quota' rows (round 8): EXACT-size per-stratum sampling through the
+    # DECLARED exact_quota_sample step — exactly 25 docs per source label
+    # ranked by md5(doc_id) with key tiebreak (llmops/split.py;
+    # WindowGroupLimit keeps a running top-25 per partition below the
+    # exchange, so the shuffle carries samples, not strata). Rate-based
+    # sampling only hits quota in expectation; eval slices need counts.
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "exact_quota_sample",
+                "entity_name": "labelled",
+                "key_column": "doc_id",
+                "n": 25,
+                "strata_columns": ["src"],
+                "new_entity_name": "quota",
+            }
+        ),
+    )
+    quota = ents["quota"].selectExpr(
+        "'quota' AS op", "doc_id", "CAST(NULL AS INT) AS idx",
+        "CAST(n_chars AS BIGINT) AS n", "src AS payload",
+    )
+    return chunks.unionAll(packs).unionAll(mixed).unionAll(quota)
 
 
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4223,6 +4462,111 @@ _LLMOPS_ORACLES: dict[str, str] = {
                 )
             ) WHERE rn <= 256 GROUP BY 1
         ) UNPIVOT (v FOR tag IN (p25, p50, p75))
+        UNION ALL
+        SELECT 'kmvset', p || ':' || tag, union_n_seen, n_both, v,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT p, union_n_seen, n_both, union_est, jac,
+                   CAST(jac * union_est AS DOUBLE) AS inter
+            FROM (
+            SELECT p, union_n_seen, n_both,
+                   CASE WHEN union_n_seen < 128
+                        THEN CAST(union_n_seen AS DOUBLE)
+                        ELSE CAST('{float(127) * float(1 << 60)!r}'
+                                  AS DOUBLE) / CAST(kth AS DOUBLE)
+                   END AS union_est,
+                   CAST(n_both AS DOUBLE)
+                       / CAST(union_n_seen AS DOUBLE) AS jac
+            FROM (
+                SELECT p, count(*) AS union_n_seen,
+                       max(CASE WHEN rn = 128 THEN hv END) AS kth,
+                       sum(CASE WHEN in_a = 1 AND in_b = 1
+                                THEN 1 ELSE 0 END) AS n_both
+                FROM (
+                    SELECT p, hv, in_a, in_b, row_number() OVER (
+                        PARTITION BY p ORDER BY hv) AS rn
+                    FROM (
+                        SELECT p, hv, max(in_a) AS in_a, max(in_b) AS in_b
+                        FROM (
+                            SELECT p, hv, 1 AS in_a, 0 AS in_b FROM (
+                                SELECT p, hv, row_number() OVER (
+                                    PARTITION BY p ORDER BY hv) AS rn
+                                FROM (
+                                    SELECT DISTINCT o_orderpriority AS p,
+                                        ('0x' || substring(md5(CAST(
+                                            o_custkey AS VARCHAR)), 1, 15)
+                                        )::BIGINT AS hv
+                                    FROM orders WHERE o_orderstatus = 'O'
+                                )
+                            ) WHERE rn <= 128
+                            UNION ALL
+                            SELECT p, hv, 0, 1 FROM (
+                                SELECT p, hv, row_number() OVER (
+                                    PARTITION BY p ORDER BY hv) AS rn
+                                FROM (
+                                    SELECT DISTINCT o_orderpriority AS p,
+                                        ('0x' || substring(md5(CAST(
+                                            o_custkey AS VARCHAR)), 1, 15)
+                                        )::BIGINT AS hv
+                                    FROM orders WHERE o_orderstatus = 'F'
+                                )
+                            ) WHERE rn <= 128
+                        ) GROUP BY p, hv
+                    )
+                ) WHERE rn <= 128 GROUP BY p
+            )
+            )
+        ) UNPIVOT (v FOR tag IN (union_est AS "union",
+                                 inter AS inter, jac AS jac))
+        UNION ALL
+        SELECT 'wins', l_returnflag, n_lo, n_hi, lo + hi,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT l.l_returnflag,
+                   sum(CASE WHEN cents < b.lo THEN 1 ELSE 0 END) AS n_lo,
+                   sum(CASE WHEN cents > b.hi THEN 1 ELSE 0 END) AS n_hi,
+                   b.lo, b.hi
+            FROM (
+                SELECT l_returnflag,
+                       CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS DOUBLE) AS cents
+                FROM lineitem
+            ) l JOIN (
+                SELECT l_returnflag,
+                       round(quantile_cont(
+                           CAST(CAST(round(l_extendedprice * 100)
+                                AS BIGINT) AS DOUBLE), 0.05), 6) AS lo,
+                       round(quantile_cont(
+                           CAST(CAST(round(l_extendedprice * 100)
+                                AS BIGINT) AS DOUBLE), 0.95), 6) AS hi
+                FROM lineitem GROUP BY 1
+            ) b USING (l_returnflag)
+            GROUP BY 1, b.lo, b.hi
+        )
+        UNION ALL
+        SELECT 'imp', l_returnflag || ':' || tag, cnt, n, v,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(CASE WHEN l_orderkey % 13 = 0
+                            THEN 1 ELSE 0 END) AS n13,
+                   sum(CASE WHEN l_orderkey % 17 = 0
+                            THEN 1 ELSE 0 END) AS n17,
+                   CAST(sum(vmean) AS DOUBLE)
+                       / CAST(count(vmean) AS DOUBLE) AS fmean,
+                   round(quantile_cont(vmed, 0.5), 6) AS fmed
+            FROM (
+                SELECT l_returnflag, l_orderkey,
+                       CASE WHEN l_orderkey % 13 = 0 THEN NULL
+                            ELSE CAST(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT) AS DOUBLE) END AS vmean,
+                       CASE WHEN l_orderkey % 17 = 0 THEN NULL
+                            ELSE CAST(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT) AS DOUBLE) END AS vmed
+                FROM lineitem
+            ) GROUP BY 1
+        ) UNPIVOT ((cnt, v) FOR tag IN ((n13, fmean) AS mean,
+                                        (n17, fmed) AS med))
     """,
     # BM25 (ordered-fold scores) + blocked fuzzy linkage pairs; the fuzzy
     # twin is the NAIVE blocked join, pinning the length-bucket
@@ -4565,6 +4909,17 @@ _LLMOPS_ORACLES: dict[str, str] = {
         )
         SELECT * FROM chunks UNION ALL SELECT * FROM packs
         UNION ALL SELECT * FROM mixed
+        UNION ALL
+        SELECT 'quota', doc_id, CAST(NULL AS INT),
+               CAST(n_chars AS BIGINT), src
+        FROM (
+            SELECT doc_id, n_chars, src,
+                   row_number() OVER (
+                       PARTITION BY src
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM labelled
+        ) WHERE rk <= 25
     """,
     # exact word-5-gram overlap vs the doc_id % 97 = 0 benchmark slice
     "decontaminate": f"""
@@ -4904,6 +5259,44 @@ _ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'cdc', m.id, m.name, m.bal, NULL FROM cdc_merged m
         WHERE m.id NOT IN (SELECT id FROM dels)
+        UNION ALL
+        SELECT 'scd2', id,
+               name || ':' || CAST(valid_from AS VARCHAR) || ':'
+                    || CAST(COALESCE(valid_to, -1) AS VARCHAR) || ':'
+                    || CASE WHEN valid_to IS NULL THEN '1' ELSE '0' END,
+               bal, NULL
+        FROM (
+            SELECT id, name, bal, cop, o_orderkey AS valid_from,
+                   lead(o_orderkey) OVER (
+                       PARTITION BY id ORDER BY o_orderkey) AS valid_to
+            FROM (
+                SELECT o_custkey AS id,
+                       CONCAT('cdc_', CAST(o_custkey AS VARCHAR)) AS name,
+                       CAST(o_orderkey % 1000 AS DOUBLE) AS bal,
+                       CASE WHEN o_orderstatus = 'P' THEN 'D'
+                            ELSE 'U' END AS cop,
+                       o_orderkey
+                FROM orders
+            )
+        ) WHERE cop = 'U'
+        UNION ALL
+        SELECT 'scd2s', id, name, bal, NULL
+        FROM (
+            SELECT id, name, bal, cop, o_orderkey AS valid_from,
+                   lead(o_orderkey) OVER (
+                       PARTITION BY id ORDER BY o_orderkey) AS valid_to
+            FROM (
+                SELECT o_custkey AS id,
+                       CONCAT('cdc_', CAST(o_custkey AS VARCHAR)) AS name,
+                       CAST(o_orderkey % 1000 AS DOUBLE) AS bal,
+                       CASE WHEN o_orderstatus = 'P' THEN 'D'
+                            ELSE 'U' END AS cop,
+                       o_orderkey
+                FROM orders
+            )
+        ), (SELECT max(o_orderkey) // 2 AS as_of FROM orders)
+        WHERE cop = 'U' AND valid_from <= as_of
+          AND (valid_to IS NULL OR valid_to > as_of)
     """,
     "join_header": """
         SELECT n_nationkey, n_name, h.n_orders, h.max_price

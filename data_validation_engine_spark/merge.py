@@ -152,26 +152,34 @@ def merge_upsert(
             "merge_upsert never widens the base schema"
         )
 
-    upd = updates.select(
-        *keys, *update_cols, F.lit(True).alias(_MATCH_FLAG)
-    )
     if sequence_col is None:
         # lazy duplicate-key guard: a duplicated update key would silently
-        # multiply its matched base row; make the plan itself refuse.
+        # multiply its matched base row (or insert twice when the key is
+        # absent from base); make the plan itself refuse. The guard wraps
+        # the first KEY column so BOTH the update join and the insert
+        # path must evaluate it — guarding a side-channel flag column
+        # would let column pruning skip the check on the insert branch.
         # count(*) over the key window is a no-op for unique keys and
         # raises at action time otherwise — no separate validation job.
         w = Window.partitionBy(*[F.col(k) for k in keys])
-        upd = upd.withColumn(
-            _MATCH_FLAG,
-            F.when(F.count(F.lit(1)).over(w) == 1, F.lit(True)).otherwise(
+        k0 = keys[0]
+        updates = updates.withColumn(
+            k0,
+            F.when(
+                F.count(F.lit(1)).over(w) == 1, F.col(k0)
+            ).otherwise(
                 F.raise_error(
                     F.lit(
                         "merge_upsert: duplicate update keys; pass "
                         "sequence_col to collapse them deterministically"
                     )
-                ).cast("boolean")
+                ).cast(updates.schema[k0].dataType)
             ),
         )
+
+    upd = updates.select(
+        *keys, *update_cols, F.lit(True).alias(_MATCH_FLAG)
+    )
 
     aliased_upd = upd.select(
         *[F.col(k).alias(f"__u_{k}") for k in keys],
@@ -496,11 +504,16 @@ def scd2_snapshot(
 
     Consistency law (property-tested): equals ``apply_changes(empty,
     ledger[seq <= as_of])`` over the ledger the history was built from.
+
+    ``as_of`` may be a literal or a Column (e.g. a broadcast scalar
+    attached by crossJoin — the declarative form of "as of the latest
+    closed period").
     """
+    point = as_of if isinstance(as_of, Column) else F.lit(as_of)
     return history.where(
-        (F.col(valid_from_col) <= F.lit(as_of))
+        (F.col(valid_from_col) <= point)
         & (
             F.col(valid_to_col).isNull()
-            | (F.col(valid_to_col) > F.lit(as_of))
+            | (F.col(valid_to_col) > point)
         )
     ).drop(valid_from_col, valid_to_col, current_col)

@@ -115,6 +115,11 @@ from data_validation_engine_spark.steps.configs import (
     ProjectVectors,
     CorpusMix,
     SnapshotDiff,
+    Scd2Build,
+    ExactQuotaSample,
+    Winsorize,
+    Impute,
+    KmvSetOps,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -224,6 +229,11 @@ class StepEngine:
             ProjectVectors: self.project_vectors,
             CorpusMix: self.corpus_mix,
             SnapshotDiff: self.snapshot_diff,
+            Scd2Build: self.scd2,
+            ExactQuotaSample: self.exact_quota_sample,
+            Winsorize: self.winsorize,
+            Impute: self.impute,
+            KmvSetOps: self.kmv_set,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1710,6 +1720,92 @@ class StepEngine:
             dict(config.targets),
             config.budget,
             seed=config.seed,
+        )
+        return None
+
+    def scd2(self, entities: Entities, *, config: Scd2Build) -> Messages:
+        from data_validation_engine_spark.merge import scd2_from_ledger
+
+        entities[config.output_name] = scd2_from_ledger(
+            entities[config.entity_name],
+            list(config.keys),
+            sequence_col=config.sequence_column,
+            op_col=config.op_column,
+        )
+        return None
+
+    def exact_quota_sample(
+        self, entities: Entities, *, config: ExactQuotaSample
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.split import (
+            exact_quota_sample,
+        )
+
+        entities[config.output_name] = exact_quota_sample(
+            entities[config.entity_name],
+            config.key_column,
+            config.n,
+            strata_cols=list(config.strata_columns)
+            if config.strata_columns
+            else None,
+            seed=config.seed,
+        )
+        return None
+
+    def winsorize(
+        self, entities: Entities, *, config: Winsorize
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import winsorize
+
+        entities[config.output_name] = winsorize(
+            entities[config.entity_name],
+            list(config.group_by) if config.group_by else [],
+            config.value_column,
+            lower=config.lower,
+            upper=config.upper,
+            out_col=config.output_column,
+            round_to=config.round_to,
+        )
+        return None
+
+    def impute(self, entities: Entities, *, config: Impute) -> Messages:
+        from data_validation_engine_spark.llmops.analytics import (
+            impute_nulls,
+        )
+
+        entities[config.output_name] = impute_nulls(
+            entities[config.entity_name],
+            dict(config.columns),
+            group_cols=list(config.group_by) if config.group_by else None,
+            round_to=config.round_to,
+        )
+        return None
+
+    def kmv_set(
+        self, entities: Entities, *, config: KmvSetOps
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.sketch import (
+            kmv_set_estimates,
+            kmv_sketch,
+        )
+
+        groups = list(config.group_by)
+        sk_a = kmv_sketch(
+            entities[config.entity_name],
+            groups,
+            config.value_column,
+            k=config.k,
+            seed=config.seed,
+        )
+        sk_b = kmv_sketch(
+            entities[config.target_name],
+            groups,
+            config.target_value_column or config.value_column,
+            k=config.k,
+            seed=config.seed,
+        )
+        entities[config.output_name] = kmv_set_estimates(
+            sk_a, sk_b, groups, k=config.k
         )
         return None
 

@@ -72,6 +72,20 @@ class TestMergeUpsert:
         with pytest.raises(Exception, match="duplicate update keys"):
             merge_upsert(base, upd, ["id"]).collect()
 
+    def test_duplicate_keys_fail_on_insert_path_too(self, spark, base):
+        # keys ABSENT from base take the insert branch — a guard that
+        # only wraps the update join would let duplicates insert twice
+        # silently (round-8 regression test for exactly that hole)
+        upd = spark.createDataFrame(
+            [(999, "x", 1.0), (999, "y", 2.0)],
+            "id int, name string, bal double",
+        )
+        with pytest.raises(Exception, match="duplicate update keys"):
+            merge_upsert(base, upd, ["id"]).collect()
+        empty = base.limit(0)
+        with pytest.raises(Exception, match="duplicate update keys"):
+            merge_upsert(empty, upd, ["id"]).collect()
+
     def test_sequence_col_collapses_latest_wins(self, spark, base):
         upd = spark.createDataFrame(
             [(2, "old", 1.0, 1), (2, "new", 2.0, 2)],
