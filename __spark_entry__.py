@@ -124,7 +124,13 @@ def q_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation: TPC-H Q1-shaped pricing summary, with the pivot
     variant (fixed value list, no extra distinct job) joined on per
     linestatus — one driver row attests plain AND pivoted aggregation
-    (merged from the former group_by_pivot row)."""
+    (merged from the former group_by_pivot row). Round 8: the DECLARED
+    unpivot step melts the pivoted frame back to long form and the
+    melted value joins on as ``q_roundtrip`` — pivot∘unpivot = identity,
+    attested inside the same row (the oracle pins q_roundtrip to the
+    directly-aggregated value)."""
+    from data_validation_engine_spark.steps import parse_step
+
     ents = _load(spark, sf_dir, ["lineitem"])
     eng = _engine(spark)
     eng.evaluate(
@@ -153,17 +159,41 @@ def q_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_entity_name="pivoted",
         ),
     )
-    return ents["q1"].join(ents["pivoted"], on="l_linestatus").select(
-        "l_returnflag",
-        "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
-        "sum_disc_price",
-        "avg_qty",
-        "count_order",
-        "A",
-        "N",
-        "R",
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "unpivot",
+                "entity_name": "pivoted",
+                "id_columns": ["l_linestatus"],
+                "value_columns": ["A", "N", "R"],
+                "variable_column": "rflag",
+                "value_column": "q_roundtrip",
+                "new_entity_name": "melted",
+            }
+        ),
+    )
+    return (
+        ents["q1"]
+        .join(ents["pivoted"], on="l_linestatus")
+        .join(
+            ents["melted"].withColumnRenamed("l_linestatus", "__ls"),
+            on=(F.col("l_linestatus") == F.col("__ls"))
+            & (F.col("l_returnflag") == F.col("rflag")),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "avg_qty",
+            "count_order",
+            "A",
+            "N",
+            "R",
+            "q_roundtrip",
+        )
     )
 
 
@@ -191,6 +221,16 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-key timestamp-tail state, availableNow drain) — its DuckDB
       twin is the identical window SQL, so the hash proves batch/stream
       rolling parity instead of claiming it.
+    - ``ret`` (round 8): DECLARED retention_cohorts step
+      (llmops/events.py) — users bucketed by first-seen day, counted
+      once per later active day; all-integer DIV arithmetic on epoch
+      micros, two user-keyed shuffles + one O(days²) agg.
+    - ``fun`` (round 8): DECLARED window_funnel step (counts=True) —
+      view→click→purchase within 3 days of each user's first view,
+      anchored-first-chain semantics (one user-keyed shuffle, JVM
+      aggregate fold over the sorted event array); the DuckDB twin is
+      the closed-form min-cascade, so the hash proves the fold computes
+      exactly the documented SQL semantics.
     """
     from data_validation_engine_spark.steps import parse_step
 
@@ -353,12 +393,69 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'' AS val",
         )
     )
+    # 'ret' + 'fun': event analytics over tz-free epoch micros, both
+    # through DECLARED steps on a ts_us projection of the same events
+    # entity the other tags read.
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="events",
+            columns="user_id, event_type, unix_micros(ts) AS ts_us",
+            new_entity_name="ev_us",
+        ),
+    )
+    day_us = 86_400_000_000
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "retention_cohorts",
+                "entity_name": "ev_us",
+                "user_column": "user_id",
+                "ts_us_column": "ts_us",
+                "period_us": day_us,
+                "new_entity_name": "ret",
+            }
+        ),
+    )
+    ret = ents["ret"].selectExpr(
+        "'ret' AS op",
+        "CONCAT(CAST(cohort AS STRING), ':', CAST(offset AS STRING))"
+        " AS key",
+        "n_users AS idx",
+        "'' AS val",
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "window_funnel",
+                "entity_name": "ev_us",
+                "user_column": "user_id",
+                "ts_us_column": "ts_us",
+                "event_column": "event_type",
+                "steps": ["view", "click", "purchase"],
+                "window_us": 3 * day_us,
+                "counts": True,
+                "new_entity_name": "fun",
+            }
+        ),
+    )
+    fun = ents["fun"].selectExpr(
+        "'fun' AS op",
+        "CAST(stage AS STRING) AS key",
+        "n_at_least AS idx",
+        "CONCAT(CAST(n_exact AS STRING), ':',"
+        " CAST(lag_sum_us AS STRING)) AS val",
+    )
     return (
         ents["tk"]
         .unionByName(ents["rl"])
         .unionByName(pct)
         .unionByName(ru)
         .unionByName(sroll)
+        .unionByName(ret)
+        .unionByName(fun)
     )
 
 
@@ -1628,11 +1725,17 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its token-id sequence (frequency-ranked ids, id 0 = UNK) via the
     DECLARED encode_tokens step, the sequence pinned as an md5 of the
     comma-joined ids plus token/UNK counts — learn-the-vocab and
-    apply-the-vocab proven against each other in one row."""
+    apply-the-vocab proven against each other in one row; 'post' rows
+    (round 8) are the INVERTED INDEX over the same corpus
+    (llmops/text.py build_postings): per term, doc_freq + total tf +
+    the md5 of the doc-id-ordered ``docid:tf`` posting list — the
+    term→documents map a retrieval or decontamination pass probes,
+    order-exact under any partitioning."""
     from data_validation_engine_spark.llmops import (
         build_vocab,
         tfidf_top_terms,
     )
+    from data_validation_engine_spark.llmops.text import build_postings
     from data_validation_engine_spark.steps import parse_step
 
     docs = _docs(spark, sf_dir)
@@ -1662,7 +1765,14 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'encode' AS op", "doc_id", "md5(ids_csv) AS term",
         "n_tokens AS a", "n_unk AS b", "CAST(0.0 AS DOUBLE) AS x",
     )
-    return tfidf.unionAll(vocab).unionAll(encoded)
+    postings = build_postings(
+        docs, "doc_id", "text", min_doc_freq=3
+    ).selectExpr(
+        "'post' AS op", "CAST(-1 AS BIGINT) AS doc_id",
+        "CONCAT(term, ':', postings_md5) AS term",
+        "doc_freq AS a", "tf_total AS b", "CAST(0.0 AS DOUBLE) AS x",
+    )
+    return tfidf.unionAll(vocab).unionAll(encoded).unionAll(postings)
 
 
 def q_quality_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4990,6 +5100,17 @@ _LLMOPS_ORACLES: dict[str, str] = {
             ) v USING (term)
             GROUP BY doc_id
         )
+        UNION ALL
+        SELECT 'post', CAST(-1 AS BIGINT),
+               term || ':' || md5(pcsv), doc_freq, tf_total, 0.0
+        FROM (
+            SELECT term, count(*) AS doc_freq, sum(tf) AS tf_total,
+                   string_agg(
+                       CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST(tf AS VARCHAR), ',' ORDER BY doc_id
+                   ) AS pcsv
+            FROM tf GROUP BY term
+        ) WHERE doc_freq >= 3
     """,
     # metadata + fake_decoder byte statistics joined on doc_id. The
     # decoder stats are recomputed in SQL: UTF-8 bytes via hex(encode(..))
@@ -5073,9 +5194,18 @@ _ORACLES: dict[str, str] = {
             FROM lineitem
             GROUP BY l_linestatus
         )
+        , melted AS (
+            SELECT l_linestatus, rflag, q_roundtrip
+            FROM pivoted
+            UNPIVOT (q_roundtrip FOR rflag IN ("A", "N", "R"))
+        )
         SELECT l_returnflag, q1.l_linestatus, sum_qty, sum_base_price,
-               sum_disc_price, avg_qty, count_order, "A", "N", "R"
-        FROM q1 JOIN pivoted ON q1.l_linestatus = pivoted.l_linestatus
+               sum_disc_price, avg_qty, count_order, "A", "N", "R",
+               q_roundtrip
+        FROM q1
+        JOIN pivoted ON q1.l_linestatus = pivoted.l_linestatus
+        JOIN melted ON q1.l_linestatus = melted.l_linestatus
+                   AND q1.l_returnflag = melted.rflag
     """,
     "window_analytics": """
         SELECT 'topk' AS op, event_type AS key, CAST(rank AS BIGINT) AS idx,
@@ -5124,6 +5254,61 @@ _ORACLES: dict[str, str] = {
                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
             )
         )
+        UNION ALL
+        SELECT 'ret', CAST(cohort AS VARCHAR) || ':' ||
+               CAST(p - cohort AS VARCHAR),
+               count(*), ''
+        FROM (SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS p FROM events) a
+        JOIN (SELECT user_id,
+                     min(epoch_us(ts)) // 86400000000 AS cohort
+              FROM events GROUP BY 1) f USING (user_id)
+        GROUP BY cohort, p - cohort
+        UNION ALL
+        SELECT 'fun', CAST(stage_k AS VARCHAR),
+               sum(CASE WHEN stage >= stage_k THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN stage = stage_k THEN 1 ELSE 0 END)
+                    AS VARCHAR) || ':' ||
+               CAST(sum(CASE WHEN stage = stage_k THEN tp - t1 ELSE 0 END)
+                    AS VARCHAR)
+        FROM (
+            SELECT user_id, t1,
+                   CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+                        WHEN t3 IS NULL THEN 2 ELSE 3 END AS stage,
+                   COALESCE(t3, t2, t1) AS tp
+            FROM (
+                SELECT e.user_id, t1, t2,
+                       min(CASE WHEN et = 'purchase' AND ts_us >= t2
+                                AND ts_us <= t1 + 259200000000
+                                THEN ts_us END) AS t3
+                FROM (
+                    SELECT user_id, event_type AS et, epoch_us(ts) AS ts_us
+                    FROM events
+                    WHERE event_type IN ('view', 'click', 'purchase')
+                ) e JOIN (
+                    SELECT e.user_id, t1,
+                           min(CASE WHEN et = 'click' AND ts_us >= t1
+                                    AND ts_us <= t1 + 259200000000
+                                    THEN ts_us END) AS t2
+                    FROM (
+                        SELECT user_id, event_type AS et,
+                               epoch_us(ts) AS ts_us
+                        FROM events
+                        WHERE event_type IN ('view', 'click', 'purchase')
+                    ) e JOIN (
+                        SELECT user_id,
+                               min(CASE WHEN event_type = 'view'
+                                        THEN epoch_us(ts) END) AS t1
+                        FROM events
+                        WHERE event_type IN ('view', 'click', 'purchase')
+                        GROUP BY 1
+                    ) s1 USING (user_id)
+                    GROUP BY 1, 2
+                ) s2 USING (user_id)
+                GROUP BY 1, 2, 3
+            )
+        ), (SELECT unnest([1, 2, 3]) AS stage_k)
+        GROUP BY stage_k
     """,
     "distinct": """
         SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
@@ -5776,7 +5961,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     'scdc' -> streaming_dedup; quantize_vectors 'quant' + project_vectors 'proj' -> vector_stats;
     the UDTF escape hatch 'udtf' -> scalar_functions; corpus_mix 'mix' -> sequence_prep; snapshot_diff 'diff' -> entity_ops; compact_parquet
     losslessness -> pipeline_e2e (entities read back from the compacted
-    rewrite)."""
+    rewrite). Round 8 additions ride the same way: scd2 'scd2' +
+    scd2_snapshot 'scd2s' -> union; kmv_set 'kmvset' + winsorize 'wins'
+    + impute 'imp' -> data_profiling; exact_quota_sample 'quota' ->
+    sequence_prep; retention_cohorts 'ret' + window_funnel 'fun' ->
+    window_analytics; unpivot round-trip 'q_roundtrip' column ->
+    group_by; build_postings 'post' -> tfidf_topterms."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,

@@ -569,3 +569,54 @@ def encode_tokens(
             ),
         ).alias("ids_csv"),
     )
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_doc_freq: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Inverted index: one row per term with its posting list —
+    ``(term, doc_freq, tf_total, postings_csv, postings_md5)`` where
+    ``postings_csv`` is ``docid:tf`` pairs joined in ascending doc-id
+    order (so the md5 is order-exact under any partitioning — the
+    repo's ordered-fold convention).
+
+    The retrieval-side sibling of ``build_vocab``: the vocab learns
+    corpus statistics, this materialises the term→documents map a
+    search or decontamination pass probes. Scale shape: one term-keyed
+    shuffle after a per-(term, doc) map-side pre-aggregation — the
+    posting list concentrates a term's corpus presence into one row,
+    so ``max_postings`` (drop terms whose doc_freq exceeds it) is the
+    stop-word/hot-key guard: the terms it drops are exactly the ones
+    whose single-row lists would not fit a task at 100 TB, and they
+    carry no retrieval signal. No reference counterpart.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "__id")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    out = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("__tf").alias("tf_total"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__id", "__tf"))),
+                lambda s: F.concat_ws(
+                    ":", s["__id"].cast("string"), s["__tf"].cast("string")
+                ),
+            ),
+        ).alias("postings_csv"),
+    )
+    out = out.where(F.col("doc_freq") >= F.lit(int(min_doc_freq)))
+    if max_postings is not None:
+        out = out.where(F.col("doc_freq") <= F.lit(int(max_postings)))
+    return out.withColumn("postings_md5", F.md5(F.col("postings_csv")))

@@ -923,6 +923,42 @@ class KmvSetOps(AbstractStep):
     seed: str = ""
 
 
+class RetentionCohorts(AbstractStep):
+    """Cohort-retention triangle over an epoch-microsecond event stream:
+    users bucketed by first-seen period, counted once per later active
+    period — ``(cohort, offset, n_users)``."""
+
+    operation: Literal["retention_cohorts"] = "retention_cohorts"
+    user_column: str
+    ts_us_column: str
+    period_us: int
+
+
+class WindowFunnel(AbstractStep):
+    """Ordered-step funnel within a time window, anchored at each
+    user's first entry event: per-user deepest stage, optionally
+    collapsed to per-stage counts (``counts=True``)."""
+
+    operation: Literal["window_funnel"] = "window_funnel"
+    user_column: str
+    ts_us_column: str
+    event_column: str
+    steps: tuple[str, ...]
+    window_us: int
+    counts: bool = False
+
+
+class Unpivot(AbstractStep):
+    """Melt value columns into (variable, value) rows — the inverse of
+    ``group_by``'s pivot; Spark's native unpivot, zero shuffle."""
+
+    operation: Literal["unpivot"] = "unpivot"
+    id_columns: tuple[str, ...]
+    value_columns: tuple[str, ...]
+    variable_column: str = "variable"
+    value_column: str = "value"
+
+
 class ProfileDiff(AbstractStep):
     """Schema/stat drift between this entity and ``target_name``: one row
     per column in either side (added/removed/common + null-rate delta)."""
@@ -1094,6 +1130,9 @@ AnyStep = Annotated[
         Winsorize,
         Impute,
         KmvSetOps,
+        RetentionCohorts,
+        WindowFunnel,
+        Unpivot,
     ],
     Field(discriminator="operation"),
 ]

@@ -120,6 +120,9 @@ from data_validation_engine_spark.steps.configs import (
     Winsorize,
     Impute,
     KmvSetOps,
+    RetentionCohorts,
+    WindowFunnel,
+    Unpivot,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -234,6 +237,9 @@ class StepEngine:
             Winsorize: self.winsorize,
             Impute: self.impute,
             KmvSetOps: self.kmv_set,
+            RetentionCohorts: self.retention_cohorts,
+            WindowFunnel: self.window_funnel,
+            Unpivot: self.unpivot,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1806,6 +1812,55 @@ class StepEngine:
         )
         entities[config.output_name] = kmv_set_estimates(
             sk_a, sk_b, groups, k=config.k
+        )
+        return None
+
+    def retention_cohorts(
+        self, entities: Entities, *, config: RetentionCohorts
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.events import (
+            retention_cohorts,
+        )
+
+        entities[config.output_name] = retention_cohorts(
+            entities[config.entity_name],
+            config.user_column,
+            config.ts_us_column,
+            period_us=config.period_us,
+        )
+        return None
+
+    def window_funnel(
+        self, entities: Entities, *, config: WindowFunnel
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.events import (
+            funnel_counts,
+            window_funnel,
+        )
+
+        per_user = window_funnel(
+            entities[config.entity_name],
+            config.user_column,
+            config.ts_us_column,
+            config.event_column,
+            list(config.steps),
+            window_us=config.window_us,
+        )
+        entities[config.output_name] = (
+            funnel_counts(per_user, n_steps=len(config.steps))
+            if config.counts
+            else per_user
+        )
+        return None
+
+    def unpivot(self, entities: Entities, *, config: Unpivot) -> Messages:
+        entities[config.output_name] = entities[
+            config.entity_name
+        ].unpivot(
+            list(config.id_columns),
+            list(config.value_columns),
+            config.variable_column,
+            config.value_column,
         )
         return None
 
