@@ -1925,7 +1925,11 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivoted one row per (group, prob); 'squant' rows (round 7) are the
     APPROXIMATE quantiles from the deterministic min-256 hash sample
     (sampled_quantiles step) — the mergeable 100 TB path, engine-exact
-    because the oracle recomputes the identical sample."""
+    because the oracle recomputes the identical sample. Round 8 adds
+    'kmvset' (KMV set algebra), 'wins' (winsorize), 'imp' (impute),
+    'chi2' (per-cell chi-square drift between two snapshot halves) and
+    'reg' (per-group OLS from exact DECIMAL sufficient statistics) —
+    all declared steps; see the inline comments at each tag."""
     from data_validation_engine_spark.steps import parse_step
 
     eng = _engine(spark)
@@ -2329,6 +2333,74 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS STRING) AS s2",
         )
     )
+    # 'chi2' rows (round 8): DECLARED chi2_drift step — per-value
+    # chi-square contributions between the even- and odd-orderkey halves
+    # of orders (a deterministic "two snapshots" split). Cells are
+    # hashed, not the summed statistic, so there is no
+    # float-accumulation order; each cell is exact integers + one fixed
+    # IEEE expression (llmops/stats.py).
+    ents["ref_half"] = ents["orders"].where("o_orderkey % 2 = 0")
+    ents["cur_half"] = ents["orders"].where("o_orderkey % 2 = 1")
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "chi2_drift",
+                "entity_name": "ref_half",
+                "target_name": "cur_half",
+                "column": "o_orderpriority",
+                "new_entity_name": "chi2cells",
+            }
+        ),
+    )
+    chi2 = ents["chi2cells"].selectExpr(
+        "'chi2' AS op",
+        "value AS key",
+        "n_ref AS a",
+        "n_cur AS b",
+        "chi2_ref + chi2_cur AS x",
+        "CAST(NULL AS STRING) AS s1",
+        "CAST(NULL AS STRING) AS s2",
+    )
+    # 'reg' rows (round 8): DECLARED grouped_regression step — per-flag
+    # OLS of extendedprice on quantity from exact DECIMAL(38,0)
+    # sufficient statistics (integer-cents products); the slope row also
+    # pins two of the exact sums as strings, so the hash attests both
+    # the mergeable integer statistics and the closed-form floats they
+    # derive from.
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "grouped_regression",
+                "entity_name": "lineitem",
+                "x_column": "l_quantity",
+                "y_column": "l_extendedprice",
+                "group_by": ["l_returnflag"],
+                "new_entity_name": "ols",
+            }
+        ),
+    )
+    reg = (
+        ents["ols"]
+        .selectExpr(
+            "l_returnflag",
+            "n",
+            "CAST(sx AS STRING) AS sxs",
+            "CAST(sxy AS STRING) AS sxys",
+            "stack(3, 'slope', slope, 'icept', intercept,"
+            " 'corr', corr) AS (tag, v)",
+        )
+        .selectExpr(
+            "'reg' AS op",
+            "l_returnflag || ':' || tag AS key",
+            "n AS a",
+            "CAST(0 AS BIGINT) AS b",
+            "v AS x",
+            "CASE WHEN tag = 'slope' THEN sxs END AS s1",
+            "CASE WHEN tag = 'slope' THEN sxys END AS s2",
+        )
+    )
     return (
         kmv.unionAll(prof)
         .unionAll(quants)
@@ -2340,6 +2412,8 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(kmvset)
         .unionAll(wins)
         .unionAll(imp)
+        .unionAll(chi2)
+        .unionAll(reg)
     )
 
 
@@ -4677,6 +4751,83 @@ _LLMOPS_ORACLES: dict[str, str] = {
             ) GROUP BY 1
         ) UNPIVOT ((cnt, v) FOR tag IN ((n13, fmean) AS mean,
                                         (n17, fmed) AS med))
+        UNION ALL
+        SELECT 'chi2', value, n_ref, n_cur,
+               round((CAST(n_ref AS DOUBLE)
+                      - CAST(n_ref + n_cur AS DOUBLE)
+                        * CAST(tr AS DOUBLE) / CAST(tr + tc AS DOUBLE))
+                     * (CAST(n_ref AS DOUBLE)
+                        - CAST(n_ref + n_cur AS DOUBLE)
+                          * CAST(tr AS DOUBLE) / CAST(tr + tc AS DOUBLE))
+                     / (CAST(n_ref + n_cur AS DOUBLE)
+                        * CAST(tr AS DOUBLE) / CAST(tr + tc AS DOUBLE)), 6)
+               + round((CAST(n_cur AS DOUBLE)
+                        - CAST(n_ref + n_cur AS DOUBLE)
+                          * CAST(tc AS DOUBLE) / CAST(tr + tc AS DOUBLE))
+                       * (CAST(n_cur AS DOUBLE)
+                          - CAST(n_ref + n_cur AS DOUBLE)
+                            * CAST(tc AS DOUBLE) / CAST(tr + tc AS DOUBLE))
+                       / (CAST(n_ref + n_cur AS DOUBLE)
+                          * CAST(tc AS DOUBLE)
+                          / CAST(tr + tc AS DOUBLE)), 6),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT COALESCE(a.value, b.value) AS value,
+                   COALESCE(n_ref, 0) AS n_ref,
+                   COALESCE(n_cur, 0) AS n_cur
+            FROM (
+                SELECT o_orderpriority AS value, count(*) AS n_ref
+                FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+            ) a FULL OUTER JOIN (
+                SELECT o_orderpriority AS value, count(*) AS n_cur
+                FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+            ) b ON a.value IS NOT DISTINCT FROM b.value
+        ), (
+            SELECT sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                       AS tr,
+                   sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                       AS tc
+            FROM orders
+        )
+        UNION ALL
+        SELECT 'reg', l_returnflag || ':' || tag, n, 0, v,
+               CASE WHEN tag = 'slope' THEN sxs END,
+               CASE WHEN tag = 'slope' THEN sxys END
+        FROM (
+            SELECT l_returnflag, n,
+                   CAST(sx AS VARCHAR) AS sxs, CAST(sxy AS VARCHAR) AS sxys,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                       AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                       AS icept,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))), 6) AS corr
+            FROM (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(xc) AS sx, sum(yc) AS sy, sum(xc * yc) AS sxy,
+                       sum(xc * xc) AS sxx, sum(yc * yc) AS syy
+                FROM (
+                    SELECT l_returnflag,
+                           CAST(round(l_quantity * 100) AS HUGEINT) AS xc,
+                           CAST(round(l_extendedprice * 100) AS HUGEINT)
+                               AS yc
+                    FROM lineitem
+                ) GROUP BY 1
+            )
+        ) UNPIVOT (v FOR tag IN (slope, icept, corr))
     """,
     # BM25 (ordered-fold scores) + blocked fuzzy linkage pairs; the fuzzy
     # twin is the NAIVE blocked join, pinning the length-bucket
@@ -5963,10 +6114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     losslessness -> pipeline_e2e (entities read back from the compacted
     rewrite). Round 8 additions ride the same way: scd2 'scd2' +
     scd2_snapshot 'scd2s' -> union; kmv_set 'kmvset' + winsorize 'wins'
-    + impute 'imp' -> data_profiling; exact_quota_sample 'quota' ->
-    sequence_prep; retention_cohorts 'ret' + window_funnel 'fun' ->
-    window_analytics; unpivot round-trip 'q_roundtrip' column ->
-    group_by; build_postings 'post' -> tfidf_topterms."""
+    + impute 'imp' + chi2_drift 'chi2' + grouped_regression 'reg' ->
+    data_profiling; exact_quota_sample 'quota' -> sequence_prep;
+    retention_cohorts 'ret' + window_funnel 'fun' -> window_analytics;
+    unpivot round-trip 'q_roundtrip' column -> group_by;
+    build_postings 'post' -> tfidf_topterms."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,

@@ -1,0 +1,164 @@
+"""Distribution-drift and grouped-regression statistics, engine-exact
+by construction.
+
+The float discipline (FLOATS.md): +, -, *, / and sqrt are IEEE
+correctly-rounded — identical on every box and engine given identical
+inputs — while transcendentals (ln/exp/pow) are libm-dependent. Both
+operators here therefore aggregate EXACTLY first (integer counts;
+DECIMAL(38,0) sums of integer-scaled measures) and only then apply a
+short, fixed sequence of IEEE ops that a DuckDB twin replays verbatim.
+Chi-square is emitted PER CELL (one division each) rather than as the
+summed statistic, because a sum of divisions re-orders under
+partitioning — the caller (or the oracle) sums the pinned cells.
+
+Scale shapes: both are single wide aggregations (one shuffle on the
+group/cell key); the drift join is on the tiny cell table, broadcast.
+No reference counterpart (the reference has no statistics vocabulary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chi2_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-cell chi-square contributions between two samples of a
+    categorical ``column`` — the drift monitor for label / source /
+    language composition between corpus snapshots.
+
+    Uses the standard two-sample contingency formulation: for each
+    value v with counts ``a`` (ref) and ``b`` (cur), expected counts
+    are ``e_a = (a+b) * A / N`` and ``e_b = (a+b) * B / N`` where A, B
+    are sample totals and N = A + B. Output per cell: ``(value, n_ref,
+    n_cur, chi2_ref, chi2_cur)`` with ``chi2_x = (x - e_x)^2 / e_x``
+    rounded to ``round_to``. The statistic is ``sum(chi2_ref +
+    chi2_cur)`` with dof = cells - 1; the cells are pinned instead of
+    the sum so the hashed surface has no float-accumulation order.
+
+    Values absent from one side participate with count 0 (a full outer
+    join on the cell key). NULLs count as their own cell.
+    """
+    a = ref.groupBy(
+        F.col(column).cast("string").alias("__va")
+    ).agg(F.count(F.lit(1)).alias("n_ref"))
+    b = cur.groupBy(
+        F.col(column).cast("string").alias("__vb")
+    ).agg(F.count(F.lit(1)).alias("n_cur"))
+    # null-safe cell match: the NULL category is one cell, not two
+    cells = a.join(
+        b, F.col("__va").eqNullSafe(F.col("__vb")), "full_outer"
+    ).select(
+        F.coalesce("__va", "__vb").alias("value"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    # totals are a 1-row broadcast; every per-cell float derives from
+    # exact integers through one fixed IEEE expression
+    totals = cells.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    c = cells.crossJoin(F.broadcast(totals))
+    row = F.col("n_ref") + F.col("n_cur")
+    n = F.col("tot_ref") + F.col("tot_cur")
+    e_ref = (
+        row.cast("double")
+        * F.col("tot_ref").cast("double")
+        / n.cast("double")
+    )
+    e_cur = (
+        row.cast("double")
+        * F.col("tot_cur").cast("double")
+        / n.cast("double")
+    )
+
+    def contrib(obs, exp):
+        d = obs.cast("double") - exp
+        return F.round(d * d / exp, round_to)
+
+    return c.select(
+        "value",
+        "n_ref",
+        "n_cur",
+        contrib(F.col("n_ref"), e_ref).alias("chi2_ref"),
+        contrib(F.col("n_cur"), e_cur).alias("chi2_cur"),
+    )
+
+
+def grouped_regression(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line and correlation, exact up
+    to the final closed-form division.
+
+    x and y are scaled to integers (``round(v * scale)``) and summed as
+    DECIMAL(38,0) — exact in any partitioning/order — then the five
+    sums convert once to double and the textbook formulas run as a
+    fixed IEEE sequence:
+
+        slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)      [scaled domain]
+        intercept = (Sy − slope·Sx) / n
+        corr  = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²)·sqrt(n·Syy − Sy²))
+
+    Output: group cols + ``(n, sx, sy, sxy, sxx, syy)`` as exact
+    DECIMAL(38,0) (the auditable sufficient statistics — mergeable
+    across shards by plain addition) + ``slope``/``intercept`` (in the
+    scaled-integer domain) and ``corr`` (scale-invariant), each rounded
+    to ``round_to``. Groups with a degenerate x-variance emit NULL
+    slope/intercept/corr. One shuffle (the group agg).
+    """
+    xs = F.round(F.col(x_col) * F.lit(int(scale))).cast("decimal(38,0)")
+    ys = F.round(F.col(y_col) * F.lit(int(scale))).cast("decimal(38,0)")
+    agg = df.select(
+        *group_cols,
+        xs.alias("__x"),
+        ys.alias("__y"),
+    ).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x > 0, F.round(cov_n / var_x, round_to))
+    intercept = F.when(
+        var_x > 0, F.round((sy - (cov_n / var_x) * sx) / n, round_to)
+    )
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), round_to),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        corr.alias("corr"),
+    )

@@ -923,6 +923,32 @@ class KmvSetOps(AbstractStep):
     seed: str = ""
 
 
+class Chi2Drift(AbstractStep):
+    """Per-cell chi-square contributions of a categorical column
+    between this entity (reference) and ``target_name`` (current) —
+    composition-drift monitoring with no float-accumulation order in
+    the output (cells, not the summed statistic)."""
+
+    operation: Literal["chi2_drift"] = "chi2_drift"
+    target_name: str
+    column: str
+    round_to: int = 6
+
+
+class GroupedRegression(AbstractStep):
+    """Per-group OLS slope/intercept/correlation from exact
+    DECIMAL(38,0) sufficient statistics of integer-scaled x/y — the
+    sums are mergeable across shards and the floats derive from them
+    through one fixed IEEE expression."""
+
+    operation: Literal["grouped_regression"] = "grouped_regression"
+    x_column: str
+    y_column: str
+    group_by: tuple[str, ...] = ()
+    scale: int = 100
+    round_to: int = 6
+
+
 class RetentionCohorts(AbstractStep):
     """Cohort-retention triangle over an epoch-microsecond event stream:
     users bucketed by first-seen period, counted once per later active
@@ -1133,6 +1159,8 @@ AnyStep = Annotated[
         RetentionCohorts,
         WindowFunnel,
         Unpivot,
+        Chi2Drift,
+        GroupedRegression,
     ],
     Field(discriminator="operation"),
 ]

@@ -123,6 +123,8 @@ from data_validation_engine_spark.steps.configs import (
     RetentionCohorts,
     WindowFunnel,
     Unpivot,
+    Chi2Drift,
+    GroupedRegression,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -240,6 +242,8 @@ class StepEngine:
             RetentionCohorts: self.retention_cohorts,
             WindowFunnel: self.window_funnel,
             Unpivot: self.unpivot,
+            Chi2Drift: self.chi2_drift,
+            GroupedRegression: self.grouped_regression,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1850,6 +1854,36 @@ class StepEngine:
             funnel_counts(per_user, n_steps=len(config.steps))
             if config.counts
             else per_user
+        )
+        return None
+
+    def chi2_drift(
+        self, entities: Entities, *, config: Chi2Drift
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.stats import chi2_drift
+
+        entities[config.output_name] = chi2_drift(
+            entities[config.entity_name],
+            entities[config.target_name],
+            config.column,
+            round_to=config.round_to,
+        )
+        return None
+
+    def grouped_regression(
+        self, entities: Entities, *, config: GroupedRegression
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.stats import (
+            grouped_regression,
+        )
+
+        entities[config.output_name] = grouped_regression(
+            entities[config.entity_name],
+            list(config.group_by),
+            config.x_column,
+            config.y_column,
+            scale=config.scale,
+            round_to=config.round_to,
         )
         return None
 

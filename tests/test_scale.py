@@ -169,9 +169,9 @@ def test_exact_dedup_is_one_narrow_shuffle(spark):
 
 def test_no_accidental_cartesian_in_any_query_plan(spark):
     """Plan lint over the whole oracle surface: no query's physical plan
-    may contain a cartesian product or nested-loop join EXCEPT the four
-    documented 1-row broadcast cross joins (header struct, 1-row query
-    vector, 1-row corpus count). Heavy end-to-end rows (streaming drains,
+    may contain a cartesian product or nested-loop join EXCEPT the
+    documented tiny-broadcast cross joins (header struct, 1-row query
+    vector, 1-row corpus count, k-row centroids, 1-row as-of scalar). Heavy end-to-end rows (streaming drains,
     the full pipeline, sink round-trips) are excluded here — each has its
     own plan/behaviour tests — so this sweep stays cheap enough to run
     per-commit."""
@@ -184,6 +184,8 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         "vector_stats",  # nearest-prototype: broadcast k-row centroids
         "tfidf_topterms",
         "text_retrieval",  # bm25 arm: broadcast 1-row corpus stats
+        "union",  # scd2s arm: broadcast 1-row as-of scalar (round 8)
+        "data_profiling",  # chi2 arm: broadcast 1-row sample totals (r8)
     }
     skip = {
         "pipeline_e2e",  # full pipeline (own tests; intended status cross)

@@ -1,0 +1,75 @@
+"""Drift / regression statistics (llmops/stats.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.stats import (
+    chi2_drift,
+    grouped_regression,
+)
+
+
+class TestChi2Drift:
+    def test_identical_samples_zero(self, spark):
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",)], "v string"
+        )
+        cells = chi2_drift(df, df, "v").collect()
+        assert all(r.chi2_ref == 0.0 and r.chi2_cur == 0.0 for r in cells)
+
+    def test_textbook_2x2(self, spark):
+        # ref: 30 a / 10 b; cur: 10 a / 30 b -> chi2 total = 20.0
+        ref = spark.createDataFrame(
+            [("a",)] * 30 + [("b",)] * 10, "v string"
+        )
+        cur = spark.createDataFrame(
+            [("a",)] * 10 + [("b",)] * 30, "v string"
+        )
+        cells = chi2_drift(ref, cur, "v").collect()
+        total = sum(r.chi2_ref + r.chi2_cur for r in cells)
+        assert abs(total - 20.0) < 1e-9
+
+    def test_one_sided_value_counts_zero(self, spark):
+        ref = spark.createDataFrame([("a",), ("b",)], "v string")
+        cur = spark.createDataFrame([("a",)], "v string")
+        got = {r.value: (r.n_ref, r.n_cur) for r in chi2_drift(ref, cur, "v").collect()}
+        assert got["b"] == (1, 0)
+
+    def test_null_is_a_cell(self, spark):
+        ref = spark.createDataFrame([("a",), (None,)], "v string")
+        cur = spark.createDataFrame([(None,), (None,)], "v string")
+        got = {r.value: (r.n_ref, r.n_cur) for r in chi2_drift(ref, cur, "v").collect()}
+        assert got[None] == (1, 2)
+
+
+class TestGroupedRegression:
+    def test_exact_line(self, spark):
+        # y = 2x + 1 exactly -> slope 2 (scale cancels), corr 1
+        rows = [("g", float(x), 2.0 * x + 1.0) for x in range(1, 6)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = grouped_regression(df, ["g"], "x", "y").first()
+        assert r.slope == 2.0
+        assert r.corr == 1.0
+        # intercept is in the scaled domain (scale=100)
+        assert r.intercept == 100.0
+
+    def test_degenerate_x_null(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0), ("g", 1.0, 2.0)], "g string, x double, y double"
+        )
+        r = grouped_regression(df, ["g"], "x", "y").first()
+        assert r.slope is None and r.corr is None
+
+    def test_sums_partitioning_invariant(self, spark):
+        rows = [("g", float(i % 97), float((i * 31) % 113)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        a = grouped_regression(df.repartition(1), ["g"], "x", "y").first()
+        b = grouped_regression(df.repartition(16), ["g"], "x", "y").first()
+        assert (str(a.sxy), a.slope, a.corr) == (str(b.sxy), b.slope, b.corr)
+
+    def test_anticorrelated(self, spark):
+        rows = [("g", float(x), -3.0 * x) for x in range(1, 8)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = grouped_regression(df, ["g"], "x", "y").first()
+        assert r.slope == -3.0 and r.corr == -1.0
