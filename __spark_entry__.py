@@ -1678,7 +1678,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsampling) — five zero-shuffle projections inner-joined on doc_id
     (merged from the former lang_id and text_fingerprint rows; the
     split/weighted twins recompute the identical bucket arithmetic in
-    DuckDB, pinning engine-independence)."""
+    DuckDB, pinning engine-independence). Round 8 joins on 'ecdf': the
+    DECLARED ecdf_normalize step rank-calibrates n_chars within each
+    doc_id%3 source label — the cross-source score-calibration pass —
+    via the distinct-value histogram (no total sort of the rows; exact
+    integer cumulative counts, one division)."""
     from data_validation_engine_spark.llmops import (
         hash_split,
         language_id,
@@ -1686,6 +1690,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_stats,
     )
     from data_validation_engine_spark.llmops.split import weighted_keep
+    from data_validation_engine_spark.steps import parse_step
 
     docs = _docs(spark, sf_dir)
     stats = text_stats(docs, "doc_id", "text")
@@ -1703,11 +1708,31 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"), F.col("n_chars"), rate=1.0 / 2000.0
         ).alias("w_kept"),
     )
+    ents = {"scored": docs.selectExpr(
+        "doc_id",
+        "CAST(n_chars AS BIGINT) AS n_chars",
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web'"
+        " WHEN 1 THEN 'code' ELSE 'books' END AS src",
+    )}
+    _engine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "ecdf_normalize",
+                "entity_name": "scored",
+                "value_column": "n_chars",
+                "group_by": ["src"],
+                "new_entity_name": "calibrated",
+            }
+        ),
+    )
+    ecdf = ents["calibrated"].select("doc_id", "src", "ecdf")
     return (
         stats.join(lang, "doc_id")
         .join(fp, "doc_id")
         .join(split, "doc_id")
         .join(wkeep, "doc_id")
+        .join(ecdf, "doc_id")
     )
 
 
@@ -2812,7 +2837,7 @@ def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_tokens AS STRING) AS payload",
     )
     eng = _engine(spark)
-    ents = {"labelled": docs.selectExpr(
+    ents = {"documents": docs, "labelled": docs.selectExpr(
         "doc_id",
         "n_chars",
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web'"
@@ -2860,7 +2885,38 @@ def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'quota' AS op", "doc_id", "CAST(NULL AS INT) AS idx",
         "CAST(n_chars AS BIGINT) AS n", "src AS payload",
     )
-    return chunks.unionAll(packs).unionAll(mixed).unionAll(quota)
+    # 'buck' rows (round 8): DECLARED bucket_by_length step — docs land
+    # in token-length buckets (≤16, ≤48, +inf), shard 4 ways inside the
+    # bucket (the hot-bucket guard), and batch 4-at-a-time by id; the
+    # hashed surface pins batch assignment AND per-row padding waste
+    # (batch max − own tokens), all integers.
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "bucket_by_length",
+                "entity_name": "documents",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "batch_size": 4,
+                "bucket_edges": [16, 48],
+                "n_shards": 4,
+                "new_entity_name": "batches",
+            }
+        ),
+    )
+    buck = ents["batches"].selectExpr(
+        "'buck' AS op", "doc_id", "CAST(batch_idx AS INT) AS idx",
+        "CAST(pad_waste AS BIGINT) AS n",
+        "CONCAT(CAST(bucket AS STRING), ':', CAST(shard AS STRING))"
+        " AS payload",
+    )
+    return (
+        chunks.unionAll(packs)
+        .unionAll(mixed)
+        .unionAll(quota)
+        .unionAll(buck)
+    )
 
 
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5040,15 +5096,37 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    n_chars
             FROM documents
         )
+        , scored AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web'
+                        WHEN 1 THEN 'code' ELSE 'books' END AS src
+            FROM documents
+        ),
+        hist AS (
+            SELECT src, nc, count(*) AS c FROM scored GROUP BY 1, 2
+        ),
+        cdf AS (
+            SELECT src, nc,
+                   round(CAST(sum(c) OVER (
+                             PARTITION BY src ORDER BY nc
+                             ROWS UNBOUNDED PRECEDING
+                         ) AS DOUBLE)
+                         / CAST(sum(c) OVER (PARTITION BY src)
+                                AS DOUBLE), 9) AS ecdf
+            FROM hist
+        )
         SELECT ts.*, li.lang_pred, fp.fingerprint, fp.winnow,
                CASE WHEN sp.bucket < 52428 THEN 'train'
                     WHEN sp.bucket < 58982 THEN 'val'
                     ELSE 'test' END AS split,
                sp.bucket,
                sp.bucket::DOUBLE <
-                   LEAST(1.0, sp.n_chars / 2000.0) * 65536.0 AS w_kept
+                   LEAST(1.0, sp.n_chars / 2000.0) * 65536.0 AS w_kept,
+               sc.src, cdf.ecdf
         FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
                 JOIN sp USING (doc_id)
+                JOIN scored sc USING (doc_id)
+                JOIN cdf ON sc.src = cdf.src AND sc.nc = cdf.nc
     """,
     # repetition signals + PII scrub over planted PII, joined on doc_id
     "text_hygiene": rf"""
@@ -5181,6 +5259,28 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    ) AS rk
             FROM labelled
         ) WHERE rk <= 25
+        UNION ALL
+        SELECT 'buck', doc_id, CAST(batch_idx AS INT),
+               CAST(max(n_tokens) OVER (
+                   PARTITION BY bucket, shard, batch_idx
+               ) - n_tokens AS BIGINT),
+               CAST(bucket AS VARCHAR) || ':' || CAST(shard AS VARCHAR)
+        FROM (
+            SELECT doc_id, n_tokens, bucket, shard,
+                   (row_number() OVER (
+                       PARTITION BY bucket, shard ORDER BY doc_id
+                   ) - 1) // 4 AS batch_idx
+            FROM (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       CASE WHEN len(toks) <= 16 THEN 0
+                            WHEN len(toks) <= 48 THEN 1
+                            ELSE 2 END AS bucket,
+                       ('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 4
+                           AS shard
+                FROM toked
+            )
+        )
     """,
     # exact word-5-gram overlap vs the doc_id % 97 = 0 benchmark slice
     "decontaminate": f"""
@@ -6115,10 +6215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rewrite). Round 8 additions ride the same way: scd2 'scd2' +
     scd2_snapshot 'scd2s' -> union; kmv_set 'kmvset' + winsorize 'wins'
     + impute 'imp' + chi2_drift 'chi2' + grouped_regression 'reg' ->
-    data_profiling; exact_quota_sample 'quota' -> sequence_prep;
-    retention_cohorts 'ret' + window_funnel 'fun' -> window_analytics;
-    unpivot round-trip 'q_roundtrip' column -> group_by;
-    build_postings 'post' -> tfidf_topterms."""
+    data_profiling; exact_quota_sample 'quota' + bucket_by_length
+    'buck' -> sequence_prep; retention_cohorts 'ret' + window_funnel
+    'fun' -> window_analytics; unpivot round-trip 'q_roundtrip' column
+    -> group_by; build_postings 'post' -> tfidf_topterms;
+    ecdf_normalize 'ecdf'/'src' columns -> text_stats."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,

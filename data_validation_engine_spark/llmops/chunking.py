@@ -118,3 +118,60 @@ def pack_sequences(
         F.expr(f"__start div {capacity}").alias("pack_idx"),
         (F.col("__start") % capacity).alias("pack_offset"),
     )
+
+
+def bucket_by_length(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    batch_size: int,
+    bucket_edges: list[int] | None = None,
+    n_shards: int = 64,
+    seed: str = "",
+) -> DataFrame:
+    """Length-bucketed batch construction: group similar-length
+    documents into fixed-count training batches so per-batch padding
+    (to the batch max) stays small — the standard dynamic-padding prep.
+
+    Documents land in the bucket of the first edge >= their token count
+    (``bucket_edges`` ascending; an implicit +inf bucket catches the
+    tail), are sharded ``md5(seed || id) % n_shards`` WITHIN the bucket
+    (a length bucket concentrates a large corpus slice onto one key —
+    the same hot-key hazard pack_sequences shards away), and batch by
+    ascending id inside (bucket, shard): ``batch_idx = (row_number - 1)
+    DIV batch_size``. Per-row ``pad_waste = batch max - n_tokens`` comes
+    from a second window over the SAME partitioning (no extra shuffle).
+    Integer arithmetic only — bit-exact cross-engine.
+
+    Returns ``(id, n_tokens, bucket, shard, batch_idx, pad_waste)``.
+    """
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError("batch_size and n_shards must be positive")
+    edges = sorted(int(e) for e in (bucket_edges or [64, 256, 1024]))
+    if any(e <= 0 for e in edges):
+        raise ValueError("bucket_edges must be positive")
+    n_tok = F.size(tokens_col(F.col(text_col)))
+    bucket = F.lit(len(edges))  # +inf tail bucket
+    for i, e in reversed(list(enumerate(edges))):
+        bucket = F.when(n_tok <= e, F.lit(i)).otherwise(bucket)
+    shard = (hash_bucket(F.col(id_col), seed=seed) % n_shards).alias(
+        "shard"
+    )
+    base = df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), bucket.alias("bucket"),
+        shard,
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    batched = (
+        base.withColumn("__rn0", F.row_number().over(w) - 1)
+        # integral DIV (repo convention): no float-divide-then-truncate
+        .withColumn(
+            "batch_idx", F.expr(f"__rn0 DIV {int(batch_size)}")
+        )
+        .drop("__rn0")
+    )
+    wb = Window.partitionBy("bucket", "shard", "batch_idx")
+    return batched.withColumn(
+        "pad_waste", F.max("n_tokens").over(wb) - F.col("n_tokens")
+    )

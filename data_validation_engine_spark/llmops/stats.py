@@ -18,7 +18,7 @@ No reference counterpart (the reference has no statistics vocabulary).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -161,4 +161,50 @@ def grouped_regression(
         slope.alias("slope"),
         intercept.alias("intercept"),
         corr.alias("corr"),
+    )
+
+
+def ecdf_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    out_col: str = "ecdf",
+    round_to: int = 9,
+) -> DataFrame:
+    """Empirical-CDF score normalization: each row gains ``ecdf`` =
+    P(value <= v) within its group — the rank-based calibration that
+    makes quality scores comparable across heterogeneous sources before
+    a global keep-threshold is applied.
+
+    Scale shape — deliberately NOT ``percent_rank`` over the raw rows
+    (that is a total sort of the corpus per group): the counts collapse
+    to one row per DISTINCT value first (one group+value-keyed
+    aggregation), the cumulative sum runs over that far smaller frame,
+    and the result joins back on the same (group, value) key the
+    aggregation produced, so AQE reuses the partitioning. Ties share an
+    ecdf by construction. Exact integers until the single final
+    division (``cum / n``), rounded to ``round_to``.
+    """
+    groups = list(group_cols or [])
+    counts = df.groupBy(
+        *groups, F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*groups)
+    cdf = counts.select(
+        *groups,
+        "__v",
+        F.round(
+            F.sum("__c").over(w).cast("double")
+            / F.sum("__c").over(wn).cast("double"),
+            round_to,
+        ).alias(out_col),
+    )
+    return df.join(
+        cdf.withColumnRenamed("__v", value_col), [*groups, value_col]
     )

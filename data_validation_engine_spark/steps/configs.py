@@ -949,6 +949,32 @@ class GroupedRegression(AbstractStep):
     round_to: int = 6
 
 
+class EcdfNormalize(AbstractStep):
+    """Rank-based (empirical-CDF) score normalization per group —
+    collapses to distinct values before ranking, so no total sort of
+    the raw rows at scale."""
+
+    operation: Literal["ecdf_normalize"] = "ecdf_normalize"
+    value_column: str
+    group_by: tuple[str, ...] = ()
+    output_column: str = "ecdf"
+    round_to: int = 9
+
+
+class BucketByLength(AbstractStep):
+    """Length-bucketed fixed-count training batches with per-row
+    padding waste — dynamic-padding prep, sharded within each bucket to
+    break the hot length-bucket key."""
+
+    operation: Literal["bucket_by_length"] = "bucket_by_length"
+    id_column: str
+    text_column: str
+    batch_size: int
+    bucket_edges: Optional[tuple[int, ...]] = None
+    n_shards: int = 64
+    seed: str = ""
+
+
 class RetentionCohorts(AbstractStep):
     """Cohort-retention triangle over an epoch-microsecond event stream:
     users bucketed by first-seen period, counted once per later active
@@ -1161,6 +1187,8 @@ AnyStep = Annotated[
         Unpivot,
         Chi2Drift,
         GroupedRegression,
+        EcdfNormalize,
+        BucketByLength,
     ],
     Field(discriminator="operation"),
 ]

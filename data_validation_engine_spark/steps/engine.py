@@ -125,6 +125,8 @@ from data_validation_engine_spark.steps.configs import (
     Unpivot,
     Chi2Drift,
     GroupedRegression,
+    EcdfNormalize,
+    BucketByLength,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -244,6 +246,8 @@ class StepEngine:
             Unpivot: self.unpivot,
             Chi2Drift: self.chi2_drift,
             GroupedRegression: self.grouped_regression,
+            EcdfNormalize: self.ecdf_normalize,
+            BucketByLength: self.bucket_by_length,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1884,6 +1888,42 @@ class StepEngine:
             config.y_column,
             scale=config.scale,
             round_to=config.round_to,
+        )
+        return None
+
+    def ecdf_normalize(
+        self, entities: Entities, *, config: EcdfNormalize
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.stats import (
+            ecdf_normalize,
+        )
+
+        entities[config.output_name] = ecdf_normalize(
+            entities[config.entity_name],
+            config.value_column,
+            group_cols=list(config.group_by) if config.group_by else None,
+            out_col=config.output_column,
+            round_to=config.round_to,
+        )
+        return None
+
+    def bucket_by_length(
+        self, entities: Entities, *, config: BucketByLength
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.chunking import (
+            bucket_by_length,
+        )
+
+        entities[config.output_name] = bucket_by_length(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            batch_size=config.batch_size,
+            bucket_edges=list(config.bucket_edges)
+            if config.bucket_edges
+            else None,
+            n_shards=config.n_shards,
+            seed=config.seed,
         )
         return None
 

@@ -73,3 +73,104 @@ class TestGroupedRegression:
         df = spark.createDataFrame(rows, "g string, x double, y double")
         r = grouped_regression(df, ["g"], "x", "y").first()
         assert r.slope == -3.0 and r.corr == -1.0
+
+
+class TestEcdfNormalize:
+    def test_basic_grouped(self, spark):
+        from data_validation_engine_spark.llmops.stats import ecdf_normalize
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 4.0), ("h", 9.0)],
+            "g string, v double",
+        )
+        got = {
+            (r.g, r.v): r.ecdf
+            for r in ecdf_normalize(df, "v", group_cols=["g"]).collect()
+        }
+        assert got[("g", 1.0)] == 0.25
+        assert got[("g", 2.0)] == 0.75  # ties share the cumulative rank
+        assert got[("g", 4.0)] == 1.0
+        assert got[("h", 9.0)] == 1.0
+
+    def test_row_count_preserved(self, spark):
+        from data_validation_engine_spark.llmops.stats import ecdf_normalize
+
+        df = spark.createDataFrame(
+            [(i % 7, float(i % 13)) for i in range(200)], "g int, v double"
+        )
+        assert ecdf_normalize(df, "v", group_cols=["g"]).count() == 200
+
+    def test_max_is_one_globally(self, spark):
+        from data_validation_engine_spark.llmops.stats import ecdf_normalize
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(50)], "v double"
+        )
+        out = ecdf_normalize(df, "v")
+        assert out.agg({"ecdf": "max"}).first()[0] == 1.0
+
+
+class TestBucketByLength:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_batches_and_waste(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            bucket_by_length,
+        )
+
+        # all in one bucket+shard: batch of 2, lengths 1 and 3 -> waste 2,0
+        docs = self._docs(spark, ["a", "a b c"])
+        out = bucket_by_length(
+            docs, "doc_id", "text", batch_size=2, bucket_edges=[10],
+            n_shards=1,
+        ).collect()
+        got = {r.doc_id: (r.bucket, r.batch_idx, r.pad_waste) for r in out}
+        assert got[0] == (0, 0, 2)
+        assert got[1] == (0, 0, 0)
+
+    def test_bucket_assignment_edges(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            bucket_by_length,
+        )
+
+        docs = self._docs(spark, ["a b", "a b c d", "a b c d e"])
+        out = bucket_by_length(
+            docs, "doc_id", "text", batch_size=8, bucket_edges=[2, 4],
+            n_shards=1,
+        ).collect()
+        got = {r.doc_id: r.bucket for r in out}
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_batch_size_bounds_batches(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            bucket_by_length,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark, ["w"] * 37)
+        out = bucket_by_length(
+            docs, "doc_id", "text", batch_size=5, bucket_edges=[10],
+            n_shards=1,
+        )
+        sizes = [
+            r[0] for r in out.groupBy("batch_idx").count()
+            .select("count").collect()
+        ]
+        assert max(sizes) == 5 and sum(sizes) == 37
+
+    def test_rejects_bad_params(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            bucket_by_length,
+        )
+        import pytest as _pt
+
+        docs = self._docs(spark, ["a"])
+        with _pt.raises(ValueError):
+            bucket_by_length(docs, "doc_id", "text", batch_size=0)
+        with _pt.raises(ValueError):
+            bucket_by_length(
+                docs, "doc_id", "text", batch_size=1, bucket_edges=[-1]
+            )
