@@ -1212,7 +1212,11 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATERAL-joined against customer names, one row per part, whose twin
     is DuckDB unnest-with-ordinality; the set-returning surface the
     reference lacks entirely (its only generator is the XML reader's
-    internal explode)."""
+    internal explode). 'sqlq' rows (round 8): the raw-SQL escape hatch
+    (DECLARED sql step — parameterized spark.sql, no temp views): a
+    correlated scalar subquery (same-segment richer-customer count)
+    that Catalyst decorrelates into a join — the SQL-shape the step
+    vocabulary lacks, declared instead of dropped to Python."""
     from data_validation_engine_spark.functions import (
         register_python_udf,
         register_python_udtf,
@@ -1272,7 +1276,32 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS BOOLEAN) AS near_5k", "CAST(NULL AS BOOLEAN) AS nhs_ok",
         "CAST(pos AS BIGINT) AS name_len", "part AS seg_title",
     )
-    return scalar_rows.unionAll(udtf_rows)
+    from data_validation_engine_spark.steps import parse_step
+
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "sql",
+                "entity_name": "customer",
+                "query": (
+                    "SELECT c.c_custkey, ("
+                    "  SELECT count(*) FROM {customer} c2"
+                    "  WHERE c2.c_mktsegment = c.c_mktsegment"
+                    "    AND c2.c_acctbal > c.c_acctbal"
+                    ") AS n_richer FROM {customer} c"
+                ),
+                "new_entity_name": "ranked",
+            }
+        ),
+    )
+    sqlq_rows = ents["ranked"].selectExpr(
+        "'sqlq' AS op", "c_custkey",
+        "CAST(NULL AS BOOLEAN) AS big_bal", "CAST(NULL AS BOOLEAN) AS le_5k",
+        "CAST(NULL AS BOOLEAN) AS near_5k", "CAST(NULL AS BOOLEAN) AS nhs_ok",
+        "n_richer AS name_len", "CAST(NULL AS STRING) AS seg_title",
+    )
+    return scalar_rows.unionAll(udtf_rows).unionAll(sqlq_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -6124,6 +6153,14 @@ _ORACLES: dict[str, str] = {
                    )) AS p
             FROM customer
         )
+        UNION ALL
+        SELECT 'sqlq', c.c_custkey,
+               NULL, NULL, NULL, NULL,
+               (SELECT count(*) FROM customer c2
+                WHERE c2.c_mktsegment = c.c_mktsegment
+                  AND c2.c_acctbal > c.c_acctbal),
+               CAST(NULL AS VARCHAR)
+        FROM customer c
     """,
 }
 
@@ -6219,7 +6256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     'buck' -> sequence_prep; retention_cohorts 'ret' + window_funnel
     'fun' -> window_analytics; unpivot round-trip 'q_roundtrip' column
     -> group_by; build_postings 'post' -> tfidf_topterms;
-    ecdf_normalize 'ecdf'/'src' columns -> text_stats."""
+    ecdf_normalize 'ecdf'/'src' columns -> text_stats; the raw-SQL
+    step 'sqlq' -> scalar_functions (the escape-hatch family)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,

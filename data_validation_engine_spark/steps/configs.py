@@ -106,10 +106,15 @@ class AbstractJoin(AbstractStep):
     """Theta join: ``join_condition`` is an arbitrary SQL condition over
     ``<entity_name>.<col>`` / ``<target_name>.<col>`` references; Catalyst
     picks broadcast/hash/sort-merge/NL physical strategy.
+    ``broadcast_target`` pins the broadcast-hash strategy for a target
+    known to be dimension-sized when its statistics don't show it
+    (post-filter lineage, fresh files) — the declarable form of the
+    100 TB "broadcast the small side" lever.
     """
 
     target_name: str
     join_condition: str
+    broadcast_target: bool = False
 
 
 class AbstractNewColumnJoin(AbstractJoin):
@@ -949,6 +954,20 @@ class GroupedRegression(AbstractStep):
     round_to: int = 6
 
 
+class SqlQuery(AbstractStep):
+    """Raw Spark-SQL escape hatch: ``query`` runs with ``entity_name``
+    (and every name in ``inputs``) bound as ``{name}`` template
+    parameters — parameterized `spark.sql`, so no temp-view namespace
+    is polluted and entity lineage stays per-call. The declarative
+    sibling of the UDF/UDTF hatches: when a rule needs SQL shapes the
+    step vocabulary lacks (correlated subqueries, VALUES, lateral
+    views), it declares them instead of dropping to Python."""
+
+    operation: Literal["sql"] = "sql"
+    query: str
+    inputs: tuple[str, ...] = ()
+
+
 class EcdfNormalize(AbstractStep):
     """Rank-based (empirical-CDF) score normalization per group —
     collapses to distinct values before ranking, so no total sort of
@@ -1189,6 +1208,7 @@ AnyStep = Annotated[
         GroupedRegression,
         EcdfNormalize,
         BucketByLength,
+        SqlQuery,
     ],
     Field(discriminator="operation"),
 ]

@@ -127,6 +127,7 @@ from data_validation_engine_spark.steps.configs import (
     GroupedRegression,
     EcdfNormalize,
     BucketByLength,
+    SqlQuery,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -248,6 +249,7 @@ class StepEngine:
             GroupedRegression: self.grouped_regression,
             EcdfNormalize: self.ecdf_normalize,
             BucketByLength: self.bucket_by_length,
+            SqlQuery: self.sql_query,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -413,6 +415,8 @@ class StepEngine:
         for name, col in target_extra or []:
             target = target.withColumn(name, col)
         target = target.alias(config.target_name)
+        if getattr(config, "broadcast_target", False):
+            target = F.broadcast(target)
         joined = source.join(target, on=F.expr(config.join_condition), how=how)
         return source, target, joined
 
@@ -1888,6 +1892,16 @@ class StepEngine:
             config.y_column,
             scale=config.scale,
             round_to=config.round_to,
+        )
+        return None
+
+    def sql_query(
+        self, entities: Entities, *, config: SqlQuery
+    ) -> Messages:
+        names = dict.fromkeys([config.entity_name, *config.inputs])
+        frames = {n: entities[n] for n in names}
+        entities[config.output_name] = self.spark.sql(
+            config.query, **frames
         )
         return None
 

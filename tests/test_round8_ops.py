@@ -331,3 +331,92 @@ class TestKmvSetAlgebra:
         for g in (0, 1):
             assert rows[g].union_est == 150.0
             assert rows[g].intersect_est == 50.0
+
+
+class TestSqlQueryStep:
+    def test_parameterized_query_no_temp_views(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark)
+        ents = {
+            "a": spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string"),
+            "b": spark.createDataFrame([(1, 10.0)], "id int, w double"),
+        }
+        before = {t.name for t in spark.catalog.listTables()}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "sql",
+                    "entity_name": "a",
+                    "inputs": ["b"],
+                    "query": "SELECT a.id, v, w FROM {a} a JOIN {b} b"
+                    " USING (id)",
+                    "new_entity_name": "j",
+                }
+            ),
+        )
+        assert [tuple(r) for r in ents["j"].collect()] == [(1, "x", 10.0)]
+        # parameterized sql must not leak temp views into the catalog
+        assert {t.name for t in spark.catalog.listTables()} == before
+
+    def test_correlated_subquery_shape(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark)
+        ents = {
+            "t": spark.createDataFrame(
+                [("g", 1.0), ("g", 2.0), ("g", 3.0), ("h", 5.0)],
+                "seg string, bal double",
+            )
+        }
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "sql",
+                    "entity_name": "t",
+                    "query": "SELECT bal, (SELECT count(*) FROM {t} t2"
+                    " WHERE t2.seg = t.seg AND t2.bal > t.bal) AS n"
+                    " FROM {t} t",
+                    "new_entity_name": "o",
+                }
+            ),
+        )
+        got = {r.bal: r.n for r in ents["o"].collect()}
+        assert got == {1.0: 2, 2.0: 1, 3.0: 0, 5.0: 0}
+
+
+class TestBroadcastTargetHint:
+    def test_hint_forces_broadcast_when_stats_wouldnt(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, LeftJoin
+
+        eng = StepEngine(spark)
+        big = spark.createDataFrame(
+            [(i, i % 5) for i in range(100)], "id int, k int"
+        )
+        dim = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(5)], "k int, label string"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for flag, expect in ((False, 0), (True, 1)):
+                ents = {"big": big, "dim": dim}
+                eng.evaluate(
+                    ents,
+                    config=LeftJoin(
+                        entity_name="big",
+                        target_name="dim",
+                        join_condition="big.k = dim.k",
+                        new_columns={"dim.label": "label"},
+                        broadcast_target=flag,
+                    ),
+                )
+                plan = (
+                    ents["big"]._jdf.queryExecution()
+                    .executedPlan().toString()
+                )
+                assert ("BroadcastHashJoin" in plan) == bool(expect), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
