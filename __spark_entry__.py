@@ -1213,10 +1213,14 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DuckDB unnest-with-ordinality; the set-returning surface the
     reference lacks entirely (its only generator is the XML reader's
     internal explode). 'sqlq' rows (round 8): the raw-SQL escape hatch
-    (DECLARED sql step — parameterized spark.sql, no temp views): a
-    correlated scalar subquery (same-segment richer-customer count)
-    that Catalyst decorrelates into a join — the SQL-shape the step
-    vocabulary lacks, declared instead of dropped to Python."""
+    (DECLARED sql step — parameterized spark.sql, no temp views,
+    multiple entities bound as {name} parameters): a correlated scalar
+    subquery (per-customer open-order count) that Catalyst decorrelates
+    into an equi join — the SQL-shape the step vocabulary lacks,
+    declared instead of dropped to Python, and chosen equi-correlated
+    so the decorrelated plan is hash-joinable at scale (an
+    inequality-correlated subquery decorrelates to a nested loop — the
+    plan lint would rightly flag it)."""
     from data_validation_engine_spark.functions import (
         register_python_udf,
         register_python_udtf,
@@ -1278,18 +1282,20 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_validation_engine_spark.steps import parse_step
 
+    ents.update(_load(spark, sf_dir, ["orders"]))
     eng.evaluate(
         ents,
         config=parse_step(
             {
                 "operation": "sql",
                 "entity_name": "customer",
+                "inputs": ["orders"],
                 "query": (
                     "SELECT c.c_custkey, ("
-                    "  SELECT count(*) FROM {customer} c2"
-                    "  WHERE c2.c_mktsegment = c.c_mktsegment"
-                    "    AND c2.c_acctbal > c.c_acctbal"
-                    ") AS n_richer FROM {customer} c"
+                    "  SELECT count(*) FROM {orders} o"
+                    "  WHERE o.o_custkey = c.c_custkey"
+                    "    AND o.o_orderstatus = 'O'"
+                    ") AS n_open FROM {customer} c"
                 ),
                 "new_entity_name": "ranked",
             }
@@ -1299,7 +1305,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'sqlq' AS op", "c_custkey",
         "CAST(NULL AS BOOLEAN) AS big_bal", "CAST(NULL AS BOOLEAN) AS le_5k",
         "CAST(NULL AS BOOLEAN) AS near_5k", "CAST(NULL AS BOOLEAN) AS nhs_ok",
-        "n_richer AS name_len", "CAST(NULL AS STRING) AS seg_title",
+        "n_open AS name_len", "CAST(NULL AS STRING) AS seg_title",
     )
     return scalar_rows.unionAll(udtf_rows).unionAll(sqlq_rows)
 
@@ -6156,9 +6162,9 @@ _ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'sqlq', c.c_custkey,
                NULL, NULL, NULL, NULL,
-               (SELECT count(*) FROM customer c2
-                WHERE c2.c_mktsegment = c.c_mktsegment
-                  AND c2.c_acctbal > c.c_acctbal),
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'O'),
                CAST(NULL AS VARCHAR)
         FROM customer c
     """,

@@ -1,0 +1,206 @@
+"""Byte-pair-encoding tokenizer training and application — the actual
+merge-learning step of tokenizer prep (``build_vocab`` counts terms,
+``encode_tokens`` applies a fixed vocabulary; this LEARNS the subword
+merges).
+
+Algorithm (canonical BPE, Sennrich et al. 2016 — public):
+
+1. Count whitespace-word frequencies over the corpus — the ONLY pass
+   that touches the corpus; everything after iterates on the compact
+   word-frequency table (vocabulary-sized, not corpus-sized), which is
+   the textbook way BPE training scales: a 100 TB corpus has a bounded
+   distinct-word table.
+2. Represent each word as a symbol array (initially single characters).
+3. K times: count adjacent symbol pairs weighted by word frequency
+   (one small aggregation), pick the most frequent pair —
+   deterministic tiebreak (count DESC, left ASC, right ASC) — and
+   merge its non-overlapping occurrences LEFT-TO-RIGHT in every word
+   (greedy, so ``a a a`` + merge(a,a) → ``aa a``).
+
+The merge application is a JVM-side ``aggregate`` fold over the symbol
+array (no UDF): the accumulator carries the rebuilt array plus a
+pending symbol, emitting merged pairs greedily. Each round is two
+small Spark jobs over the word table plus a 1-row argmax collect —
+K·O(vocab) work total, corpus touched once.
+
+Driver-oracle split (honest): the corpus-facing stage (word counts →
+round-1 pair statistics) is hash-attested against DuckDB in the
+``tfidf_topterms`` row ('bpe1' tag); the iterative merge loop is not
+SQL-expressible in closed form (per-word greedy sequential collapse),
+so it is pinned by pytest against an independent pure-Python reference
+implementation (tests/test_bpe.py), the same strategy the streaming
+stateful operators use.
+
+No reference counterpart (the reference engine has no tokenizer
+vocabulary at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.dedup import tokens_col
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str, *, lowercase: bool = True
+) -> DataFrame:
+    """The corpus pass: ``(word, freq)`` over whitespace tokens."""
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    return (
+        df.select(F.explode(tokens_col(text)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the symbol arrays, weighted by
+    word frequency: ``(left, right, count)``. One explode + one agg on
+    the word table."""
+    # 1-symbol words produce an empty zip — explode drops them, no filter
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select(F.col("p.l").alias("left"),
+                     F.col("p.r").alias("right"), "freq")
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("count"))
+    )
+
+
+def _merge_pair(syms: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) in a
+    symbol array — a single JVM fold.
+
+    Accumulator: ``(out array, pending symbol)``. For each symbol s:
+    if pending == left and s == right → append left||right, clear
+    pending; else append pending to out, s becomes pending. The final
+    pending flushes after the fold.
+    """
+    merged = F.lit(left + right)
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        hit = acc["pend"].eqNullSafe(F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["pend"].isNull(), acc["out"]
+                ).otherwise(
+                    F.concat(acc["out"], F.array(acc["pend"]))
+                ).alias("out"),
+                s.alias("pend"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, zero, step, finish)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    ordered merge list ``[(left, right), ...]``.
+
+    Driver traffic per round is ONE row (the argmax pair); the word
+    table is cached once and each round's rewrite is a narrow
+    projection on it. Rounds stop early if no pair repeats.
+    """
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    words = word_frequencies(df, text_col, lowercase=lowercase).select(
+        F.split(F.col("word"), "").alias("syms"), "freq"
+    )
+    words = words.localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["count"] < 2:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+        words = words.select(
+            _merge_pair(F.col("syms"), left, right).alias("syms"), "freq"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a learned merge list to every document: ``(id, n_words,
+    n_subwords, subwords_csv)`` with each word collapsed by the merges
+    in training order (greedy per rule, canonical BPE application).
+
+    The merge list is a driver-side constant folded into the plan (K
+    chained JVM folds per word — keep K modest; for production-sized
+    merge tables, apply via the trained-word broadcast join instead).
+    Per-row projection, zero shuffle except the final doc regroup.
+    """
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text)).alias("__pos", "word"),
+    )
+    syms = F.split(F.col("word"), "")
+    for left, right in merges:
+        syms = _merge_pair(syms, left, right)
+    per_word = toks.select(
+        F.col(id_col),
+        "__pos",
+        F.concat_ws("▁", syms).alias("__sub"),
+        F.size(syms).alias("__n"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__n").alias("n_subwords"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__sub"))),
+                lambda s: s["__sub"],
+            ),
+        ).alias("subwords_csv"),
+    )
