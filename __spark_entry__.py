@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_validation_engine_spark import StepEngine
@@ -1790,7 +1790,12 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llmops/text.py build_postings): per term, doc_freq + total tf +
     the md5 of the doc-id-ordered ``docid:tf`` posting list — the
     term→documents map a retrieval or decontamination pass probes,
-    order-exact under any partitioning."""
+    order-exact under any partitioning; 'bpe1' rows (round 8) are the
+    top-20 character-pair statistics of BPE training round 1
+    (llmops/bpe.py pair_stats, case-preserving) — the corpus-facing
+    stage of the merge learner; the iterative merge loop itself is
+    pytest-pinned against a pure-Python reference (tests/test_bpe.py),
+    the non-SQL-expressible-operator strategy."""
     from data_validation_engine_spark.llmops import (
         build_vocab,
         tfidf_top_terms,
@@ -1832,7 +1837,28 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CONCAT(term, ':', postings_md5) AS term",
         "doc_freq AS a", "tf_total AS b", "CAST(0.0 AS DOUBLE) AS x",
     )
-    return tfidf.unionAll(vocab).unionAll(encoded).unionAll(postings)
+    from data_validation_engine_spark.llmops.bpe import pair_stats
+
+    w_rank = Window.orderBy(
+        F.desc("count"), F.asc("left"), F.asc("right")
+    )
+    bpe1 = (
+        pair_stats(docs, "text", lowercase=False)
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= 20)
+        .selectExpr(
+            "'bpe1' AS op", "CAST(-1 AS BIGINT) AS doc_id",
+            "CONCAT(left, ' ', right) AS term",
+            "count AS a", "CAST(rk AS BIGINT) AS b",
+            "CAST(0.0 AS DOUBLE) AS x",
+        )
+    )
+    return (
+        tfidf.unionAll(vocab)
+        .unionAll(encoded)
+        .unionAll(postings)
+        .unionAll(bpe1)
+    )
 
 
 def q_quality_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5397,6 +5423,29 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    ) AS pcsv
             FROM tf GROUP BY term
         ) WHERE doc_freq >= 3
+        UNION ALL
+        SELECT 'bpe1', CAST(-1 AS BIGINT), l || ' ' || r, cnt,
+               CAST(rk AS BIGINT), 0.0
+        FROM (
+            SELECT l, r, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+            FROM (
+                SELECT p['l'] AS l, p['r'] AS r, sum(freq) AS cnt
+                FROM (
+                    SELECT unnest(list_transform(
+                               generate_series(1, length(word) - 1),
+                               i -> struct_pack(
+                                   l := substr(word, i, 1),
+                                   r := substr(word, i + 1, 1))
+                           )) AS p,
+                           freq
+                    FROM (
+                        SELECT term AS word, count(*) AS freq
+                        FROM terms GROUP BY 1
+                    )
+                ) GROUP BY 1, 2
+            )
+        ) WHERE rk <= 20
     """,
     # metadata + fake_decoder byte statistics joined on doc_id. The
     # decoder stats are recomputed in SQL: UTF-8 bytes via hex(encode(..))
@@ -6263,7 +6312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     'fun' -> window_analytics; unpivot round-trip 'q_roundtrip' column
     -> group_by; build_postings 'post' -> tfidf_topterms;
     ecdf_normalize 'ecdf'/'src' columns -> text_stats; the raw-SQL
-    step 'sqlq' -> scalar_functions (the escape-hatch family)."""
+    step 'sqlq' -> scalar_functions (the escape-hatch family); BPE
+    round-1 pair stats 'bpe1' -> tfidf_topterms (the merge loop itself
+    is pytest-pinned, tests/test_bpe.py)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,

@@ -122,6 +122,21 @@ def _merge_pair(syms: F.Column, left: str, right: str) -> F.Column:
     return F.aggregate(syms, zero, step, finish)
 
 
+def pair_stats(
+    df: DataFrame, text_col: str, *, lowercase: bool = True
+) -> DataFrame:
+    """Round-1 adjacent-character pair statistics over the corpus —
+    ``(left, right, count)`` weighted by word frequency. The
+    corpus-facing stage of BPE training exposed on its own: this is
+    the part a SQL oracle can replay exactly (the iterative merge loop
+    cannot), and a useful corpus diagnostic (character bigram profile)
+    in its own right."""
+    words = word_frequencies(df, text_col, lowercase=lowercase).select(
+        F.split(F.col("word"), "").alias("syms"), "freq"
+    )
+    return _pair_counts(words)
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,

@@ -954,6 +954,41 @@ class GroupedRegression(AbstractStep):
     round_to: int = 6
 
 
+class BpeTrain(AbstractStep):
+    """Learn BPE merges from the corpus (one corpus pass for word
+    frequencies, then K rounds on the compact word table); output
+    entity = the ordered merge table ``(rank, left, right)``."""
+
+    operation: Literal["bpe_train"] = "bpe_train"
+    text_column: str
+    n_merges: int
+    lowercase: bool = True
+
+
+class BpeEncode(AbstractStep):
+    """Apply a learned merge table (``merges_name`` entity, a
+    ``bpe_train`` output — K rows, collected driver-side) to every
+    document: ``(id, n_words, n_subwords, subwords_csv)``."""
+
+    operation: Literal["bpe_encode"] = "bpe_encode"
+    merges_name: str
+    id_column: str
+    text_column: str
+    lowercase: bool = True
+
+
+class Repartition(AbstractStep):
+    """Declarable layout control: hash-repartition on columns, range-
+    repartition (sorted layout for downstream range pruning), or
+    coalesce to ``n`` — the shuffle-placement lever a pipeline author
+    pulls before a hot join or a file-count-sensitive write."""
+
+    operation: Literal["repartition"] = "repartition"
+    n: Optional[int] = None
+    columns: tuple[str, ...] = ()
+    mode: Literal["hash", "range", "coalesce"] = "hash"
+
+
 class SqlQuery(AbstractStep):
     """Raw Spark-SQL escape hatch: ``query`` runs with ``entity_name``
     (and every name in ``inputs``) bound as ``{name}`` template
@@ -1209,6 +1244,9 @@ AnyStep = Annotated[
         EcdfNormalize,
         BucketByLength,
         SqlQuery,
+        BpeTrain,
+        BpeEncode,
+        Repartition,
     ],
     Field(discriminator="operation"),
 ]

@@ -128,6 +128,9 @@ from data_validation_engine_spark.steps.configs import (
     EcdfNormalize,
     BucketByLength,
     SqlQuery,
+    BpeTrain,
+    BpeEncode,
+    Repartition,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -250,6 +253,9 @@ class StepEngine:
             EcdfNormalize: self.ecdf_normalize,
             BucketByLength: self.bucket_by_length,
             SqlQuery: self.sql_query,
+            BpeTrain: self.bpe_train,
+            BpeEncode: self.bpe_encode,
+            Repartition: self.repartition,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1893,6 +1899,73 @@ class StepEngine:
             scale=config.scale,
             round_to=config.round_to,
         )
+        return None
+
+    def bpe_train(
+        self, entities: Entities, *, config: BpeTrain
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.bpe import bpe_train
+
+        merges = bpe_train(
+            entities[config.entity_name],
+            config.text_column,
+            n_merges=config.n_merges,
+            lowercase=config.lowercase,
+        )
+        entities[config.output_name] = self.spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "rank int, left string, right string",
+        )
+        return None
+
+    def bpe_encode(
+        self, entities: Entities, *, config: BpeEncode
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.bpe import bpe_encode
+
+        # merge table is K rows by construction — a bounded collect
+        merges = [
+            (r["left"], r["right"])
+            for r in entities[config.merges_name]
+            .orderBy("rank")
+            .collect()
+        ]
+        entities[config.output_name] = bpe_encode(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            merges,
+            lowercase=config.lowercase,
+        )
+        return None
+
+    def repartition(
+        self, entities: Entities, *, config: Repartition
+    ) -> Messages:
+        df = entities[config.entity_name]
+        cols = [F.col(c) for c in config.columns]
+        if config.mode == "coalesce":
+            if config.n is None:
+                raise ValueError("coalesce requires n")
+            out = df.coalesce(config.n)
+        elif config.mode == "range":
+            if not cols:
+                raise ValueError("range repartition requires columns")
+            out = (
+                df.repartitionByRange(config.n, *cols)
+                if config.n
+                else df.repartitionByRange(*cols)
+            )
+        else:
+            if config.n and cols:
+                out = df.repartition(config.n, *cols)
+            elif cols:
+                out = df.repartition(*cols)
+            elif config.n:
+                out = df.repartition(config.n)
+            else:
+                raise ValueError("hash repartition requires n or columns")
+        entities[config.output_name] = out
         return None
 
     def sql_query(

@@ -420,3 +420,96 @@ class TestBroadcastTargetHint:
                 assert ("BroadcastHashJoin" in plan) == bool(expect), plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestBpeSteps:
+    def test_train_then_encode_declared(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark)
+        ents = {
+            "docs": spark.createDataFrame(
+                [(0, "low low low lower"), (1, "lowest low")],
+                "doc_id long, text string",
+            )
+        }
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "bpe_train",
+                    "entity_name": "docs",
+                    "text_column": "text",
+                    "n_merges": 3,
+                    "new_entity_name": "merges",
+                }
+            ),
+        )
+        merges = ents["merges"].orderBy("rank").collect()
+        assert [(r["left"], r["right"]) for r in merges][:2] == [
+            ("l", "o"), ("lo", "w"),
+        ]
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "bpe_encode",
+                    "entity_name": "docs",
+                    "merges_name": "merges",
+                    "id_column": "doc_id",
+                    "text_column": "text",
+                    "new_entity_name": "enc",
+                }
+            ),
+        )
+        got = {r.doc_id: r.subwords_csv for r in ents["enc"].collect()}
+        assert got[0].startswith("low low low")
+
+
+class TestRepartitionStep:
+    def test_modes(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark)
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id int, k int"
+        ).repartition(6)
+        for cfg, check in [
+            ({"mode": "coalesce", "n": 2},
+             lambda o: o.rdd.getNumPartitions() == 2),
+            ({"mode": "hash", "columns": ["k"], "n": 4},
+             lambda o: o.rdd.getNumPartitions() == 4),
+            ({"mode": "range", "columns": ["id"], "n": 3},
+             lambda o: o.rdd.getNumPartitions() <= 3),
+        ]:
+            ents = {"t": df}
+            eng.evaluate(
+                ents,
+                config=parse_step(
+                    {"operation": "repartition", "entity_name": "t", **cfg}
+                ),
+            )
+            assert check(ents["t"]), cfg
+            assert ents["t"].count() == 30
+
+    def test_rejects_bad_config(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+        import pytest as _pt
+
+        eng = StepEngine(spark)
+        ents = {"t": spark.range(3)}
+        with _pt.raises(ValueError, match="coalesce requires n"):
+            eng.evaluate(
+                ents,
+                config=parse_step(
+                    {"operation": "repartition", "entity_name": "t",
+                     "mode": "coalesce"}
+                ),
+            )
+        with _pt.raises(ValueError, match="requires n or columns"):
+            eng.evaluate(
+                ents,
+                config=parse_step(
+                    {"operation": "repartition", "entity_name": "t"}
+                ),
+            )
