@@ -1099,7 +1099,13 @@ def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC ledger (merge.snapshot_diff, one full-outer join; the
     apply_changes round-trip law is property-tested). The regression
     surface profile_diff's schema drift can't see: exactly WHICH rows
-    changed."""
+    changed.
+
+    'anon' rows (round 8): the DECLARED pseudonymize step — nation
+    names replaced by keyed SHA-256 tokens (salt 'r8', 16 hex chars);
+    the same (salt, value) tokenises identically in every entity, so
+    referential joins survive while raw identifiers never leave the
+    pipeline (per-row projection, zero shuffle)."""
     import tempfile
 
     from data_validation_engine_spark.contract import add_record_index
@@ -1164,7 +1170,24 @@ def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff_rows = ents2["ledger"].selectExpr(
         "'diff' AS op", "n_nationkey", "n_name", "cop"
     )
-    return ent_rows.unionAll(diff_rows)
+    ents3 = {"nation": nation}
+    eng.evaluate(
+        ents3,
+        config=parse_step(
+            {
+                "operation": "pseudonymize",
+                "entity_name": "nation",
+                "columns": ["n_name"],
+                "salt": "r8",
+                "new_entity_name": "anon",
+            }
+        ),
+    )
+    anon_rows = ents3["anon"].selectExpr(
+        "'anon' AS op", "n_nationkey", "n_name",
+        "CAST(NULL AS STRING) AS cop",
+    )
+    return ent_rows.unionAll(diff_rows).unionAll(anon_rows)
 
 
 def q_refdata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,11 +1612,19 @@ def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates -> exact Jaccard verify -> connected components -> keep the
     min id per cluster) through the step engine. Oracle: the same pair
     graph in SQL, components by recursive reachability, survivors =
-    documents whose id IS its component."""
+    documents whose id IS its component.
+
+    'rep:' rows (round 8): the DECLARED cluster_representatives step —
+    the survivorship policy generalised from min-id to best-score
+    (highest n_chars, id-asc tiebreak) over a deterministic clustering;
+    the rank-1 filter sits on the window so WindowGroupLimit keeps a
+    1-row heap per cluster map-side (cluster id rides the lang column
+    as 'rep:<cluster>')."""
     from data_validation_engine_spark.steps import parse_step
 
     entities = {"documents": _docs(spark, sf_dir)}
-    _engine(spark).evaluate(
+    eng = _engine(spark)
+    eng.evaluate(
         entities,
         config=parse_step(
             {
@@ -1611,7 +1642,31 @@ def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ),
     )
-    return entities["deduped"].selectExpr("doc_id", "n_chars", "lang")
+    entities["clustered"] = entities["documents"].selectExpr(
+        "doc_id", "n_chars", "CAST(doc_id % 50 AS BIGINT) AS cluster"
+    )
+    eng.evaluate(
+        entities,
+        config=parse_step(
+            {
+                "operation": "cluster_representatives",
+                "entity_name": "clustered",
+                "cluster_column": "cluster",
+                "id_column": "doc_id",
+                "score_column": "n_chars",
+                "new_entity_name": "reps",
+            }
+        ),
+    )
+    rep_rows = entities["reps"].selectExpr(
+        "doc_id", "n_chars",
+        "CONCAT('rep:', CAST(cluster AS STRING)) AS lang",
+    )
+    return (
+        entities["deduped"]
+        .selectExpr("doc_id", "n_chars", "lang")
+        .unionAll(rep_rows)
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4554,7 +4609,20 @@ _LLMOPS_ORACLES: dict[str, str] = {
         UNION ALL SELECT * FROM inc_ngram
     """,
     "dedup_minhash": _dedup_minhash_oracle(),
-    "step_dedup_fuzzy": _dedup_fuzzy_oracle(),
+    "step_dedup_fuzzy": f"""
+        SELECT * FROM ({_dedup_fuzzy_oracle()})
+        UNION ALL
+        SELECT doc_id, n_chars,
+               'rep:' || CAST(doc_id % 50 AS VARCHAR) AS lang
+        FROM (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY doc_id % 50
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rk
+            FROM documents
+        ) WHERE rk = 1
+    """,
     # signatures (full corpus) unioned with banded pairs (10% slice)
     "dedup_simhash": f"""
         SELECT 'sig' AS op, doc_id AS a, CAST(-1 AS BIGINT) AS b,
@@ -6053,6 +6121,13 @@ _ORACLES: dict[str, str] = {
                     WHEN t.n_nationkey IS NULL THEN 'D'
                     WHEN t.n_name IS DISTINCT FROM y.n_name THEN 'U'
                END) IS NOT NULL
+        UNION ALL
+        SELECT 'anon', n_nationkey,
+               CASE WHEN n_name IS NOT NULL THEN
+                   substring(sha256('r8' || n_name), 1, 16)
+               END,
+               CAST(NULL AS VARCHAR)
+        FROM nation
     """,
     "refdata_join": """
         SELECT n_nationkey, n_name, r_name AS region_name
@@ -6314,7 +6389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ecdf_normalize 'ecdf'/'src' columns -> text_stats; the raw-SQL
     step 'sqlq' -> scalar_functions (the escape-hatch family); BPE
     round-1 pair stats 'bpe1' -> tfidf_topterms (the merge loop itself
-    is pytest-pinned, tests/test_bpe.py)."""
+    is pytest-pinned, tests/test_bpe.py); pseudonymize 'anon' ->
+    entity_ops; cluster_representatives 'rep:' rows ->
+    step_dedup_fuzzy; merge_regression_stats is property-tested
+    (tests/test_round8b.py) against recompute-over-the-union."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,

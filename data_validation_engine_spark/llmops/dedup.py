@@ -22,7 +22,7 @@ oracle. No Python UDFs — everything below is JVM Column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_validation_engine_spark.llmops.pairs import (
@@ -1111,4 +1111,35 @@ def containment_pairs(
             ),
         )
         .where(F.col("containment") >= threshold)
+    )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    cluster_col: str,
+    *,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship policy for resolved near-dup clusters: ONE
+    representative row per cluster — highest ``score_col`` (e.g. a
+    quality score or document length), ties and the no-score case
+    broken by ascending ``id_col`` so the choice is deterministic
+    cross-engine and cross-run.
+
+    The last stage of fuzzy dedup: pairs → connected components →
+    pick the canonical document per component. One keyed window with
+    the ``rank = 1`` filter directly on it, so Spark's WindowGroupLimit
+    rewrite keeps a 1-row heap per cluster on the map side — the
+    shuffle carries one candidate per cluster per map partition, not
+    the cluster populations.
+    """
+    order = [F.col(id_col).asc()]
+    if score_col is not None:
+        order.insert(0, F.col(score_col).desc())
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
     )

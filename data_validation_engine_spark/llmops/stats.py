@@ -208,3 +208,50 @@ def ecdf_normalize(
     return df.join(
         cdf.withColumnRenamed("__v", value_col), [*groups, value_col]
     )
+
+
+def merge_regression_stats(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge two :func:`grouped_regression` outputs by adding their
+    exact sufficient statistics and re-deriving the floats — the
+    incremental-maintenance path: yesterday's stats + today's shard
+    without touching yesterday's rows. Exact because the sums are
+    DECIMAL(38,0) (order- and split-independent); the float formulas
+    are the identical fixed IEEE sequence, so merge(a, b) equals
+    recomputing over the union (property-tested).
+    """
+    stats = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    sides = a.select(*group_cols, *stats).unionByName(
+        b.select(*group_cols, *stats)
+    )
+    agg = sides.groupBy(*group_cols).agg(
+        *[F.sum(c).cast("decimal(38,0)").alias(c) for c in stats]
+    )
+    agg = agg.withColumn("n", F.col("n").cast("long"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return agg.select(
+        *group_cols,
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.when(var_x > 0, F.round(cov_n / var_x, 6)).alias("slope"),
+        F.when(
+            var_x > 0, F.round((sy - (cov_n / var_x) * sx) / n, 6)
+        ).alias("intercept"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6),
+        ).alias("corr"),
+    )

@@ -954,6 +954,32 @@ class GroupedRegression(AbstractStep):
     round_to: int = 6
 
 
+class Pseudonymize(AbstractStep):
+    """Replace column values with keyed SHA-256 tokens
+    (``sha2(salt || value)``): the same (salt, value) maps to the same
+    token in every entity, so joins and referential integrity survive
+    while raw identifiers never leave the pipeline. NULL stays NULL.
+    Per-row projection, zero shuffle."""
+
+    operation: Literal["pseudonymize"] = "pseudonymize"
+    columns: tuple[str, ...]
+    salt: str = ""
+    token_length: int = 16
+
+
+class ClusterRepresentatives(AbstractStep):
+    """One representative row per resolved dedup cluster — highest
+    ``score_column`` (ties / no score: ascending ``id_column``) — the
+    survivorship stage after fuzzy-dedup component resolution."""
+
+    operation: Literal["cluster_representatives"] = (
+        "cluster_representatives"
+    )
+    cluster_column: str
+    id_column: str = "doc_id"
+    score_column: Optional[str] = None
+
+
 class BpeTrain(AbstractStep):
     """Learn BPE merges from the corpus (one corpus pass for word
     frequencies, then K rounds on the compact word table); output
@@ -1247,6 +1273,8 @@ AnyStep = Annotated[
         BpeTrain,
         BpeEncode,
         Repartition,
+        Pseudonymize,
+        ClusterRepresentatives,
     ],
     Field(discriminator="operation"),
 ]

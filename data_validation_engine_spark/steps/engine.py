@@ -131,6 +131,8 @@ from data_validation_engine_spark.steps.configs import (
     BpeTrain,
     BpeEncode,
     Repartition,
+    Pseudonymize,
+    ClusterRepresentatives,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -256,6 +258,8 @@ class StepEngine:
             BpeTrain: self.bpe_train,
             BpeEncode: self.bpe_encode,
             Repartition: self.repartition,
+            Pseudonymize: self.pseudonymize,
+            ClusterRepresentatives: self.cluster_representatives,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1898,6 +1902,41 @@ class StepEngine:
             config.y_column,
             scale=config.scale,
             round_to=config.round_to,
+        )
+        return None
+
+    def pseudonymize(
+        self, entities: Entities, *, config: Pseudonymize
+    ) -> Messages:
+        df = entities[config.entity_name]
+        n = int(config.token_length)
+        for c in config.columns:
+            token = F.substring(
+                F.sha2(
+                    F.concat(F.lit(config.salt), F.col(c).cast("string")),
+                    256,
+                ),
+                1,
+                n,
+            )
+            df = df.withColumn(
+                c, F.when(F.col(c).isNotNull(), token)
+            )
+        entities[config.output_name] = df
+        return None
+
+    def cluster_representatives(
+        self, entities: Entities, *, config: ClusterRepresentatives
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import (
+            cluster_representatives,
+        )
+
+        entities[config.output_name] = cluster_representatives(
+            entities[config.entity_name],
+            config.cluster_column,
+            score_col=config.score_column,
+            id_col=config.id_column,
         )
         return None
 
