@@ -231,6 +231,12 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       aggregate fold over the sorted event array); the DuckDB twin is
       the closed-form min-cascade, so the hash proves the fold computes
       exactly the documented SQL semantics.
+    - ``sfun`` (round 8): the SAME funnel maintained by the STREAMING
+      custom stateful operator (streaming/funnel.py,
+      applyInPandasWithState, three longs of state per user,
+      availableNow drain) — per-user final (stage, t_enter, t_reach)
+      hash-matched against the identical min-cascade, proving
+      batch/stream funnel parity instead of claiming it.
     """
     from data_validation_engine_spark.steps import parse_step
 
@@ -448,6 +454,42 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CONCAT(CAST(n_exact AS STRING), ':',"
         " CAST(lag_sum_us AS STRING)) AS val",
     )
+    from data_validation_engine_spark.streaming import (
+        streaming_window_funnel,
+    )
+
+    fout = tempfile.mkdtemp(prefix="dve_sfun_q_")
+    with _state_partitions(spark):
+        fq = (
+            streaming_window_funnel(
+                sdf, "user_id", "ts", "event_type",
+                ["view", "click", "purchase"],
+                window_us=3 * day_us, watermark="366 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{fout}/data")
+            .option("checkpointLocation", f"{fout}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    fq.awaitTermination()
+    sfun = (
+        spark.read.parquet(f"{fout}/data")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("stage", "t_enter_us", "t_reach_us"), "stage"
+            ).alias("s")
+        )
+        .selectExpr(
+            "'sfun' AS op",
+            "CAST(user_id AS STRING) AS key",
+            "CAST(s.stage AS BIGINT) AS idx",
+            "CONCAT(CAST(COALESCE(s.t_enter_us, -1) AS STRING), ':',"
+            " CAST(COALESCE(s.t_reach_us, -1) AS STRING)) AS val",
+        )
+    )
     return (
         ents["tk"]
         .unionByName(ents["rl"])
@@ -456,6 +498,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sroll)
         .unionByName(ret)
         .unionByName(fun)
+        .unionByName(sfun)
     )
 
 
@@ -5712,6 +5755,48 @@ _ORACLES: dict[str, str] = {
             )
         ), (SELECT unnest([1, 2, 3]) AS stage_k)
         GROUP BY stage_k
+        UNION ALL
+        SELECT 'sfun', CAST(user_id AS VARCHAR), CAST(stage AS BIGINT),
+               CAST(COALESCE(t1, -1) AS VARCHAR) || ':' ||
+               CAST(COALESCE(tp, -1) AS VARCHAR)
+        FROM (
+            SELECT user_id, t1,
+                   CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+                        WHEN t3 IS NULL THEN 2 ELSE 3 END AS stage,
+                   CASE WHEN t1 IS NULL THEN NULL
+                        ELSE COALESCE(t3, t2, t1) END AS tp
+            FROM (
+                SELECT e.user_id, t1, t2,
+                       min(CASE WHEN et = 'purchase' AND ts_us >= t2
+                                AND ts_us <= t1 + 259200000000
+                                THEN ts_us END) AS t3
+                FROM (
+                    SELECT user_id, event_type AS et, epoch_us(ts) AS ts_us
+                    FROM events
+                    WHERE event_type IN ('view', 'click', 'purchase')
+                ) e JOIN (
+                    SELECT e.user_id, t1,
+                           min(CASE WHEN et = 'click' AND ts_us >= t1
+                                    AND ts_us <= t1 + 259200000000
+                                    THEN ts_us END) AS t2
+                    FROM (
+                        SELECT user_id, event_type AS et,
+                               epoch_us(ts) AS ts_us
+                        FROM events
+                        WHERE event_type IN ('view', 'click', 'purchase')
+                    ) e JOIN (
+                        SELECT user_id,
+                               min(CASE WHEN event_type = 'view'
+                                        THEN epoch_us(ts) END) AS t1
+                        FROM events
+                        WHERE event_type IN ('view', 'click', 'purchase')
+                        GROUP BY 1
+                    ) s1 USING (user_id)
+                    GROUP BY 1, 2
+                ) s2 USING (user_id)
+                GROUP BY 1, 2, 3
+            )
+        )
     """,
     "distinct": """
         SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
@@ -6384,7 +6469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     + impute 'imp' + chi2_drift 'chi2' + grouped_regression 'reg' ->
     data_profiling; exact_quota_sample 'quota' + bucket_by_length
     'buck' -> sequence_prep; retention_cohorts 'ret' + window_funnel
-    'fun' -> window_analytics; unpivot round-trip 'q_roundtrip' column
+    'fun' + streaming_window_funnel 'sfun' (batch/stream funnel
+    parity) -> window_analytics; unpivot round-trip 'q_roundtrip' column
     -> group_by; build_postings 'post' -> tfidf_topterms;
     ecdf_normalize 'ecdf'/'src' columns -> text_stats; the raw-SQL
     step 'sqlq' -> scalar_functions (the escape-hatch family); BPE

@@ -30,6 +30,9 @@ from data_validation_engine_spark.streaming.joins import (
 from data_validation_engine_spark.streaming.rolling import (
     streaming_rolling_counts,
 )
+from data_validation_engine_spark.streaming.funnel import (
+    streaming_window_funnel,
+)
 from data_validation_engine_spark.streaming.sessions import (
     session_stats,
     sessionize,
@@ -47,6 +50,7 @@ __all__ = [
     "streaming_incremental_dedup",
     "streaming_kmv_distinct",
     "streaming_rolling_counts",
+    "streaming_window_funnel",
     "streaming_sessionize",
     "streaming_sync_filters",
     "window_start_col",

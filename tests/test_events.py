@@ -228,3 +228,146 @@ class TestBuildPostings:
             ).collect()
         }
         assert "the" not in terms and "word3" in terms
+
+
+class TestStreamingWindowFunnel:
+    STEPS = ["view", "click", "purchase"]
+    WIN = 3 * 86_400_000_000
+
+    def _final(self, spark, out):
+        from pyspark.sql import functions as F
+
+        return {
+            r.user_id: (r.stage, r.t_enter_us, r.t_reach_us)
+            for r in spark.read.parquet(f"{out}/data")
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("stage", "t_enter_us", "t_reach_us"), "stage"
+                ).alias("s")
+            )
+            .select("user_id", "s.*")
+            .collect()
+        }
+
+    def _batch(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from data_validation_engine_spark.llmops.events import window_funnel
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        return {
+            r.user_id: (r.stage, r.t_enter_us, r.t_reach_us)
+            for r in window_funnel(
+                ev, "user_id", "ts_us", "event_type", self.STEPS,
+                window_us=self.WIN,
+            ).collect()
+        }
+
+    def test_single_drain_matches_batch(self, spark, sf_dir, tmp_path):
+        import tempfile
+
+        from data_validation_engine_spark.streaming import (
+            read_entity_stream,
+            streaming_window_funnel,
+        )
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        sdf = read_entity_stream(
+            spark, sf_dir, schema,
+            options={"pathGlobFilter": "events.parquet"},
+        )
+        out = tempfile.mkdtemp(prefix="dve_sfunnel_")
+        q = (
+            streaming_window_funnel(
+                sdf, "user_id", "ts", "event_type", self.STEPS,
+                window_us=self.WIN, watermark="366 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = self._final(spark, out)
+        want = self._batch(spark, sf_dir)
+        assert got == want and len(got) > 0
+
+    def test_cross_batch_state_carries(self, spark, sf_dir, tmp_path):
+        """Two micro-batches split by event time: the chain anchored in
+        batch 1 must deepen in batch 2 via carried state."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from data_validation_engine_spark.streaming import (
+            read_entity_stream,
+            streaming_window_funnel,
+        )
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        ev = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
+        cut = ev.agg(
+            F.expr("percentile_approx(unix_micros(ts), 0.5)")
+        ).first()[0]
+        src = tmp_path / "src"
+        src.mkdir()
+        ev.where(f"unix_micros(ts) <= {cut}").coalesce(1).write.parquet(
+            str(src / "b1.parquet")
+        )
+        ev.where(f"unix_micros(ts) > {cut}").coalesce(1).write.parquet(
+            str(src / "b2.parquet")
+        )
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        out = tempfile.mkdtemp(prefix="dve_sfunnel2_")
+        q = (
+            streaming_window_funnel(
+                sdf, "user_id", "ts", "event_type", self.STEPS,
+                window_us=self.WIN, watermark="366 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = self._final(spark, out)
+        want = self._batch(spark, sf_dir)
+        assert got == want and len(got) > 0
+
+    def test_rejects_batch_frame(self, spark, sf_dir):
+        import pytest as _pt
+
+        from data_validation_engine_spark.errors import ConfigurationError
+        from data_validation_engine_spark.streaming import (
+            streaming_window_funnel,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        with _pt.raises(ConfigurationError, match="streaming"):
+            streaming_window_funnel(
+                ev, "user_id", "ts", "event_type", ["a", "b"],
+                window_us=1,
+            )
