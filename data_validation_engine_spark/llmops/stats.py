@@ -18,7 +18,7 @@ No reference counterpart (the reference has no statistics vocabulary).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,6 +44,15 @@ def chi2_drift(
 
     Values absent from one side participate with count 0 (a full outer
     join on the cell key). NULLs count as their own cell.
+
+    Degenerate-sample policy (explicit): if a side's TOTAL is zero (an
+    empty snapshot) every expected count on that side is zero and the
+    contribution ``d²/0`` is engine-divergent (Spark non-ANSI renders
+    NULL, DuckDB inf) — an unacceptable edge in an operator whose whole
+    point is engine-exactness. The contribution is therefore guarded:
+    cells with a zero expected count emit NULL (pytest-pinned in
+    tests/test_round9.py), so a chi-square against an empty snapshot is
+    all-NULL rather than a crash or an inf.
     """
     a = ref.groupBy(
         F.col(column).cast("string").alias("__va")
@@ -80,7 +89,7 @@ def chi2_drift(
 
     def contrib(obs, exp):
         d = obs.cast("double") - exp
-        return F.round(d * d / exp, round_to)
+        return F.when(exp > 0, F.round(d * d / exp, round_to))
 
     return c.select(
         "value",
@@ -185,9 +194,35 @@ def ecdf_normalize(
     aggregation produced, so AQE reuses the partitioning. Ties share an
     ecdf by construction. Exact integers until the single final
     division (``cum / n``), rounded to ``round_to``.
+
+    NULL policy (explicit): a NULL in ``value_col`` or any group column
+    FAILS the action with a readable message. A NULL value has no rank
+    (engines even disagree on its sort position — Spark windows default
+    NULLS FIRST, ANSI/DuckDB NULLS LAST), and the equi-join-back would
+    silently drop the row; filter or impute before calibrating. The
+    guard is compiled into the plan (zero cost on clean data), the same
+    lazy ``raise_error`` idiom the MERGE/diff operators use.
     """
     groups = list(group_cols or [])
-    counts = df.groupBy(
+
+    def _nn(c: str) -> Column:
+        return F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"ecdf_normalize: NULL in column '{c}'; a NULL has "
+                    "no rank and would be dropped by the join-back — "
+                    "filter or impute before calibrating"
+                )
+            ).cast(df.schema[c].dataType)
+        )
+
+    guarded = df.select(
+        *[
+            _nn(c).alias(c) if c in {value_col, *groups} else F.col(c)
+            for c in df.columns
+        ]
+    )
+    counts = guarded.groupBy(
         *groups, F.col(value_col).alias("__v")
     ).agg(F.count(F.lit(1)).alias("__c"))
     w = (
@@ -205,7 +240,7 @@ def ecdf_normalize(
             round_to,
         ).alias(out_col),
     )
-    return df.join(
+    return guarded.join(
         cdf.withColumnRenamed("__v", value_col), [*groups, value_col]
     )
 

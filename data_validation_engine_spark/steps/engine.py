@@ -2011,6 +2011,23 @@ class StepEngine:
         self, entities: Entities, *, config: SqlQuery
     ) -> Messages:
         names = dict.fromkeys([config.entity_name, *config.inputs])
+        # entity names become spark.sql(**kwargs) template frames, so they
+        # must be valid Python identifiers, and 'args' is reserved by
+        # pyspark's spark.sql(..., args=...) parameter — an entity named
+        # 'args' would silently bind as the parameter dict instead of a
+        # {args} template frame (round-9 fix, ADVICE r8)
+        for n in names:
+            if not n.isidentifier() or n == "args":
+                reason = (
+                    "collides with pyspark's reserved spark.sql 'args' "
+                    "parameter" if n == "args"
+                    else "is not a valid identifier"
+                )
+                raise ConfigurationError(
+                    f"sql_query entity name {n!r} {reason}; rename the "
+                    "entity (copy_entity/rename_entity) before the SQL "
+                    "step"
+                )
         frames = {n: entities[n] for n in names}
         entities[config.output_name] = self.spark.sql(
             config.query, **frames

@@ -21,14 +21,18 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 # the rows whose plumbing crosses the hazards: pandas-state µs math
-# (sessionize), event-time windows + watermark flush
-# (streaming_window_counts), the ln-adjacent term surfaces
-# (tfidf_topterms), and the streaming/batch rolling join
-# (window_analytics)
+# (sessionize_stream / rolling_stream / funnel_stream), event-time
+# windows + watermark flush (streaming_window_counts), and the
+# ln-adjacent term surfaces (tfidf_top1 / vocab_encode) — the round-9
+# singleton successors of the formerly merged sensitive rows
 SENSITIVE = [
-    "sessionize",
+    "sessionize_batch",
+    "sessionize_stream",
+    "rolling_stream",
+    "funnel_stream",
     "streaming_window_counts",
-    "tfidf_topterms",
+    "tfidf_top1",
+    "vocab_encode",
 ]
 
 

@@ -1,0 +1,170 @@
+"""Round-9 fixes: BPE join-path encode, chi2 empty-side guard,
+ecdf NULL policy, sql_query name validation, winsorize bound pinning.
+
+Each test pins a behaviour the r8 ADVICE flagged as engine-divergent or
+data-dependent; the BPE tests additionally prove the production join
+path ≡ the fold path and that its plan does not grow with K.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.errors import ConfigurationError
+from data_validation_engine_spark.llmops.bpe import bpe_encode, bpe_train
+from data_validation_engine_spark.llmops.stats import (
+    chi2_drift,
+    ecdf_normalize,
+)
+
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cats sat"),
+    (3, "a mat a cat a hat"),
+    (4, "hat hat hat cat"),
+    (5, ""),
+]
+
+
+def test_bpe_fold_path_equals_join_path(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    merges, words = bpe_train(
+        df, "text", n_merges=6, return_words=True
+    )
+    assert merges, "training must learn at least one merge"
+    fold = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["subwords_csv"])
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    join = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["subwords_csv"])
+        for r in bpe_encode(
+            df, "doc_id", "text", word_table=words
+        ).collect()
+    }
+    assert fold == join
+    # and the shuffle-join variant agrees too (the no-broadcast fallback
+    # for pathological vocabularies)
+    shuffled = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["subwords_csv"])
+        for r in bpe_encode(
+            df, "doc_id", "text", word_table=words, broadcast_words=False
+        ).collect()
+    }
+    assert fold == shuffled
+
+
+def test_bpe_join_path_plan_independent_of_k(spark):
+    """At K=1000 the join path's plan must contain no K-deep fold chain
+    — plan size independent of the merge count (the fold path at that K
+    would blow whole-stage codegen)."""
+    df = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
+    words = spark.createDataFrame(
+        [("the", "the", 1), ("cat", "c▁at", 2), ("sat", "s▁at", 2)],
+        "word string, subwords string, n_subwords long",
+    )
+    enc = bpe_encode(df, "doc_id", "text", word_table=words)
+    plan = enc._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(" not in plan, "join path must not fold merges"
+    assert len(plan) < 20_000
+    out = {r["doc_id"]: r["subwords_csv"] for r in enc.collect()}
+    # OOV words ('on', 'mat', 'cats') fall back to character symbols
+    assert out[1].split(" ")[0] == "the"
+    assert "c▁a▁t▁s" in out[2]
+
+
+def test_bpe_unseen_word_falls_back_to_chars(spark):
+    df = spark.createDataFrame([(1, "zzz")], "doc_id long, text string")
+    words = spark.createDataFrame(
+        [("the", "the", 1)], "word string, subwords string, n_subwords long"
+    )
+    row = bpe_encode(df, "doc_id", "text", word_table=words).collect()[0]
+    assert row["subwords_csv"] == "z▁z▁z"
+    assert row["n_subwords"] == 3
+
+
+def test_bpe_encode_rejects_ambiguous_arguments(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        bpe_encode(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="exactly one"):
+        bpe_encode(df, "doc_id", "text", [("a", "b")], word_table=df)
+
+
+def test_chi2_empty_side_emits_null_not_inf(spark):
+    """An empty snapshot makes every expected count zero on that side;
+    the guard must emit NULL (not a crash, not inf) — the documented
+    engine-exact degenerate policy."""
+    ref = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "lbl string"
+    )
+    cur = spark.createDataFrame([], "lbl string")
+    rows = chi2_drift(ref, cur, "lbl").collect()
+    assert {r["value"] for r in rows} == {"a", "b"}
+    for r in rows:
+        # e_cur = row * 0 / N = 0 → guarded NULL; e_ref = row * N / N > 0
+        assert r["chi2_cur"] is None
+        assert r["chi2_ref"] is not None
+
+
+def test_ecdf_normalize_null_value_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+    )
+    with pytest.raises(Exception, match="ecdf_normalize: NULL"):
+        ecdf_normalize(df, "v").collect()
+
+
+def test_ecdf_normalize_null_group_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, None)], "id long, v double, g string"
+    )
+    with pytest.raises(Exception, match="ecdf_normalize: NULL"):
+        ecdf_normalize(df, "v", group_cols=["g"]).collect()
+
+
+def test_ecdf_normalize_clean_data_unchanged(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0)], "id long, v double"
+    )
+    got = {r["id"]: r["ecdf"] for r in ecdf_normalize(df, "v").collect()}
+    assert got == {1: 0.25, 2: 0.75, 3: 0.75, 4: 1.0}
+
+
+def test_sql_query_rejects_reserved_and_invalid_names(spark, sf_dir):
+    from data_validation_engine_spark import StepEngine
+    from data_validation_engine_spark.steps import parse_step
+
+    eng = StepEngine(spark)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    for bad in ("args", "not-an-identifier"):
+        with pytest.raises(ConfigurationError, match="sql_query"):
+            eng.evaluate(
+                {bad: nation},
+                config=parse_step(
+                    {
+                        "operation": "sql",
+                        "entity_name": bad,
+                        "query": "SELECT * FROM {" + bad + "}",
+                        "new_entity_name": "out",
+                    }
+                ),
+            )
+
+
+def test_winsorize_bounds_pinned_when_one_side_never_clips(spark):
+    """The hashed-bound pattern the data_profiling row now uses: bounds
+    from the percentile join, not reconstructed from clipped rows — a
+    group clipping on only one side must still emit BOTH bounds."""
+    # 20 identical high values + 1 low outlier: p95 == max → nothing
+    # clips high; the old max/min-over-clipped reconstruction gave NULL
+    vals = [(1.0,)] + [(100.0,)] * 20
+    df = spark.createDataFrame(vals, "cents double")
+    bounds = df.agg(
+        F.round(F.expr("percentile(cents, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(cents, 0.95)"), 6).alias("hi"),
+    ).collect()[0]
+    assert bounds["lo"] is not None and bounds["hi"] is not None
+    assert bounds["hi"] == 100.0

@@ -84,13 +84,9 @@ def test_entry_contract_queries_single_scan_no_shuffle(spark):
     behaviour this engine deliberately replaced)."""
     import __spark_entry__ as entry
 
-    # max_scans: the merged contract_messages row unions the base feed
-    # with the error-detail-override feed (two compiled contracts -> two
-    # single-scan branches); every branch is still scan+project+explode
-    # with ZERO Exchange — N checks never become a scan-per-check or join
+    # contract_functions / contract_cast rows stay single-scan zero-shuffle
     for name, max_scans in (
         ("contract_functions", 1),
-        ("contract_messages", 2),
         ("contract_cast", 1),
     ):
         df = entry.queries()[name](spark, "/root/testdata/sf0.001")
@@ -100,6 +96,25 @@ def test_entry_contract_queries_single_scan_no_shuffle(spark):
             "Exchange" in line for line in plan.splitlines()
         ), name
         assert "CartesianProduct" not in plan, name
+
+    # the contract_messages ROW gained the windowed uniqueness arm in
+    # round 9 (one legitimate Exchange on the key value), so the
+    # zero-shuffle contract is asserted on the compiled message FEED
+    # itself: N per-record checks = one scan + project + explode
+    from data_validation_engine_spark.contract import (
+        apply_contract,
+        parse_contract,
+    )
+
+    contract = parse_contract(entry._CONTRACT_DISCHEMA)
+    _, feed = apply_contract(
+        contract.entity("orders_sub"),
+        entry._stringified_orders(spark, "/root/testdata/sf0.001"),
+    )
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert not any("Exchange" in line for line in plan.splitlines())
+    assert "CartesianProduct" not in plan
 
 
 def test_sessionize_plan_single_shuffle(spark):

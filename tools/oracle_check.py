@@ -17,10 +17,21 @@ legitimately do differently from this replica):
                          pandas/pytz all follow it)
 --arrow-batch=N          spark.sql.execution.arrow.maxRecordsPerBatch
 --shuffle=N              spark.sql.shuffle.partitions
+--canon=fetch|pandas     comparison-pipeline replica (round 9): ``fetch``
+                         (default) hashes fetchall() Python natives
+                         through the %.12g float normaliser; ``pandas``
+                         replicates the DRIVER's canonicalization layer —
+                         DuckDB via .df() and Spark via toPandas(), values
+                         hashed as raw str() reprs with NO float collapse,
+                         so dtype coercions (HUGEINT→float64 '1.0' vs
+                         int64 '1', nullable-int promotion) become
+                         VISIBLE. A green/red disagreement between the
+                         two modes is a latent driver red.
 --matrix                 run the sweep as SUBPROCESSES under a matrix of
                          adverse configs (non-UTC OS zone + unpinned
                          session tz + odd shuffle widths + tiny Arrow
-                         chunks); any red here is a latent driver red
+                         chunks), each under BOTH canonicalizations; any
+                         red here is a latent driver red
 
 The matrix exists because rounds 6-7 had two rows red ONLY on the driver
 box: hashed surfaces must be environment-invariant by construction, and
@@ -67,10 +78,39 @@ def normalise(value) -> str:
     return str(value)
 
 
-def value_hash(columns: list[str], rows: list[tuple]) -> str:
+def normalise_pandas(value) -> str:
+    """The driver-replica canonicalization: raw ``str()`` of whatever the
+    pandas layer delivered (np.int64(1) → '1', np.float64(1.0) → '1.0'),
+    collapsing only the missing-value zoo (None/NaN/NaT → '∅') — so an
+    engine-side dtype promotion CHANGES the hash instead of vanishing."""
+    import math
+
+    if value is None:
+        return "∅"
+    if isinstance(value, float) and math.isnan(value):
+        return "∅"
+    try:
+        import pandas as pd
+
+        if value is pd.NaT:
+            return "∅"
+    except Exception:  # noqa: BLE001
+        pass
+    if isinstance(value, (list, tuple)) or type(value).__name__ == "ndarray":
+        return "[" + ",".join(normalise_pandas(v) for v in value) + "]"
+    if isinstance(value, dict):
+        return "{" + ",".join(
+            f"{k}:{normalise_pandas(v)}" for k, v in sorted(value.items())
+        ) + "}"
+    return str(value)
+
+
+def value_hash(
+    columns: list[str], rows: list[tuple], norm=normalise
+) -> str:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted(
-        "|".join(normalise(row[i]) for i in order) for row in rows
+        "|".join(norm(row[i]) for i in order) for row in rows
     )
     digest = hashlib.sha256()
     for line in lines:
@@ -98,6 +138,7 @@ def parse_args(argv: list[str]):
         "arrow_batch": None,
         "shuffle": "16",
         "matrix": False,
+        "canon": "fetch",
     }
     rest: list[str] = []
     for a in argv:
@@ -111,6 +152,8 @@ def parse_args(argv: list[str]):
             opts["arrow_batch"] = a.split("=", 1)[1]
         elif a.startswith("--shuffle="):
             opts["shuffle"] = a.split("=", 1)[1]
+        elif a.startswith("--canon="):
+            opts["canon"] = a.split("=", 1)[1]
         else:
             rest.append(a)
     sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
@@ -123,20 +166,22 @@ def run_matrix(sf_dir: str, only: set[str]) -> int:
 
     failures = 0
     for cfg in MATRIX:
-        flags = [
-            f"--session-tz={cfg['session_tz']}",
-            f"--shuffle={cfg['shuffle']}",
-            f"--arrow-batch={cfg['arrow_batch']}",
-        ]
-        env = dict(os.environ)
-        env["TZ"] = cfg["os_tz"]
-        print(f"=== matrix: TZ={cfg['os_tz']} {' '.join(flags)} ===",
-              flush=True)
-        rc = subprocess.call(
-            [sys.executable, __file__, *flags, sf_dir, *sorted(only)],
-            env=env,
-        )
-        failures += 1 if rc else 0
+        for canon in ("fetch", "pandas"):
+            flags = [
+                f"--session-tz={cfg['session_tz']}",
+                f"--shuffle={cfg['shuffle']}",
+                f"--arrow-batch={cfg['arrow_batch']}",
+                f"--canon={canon}",
+            ]
+            env = dict(os.environ)
+            env["TZ"] = cfg["os_tz"]
+            print(f"=== matrix: TZ={cfg['os_tz']} {' '.join(flags)} ===",
+                  flush=True)
+            rc = subprocess.call(
+                [sys.executable, __file__, *flags, sf_dir, *sorted(only)],
+                env=env,
+            )
+            failures += 1 if rc else 0
     print("matrix configs failed:", failures)
     return 1 if failures else 0
 
@@ -193,8 +238,17 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            if opts["canon"] == "pandas":
+                s_rows = [
+                    tuple(r) for r in sdf.toPandas().itertuples(index=False)
+                ]
+            else:
+                s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
+            if "ENV_FINGERPRINT" in str(exc):
+                # the deliberate diagnostic row: raising IS its contract
+                print(f"probe {name}: {str(exc)[:400]}")
+                continue
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
             continue
@@ -205,7 +259,12 @@ def main() -> int:
         try:
             rel = con.execute(sql)
             d_cols = [c[0] for c in rel.description]
-            d_rows = rel.fetchall()
+            if opts["canon"] == "pandas":
+                d_rows = [
+                    tuple(r) for r in rel.df().itertuples(index=False)
+                ]
+            else:
+                d_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
@@ -216,22 +275,23 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
             problems.append(f"schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        norm = normalise_pandas if opts["canon"] == "pandas" else normalise
         if not problems:
-            sh = value_hash([c.lower() for c in s_cols], s_rows)
-            dh = value_hash([c.lower() for c in d_cols], d_rows)
+            sh = value_hash([c.lower() for c in s_cols], s_rows, norm)
+            dh = value_hash([c.lower() for c in d_cols], d_rows, norm)
             if sh != dh:
                 problems.append(f"valuehash spark={sh} duckdb={dh}")
                 # show a diff sample
                 s_set = {
                     "|".join(
-                        normalise(r[i])
+                        norm(r[i])
                         for i in sorted(range(len(s_cols)), key=lambda i: s_cols[i].lower())
                     )
                     for r in s_rows
                 }
                 d_set = {
                     "|".join(
-                        normalise(r[i])
+                        norm(r[i])
                         for i in sorted(range(len(d_cols)), key=lambda i: d_cols[i].lower())
                     )
                     for r in d_rows
