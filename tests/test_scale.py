@@ -197,21 +197,22 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         "join_header",
         "ann_variants",  # exact brute-force arm: broadcast 1-row query
         "vector_stats",  # nearest-prototype: broadcast k-row centroids
-        "tfidf_topterms",
+        "tfidf_top1",  # broadcast 1-row corpus count (r9 singleton)
         "text_retrieval",  # bm25 arm: broadcast 1-row corpus stats
         "union",  # scd2s arm: broadcast 1-row as-of scalar (round 8)
         "data_profiling",  # chi2 arm: broadcast 1-row sample totals (r8)
     }
     skip = {
         "pipeline_e2e",  # full pipeline (own tests; intended status cross)
-        "presence_checks",
-        "report_aggregates",
-        "sessionize",
-        "source_csv",
+        "report_aggregates",  # runs the presence-check pipeline (r9)
+        "sessionize_stream",  # streaming drain (r9 singleton)
+        "rolling_stream",  # streaming drain (r9 singleton)
+        "funnel_stream",  # streaming drain (r9 singleton)
         "source_xml_json",
         "streaming_dedup",
         "streaming_sync_messages",
         "streaming_window_counts",
+        "env_probe",  # deliberately raises (diagnostic row)
     }
     for name, fn in entry_mod.queries().items():
         if name in skip:
