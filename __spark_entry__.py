@@ -699,7 +699,7 @@ def q_flag_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_validation_engine_spark.steps import parse_step
 
     ents = _load(spark, sf_dir, ["orders", "customer", "part", "lineitem"])
-    # explicit TIMESTAMP schema: tz-free unix_micros (see window_analytics)
+    # explicit TIMESTAMP schema: tz-free unix_micros (see _events_ts)
     events = spark.read.schema(_EVENTS_TS_SCHEMA).parquet(
         f"{sf_dir}/events.parquet"
     )

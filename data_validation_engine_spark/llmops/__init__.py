@@ -80,7 +80,9 @@ from data_validation_engine_spark.llmops.dedup import (
     containment_pairs,
     exact_dedup,
     incremental_exact_dedup,
+    incremental_minhash_dedup,
     incremental_ngram_dedup,
+    minhash_index,
     minhash_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
@@ -146,7 +148,9 @@ __all__ = [
     "containment_pairs",
     "grouped_topk",
     "incremental_exact_dedup",
+    "incremental_minhash_dedup",
     "incremental_ngram_dedup",
+    "minhash_index",
     "interval_join",
     "rolling_agg",
     "connected_components",

@@ -1034,6 +1034,132 @@ def incremental_ngram_dedup(
     return new_df.join(drops, on=id_col, how="left_anti")
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: narrow ``(id, band_idx,
+    band_key)`` rows — ``bands`` rows per document, 32-byte keys.
+
+    This is the artifact a 100 TB dedup pipeline maintains as a parquet
+    side-table (partitioned by ``band_idx``, appended as batches land):
+    incremental near-dup admission then touches ONLY the new batch's
+    texts plus this narrow index — the corpus text is never re-read and
+    corpus rows never pair with each other. Signatures are the same
+    md5-order-statistic MinHash as :func:`minhash_pairs`, so an index
+    built at any time is join-compatible with any later batch encoded
+    with the same ``(shingle_size, num_hashes, bands)``.
+    """
+    sig_names = [f"mh_{i}" for i in range(num_hashes)]
+    shingled = shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
+    with_sig = shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(
+                f"mh_{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return with_sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys(sig_names, bands))).alias(
+            "band_idx", "band_key"
+        ),
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    corpus_index: DataFrame | None = None,
+    threshold: float = 0.5,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """MinHash-LSH dedup of a NEW batch against an existing corpus,
+    without paying corpus x corpus — the banded sibling of
+    :func:`incremental_ngram_dedup` for when the exact prefix filter is
+    too expensive at corpus scale.
+
+    Semantics (conservative filter, deterministic given the banding): a
+    new row is DROPPED iff some corpus row, or some new row with a
+    smaller ``id_col``, is a banded candidate AND has exact Jaccard >=
+    ``threshold`` — ids must be unique across corpus and batch together.
+    Candidates require a full signature band to collide, so recall
+    follows the standard ``1-(1-s^r)^b`` LSH curve (pairs the banding
+    misses are missed here AND in :func:`minhash_pairs` — the two are
+    candidate-identical, which is what the equivalence pytest pins).
+
+    ``corpus_index``: a pre-built :func:`minhash_index` frame for the
+    corpus (typically read back from parquet). When supplied, the plan
+    never touches the corpus text except to verify the candidates that
+    actually arise (a semi-join prunes the corpus scan to those ids).
+    Built on the fly from ``corpus_df`` when omitted.
+
+    Scale shape: one band-keyed equi-join (new bands x union index; AQE
+    skew-split handles hot bands), candidate ``distinct``, then exact
+    verification over only the candidate documents' shingle sets.
+    """
+    new_index = minhash_index(
+        new_df, id_col, text_col,
+        shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
+    )
+    if corpus_index is None:
+        corpus_index = minhash_index(
+            corpus_df, id_col, text_col,
+            shingle_size=shingle_size, num_hashes=num_hashes, bands=bands,
+        )
+    new_b = new_index.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    all_b = corpus_index.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key",
+        F.lit(False).alias("__new_b"),
+    ).unionByName(
+        new_index.select(
+            F.col(id_col).alias("id_b"), "band_idx", "band_key",
+            F.lit(True).alias("__new_b"),
+        )
+    )
+    candidates = (
+        new_b.join(all_b, on=["band_idx", "band_key"])
+        # corpus partner, or an earlier new row — never self, never a
+        # corpus x corpus pair (left side is new-only by construction)
+        .where((~F.col("__new_b")) | (F.col("id_b") < F.col("id_a")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    union_text = corpus_df.select(
+        F.col(id_col), F.col(text_col)
+    ).unionByName(new_df.select(F.col(id_col), F.col(text_col)))
+    ids_needed = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = shingle_rows(
+        union_text.join(ids_needed, on=id_col, how="left_semi"),
+        id_col,
+        text_col,
+        shingle_size=shingle_size,
+    )
+    drops = (
+        _verify_jaccard(candidates, shingled, id_col, threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(drops, on=id_col, how="left_anti")
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -566,17 +566,24 @@ class IncrementalDedup(AbstractStep):
     re-clustering (or even re-pairing) the corpus. ``method="exact"``
     anti-joins 32-byte text-hash keys; ``method="ngram"`` drops a new
     row iff some corpus row or smaller-id new row has exact n-gram
-    Jaccard >= ``threshold`` (conservative filter semantics — ids must
-    be unique across both entities)."""
+    Jaccard >= ``threshold``; ``method="minhash"`` (round 9) uses
+    banded MinHash-LSH candidates (optionally against a pre-built
+    persisted index entity, ``index_entity``) verified with exact
+    Jaccard — the corpus-scale path where the exact prefix filter is
+    too expensive (conservative filter semantics — ids must be unique
+    across both entities)."""
 
     operation: Literal["dedup_incremental"] = "dedup_incremental"
     target_name: str  # the corpus entity
-    method: Literal["exact", "ngram"] = "exact"
+    method: Literal["exact", "ngram", "minhash"] = "exact"
     id_column: str = "doc_id"
     text_column: str = "text"
     threshold: float = 0.5
     shingle_size: int = 3
     normalize_text: bool = False
+    num_hashes: int = 12
+    bands: int = 4
+    index_entity: str | None = None  # pre-built minhash_index frame
 
 
 class RepetitionStats(AbstractStep):

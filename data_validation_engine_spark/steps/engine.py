@@ -1315,6 +1315,28 @@ class StepEngine:
 
         new_df = entities[config.entity_name]
         corpus = entities[config.target_name]
+        if config.method == "minhash":
+            from data_validation_engine_spark.llmops.dedup import (
+                incremental_minhash_dedup,
+            )
+
+            out = incremental_minhash_dedup(
+                new_df,
+                corpus,
+                config.id_column,
+                config.text_column,
+                corpus_index=(
+                    entities[config.index_entity]
+                    if config.index_entity
+                    else None
+                ),
+                threshold=config.threshold,
+                shingle_size=config.shingle_size,
+                num_hashes=config.num_hashes,
+                bands=config.bands,
+            )
+            entities[config.output_name] = out
+            return None
         if config.method == "ngram":
             out = incremental_ngram_dedup(
                 new_df,

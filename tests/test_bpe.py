@@ -2,7 +2,7 @@
 independent pure-Python reference implementation, the attestation
 strategy for the non-SQL-expressible iterative merge loop (the
 corpus-facing round-1 pair statistics are DuckDB-oracled in the
-tfidf_topterms driver row)."""
+bpe_pairstats driver row)."""
 
 from __future__ import annotations
 

@@ -168,3 +168,113 @@ def test_winsorize_bounds_pinned_when_one_side_never_clips(spark):
     ).collect()[0]
     assert bounds["lo"] is not None and bounds["hi"] is not None
     assert bounds["hi"] == 100.0
+
+
+def _mk_docs(spark):
+    """Corpus + batch with planted near-dups crossing the boundary."""
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+            f"iota kappa lambda mu nu xi omicron pi rho")
+        for i in range(8)
+    ]
+    corpus = spark.createDataFrame(base, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            # 100: near-dup of corpus doc 3 (one token differs)
+            (100, base[3][1].replace("rho", "sigma")),
+            # 101: fresh
+            (101, "completely different words entirely novel content here "
+                  "with many distinct tokens that never repeat corpus"),
+            # 102: near-dup of 100 (earlier NEW row) — must also drop
+            (102, base[3][1].replace("rho", "tau")),
+            # 103: exact dup of corpus doc 5
+            (103, base[5][1]),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_incremental_minhash_matches_full_pairs_filter(spark):
+    """The incremental path must drop exactly the new ids the FULL
+    banded pair set over the union implies (same banding → identical
+    candidates → identical verified drops)."""
+    from data_validation_engine_spark.llmops.dedup import (
+        incremental_minhash_dedup,
+        minhash_pairs,
+    )
+
+    corpus, batch = _mk_docs(spark)
+    kept = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    pairs = minhash_pairs(
+        corpus.unionByName(batch), "doc_id", "text", threshold=0.5
+    ).collect()
+    new_ids = {100, 101, 102, 103}
+    derived_drops = set()
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]  # a < b
+        if b in new_ids:
+            derived_drops.add(b)
+    assert kept == new_ids - derived_drops
+    assert 100 in derived_drops and 103 in derived_drops
+    assert 101 in kept
+
+
+def test_incremental_minhash_prebuilt_index_equivalent(spark):
+    """Feeding a persisted (round-tripped) minhash_index must give the
+    same survivors as building it on the fly — the production shape
+    where the corpus text is never re-read for indexing."""
+    import tempfile
+
+    from data_validation_engine_spark.llmops.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    corpus, batch = _mk_docs(spark)
+    path = tempfile.mkdtemp(prefix="dve_mhidx_") + "/index"
+    minhash_index(corpus, "doc_id", "text").write.parquet(path)
+    idx = spark.read.parquet(path)
+    on_fly = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    prebuilt = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, corpus, "doc_id", "text", corpus_index=idx, threshold=0.5
+        ).collect()
+    }
+    assert on_fly == prebuilt
+
+
+def test_incremental_minhash_declared_step(spark):
+    from data_validation_engine_spark import StepEngine
+    from data_validation_engine_spark.steps import parse_step
+
+    corpus, batch = _mk_docs(spark)
+    ents = {"batch": batch, "corpus": corpus}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "dedup_incremental",
+                "method": "minhash",
+                "entity_name": "batch",
+                "target_name": "corpus",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "threshold": 0.5,
+                "new_entity_name": "admitted",
+            }
+        ),
+    )
+    kept = {r["doc_id"] for r in ents["admitted"].collect()}
+    assert 101 in kept and 100 not in kept and 103 not in kept
