@@ -103,7 +103,9 @@ from data_validation_engine_spark.llmops.similarity import (
     ann_topk,
     ann_topk_partitioned,
     cosine_topk,
+    embedding_bucket_index,
     embedding_neardup_pairs,
+    incremental_embedding_dedup,
     knn_join,
     multiprobe_ann_topk,
     with_lsh_bucket,
@@ -170,7 +172,9 @@ __all__ = [
     "ann_topk_partitioned",
     "cosine_topk",
     "default_centroids",
+    "embedding_bucket_index",
     "embedding_neardup_pairs",
+    "incremental_embedding_dedup",
     "ivf_assign",
     "ivf_topk",
     "kmeans_fit",

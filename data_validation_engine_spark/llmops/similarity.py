@@ -405,6 +405,146 @@ def ann_topk(
     )
 
 
+def embedding_bucket_index(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """The persistable ANN admission index of a corpus: narrow
+    ``(id, table_idx, bucket)`` rows — one row per (document, table).
+
+    The embedding-space sibling of ``dedup.minhash_index``: a 100 TB
+    corpus maintains this as a parquet side-table (partitioned by
+    ``table_idx``/``bucket``, appended as batches land), and incremental
+    near-dup admission joins new batches against it without re-reading
+    corpus vectors except to verify actual candidates. Buckets use the
+    deterministic splitmix64 hyperplanes, so an index built at any time
+    is join-compatible with any later batch bucketed with the same
+    ``(n_planes, n_tables, dim)``.
+    """
+    parts = []
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, offset=t * n_planes)
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.lit(t).alias("table_idx"),
+                bucket_col(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def incremental_embedding_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_index: DataFrame | None = None,
+    n_planes: int = 6,
+    n_tables: int = 1,
+    dim: int = 64,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine dedup of a NEW batch against an existing corpus,
+    without corpus x corpus — the admission filter of a deduplicated
+    vector corpus (semantic near-dups, cross-source paraphrases).
+
+    Semantics (conservative filter, deterministic given the planes): a
+    new row is DROPPED iff some corpus row, or some new row with a
+    smaller ``id_col``, shares an LSH bucket in ANY table AND has exact
+    cosine >= ``threshold`` — ids must be unique across corpus and batch
+    together. Recall follows the hyperplane-LSH curve ``1-(1-(1-θ/π)^
+    planes)^tables`` — identical to :func:`embedding_neardup_pairs` at
+    ``n_tables=1`` (candidate-identical, pytest-pinned).
+
+    ``corpus_index``: a pre-built :func:`embedding_bucket_index` frame
+    (typically read back from parquet). When supplied, corpus vectors
+    are only read to verify the candidates that actually arise (a
+    semi-join prunes the scan to those ids).
+
+    Scale shape: one bucket-keyed equi-join (new buckets x union index;
+    AQE skew-split handles hot buckets), candidate ``distinct``, then
+    one dot product per surviving candidate pair.
+    """
+    new_index = embedding_bucket_index(
+        new_df, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim,
+    )
+    if corpus_index is None:
+        corpus_index = embedding_bucket_index(
+            corpus_df, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, dim=dim,
+        )
+    new_b = new_index.select(
+        F.col(id_col).alias("id_a"), "table_idx", "bucket"
+    )
+    all_b = corpus_index.select(
+        F.col(id_col).alias("id_b"), "table_idx", "bucket",
+        F.lit(False).alias("__new_b"),
+    ).unionByName(
+        new_index.select(
+            F.col(id_col).alias("id_b"), "table_idx", "bucket",
+            F.lit(True).alias("__new_b"),
+        )
+    )
+    candidates = (
+        new_b.join(all_b, on=["table_idx", "bucket"])
+        # corpus partner, or an earlier new row — never self, never a
+        # corpus x corpus pair (left side is new-only by construction)
+        .where((~F.col("__new_b")) | (F.col("id_b") < F.col("id_a")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    union_vecs = corpus_df.select(
+        F.col(id_col), F.col(vec_col)
+    ).unionByName(new_df.select(F.col(id_col), F.col(vec_col)))
+    ids_needed = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = union_vecs.join(ids_needed, on=id_col, how="left_semi").select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm_col(F.col(vec_col)).alias("__n"),
+    )
+    va = pruned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = pruned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    drops = (
+        candidates.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .where(
+            F.round(
+                dot_col(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            )
+            >= threshold
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(drops, on=id_col, how="left_anti")
+
+
 def write_lsh_partitioned(
     df: DataFrame,
     path: str,

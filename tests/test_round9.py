@@ -278,3 +278,66 @@ def test_incremental_minhash_declared_step(spark):
     )
     kept = {r["doc_id"] for r in ents["admitted"].collect()}
     assert 101 in kept and 100 not in kept and 103 not in kept
+
+
+def test_incremental_embedding_dedup_matches_pair_filter(spark):
+    """The embedding admission filter must drop exactly the new ids the
+    full LSH pair set over the union implies (same planes → identical
+    candidates → identical verified drops)."""
+    import math
+
+    from data_validation_engine_spark.llmops import (
+        embedding_bucket_index,
+        embedding_neardup_pairs,
+        incremental_embedding_dedup,
+    )
+
+    dim = 8
+
+    def vec(seed, eps=0.0):
+        # deterministic unit-ish vectors; eps nudges one coordinate
+        v = [math.sin(seed * 13 + d) for d in range(dim)]
+        v[0] += eps
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, vec(2, eps=0.001)),   # near-dup of corpus 2
+            (101, vec(40)),             # fresh direction
+            (102, vec(2, eps=0.002)),   # near-dup of 100 (earlier new row)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {
+        r["vec_id"]
+        for r in incremental_embedding_dedup(
+            batch, corpus, dim=dim, threshold=0.999
+        ).collect()
+    }
+    pairs = embedding_neardup_pairs(
+        corpus.unionByName(batch), dim=dim, threshold=0.999
+    ).collect()
+    new_ids = {100, 101, 102}
+    derived = {r["id_b"] for r in pairs if r["id_b"] in new_ids}
+    assert kept == new_ids - derived
+    assert 101 in kept and 100 not in kept
+
+    # persisted-index path must agree with on-the-fly
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="dve_embidx_") + "/index"
+    embedding_bucket_index(corpus, dim=dim).write.parquet(path)
+    prebuilt = {
+        r["vec_id"]
+        for r in incremental_embedding_dedup(
+            batch,
+            corpus,
+            corpus_index=spark.read.parquet(path),
+            dim=dim,
+            threshold=0.999,
+        ).collect()
+    }
+    assert prebuilt == kept
