@@ -315,8 +315,16 @@ class EmbeddingNearDup(AbstractStep):
     id_column: str = "vec_id"
     vector_column: str = "embedding"
     n_planes: int = 6
+    n_tables: int = 1
     dim: int = 64
     threshold: float = 0.9
+    # round 9: when target_name is set, run as the INCREMENTAL admission
+    # filter — this entity is the NEW batch, target_name the corpus, and
+    # the output keeps only non-near-dup batch rows (optionally probing a
+    # pre-built embedding_bucket_index entity instead of bucketing the
+    # corpus inline)
+    target_name: str | None = None
+    index_entity: str | None = None
 
 
 class TextStats(AbstractStep):

@@ -803,6 +803,27 @@ class StepEngine:
     def embedding_neardup(
         self, entities: Entities, *, config: EmbeddingNearDup
     ) -> Messages:
+        if config.target_name is not None:
+            from data_validation_engine_spark.llmops.similarity import (
+                incremental_embedding_dedup,
+            )
+
+            entities[config.output_name] = incremental_embedding_dedup(
+                entities[config.entity_name],
+                entities[config.target_name],
+                id_col=config.id_column,
+                vec_col=config.vector_column,
+                corpus_index=(
+                    entities[config.index_entity]
+                    if config.index_entity
+                    else None
+                ),
+                n_planes=config.n_planes,
+                n_tables=config.n_tables,
+                dim=config.dim,
+                threshold=config.threshold,
+            )
+            return None
         from data_validation_engine_spark.llmops.similarity import (
             embedding_neardup_pairs,
         )

@@ -341,3 +341,41 @@ def test_incremental_embedding_dedup_matches_pair_filter(spark):
         ).collect()
     }
     assert prebuilt == kept
+
+
+def test_incremental_embedding_declared_step(spark):
+    import math
+
+    from data_validation_engine_spark import StepEngine
+    from data_validation_engine_spark.steps import parse_step
+
+    dim = 8
+
+    def vec(seed, eps=0.0):
+        v = [math.sin(seed * 13 + d) for d in range(dim)]
+        v[0] += eps
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(100, vec(2, eps=0.001)), (101, vec(40))],
+        "vec_id long, embedding array<double>",
+    )
+    ents = {"batch": batch, "corpus": corpus}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "embedding_neardup",
+                "entity_name": "batch",
+                "target_name": "corpus",
+                "dim": dim,
+                "threshold": 0.999,
+                "new_entity_name": "admitted",
+            }
+        ),
+    )
+    kept = {r["vec_id"] for r in ents["admitted"].collect()}
+    assert kept == {101}
