@@ -379,3 +379,34 @@ def test_incremental_embedding_declared_step(spark):
     )
     kept = {r["vec_id"] for r in ents["admitted"].collect()}
     assert kept == {101}
+
+
+def test_driver_row_budget_and_oracle_coverage():
+    """The driver records at most 50 rows: the layout must stay exactly
+    50 with env_probe the ONLY oracle-less (diagnostic) row."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert len(q) == 50
+    assert set(q) - set(o) == {"env_probe"}
+    assert set(o) <= set(q), "stale oracle entries for removed rows"
+
+
+def test_round9_singletons_hash_all_string(spark, sf_dir):
+    """The round-9 localization singletons must keep their hashed frames
+    free of numeric dtypes (the engine→pandas dtype-coercion divergence
+    class) — every column is a string."""
+    import __spark_entry__ as entry
+
+    rows = [
+        "topk_group", "rolling_agg", "percentiles", "rollup_cube",
+        "retention", "funnel_batch", "sessionize_batch",
+        "tfidf_top1", "vocab_build", "vocab_encode", "postings",
+        "bpe_pairstats",
+    ]
+    q = entry.queries()
+    for name in rows:
+        df = q[name](spark, sf_dir)
+        kinds = {f.dataType.typeName() for f in df.schema.fields}
+        assert kinds == {"string"}, f"{name}: {df.schema.simpleString()}"
