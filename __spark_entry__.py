@@ -5601,7 +5601,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
         s1 AS (
             SELECT doc_id, text,
                    regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
                        '<EMAIL>', 'g') AS a1
             FROM planted
         ),
@@ -5613,14 +5613,14 @@ _LLMOPS_ORACLES: dict[str, str] = {
         pii AS (
             SELECT doc_id,
                    len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
                        AS n_emails,
                    len(regexp_extract_all(a1, '[0-9]{{13,19}}'))
                        AS n_longnums,
                    len(regexp_extract_all(a2,
-                       '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}')) AS n_ips,
+                       '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS n_ips,
                    md5(regexp_replace(a2,
-                       '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'))
+                       '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'))
                        AS clean_md5
             FROM s2
         )

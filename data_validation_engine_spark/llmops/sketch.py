@@ -244,3 +244,63 @@ def kmv_set_estimates(
         )
         .drop("__kth")
     )
+
+
+# -- Apache DataSketches HLL (JVM-native, Spark 3.5+) ------------------------
+#
+# KMV above is the ENGINE-PORTABLE sketch (bit-identical in any SQL
+# engine — the oracle story). When cross-engine exactness is not needed,
+# Spark's built-in DataSketches HLL is the production path: tighter error
+# at the same state size, registers updated JVM-side inside the hash
+# aggregate (no Python, no extra shuffle), and the binary sketch column
+# is MERGEABLE — persist per-partition/per-day sketches once, roll them
+# up forever without touching the raw data again. Public API only
+# (pyspark.sql.functions.hll_*; Apache DataSketches memory format).
+
+
+def hll_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lg_k: int = 12,
+    keep_sketch: bool = True,
+) -> DataFrame:
+    """Per-group HLL distinct-count: ``group_cols + (n_est, sketch?)``.
+
+    ``lg_k`` trades state (2^lg_k registers ≈ KB-scale) against relative
+    error (~1.04/sqrt(2^lg_k): lg_k=12 → ~1.6%). The sketch column makes
+    the profile INCREMENTAL: keep it, and tomorrow's rollup is
+    :func:`hll_rollup` over (yesterday's sketches ∪ today's batch
+    sketches) — the raw corpus is touched exactly once per batch.
+    """
+    sk = F.hll_sketch_agg(F.col(value_col), lg_k).alias("sketch")
+    out = df.groupBy(*group_cols).agg(sk)
+    est = F.hll_sketch_estimate("sketch").alias("n_est")
+    if keep_sketch:
+        return out.select(*group_cols, est, "sketch")
+    return out.select(*group_cols, est)
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    *,
+    sketch_col: str = "sketch",
+    allow_different_lg_k: bool = False,
+) -> DataFrame:
+    """Merge persisted HLL sketches to a coarser grouping (day → month,
+    shard → corpus): ``group_cols + (n_est, sketch)``. Union is
+    register-wise max, so merged estimates equal what a single pass over
+    the union of the raw data would have produced — the property that
+    makes sketch tables a substitute for re-scans."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col(sketch_col), allow_different_lg_k).alias(
+            "sketch"
+        )
+    )
+    return merged.select(
+        *group_cols,
+        F.hll_sketch_estimate("sketch").alias("n_est"),
+        "sketch",
+    )

@@ -1196,6 +1196,43 @@ class TriangleCount(AbstractStep):
     dst_column: str = "dst"
 
 
+class SemanticDedup(AbstractStep):
+    """SemDeDup (cluster-then-cosine) semantic dedup over an embedding
+    entity: k-means cells block the pair space, within-cell cosine pairs
+    >= ``threshold`` form duplicate groups, one representative (minimum
+    id) survives per group. ``output="kept"`` writes the surviving rows
+    (+ ``sem_group``); ``output="groups"`` writes the ``(id, group)``
+    duplicate-group table; ``output="pairs"`` the verified cosine pairs.
+    """
+
+    operation: Literal["semantic_dedup"] = "semantic_dedup"
+    key_column: str = "vec_id"
+    vector_column: str = "embedding"
+    dim: int
+    n_cells: int = 8
+    threshold: float = 0.95
+    n_iters: int = 2
+    output: Literal["kept", "groups", "pairs"] = "kept"
+
+
+class ParagraphDedup(AbstractStep):
+    """Corpus-level paragraph dedup / boilerplate removal (CCNet-style):
+    rebuild each document with paragraphs repeated across more than
+    ``max_docs`` distinct documents removed (``keep="none"``) or
+    deduplicated to their canonical first occurrence (``keep="first"``).
+    """
+
+    operation: Literal["paragraph_dedup"] = "paragraph_dedup"
+    key_column: str
+    text_column: str = "text"
+    separator: str = "\n"
+    min_chars: int = 1
+    normalize: bool = True
+    max_docs: int = 1
+    keep: Literal["none", "first"] = "none"
+    output_column: Optional[str] = None
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -1266,6 +1303,8 @@ AnyStep = Annotated[
         MergeUpsert,
         ApplyChanges,
         TriangleCount,
+        ParagraphDedup,
+        SemanticDedup,
         SampledQuantiles,
         QuantizeVectors,
         SaltedJoin,

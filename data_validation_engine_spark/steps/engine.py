@@ -109,6 +109,8 @@ from data_validation_engine_spark.steps.configs import (
     MergeUpsert,
     ApplyChanges,
     TriangleCount,
+    ParagraphDedup,
+    SemanticDedup,
     SampledQuantiles,
     QuantizeVectors,
     SaltedJoin,
@@ -236,6 +238,8 @@ class StepEngine:
             MergeUpsert: self.merge_upsert,
             ApplyChanges: self.apply_changes,
             TriangleCount: self.triangle_count,
+            ParagraphDedup: self.paragraph_dedup,
+            SemanticDedup: self.semantic_dedup,
             SampledQuantiles: self.sampled_quantiles,
             QuantizeVectors: self.quantize_vectors,
             SaltedJoin: self.salted_join,
@@ -1711,6 +1715,47 @@ class StepEngine:
             entities[config.entity_name],
             src_col=config.src_column,
             dst_col=config.dst_column,
+        )
+        return None
+
+    def paragraph_dedup(
+        self, entities: Entities, *, config: ParagraphDedup
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.paragraphs import (
+            remove_repeated_paragraphs,
+        )
+
+        entities[config.output_name] = remove_repeated_paragraphs(
+            entities[config.entity_name],
+            config.key_column,
+            config.text_column,
+            sep=config.separator,
+            min_chars=config.min_chars,
+            normalize=config.normalize,
+            max_docs=config.max_docs,
+            keep=config.keep,
+            out_col=config.output_column,
+        )
+        return None
+
+    def semantic_dedup(
+        self, entities: Entities, *, config: SemanticDedup
+    ) -> Messages:
+        from data_validation_engine_spark.llmops import semdedup
+
+        fn = {
+            "kept": semdedup.semantic_dedup,
+            "groups": semdedup.semantic_dup_groups,
+            "pairs": semdedup.semantic_pairs,
+        }[config.output]
+        entities[config.output_name] = fn(
+            entities[config.entity_name],
+            id_col=config.key_column,
+            vec_col=config.vector_column,
+            dim=config.dim,
+            n_cells=config.n_cells,
+            threshold=config.threshold,
+            n_iters=config.n_iters,
         )
         return None
 

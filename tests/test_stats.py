@@ -174,3 +174,43 @@ class TestBucketByLength:
             bucket_by_length(
                 docs, "doc_id", "text", batch_size=1, bucket_edges=[-1]
             )
+
+
+# -- DataSketches HLL profile / rollup (llmops/sketch.py) --------------------
+
+
+def test_hll_profile_estimates_and_rollup(spark, sf_dir):
+    from data_validation_engine_spark.llmops.sketch import (
+        hll_profile,
+        hll_rollup,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prof = {
+        r["event_type"]: r["n_est"]
+        for r in hll_profile(
+            events, ["event_type"], "user_id", keep_sketch=False
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(prof) == set(exact)
+    for k, est in prof.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+    # mergeability: per-(type, user-bucket) sketches rolled up to type
+    # estimate EXACTLY what the single-pass per-type sketch estimates
+    parts = hll_profile(
+        events.selectExpr("event_type", "user_id", "user_id % 7 AS shard"),
+        ["event_type", "shard"],
+        "user_id",
+    )
+    rolled = {
+        r["event_type"]: r["n_est"]
+        for r in hll_rollup(parts, ["event_type"]).collect()
+    }
+    assert rolled == prof
