@@ -1196,6 +1196,23 @@ class TriangleCount(AbstractStep):
     dst_column: str = "dst"
 
 
+class PcaProject(AbstractStep):
+    """Fit the top-``k`` principal components of a vector column (via
+    mergeable moment statistics — one aggregation, d(d+3)/2 doubles of
+    state) and project every row onto them as ``output_column``. When
+    ``components_entity`` is set, the fitted model also lands as an
+    entity of ``(component, explained_variance, weights)`` rows for
+    audit/reuse."""
+
+    operation: Literal["pca_project"] = "pca_project"
+    key_column: str = "vec_id"
+    vector_column: str = "embedding"
+    dim: int
+    k: int
+    output_column: str = "pca"
+    components_entity: Optional[str] = None
+
+
 class SemanticDedup(AbstractStep):
     """SemDeDup (cluster-then-cosine) semantic dedup over an embedding
     entity: k-means cells block the pair space, within-cell cosine pairs
@@ -1305,6 +1322,7 @@ AnyStep = Annotated[
         TriangleCount,
         ParagraphDedup,
         SemanticDedup,
+        PcaProject,
         SampledQuantiles,
         QuantizeVectors,
         SaltedJoin,

@@ -111,6 +111,7 @@ from data_validation_engine_spark.steps.configs import (
     TriangleCount,
     ParagraphDedup,
     SemanticDedup,
+    PcaProject,
     SampledQuantiles,
     QuantizeVectors,
     SaltedJoin,
@@ -240,6 +241,7 @@ class StepEngine:
             TriangleCount: self.triangle_count,
             ParagraphDedup: self.paragraph_dedup,
             SemanticDedup: self.semantic_dedup,
+            PcaProject: self.pca_project,
             SampledQuantiles: self.sampled_quantiles,
             QuantizeVectors: self.quantize_vectors,
             SaltedJoin: self.salted_join,
@@ -1757,6 +1759,36 @@ class StepEngine:
             threshold=config.threshold,
             n_iters=config.n_iters,
         )
+        return None
+
+    def pca_project(
+        self, entities: Entities, *, config: PcaProject
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.pca import (
+            pca_fit,
+            pca_project,
+        )
+
+        df = entities[config.entity_name]
+        mean, comps, expl = pca_fit(
+            df, config.k,
+            id_col=config.key_column,
+            vec_col=config.vector_column,
+            dim=config.dim,
+        )
+        entities[config.output_name] = pca_project(
+            df, mean, comps,
+            vec_col=config.vector_column,
+            out_col=config.output_column,
+        )
+        if config.components_entity:
+            entities[config.components_entity] = self.spark.createDataFrame(
+                [
+                    (i, expl[i], comps[i])
+                    for i in range(len(comps))
+                ],
+                "component int, explained_variance double, weights array<double>",
+            )
         return None
 
     def sampled_quantiles(

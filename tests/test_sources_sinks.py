@@ -452,3 +452,70 @@ def test_error_report_fast_path_matches_distributed(spark, tmp):
     pd.testing.assert_frame_equal(
         pd.read_csv(f"{fast}/summary.csv"), sum_df, check_dtype=False
     )
+
+
+# -- ORC source/sink (sources/orc.py) ----------------------------------------
+
+
+def test_orc_round_trip_and_pushdown(spark, sf_dir, tmp_path):
+    from data_validation_engine_spark.sources.orc import read_orc, write_orc
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path, partition_by=("n_regionkey",))
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert {r["n_name"] for r in back.collect()} == {
+        r["n_name"] for r in nation.collect()
+    }
+    # partition pruning reaches the scan
+    plan = (
+        back.where("n_regionkey = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "n_regionkey" in plan
+
+
+# -- binaryFile source (sources/binary.py) -----------------------------------
+
+
+def test_binary_files_read_and_metadata(spark, tmp_path):
+    from data_validation_engine_spark.sources.binary import (
+        read_binary_files,
+        with_asset_metadata,
+    )
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG\r\n" + b"x" * 10)
+    (tmp_path / "b.wav").write_bytes(b"RIFF" + b"y" * 20)
+    (tmp_path / "notes.txt").write_text("not an asset")
+
+    df = with_asset_metadata(read_binary_files(spark, str(tmp_path)))
+    rows = {r["asset_name"]: r for r in df.collect()}
+    assert rows["a.png"]["modality"] == "image"
+    assert rows["a.png"]["length"] == 16
+    assert bytes(rows["a.png"]["content"])[:4] == b"\x89PN"[:3] + b"G"
+    assert rows["b.wav"]["modality"] == "audio"
+    assert rows["notes.txt"]["modality"] == "other"
+
+    only_png = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert only_png.count() == 1
+
+    meta = read_binary_files(spark, str(tmp_path), drop_content=True)
+    assert "content" not in meta.columns
+
+
+def test_binary_files_max_bytes_guard(spark, tmp_path):
+    from data_validation_engine_spark.sources.binary import read_binary_files
+
+    (tmp_path / "big.bin").write_bytes(b"z" * 100)
+    df = read_binary_files(spark, str(tmp_path), max_bytes=10)
+    import pyspark.errors
+
+    try:
+        df.select("content").collect()
+        raised = False
+    except Exception as exc:  # noqa: BLE001 — Spark wraps raise_error
+        raised = "max_bytes" in str(exc)
+    assert raised
