@@ -943,6 +943,22 @@ class KmvSetOps(AbstractStep):
     seed: str = ""
 
 
+class HllProfile(AbstractStep):
+    """Per-group distinct-count estimates via Spark's native DataSketches
+    HLL (``mode="profile"``), or a rollup of a previously persisted
+    sketch entity to a coarser grouping (``mode="rollup"`` — day→month,
+    shard→corpus — without re-touching the raw data). The binary
+    ``sketch`` column is what makes the profile incremental; set
+    ``keep_sketch=False`` for a plain estimate table."""
+
+    operation: Literal["hll_profile"] = "hll_profile"
+    mode: Literal["profile", "rollup"] = "profile"
+    group_by: tuple[str, ...] = ()
+    value_column: str = "value"  # profile: raw column; rollup: sketch col
+    lg_k: int = 12
+    keep_sketch: bool = True
+
+
 class Chi2Drift(AbstractStep):
     """Per-cell chi-square contributions of a categorical column
     between this entity (reference) and ``target_name`` (current) —
@@ -1323,6 +1339,7 @@ AnyStep = Annotated[
         ParagraphDedup,
         SemanticDedup,
         PcaProject,
+        HllProfile,
         SampledQuantiles,
         QuantizeVectors,
         SaltedJoin,

@@ -112,6 +112,7 @@ from data_validation_engine_spark.steps.configs import (
     ParagraphDedup,
     SemanticDedup,
     PcaProject,
+    HllProfile,
     SampledQuantiles,
     QuantizeVectors,
     SaltedJoin,
@@ -242,6 +243,7 @@ class StepEngine:
             ParagraphDedup: self.paragraph_dedup,
             SemanticDedup: self.semantic_dedup,
             PcaProject: self.pca_project,
+            HllProfile: self.hll_profile,
             SampledQuantiles: self.sampled_quantiles,
             QuantizeVectors: self.quantize_vectors,
             SaltedJoin: self.salted_join,
@@ -1759,6 +1761,29 @@ class StepEngine:
             threshold=config.threshold,
             n_iters=config.n_iters,
         )
+        return None
+
+    def hll_profile(
+        self, entities: Entities, *, config: HllProfile
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.sketch import (
+            hll_profile,
+            hll_rollup,
+        )
+
+        df = entities[config.entity_name]
+        if config.mode == "rollup":
+            entities[config.output_name] = hll_rollup(
+                df, list(config.group_by), sketch_col=config.value_column
+            )
+        else:
+            entities[config.output_name] = hll_profile(
+                df,
+                list(config.group_by),
+                config.value_column,
+                lg_k=config.lg_k,
+                keep_sketch=config.keep_sketch,
+            )
         return None
 
     def pca_project(

@@ -214,3 +214,49 @@ def test_hll_profile_estimates_and_rollup(spark, sf_dir):
         for r in hll_rollup(parts, ["event_type"]).collect()
     }
     assert rolled == prof
+
+
+def test_hll_declared_steps(spark, sf_dir):
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ents = {
+        "events": events.selectExpr(
+            "event_type", "user_id", "user_id % 5 AS shard"
+        )
+    }
+    eng = StepEngine(spark)
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "hll_profile",
+                "entity_name": "events",
+                "new_entity_name": "daily",
+                "group_by": ["event_type", "shard"],
+                "value_column": "user_id",
+            }
+        ),
+    )
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "hll_profile",
+                "mode": "rollup",
+                "entity_name": "daily",
+                "new_entity_name": "total",
+                "group_by": ["event_type"],
+                "value_column": "sketch",
+            }
+        ),
+    )
+    rolled = {r["event_type"]: r["n_est"] for r in ents["total"].collect()}
+    from data_validation_engine_spark.llmops.sketch import hll_profile
+    single = {
+        r["event_type"]: r["n_est"]
+        for r in hll_profile(
+            ents["events"], ["event_type"], "user_id", keep_sketch=False
+        ).collect()
+    }
+    assert rolled == single
