@@ -943,6 +943,21 @@ class KmvSetOps(AbstractStep):
     seed: str = ""
 
 
+class LmPerplexity(AbstractStep):
+    """CCNet-style LM quality scoring: train an add-alpha-smoothed char
+    n-gram model on the ``reference_name`` entity (the clean corpus) and
+    attach ``n_grams / logprob_avg / perplexity`` to every row of this
+    entity. Scores are for threshold filtering (transcendental — not an
+    engine-exact hashed surface)."""
+
+    operation: Literal["lm_perplexity"] = "lm_perplexity"
+    reference_name: str
+    key_column: str
+    text_column: str = "text"
+    n: int = 3
+    alpha: float = 1.0
+
+
 class HllProfile(AbstractStep):
     """Per-group distinct-count estimates via Spark's native DataSketches
     HLL (``mode="profile"``), or a rollup of a previously persisted
@@ -1340,6 +1355,7 @@ AnyStep = Annotated[
         SemanticDedup,
         PcaProject,
         HllProfile,
+        LmPerplexity,
         SampledQuantiles,
         QuantizeVectors,
         SaltedJoin,

@@ -113,6 +113,7 @@ from data_validation_engine_spark.steps.configs import (
     SemanticDedup,
     PcaProject,
     HllProfile,
+    LmPerplexity,
     SampledQuantiles,
     QuantizeVectors,
     SaltedJoin,
@@ -244,6 +245,7 @@ class StepEngine:
             SemanticDedup: self.semantic_dedup,
             PcaProject: self.pca_project,
             HllProfile: self.hll_profile,
+            LmPerplexity: self.lm_perplexity,
             SampledQuantiles: self.sampled_quantiles,
             QuantizeVectors: self.quantize_vectors,
             SaltedJoin: self.salted_join,
@@ -1760,6 +1762,28 @@ class StepEngine:
             n_cells=config.n_cells,
             threshold=config.threshold,
             n_iters=config.n_iters,
+        )
+        return None
+
+    def lm_perplexity(
+        self, entities: Entities, *, config: LmPerplexity
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.lm import (
+            perplexity_score,
+            train_char_lm,
+        )
+
+        model, total, vocab = train_char_lm(
+            entities[config.reference_name], config.text_column, n=config.n
+        )
+        df = entities[config.entity_name]
+        scores = perplexity_score(
+            df, model, total, vocab,
+            config.key_column, config.text_column,
+            n=config.n, alpha=config.alpha,
+        )
+        entities[config.output_name] = df.join(
+            scores, config.key_column, "left"
         )
         return None
 
