@@ -1,0 +1,143 @@
+"""Cross-document repeated-span detection via winnowing fingerprints.
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") deduplicate at the *substring* level with a suffix array —
+exact, but a distributed suffix array over 100 TB is its own project.
+The public scalable alternative is winnowing (Schleimer, Wilkerson,
+Aiken 2003, the MOSS algorithm): hash every ``width``-char gram, then in
+every window of ``window`` consecutive gram hashes select the minimum.
+Selection is CONTENT-anchored — a naive "every k-th gram" scheme anchors
+windows to the document start and silently misses copies that sit at a
+different offset (two copies only collide when their offsets agree mod
+the stride). Winnowing's guarantee: any copied span of length >=
+``width + window - 1`` chars contains a full gram window in both
+documents with identical hashes, whose minimum is selected in both — so
+every such span produces at least one shared fingerprint, wherever the
+copies sit.
+
+Scale shape: fingerprinting is a per-row expression (gram hashes +
+sliding minima, O(n·window) work per doc, ~2n/window selected rows
+expected out); the text never shuffles. Pair candidates come from the
+skew-bounded self-join on the 8-byte fingerprint (a ubiquitous
+boilerplate span decomposes into bounded blocks instead of going
+quadratic); the final count is one (id_a, id_b)-keyed aggregation.
+
+No reference counterpart (`/root/reference` has no corpus surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.pairs import (
+    DEFAULT_MAX_BUCKET_ROWS,
+    bounded_self_join,
+)
+
+__all__ = ["winnowed_fingerprints", "shared_span_pairs"]
+
+
+def _norm(text: Column, *, normalize: bool) -> Column:
+    if not normalize:
+        return text
+    return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
+def _gram_hashes(t: Column, width: int) -> Column:
+    """60-bit integer hash of every ``width``-char gram: the first 15
+    hex chars of the md5 (the repo's engine-portable hash idiom,
+    llmops/split.py) — an 8-byte join key instead of a 32-byte digest.
+    Guarded for sub-width texts: ``sequence(1, n)`` with n < 1 would
+    DESCEND (Spark auto-steps -1 when start > stop) and hash garbage
+    windows at non-positive positions."""
+    return F.when(
+        F.length(t) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - width + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(t, i, width)), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    width: int = 24,
+    window: int = 8,
+    normalize: bool = True,
+) -> DataFrame:
+    """Winnowing fingerprint set per document: ``(id_col, h)`` rows,
+    ``h`` the DISTINCT selected gram hashes. Documents with fewer than
+    ``window`` grams (but at least one) emit their single minimum gram
+    hash — exact copies of short documents still collide; documents
+    shorter than ``width`` chars emit nothing."""
+    if width < 1 or window < 1:
+        raise ValueError(
+            f"winnowed_fingerprints: width/window must be >= 1, got "
+            f"{width}/{window}"
+        )
+    t = _norm(F.col(text_col), normalize=normalize)
+    # TWO projections on purpose: the gram array (O(n) md5s) must land in
+    # a real column before the sliding-min transform references it, or
+    # the expression tree inlines it inside the lambda and every j
+    # recomputes every gram — O(n²) md5s per row (measured: 4s for ONE
+    # 300-char doc). CollapseProject leaves the split alone because the
+    # alias is non-cheap and referenced several times downstream.
+    base = df.select(F.col(id_col), _gram_hashes(t, width).alias("__g"))
+    g = F.col("__g")
+    n = F.size(g)
+    selected = (
+        F.when(
+            n >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - window + 1),
+                    lambda j: F.array_min(F.slice(g, j, window)),
+                )
+            ),
+        )
+        .when(n >= 1, F.array(F.array_min(g)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return base.select(F.col(id_col), F.explode(selected).alias("h"))
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    width: int = 24,
+    window: int = 8,
+    min_shared: int = 1,
+    normalize: bool = True,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+) -> DataFrame:
+    """Document pairs sharing duplicated spans: ``(id_a, id_b,
+    n_shared)`` with ``id_a < id_b`` and ``n_shared`` the number of
+    winnowing fingerprints the two documents share (>= ``min_shared``).
+    Every copied span of length >= ``width + window - 1`` chars is
+    guaranteed to contribute at least one shared fingerprint, at any
+    offset in either document; raise ``min_shared`` to demand longer or
+    repeated duplication."""
+    fps = winnowed_fingerprints(
+        df, id_col, text_col,
+        width=width, window=window, normalize=normalize,
+    )
+    pairs = bounded_self_join(
+        fps, ["h"], order_col=id_col,
+        max_bucket_rows=max_bucket_rows, materialize=False,
+    ).select(
+        F.col(f"a.`{id_col}`").alias("id_a"),
+        F.col(f"b.`{id_col}`").alias("id_b"),
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -943,6 +943,21 @@ class KmvSetOps(AbstractStep):
     seed: str = ""
 
 
+class SharedSpans(AbstractStep):
+    """Cross-document repeated-span pairs via winnowing fingerprints
+    (MOSS): any copied span of >= ``width + window - 1`` chars produces
+    at least one shared fingerprint at any offset. Output ``(id_a, id_b,
+    n_shared)`` with ``n_shared >= min_shared``."""
+
+    operation: Literal["shared_spans"] = "shared_spans"
+    key_column: str
+    text_column: str = "text"
+    width: int = 24
+    window: int = 8
+    min_shared: int = 1
+    normalize: bool = True
+
+
 class LmPerplexity(AbstractStep):
     """CCNet-style LM quality scoring: train an add-alpha-smoothed char
     n-gram model on the ``reference_name`` entity (the clean corpus) and
@@ -1356,6 +1371,7 @@ AnyStep = Annotated[
         PcaProject,
         HllProfile,
         LmPerplexity,
+        SharedSpans,
         SampledQuantiles,
         QuantizeVectors,
         SaltedJoin,

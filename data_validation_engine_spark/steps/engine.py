@@ -114,6 +114,7 @@ from data_validation_engine_spark.steps.configs import (
     PcaProject,
     HllProfile,
     LmPerplexity,
+    SharedSpans,
     SampledQuantiles,
     QuantizeVectors,
     SaltedJoin,
@@ -246,6 +247,7 @@ class StepEngine:
             PcaProject: self.pca_project,
             HllProfile: self.hll_profile,
             LmPerplexity: self.lm_perplexity,
+            SharedSpans: self.shared_spans,
             SampledQuantiles: self.sampled_quantiles,
             QuantizeVectors: self.quantize_vectors,
             SaltedJoin: self.salted_join,
@@ -1762,6 +1764,24 @@ class StepEngine:
             n_cells=config.n_cells,
             threshold=config.threshold,
             n_iters=config.n_iters,
+        )
+        return None
+
+    def shared_spans(
+        self, entities: Entities, *, config: SharedSpans
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.spans import (
+            shared_span_pairs,
+        )
+
+        entities[config.output_name] = shared_span_pairs(
+            entities[config.entity_name],
+            config.key_column,
+            config.text_column,
+            width=config.width,
+            window=config.window,
+            min_shared=config.min_shared,
+            normalize=config.normalize,
         )
         return None
 
