@@ -152,6 +152,29 @@ SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "ABS(number - comparator) <= ABS(comparator * percentage)",
     ),
     "nhsno_mod11_check": ("nhs_no STRING", "BOOLEAN", nhs_mod11_sql("nhs_no")),
+    # URL anatomy for corpus provenance filtering (RefinedWeb-style
+    # blocklists key on host/registrable domain). parse_url is JVM-native;
+    # url_domain is the NAIVE last-two-labels registrable domain — correct
+    # for .com/.org etc., wrong for multi-label suffixes like .co.uk
+    # (documented; a public-suffix-list join is the precise path).
+    "url_host": (
+        "url STRING",
+        "STRING",
+        # try_parse_url: NULL on malformed input (plain parse_url THROWS
+        # under Spark 4 ANSI) — a blocklist filter must not abort on one
+        # garbage URL
+        "lower(try_parse_url(url, 'HOST'))",
+    ),
+    "url_domain": (
+        "url STRING",
+        "STRING",
+        "CASE WHEN try_parse_url(url, 'HOST') IS NULL THEN NULL "
+        "WHEN size(split(lower(try_parse_url(url, 'HOST')), '\\\\.')) < 2 "
+        "THEN lower(try_parse_url(url, 'HOST')) "
+        "ELSE array_join(slice(split(lower(try_parse_url(url, 'HOST')), "
+        "'\\\\.'), -2, 2), '.') END",
+    ),
+    "url_path": ("url STRING", "STRING", "try_parse_url(url, 'PATH')"),
     "normalise_postcode": (
         "pc STRING",
         "STRING",

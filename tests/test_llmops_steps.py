@@ -614,3 +614,25 @@ def test_sequence_prep_steps_match_library(spark):
         got = {tuple(r) for r in entities[out_name].collect()}
         want = {tuple(r) for r in expected.collect()}
         assert got == want and len(got) > 0, config["operation"]
+
+
+def test_url_functions(spark):
+    from data_validation_engine_spark.functions.library import (
+        register_all_functions,
+    )
+
+    register_all_functions(spark)
+    row = spark.sql(
+        """
+        SELECT url_host('https://Blog.Example.COM/a/b?q=1') AS h,
+               url_domain('https://blog.example.com/a') AS d,
+               url_domain('http://localhost:8080/x') AS single,
+               url_path('https://a.b.c/p/q.html?z=1') AS p,
+               url_host('%%%not a url') AS bad
+        """
+    ).first()
+    assert row["h"] == "blog.example.com"
+    assert row["d"] == "example.com"
+    assert row["single"] == "localhost"
+    assert row["p"] == "/p/q.html"
+    assert row["bad"] is None
