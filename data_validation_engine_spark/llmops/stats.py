@@ -290,3 +290,105 @@ def merge_regression_stats(
             F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6),
         ).alias("corr"),
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ROC AUC of a score against a binary label — the
+    validation statistic for quality classifiers and dedup scorers
+    (does the score actually rank kept docs above dropped ones?).
+
+    Mann-Whitney formulation with exact tie handling: rank all scores
+    ascending with ties receiving the average rank, then
+    ``AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg)`` where
+    ``R_pos`` is the positives' rank sum. All arithmetic stays integer
+    until the single final division: average ranks are half-integers, so
+    the DOUBLED rank sum ``2·R_pos = Σ pos_s · (2·cum_before_s + cnt_s
+    + 1)`` over distinct scores is exact, engine-portable math.
+
+    Scale shape (same discipline as :func:`ecdf_normalize`): counts
+    collapse to one row per DISTINCT (group, score) first, the
+    cumulative window runs over that far smaller frame, and the final
+    statistic is one group-keyed aggregation — never a percent_rank
+    sort of the raw corpus. Groups with only one class present emit
+    NULL (AUC undefined), with ``n_pos``/``n_neg`` attesting why.
+
+    NULL policy: NULL scores or labels FAIL the action loudly (a NULL
+    has no rank; engines disagree where it sorts), the repo's
+    raise_error guard idiom. ``label_col`` must be 0/1-valued —
+    anything else fails the same way.
+    """
+    groups = list(group_cols or [])
+
+    def _nn(c: str) -> Column:
+        return F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"grouped_auc: NULL in column '{c}' — a NULL has no "
+                    "rank; filter or impute before scoring"
+                )
+            )
+        )
+
+    label = F.when(
+        _nn(label_col).cast("long").isin(0, 1), F.col(label_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"grouped_auc: non-binary label in '{label_col}': "),
+                F.col(label_col).cast("string"),
+            )
+        )
+    )
+    per_score = (
+        df.select(
+            *[_nn(c).alias(c) for c in groups],
+            _nn(score_col).alias("__s"),
+            label.alias("__y"),
+        )
+        .groupBy(*groups, "__s")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__y").alias("__pos"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in groups])
+        .orderBy(F.col("__s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "__cum_before", F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.sum("__pos").alias("n_pos"),
+        F.sum(F.col("__cnt") - F.col("__pos")).alias("n_neg"),
+        F.sum(
+            F.col("__pos")
+            * (2 * F.col("__cum_before") + F.col("__cnt") + 1)
+        ).alias("__r2"),
+    )
+    auc = (
+        (
+            F.col("__r2").cast("double")
+            - F.col("n_pos").cast("double")
+            * (F.col("n_pos") + 1).cast("double")
+        )
+        / 2.0
+        / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    )
+    return agg.select(
+        *groups,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(auc, round_to),
+        ).alias("auc"),
+    )

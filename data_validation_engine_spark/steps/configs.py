@@ -943,6 +943,19 @@ class KmvSetOps(AbstractStep):
     seed: str = ""
 
 
+class GroupedAuc(AbstractStep):
+    """Per-group ROC AUC of a score column against a binary label —
+    validates that a quality/dedup scorer actually ranks positives above
+    negatives. Mann-Whitney with exact tie handling over distinct-score
+    aggregates (never a corpus percent_rank sort); single-class groups
+    emit NULL with n_pos/n_neg attesting why."""
+
+    operation: Literal["grouped_auc"] = "grouped_auc"
+    score_column: str
+    label_column: str
+    group_by: tuple[str, ...] = ()
+
+
 class SharedSpans(AbstractStep):
     """Cross-document repeated-span pairs via winnowing fingerprints
     (MOSS): any copied span of >= ``width + window - 1`` chars produces
@@ -1372,6 +1385,7 @@ AnyStep = Annotated[
         HllProfile,
         LmPerplexity,
         SharedSpans,
+        GroupedAuc,
         SampledQuantiles,
         QuantizeVectors,
         SaltedJoin,

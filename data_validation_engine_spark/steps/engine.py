@@ -115,6 +115,7 @@ from data_validation_engine_spark.steps.configs import (
     HllProfile,
     LmPerplexity,
     SharedSpans,
+    GroupedAuc,
     SampledQuantiles,
     QuantizeVectors,
     SaltedJoin,
@@ -248,6 +249,7 @@ class StepEngine:
             HllProfile: self.hll_profile,
             LmPerplexity: self.lm_perplexity,
             SharedSpans: self.shared_spans,
+            GroupedAuc: self.grouped_auc,
             SampledQuantiles: self.sampled_quantiles,
             QuantizeVectors: self.quantize_vectors,
             SaltedJoin: self.salted_join,
@@ -1764,6 +1766,19 @@ class StepEngine:
             n_cells=config.n_cells,
             threshold=config.threshold,
             n_iters=config.n_iters,
+        )
+        return None
+
+    def grouped_auc(
+        self, entities: Entities, *, config: GroupedAuc
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.stats import grouped_auc
+
+        entities[config.output_name] = grouped_auc(
+            entities[config.entity_name],
+            config.score_column,
+            config.label_column,
+            group_cols=list(config.group_by),
         )
         return None
 

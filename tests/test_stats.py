@@ -260,3 +260,144 @@ def test_hll_declared_steps(spark, sf_dir):
         ).collect()
     }
     assert rolled == single
+
+
+# -- grouped ROC AUC (llmops/stats.py) ---------------------------------------
+
+
+class TestGroupedAuc:
+    def _auc_pairs(self, pairs):
+        """Independent O(n²) reference: P(score_pos > score_neg) + half
+        the ties — the definition AUC estimates."""
+        pos = [s for s, y in pairs if y == 1]
+        neg = [s for s, y in pairs if y == 0]
+        if not pos or not neg:
+            return None
+        wins = sum(
+            1.0 if p > n else 0.5 if p == n else 0.0
+            for p in pos for n in neg
+        )
+        return round(wins / (len(pos) * len(neg)), 6)
+
+    def test_matches_pair_counting_with_ties(self, spark):
+        from data_validation_engine_spark.llmops.stats import grouped_auc
+
+        pairs = [
+            (0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1),
+            (0.5, 0), (0.5, 1), (0.5, 1), (0.9, 0), (0.2, 1),
+        ]
+        df = spark.createDataFrame(
+            [("g", s, y) for s, y in pairs], "g string, s double, y int"
+        )
+        r = grouped_auc(df, "s", "y", group_cols=["g"]).first()
+        assert r["auc"] == self._auc_pairs(pairs)
+        assert (r["n_pos"], r["n_neg"]) == (5, 4)
+
+    def test_perfect_and_inverted(self, spark):
+        from data_validation_engine_spark.llmops.stats import grouped_auc
+
+        perfect = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+        inverted = [(float(i), 0 if i >= 5 else 1) for i in range(10)]
+        df = spark.createDataFrame(
+            [("p", s, y) for s, y in perfect]
+            + [("i", s, y) for s, y in inverted],
+            "g string, s double, y int",
+        )
+        got = {
+            r["g"]: r["auc"]
+            for r in grouped_auc(df, "s", "y", group_cols=["g"]).collect()
+        }
+        assert got == {"p": 1.0, "i": 0.0}
+
+    def test_single_class_is_null(self, spark):
+        from data_validation_engine_spark.llmops.stats import grouped_auc
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1), ("g", 2.0, 1)], "g string, s double, y int"
+        )
+        r = grouped_auc(df, "s", "y", group_cols=["g"]).first()
+        assert r["auc"] is None and r["n_neg"] == 0
+
+    def test_null_and_nonbinary_fail_loudly(self, spark):
+        import pytest as _pt
+
+        from data_validation_engine_spark.llmops.stats import grouped_auc
+
+        bad_null = spark.createDataFrame(
+            [("g", None, 1)], "g string, s double, y int"
+        )
+        with _pt.raises(Exception, match="NULL in column"):
+            grouped_auc(bad_null, "s", "y", group_cols=["g"]).collect()
+        bad_label = spark.createDataFrame(
+            [("g", 1.0, 2)], "g string, s double, y int"
+        )
+        with _pt.raises(Exception, match="non-binary"):
+            grouped_auc(bad_label, "s", "y", group_cols=["g"]).collect()
+
+    def test_matches_duckdb_on_testdata(self, spark, sf_dir):
+        import duckdb
+
+        from data_validation_engine_spark.llmops.stats import grouped_auc
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+            "lang", "CAST(n_chars AS DOUBLE) AS s",
+            "CAST(doc_id % 2 AS INT) AS y",
+        )
+        got = {
+            r["lang"]: (r["n_pos"], r["n_neg"], r["auc"])
+            for r in grouped_auc(docs, "s", "y", group_cols=["lang"]).collect()
+        }
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duckdb.sql(
+                f"""
+                WITH d AS (
+                  SELECT lang, CAST(n_chars AS DOUBLE) s,
+                         CAST(doc_id % 2 AS INT) y
+                  FROM read_parquet('{sf_dir}/documents.parquet')
+                ), per AS (
+                  SELECT lang, s, count(*) cnt, sum(y) pos FROM d
+                  GROUP BY 1, 2
+                ), ranked AS (
+                  SELECT *, coalesce(sum(cnt) OVER (
+                    PARTITION BY lang ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) cum FROM per
+                )
+                SELECT lang, sum(pos) np, sum(cnt - pos) nn,
+                       CASE WHEN sum(pos) > 0 AND sum(cnt - pos) > 0 THEN
+                         round((sum(pos * (2 * cum + cnt + 1))::DOUBLE
+                                - sum(pos)::DOUBLE * (sum(pos) + 1))
+                               / 2.0 / (sum(pos)::DOUBLE * sum(cnt - pos)),
+                               6)
+                       END auc
+                FROM ranked GROUP BY lang
+                """
+            ).fetchall()
+        }
+        assert got == want
+
+
+def test_grouped_auc_declared_step(spark, sf_dir):
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "lang", "CAST(n_chars AS DOUBLE) AS s", "CAST(doc_id % 2 AS INT) AS y"
+    )
+    ents = {"scored": docs}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "grouped_auc",
+                "entity_name": "scored",
+                "new_entity_name": "auc",
+                "score_column": "s",
+                "label_column": "y",
+                "group_by": ["lang"],
+            }
+        ),
+    )
+    rows = ents["auc"].collect()
+    assert len(rows) > 0
+    assert all(r["auc"] is None or 0.0 <= r["auc"] <= 1.0 for r in rows)
