@@ -274,3 +274,20 @@ def bpe_encode(
             ),
         ).alias("subwords_csv"),
     )
+
+
+def bpe_decode(
+    df: DataFrame,
+    subwords_col: str = "subwords_csv",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Inverse of :func:`bpe_encode`'s rendering: strip the intra-word
+    joiner (U+2581, the sentencepiece-style visible space) so subwords
+    fuse back into words; the inter-word single spaces survive. Exact
+    round-trip property (pytest-pinned): ``decode(encode(t)) ==
+    concat_ws(' ', whitespace_tokens(lower(t)))`` — BPE segmentation is
+    lossless by construction, whatever merge list produced it. Zero
+    shuffle, one per-row projection."""
+    return df.withColumn(
+        out_col, F.regexp_replace(F.col(subwords_col), "▁", "")
+    )

@@ -154,3 +154,36 @@ class TestWordFrequencies:
             ).collect()
         }
         assert wf == {"a": 2, "B": 1}
+
+
+def test_bpe_decode_round_trips_both_paths(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_validation_engine_spark.llmops.bpe import (
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+    from data_validation_engine_spark.llmops.dedup import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    merges, words = bpe_train(docs, "text", n_merges=8, return_words=True)
+
+    want = {
+        r["doc_id"]: r["w"]
+        for r in docs.select(
+            "doc_id",
+            F.concat_ws(" ", tokens_col(F.lower(F.col("text")))).alias("w"),
+        ).collect()
+    }
+    for enc in (
+        bpe_encode(docs, "doc_id", "text", merges),
+        bpe_encode(docs, "doc_id", "text", word_table=words),
+    ):
+        got = {
+            r["doc_id"]: r["decoded"]
+            for r in bpe_decode(enc).collect()
+        }
+        assert got == want
