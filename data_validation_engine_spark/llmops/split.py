@@ -205,14 +205,39 @@ def mix_fractions(
     return fracs
 
 
+def temperature_targets(
+    label_tokens: dict[str, int], alpha: float
+) -> dict[str, float]:
+    """Temperature-weighted target shares: source ``l`` gets share
+    ``tokens_l^alpha / sum_k tokens_k^alpha`` — the standard
+    multilingual/multi-source rebalancing rule (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform; published as the sampling
+    recipe of mBERT/XLM-R/mT5). The power is transcendental, so it runs
+    DRIVER-side over the collected per-source totals (bounded by the
+    number of sources) and lands in the plan as literal fractions; the
+    per-row keep decision stays rational and engine-exact."""
+    if not alpha > 0:
+        raise ValueError(f"temperature alpha must be > 0, got {alpha}")
+    pows = {
+        label: float(tok) ** alpha
+        for label, tok in sorted(label_tokens.items())
+        if tok > 0
+    }
+    total = sum(pows.values())
+    if total <= 0:
+        return {}
+    return {label: p / total for label, p in pows.items()}
+
+
 def corpus_mix(
     df: DataFrame,
     key_col: str,
     label_col: str,
     weight_col: str,
-    targets: dict[str, float],
+    targets: dict[str, float] | None,
     budget: int,
     *,
+    temperature: float | None = None,
     seed: str = "",
 ) -> DataFrame:
     """Deterministically downsample a multi-source corpus to target
@@ -225,18 +250,29 @@ def corpus_mix(
     engines, and repartitionings. Labels absent from ``targets`` are
     dropped (an unlisted source in the mix is a bug, not a default).
 
+    Pass ``temperature=alpha`` INSTEAD of explicit ``targets`` to derive
+    the shares from the observed totals via
+    :func:`temperature_targets` (tokens^alpha rebalancing) — same one
+    totals aggregation, no extra pass.
+
     Scale shape: ONE map-side-combined aggregation for the per-source
     token totals (driver collect bounded by the number of SOURCES, never
     rows) + one zero-shuffle per-row keep projection against the
     literal fraction map. The keep rule is +,*,/ and a comparison — no
     transcendentals — so the decision replays exactly in the SQL oracle.
     """
+    if (targets is None) == (temperature is None):
+        raise ValueError(
+            "corpus_mix: pass exactly one of targets= or temperature="
+        )
     totals = {
         r["__label"]: r["__tok"]
         for r in df.groupBy(F.col(label_col).alias("__label"))
         .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__tok"))
         .collect()
     }
+    if temperature is not None:
+        targets = temperature_targets(totals, temperature)
     fracs = mix_fractions(totals, targets, budget)
     frac_col = None
     for label, frac in fracs.items():

@@ -797,13 +797,17 @@ class SnapshotDiff(AbstractStep):
 class CorpusMix(AbstractStep):
     """Deterministic multi-source downsampling to target token shares:
     each source keeps ``min(1, share*budget/source_tokens)`` of its rows
-    by md5 keep-decision; unlisted sources are dropped."""
+    by md5 keep-decision; unlisted sources are dropped. Set
+    ``temperature=alpha`` instead of ``targets`` to derive the shares
+    from the observed totals (tokens^alpha rebalancing — alpha=1
+    natural, alpha→0 uniform)."""
 
     operation: Literal["corpus_mix"] = "corpus_mix"
     key_column: str
     label_column: str
     weight_column: str
-    targets: dict[str, float]
+    targets: Optional[dict[str, float]] = None
+    temperature: Optional[float] = None
     budget: int
     seed: str = ""
 
@@ -1309,6 +1313,37 @@ class ParagraphDedup(AbstractStep):
     output_column: Optional[str] = None
 
 
+class RenderChat(AbstractStep):
+    """Render a conversation column (``array<struct<role,content>>``)
+    into one training string per row plus per-turn content spans and the
+    loss-mask spans (roles in ``mask_roles``) — the standard
+    chat-template prep before tokenization. Zero shuffle; spans come
+    from an integer fold, never from searching the rendered text."""
+
+    operation: Literal["render_chat"] = "render_chat"
+    key_column: str
+    conversation_column: str = "conversation"
+    role_open: str = "<|"
+    role_close: str = "|>\n"
+    turn_end: str = "<|end|>\n"
+    mask_roles: tuple[str, ...] = ("assistant",)
+
+
+class ConversationStats(AbstractStep):
+    """Per-conversation structural quality gates for instruction data:
+    turn/role counts, content size, and the has_empty /
+    has_unknown_role / alternates flags (one leading system turn
+    allowed, then strict user/assistant alternation ending on
+    assistant). Zero shuffle."""
+
+    operation: Literal["conversation_stats"] = "conversation_stats"
+    key_column: str
+    conversation_column: str = "conversation"
+    user_role: str = "user"
+    assistant_role: str = "assistant"
+    system_role: str = "system"
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -1410,6 +1445,8 @@ AnyStep = Annotated[
         Repartition,
         Pseudonymize,
         ClusterRepresentatives,
+        RenderChat,
+        ConversationStats,
     ],
     Field(discriminator="operation"),
 ]

@@ -140,6 +140,8 @@ from data_validation_engine_spark.steps.configs import (
     Repartition,
     Pseudonymize,
     ClusterRepresentatives,
+    RenderChat,
+    ConversationStats,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -274,6 +276,8 @@ class StepEngine:
             Repartition: self.repartition,
             Pseudonymize: self.pseudonymize,
             ClusterRepresentatives: self.cluster_representatives,
+            RenderChat: self.render_chat,
+            ConversationStats: self.conversation_stats,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -1949,8 +1953,9 @@ class StepEngine:
             config.key_column,
             config.label_column,
             config.weight_column,
-            dict(config.targets),
+            dict(config.targets) if config.targets is not None else None,
             config.budget,
+            temperature=config.temperature,
             seed=config.seed,
         )
         return None
@@ -2141,6 +2146,39 @@ class StepEngine:
             config.cluster_column,
             score_col=config.score_column,
             id_col=config.id_column,
+        )
+        return None
+
+    def render_chat(
+        self, entities: Entities, *, config: RenderChat
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.chat import render_chat
+
+        entities[config.output_name] = render_chat(
+            entities[config.entity_name],
+            config.key_column,
+            config.conversation_column,
+            role_open=config.role_open,
+            role_close=config.role_close,
+            turn_end=config.turn_end,
+            mask_roles=tuple(config.mask_roles),
+        )
+        return None
+
+    def conversation_stats(
+        self, entities: Entities, *, config: ConversationStats
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.chat import (
+            conversation_stats,
+        )
+
+        entities[config.output_name] = conversation_stats(
+            entities[config.entity_name],
+            config.key_column,
+            config.conversation_column,
+            user_role=config.user_role,
+            assistant_role=config.assistant_role,
+            system_role=config.system_role,
         )
         return None
 

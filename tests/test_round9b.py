@@ -1,0 +1,90 @@
+"""Round-9 session-B operators: temperature corpus mixing."""
+
+from __future__ import annotations
+
+import pytest
+
+
+class TestTemperatureMix:
+    def test_temperature_targets_math(self):
+        from data_validation_engine_spark.llmops.split import (
+            temperature_targets,
+        )
+
+        totals = {"web": 900, "code": 90, "books": 10}
+        # alpha=1 reproduces natural shares exactly
+        nat = temperature_targets(totals, 1.0)
+        assert nat == {"web": 0.9, "code": 0.09, "books": 0.01}
+        # alpha<1 compresses the spread strictly toward uniform
+        t = temperature_targets(totals, 0.5)
+        assert t["web"] < 0.9 and t["books"] > 0.01
+        assert abs(sum(t.values()) - 1.0) < 1e-12
+        # ordering preserved
+        assert t["web"] > t["code"] > t["books"]
+        # zero-token sources drop out; empty totals -> empty targets
+        assert "dead" not in temperature_targets({**totals, "dead": 0}, 0.5)
+        assert temperature_targets({}, 0.5) == {}
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_targets(totals, 0.0)
+
+    def test_corpus_mix_temperature_path(self, spark):
+        from data_validation_engine_spark.llmops.split import (
+            corpus_mix,
+            temperature_targets,
+        )
+
+        rows = (
+            [(f"w{i}", "web", 100) for i in range(400)]
+            + [(f"c{i}", "code", 100) for i in range(100)]
+        )
+        df = spark.createDataFrame(rows, "key string, src string, toks int")
+        # the temperature path must equal the explicit-targets path fed
+        # with the shares it derives
+        totals = {"web": 40_000, "code": 10_000}
+        explicit = corpus_mix(
+            df, "key", "src", "toks",
+            temperature_targets(totals, 0.5), 20_000,
+        )
+        derived = corpus_mix(
+            df, "key", "src", "toks", None, 20_000, temperature=0.5
+        )
+        assert sorted(r.key for r in derived.collect()) == sorted(
+            r.key for r in explicit.collect()
+        )
+        # exactly one of targets/temperature
+        with pytest.raises(ValueError, match="exactly one"):
+            corpus_mix(df, "key", "src", "toks", None, 10)
+        with pytest.raises(ValueError, match="exactly one"):
+            corpus_mix(
+                df, "key", "src", "toks", {"web": 1.0}, 10, temperature=0.5
+            )
+
+    def test_declared_temperature_step(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [(f"k{i}", "a" if i % 5 else "b", 10) for i in range(200)],
+            "key string, src string, t int",
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"corpus": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "corpus_mix",
+                    "entity_name": "corpus",
+                    "key_column": "key",
+                    "label_column": "src",
+                    "weight_column": "t",
+                    "temperature": 0.5,
+                    "budget": 1_000,
+                    "new_entity_name": "mixed",
+                }
+            ),
+        )
+        kept = ents["mixed"].groupBy("src").count().collect()
+        got = {r.src: r["count"] for r in kept}
+        # both sources survive and the minority source is over-sampled
+        # relative to its natural share under alpha < 1
+        assert set(got) == {"a", "b"}
