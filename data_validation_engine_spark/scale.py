@@ -444,3 +444,91 @@ def skew_report(
             (tuple(r[k] for k in keys), r["__n"]) for r in hot
         ],
     }
+
+
+def write_training_shards(
+    df: DataFrame,
+    dest: str,
+    key_col: str,
+    *,
+    n_shards: int,
+    seed: str = "",
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard export: the last step before
+    a training run reads the data.
+
+    Trainers need the corpus in a PSEUDORANDOM but REPRODUCIBLE order
+    (epoch order must not correlate with ingest order, yet two exports
+    of the same corpus must be byte-identical), cut into ``n_shards``
+    independent shards that data-loader workers consume in parallel.
+    Both come from one md5: each row's ``__h = md5(seed || key)`` is its
+    position in the shuffled order, ``shard = bucket(__h) *
+    n_shards DIV 65536`` is a contiguous range of that order (shards
+    are equal-sized in expectation). No global sort ever runs — rows
+    hash-exchange straight to their shard's task and sort only within
+    it (sortWithinPartitions), which is exactly a shuffle's cost. A new
+    ``seed`` is a fresh epoch order.
+
+    Output layout: ``dest/shard=K/part-*.parquet`` with rows in-shard
+    ordered by ``__hash`` (readers stream files in name order;
+    ``max_records_per_file`` caps file size for loader-side chunking).
+    Returns the MANIFEST as a DataFrame — one row per shard:
+    ``(shard, n_rows, n_files, min_hash, max_hash, checksum)`` where
+    ``checksum`` is the sum of each row's first-15-hex-digit hash value
+    (fits a DECIMAL(38,0) at any corpus size, order-independent, and
+    engine-exact) — enough to verify a shard set without re-reading
+    content. Persist it next to the export; a re-export must reproduce
+    it bit-for-bit.
+    """
+    from data_validation_engine_spark.llmops.split import (
+        N_BUCKETS,
+        hash_bucket,
+    )
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if not dest:
+        raise ValueError("write_training_shards needs a destination")
+    digest = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    # N_BUCKETS is 2^16, so DIV 65536 is an exact right-shift — integral
+    # arithmetic end to end (repo convention: never float-divide-then-
+    # truncate an index)
+    bucket = hash_bucket(F.col(key_col), seed=seed)
+    shard = F.shiftright(
+        (bucket * F.lit(int(n_shards))).cast("long"), 16
+    ).cast("int")
+    assert N_BUCKETS == 1 << 16
+    staged = (
+        df.withColumn("__hash", digest)
+        .withColumn("shard", shard)
+        # one exchange on the shard id; in-shard order is a task-local
+        # sort, never a global range exchange
+        .repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions("shard", "__hash")
+    )
+    writer = staged.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file is not None:
+        writer = writer.option(
+            "maxRecordsPerFile", int(max_records_per_file)
+        )
+    writer.parquet(dest)
+
+    out = staged.sparkSession.read.parquet(dest)
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(
+                F.col("_metadata")["file_path"]
+            ).alias("n_files"),
+            F.min("__hash").alias("min_hash"),
+            F.max("__hash").alias("max_hash"),
+            F.sum(
+                F.conv(F.substring("__hash", 1, 15), 16, 10).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("checksum"),
+        )
+        .orderBy("shard")
+    )

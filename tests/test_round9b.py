@@ -88,3 +88,67 @@ class TestTemperatureMix:
         # both sources survive and the minority source is over-sampled
         # relative to its natural share under alpha < 1
         assert set(got) == {"a", "b"}
+
+
+class TestTrainingShards:
+    def test_export_manifest_and_determinism(self, spark, tmp_path):
+        from data_validation_engine_spark.scale import write_training_shards
+
+        df = spark.createDataFrame(
+            [(f"doc{i}", f"text {i}") for i in range(500)],
+            "id string, text string",
+        )
+        d1 = str(tmp_path / "exp1")
+        m1 = write_training_shards(df, d1, "id", n_shards=4).collect()
+        assert [r["shard"] for r in m1] == [0, 1, 2, 3]
+        assert sum(r["n_rows"] for r in m1) == 500
+        # shards are equal-sized in expectation (contiguous hash ranges)
+        for r in m1:
+            assert 60 <= r["n_rows"] <= 190
+        # hash ranges are disjoint and ordered: shard k's max < k+1's min
+        for a, b in zip(m1, m1[1:]):
+            assert a["max_hash"] < b["min_hash"]
+
+        # byte-identical manifest on re-export, even repartitioned
+        d2 = str(tmp_path / "exp2")
+        m2 = write_training_shards(
+            df.repartition(7), d2, "id", n_shards=4
+        ).collect()
+        assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+
+        # a different seed is a different epoch order
+        d3 = str(tmp_path / "exp3")
+        m3 = write_training_shards(
+            df, d3, "id", n_shards=4, seed="epoch2"
+        ).collect()
+        assert [tuple(r) for r in m3] != [tuple(r) for r in m1]
+
+        # in-shard file content is sorted by the shuffle hash
+        out = spark.read.parquet(d1)
+        rows = out.where("shard = 0").select("__hash").collect()
+        hashes = [r["__hash"] for r in rows]
+        assert hashes == sorted(hashes)
+        # nothing lost or duplicated
+        assert sorted(r["id"] for r in out.select("id").collect()) == sorted(
+            f"doc{i}" for i in range(500)
+        )
+
+    def test_max_records_per_file_and_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from data_validation_engine_spark.scale import write_training_shards
+
+        df = spark.createDataFrame(
+            [(f"k{i}",) for i in range(200)], "id string"
+        )
+        dest = str(tmp_path / "chunked")
+        m = write_training_shards(
+            df, dest, "id", n_shards=2, max_records_per_file=25
+        ).collect()
+        for r in m:
+            # ceil(n_rows/25) files per shard
+            assert r["n_files"] == -(-r["n_rows"] // 25)
+        with _pytest.raises(ValueError, match="n_shards"):
+            write_training_shards(df, dest, "id", n_shards=0)
+        with _pytest.raises(ValueError, match="destination"):
+            write_training_shards(df, "", "id", n_shards=2)
