@@ -1313,6 +1313,21 @@ class ParagraphDedup(AbstractStep):
     output_column: Optional[str] = None
 
 
+class NormalizeText(AbstractStep):
+    """Canonicalize a text column: Unicode form folding (NFKC by
+    default — the tokenizer-prep recipe; ``form=null`` skips the one
+    Pandas-UDF hop and stays pure JVM), control/format-char strip,
+    optional lowercasing and whitespace collapse. Zero shuffle."""
+
+    operation: Literal["normalize_text"] = "normalize_text"
+    text_column: str = "text"
+    form: Optional[str] = "NFKC"
+    lowercase: bool = False
+    strip_control: bool = True
+    collapse_whitespace: bool = False
+    output_column: Optional[str] = None
+
+
 class RenderChat(AbstractStep):
     """Render a conversation column (``array<struct<role,content>>``)
     into one training string per row plus per-turn content spans and the
@@ -1447,6 +1462,7 @@ AnyStep = Annotated[
         ClusterRepresentatives,
         RenderChat,
         ConversationStats,
+        NormalizeText,
     ],
     Field(discriminator="operation"),
 ]

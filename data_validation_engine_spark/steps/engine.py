@@ -142,6 +142,7 @@ from data_validation_engine_spark.steps.configs import (
     ClusterRepresentatives,
     RenderChat,
     ConversationStats,
+    NormalizeText,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -278,6 +279,7 @@ class StepEngine:
             ClusterRepresentatives: self.cluster_representatives,
             RenderChat: self.render_chat,
             ConversationStats: self.conversation_stats,
+            NormalizeText: self.normalize_text,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -2179,6 +2181,24 @@ class StepEngine:
             user_role=config.user_role,
             assistant_role=config.assistant_role,
             system_role=config.system_role,
+        )
+        return None
+
+    def normalize_text(
+        self, entities: Entities, *, config: NormalizeText
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.normalize import (
+            normalize_text,
+        )
+
+        entities[config.output_name] = normalize_text(
+            entities[config.entity_name],
+            config.text_column,
+            form=config.form,
+            lowercase=config.lowercase,
+            strip_control=config.strip_control,
+            collapse_whitespace=config.collapse_whitespace,
+            output_col=config.output_column,
         )
         return None
 

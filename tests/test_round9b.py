@@ -152,3 +152,98 @@ class TestTrainingShards:
             write_training_shards(df, dest, "id", n_shards=0)
         with _pytest.raises(ValueError, match="destination"):
             write_training_shards(df, "", "id", n_shards=2)
+
+
+class TestNormalizeText:
+    CASES = [
+        ("t1", "ﬁsh ＦＵＬＬ ① ²"),          # ligature, full-width, circled, superscript
+        ("t2", "a​b﻿c\x07d"),      # zero-width, BOM, bell
+        ("t3", "line1\r\nline2\rline3"),     # CRLF / CR folding
+        ("t4", "  a \t  b  \n\n\n\n c  "),   # whitespace collapse
+        ("t5", None),                         # NULL stays NULL
+        ("t6", "café"),                       # already-NFC text unchanged
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.CASES, "id string, text string")
+
+    def test_nfkc_matches_unicodedata(self, spark):
+        import unicodedata
+
+        from data_validation_engine_spark.llmops.normalize import (
+            normalize_text,
+        )
+
+        got = {
+            r["id"]: r["text"]
+            for r in normalize_text(
+                self._df(spark), "text", form="NFKC", strip_control=False
+            ).collect()
+        }
+        for cid, raw in self.CASES:
+            want = (
+                unicodedata.normalize("NFKC", raw)
+                if raw is not None
+                else None
+            )
+            assert got[cid] == want, cid
+
+    def test_control_strip_and_whitespace(self, spark):
+        from data_validation_engine_spark.llmops.normalize import (
+            normalize_text,
+        )
+
+        out = {
+            r["id"]: r["text"]
+            for r in normalize_text(
+                self._df(spark),
+                "text",
+                form=None,
+                collapse_whitespace=True,
+            ).collect()
+        }
+        assert out["t2"] == "abcd"
+        assert out["t3"] == "line1\nline2\nline3"
+        assert out["t4"] == "a b\n\nc"
+        assert out["t5"] is None
+
+    def test_jvm_only_path_has_no_python(self, spark):
+        from data_validation_engine_spark.llmops.normalize import (
+            normalize_text,
+        )
+
+        df = self._df(spark)
+        pure = normalize_text(df, "text", form=None)
+        plan = pure._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan
+        arrow = normalize_text(df, "text", form="NFKC")
+        plan2 = arrow._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan2  # batched, not row-at-a-time
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="form"):
+            normalize_text(df, "text", form="NFKX")
+
+    def test_declared_step(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"docs": self._df(spark)}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "normalize_text",
+                    "entity_name": "docs",
+                    "text_column": "text",
+                    "lowercase": True,
+                    "collapse_whitespace": True,
+                    "output_column": "clean",
+                    "new_entity_name": "normed",
+                }
+            ),
+        )
+        row = {r["id"]: r["clean"] for r in ents["normed"].collect()}
+        assert row["t1"] == "fish full 1 2"
+        assert row["t5"] is None
