@@ -304,3 +304,122 @@ def hll_rollup(
         F.hll_sketch_estimate("sketch").alias("n_est"),
         "sketch",
     )
+
+
+# -- Count-Min sketch: mergeable approximate frequencies -----------------
+def _cms_col(value: Column, depth: int, width: int, seed: str) -> Column:
+    """``array<struct<row,col>>``: the value's cell in each of ``depth``
+    md5-derived hash rows — deterministic, so two engines (and two
+    days' batches) index identical cells."""
+    cells = []
+    for r in range(depth):
+        digest = F.md5(
+            F.concat(F.lit(f"{seed}|cms{r}|"), value.cast("string"))
+        )
+        col = (
+            F.conv(F.substring(digest, 1, 15), 16, 10).cast("decimal(38,0)")
+            % F.lit(width)
+        ).cast("int")
+        cells.append(
+            F.struct(F.lit(r).alias("row"), col.alias("col"))
+        )
+    return F.array(*cells)
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Count-Min sketch of a value column's frequencies: ``group_cols +
+    (row, col, n)`` — at most ``depth * width`` cells per group
+    regardless of how many distinct values the data holds.
+
+    Exact :func:`frequent_items` shuffles every distinct value; at
+    100 TB a high-cardinality column (URLs, user ids) makes that the
+    dominant exchange. The CMS caps shuffle width at ``depth*width``
+    COUNTER CELLS (map-side combine collapses rows into cells before
+    the exchange), trading a one-sided overestimate bounded by
+    ``2e/width * total_weight`` with prob ``1 - (1/2)^depth``
+    (Cormode & Muthukrishnan 2005). Hash rows are md5-derived —
+    deterministic across engines, reruns, and shards, which is what
+    makes the cell table MERGEABLE: :func:`cms_merge` of two batches'
+    sketches equals the sketch of the union, so persist per-batch
+    sketches and never re-touch raw data.
+
+    ``weight_col`` counts tokens/bytes instead of rows.
+    """
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
+    groups = list(group_cols or [])
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    cells = df.select(
+        *groups,
+        F.explode(
+            _cms_col(F.col(value_col), depth, width, seed)
+        ).alias("__cell"),
+        w.alias("__w"),
+    )
+    return cells.groupBy(
+        *groups, F.col("__cell")["row"].alias("row"),
+        F.col("__cell")["col"].alias("col"),
+    ).agg(F.sum("__w").alias("n"))
+
+
+def cms_merge(
+    sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge CMS cell tables (same depth/width/seed) to a coarser
+    grouping: cell-wise sum — the linearity that makes the sketch a
+    substitute for re-scanning raw batches."""
+    groups = list(group_cols or [])
+    return sketches.groupBy(*groups, "row", "col").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "",
+) -> DataFrame:
+    """Point-estimate frequencies for a candidate value table:
+    ``values' columns + n_est`` where ``n_est = min`` over the value's
+    ``depth`` cells (absent cells read 0). Broadcast the candidate
+    side's cells against the sketch — the sketch is at most
+    ``depth*width`` rows per group, so this is an equi-join on (row,
+    col), never a scan of raw data. The estimate NEVER undercounts;
+    overcount bound as in :func:`cms_build`."""
+    groups = list(group_cols or [])
+    probes = values.select(
+        *groups,
+        F.col(value_col),
+        F.explode(
+            _cms_col(F.col(value_col), depth, width, seed)
+        ).alias("__cell"),
+    ).select(
+        *groups,
+        value_col,
+        F.col("__cell")["row"].alias("row"),
+        F.col("__cell")["col"].alias("col"),
+    )
+    joined = probes.join(sketch, [*groups, "row", "col"], "left").select(
+        *groups, value_col, F.coalesce(F.col("n"), F.lit(0)).alias("__n")
+    )
+    return joined.groupBy(*groups, value_col).agg(
+        F.min("__n").alias("n_est")
+    )

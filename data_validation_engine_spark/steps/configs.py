@@ -1313,6 +1313,26 @@ class ParagraphDedup(AbstractStep):
     output_column: Optional[str] = None
 
 
+class CmsSketch(AbstractStep):
+    """Count-Min frequency sketch: ``mode="build"`` turns a value
+    column into a depth×width cell table (shuffle bounded by the cell
+    count, not the value cardinality), ``mode="merge"`` rolls persisted
+    cell tables up to a coarser grouping (cell-wise sum — equals the
+    sketch of the unioned raw data), ``mode="query"`` point-estimates
+    frequencies for a candidate entity (``sketch_name`` holds the cell
+    table; estimates never undercount)."""
+
+    operation: Literal["cms_sketch"] = "cms_sketch"
+    mode: Literal["build", "merge", "query"] = "build"
+    group_by: tuple[str, ...] = ()
+    value_column: str = "value"
+    weight_column: Optional[str] = None
+    depth: int = 4
+    width: int = 1024
+    seed: str = ""
+    sketch_name: Optional[str] = None
+
+
 class NormalizeText(AbstractStep):
     """Canonicalize a text column: Unicode form folding (NFKC by
     default — the tokenizer-prep recipe; ``form=null`` skips the one
@@ -1463,6 +1483,7 @@ AnyStep = Annotated[
         RenderChat,
         ConversationStats,
         NormalizeText,
+        CmsSketch,
     ],
     Field(discriminator="operation"),
 ]

@@ -143,6 +143,7 @@ from data_validation_engine_spark.steps.configs import (
     RenderChat,
     ConversationStats,
     NormalizeText,
+    CmsSketch,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -280,6 +281,7 @@ class StepEngine:
             RenderChat: self.render_chat,
             ConversationStats: self.conversation_stats,
             NormalizeText: self.normalize_text,
+            CmsSketch: self.cms_sketch,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -2200,6 +2202,45 @@ class StepEngine:
             collapse_whitespace=config.collapse_whitespace,
             output_col=config.output_column,
         )
+        return None
+
+    def cms_sketch(
+        self, entities: Entities, *, config: CmsSketch
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.sketch import (
+            cms_build,
+            cms_merge,
+            cms_query,
+        )
+
+        groups = list(config.group_by)
+        df = entities[config.entity_name]
+        if config.mode == "merge":
+            entities[config.output_name] = cms_merge(df, groups)
+        elif config.mode == "query":
+            if not config.sketch_name:
+                raise ValueError(
+                    "cms_sketch mode='query' needs sketch_name"
+                )
+            entities[config.output_name] = cms_query(
+                entities[config.sketch_name],
+                df,
+                config.value_column,
+                group_cols=groups,
+                depth=config.depth,
+                width=config.width,
+                seed=config.seed,
+            )
+        else:
+            entities[config.output_name] = cms_build(
+                df,
+                config.value_column,
+                group_cols=groups,
+                depth=config.depth,
+                width=config.width,
+                weight_col=config.weight_column,
+                seed=config.seed,
+            )
         return None
 
     def bpe_train(

@@ -247,3 +247,116 @@ class TestNormalizeText:
         row = {r["id"]: r["clean"] for r in ents["normed"].collect()}
         assert row["t1"] == "fish full 1 2"
         assert row["t5"] is None
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_is_tight_when_wide(self, spark):
+        from data_validation_engine_spark.llmops.sketch import (
+            cms_build,
+            cms_query,
+        )
+
+        # zipf-ish: value v_i appears i times
+        rows = [(f"v{i}",) for i in range(1, 30) for _ in range(i)]
+        df = spark.createDataFrame(rows, "val string")
+        sketch = cms_build(df, "val", depth=4, width=2048)
+        cand = spark.createDataFrame(
+            [(f"v{i}",) for i in range(1, 30)] + [("absent",)],
+            "val string",
+        )
+        est = {
+            r["val"]: r["n_est"]
+            for r in cms_query(
+                sketch, cand, "val", depth=4, width=2048
+            ).collect()
+        }
+        for i in range(1, 30):
+            assert est[f"v{i}"] >= i  # one-sided
+            # 29 distinct values in 4x2048 cells: collisions ~0
+            assert est[f"v{i}"] == i
+        assert est["absent"] == 0
+
+    def test_merge_equals_union_build(self, spark):
+        from data_validation_engine_spark.llmops.sketch import (
+            cms_build,
+            cms_merge,
+        )
+
+        a = spark.createDataFrame(
+            [("x",)] * 5 + [("y",)] * 2, "val string"
+        )
+        b = spark.createDataFrame(
+            [("x",)] * 3 + [("z",)] * 7, "val string"
+        )
+        merged = cms_merge(cms_build(a, "val").union(cms_build(b, "val")))
+        direct = cms_build(a.union(b), "val")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_weighted_grouped_and_declared(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [("en", "tok_a", 10), ("en", "tok_a", 5), ("fr", "tok_a", 2)],
+            "lang string, tok string, w int",
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"toks": df, "cand": df.select("lang", "tok").distinct()}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "cms_sketch",
+                    "entity_name": "toks",
+                    "value_column": "tok",
+                    "weight_column": "w",
+                    "group_by": ["lang"],
+                    "new_entity_name": "sk",
+                }
+            ),
+        )
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "cms_sketch",
+                    "mode": "query",
+                    "entity_name": "cand",
+                    "sketch_name": "sk",
+                    "value_column": "tok",
+                    "group_by": ["lang"],
+                    "new_entity_name": "est",
+                }
+            ),
+        )
+        est = {
+            (r["lang"], r["tok"]): r["n_est"]
+            for r in ents["est"].collect()
+        }
+        assert est[("en", "tok_a")] == 15
+        assert est[("fr", "tok_a")] == 2
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="sketch_name"):
+            eng.evaluate(
+                ents,
+                config=parse_step(
+                    {
+                        "operation": "cms_sketch",
+                        "mode": "query",
+                        "entity_name": "cand",
+                        "value_column": "tok",
+                    }
+                ),
+            )
+
+    def test_cell_count_bounded(self, spark):
+        from data_validation_engine_spark.llmops.sketch import cms_build
+
+        df = spark.createDataFrame(
+            [(f"v{i}",) for i in range(5000)], "val string"
+        )
+        sk = cms_build(df, "val", depth=3, width=64)
+        assert sk.count() <= 3 * 64
