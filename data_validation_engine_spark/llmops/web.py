@@ -1,0 +1,152 @@
+"""Web-corpus ingestion helpers: HTML → text and JSON sidecar parsing.
+
+Raw web crawls arrive as HTML strings and JSON metadata sidecars; both
+must become clean columns before any quality/dedup operator runs. Two
+per-row, zero-shuffle projections:
+
+- :func:`extract_html_text` — the regexp-cascade text extractor
+  (drop non-content blocks, strip tags, decode entities, collapse
+  whitespace). A real DOM parser is strictly better on pathological
+  markup; the regexp cascade is the standard cheap path (what CCNet's
+  preprocessing and most public crawl pipelines start from) and stays
+  fully JVM-side. Named-entity decode covers the common eight;
+  ``unescape="full"`` adds Python's ``html.unescape`` for numeric and
+  exotic entities as an Arrow-batched hop (same pattern as
+  ``normalize_text``'s Unicode form).
+- :func:`parse_json_column` — typed extraction of a JSON string column
+  via ``from_json`` with an explicit DDL schema (never inferred —
+  mirrors the engine's declared-schema contract), with a loud
+  ``is_valid`` flag instead of silent NULLs.
+
+No reference counterpart (`/root/reference` has no corpus surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["extract_html_text", "parse_json_column"]
+
+# the eight entities that dominate real markup; everything else needs
+# `unescape="full"`
+_NAMED_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&#x27;", "'"),
+    ("&amp;", "&"),  # LAST: earlier rules must see the raw &-forms
+]
+
+# block-level elements whose boundaries should become newlines, so
+# "<p>a</p><p>b</p>" reads "a\nb" not "ab"
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|pre|"
+    "section|article|header|footer"
+)
+
+
+def _full_unescape(col: Column) -> Column:
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _un(s):
+        import html
+
+        return s.map(lambda x: html.unescape(x) if x is not None else None)
+
+    _un.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("string")(_un)(col)
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str,
+    *,
+    unescape: str | None = "basic",
+    output_col: str | None = None,
+) -> DataFrame:
+    """Strip an HTML column to visible text; NULL stays NULL.
+
+    Cascade (all JVM regexp — one codegen stage):
+
+    1. drop ``<script>``/``<style>``/``<noscript>``/``<template>``
+       blocks and HTML comments wholesale (their content is never
+       visible text);
+    2. turn block-element boundaries into newlines, then strip ALL
+       remaining tags;
+    3. decode entities — ``"basic"`` rewrites the common eight
+       JVM-side, ``"full"`` adds Python's ``html.unescape`` (numeric
+       ``&#NNN;``/``&#xHH;`` and the long named table) as an
+       Arrow-batched hop, ``None`` skips;
+    4. collapse runs of spaces/tabs and 3+ newlines, trim.
+
+    Writes ``output_col`` (default ``text``).
+    """
+    if unescape not in ("basic", "full", None):
+        raise ValueError(
+            f"unescape must be 'basic', 'full' or None, got {unescape!r}"
+        )
+    col: Column = F.col(html_col)
+    # (?is): case-insensitive, dot-matches-newline. Non-greedy bodies.
+    for tag in ("script", "style", "noscript", "template"):
+        col = F.regexp_replace(
+            col, f"(?is)<{tag}\\b.*?</{tag}\\s*>", " "
+        )
+    col = F.regexp_replace(col, "(?s)<!--.*?-->", " ")
+    col = F.regexp_replace(
+        col, f"(?i)</?(?:{_BLOCK_TAGS})\\b[^>]*>", "\n"
+    )
+    col = F.regexp_replace(col, "(?s)<[^>]*>", " ")
+    if unescape is not None:
+        for ent, rep in _NAMED_ENTITIES:
+            # the entity strings contain no regex metacharacters
+            col = F.regexp_replace(col, ent, rep)
+    if unescape == "full":
+        col = _full_unescape(col)
+    col = F.regexp_replace(col, "[ \t]+", " ")
+    col = F.regexp_replace(col, " ?\n ?", "\n")
+    col = F.regexp_replace(col, "\n{3,}", "\n\n")
+    col = F.trim(col)
+    return df.withColumn(output_col or "text", col)
+
+
+def parse_json_column(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    *,
+    output_col: str = "parsed",
+    valid_col: str = "is_valid",
+) -> DataFrame:
+    """Parse a JSON string column into a typed struct column.
+
+    ``schema`` is an explicit Spark DDL string (e.g. ``"url STRING,
+    fetch_ts BIGINT, headers MAP<STRING,STRING>"``) — never inferred,
+    matching the engine's declared-schema contract (schema inference
+    over 100 TB of sidecars is a full extra scan AND nondeterministic
+    under sampling). Malformed JSON yields a NULL struct and
+    ``is_valid = false`` (NULL input stays NULL and counts as valid —
+    absence is not corruption); gate on the flag with the sync-filter
+    stage rather than letting silent NULLs flow downstream.
+    """
+    # PERMISSIVE from_json renders malformed input as an all-NULL struct
+    # (indistinguishable from '{}'), so corruption must be detected via
+    # the corrupt-record column, which captures the raw text on failure
+    corrupt = "__corrupt__"
+    if corrupt in schema:
+        raise ValueError(f"schema may not declare {corrupt}")
+    full = F.from_json(
+        F.col(json_col),
+        f"{schema}, {corrupt} STRING",
+        {"columnNameOfCorruptRecord": corrupt},
+    )
+    ok = F.col(json_col).isNull() | full[corrupt].isNull()
+    parsed = F.when(
+        F.col(json_col).isNotNull() & full[corrupt].isNull(),
+        full.dropFields(corrupt),
+    )
+    return df.withColumn(output_col, parsed).withColumn(valid_col, ok)

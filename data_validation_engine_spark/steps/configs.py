@@ -1313,6 +1313,30 @@ class ParagraphDedup(AbstractStep):
     output_column: Optional[str] = None
 
 
+class ExtractHtmlText(AbstractStep):
+    """Strip an HTML column to visible text (drop script/style blocks,
+    block boundaries → newlines, strip tags, decode entities, collapse
+    whitespace). ``unescape="basic"`` stays pure JVM; ``"full"`` adds
+    Python's html.unescape as an Arrow-batched hop. Zero shuffle."""
+
+    operation: Literal["extract_html_text"] = "extract_html_text"
+    html_column: str = "html"
+    unescape: Optional[str] = "basic"
+    output_column: str = "text"
+
+
+class ParseJson(AbstractStep):
+    """Parse a JSON string column into a typed struct via an explicit
+    DDL schema (never inferred). Malformed JSON → NULL struct +
+    ``is_valid=false``; NULL input stays NULL and counts valid."""
+
+    operation: Literal["parse_json"] = "parse_json"
+    json_column: str
+    json_schema: str
+    output_column: str = "parsed"
+    valid_column: str = "is_valid"
+
+
 class CmsSketch(AbstractStep):
     """Count-Min frequency sketch: ``mode="build"`` turns a value
     column into a depth×width cell table (shuffle bounded by the cell
@@ -1484,6 +1508,8 @@ AnyStep = Annotated[
         ConversationStats,
         NormalizeText,
         CmsSketch,
+        ExtractHtmlText,
+        ParseJson,
     ],
     Field(discriminator="operation"),
 ]

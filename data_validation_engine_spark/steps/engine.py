@@ -144,6 +144,8 @@ from data_validation_engine_spark.steps.configs import (
     ConversationStats,
     NormalizeText,
     CmsSketch,
+    ExtractHtmlText,
+    ParseJson,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -282,6 +284,8 @@ class StepEngine:
             ConversationStats: self.conversation_stats,
             NormalizeText: self.normalize_text,
             CmsSketch: self.cms_sketch,
+            ExtractHtmlText: self.extract_html_text,
+            ParseJson: self.parse_json,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -2201,6 +2205,37 @@ class StepEngine:
             strip_control=config.strip_control,
             collapse_whitespace=config.collapse_whitespace,
             output_col=config.output_column,
+        )
+        return None
+
+    def extract_html_text(
+        self, entities: Entities, *, config: ExtractHtmlText
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.web import (
+            extract_html_text,
+        )
+
+        entities[config.output_name] = extract_html_text(
+            entities[config.entity_name],
+            config.html_column,
+            unescape=config.unescape,
+            output_col=config.output_column,
+        )
+        return None
+
+    def parse_json(
+        self, entities: Entities, *, config: ParseJson
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.web import (
+            parse_json_column,
+        )
+
+        entities[config.output_name] = parse_json_column(
+            entities[config.entity_name],
+            config.json_column,
+            config.json_schema,
+            output_col=config.output_column,
+            valid_col=config.valid_column,
         )
         return None
 

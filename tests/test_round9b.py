@@ -360,3 +360,121 @@ class TestCountMinSketch:
         )
         sk = cms_build(df, "val", depth=3, width=64)
         assert sk.count() <= 3 * 64
+
+
+class TestWebIngestion:
+    HTML = (
+        "<!DOCTYPE html><html><head><title>T</title>"
+        "<style>body { color: red; }</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- comment --><h1>Header</h1>"
+        "<p>Para <b>one</b> &amp; friends.</p>"
+        "<ul><li>a</li><li>b</li></ul>"
+        "<div>5 &lt; 6 &gt; 4 &nbsp; ok &#39;q&#39;</div>"
+        "<p>num &#8212; dash</p></body></html>"
+    )
+
+    def test_extract_basic(self, spark):
+        from data_validation_engine_spark.llmops.web import (
+            extract_html_text,
+        )
+
+        df = spark.createDataFrame(
+            [("d1", self.HTML), ("d2", None)], "id string, html string"
+        )
+        out = {
+            r["id"]: r["text"]
+            for r in extract_html_text(df, "html").collect()
+        }
+        t = out["d1"]
+        assert "Header" in t and "Para one & friends." in t
+        assert "color: red" not in t and "not text" not in t
+        assert "comment" not in t
+        assert "5 < 6 > 4" in t and "'q'" in t
+        # block boundaries became line breaks (open+close each emit one,
+        # collapsed to a blank line between items)
+        assert "a\n\nb" in t
+        # basic mode leaves numeric entities; full decodes them
+        assert "&#8212;" in t
+        assert out["d2"] is None
+
+        full = extract_html_text(df, "html", unescape="full").collect()
+        t2 = {r["id"]: r["text"] for r in full}["d1"]
+        assert "— dash" in t2 and "&#8212;" not in t2
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unescape"):
+            extract_html_text(df, "html", unescape="nope")
+
+    def test_parse_json_column(self, spark):
+        from data_validation_engine_spark.llmops.web import (
+            parse_json_column,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", '{"url": "http://x", "ts": 5}'),
+                ("b", "{broken"),
+                ("c", None),
+            ],
+            "id string, meta string",
+        )
+        out = {
+            r["id"]: r
+            for r in parse_json_column(
+                df, "meta", "url STRING, ts BIGINT"
+            ).collect()
+        }
+        assert out["a"]["parsed"]["url"] == "http://x"
+        assert out["a"]["parsed"]["ts"] == 5 and out["a"]["is_valid"]
+        assert out["b"]["parsed"] is None and not out["b"]["is_valid"]
+        assert out["c"]["parsed"] is None and out["c"]["is_valid"]
+
+    def test_declared_steps_and_zero_shuffle(self, spark):
+        from data_validation_engine_spark.llmops.web import (
+            extract_html_text,
+            parse_json_column,
+        )
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [("d1", self.HTML, '{"lang": "en"}')],
+            "id string, html string, meta string",
+        )
+        plan = extract_html_text(
+            df, "html"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
+        plan2 = parse_json_column(
+            df, "meta", "lang STRING"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2
+
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"crawl": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "extract_html_text",
+                    "entity_name": "crawl",
+                    "html_column": "html",
+                    "new_entity_name": "texts",
+                }
+            ),
+        )
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "parse_json",
+                    "entity_name": "texts",
+                    "json_column": "meta",
+                    "json_schema": "lang STRING",
+                    "new_entity_name": "typed",
+                }
+            ),
+        )
+        row = ents["typed"].first()
+        assert row["parsed"]["lang"] == "en" and "Header" in row["text"]
