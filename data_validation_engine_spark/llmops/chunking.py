@@ -175,3 +175,141 @@ def bucket_by_length(
     return batched.withColumn(
         "pad_waste", F.max("n_tokens").over(wb) - F.col("n_tokens")
     )
+
+
+def materialize_packs(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    *,
+    capacity: int = 2048,
+    n_shards: int = 64,
+    seed: str = "",
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Materialize :func:`pack_sequences`-style packing into
+    trainer-ready rows: one row per (shard, pack) holding the
+    concatenated token ids and the span table that tells the trainer
+    where each document sits (for per-document attention masking /
+    loss boundaries).
+
+    ``ids_col`` is the token-id sequence per document —
+    ``array<int>`` or a comma-joined string (``encode_tokens``'
+    ``ids_csv``). Documents shard and order exactly as
+    :func:`pack_sequences` (md5 shard, ascending id), so the two
+    operators agree row-for-row; here a document whose tokens cross a
+    pack boundary is actually SPLIT, its tail spilling into the next
+    pack — the concat-and-split rule materialized.
+
+    Returns ``(shard, pack_idx, n_docs, n_tokens, input_ids,
+    doc_spans)`` where ``doc_spans`` is ``array<struct<id, start,
+    len>>`` (offsets within the pack, span order = concatenation
+    order) and every pack except each shard's last holds exactly
+    ``capacity`` tokens. ``pad_id`` right-pads the final short pack
+    (``n_tokens`` keeps the real count so the pad is recoverable).
+
+    Scale shape: the per-shard cumulative window of
+    :func:`pack_sequences`, one explode bounded by
+    ``total_tokens/capacity + n_docs`` rows, one (shard, pack) group
+    whose payload is bounded by ``capacity`` ids — no row ever holds
+    more than one pack.
+    """
+    if capacity <= 0 or n_shards <= 0:
+        raise ValueError("capacity and n_shards must be positive")
+    ids = F.col(ids_col)
+    if dict(df.dtypes)[ids_col] == "string":
+        # '' splits to [''] — try_cast + filter so blank docs become
+        # empty sequences instead of an ANSI cast error
+        ids = F.filter(
+            F.transform(F.split(ids, ","), lambda s: s.try_cast("int")),
+            lambda x: x.isNotNull(),
+        )
+    shard = (hash_bucket(F.col(id_col), seed=seed) % n_shards).alias(
+        "shard"
+    )
+    base = df.select(
+        F.col(id_col), ids.alias("__ids"), shard
+    ).withColumn("__n", F.size("__ids")).where(F.col("__n") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("__n").over(w) - F.col("__n")).alias("__start")
+    placed = base.select(id_col, "__ids", "__n", "shard", start)
+    cap = F.lit(int(capacity))
+    packs = F.sequence(
+        F.expr(f"__start div {capacity}"),
+        F.expr(f"(__start + __n - 1) div {capacity}"),
+    )
+    pieces = placed.select(
+        id_col,
+        "__ids",
+        "__n",
+        "shard",
+        "__start",
+        F.explode(packs).alias("pack_idx"),
+    ).select(
+        id_col,
+        "shard",
+        "pack_idx",
+        # this doc's slice that lands in this pack, and where
+        F.greatest(F.col("__start"), F.col("pack_idx") * cap).alias(
+            "__abs_from"
+        ),
+        F.least(
+            F.col("__start") + F.col("__n"),
+            (F.col("pack_idx") + 1) * cap,
+        ).alias("__abs_to"),
+        "__ids",
+        "__start",
+    )
+    sliced = pieces.select(
+        id_col,
+        "shard",
+        "pack_idx",
+        (F.col("__abs_from") - F.col("pack_idx") * cap).alias("__local"),
+        F.slice(
+            F.col("__ids"),
+            (F.col("__abs_from") - F.col("__start") + 1).cast("int"),
+            (F.col("__abs_to") - F.col("__abs_from")).cast("int"),
+        ).alias("__piece"),
+    )
+    grouped = sliced.groupBy("shard", "pack_idx").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__local").cast("long").alias("start"),
+                    F.col(id_col).alias("id"),
+                    F.col("__piece").alias("piece"),
+                )
+            )
+        ).alias("__parts")
+    )
+    input_ids = F.flatten(
+        F.transform(F.col("__parts"), lambda p: p["piece"])
+    )
+    out = grouped.select(
+        "shard",
+        "pack_idx",
+        F.size("__parts").cast("long").alias("n_docs"),
+        F.size(input_ids).cast("long").alias("n_tokens"),
+        input_ids.alias("input_ids"),
+        F.transform(
+            F.col("__parts"),
+            lambda p: F.struct(
+                p["id"].alias("id"),
+                p["start"].alias("start"),
+                F.size(p["piece"]).cast("long").alias("len"),
+            ),
+        ).alias("doc_spans"),
+    )
+    if pad_id is not None:
+        pad = F.array_repeat(
+            F.lit(int(pad_id)).cast("int"),
+            (cap - F.col("n_tokens")).cast("int"),
+        )
+        out = out.withColumn(
+            "input_ids", F.concat(F.col("input_ids"), pad)
+        )
+    return out

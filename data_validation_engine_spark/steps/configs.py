@@ -1313,6 +1313,23 @@ class ParagraphDedup(AbstractStep):
     output_column: Optional[str] = None
 
 
+class MaterializePacks(AbstractStep):
+    """Materialize concat-and-split sequence packing into trainer-ready
+    rows: one row per (shard, pack) with the concatenated token ids and
+    the per-document span table (documents crossing a pack boundary are
+    split, the tail spilling to the next pack — agreeing row-for-row
+    with the pack_sequences arithmetic). ``pad_token_id`` right-pads
+    each shard's final short pack."""
+
+    operation: Literal["materialize_packs"] = "materialize_packs"
+    key_column: str
+    ids_column: str = "ids_csv"
+    capacity: int = 2048
+    n_shards: int = 64
+    seed: str = ""
+    pad_token_id: Optional[int] = None
+
+
 class ExtractHtmlText(AbstractStep):
     """Strip an HTML column to visible text (drop script/style blocks,
     block boundaries → newlines, strip tags, decode entities, collapse
@@ -1510,6 +1527,7 @@ AnyStep = Annotated[
         CmsSketch,
         ExtractHtmlText,
         ParseJson,
+        MaterializePacks,
     ],
     Field(discriminator="operation"),
 ]

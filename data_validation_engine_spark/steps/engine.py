@@ -146,6 +146,7 @@ from data_validation_engine_spark.steps.configs import (
     CmsSketch,
     ExtractHtmlText,
     ParseJson,
+    MaterializePacks,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -286,6 +287,7 @@ class StepEngine:
             CmsSketch: self.cms_sketch,
             ExtractHtmlText: self.extract_html_text,
             ParseJson: self.parse_json,
+            MaterializePacks: self.materialize_packs,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -2205,6 +2207,24 @@ class StepEngine:
             strip_control=config.strip_control,
             collapse_whitespace=config.collapse_whitespace,
             output_col=config.output_column,
+        )
+        return None
+
+    def materialize_packs(
+        self, entities: Entities, *, config: MaterializePacks
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.chunking import (
+            materialize_packs,
+        )
+
+        entities[config.output_name] = materialize_packs(
+            entities[config.entity_name],
+            config.key_column,
+            config.ids_column,
+            capacity=config.capacity,
+            n_shards=config.n_shards,
+            seed=config.seed,
+            pad_id=config.pad_token_id,
         )
         return None
 

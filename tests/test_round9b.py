@@ -478,3 +478,85 @@ class TestWebIngestion:
         )
         row = ents["typed"].first()
         assert row["parsed"]["lang"] == "en" and "Header" in row["text"]
+
+
+class TestMaterializePacks:
+    def test_agrees_with_pack_sequences_and_reassembles(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            materialize_packs,
+            pack_sequences,
+        )
+
+        # docs with deliberately awkward lengths so several spill
+        docs = [
+            (f"d{i:02d}", list(range(i * 100, i * 100 + n)))
+            for i, n in enumerate([7, 13, 2, 29, 5, 17, 1, 40, 3, 11])
+        ]
+        df = spark.createDataFrame(
+            [(d, ids) for d, ids in docs], "id string, ids array<int>"
+        )
+        cap, shards = 16, 3
+        packs = materialize_packs(
+            df, "id", "ids", capacity=cap, n_shards=shards
+        ).collect()
+
+        # 1. every non-final pack per shard is exactly full
+        by_shard = {}
+        for r in packs:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for sh, rows in by_shard.items():
+            rows.sort(key=lambda r: r["pack_idx"])
+            assert [r["pack_idx"] for r in rows] == list(range(len(rows)))
+            for r in rows[:-1]:
+                assert r["n_tokens"] == cap, (sh, r["pack_idx"])
+            assert 0 < rows[-1]["n_tokens"] <= cap
+
+        # 2. concatenating each doc's spans across packs reproduces it
+        got = {}
+        for r in packs:
+            for s in r["doc_spans"]:
+                piece = r["input_ids"][s["start"] : s["start"] + s["len"]]
+                got.setdefault(s["id"], []).append(
+                    (r["shard"], r["pack_idx"], s["start"], piece)
+                )
+        want = dict(docs)
+        for did, parts in got.items():
+            parts.sort(key=lambda p: p[1])  # pack order within shard
+            flat = [t for p in parts for t in p[3]]
+            assert flat == want[did], did
+
+        # 3. placement agrees with pack_sequences' arithmetic
+        texts = spark.createDataFrame(
+            [(d, " ".join("x" for _ in ids)) for d, ids in docs],
+            "id string, text string",
+        )
+        ps = {
+            r["id"]: (r["shard"], r["pack_idx"], r["pack_offset"])
+            for r in pack_sequences(
+                texts, "id", "text", capacity=cap, n_shards=shards
+            ).collect()
+        }
+        for did, parts in got.items():
+            first = min(parts, key=lambda p: p[1])
+            assert ps[did] == (first[0], first[1], first[2]), did
+
+    def test_padding_and_csv_input(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            materialize_packs,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "1,2,3"), ("b", "4,5"), ("c", None), ("d", "")],
+            "id string, ids_csv string",
+        )
+        out = materialize_packs(
+            df, "id", "ids_csv", capacity=4, n_shards=1, pad_id=0
+        ).collect()
+        # c (NULL) and d ('' splits to ['']->NULL cast... zero valid) drop
+        total = sum(r["n_tokens"] for r in out)
+        assert total == 5
+        for r in out:
+            assert len(r["input_ids"]) == 4  # padded to capacity
+        # n_tokens keeps the real count
+        last = max(out, key=lambda r: r["pack_idx"])
+        assert last["n_tokens"] < 4
