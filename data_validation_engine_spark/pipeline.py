@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_validation_engine_spark.contract.apply import (
@@ -268,6 +268,7 @@ def run_pipeline(
         validate_xsd,
     )
 
+    transform_counts: dict[str, Observation] = {}
     for name, entity_contract in datasets.items():
         path = input_files[name]
         ext = Path(path).suffix.lower()
@@ -320,7 +321,14 @@ def run_pipeline(
             entity_contract.reader_config,
             stringified=stringified_schema(entity_contract),
         )
+        # record_count rides the write action via an Observation instead
+        # of a later re-scan-and-count of every transform checkpoint
+        # (SURVEY §7: observe metrics replace count-based checks) — at
+        # 100 TB the saved pass is a full table scan per entity
+        obs = Observation(f"transform_rows_{name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         df.write.mode("overwrite").parquet(str(work / "transform" / name))
+        transform_counts[name] = obs
 
     # -- stage 3: data contract --------------------------------------------
     # Reference-faithful rejection timing: the contract emits messages and
@@ -488,10 +496,10 @@ def run_pipeline(
         F.count(F.when(F.col("is_informational"), 1)).alias("n_warnings"),
     ).first()
     # record_count = records RECEIVED (transform-stage rows), matching the
-    # reference's statistics semantics
+    # reference's statistics semantics; the counts were observed on the
+    # stage-2 write actions themselves — no re-scan
     received = sum(
-        spark.read.parquet(str(work / "transform" / name)).count()
-        for name in datasets
+        int(transform_counts[name].get["rows"]) for name in datasets
     )
     result.statistics = {
         "n_messages": stats_row["n_messages"],
