@@ -196,3 +196,35 @@ def write_error_report(
     detail.to_csv(out_dir / "errors.csv", index=False)
     aggregates.to_csv(out_dir / "aggregates.csv", index=False)
     return str(out_dir)
+
+
+def error_samples(
+    messages: DataFrame, *, per_code: int = 10
+) -> DataFrame:
+    """The human-review companion to :func:`error_aggregates`: the first
+    ``per_code`` messages per (entity, error_code), chosen by ascending
+    record index (deterministic — a rerun shows the same examples).
+
+    Aggregates say HOW MANY rows failed; a reviewer triaging a failed
+    submission needs to see a few ACTUAL failing messages per code
+    without pulling the full error feed (which at 100 TB can be most of
+    the table). One shuffle on (entity, error_code); the rank rewrites
+    to WindowGroupLimit, so each map task forwards at most ``per_code``
+    rows per key — the output is bounded by codes x per_code regardless
+    of corpus size. The reference's report lists every error row
+    (reporting/excel_report.py builds the full detail sheet); sampling
+    is the scale-safe extension of the same artifact.
+    """
+    if per_code <= 0:
+        raise ValueError(f"per_code must be positive, got {per_code}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity", "error_code").orderBy(
+        F.col("__record_index__").asc_nulls_last(),
+        F.col("error_message").asc_nulls_last(),
+    )
+    return (
+        messages.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= per_code)
+        .drop("__rank")
+    )

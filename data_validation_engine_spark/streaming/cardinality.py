@@ -146,3 +146,59 @@ def streaming_kmv_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_cms_cells(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_seconds: int = 3600,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "",
+    watermark: str = "1 hour",
+):
+    """Count-Min sketch cells per tumbling event-time window — the
+    frequency companion to :func:`streaming_kmv_distinct`.
+
+    Unlike KMV's min-k set, CMS cell counts are plain SUMS, so no
+    custom stateful operator is needed at all: the md5 cell assignment
+    (`llmops/sketch.py::cms_build`) runs as a per-row projection and
+    Spark's native windowed aggregation maintains the partial sums in
+    the state store — at most ``depth * width`` state rows per window
+    regardless of value cardinality (the exact property that makes
+    per-window heavy-hitter counting viable on an unbounded stream).
+    Update mode (cells revise as batches land); after a drain, the
+    final cells equal batch ``cms_build`` grouped by the same window
+    bucket (pytest parity), so the persisted table is query-compatible
+    with ``cms_query`` using ``window_start`` as a group column.
+    """
+    from data_validation_engine_spark.llmops.sketch import _cms_col
+
+    if depth <= 0 or width <= 0:
+        raise ConfigurationError("depth and width must be positive")
+    # group by a REAL window() struct (not a derived bucket column) so
+    # the watermark can evict closed windows from the state store
+    cells = sdf.withWatermark(ts_col, watermark).select(
+        F.col(ts_col).alias("__ts"),
+        F.explode(
+            _cms_col(F.col(value_col), depth, width, seed)
+        ).alias("__cell"),
+    )
+    return (
+        cells.groupBy(
+            F.window(F.col("__ts"), f"{int(window_seconds)} seconds"),
+            F.col("__cell")["row"].alias("row"),
+            F.col("__cell")["col"].alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window")["start"]).alias(
+                "window_start"
+            ),
+            "row",
+            "col",
+            "n",
+        )
+    )

@@ -560,3 +560,139 @@ class TestMaterializePacks:
         # n_tokens keeps the real count
         last = max(out, key=lambda r: r["pack_idx"])
         assert last["n_tokens"] < 4
+
+
+class TestErrorSamples:
+    def test_bounded_deterministic_and_plan(self, spark):
+        from data_validation_engine_spark.messages import Reporting
+        from data_validation_engine_spark.sinks.report import error_samples
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+        from data_validation_engine_spark.steps.sync_filters import (
+            apply_sync_filters,
+        )
+
+        df = spark.range(100).selectExpr(
+            "CAST(id AS INT) AS v", "id AS __record_index__"
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"t": df}
+        msgs = apply_sync_filters(
+            ents,
+            [
+                parse_step(
+                    {
+                        "operation": "filter",
+                        "entity_name": "t",
+                        "expression": "v % 2 = 0",
+                        "reporting": {
+                            "code": "ODD",
+                            "message": "odd value {{v}}",
+                        },
+                    }
+                ),
+                parse_step(
+                    {
+                        "operation": "filter",
+                        "entity_name": "t",
+                        "expression": "v < 90",
+                        "reporting": {
+                            "code": "BIG",
+                            "message": "too big {{v}}",
+                        },
+                    }
+                ),
+            ],
+        )
+        out = error_samples(msgs, per_code=5)
+        rows = out.collect()
+        by_code = {}
+        for r in rows:
+            by_code.setdefault(r["error_code"], []).append(
+                r["__record_index__"]
+            )
+        assert len(by_code["ODD"]) == 5
+        assert len(by_code["BIG"]) == 5
+        # first five failing indices per code, ascending
+        assert by_code["ODD"] == [1, 3, 5, 7, 9]
+        assert by_code["BIG"] == [90, 91, 92, 93, 94]
+        # deterministic under repartitioning
+        again = error_samples(
+            msgs.repartition(13), per_code=5
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+        # the rank rewrites to WindowGroupLimit below the exchange
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="per_code"):
+            error_samples(msgs, per_code=0)
+
+
+class TestStreamingCms:
+    def test_stream_cells_match_batch(self, spark, tmp_path):
+        from data_validation_engine_spark.llmops.sketch import cms_build
+        from data_validation_engine_spark.streaming import (
+            read_entity_stream,
+        )
+        from data_validation_engine_spark.streaming.cardinality import (
+            streaming_cms_cells,
+        )
+
+        rows = [
+            (f"2024-01-01 {h:02d}:{m:02d}:00", f"u{(h * 7 + m) % 5}")
+            for h in range(6)
+            for m in range(0, 60, 7)
+        ] + [("2024-01-02 00:00:00", "sentinel")]  # closes all day-1 windows
+        src = tmp_path / "cms_src"
+        batch = spark.createDataFrame(rows, "ts string, user string").selectExpr(
+            "CAST(ts AS TIMESTAMP) ts", "user"
+        )
+        batch.write.parquet(str(src))
+
+        sdf = streaming_cms_cells(
+            read_entity_stream(spark, str(src), batch.schema),
+            "ts",
+            "user",
+            window_seconds=3600,
+            depth=3,
+            width=64,
+            watermark="1 hour",
+        )
+        out = str(tmp_path / "cms_out")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "cms_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["row"], r["col"]): r["n"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got, "no windows emitted"
+
+        want_df = cms_build(
+            batch.selectExpr(
+                "CAST(FLOOR(unix_timestamp(ts) / 3600) * 3600 AS BIGINT)"
+                " AS window_start",
+                "user",
+            ),
+            "user",
+            group_cols=["window_start"],
+            depth=3,
+            width=64,
+        )
+        want = {
+            (r["window_start"], r["row"], r["col"]): r["n"]
+            for r in want_df.collect()
+        }
+        # every emitted cell matches batch exactly, and all six day-1
+        # hourly windows emitted (the sentinel advanced the watermark)
+        for k, v in got.items():
+            assert want[k] == v, k
+        assert len({k[0] for k in got}) == 6
