@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "render_chat",
     "conversation_stats",
+    "token_loss_mask",
 ]
 
 
@@ -234,4 +235,86 @@ def conversation_stats(
             > 0
         ).alias("has_unknown_role"),
         alternates.alias("alternates"),
+    )
+
+
+def token_loss_mask(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans_col: str,
+    *,
+    mode: str = "overlap",
+) -> DataFrame:
+    """Bridge :func:`render_chat`'s CHARACTER spans to TOKEN positions:
+    per-token start offsets plus a boolean loss mask, positionally
+    aligned with the whitespace tokenization every downstream operator
+    uses (``tokens_col`` — so ``encode_tokens``' id sequence and this
+    mask zip together element-for-element).
+
+    Offsets come from one integer fold: each token's position is the
+    first occurrence at/after the previous token's end (`instr` on the
+    remaining suffix). Between consecutive tokens there is only
+    whitespace and tokens contain none, so that first occurrence IS the
+    true position — duplicated token strings cannot mis-bind, same
+    guarantee as render_chat's span fold.
+
+    ``mode``: a token counts as masked when it ``"overlap"``\\ s a mask
+    span (default — with marker-abutting templates the turn's last
+    token merges with the end marker, and overlap keeps it in the
+    loss) or only when fully ``"contained"`` in one.
+
+    Returns ``(id, n_tokens, token_starts, loss_mask,
+    n_loss_tokens)``. Zero shuffle; the fold's `instr` rescans at most
+    the text once overall per row (each search starts where the last
+    ended).
+    """
+    if mode not in ("overlap", "contained"):
+        raise ValueError(
+            f"mode must be 'overlap' or 'contained', got {mode!r}"
+        )
+    from data_validation_engine_spark.llmops.dedup import tokens_col
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_col(F.col(text_col))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.expr("CAST(array() AS array<bigint>)").alias("starts"),
+    )
+
+    def _step(acc, t):
+        # instr is 1-based on the suffix starting AFTER acc.pos
+        start0 = (
+            acc["pos"]
+            + F.instr(F.substr(text, (acc["pos"] + 1).cast("int")), t)
+            - 1
+        )
+        return F.struct(
+            (start0 + F.length(t)).alias("pos"),
+            F.concat(acc["starts"], F.array(start0)).alias("starts"),
+        )
+
+    starts = F.aggregate(toks, zero, _step)["starts"]
+    spans = F.col(spans_col)
+
+    def _hit(i):
+        s0 = F.element_at(starts, i + 1)
+        e0 = s0 + F.length(F.element_at(toks, i + 1))
+        if mode == "overlap":
+            return F.exists(
+                spans, lambda sp: (s0 < sp["end"]) & (e0 > sp["start"])
+            )
+        return F.exists(
+            spans, lambda sp: (s0 >= sp["start"]) & (e0 <= sp["end"])
+        )
+
+    mask = F.transform(F.transform(toks, lambda _, i: i), _hit)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        starts.alias("token_starts"),
+        mask.alias("loss_mask"),
+        F.size(F.filter(mask, lambda m: m)).cast("long").alias(
+            "n_loss_tokens"
+        ),
     )

@@ -189,3 +189,96 @@ def test_render_chat_zero_shuffle(conv_df):
         conv_df, "id", "conversation"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in st
+
+
+class TestTokenLossMask:
+    def test_offsets_exact_and_mask_modes(self, spark, conv_df):
+        from data_validation_engine_spark.llmops.chat import (
+            render_chat,
+            token_loss_mask,
+        )
+
+        rendered = render_chat(conv_df, "id", "conversation")
+        out = token_loss_mask(rendered, "id", "text", "mask_spans")
+        rows = {r["id"]: r for r in out.collect()}
+        texts = {r["id"]: r for r in rendered.collect()}
+        import re
+
+        for cid, r in rows.items():
+            text = texts[cid]["text"]
+            # offsets reproduce tokens_col exactly: Spark trim() strips
+            # SPACES only, so the trailing \n leaves one empty token —
+            # the same sequence encode_tokens sees (alignment is the
+            # whole point of this operator)
+            stripped = text.strip(" ")
+            toks = re.split(r"\s+", stripped) if stripped else []
+            assert r["n_tokens"] == len(toks)
+            for i, s in enumerate(r["token_starts"]):
+                assert text[s : s + len(toks[i])] == toks[i], (cid, i)
+            # overlap mode: every token overlapping an assistant span
+            # is in the loss
+            spans = [
+                (sp["start"], sp["end"]) for sp in texts[cid]["mask_spans"]
+            ]
+            for i, s in enumerate(r["token_starts"]):
+                e = s + len(toks[i])
+                want = any(s < b and e > a for a, b in spans)
+                assert r["loss_mask"][i] == want, (cid, i)
+            assert r["n_loss_tokens"] == sum(r["loss_mask"])
+
+    def test_contained_mode_drops_straddlers(self, spark, conv_df):
+        from data_validation_engine_spark.llmops.chat import (
+            render_chat,
+            token_loss_mask,
+        )
+
+        rendered = render_chat(conv_df, "id", "conversation")
+        over = token_loss_mask(
+            rendered, "id", "text", "mask_spans", mode="overlap"
+        )
+        cont = token_loss_mask(
+            rendered, "id", "text", "mask_spans", mode="contained"
+        )
+        n_over = {r["id"]: r["n_loss_tokens"] for r in over.collect()}
+        n_cont = {r["id"]: r["n_loss_tokens"] for r in cont.collect()}
+        # the default template abuts content with <|end|>, so the last
+        # token of each assistant turn straddles: contained < overlap
+        assert n_cont["c1"] < n_over["c1"]
+        for cid in n_over:
+            assert n_cont[cid] <= n_over[cid]
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="mode"):
+            token_loss_mask(rendered, "id", "text", "mask_spans", mode="x")
+
+    def test_duplicate_tokens_bind_in_order(self, spark):
+        from data_validation_engine_spark.llmops.chat import (
+            token_loss_mask,
+        )
+
+        # same token repeated; spans target the SECOND occurrence only
+        df = spark.createDataFrame(
+            [("d", "foo bar foo bar foo")],
+            "id string, text string",
+        ).selectExpr(
+            "id",
+            "text",
+            "array(named_struct('start', CAST(8 AS BIGINT),"
+            " 'end', CAST(11 AS BIGINT))) AS mask_spans",
+        )
+        r = token_loss_mask(df, "id", "text", "mask_spans").first()
+        assert list(r["token_starts"]) == [0, 4, 8, 12, 16]
+        assert list(r["loss_mask"]) == [False, False, True, False, False]
+
+    def test_zero_shuffle(self, spark, conv_df):
+        from data_validation_engine_spark.llmops.chat import (
+            render_chat,
+            token_loss_mask,
+        )
+
+        rendered = render_chat(conv_df, "id", "conversation")
+        plan = token_loss_mask(
+            rendered, "id", "text", "mask_spans"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
