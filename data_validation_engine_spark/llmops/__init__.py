@@ -28,6 +28,13 @@ large-scale training-data pipeline needs:
   stable nested sampling (row-stable across engines and repartitions).
 - :mod:`multimodal` — opaque binary columns with typed metadata and
   Arrow-batched decode/feature plumbing (``mapInPandas``).
+- :mod:`chat` — conversation rendering with exact per-turn content
+  spans, loss-mask spans, token-level loss masks, structural quality
+  gates for instruction data.
+- :mod:`normalize` / :mod:`web` — Unicode NFKC canonicalization,
+  HTML-to-text extraction, typed JSON sidecar parsing.
+- :mod:`sketch` also carries the Count-Min frequency sketch
+  (build/merge/query — shuffle bounded by cells, never cardinality).
 
 Design invariant: every hash these operators use is an ``md5`` hex string —
 portable across engines — so each operator has an exact ANSI-SQL oracle
@@ -70,6 +77,29 @@ from data_validation_engine_spark.llmops.asof import (
 from data_validation_engine_spark.llmops.chunking import (
     chunk_documents,
     pack_sequences,
+)
+from data_validation_engine_spark.llmops.chat import (
+    conversation_stats,
+    render_chat,
+    token_loss_mask,
+)
+from data_validation_engine_spark.llmops.chunking import (
+    materialize_packs,
+)
+from data_validation_engine_spark.llmops.normalize import (
+    normalize_text,
+)
+from data_validation_engine_spark.llmops.sketch import (
+    cms_build,
+    cms_merge,
+    cms_query,
+)
+from data_validation_engine_spark.llmops.split import (
+    temperature_targets,
+)
+from data_validation_engine_spark.llmops.web import (
+    extract_html_text,
+    parse_json_column,
 )
 from data_validation_engine_spark.llmops.decontam import (
     decontaminate,
@@ -225,4 +255,15 @@ __all__ = [
     "quantile_buckets",
     "sampled_quantiles",
     "vocab_ids",
+    "render_chat",
+    "conversation_stats",
+    "token_loss_mask",
+    "materialize_packs",
+    "normalize_text",
+    "cms_build",
+    "cms_merge",
+    "cms_query",
+    "temperature_targets",
+    "extract_html_text",
+    "parse_json_column",
 ]
