@@ -696,3 +696,116 @@ class TestStreamingCms:
         for k, v in got.items():
             assert want[k] == v, k
         assert len({k[0] for k in got}) == 6
+
+
+class TestRandomizedParity:
+    """Seeded randomized parity: one Spark job over hundreds of random
+    cases per operator, asserted row-by-row against pure-Python
+    references (the repo's hypothesis suite stays pure-Python; these
+    cover the Spark-side operators with the same breadth)."""
+
+    def test_render_chat_random_conversations(self, spark):
+        import random
+
+        from data_validation_engine_spark.llmops.chat import render_chat
+
+        rng = random.Random(42)
+        alphabet = "ab é—\t.<|>&#"
+        roles = ["user", "assistant", "system", "tool", "", None]
+        convs = []
+        for i in range(300):
+            turns = [
+                (
+                    rng.choice(roles),
+                    None
+                    if rng.random() < 0.1
+                    else "".join(
+                        rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 12))
+                    ),
+                )
+                for _ in range(rng.randrange(0, 6))
+            ]
+            convs.append((f"c{i}", turns))
+        df = spark.createDataFrame(
+            convs,
+            "id string, conversation array<struct<role string,"
+            " content string>>",
+        )
+        got = {
+            r["id"]: r for r in render_chat(df, "id", "conversation").collect()
+        }
+        for cid, turns in convs:
+            text, off = "", 0
+            spans = []
+            for t, (role, content) in enumerate(turns):
+                role = role or ""
+                content = content or ""
+                text += "<|" + role + "|>\n" + content + "<|end|>\n"
+                start = off + len("<|") + len(role) + len("|>\n")
+                spans.append((t, role, start, start + len(content)))
+                off = start + len(content) + len("<|end|>\n")
+            r = got[cid]
+            assert r["text"] == text, cid
+            assert [
+                (s["turn"], s["role"], s["start"], s["end"])
+                for s in r["spans"]
+            ] == spans, cid
+            for (_, content), s in zip(turns, r["spans"]):
+                assert text[s["start"] : s["end"]] == (content or "")
+
+    def test_materialize_packs_random_conservation(self, spark):
+        import random
+
+        from data_validation_engine_spark.llmops.chunking import (
+            materialize_packs,
+        )
+
+        rng = random.Random(7)
+        docs = [
+            (f"d{i:03d}", [rng.randrange(1000) for _ in range(rng.randrange(0, 60))])
+            for i in range(250)
+        ]
+        df = spark.createDataFrame(docs, "id string, ids array<int>")
+        for cap in (8, 31, 128):
+            rows = materialize_packs(
+                df, "id", "ids", capacity=cap, n_shards=5
+            ).collect()
+            # conservation: every token lands exactly once, in order
+            rebuilt = {}
+            for r in rows:
+                assert len(r["input_ids"]) == r["n_tokens"] <= cap
+                for s in r["doc_spans"]:
+                    rebuilt.setdefault(s["id"], []).append(
+                        (r["pack_idx"], r["input_ids"][s["start"]:s["start"] + s["len"]])
+                    )
+            for did, ids in docs:
+                if not ids:
+                    assert did not in rebuilt
+                    continue
+                parts = sorted(rebuilt[did])
+                assert [t for _, p in parts for t in p] == ids, (did, cap)
+
+    def test_cms_random_never_undercounts(self, spark):
+        import random
+        from collections import Counter
+
+        from data_validation_engine_spark.llmops.sketch import (
+            cms_build,
+            cms_query,
+        )
+
+        rng = random.Random(3)
+        vals = [f"v{rng.randrange(40)}" for _ in range(3000)]
+        truth = Counter(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "val string")
+        sk = cms_build(df, "val", depth=3, width=128)
+        cand = spark.createDataFrame(
+            [(v,) for v in truth], "val string"
+        )
+        est = {
+            r["val"]: r["n_est"]
+            for r in cms_query(sk, cand, "val", depth=3, width=128).collect()
+        }
+        for v, n in truth.items():
+            assert est[v] >= n, v
