@@ -1313,6 +1313,18 @@ class ParagraphDedup(AbstractStep):
     output_column: Optional[str] = None
 
 
+class CompressionRatio(AbstractStep):
+    """Attach the deflate-bytes / utf8-bytes quality ratio (repetitive
+    or templated text compresses below ~0.4; natural prose higher) —
+    a scoring feature for threshold filters like lm_perplexity, not a
+    hashable surface. One Arrow-batched zlib hop, zero shuffle."""
+
+    operation: Literal["compression_ratio"] = "compression_ratio"
+    text_column: str = "text"
+    level: int = 6
+    output_column: str = "compression_ratio"
+
+
 class MaterializePacks(AbstractStep):
     """Materialize concat-and-split sequence packing into trainer-ready
     rows: one row per (shard, pack) with the concatenated token ids and
@@ -1528,6 +1540,7 @@ AnyStep = Annotated[
         ExtractHtmlText,
         ParseJson,
         MaterializePacks,
+        CompressionRatio,
     ],
     Field(discriminator="operation"),
 ]

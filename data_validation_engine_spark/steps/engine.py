@@ -147,6 +147,7 @@ from data_validation_engine_spark.steps.configs import (
     ExtractHtmlText,
     ParseJson,
     MaterializePacks,
+    CompressionRatio,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -288,6 +289,7 @@ class StepEngine:
             ExtractHtmlText: self.extract_html_text,
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
+            CompressionRatio: self.compression_ratio,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -2206,6 +2208,21 @@ class StepEngine:
             lowercase=config.lowercase,
             strip_control=config.strip_control,
             collapse_whitespace=config.collapse_whitespace,
+            output_col=config.output_column,
+        )
+        return None
+
+    def compression_ratio(
+        self, entities: Entities, *, config: CompressionRatio
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.compress import (
+            compression_ratio,
+        )
+
+        entities[config.output_name] = compression_ratio(
+            entities[config.entity_name],
+            config.text_column,
+            level=config.level,
             output_col=config.output_column,
         )
         return None

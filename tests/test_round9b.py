@@ -809,3 +809,63 @@ class TestRandomizedParity:
         }
         for v, n in truth.items():
             assert est[v] >= n, v
+
+
+class TestCompressionRatio:
+    def test_ratio_matches_zlib_and_separates_quality(self, spark):
+        import zlib
+
+        from data_validation_engine_spark.llmops.compress import (
+            compression_ratio,
+        )
+
+        rows = [
+            ("rep", "spam " * 200),
+            ("prose", "The quick brown fox jumps over the lazy dog. " * 5
+             + "Pack my box with five dozen liquor jugs."),
+            ("null", None),
+            ("empty", ""),
+        ]
+        df = spark.createDataFrame(rows, "id string, text string")
+        got = {
+            r["id"]: r["compression_ratio"]
+            for r in compression_ratio(df, "text").collect()
+        }
+        for cid, text in rows:
+            if not text:
+                assert got[cid] is None
+                continue
+            raw = text.encode()
+            assert got[cid] == pytest.approx(
+                len(zlib.compress(raw, 6)) / len(raw)
+            )
+        # the quality separation the filter relies on
+        assert got["rep"] < 0.1 < got["prose"]
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="level"):
+            compression_ratio(df, "text", level=0)
+
+    def test_declared_step_arrow_batched(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [("a", "hello world " * 30)], "id string, text string"
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"docs": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "compression_ratio",
+                    "entity_name": "docs",
+                    "new_entity_name": "scored",
+                }
+            ),
+        )
+        out = ents["scored"]
+        assert 0 < out.first()["compression_ratio"] < 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan and "Exchange" not in plan
