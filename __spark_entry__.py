@@ -6796,6 +6796,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     -> topk_group / rolling_agg / percentiles / rollup_cube /
     rolling_stream / retention / funnel_batch / funnel_stream.
 
+    Round-9 session-B operators (render_chat / conversation_stats /
+    token_loss_mask / normalize_text / extract_html_text / parse_json /
+    cms_sketch batch+streaming / materialize_packs / compression_ratio /
+    corpus_mix temperature / write_training_shards / error_samples) are
+    deliberately NOT tagged onto any driver row this round: the r8
+    verdict's freeze rule (no new tags on green rows; the restructure's
+    singleton rows are localization artifacts and must stay
+    single-surface). Each is pytest-pinned against a pure-Python or
+    zlib/unicodedata/html reference (tests/test_chat.py,
+    tests/test_round9b.py) and rides the oracle gate in round 10 once
+    the red-row localization lands.
+
     Pre-round-9 merge history (still in force for the unlisted rows):
     has_match+identify_orphans+asof+interval -> flag_joins; sink_errors ->
     notification (now sync_filters); sink_entities -> entity_ops;
