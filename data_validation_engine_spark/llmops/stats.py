@@ -392,3 +392,68 @@ def grouped_auc(
             F.round(auc, round_to),
         ).alias("auc"),
     )
+
+
+def standardize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    method: str = "zscore",
+    out_col: str = "scaled",
+    ddof: int = 1,
+) -> DataFrame:
+    """Feature scaling within each group (or globally): the calibration
+    sibling of :func:`ecdf_normalize` for when the MAGNITUDE of a score
+    matters, not just its rank.
+
+    - ``"zscore"`` — ``(x - mean) / stddev`` (``ddof=1`` sample /
+      ``0`` population); a zero-spread group scales to 0.0.
+    - ``"minmax"`` — ``(x - min) / (max - min)`` into [0, 1]; a
+      zero-range group scales to 0.0.
+    - ``"robust"`` — ``(x - median) / IQR`` (exact type-7 percentiles,
+      the same convention as ``grouped_quantiles``); zero IQR → 0.0.
+
+    NULL values stay NULL (absence is not a zero score). Like
+    ``lm_perplexity``, the output is a threshold-filter FEATURE, not an
+    engine-exact hashed surface (float division). Scale shape: one
+    map-side-combined aggregation over the group keys, broadcast back —
+    the stats frame is one row per group; rows never re-sort.
+    """
+    if method not in ("zscore", "minmax", "robust"):
+        raise ValueError(
+            f"method must be zscore|minmax|robust, got {method!r}"
+        )
+    if ddof not in (0, 1):
+        raise ValueError(f"ddof must be 0 or 1, got {ddof}")
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    if method == "zscore":
+        std = F.stddev_samp(v) if ddof == 1 else F.stddev_pop(v)
+        stats = df.groupBy(*groups).agg(
+            F.avg(v).alias("__center"), std.alias("__spread")
+        )
+    elif method == "minmax":
+        stats = df.groupBy(*groups).agg(
+            F.min(v).alias("__center"),
+            (F.max(v) - F.min(v)).alias("__spread"),
+        )
+    else:
+        stats = df.groupBy(*groups).agg(
+            F.expr(f"percentile({value_col}, 0.5)").alias("__center"),
+            (
+                F.expr(f"percentile({value_col}, 0.75)")
+                - F.expr(f"percentile({value_col}, 0.25)")
+            ).alias("__spread"),
+        )
+    joined = (
+        df.join(F.broadcast(stats), groups, "left")
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    scaled = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(
+            F.coalesce(F.col("__spread"), F.lit(0.0)) == 0.0, F.lit(0.0)
+        ).otherwise((v - F.col("__center")) / F.col("__spread"))
+    )
+    return joined.withColumn(out_col, scaled).drop("__center", "__spread")

@@ -1313,6 +1313,20 @@ class ParagraphDedup(AbstractStep):
     output_column: Optional[str] = None
 
 
+class Standardize(AbstractStep):
+    """Feature scaling within each group: zscore (x-mean)/std, minmax
+    into [0,1], or robust (x-median)/IQR — the magnitude-preserving
+    sibling of ecdf_normalize. Zero-spread groups scale to 0.0; NULLs
+    stay NULL. A scoring feature, not a hashed surface."""
+
+    operation: Literal["standardize"] = "standardize"
+    value_column: str
+    group_by: tuple[str, ...] = ()
+    method: Literal["zscore", "minmax", "robust"] = "zscore"
+    output_column: str = "scaled"
+    ddof: int = 1
+
+
 class CompressionRatio(AbstractStep):
     """Attach the deflate-bytes / utf8-bytes quality ratio (repetitive
     or templated text compresses below ~0.4; natural prose higher) —
@@ -1541,6 +1555,7 @@ AnyStep = Annotated[
         ParseJson,
         MaterializePacks,
         CompressionRatio,
+        Standardize,
     ],
     Field(discriminator="operation"),
 ]

@@ -148,6 +148,7 @@ from data_validation_engine_spark.steps.configs import (
     ParseJson,
     MaterializePacks,
     CompressionRatio,
+    Standardize,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -290,6 +291,7 @@ class StepEngine:
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
             CompressionRatio: self.compression_ratio,
+            Standardize: self.standardize,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -2209,6 +2211,21 @@ class StepEngine:
             strip_control=config.strip_control,
             collapse_whitespace=config.collapse_whitespace,
             output_col=config.output_column,
+        )
+        return None
+
+    def standardize(
+        self, entities: Entities, *, config: Standardize
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.stats import standardize
+
+        entities[config.output_name] = standardize(
+            entities[config.entity_name],
+            config.value_column,
+            group_cols=list(config.group_by),
+            method=config.method,
+            out_col=config.output_column,
+            ddof=config.ddof,
         )
         return None
 

@@ -869,3 +869,82 @@ class TestCompressionRatio:
         assert 0 < out.first()["compression_ratio"] < 1
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" in plan and "Exchange" not in plan
+
+
+class TestStandardize:
+    def test_three_methods_match_python(self, spark):
+        import statistics
+
+        from data_validation_engine_spark.llmops.stats import standardize
+
+        vals = {"a": [1.0, 2.0, 3.0, 4.0, 10.0], "b": [5.0, 5.0, 5.0]}
+        rows = [
+            (g, i, v) for g, vs in vals.items() for i, v in enumerate(vs)
+        ] + [("a", 99, None)]
+        df = spark.createDataFrame(rows, "g string, i int, v double")
+
+        z = {
+            (r["g"], r["i"]): r["scaled"]
+            for r in standardize(df, "v", group_cols=["g"]).collect()
+        }
+        mu = statistics.mean(vals["a"])
+        sd = statistics.stdev(vals["a"])
+        for i, v in enumerate(vals["a"]):
+            assert z[("a", i)] == pytest.approx((v - mu) / sd)
+        for i in range(3):
+            assert z[("b", i)] == 0.0  # zero spread
+        assert z[("a", 99)] is None  # NULL stays NULL
+
+        mm = {
+            (r["g"], r["i"]): r["scaled"]
+            for r in standardize(
+                df, "v", group_cols=["g"], method="minmax"
+            ).collect()
+        }
+        for i, v in enumerate(vals["a"]):
+            assert mm[("a", i)] == pytest.approx((v - 1.0) / 9.0)
+        assert mm[("b", 0)] == 0.0
+
+        rb = {
+            (r["g"], r["i"]): r["scaled"]
+            for r in standardize(
+                df, "v", group_cols=["g"], method="robust"
+            ).collect()
+        }
+        med = 3.0
+        iqr = 4.0 - 2.0  # type-7 quartiles of [1,2,3,4,10]
+        for i, v in enumerate(vals["a"]):
+            assert rb[("a", i)] == pytest.approx((v - med) / iqr)
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="method"):
+            standardize(df, "v", method="nope")
+        with _pytest.raises(ValueError, match="ddof"):
+            standardize(df, "v", ddof=2)
+
+    def test_global_and_declared(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "i int, v double"
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"t": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "standardize",
+                    "entity_name": "t",
+                    "value_column": "v",
+                    "method": "minmax",
+                    "new_entity_name": "s",
+                }
+            ),
+        )
+        got = {r["i"]: r["scaled"] for r in ents["s"].collect()}
+        assert got[0] == 0.0 and got[9] == 1.0
+        # the broadcast stats join never shuffles the data side
+        plan = ents["s"]._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
