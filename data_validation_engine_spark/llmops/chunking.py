@@ -186,6 +186,7 @@ def materialize_packs(
     n_shards: int = 64,
     seed: str = "",
     pad_id: int | None = None,
+    eod_id: int | None = None,
 ) -> DataFrame:
     """Materialize :func:`pack_sequences`-style packing into
     trainer-ready rows: one row per (shard, pack) holding the
@@ -207,6 +208,10 @@ def materialize_packs(
     order) and every pack except each shard's last holds exactly
     ``capacity`` tokens. ``pad_id`` right-pads the final short pack
     (``n_tokens`` keeps the real count so the pad is recoverable).
+    ``eod_id`` appends an end-of-document token to every document
+    BEFORE packing (the standard pretraining separator) — each doc's
+    span then covers its ids plus the trailing EOD, and the packing
+    arithmetic simply sees length ``n + 1``.
 
     Scale shape: the per-shard cumulative window of
     :func:`pack_sequences`, one explode bounded by
@@ -224,6 +229,13 @@ def materialize_packs(
             F.transform(F.split(ids, ","), lambda s: s.try_cast("int")),
             lambda x: x.isNotNull(),
         )
+    if eod_id is not None:
+        # appended per NON-EMPTY doc before placement; empty docs stay
+        # empty (no phantom EOD-only rows)
+        ids = F.when(
+            F.size(ids) > 0,
+            F.concat(ids, F.array(F.lit(int(eod_id)).cast("int"))),
+        ).otherwise(ids)
     shard = (hash_bucket(F.col(id_col), seed=seed) % n_shards).alias(
         "shard"
     )

@@ -1354,6 +1354,7 @@ class MaterializePacks(AbstractStep):
     n_shards: int = 64
     seed: str = ""
     pad_token_id: Optional[int] = None
+    eod_token_id: Optional[int] = None
 
 
 class ExtractHtmlText(AbstractStep):

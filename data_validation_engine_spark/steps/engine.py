@@ -2259,6 +2259,7 @@ class StepEngine:
             n_shards=config.n_shards,
             seed=config.seed,
             pad_id=config.pad_token_id,
+            eod_id=config.eod_token_id,
         )
         return None
 

@@ -948,3 +948,33 @@ class TestStandardize:
         # the broadcast stats join never shuffles the data side
         plan = ents["s"]._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestEodToken:
+    def test_eod_appended_per_doc_and_conserved(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            materialize_packs,
+        )
+
+        docs = [("a", [1, 2, 3]), ("b", [4]), ("c", []), ("d", [5, 6])]
+        df = spark.createDataFrame(docs, "id string, ids array<int>")
+        rows = materialize_packs(
+            df, "id", "ids", capacity=4, n_shards=1, eod_id=99
+        ).collect()
+        total = sum(r["n_tokens"] for r in rows)
+        # 3+1 + 1+1 + 0 + 2+1 = 9 tokens including one EOD per non-empty
+        assert total == 9
+        rebuilt = {}
+        for r in rows:
+            for s in r["doc_spans"]:
+                rebuilt.setdefault(s["id"], []).append(
+                    (r["pack_idx"], list(
+                        r["input_ids"][s["start"]:s["start"] + s["len"]]
+                    ))
+                )
+        for did, ids in docs:
+            if not ids:
+                assert did not in rebuilt
+                continue
+            flat = [t for _, p in sorted(rebuilt[did]) for t in p]
+            assert flat == ids + [99], did  # span covers ids + EOD
