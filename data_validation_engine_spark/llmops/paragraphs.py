@@ -189,3 +189,39 @@ def remove_repeated_paragraphs(
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def split_sentences(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    *,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Heuristic sentence segmentation: one row per sentence, in
+    document order — the sentence-level sibling of the paragraph
+    explode above, for sentence-granular dedup/decontamination prep.
+
+    Splits after sentence-final punctuation (``. ! ?``, optionally
+    followed by a closing quote/bracket) when the next character opens
+    a sentence (uppercase, digit, or an opening quote/bracket) — a
+    Java-regex lookaround split, fully JVM-side. KNOWN heuristic
+    limits, documented not hidden: abbreviations ("Dr. Smith") and
+    decimal-free initials split early; text without sentence-casing
+    (code, lowercase chat) stays one sentence. Good enough for overlap
+    matching; not a linguistic segmenter.
+
+    Returns ``(key, sent_idx, sentence, n_chars)``; zero shuffle.
+    """
+    boundary = r"(?<=[.!?][\"'\)\]]?)\s+(?=[\"'\(\[]?[A-Z0-9])"
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    sents = F.when(
+        trimmed == "", F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, boundary))
+    out = df.select(
+        F.col(key_col),
+        F.posexplode(sents).alias("sent_idx", "sentence"),
+    ).withColumn("sentence", F.trim(F.col("sentence")))
+    return out.where(F.length("sentence") >= int(min_chars)).withColumn(
+        "n_chars", F.length("sentence")
+    )

@@ -1313,6 +1313,19 @@ class ParagraphDedup(AbstractStep):
     output_column: Optional[str] = None
 
 
+class SplitSentences(AbstractStep):
+    """Heuristic sentence segmentation (JVM lookaround split on
+    sentence-final punctuation before an opening capital/digit): one
+    row per sentence in document order — sentence-granular prep for
+    dedup/decontamination. Documented heuristic limits (abbreviations
+    split early; caseless text stays whole). Zero shuffle."""
+
+    operation: Literal["split_sentences"] = "split_sentences"
+    key_column: str
+    text_column: str = "text"
+    min_chars: int = 1
+
+
 class Standardize(AbstractStep):
     """Feature scaling within each group: zscore (x-mean)/std, minmax
     into [0,1], or robust (x-median)/IQR — the magnitude-preserving
@@ -1557,6 +1570,7 @@ AnyStep = Annotated[
         MaterializePacks,
         CompressionRatio,
         Standardize,
+        SplitSentences,
     ],
     Field(discriminator="operation"),
 ]

@@ -149,6 +149,7 @@ from data_validation_engine_spark.steps.configs import (
     MaterializePacks,
     CompressionRatio,
     Standardize,
+    SplitSentences,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -292,6 +293,7 @@ class StepEngine:
             MaterializePacks: self.materialize_packs,
             CompressionRatio: self.compression_ratio,
             Standardize: self.standardize,
+            SplitSentences: self.split_sentences,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -2211,6 +2213,21 @@ class StepEngine:
             strip_control=config.strip_control,
             collapse_whitespace=config.collapse_whitespace,
             output_col=config.output_column,
+        )
+        return None
+
+    def split_sentences(
+        self, entities: Entities, *, config: SplitSentences
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.paragraphs import (
+            split_sentences,
+        )
+
+        entities[config.output_name] = split_sentences(
+            entities[config.entity_name],
+            config.key_column,
+            config.text_column,
+            min_chars=config.min_chars,
         )
         return None
 
