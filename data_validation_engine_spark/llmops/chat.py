@@ -295,24 +295,37 @@ def token_loss_mask(
         )
 
     starts = F.aggregate(toks, zero, _step)["starts"]
-    spans = F.col(spans_col)
+    # materialize the fold's output ONCE, then zip starts with tokens
+    # for the mask: embedding `starts` inside a per-token lambda would
+    # re-evaluate the whole O(n) fold per element (Spark does no
+    # common-subexpression elimination inside HOF lambda bodies) —
+    # O(n^2) per row on long conversations. CollapseProject keeps the
+    # staged projection because the aliased fold is non-cheap and
+    # multiply-referenced.
+    staged = df.select(
+        F.col(id_col),
+        F.col(spans_col).alias("__spans"),
+        toks.alias("__toks"),
+        starts.alias("__starts"),
+    )
 
-    def _hit(i):
-        s0 = F.element_at(starts, i + 1)
-        e0 = s0 + F.length(F.element_at(toks, i + 1))
+    def _hit(s0, t):
+        e0 = s0 + F.length(t)
         if mode == "overlap":
             return F.exists(
-                spans, lambda sp: (s0 < sp["end"]) & (e0 > sp["start"])
+                F.col("__spans"),
+                lambda sp: (s0 < sp["end"]) & (e0 > sp["start"]),
             )
         return F.exists(
-            spans, lambda sp: (s0 >= sp["start"]) & (e0 <= sp["end"])
+            F.col("__spans"),
+            lambda sp: (s0 >= sp["start"]) & (e0 <= sp["end"]),
         )
 
-    mask = F.transform(F.transform(toks, lambda _, i: i), _hit)
-    return df.select(
+    mask = F.zip_with(F.col("__starts"), F.col("__toks"), _hit)
+    return staged.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        starts.alias("token_starts"),
+        F.size(F.col("__toks")).alias("n_tokens"),
+        F.col("__starts").alias("token_starts"),
         mask.alias("loss_mask"),
         F.size(F.filter(mask, lambda m: m)).cast("long").alias(
             "n_loss_tokens"

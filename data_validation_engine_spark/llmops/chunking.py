@@ -223,11 +223,14 @@ def materialize_packs(
         raise ValueError("capacity and n_shards must be positive")
     ids = F.col(ids_col)
     if dict(df.dtypes)[ids_col] == "string":
-        # '' splits to [''] — try_cast + filter so blank docs become
-        # empty sequences instead of an ANSI cast error
-        ids = F.filter(
-            F.transform(F.split(ids, ","), lambda s: s.try_cast("int")),
-            lambda x: x.isNotNull(),
+        # only the blank-document artifact is filtered ('' splits to
+        # ['']); any other non-numeric token hard-fails the ANSI cast —
+        # silently shortening a training sequence would shift every doc
+        # span after it (loud-corruption convention, like parse_json's
+        # is_valid flag)
+        ids = F.transform(
+            F.filter(F.split(ids, ","), lambda s: s != ""),
+            lambda s: s.cast("int"),
         )
     if eod_id is not None:
         # appended per NON-EMPTY doc before placement; empty docs stay

@@ -76,8 +76,11 @@ def normalize_text(
     if lowercase:
         col = F.lower(col)
     if collapse_whitespace:
+        # strip spaces adjacent to newlines BEFORE collapsing newline
+        # runs: a blank line containing a space would otherwise break
+        # the run and defeat the documented "3+ newlines → 2"
         col = F.regexp_replace(col, "[ \t]+", " ")
-        col = F.regexp_replace(col, "\n{3,}", "\n\n")
         col = F.regexp_replace(col, " ?\n ?", "\n")
+        col = F.regexp_replace(col, "\n{3,}", "\n\n")
         col = F.trim(col)
     return df.withColumn(output_col or text_col, col)

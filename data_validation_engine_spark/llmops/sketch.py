@@ -310,12 +310,18 @@ def hll_rollup(
 def _cms_col(value: Column, depth: int, width: int, seed: str) -> Column:
     """``array<struct<row,col>>``: the value's cell in each of ``depth``
     md5-derived hash rows — deterministic, so two engines (and two
-    days' batches) index identical cells."""
+    days' batches) index identical cells.
+
+    NULL hashes to its own marker ("n"; real values prefix "v:" so no
+    string can collide with it) — a raw NULL would yield NULL cells
+    that build stores but query's equi-join can never match, silently
+    breaking the never-undercount guarantee for NULL-heavy columns."""
+    keyed = F.coalesce(
+        F.concat(F.lit("v:"), value.cast("string")), F.lit("n")
+    )
     cells = []
     for r in range(depth):
-        digest = F.md5(
-            F.concat(F.lit(f"{seed}|cms{r}|"), value.cast("string"))
-        )
+        digest = F.md5(F.concat(F.lit(f"{seed}|cms{r}|"), keyed))
         col = (
             F.conv(F.substring(digest, 1, 15), 16, 10).cast("decimal(38,0)")
             % F.lit(width)

@@ -218,10 +218,17 @@ def temperature_targets(
     per-row keep decision stays rational and engine-exact."""
     if not alpha > 0:
         raise ValueError(f"temperature alpha must be > 0, got {alpha}")
+    # a NULL label or an all-NULL-weight source is dropped, matching the
+    # explicit-targets path's "unlisted sources are dropped" policy
+    # (sorted() would also TypeError on a None key)
+    usable = {
+        label: tok
+        for label, tok in label_tokens.items()
+        if label is not None and tok is not None and tok > 0
+    }
     pows = {
         label: float(tok) ** alpha
-        for label, tok in sorted(label_tokens.items())
-        if tok > 0
+        for label, tok in sorted(usable.items())
     }
     total = sum(pows.values())
     if total <= 0:

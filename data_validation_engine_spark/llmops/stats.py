@@ -446,11 +446,24 @@ def standardize(
                 - F.expr(f"percentile({value_col}, 0.25)")
             ).alias("__spread"),
         )
-    joined = (
-        df.join(F.broadcast(stats), groups, "left")
-        if groups
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if groups:
+        # eqNullSafe: a NULL group key is a real group to groupBy, and
+        # an equality join would silently orphan its rows onto the
+        # zero-spread branch (scaled=0.0 regardless of value)
+        stats_r = stats.select(
+            *[F.col(g).alias(f"__g_{g}") for g in groups],
+            "__center",
+            "__spread",
+        )
+        cond = None
+        for g in groups:
+            c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(stats_r), cond, "left").drop(
+            *[f"__g_{g}" for g in groups]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     scaled = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
         F.when(
             F.coalesce(F.col("__spread"), F.lit(0.0)) == 0.0, F.lit(0.0)

@@ -494,17 +494,24 @@ def write_training_shards(
     # N_BUCKETS is 2^16, so DIV 65536 is an exact right-shift — integral
     # arithmetic end to end (repo convention: never float-divide-then-
     # truncate an index)
-    bucket = hash_bucket(F.col(key_col), seed=seed)
+    # cast to long BEFORE the multiply: bucket*n_shards wraps 32-bit int
+    # for n_shards > 32768 (a plausible shard count at 100 TB)
+    bucket = hash_bucket(F.col(key_col), seed=seed).cast("long")
     shard = F.shiftright(
-        (bucket * F.lit(int(n_shards))).cast("long"), 16
+        bucket * F.lit(int(n_shards)).cast("long"), 16
     ).cast("int")
     assert N_BUCKETS == 1 << 16
     staged = (
         df.withColumn("__hash", digest)
         .withColumn("shard", shard)
         # one exchange on the shard id; in-shard order is a task-local
-        # sort, never a global range exchange
-        .repartition(int(n_shards), F.col("shard"))
+        # sort, never a global range exchange. No explicit partition
+        # count: hash-partitioning on `shard` keeps each shard's rows in
+        # ONE task (one file per shard dir) while AQE sizes the exchange
+        # to the data — 40k shards over 64 rows shouldn't launch 40k
+        # tasks, and at 100 TB the advisory-size coalesce still leaves
+        # every shard intact within a task
+        .repartition(F.col("shard"))
         .sortWithinPartitions("shard", "__hash")
     )
     writer = staged.write.mode("overwrite").partitionBy("shard")

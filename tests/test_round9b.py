@@ -1032,3 +1032,122 @@ class TestSplitSentences:
         )
         plan = ents["sents"]._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestReviewFixes:
+    """Regression pins for the round-9 session-B review findings."""
+
+    def test_standardize_null_group_key_scales_correctly(self, spark):
+        from data_validation_engine_spark.llmops.stats import standardize
+
+        df = spark.createDataFrame(
+            [(None, 1.0), (None, 3.0), ("g", 5.0), ("g", 7.0)],
+            "g string, v double",
+        )
+        out = {
+            (r["g"], r["v"]): r["scaled"]
+            for r in standardize(
+                df, "v", group_cols=["g"], method="minmax"
+            ).collect()
+        }
+        # NULL group is a real group: its rows scale within it, not 0.0
+        assert out[(None, 1.0)] == 0.0 and out[(None, 3.0)] == 1.0
+        assert out[("g", 5.0)] == 0.0 and out[("g", 7.0)] == 1.0
+
+    def test_temperature_mix_null_labels_dropped_not_crash(self, spark):
+        from data_validation_engine_spark.llmops.split import (
+            corpus_mix,
+            temperature_targets,
+        )
+
+        assert temperature_targets({None: 50, "a": 100, "b": None}, 0.5) == {
+            "a": 1.0
+        }
+        df = spark.createDataFrame(
+            [("k1", None, 10), ("k2", "a", 10), ("k3", "a", 10)],
+            "key string, src string, t int",
+        )
+        kept = corpus_mix(
+            df, "key", "src", "toks" if False else "t", None, 1000,
+            temperature=0.5,
+        ).collect()
+        assert all(r["src"] == "a" for r in kept)
+
+    def test_shard_id_no_overflow_at_large_n_shards(self, spark):
+        from data_validation_engine_spark.scale import write_training_shards
+        import tempfile
+
+        df = spark.createDataFrame(
+            [(f"k{i}",) for i in range(64)], "id string"
+        )
+        d = tempfile.mkdtemp(prefix="bigshards_")
+        m = write_training_shards(df, d + "/e", "id", n_shards=40000)
+        rows = m.collect()
+        assert all(0 <= r["shard"] < 40000 for r in rows)
+
+    def test_normalize_blank_lines_with_spaces_collapse(self, spark):
+        from data_validation_engine_spark.llmops.normalize import (
+            normalize_text,
+        )
+
+        df = spark.createDataFrame(
+            [("x", "p1\n \n \n \np2")], "id string, text string"
+        )
+        out = normalize_text(
+            df, "text", form=None, collapse_whitespace=True
+        ).first()["text"]
+        assert out == "p1\n\np2"
+
+    def test_cms_counts_null_values(self, spark):
+        from data_validation_engine_spark.llmops.sketch import (
+            cms_build,
+            cms_query,
+        )
+
+        df = spark.createDataFrame(
+            [(None,)] * 7 + [("x",)] * 3, "val string"
+        )
+        sk = cms_build(df, "val", depth=3, width=64)
+        cand = spark.createDataFrame([(None,), ("x",)], "val string")
+        est = {
+            r["val"]: r["n_est"]
+            for r in cms_query(sk, cand, "val", depth=3, width=64).collect()
+        }
+        assert est[None] >= 7 and est["x"] >= 3
+
+    def test_pack_csv_corruption_is_loud(self, spark):
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import (
+            NumberFormatException,
+        )
+
+        from data_validation_engine_spark.llmops.chunking import (
+            materialize_packs,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "1,abc,3")], "id string, ids string"
+        )
+        with _pytest.raises(NumberFormatException):
+            materialize_packs(
+                df, "id", "ids", capacity=4, n_shards=1
+            ).collect()
+
+    def test_token_mask_plan_folds_offsets_once(self, spark):
+        from data_validation_engine_spark.llmops.chat import (
+            token_loss_mask,
+        )
+
+        df = spark.createDataFrame(
+            [("d", "a b c", [])],
+            "id string, text string,"
+            " mask_spans array<struct<start bigint, end bigint>>",
+        )
+        out = token_loss_mask(df, "id", "text", "mask_spans")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the offset fold appears once (the staged projection), not once
+        # per mask element
+        assert plan.count("aggregate(") <= 3
+        r = out.first()
+        assert list(r["token_starts"]) == [0, 2, 4]
+        assert list(r["loss_mask"]) == [False, False, False]
