@@ -36,3 +36,34 @@ def write_entities(
         writer.parquet(uri)
         written[name] = uri
     return written
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    uri: str,
+    partition_cols: list[str],
+) -> str:
+    """Idempotent incremental write: overwrite ONLY the partitions the
+    batch touches, leaving every other partition untouched — the
+    re-runnable daily-load pattern for a partitioned 100 TB table
+    (static overwrite would wipe the whole table; append would
+    duplicate rows on retry).
+
+    Uses Spark's dynamic partition-overwrite mode, set per-write via
+    the ``partitionOverwriteMode`` DataFrameWriter option (scoped to
+    this write — the session config is not mutated). Replaying the
+    same batch after a failure converges to the same table state, the
+    same idempotence contract as the CDC swap (`streaming/cdc.py`).
+    """
+    if not partition_cols:
+        raise ValueError(
+            "overwrite_partitions needs at least one partition column; "
+            "use write_entities for whole-table overwrite"
+        )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(uri)
+    )
+    return uri
