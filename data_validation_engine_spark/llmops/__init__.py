@@ -86,8 +86,17 @@ from data_validation_engine_spark.llmops.chat import (
 from data_validation_engine_spark.llmops.chunking import (
     materialize_packs,
 )
+from data_validation_engine_spark.llmops.compress import (
+    compression_ratio,
+)
 from data_validation_engine_spark.llmops.normalize import (
     normalize_text,
+)
+from data_validation_engine_spark.llmops.paragraphs import (
+    split_sentences,
+)
+from data_validation_engine_spark.llmops.stats import (
+    standardize,
 )
 from data_validation_engine_spark.llmops.sketch import (
     cms_build,
@@ -266,4 +275,7 @@ __all__ = [
     "temperature_targets",
     "extract_html_text",
     "parse_json_column",
+    "compression_ratio",
+    "split_sentences",
+    "standardize",
 ]

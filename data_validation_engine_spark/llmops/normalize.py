@@ -82,5 +82,7 @@ def normalize_text(
         col = F.regexp_replace(col, "[ \t]+", " ")
         col = F.regexp_replace(col, " ?\n ?", "\n")
         col = F.regexp_replace(col, "\n{3,}", "\n\n")
-        col = F.trim(col)
+        # full whitespace trim — Spark's trim() strips spaces only, so
+        # boundary newlines (e.g. from upstream tag stripping) survive it
+        col = F.regexp_replace(col, "^\\s+|\\s+$", "")
     return df.withColumn(output_col or text_col, col)

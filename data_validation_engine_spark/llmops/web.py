@@ -110,7 +110,9 @@ def extract_html_text(
     col = F.regexp_replace(col, "[ \t]+", " ")
     col = F.regexp_replace(col, " ?\n ?", "\n")
     col = F.regexp_replace(col, "\n{3,}", "\n\n")
-    col = F.trim(col)
+    # full whitespace trim (Spark trim() is space-only; block-tag
+    # boundaries leave leading/trailing newlines)
+    col = F.regexp_replace(col, "^\\s+|\\s+$", "")
     return df.withColumn(output_col or "text", col)
 
 

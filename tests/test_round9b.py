@@ -1192,3 +1192,52 @@ class TestOverwritePartitions:
 
         with _pytest.raises(ValueError, match="partition column"):
             overwrite_partitions(day1, uri, [])
+
+
+class TestStatelessOpsOnStreams:
+    def test_normalize_and_html_extract_run_on_a_stream(
+        self, spark, tmp_path
+    ):
+        """The per-row corpus operators are stateless projections, so
+        they lift onto Structured Streaming unchanged — pin that the
+        plans are actually streamable (no batch-only construct)."""
+        from data_validation_engine_spark.llmops.normalize import (
+            normalize_text,
+        )
+        from data_validation_engine_spark.llmops.web import (
+            extract_html_text,
+            parse_json_column,
+        )
+        from data_validation_engine_spark.streaming import (
+            read_entity_stream,
+        )
+
+        src = tmp_path / "stream_src"
+        batch = spark.createDataFrame(
+            [("a", "<p>Héllo&amp;co</p>", '{"lang":"en"}')],
+            "id string, html string, meta string",
+        )
+        batch.write.parquet(str(src))
+        sdf = read_entity_stream(spark, str(src), batch.schema)
+        piped = parse_json_column(
+            normalize_text(
+                extract_html_text(sdf, "html"),
+                "text",
+                collapse_whitespace=True,
+            ),
+            "meta",
+            "lang STRING",
+        )
+        assert piped.isStreaming
+        out = str(tmp_path / "stream_out")
+        q = (
+            piped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "stream_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        row = spark.read.parquet(out).first()
+        assert row["text"] == "Héllo&co"
+        assert row["parsed"]["lang"] == "en" and row["is_valid"]
