@@ -41,8 +41,17 @@ def tokens_col(text: Column) -> Column:
     NULL and blank text both normalise to ZERO tokens (empty array) so
     every downstream formulation — column-form simhash, exploded-table
     simhash, shingles, and the DuckDB oracles — agrees on degenerate docs
-    instead of diverging through null propagation."""
-    trimmed = F.trim(F.coalesce(text, F.lit("")))
+    instead of diverging through null propagation.
+
+    The trim is FULL whitespace (``\\s``), not ``F.trim``'s space-only:
+    text ending in ``\\n`` or ``\\t`` (e.g. ``render_chat``'s
+    newline-terminated templates) would otherwise keep a phantom empty
+    last token through the ``\\s+`` split, inflating ``n_tokens`` and
+    injecting a spurious UNK id at the end of every training sequence
+    via ``encode_tokens`` → ``materialize_packs``."""
+    trimmed = F.regexp_replace(
+        F.coalesce(text, F.lit("")), r"^\s+|\s+$", ""
+    )
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

@@ -423,7 +423,23 @@ def cms_query(
         F.col("__cell")["row"].alias("row"),
         F.col("__cell")["col"].alias("col"),
     )
-    joined = probes.join(sketch, [*groups, "row", "col"], "left").select(
+    # eqNullSafe on the group columns: groupBy in cms_build keeps a NULL
+    # group key as a real group, so an equality join would orphan NULL-
+    # group probes onto n_est=0 — violating the never-undercount
+    # guarantee (same __g_ alias + eqNullSafe pattern as standardize).
+    # row/col are never NULL (lit-constructed), plain equality there.
+    sketch_r = sketch.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("row").alias("__s_row"),
+        F.col("col").alias("__s_col"),
+        F.col("n"),
+    )
+    cond = (F.col("row") == F.col("__s_row")) & (
+        F.col("col") == F.col("__s_col")
+    )
+    for g in groups:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+    joined = probes.join(sketch_r, cond, "left").select(
         *groups, value_col, F.coalesce(F.col("n"), F.lit(0)).alias("__n")
     )
     return joined.groupBy(*groups, value_col).agg(

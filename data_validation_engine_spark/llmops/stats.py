@@ -402,6 +402,7 @@ def standardize(
     method: str = "zscore",
     out_col: str = "scaled",
     ddof: int = 1,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Feature scaling within each group (or globally): the calibration
     sibling of :func:`ecdf_normalize` for when the MAGNITUDE of a score
@@ -417,8 +418,17 @@ def standardize(
     NULL values stay NULL (absence is not a zero score). Like
     ``lm_perplexity``, the output is a threshold-filter FEATURE, not an
     engine-exact hashed surface (float division). Scale shape: one
-    map-side-combined aggregation over the group keys, broadcast back —
+    map-side-combined aggregation over the group keys, joined back —
     the stats frame is one row per group; rows never re-sort.
+
+    ``broadcast_stats`` (default True) hints the stats side of the
+    join-back. One row per group is small for the usual calibration
+    keys (language, source, shard), but per-domain or per-user scaling
+    at 100 TB makes the stats frame itself multi-GB — pass
+    ``broadcast_stats=False`` above ~10M groups so AQE picks the join
+    strategy from the measured size instead of force-building a
+    driver-sized hash table (same escape as ``bpe_encode``'s
+    ``broadcast_words``).
     """
     if method not in ("zscore", "minmax", "robust"):
         raise ValueError(
@@ -439,11 +449,15 @@ def standardize(
             (F.max(v) - F.min(v)).alias("__spread"),
         )
     else:
+        # percentile over the same casted column v the other methods
+        # use (F.percentile, not a raw-interpolated F.expr: column
+        # names needing backticks and string-typed numerics behave
+        # identically across all three methods)
         stats = df.groupBy(*groups).agg(
-            F.expr(f"percentile({value_col}, 0.5)").alias("__center"),
+            F.percentile(v, F.lit(0.5)).alias("__center"),
             (
-                F.expr(f"percentile({value_col}, 0.75)")
-                - F.expr(f"percentile({value_col}, 0.25)")
+                F.percentile(v, F.lit(0.75))
+                - F.percentile(v, F.lit(0.25))
             ).alias("__spread"),
         )
     if groups:
@@ -459,7 +473,8 @@ def standardize(
         for g in groups:
             c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
             cond = c if cond is None else (cond & c)
-        joined = df.join(F.broadcast(stats_r), cond, "left").drop(
+        stats_side = F.broadcast(stats_r) if broadcast_stats else stats_r
+        joined = df.join(stats_side, cond, "left").drop(
             *[f"__g_{g}" for g in groups]
         )
     else:

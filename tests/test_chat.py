@@ -206,11 +206,11 @@ class TestTokenLossMask:
 
         for cid, r in rows.items():
             text = texts[cid]["text"]
-            # offsets reproduce tokens_col exactly: Spark trim() strips
-            # SPACES only, so the trailing \n leaves one empty token —
-            # the same sequence encode_tokens sees (alignment is the
-            # whole point of this operator)
-            stripped = text.strip(" ")
+            # offsets reproduce tokens_col exactly: full-whitespace
+            # trim, so the template's trailing \n contributes NO
+            # phantom empty token — the same sequence encode_tokens
+            # sees (alignment is the whole point of this operator)
+            stripped = text.strip()
             toks = re.split(r"\s+", stripped) if stripped else []
             assert r["n_tokens"] == len(toks)
             for i, s in enumerate(r["token_starts"]):

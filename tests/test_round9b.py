@@ -810,6 +810,32 @@ class TestRandomizedParity:
         for v, n in truth.items():
             assert est[v] >= n, v
 
+    def test_query_null_group_key_never_undercounts(self, spark):
+        # groupBy keeps NULL as a real group; the probe join must be
+        # null-safe on group cols or NULL-group probes read n_est=0
+        from data_validation_engine_spark.llmops.sketch import (
+            cms_build,
+            cms_query,
+        )
+
+        rows = [("en", "x")] * 5 + [(None, "x")] * 7 + [(None, "y")] * 2
+        df = spark.createDataFrame(rows, "lang string, val string")
+        sk = cms_build(df, "val", group_cols=["lang"], depth=3, width=64)
+        cand = spark.createDataFrame(
+            [("en", "x"), (None, "x"), (None, "y"), (None, "z")],
+            "lang string, val string",
+        )
+        est = {
+            (r["lang"], r["val"]): r["n_est"]
+            for r in cms_query(
+                sk, cand, "val", group_cols=["lang"], depth=3, width=64
+            ).collect()
+        }
+        assert est[("en", "x")] >= 5
+        assert est[(None, "x")] >= 7
+        assert est[(None, "y")] >= 2
+        assert est[(None, "z")] >= 0  # absent value still answered
+
 
 class TestCompressionRatio:
     def test_ratio_matches_zlib_and_separates_quality(self, spark):
@@ -922,6 +948,45 @@ class TestStandardize:
             standardize(df, "v", method="nope")
         with _pytest.raises(ValueError, match="ddof"):
             standardize(df, "v", ddof=2)
+
+    def test_robust_quoted_name_and_string_numeric(self, spark):
+        # robust must use the same casted column as zscore/minmax: a
+        # column name needing backticks and a string-typed numeric
+        # column both work identically across methods
+        from data_validation_engine_spark.llmops.stats import standardize
+
+        df = spark.createDataFrame(
+            [("a", "1"), ("a", "2"), ("a", "3"), ("a", "4"), ("a", "10")],
+            ["g", "my value"],
+        )
+        rb = sorted(
+            r["scaled"]
+            for r in standardize(
+                df, "my value", group_cols=["g"], method="robust"
+            ).collect()
+        )
+        med, iqr = 3.0, 2.0
+        want = sorted((v - med) / iqr for v in [1, 2, 3, 4, 10])
+        assert rb == pytest.approx(want)
+
+    def test_broadcast_stats_escape_flag(self, spark):
+        # broadcast_stats=False drops the hard-coded hint so AQE picks
+        # the join strategy from the measured stats-frame size
+        from data_validation_engine_spark.llmops.stats import standardize
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double"
+        )
+        hinted = standardize(df, "v", group_cols=["g"])
+        plain = standardize(df, "v", group_cols=["g"], broadcast_stats=False)
+        hp = hinted._jdf.queryExecution().optimizedPlan().toString()
+        pp = plain._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" in hp.lower()
+        assert "broadcast" not in pp.lower()
+        # semantics identical either way
+        a = sorted(r["scaled"] for r in hinted.collect())
+        b = sorted(r["scaled"] for r in plain.collect())
+        assert a == pytest.approx(b)
 
     def test_global_and_declared(self, spark):
         from data_validation_engine_spark.steps import StepEngine, parse_step
