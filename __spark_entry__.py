@@ -7002,21 +7002,728 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_ORACLES, **_LLMOPS_ORACLES}
+    return {**_ORACLES, **_LLMOPS_ORACLES, **_R10_ORACLES}
 
 
-# --- round-10 attestation rows (implemented below; stubs replaced in-place) ---
+# ---------------------------------------------------------------------------
+# round-10 attestation rows: first driver attestation of the round-9
+# operator increment (VERDICT r9, Next-round #1). Shared constructions
+# are mirrored verbatim in the DuckDB twins (_R10_ORACLES below).
+# ---------------------------------------------------------------------------
+
+# fixed SemDeDup centroid rows — exist at every SF (ids < 50)
+_SEM_CENTROID_IDS = (1, 7, 13, 19, 25, 31, 37, 43)
+
+
+def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus injected near-duplicates: every 10th vector
+    re-enters with id+1_000_000 and every component scaled by 1.01 —
+    cosine vs the original is exactly 1.0 after round(·, 6), while the
+    synthetic table's natural cosines top out ≈0.51 (measured), so
+    threshold 0.9 splits dup/non-dup with a huge margin. The float32
+    re-cast keeps the column type; both twins replay the identical
+    double-multiply-then-float-round, so the corpora are bit-equal."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.01).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (llmops/semdedup.py, Abbas 2023) end to end with FIXED
+    centroids (the embedding rows of 8 pinned ids, so the k-means fit —
+    pytest-pinned separately — is out of the hashed path and the oracle
+    can replay the exact argmin cell assignment): within-cell cosine
+    pairs at threshold 0.9 ('pair'), min-label duplicate groups via
+    connected components ('grp'), and the survivor keep-set ('keep',
+    sem_group NULL → '~'). Cosines deliberately NOT hashed (the pair
+    SET pins the thresholding; cosine folds are attested in
+    ann_variants). All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.semdedup import (
+        semantic_dedup,
+        semantic_dup_groups,
+        semantic_pairs,
+    )
+
+    corpus = _sem_corpus(spark, sf_dir)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id").isin(*_SEM_CENTROID_IDS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", dim=64,
+        threshold=0.9, centroids=cents,
+    )
+    pairs = semantic_pairs(corpus, **kw).selectExpr(
+        "'pair' AS op",
+        "CONCAT_WS('|', CAST(id_a AS STRING), CAST(id_b AS STRING)) AS k",
+        "'~' AS v",
+    )
+    groups = semantic_dup_groups(corpus, **kw).selectExpr(
+        "'grp' AS op", "CAST(vec_id AS STRING) AS k",
+        "CAST(group AS STRING) AS v",
+    )
+    keep = semantic_dedup(corpus, **kw).selectExpr(
+        "'keep' AS op", "CAST(vec_id AS STRING) AS k",
+        "COALESCE(CAST(sem_group AS STRING), '~') AS v",
+    )
+    return pairs.unionByName(groups).unionByName(keep)
+
+
+# the boilerplate paragraphs injected into the derived corpus (mirrored
+# in the oracle): %2 docs get a newsletter line, %5 a copyright line,
+# %7 a MiXeD-CaSe cookie line (exercising the normalize-before-hash)
+_PARA_CORPUS_EXPR = (
+    "text"
+    " || CASE WHEN doc_id % 2 = 0 THEN CONCAT(CHAR(10),"
+    " 'subscribe to our newsletter for updates') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN CONCAT(CHAR(10),"
+    " 'copyright 2024 example corp all rights reserved') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN CONCAT(CHAR(10),"
+    " '  Cookie POLICY:  we use cookies. ') ELSE '' END"
+)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/FineWeb paragraph dedup (llmops/paragraphs.py) over a
+    derived multi-paragraph corpus (documents.parquet has no newlines —
+    both twins append the same boilerplate lines, giving real repeated
+    paragraphs to remove): corpus paragraph frequencies ('freq'),
+    boilerplate removal keep='none' ('none'), canonical-first dedup
+    keep='first' ('first'), and split_sentences over the raw documents
+    ('sent' — the heuristic segmentation, lookaround split; the oracle
+    replays it as a capture-group sentinel rewrite). All-string
+    (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.paragraphs import (
+        paragraph_frequency,
+        remove_repeated_paragraphs,
+        split_sentences,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_PARA_CORPUS_EXPR} AS text"
+    )
+    freq = paragraph_frequency(docs, "doc_id", "text").selectExpr(
+        "'freq' AS op", "h AS k",
+        "CONCAT_WS('|', md5(para), CAST(n_docs AS STRING),"
+        " CAST(n_occ AS STRING)) AS v",
+    )
+    none = remove_repeated_paragraphs(
+        docs, "doc_id", "text", max_docs=1, keep="none"
+    ).selectExpr(
+        "'none' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(n_paras AS STRING), CAST(n_kept AS STRING),"
+        " md5(text)) AS v",
+    )
+    first = remove_repeated_paragraphs(
+        docs, "doc_id", "text", max_docs=1, keep="first"
+    ).selectExpr(
+        "'first' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(n_paras AS STRING), CAST(n_kept AS STRING),"
+        " md5(text)) AS v",
+    )
+    sents = split_sentences(
+        _docs(spark, sf_dir), "doc_id", "text"
+    ).selectExpr(
+        "'sent' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING),"
+        " CAST(sent_idx AS STRING)) AS k",
+        "CONCAT_WS('|', md5(sentence), CAST(n_chars AS STRING)) AS v",
+    )
+    return freq.unionByName(none).unionByName(first).unionByName(sents)
+
+
+# the shared span injected into every 16th document (>= width+window-1
+# = 31 chars, so winnowing GUARANTEES a shared fingerprint per copy)
+_SPAN_TEXT = (
+    " the quick brown fox jumps over the lazy dog near the river bank"
+)
+_SPAN_CORPUS_EXPR = (
+    "CASE WHEN doc_id % 16 = 0 THEN CONCAT(text,"
+    f" '{_SPAN_TEXT}') ELSE text END"
+)
+
+
+def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing repeated-span detection (llmops/spans.py, Schleimer
+    2003 / MOSS) over a corpus with a 65-char span injected into every
+    16th document: per-document fingerprint-set summaries ('fp' —
+    count, ordered-sum and min of the selected 60-bit gram hashes) and
+    the shared-span pair table ('pairs' — every injected-span pair
+    collides, any natural 24-char overlap shows up too, both
+    deterministic). All-string (op, k, v) frame; the hash sums stay
+    < 2^63 at any SF (≤ a few hundred 60-bit values per doc)."""
+    from data_validation_engine_spark.llmops.spans import (
+        shared_span_pairs,
+        winnowed_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_SPAN_CORPUS_EXPR} AS text"
+    )
+    fps = (
+        winnowed_fingerprints(docs, "doc_id", "text", width=24, window=8)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            # modulo before the sum: a doc can carry hundreds of 60-bit
+            # fingerprints and a raw long sum overflows (ANSI throws)
+            F.sum(F.col("h") % 1000000007).alias("h_sum"),
+            F.min("h").alias("h_min"),
+        )
+        .selectExpr(
+            "'fp' AS op", "CAST(doc_id AS STRING) AS k",
+            "CONCAT_WS('|', CAST(n_fp AS STRING), CAST(h_sum AS STRING),"
+            " CAST(h_min AS STRING)) AS v",
+        )
+    )
+    pairs = shared_span_pairs(
+        docs, "doc_id", "text", width=24, window=8, min_shared=1
+    ).selectExpr(
+        "'pairs' AS op",
+        "CONCAT_WS('|', CAST(id_a AS STRING), CAST(id_b AS STRING)) AS k",
+        "CAST(n_shared AS STRING) AS v",
+    )
+    return fps.unionByName(pairs)
+
+
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (llmops/sketch.py, Cormode 2005) with the
+    md5-derived cells replayed exactly by the oracle — so even the
+    *approximate* estimates hash engine-exact:
+
+    - 'cells' — cms_build over (lang-nulled-every-11th, source) grouped
+      by lang: NULL group keys are REAL groups (the marker discipline);
+    - 'est' — cms_query point estimates for every distinct (lang,
+      source) probe INCLUDING the NULL-lang group (the round-10
+      eqNullSafe fix riding the oracle gate);
+    - 'merge' — cms_merge of two halves == the direct sketch
+      (mergeability, the property that lets 100 TB persist per-batch
+      sketches and never re-touch raw data);
+    - 'stream' — streaming_cms_cells (native windowed agg, watermark
+      eviction) drained over events == batch cells per closed window.
+
+    All-string (op, k, v) frame."""
+    import tempfile
+
+    from data_validation_engine_spark.llmops.sketch import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+    from data_validation_engine_spark.streaming import read_entity_stream
+    from data_validation_engine_spark.streaming.cardinality import (
+        streaming_cms_cells,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang",
+        "source", "doc_id",
+    )
+    kw = dict(group_cols=["lang"], depth=3, width=64)
+    sketch = cms_build(docs, "source", **kw)
+    cells = sketch.selectExpr(
+        "'cells' AS op",
+        "CONCAT_WS('|', COALESCE(lang, '~'), CAST(row AS STRING),"
+        " CAST(col AS STRING)) AS k",
+        "CAST(n AS STRING) AS v",
+    )
+    probes = docs.select("lang", "source").distinct()
+    est = cms_query(sketch, probes, "source", **kw).selectExpr(
+        "'est' AS op",
+        "CONCAT_WS('|', COALESCE(lang, '~'), source) AS k",
+        "CAST(n_est AS STRING) AS v",
+    )
+    halves = cms_merge(
+        cms_build(docs.where("doc_id % 2 = 0"), "source", **kw).unionByName(
+            cms_build(docs.where("doc_id % 2 = 1"), "source", **kw)
+        ),
+        group_cols=["lang"],
+    ).selectExpr(
+        "'merge' AS op",
+        "CONCAT_WS('|', COALESCE(lang, '~'), CAST(row AS STRING),"
+        " CAST(col AS STRING)) AS k",
+        "CAST(n AS STRING) AS v",
+    )
+    sdf = read_entity_stream(
+        spark, sf_dir, _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    out = tempfile.mkdtemp(prefix="dve_scms_q_")
+    with _state_partitions(spark):
+        sq = (
+            streaming_cms_cells(
+                sdf, "ts", "event_type",
+                window_seconds=86400, depth=3, width=64,
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    sq.awaitTermination()
+    stream = spark.read.parquet(f"{out}/data").selectExpr(
+        "'stream' AS op",
+        "CONCAT_WS('|', CAST(window_start AS STRING), CAST(row AS STRING),"
+        " CAST(col AS STRING)) AS k",
+        "CAST(n AS STRING) AS v",
+    )
+    return cells.unionByName(est).unionByName(halves).unionByName(stream)
+
+
+def q_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-DataSketches HLL profiling (llmops/sketch.py hll_profile /
+    hll_rollup): per-lang distinct sources ('grp'), per-source distinct
+    langs ('fine'), and the sketch-MERGE rollup of the per-lang
+    sketches to the corpus level ('roll', k='*'). The hashed estimates
+    are engine-exact here BY REGIME, documented not lucky: the value
+    cardinalities (≤20 sources, ≤5 langs at every SF) keep every sketch
+    in DataSketches' sparse/coupon mode where the estimate IS the exact
+    coupon count, so the DuckDB twin is plain COUNT(DISTINCT ...). At
+    production cardinality the estimate departs (~1.6% at lg_k=12) —
+    that's the point of the sketch; the merge==union-of-raw property
+    being attested here is cardinality-independent. All-string frame."""
+    from data_validation_engine_spark.llmops.sketch import (
+        hll_profile,
+        hll_rollup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    per_lang = hll_profile(docs, ["lang"], "source", lg_k=12)
+    grp = per_lang.selectExpr(
+        "'grp' AS op", "lang AS k", "CAST(n_est AS STRING) AS v"
+    )
+    fine = hll_profile(
+        docs, ["source"], "lang", lg_k=12, keep_sketch=False
+    ).selectExpr("'fine' AS op", "source AS k", "CAST(n_est AS STRING) AS v")
+    roll = hll_rollup(per_lang, []).selectExpr(
+        "'roll' AS op", "'*' AS k", "CAST(n_est AS STRING) AS v"
+    )
+    return grp.unionByName(fine).unionByName(roll)
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA via mergeable sufficient statistics (llmops/pca.py):
+
+    - 'mom' — the corpus moment vector (n, Σx, upper-tri ΣxxT) from the
+      deterministic two-level ordered fold, exploded to (i, value)
+      rows. These are the EXACT inputs the driver-side eigensolve
+      consumes, so hashing them attests everything distributed about
+      the fit (the eigen-iteration itself is numpy on dim² doubles —
+      pytest-pinned, documented non-hashable).
+    - 'proj' / 'proj2' — pca_project with FIXED deterministic
+      mean/components literals shared by both twins (the fitted
+      eigenvectors would make the oracle depend on the Spark run;
+      pca_fit's eigensolve is pytest-pinned against its own math, and
+      its distributed inputs ARE the 'mom' surface), proving the
+      centered projection fold against DuckDB's replay; round(·, 6).
+
+    Floats here ride as DOUBLEs under the FLOATS.md ordered-fold rule
+    (same class as vector_stats)."""
+    from data_validation_engine_spark.llmops.pca import (
+        moment_stats,
+        pca_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n, s1, s2 = moment_stats(emb, dim=64)
+    mom_rows = [("n", 0, float(n))]
+    mom_rows += [("s1", i, v) for i, v in enumerate(s1)]
+    mom_rows += [("s2", i, v) for i, v in enumerate(s2)]
+    mom = spark.createDataFrame(
+        mom_rows, "part string, i int, value double"
+    ).selectExpr(
+        "'mom' AS op", "CONCAT_WS('|', part, CAST(i AS STRING)) AS k",
+        "value AS x",
+    )
+    proj = pca_project(
+        emb, _PCA_MEAN, _PCA_COMPS, round_to=6
+    ).selectExpr(
+        "'proj' AS op", "CAST(vec_id AS STRING) AS k", "pca[0] AS x",
+    ).unionByName(
+        pca_project(emb, _PCA_MEAN, _PCA_COMPS, round_to=6).selectExpr(
+            "'proj2' AS op", "CAST(vec_id AS STRING) AS k", "pca[1] AS x",
+        )
+    )
+    return mom.unionByName(proj)
+
+
+# fixed projection constants for q_pca_project's 'proj' arms: integer-
+# derived rationals, exactly representable, inlined identically into the
+# oracle SQL (no Date/random — deterministic by construction)
+_PCA_MEAN: list[float] = [((i * 7 + 3) % 11 - 5) / 8.0 for i in range(64)]
+_PCA_COMPS: list[list[float]] = [
+    [((i * 13 + c * 5 + 1) % 19 - 9) / 16.0 for i in range(64)]
+    for c in range(2)
+]
+
+
+# ---------------------------------------------------------------------------
+# round-10 oracle twins
+# ---------------------------------------------------------------------------
+
+def _duck_l2sq(a: str, b: str, dim: int = 64) -> str:
+    """Squared-L2 left-fold twin of llmops/ivf.py l2sq_col."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _duck_list(vals) -> str:
+    """Exact double-literal list (repr round-trips bit-exactly)."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+_SEM_IDS_SQL = ", ".join(str(i) for i in _SEM_CENTROID_IDS)
+
+_R10_ORACLES: dict[str, str] = {}
+
+_R10_ORACLES["semantic_dedup"] = f"""
+    WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding,
+                              v -> CAST(v::DOUBLE * 1.01 AS FLOAT))
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    cents AS (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY vec_id) - 1 AS ccell
+        FROM embeddings WHERE vec_id IN ({_SEM_IDS_SQL})
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, ccell AS cell,
+               sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+        FROM (
+            SELECT c.vec_id, c.embedding, t.ccell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {_duck_l2sq('c.embedding', 't.cvec')},
+                                t.ccell
+                   ) AS rk
+            FROM corpus c, cents t
+        ) WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round({_duck_dot('a.embedding', 'b.embedding')}
+                    / (a.nrm * b.nrm), 6) >= 0.9
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    grp AS (SELECT id, min(r) AS g FROM reach GROUP BY id)
+    SELECT 'pair' AS op,
+           CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) AS k,
+           '~' AS v
+    FROM pairs
+    UNION ALL
+    SELECT 'grp', CAST(id AS VARCHAR), CAST(g AS VARCHAR) FROM grp
+    UNION ALL
+    SELECT 'keep', CAST(c.vec_id AS VARCHAR),
+           COALESCE(CAST(rep.g AS VARCHAR), '~')
+    FROM corpus c
+    LEFT JOIN (SELECT id, g FROM grp WHERE id = g) rep
+      ON c.vec_id = rep.id
+    WHERE c.vec_id NOT IN (SELECT id FROM grp WHERE id <> g)
+"""
+
+_PARA_CORPUS_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+              'subscribe to our newsletter for updates' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+              'copyright 2024 example corp all rights reserved' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+              '  Cookie POLICY:  we use cookies. ' ELSE '' END AS text
+    FROM documents
+"""
+
+# the lookaround sentence boundary replayed as a capture-group sentinel
+# rewrite (RE2 has no lookarounds): group 2 (the whitespace) is consumed
+# exactly as Spark's split consumes it, groups 1/3 are retained
+_SENT_SPLIT_SQL = r"""
+    SELECT doc_id,
+           CASE WHEN COALESCE(trim(text), '') = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE string_split(
+                    regexp_replace(trim(text),
+                        $$([.!?]["')\]]?)(\s+)(["'(\[]?[A-Z0-9])$$,
+                        $$\1$$ || chr(30) || $$\3$$, 'g'),
+                    chr(30))
+           END AS sents
+    FROM documents
+"""
+
+_R10_ORACLES["paragraph_dedup"] = f"""
+    WITH pd AS ({_PARA_CORPUS_SQL}),
+    paras AS (
+        SELECT doc_id, pos, para,
+               md5(lower(regexp_replace(trim(para), '\\s+', ' ', 'g')))
+                   AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                          (x, i) -> {{'pos': i - 1, 'para': x}}),
+                          recursive := true)
+            FROM pd
+        ) WHERE length(trim(para)) >= 1
+    ),
+    stats AS (
+        SELECT h, count(DISTINCT doc_id) AS n_docs FROM paras GROUP BY h
+    ),
+    tagged AS (
+        SELECT p.doc_id, p.pos, p.para, p.h, s.n_docs,
+               row_number() OVER (
+                   PARTITION BY p.h ORDER BY p.doc_id, p.pos
+               ) AS occ_rank
+        FROM paras p JOIN stats s USING (h)
+    )
+    SELECT 'freq' AS op, h AS k,
+           md5(min(para)) || '|' ||
+           CAST(count(DISTINCT doc_id) AS VARCHAR) || '|' ||
+           CAST(count(*) AS VARCHAR) AS v
+    FROM paras GROUP BY h
+    UNION ALL
+    SELECT 'none', CAST(doc_id AS VARCHAR),
+           CAST(count(*) AS VARCHAR) || '|' ||
+           CAST(sum(CASE WHEN n_docs <= 1 THEN 1 ELSE 0 END) AS VARCHAR)
+           || '|' ||
+           md5(COALESCE(string_agg(CASE WHEN n_docs <= 1 THEN para END,
+                                   chr(10) ORDER BY pos), ''))
+    FROM tagged GROUP BY doc_id
+    UNION ALL
+    SELECT 'first', CAST(doc_id AS VARCHAR),
+           CAST(count(*) AS VARCHAR) || '|' ||
+           CAST(sum(CASE WHEN n_docs <= 1 OR occ_rank = 1
+                         THEN 1 ELSE 0 END) AS VARCHAR) || '|' ||
+           md5(COALESCE(string_agg(
+               CASE WHEN n_docs <= 1 OR occ_rank = 1 THEN para END,
+               chr(10) ORDER BY pos), ''))
+    FROM tagged GROUP BY doc_id
+    UNION ALL
+    SELECT 'sent',
+           CAST(doc_id AS VARCHAR) || '|' || CAST(sent_idx AS VARCHAR),
+           md5(sentence) || '|' || CAST(length(sentence) AS VARCHAR)
+    FROM (
+        SELECT doc_id, sent_idx, trim(sentence) AS sentence
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(sents,
+                          (x, i) -> {{'sent_idx': i - 1, 'sentence': x}}),
+                          recursive := true)
+            FROM ({_SENT_SPLIT_SQL})
+        )
+    ) WHERE length(sentence) >= 1
+"""
+
+_SPAN_CORPUS_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 16 = 0 THEN text || '{_SPAN_TEXT}'
+                ELSE text END AS text
+    FROM documents
+"""
+
+_R10_ORACLES["shared_spans"] = f"""
+    WITH norm AS (
+        SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM ({_SPAN_CORPUS_SQL})
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN length(t) >= 24 THEN
+                   list_transform(generate_series(1, length(t) - 23),
+                       i -> ('0x' || substring(md5(substring(t, i, 24)),
+                                               1, 15))::BIGINT)
+               ELSE CAST([] AS BIGINT[]) END AS g
+        FROM norm
+    ),
+    sel AS (
+        SELECT doc_id,
+               CASE WHEN len(g) >= 8 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(g) - 7),
+                       j -> list_min(g[j:j+7])))
+               WHEN len(g) >= 1 THEN [list_min(g)]
+               ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM grams
+    ),
+    fps AS (SELECT doc_id, unnest(hs) AS h FROM sel)
+    SELECT 'fp' AS op, CAST(doc_id AS VARCHAR) AS k,
+           CAST(count(*) AS VARCHAR) || '|' ||
+           CAST(sum(h % 1000000007) AS VARCHAR) || '|' ||
+           CAST(min(h) AS VARCHAR) AS v
+    FROM fps GROUP BY doc_id
+    UNION ALL
+    SELECT 'pairs',
+           CAST(a.doc_id AS VARCHAR) || '|' || CAST(b.doc_id AS VARCHAR),
+           CAST(count(*) AS VARCHAR)
+    FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def _duck_cms_cells(kv: str, depth: int = 3, width: int = 64) -> str:
+    """Inline (r, col) cell derivation twin of llmops/sketch._cms_col
+    (seed='') — ``kv`` is the marker-coalesced key expression."""
+    return (
+        f"(SELECT unnest(generate_series(0, {depth - 1})) AS r) rr,"
+        f" LATERAL (SELECT CAST(('0x' || substring(md5('|cms' ||"
+        f" rr.r || '|' || {kv}), 1, 15))::BIGINT % {width} AS INT)"
+        f" AS col) cc"
+    )
+
+
+_R10_ORACLES["cms_sketch"] = f"""
+    WITH cd AS (
+        SELECT CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+               source, doc_id
+        FROM documents
+    ),
+    built AS (
+        SELECT lang, rr.r AS row, cc.col, count(*) AS n
+        FROM cd, {_duck_cms_cells("COALESCE('v:' || source, 'n')")}
+        GROUP BY 1, 2, 3
+    ),
+    probes AS (SELECT DISTINCT lang, source FROM cd),
+    pcells AS (
+        SELECT lang, source, rr.r AS row, cc.col
+        FROM probes, {_duck_cms_cells("COALESCE('v:' || source, 'n')")}
+    ),
+    est AS (
+        SELECT p.lang, p.source, min(COALESCE(b.n, 0)) AS n_est
+        FROM pcells p LEFT JOIN built b
+          ON (p.lang IS NOT DISTINCT FROM b.lang)
+         AND p.row = b.row AND p.col = b.col
+        GROUP BY 1, 2
+    )
+    SELECT 'cells' AS op,
+           COALESCE(lang, '~') || '|' || CAST(row AS VARCHAR) || '|' ||
+           CAST(col AS VARCHAR) AS k,
+           CAST(n AS VARCHAR) AS v
+    FROM built
+    UNION ALL
+    SELECT 'merge',
+           COALESCE(lang, '~') || '|' || CAST(row AS VARCHAR) || '|' ||
+           CAST(col AS VARCHAR),
+           CAST(n AS VARCHAR)
+    FROM built
+    UNION ALL
+    SELECT 'est', COALESCE(lang, '~') || '|' || source,
+           CAST(n_est AS VARCHAR)
+    FROM est
+    UNION ALL
+    SELECT 'stream',
+           CAST(win AS VARCHAR) || '|' || CAST(row AS VARCHAR) || '|' ||
+           CAST(col AS VARCHAR),
+           CAST(count(*) AS VARCHAR)
+    FROM (
+        SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win,
+               rr.r AS row, cc.col, ts
+        FROM events,
+             {_duck_cms_cells("COALESCE('v:' || event_type, 'n')")}
+    ), (SELECT max(ts) AS mx FROM events) m
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m.mx - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+"""
+
+_R10_ORACLES["hll_profile"] = """
+    SELECT 'grp' AS op, lang AS k,
+           CAST(count(DISTINCT source) AS VARCHAR) AS v
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'fine', source, CAST(count(DISTINCT lang) AS VARCHAR)
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'roll', '*', CAST(count(DISTINCT source) AS VARCHAR)
+    FROM documents
+"""
+
+
+def _duck_moment_vec() -> str:
+    """Per-row (embedding ++ upper-tri outer product) twin of
+    llmops/pca._upper_outer — 64 + 2080 = 2144 doubles."""
+    return (
+        "list_concat(v, flatten(list_transform(generate_series(1, 64),"
+        " i -> list_transform(v[i:64], x -> v[i] * x))))"
+    )
+
+
+def _duck_pca_proj(comp: list[float]) -> str:
+    """Centered-projection left fold twin of llmops/pca.pca_project."""
+    terms = (
+        f"list_transform(generate_series(1, 64), i -> "
+        f"(v[i] - ({_duck_list(_PCA_MEAN)})[i])"
+        f" * ({_duck_list(comp)})[i])"
+    )
+    return (
+        f"round(list_reduce(list_prepend(0.0, {terms}),"
+        f" (a, b) -> a + b), 6)"
+    )
+
+
+_R10_ORACLES["pca_project"] = f"""
+    WITH mv AS (
+        SELECT vec_id, {_duck_moment_vec()} AS m
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    ),
+    seg AS (
+        SELECT vec_id // 1024 AS seg, count(*) AS n,
+               {_duck_vec_fold("list(m ORDER BY vec_id)", 2144)} AS s
+        FROM mv GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n) AS n,
+               {_duck_vec_fold("list(s ORDER BY seg)", 2144)} AS s
+        FROM seg
+    )
+    SELECT 'mom' AS op, 'n|0' AS k, CAST(n AS DOUBLE) AS x FROM tot
+    UNION ALL
+    SELECT 'mom', 's1|' || CAST(t.i - 1 AS VARCHAR), s[t.i]
+    FROM tot, (SELECT unnest(generate_series(1, 64)) AS i) t
+    UNION ALL
+    SELECT 'mom', 's2|' || CAST(t.i - 65 AS VARCHAR), s[t.i]
+    FROM tot, (SELECT unnest(generate_series(65, 2144)) AS i) t
+    UNION ALL
+    SELECT 'proj', CAST(vec_id AS VARCHAR), {_duck_pca_proj(_PCA_COMPS[0])}
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    UNION ALL
+    SELECT 'proj2', CAST(vec_id AS VARCHAR), {_duck_pca_proj(_PCA_COMPS[1])}
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
+# --- batch-2 rows (implemented next; temporary stubs) ---
 def _r10_todo(name):
     def f(spark, sf_dir):
         raise NotImplementedError(name)
     return f
 
-q_semantic_dedup = _r10_todo("semantic_dedup")
-q_paragraph_dedup = _r10_todo("paragraph_dedup")
-q_shared_spans = _r10_todo("shared_spans")
-q_cms_sketch = _r10_todo("cms_sketch")
-q_hll_profile = _r10_todo("hll_profile")
-q_pca_project = _r10_todo("pca_project")
 q_feature_scores = _r10_todo("feature_scores")
 q_chat_prep = _r10_todo("chat_prep")
 q_text_normalize = _r10_todo("text_normalize")
