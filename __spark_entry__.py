@@ -7718,15 +7718,835 @@ _R10_ORACLES["pca_project"] = f"""
 """
 
 
-# --- batch-2 rows (implemented next; temporary stubs) ---
-def _r10_todo(name):
-    def f(spark, sf_dir):
-        raise NotImplementedError(name)
-    return f
+def q_feature_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score/calibration operators (llmops/stats.py, lm.py, compress.py)
+    under the FLOATS.md discipline — exact rationals and wide-margin
+    thresholds, never transcendental values:
 
-q_feature_scores = _r10_todo("feature_scores")
-q_chat_prep = _r10_todo("chat_prep")
-q_text_normalize = _r10_todo("text_normalize")
-q_materialize_packs = _r10_todo("materialize_packs")
-q_training_shards = _r10_todo("training_shards")
-q_source_formats = _r10_todo("source_formats")
+    - 'mm' / 'rb' — standardize minmax and robust over n_chars grouped
+      by lang (integer inputs → exact min/max/type-7-percentile
+      arithmetic, one correctly-rounded division; the robust arm runs
+      broadcast_stats=False, putting the round-10 non-broadcast path on
+      the oracle gate). zscore stays pytest-only: Welford-merged
+      variance is partition-order float math, not hashable.
+    - 'auc' — grouped ROC AUC (Mann-Whitney over distinct scores):
+      integer rank sums, one fixed float chain, hashed as DOUBLE.
+    - 'lmg' / 'lmd' — char-trigram LM (CCNet-style): top-20 model grams
+      by count (integers), and per-eval-doc n_grams plus the
+      perplexity<=1000 gate over raw docs ∪ injected hex gibberish —
+      measured margins ~260 vs ~148000, four orders of magnitude, so
+      the boolean is engine-stable while ln/exp stay unhashed.
+    - 'cr' — compression_ratio (zlib Arrow hop) as the ratio<0.2 gate
+      over raw ∪ 30×-repeated variants; measured margins 0.04 vs 0.40.
+      zlib is deterministic but SQL-inexpressible — the oracle states
+      the classification the construction guarantees.
+
+    Frame is (op, k, v, x) — x DOUBLE for mm/rb/auc, NULL elsewhere."""
+    from data_validation_engine_spark.llmops.compress import (
+        compression_ratio,
+    )
+    from data_validation_engine_spark.llmops.lm import (
+        perplexity_score,
+        train_char_lm,
+    )
+    from data_validation_engine_spark.llmops.stats import (
+        grouped_auc,
+        standardize,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("nc"))
+    mm = standardize(base, "nc", group_cols=["lang"], method="minmax").selectExpr(
+        "'mm' AS op", "CAST(doc_id AS STRING) AS k",
+        "CAST(NULL AS STRING) AS v", "scaled AS x",
+    )
+    rb = standardize(
+        base, "nc", group_cols=["lang"], method="robust",
+        broadcast_stats=False,
+    ).selectExpr(
+        "'rb' AS op", "CAST(doc_id AS STRING) AS k",
+        "CAST(NULL AS STRING) AS v", "scaled AS x",
+    )
+    auc = grouped_auc(
+        docs.selectExpr("lang", "n_chars AS s", "doc_id % 2 AS y"),
+        "s", "y", group_cols=["lang"],
+    ).selectExpr(
+        "'auc' AS op", "lang AS k",
+        "CONCAT_WS('|', CAST(n_pos AS STRING), CAST(n_neg AS STRING)) AS v",
+        "auc AS x",
+    )
+    model, total, vocab = train_char_lm(docs, "text", n=3)
+    w20 = Window.orderBy(F.desc("cnt"), F.asc("gram"))
+    lmg = (
+        model.withColumn("rk", F.row_number().over(w20))
+        .where(F.col("rk") <= 20)
+        .selectExpr(
+            "'lmg' AS op", "CONCAT('g:', gram) AS k",
+            "CONCAT_WS('|', CAST(cnt AS STRING), CAST(rk AS STRING)) AS v",
+            "CAST(NULL AS DOUBLE) AS x",
+        )
+    )
+    evald = docs.selectExpr(
+        "doc_id", "'doc' AS variant", "text"
+    ).unionByName(
+        docs.selectExpr(
+            "doc_id", "'gib' AS variant",
+            "repeat(md5(CAST(doc_id AS STRING)), 8) AS text",
+        )
+    )
+    lmd = perplexity_score(
+        evald.selectExpr(
+            "CONCAT_WS('|', CAST(doc_id AS STRING), variant) AS eid", "text"
+        ),
+        model, total, vocab, "eid", "text", n=3,
+    ).selectExpr(
+        "'lmd' AS op", "eid AS k",
+        "CONCAT_WS('|', CAST(n_grams AS STRING),"
+        " CAST(perplexity <= 1000.0 AS STRING)) AS v",
+        "CAST(NULL AS DOUBLE) AS x",
+    )
+    crd = docs.selectExpr(
+        "doc_id", "'raw' AS variant", "text"
+    ).unionByName(
+        docs.selectExpr("doc_id", "'rep' AS variant", "repeat(text, 30) AS text")
+    )
+    cr = compression_ratio(crd, "text").selectExpr(
+        "'cr' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING), variant) AS k",
+        "CAST(compression_ratio < 0.2 AS STRING) AS v",
+        "CAST(NULL AS DOUBLE) AS x",
+    )
+    out = mm
+    for p in (rb, auc, lmg, lmd, cr):
+        out = out.unionByName(p)
+    return out
+
+
+def _chat_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic conversations derived from documents (there is no
+    conversation table): system + user/assistant turns cut from the
+    text, a second exchange for every 3rd doc, an empty-content turn
+    every 97th (has_empty), an unknown 'tool' role every 89th. Short
+    docs yield empty substr slices — fine, both twins compute the same
+    flags. Mirrored verbatim in the oracle construction."""
+    docs = _docs(spark, sf_dir)
+    t = lambda role, content: F.struct(  # noqa: E731
+        F.lit(role).alias("role") if isinstance(role, str) else role.alias("role"),
+        content.alias("content"),
+    )
+    empty = F.array().cast(
+        "array<struct<role:string,content:string>>"
+    )
+    conv = F.concat(
+        F.array(
+            t("system", F.lit("Be concise.")),
+            t("user", F.expr("substr(text, 1, 80)")),
+            t("assistant", F.expr("substr(text, 81, 100)")),
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(
+                t("user", F.expr("substr(text, 181, 60)")),
+                t("assistant", F.expr("substr(text, 241, 80)")),
+            ),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.array(t("user", F.lit(""))),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 89 == 0,
+            F.array(t("tool", F.lit("lookup"))),
+        ).otherwise(empty),
+    )
+    return docs.select("doc_id", conv.alias("conversation"))
+
+
+def q_chat_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation rendering + masking (llmops/chat.py) over derived
+    conversations: the rendered training string, per-turn character
+    spans and mask spans ('render'); structural quality flags
+    ('stats'); and token_loss_mask's token starts + loss mask ('mask'
+    — the oracle derives starts by exact token/separator length
+    arithmetic, valid because between tokens there is only whitespace,
+    the same invariant the fold exploits). All integer/md5/boolean
+    surfaces; the round-10 phantom-token fix rides this row (rendered
+    text ends in newline)."""
+    from data_validation_engine_spark.llmops.chat import (
+        conversation_stats,
+        render_chat,
+        token_loss_mask,
+    )
+
+    conv = _chat_corpus(spark, sf_dir)
+    rendered = render_chat(conv, "doc_id", "conversation")
+    span_str = (
+        "CONCAT_WS(',', TRANSFORM({col}, s -> CONCAT_WS(':',"
+        " CAST(s.turn AS STRING), s.role, CAST(s.start AS STRING),"
+        " CAST(s.end AS STRING))))"
+    )
+    render = rendered.selectExpr(
+        "'render' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', md5(text), CAST(n_turns AS STRING),"
+        f" md5({span_str.format(col='spans')}),"
+        f" md5({span_str.format(col='mask_spans')}),"
+        " CAST(n_mask_chars AS STRING)) AS v",
+    )
+    stats = conversation_stats(conv, "doc_id", "conversation").selectExpr(
+        "'stats' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(n_turns AS STRING), CAST(n_user AS STRING),"
+        " CAST(n_assistant AS STRING), CAST(n_system AS STRING),"
+        " CAST(n_content_chars AS STRING), CAST(has_empty AS STRING),"
+        " CAST(has_unknown_role AS STRING),"
+        " CAST(alternates AS STRING)) AS v",
+    )
+    mask = token_loss_mask(
+        rendered, "doc_id", "text", "mask_spans"
+    ).selectExpr(
+        "'mask' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(n_tokens AS STRING),"
+        " CAST(n_loss_tokens AS STRING),"
+        " md5(CONCAT_WS(',', TRANSFORM(loss_mask,"
+        "   b -> CAST(b AS STRING)))),"
+        " md5(CONCAT_WS(',', TRANSFORM(token_starts,"
+        "   s -> CAST(s AS STRING))))) AS v",
+    )
+    return render.unionByName(stats).unionByName(mask)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-ingestion text canonicalization (llmops/normalize.py, web.py,
+    functions/library.py URL anatomy) over constructed inputs mirrored
+    in the oracle:
+
+    - 'norm' — normalize_text(NFC, lowercase, strip_control, collapse)
+      on text salted with a combining accent (NFC composes it), ZWSP
+      (Cf, stripped), BEL (Cc, stripped), CR (folded), tab runs
+      (collapsed). DuckDB twin: nfc_normalize + the cascade with
+      tab/newline protected through private-use sentinels (RE2 lacks
+      Java's class intersection).
+    - 'html' — extract_html_text over constructed markup (script/style
+      drop, comment drop, block-tag newlines, tag strip, the 8 named
+      entities, whitespace collapse).
+    - 'json' — parse_json_column with explicit DDL schema over valid /
+      malformed / NULL sidecars: the loud is_valid flag plus extracted
+      fields; the oracle states the construction-guaranteed outcomes.
+    - 'url' — url_host / url_domain / url_path (try_parse_url, NULL on
+      garbage) over constructed URLs; expected anatomy is derived from
+      the construction.
+
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.functions.library import (
+        register_all_functions,
+    )
+    from data_validation_engine_spark.llmops.normalize import normalize_text
+    from data_validation_engine_spark.llmops.web import (
+        extract_html_text,
+        parse_json_column,
+    )
+
+    register_all_functions(spark)
+    docs = _docs(spark, sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.expr("substr(text, 1, 40)"),
+            F.lit(" Cafe\u0301 \u200bZW\u0007BEL\r\nline\t\tTAB  "),
+            F.lit("MIXED Case"),
+        ).alias("text"),
+    )
+    norm = normalize_text(
+        salted, "text", form="NFC", lowercase=True,
+        strip_control=True, collapse_whitespace=True,
+    ).selectExpr(
+        "'norm' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', md5(text), CAST(length(text) AS STRING)) AS v",
+    )
+    html_in = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p {color: red}</style>"
+                  "<script type='text/js'>var x = 1 < 2;</script></head>"
+                  "<body><h1>Title</h1><p>"),
+            F.expr("substr(text, 1, 80)"),
+            F.lit(" &amp; &lt;tag&gt;&nbsp;&quot;q&quot;</p>"
+                  "<!-- hidden --><div>second block</div></body></html>"),
+        ).alias("html"),
+    )
+    html = extract_html_text(html_in, "html", unescape="basic").selectExpr(
+        "'html' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', md5(text), CAST(length(text) AS STRING)) AS v",
+    )
+    json_in = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 17 = 0 THEN NULL"
+        " WHEN doc_id % 13 = 0 THEN '{\"broken\": '"
+        " ELSE CONCAT('{\"url\": \"https://ex.com/p/', doc_id,"
+        "             '\", \"n\": ', doc_id % 7, '}') END AS j",
+    )
+    js = parse_json_column(
+        json_in, "j", "url STRING, n BIGINT"
+    ).selectExpr(
+        "'json' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(is_valid AS STRING),"
+        " COALESCE(parsed.url, '~'),"
+        " COALESCE(CAST(parsed.n AS STRING), '~')) AS v",
+    )
+    urls = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 19 = 0 THEN 'ht tp://bad url'"
+        " ELSE CONCAT('https://Sub.Example', doc_id % 5,"
+        "             '.COM/path/', doc_id, '?q=', doc_id % 3) END AS u",
+    )
+    url = urls.selectExpr(
+        "'url' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', COALESCE(url_host(u), '~'),"
+        " COALESCE(url_domain(u), '~'), COALESCE(url_path(u), '~')) AS v",
+    )
+    return norm.unionByName(html).unionByName(js).unionByName(url)
+
+
+def q_materialize_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-ready packing (llmops/chunking.py materialize_packs):
+    documents become token-id sequences (token LENGTHS as ids — cheap,
+    deterministic, oracle-replicable), md5-shard into 4 shards, pack at
+    capacity 32 with boundary-crossing docs SPLIT across packs. Two
+    arms: 'plain', and 'eod' (EOD id appended per doc + final-pack
+    right-padding — n_tokens keeps the real count). Hashed per pack:
+    doc count, token count, the md5 of the packed id stream, and the
+    md5 of the span table — any placement error anywhere moves some
+    pack's hash. All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.chunking import (
+        materialize_packs,
+    )
+    from data_validation_engine_spark.llmops.dedup import tokens_col
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            tokens_col(F.col("text")), lambda t: F.length(t).cast("int")
+        ).alias("ids"),
+    )
+    span_str = (
+        "CONCAT_WS(',', TRANSFORM(doc_spans, s -> CONCAT_WS(':',"
+        " CAST(s.id AS STRING), CAST(s.start AS STRING),"
+        " CAST(s.len AS STRING))))"
+    )
+    ids_str = (
+        "CONCAT_WS(',', TRANSFORM(input_ids, i -> CAST(i AS STRING)))"
+    )
+    plain = materialize_packs(
+        docs, "doc_id", "ids", capacity=32, n_shards=4
+    ).selectExpr(
+        "'plain' AS op",
+        "CONCAT_WS('|', CAST(shard AS STRING),"
+        " CAST(pack_idx AS STRING)) AS k",
+        "CONCAT_WS('|', CAST(n_docs AS STRING), CAST(n_tokens AS STRING),"
+        f" md5({ids_str}), md5({span_str})) AS v",
+    )
+    eod = materialize_packs(
+        docs, "doc_id", "ids", capacity=32, n_shards=4,
+        pad_id=0, eod_id=99,
+    ).selectExpr(
+        "'eod' AS op",
+        "CONCAT_WS('|', CAST(shard AS STRING),"
+        " CAST(pack_idx AS STRING)) AS k",
+        "CONCAT_WS('|', CAST(n_docs AS STRING), CAST(n_tokens AS STRING),"
+        f" md5({ids_str}), md5({span_str})) AS v",
+    )
+    return plain.unionByName(eod)
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard export (scale.py
+    write_training_shards): customers md5-sharded into 8 contiguous
+    hash ranges, written partitioned, manifest read back from the
+    EXPORT (so the hash attests the write-read round trip, the shard
+    assignment, the in-shard hash order, and the DECIMAL(38,0)
+    order-free checksum). n_files is part of the surface: one task per
+    shard → one file per shard dir. All-string (op, k, v) frame."""
+    import tempfile
+
+    from data_validation_engine_spark.scale import write_training_shards
+
+    dest = tempfile.mkdtemp(prefix="dve_shards_q_") + "/export"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    manifest = write_training_shards(
+        cust, dest, "c_custkey", n_shards=8
+    )
+    return manifest.selectExpr(
+        "'manifest' AS op",
+        "CAST(shard AS STRING) AS k",
+        "CONCAT_WS('|', CAST(n_rows AS STRING), CAST(n_files AS STRING),"
+        " min_hash, max_hash, CAST(checksum AS STRING)) AS v",
+    )
+
+
+def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 source connectors, round-tripped: nation written to ORC
+    through the entity sink path and read back via sources/orc.py
+    ('orc'), and document texts written as individual files then read
+    via sources/binary.py binaryFile (content length + md5 + path
+    basename — the opaque-binary ingestion pattern multimodal columns
+    ride) ('bin'). All-string (op, k, v) frame."""
+    import tempfile
+    from pathlib import Path
+
+    from data_validation_engine_spark.sources.binary import read_binary_files
+    from data_validation_engine_spark.sources.orc import read_orc
+
+    root = Path(tempfile.mkdtemp(prefix="dve_srcfmt_q_"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.write.mode("overwrite").orc(str(root / "nation_orc"))
+    orc = read_orc(spark, str(root / "nation_orc")).selectExpr(
+        "'orc' AS op", "CAST(n_nationkey AS STRING) AS k",
+        "CONCAT_WS('|', n_name, CAST(n_regionkey AS STRING)) AS v",
+    )
+    bdir = root / "blobs"
+    bdir.mkdir()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 25 = 0")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        (bdir / f"doc_{r['doc_id']:08d}.txt").write_bytes(
+            r["text"].encode("utf-8")
+        )
+    blobs = read_binary_files(spark, str(bdir), glob="*.txt").selectExpr(
+        "'bin' AS op",
+        "regexp_extract(path, '([^/]+)$', 1) AS k",
+        "CONCAT_WS('|', CAST(length AS STRING), md5(content)) AS v",
+    )
+    return orc.unionByName(blobs)
+
+
+# --- batch-2 oracle twins ---
+
+_DUCK_LM_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+_R10_ORACLES["feature_scores"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars::DOUBLE AS nc FROM documents
+    ),
+    mm_st AS (
+        SELECT lang, min(nc) AS mn, max(nc) - min(nc) AS spread
+        FROM base GROUP BY lang
+    ),
+    rb_st AS (
+        SELECT lang, quantile_cont(nc, 0.5) AS med,
+               quantile_cont(nc, 0.75) - quantile_cont(nc, 0.25) AS iqr
+        FROM base GROUP BY lang
+    ),
+    auc_ps AS (
+        SELECT lang, n_chars AS s, count(*) AS cnt,
+               sum(doc_id % 2) AS pos
+        FROM documents GROUP BY 1, 2
+    ),
+    auc_rk AS (
+        SELECT lang, s, cnt, pos,
+               COALESCE(sum(cnt) OVER (
+                   PARTITION BY lang ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM auc_ps
+    ),
+    auc_g AS (
+        SELECT lang, sum(pos) AS n_pos, sum(cnt - pos) AS n_neg,
+               sum(pos * (2 * cum_before + cnt + 1)) AS r2
+        FROM auc_rk GROUP BY lang
+    ),
+    lm_t AS (SELECT doc_id, {_DUCK_LM_NORM} AS t FROM documents),
+    lm_model AS (
+        SELECT gram, count(*) AS cnt
+        FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, length(t) - 2),
+                i -> substring(t, i, 3))) AS gram
+            FROM lm_t WHERE length(t) >= 3
+        ) GROUP BY gram
+    )
+    SELECT 'mm' AS op, CAST(doc_id AS VARCHAR) AS k,
+           CAST(NULL AS VARCHAR) AS v,
+           CASE WHEN COALESCE(spread, 0) = 0 THEN 0.0
+                ELSE (nc - mn) / spread END AS x
+    FROM base JOIN mm_st USING (lang)
+    UNION ALL
+    SELECT 'rb', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CASE WHEN COALESCE(iqr, 0) = 0 THEN 0.0
+                ELSE (nc - med) / iqr END
+    FROM base JOIN rb_st USING (lang)
+    UNION ALL
+    SELECT 'auc', lang,
+           CAST(n_pos AS VARCHAR) || '|' || CAST(n_neg AS VARCHAR),
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               round((r2::DOUBLE - n_pos::DOUBLE * (n_pos + 1)::DOUBLE)
+                     / 2.0 / (n_pos::DOUBLE * n_neg::DOUBLE), 6)
+           END
+    FROM auc_g
+    UNION ALL
+    SELECT 'lmg', 'g:' || gram,
+           CAST(cnt AS VARCHAR) || '|' || CAST(rk AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM (
+        SELECT gram, cnt, row_number() OVER (
+            ORDER BY cnt DESC, gram ASC) AS rk
+        FROM lm_model
+    ) WHERE rk <= 20
+    UNION ALL
+    SELECT 'lmd', CAST(doc_id AS VARCHAR) || '|doc',
+           CAST(greatest(length(t) - 2, 0) AS VARCHAR) || '|true',
+           CAST(NULL AS DOUBLE)
+    FROM lm_t
+    UNION ALL
+    SELECT 'lmd', CAST(doc_id AS VARCHAR) || '|gib',
+           CAST(length(repeat(md5(CAST(doc_id AS VARCHAR)), 8)) - 2
+                AS VARCHAR) || '|false',
+           CAST(NULL AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'cr', CAST(doc_id AS VARCHAR) || '|raw', 'false',
+           CAST(NULL AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'cr', CAST(doc_id AS VARCHAR) || '|rep', 'true',
+           CAST(NULL AS DOUBLE)
+    FROM documents
+"""
+
+_DUCK_CHAT_EMPTY = "CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[])"
+
+_DUCK_CHAT_CONV = f"""
+    SELECT doc_id,
+        list_concat(list_concat(list_concat(
+            [{{'role': 'system', 'content': 'Be concise.'}},
+             {{'role': 'user', 'content': substring(text, 1, 80)}},
+             {{'role': 'assistant', 'content': substring(text, 81, 100)}}],
+            CASE WHEN doc_id % 3 = 0 THEN
+                [{{'role': 'user', 'content': substring(text, 181, 60)}},
+                 {{'role': 'assistant',
+                   'content': substring(text, 241, 80)}}]
+            ELSE {_DUCK_CHAT_EMPTY} END),
+            CASE WHEN doc_id % 97 = 0 THEN
+                [{{'role': 'user', 'content': ''}}]
+            ELSE {_DUCK_CHAT_EMPTY} END),
+            CASE WHEN doc_id % 89 = 0 THEN
+                [{{'role': 'tool', 'content': 'lookup'}}]
+            ELSE {_DUCK_CHAT_EMPTY} END) AS conv
+    FROM documents
+"""
+
+_R10_ORACLES["chat_prep"] = f"""
+    WITH convs AS ({_DUCK_CHAT_CONV}),
+    turns AS (
+        SELECT doc_id,
+               unnest(list_transform(conv,
+                      (t, ii) -> {{'i': ii - 1, 'role': t.role,
+                                   'content': t.content}}),
+                      recursive := true)
+        FROM convs
+    ),
+    placed AS (
+        SELECT doc_id, i, role, content,
+               COALESCE(sum(5 + length(role) + length(content) + 8)
+                        OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS off
+        FROM turns
+    ),
+    spans AS (
+        SELECT doc_id, i, role, content,
+               off + length(role) + 5 AS st,
+               off + length(role) + 5 + length(content) AS en
+        FROM placed
+    ),
+    rendered AS (
+        SELECT doc_id,
+               string_agg('<|' || role || '|>' || chr(10) || content ||
+                          '<|end|>' || chr(10), '' ORDER BY i) AS text
+        FROM turns GROUP BY doc_id
+    ),
+    span_aggs AS (
+        SELECT doc_id, count(*) AS n_turns,
+               string_agg(CAST(i AS VARCHAR) || ':' || role || ':' ||
+                          CAST(st AS VARCHAR) || ':' ||
+                          CAST(en AS VARCHAR), ',' ORDER BY i)
+                   AS spans_str,
+               COALESCE(string_agg(
+                   CASE WHEN role = 'assistant' THEN
+                       CAST(i AS VARCHAR) || ':' || role || ':' ||
+                       CAST(st AS VARCHAR) || ':' || CAST(en AS VARCHAR)
+                   END, ',' ORDER BY i), '') AS mask_str,
+               COALESCE(sum(CASE WHEN role = 'assistant'
+                                 THEN en - st END), 0) AS n_mask
+        FROM spans GROUP BY doc_id
+    ),
+    body AS (
+        SELECT t.doc_id, t.role,
+               t.i - CASE WHEN f.first_sys THEN 1 ELSE 0 END AS j
+        FROM turns t JOIN (
+            SELECT doc_id,
+                   bool_or(i = 0 AND role = 'system') AS first_sys
+            FROM turns GROUP BY doc_id
+        ) f USING (doc_id)
+        WHERE NOT (t.i = 0 AND f.first_sys)
+    ),
+    alt AS (
+        SELECT doc_id,
+               bool_and((j % 2 = 0 AND role = 'user')
+                        OR (j % 2 = 1 AND role = 'assistant'))
+               AND count(*) > 0 AND count(*) % 2 = 0 AS alternates
+        FROM body GROUP BY doc_id
+    ),
+    toks0 AS (
+        SELECT doc_id,
+               CASE WHEN trimmed = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trimmed, '\\s+') END AS tk,
+               regexp_extract_all(trimmed, '\\s+') AS seps
+        FROM (
+            SELECT doc_id,
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed
+            FROM rendered
+        )
+    ),
+    tokrows AS (
+        SELECT doc_id, i, tok,
+               CASE WHEN i <= len(seps) THEN length(seps[i])
+                    ELSE 0 END AS seplen
+        FROM (
+            SELECT doc_id, seps,
+                   unnest(list_transform(tk,
+                          (x, ii) -> {{'i': ii, 'tok': x}}),
+                          recursive := true)
+            FROM toks0
+        )
+    ),
+    placedt AS (
+        SELECT doc_id, i, tok,
+               COALESCE(sum(length(tok) + seplen) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS st
+        FROM tokrows
+    ),
+    masked AS (
+        SELECT p.doc_id, p.i, p.st, count(s.doc_id) > 0 AS hit
+        FROM placedt p LEFT JOIN spans s
+          ON s.doc_id = p.doc_id AND s.role = 'assistant'
+         AND p.st < s.en AND p.st + length(p.tok) > s.st
+        GROUP BY p.doc_id, p.i, p.st
+    )
+    SELECT 'render' AS op, CAST(r.doc_id AS VARCHAR) AS k,
+           md5(r.text) || '|' || CAST(a.n_turns AS VARCHAR) || '|' ||
+           md5(a.spans_str) || '|' || md5(a.mask_str) || '|' ||
+           CAST(a.n_mask AS VARCHAR) AS v
+    FROM rendered r JOIN span_aggs a USING (doc_id)
+    UNION ALL
+    SELECT 'stats', CAST(t.doc_id AS VARCHAR),
+           CAST(count(*) AS VARCHAR) || '|' ||
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                AS VARCHAR) || '|' ||
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                AS VARCHAR) || '|' ||
+           CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END)
+                AS VARCHAR) || '|' ||
+           CAST(sum(length(content)) AS VARCHAR) || '|' ||
+           CAST(bool_or(content = '' OR role = '') AS VARCHAR) || '|' ||
+           CAST(bool_or(role NOT IN ('user', 'assistant', 'system'))
+                AS VARCHAR) || '|' ||
+           CAST(any_value(alternates) AS VARCHAR)
+    FROM turns t JOIN alt USING (doc_id)
+    GROUP BY t.doc_id
+    UNION ALL
+    SELECT 'mask', CAST(doc_id AS VARCHAR),
+           CAST(count(*) AS VARCHAR) || '|' ||
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS VARCHAR) || '|' ||
+           md5(string_agg(CASE WHEN hit THEN 'true' ELSE 'false' END,
+                          ',' ORDER BY i)) || '|' ||
+           md5(string_agg(CAST(st AS VARCHAR), ',' ORDER BY i))
+    FROM masked GROUP BY doc_id
+"""
+
+# normalize_text twin: NFC via the builtin, tab/newline protected
+# through private-use sentinels while Cc/Cf strip (RE2 lacks Java's
+# class intersection), then the same lower/collapse cascade
+_DUCK_NORM_INPUT = (
+    "substring(text, 1, 40) || ' Cafe' || chr(769) || ' ' || chr(8203)"
+    " || 'ZW' || chr(7) || 'BEL' || chr(13) || chr(10) || 'line'"
+    " || chr(9) || chr(9) || 'TAB  ' || 'MIXED Case'"
+)
+
+_DUCK_HTML_INPUT = (
+    "'<html><head><style>p {color: red}</style>"
+    "<script type=''text/js''>var x = 1 < 2;</script></head>"
+    "<body><h1>Title</h1><p>' || substring(text, 1, 80) ||"
+    "' &amp; &lt;tag&gt;&nbsp;&quot;q&quot;</p>"
+    "<!-- hidden --><div>second block</div></body></html>'"
+)
+
+
+def _duck_collapse(expr: str) -> str:
+    out = f"regexp_replace({expr}, '[ \\t]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"
+
+
+def _duck_norm_pipeline() -> str:
+    n = f"nfc_normalize({_DUCK_NORM_INPUT})"
+    n = f"regexp_replace({n}, '\\r\\n|\\r', chr(10), 'g')"
+    n = f"replace(replace({n}, chr(9), chr(57344)), chr(10), chr(57345))"
+    n = f"regexp_replace({n}, '[\\p{{Cc}}\\p{{Cf}}]', '', 'g')"
+    n = f"replace(replace({n}, chr(57345), chr(10)), chr(57344), chr(9))"
+    n = f"lower({n})"
+    return _duck_collapse(n)
+
+
+def _duck_html_pipeline() -> str:
+    n = _DUCK_HTML_INPUT
+    for tag in ("script", "style", "noscript", "template"):
+        n = (
+            f"regexp_replace({n}, '(?is)<{tag}\\b.*?</{tag}\\s*>',"
+            f" ' ', 'g')"
+        )
+    n = f"regexp_replace({n}, '(?s)<!--.*?-->', ' ', 'g')"
+    block = (
+        "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|pre|"
+        "section|article|header|footer"
+    )
+    n = (
+        f"regexp_replace({n}, '(?i)</?(?:{block})\\b[^>]*>',"
+        f" chr(10), 'g')"
+    )
+    n = f"regexp_replace({n}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&apos;", "''"), ("&#x27;", "''"),
+        ("&amp;", "&"),
+    ):
+        n = f"replace({n}, '{ent}', '{rep}')"
+    return _duck_collapse(n)
+
+
+_R10_ORACLES["text_normalize"] = f"""
+    SELECT 'norm' AS op, CAST(doc_id AS VARCHAR) AS k,
+           md5(t) || '|' || CAST(length(t) AS VARCHAR) AS v
+    FROM (SELECT doc_id, {_duck_norm_pipeline()} AS t FROM documents)
+    UNION ALL
+    SELECT 'html', CAST(doc_id AS VARCHAR),
+           md5(t) || '|' || CAST(length(t) AS VARCHAR)
+    FROM (SELECT doc_id, {_duck_html_pipeline()} AS t FROM documents)
+    UNION ALL
+    SELECT 'json', CAST(doc_id AS VARCHAR),
+           CASE WHEN doc_id % 17 = 0 THEN 'true|~|~'
+                WHEN doc_id % 13 = 0 THEN 'false|~|~'
+                ELSE 'true|https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+                     || '|' || CAST(doc_id % 7 AS VARCHAR) END
+    FROM documents
+    UNION ALL
+    SELECT 'url', CAST(doc_id AS VARCHAR),
+           CASE WHEN doc_id % 19 = 0 THEN '~|~|~'
+                ELSE 'sub.example' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.com|example' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.com|/path/' || CAST(doc_id AS VARCHAR) END
+    FROM documents
+"""
+
+
+def _duck_pack_arm(op: str, eod: bool) -> str:
+    ids = (
+        "list_transform(CASE WHEN COALESCE(trim(text), '') = '' THEN "
+        "CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), "
+        r"'\s+') END, t -> length(t))"
+    )
+    if eod:
+        ids = f"list_concat({ids}, [99])"
+        pad = " || repeat(',0', CAST(32 - n_tokens AS BIGINT))"
+    else:
+        pad = ""
+    return f"""
+    SELECT '{op}' AS op,
+           CAST(shard AS VARCHAR) || '|' || CAST(pack_idx AS VARCHAR)
+               AS k,
+           CAST(n_docs AS VARCHAR) || '|' || CAST(n_tokens AS VARCHAR)
+           || '|' || md5(ids_csv{pad}) || '|' || md5(spans_csv) AS v
+    FROM (
+        SELECT shard, pack_idx, count(*) AS n_docs,
+               sum(len(piece)) AS n_tokens,
+               string_agg(array_to_string(piece, ','), ','
+                          ORDER BY local) AS ids_csv,
+               string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(local AS VARCHAR) || ':' ||
+                          CAST(len(piece) AS VARCHAR), ','
+                          ORDER BY local) AS spans_csv
+        FROM (
+            SELECT doc_id, shard, pack_idx,
+                   greatest(start, pack_idx * 32) - pack_idx * 32
+                       AS local,
+                   ids[(greatest(start, pack_idx * 32) - start + 1):
+                       (least(start + n, (pack_idx + 1) * 32) - start)]
+                       AS piece
+            FROM (
+                SELECT doc_id, ids, n, shard, start,
+                       unnest(generate_series(CAST(start // 32 AS BIGINT),
+                              CAST((start + n - 1) // 32 AS BIGINT)))
+                       AS pack_idx
+                FROM (
+                    SELECT doc_id, ids, n, shard,
+                           COALESCE(sum(n) OVER (
+                               PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS start
+                    FROM (
+                        SELECT doc_id, ids, len(ids) AS n,
+                               CAST(('0x' || substring(
+                                   md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                                   )::INT % 4 AS INT) AS shard
+                        FROM (SELECT doc_id, {ids} AS ids
+                              FROM documents)
+                        WHERE len(ids) > 0
+                    )
+                )
+            )
+        )
+        GROUP BY shard, pack_idx
+    )
+    """
+
+
+_R10_ORACLES["materialize_packs"] = (
+    _duck_pack_arm("plain", eod=False)
+    + " UNION ALL "
+    + _duck_pack_arm("eod", eod=True)
+)
+
+_R10_ORACLES["training_shards"] = """
+    SELECT 'manifest' AS op, CAST(shard AS VARCHAR) AS k,
+           CAST(count(*) AS VARCHAR) || '|1|' ||
+           min(hash) || '|' || max(hash) || '|' ||
+           CAST(sum(CAST(('0x' || substring(hash, 1, 15))::BIGINT
+                    AS DECIMAL(38,0))) AS VARCHAR) AS v
+    FROM (
+        SELECT c_custkey, hash,
+               CAST((('0x' || substring(hash, 1, 4))::BIGINT * 8)
+                    // 65536 AS INT) AS shard
+        FROM (
+            SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS hash
+            FROM customer
+        )
+    ) GROUP BY shard
+"""
+
+_R10_ORACLES["source_formats"] = """
+    SELECT 'orc' AS op, CAST(n_nationkey AS VARCHAR) AS k,
+           n_name || '|' || CAST(n_regionkey AS VARCHAR) AS v
+    FROM nation
+    UNION ALL
+    SELECT 'bin',
+           'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt',
+           CAST(strlen(text) AS VARCHAR) || '|' || md5(text)
+    FROM documents WHERE doc_id % 25 = 0
+"""
