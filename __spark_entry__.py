@@ -4121,12 +4121,57 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("status")
         .distinct()
     )
-    return ent.crossJoin(status).selectExpr(
-        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
-        "n_name",
-        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
-        "CAST(name_len AS BIGINT) AS name_len",
-        "status AS pipeline_status",
+    pipe = ent.crossJoin(status).selectExpr(
+        "'pipe' AS op",
+        "CAST(n_nationkey AS STRING) AS k",
+        "CONCAT_WS('|', n_name, CAST(n_regionkey AS STRING),"
+        " CAST(name_len AS STRING), status) AS v",
+    )
+    # versioned-table tags (round 10, r9 verdict Next-round #6): write
+    # v1 (half the table), publish v2 (full), prove a reader pinned at
+    # v1 still reads the COMPLETE old snapshot after v2 published (time
+    # travel), publish v3, vacuum keep_last=2 (removes exactly v1), and
+    # read the published pointer after the vacuum. Every step's result
+    # is in the hashed frame — a torn snapshot, a mis-advanced pointer
+    # or an over-eager vacuum each flips the hash.
+    from data_validation_engine_spark.sinks.versioned import (
+        list_versions,
+        read_table,
+        vacuum,
+        write_version,
+    )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tdir = str(root / "vtable")
+    v1 = write_version(nation.where("n_nationkey < 10"), tdir)
+    v2 = write_version(nation, tdir)
+    assert (v1, v2) == (1, 2)
+    vt1 = read_table(spark, tdir, version=1).selectExpr(
+        "'vt1' AS op", "CAST(n_nationkey AS STRING) AS k", "n_name AS v"
+    )
+    # force the pinned-version read BEFORE v3/vacuum mutate the dir
+    # (DataFrames are lazy; the time-travel claim needs the old files
+    # still present when the plan executes)
+    vt1_rows = vt1.collect()
+    vt1 = spark.createDataFrame(vt1_rows, "op string, k string, v string")
+    v3 = write_version(nation, tdir)
+    removed = vacuum(spark, tdir, keep_last=2)
+    remaining = list_versions(spark, tdir)
+    vt2 = read_table(spark, tdir).selectExpr(
+        "'vt2' AS op", "CAST(n_nationkey AS STRING) AS k", "n_name AS v"
+    )
+    vac = spark.createDataFrame(
+        [(
+            "vac",
+            "*",
+            ",".join(str(v) for v in removed)
+            + "|" + ",".join(str(v) for v in remaining)
+            + f"|{v3}",
+        )],
+        "op string, k string, v string",
+    )
+    return (
+        pipe.unionByName(vt1).unionByName(vt2).unionByName(vac)
     )
 
 
@@ -6508,12 +6553,22 @@ _ORACLES: dict[str, str] = {
         FROM sessions GROUP BY user_id, session_idx
     """,
     # the crossJoin collapses to exactly one distinct audit status row
-    # ('completed') iff every stage of both submissions succeeded
+    # ('completed') iff every stage of both submissions succeeded;
+    # 'vt*' tags: the versioned-table lifecycle (v1 half / v2 full /
+    # time-travel read of v1 after v2 / v3 + vacuum to {2,3}) stated
+    # from the same constructions
     "pipeline_e2e": """
-        SELECT n_nationkey, n_name, n_regionkey,
-               length(n_name) AS name_len,
-               'completed' AS pipeline_status
+        SELECT 'pipe' AS op, CAST(n_nationkey AS VARCHAR) AS k,
+               n_name || '|' || CAST(n_regionkey AS VARCHAR) || '|' ||
+               CAST(length(n_name) AS VARCHAR) || '|completed' AS v
         FROM nation
+        UNION ALL
+        SELECT 'vt1', CAST(n_nationkey AS VARCHAR), n_name
+        FROM nation WHERE n_nationkey < 10
+        UNION ALL
+        SELECT 'vt2', CAST(n_nationkey AS VARCHAR), n_name FROM nation
+        UNION ALL
+        SELECT 'vac', '*', '1|2,3|3'
     """,
     "report_aggregates": """
         WITH stringified AS (

@@ -53,6 +53,76 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+# row -> columns attested to carry a non-string type (the FLOATS.md
+# inventory: ordered-fold doubles, exact-integer keys, booleans — each
+# individually driver-attested green). The lint fails any OTHER
+# non-string hashed column: the permanent gate against the r6-r8
+# engine→pandas dtype-coercion failure class (r9 verdict Next-round #3).
+# Extending this list requires a FLOATS.md entry explaining why the
+# column is engine-exact.
+HASH_TYPE_ALLOWLIST: dict[str, frozenset[str]] = {
+    "ann_variants": frozenset(["bucket_part", "cosine", "vec_id"]),
+    "bounded_pairs": frozenset(["bucket", "id_a", "id_b"]),
+    "connected_components": frozenset(
+        ["component", "component_star", "id", "x"]
+    ),
+    "contract_cast": frozenset(["okey", "price"]),
+    "contract_functions": frozenset(["ck", "name_num"]),
+    "contract_messages": frozenset(["is_informational", "record_key"]),
+    "data_profiling": frozenset(["a", "b", "x"]),
+    "dedup_exact": frozenset(["a", "b", "doc_id"]),
+    "dedup_minhash": frozenset(["id_a", "id_b", "jaccard"]),
+    "dedup_simhash": frozenset(["a", "b"]),
+    "embedding_neardup": frozenset(["a", "b", "r", "x"]),
+    "entity_ops": frozenset(["n_nationkey"]),
+    "feature_scores": frozenset(["x"]),
+    "flag_joins": frozenset(["flag", "key"]),
+    "group_by": frozenset(
+        ["A", "N", "R", "avg_qty", "count_order", "q_roundtrip",
+         "sum_base_price", "sum_disc_price", "sum_qty"]
+    ),
+    "join_header": frozenset(["n_nationkey"]),
+    "multimodal_meta": frozenset(
+        ["doc_id", "f_len", "f_max", "f_mean", "f_min", "n_bytes"]
+    ),
+    "pca_project": frozenset(["x"]),
+    "quality_sync": frozenset(["doc_id", "n_chars"]),
+    "report_aggregates": frozenset(["Count"]),
+    "scalar_functions": frozenset(
+        ["big_bal", "c_custkey", "le_5k", "name_len", "near_5k",
+         "nhs_ok"]
+    ),
+    "sequence_prep": frozenset(["doc_id", "idx", "n"]),
+    "source_xml_json": frozenset(["k", "rk"]),
+    "step_dedup_fuzzy": frozenset(["doc_id", "n_chars"]),
+    "step_similarity_ann": frozenset(["cosine", "vec_id"]),
+    "streaming_dedup": frozenset(["k", "x"]),
+    "streaming_sync_messages": frozenset(["record_key"]),
+    "streaming_window_counts": frozenset(["n", "x"]),
+    "text_retrieval": frozenset(["a", "b", "x"]),
+    "text_stats": frozenset(
+        ["avg_token_len", "bucket", "doc_id", "dup_bigram_frac",
+         "dup_trigram_frac", "ecdf", "n_bpe_tokens", "n_chars",
+         "n_emails", "n_ips", "n_longnums", "n_tokens", "punct_ratio",
+         "quality_ok", "repetitive", "stopword_ratio",
+         "top_token_frac", "w_kept"]
+    ),
+    "union": frozenset(["bal", "id"]),
+    "vector_stats": frozenset(["a", "id", "x", "y"]),
+}
+
+
+def hash_discipline_violations(name: str, dtypes: list[tuple]) -> list[str]:
+    """Columns of a hashed frame that are neither string nor on the
+    attested allowlist — each is a latent driver red of the r6-r8
+    dtype-coercion class and fails the sweep."""
+    allowed = HASH_TYPE_ALLOWLIST.get(name, frozenset())
+    return [
+        f"{col}:{typ}"
+        for col, typ in dtypes
+        if typ != "string" and col not in allowed
+    ]
+
 
 def normalise(value) -> str:
     import datetime as dt
@@ -238,6 +308,11 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            lint = hash_discipline_violations(name, sdf.dtypes)
+            if lint:
+                print(f"LINT  {name}: non-string hashed columns not on "
+                      f"the FLOATS.md allowlist: {lint}")
+                failures += 1
             if opts["canon"] == "pandas":
                 s_rows = [
                     tuple(r) for r in sdf.toPandas().itertuples(index=False)
