@@ -2136,8 +2136,12 @@ def q_corpus_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     docs = _docs(spark, sf_dir)
+    # n_merges is a cost knob, not a correctness one: decode inverts
+    # whatever merges were learned, so the round-trip attests the path
+    # at any K (production K rides the join path whose plan size is
+    # K-independent — the point of word_table=)
     merges, words = bpe_train(
-        docs, "text", n_merges=24, lowercase=True, return_words=True
+        docs, "text", n_merges=12, lowercase=True, return_words=True
     )
     decoded = bpe_decode(
         bpe_encode(docs, "doc_id", "text", word_table=words, lowercase=True)

@@ -383,13 +383,14 @@ def test_incremental_embedding_declared_step(spark):
 
 def test_driver_row_budget_and_oracle_coverage():
     """The driver records at most 50 rows: the layout must stay exactly
-    50 with env_probe the ONLY oracle-less (diagnostic) row."""
+    50 and (round 10 — env_probe retired, its fingerprint recorded in
+    the r9 verdict) EVERY row must carry a DuckDB oracle twin."""
     import __spark_entry__ as entry
 
     q = entry.queries()
     o = entry.oracle_sql()
     assert len(q) == 50
-    assert set(q) - set(o) == {"env_probe"}
+    assert set(q) - set(o) == set(), "rows without an oracle twin"
     assert set(o) <= set(q), "stale oracle entries for removed rows"
 
 
@@ -399,12 +400,10 @@ def test_round9_singletons_hash_all_string(spark, sf_dir):
     class) — every column is a string."""
     import __spark_entry__ as entry
 
-    rows = [
-        "topk_group", "rolling_agg", "percentiles", "rollup_cube",
-        "retention", "funnel_batch", "sessionize_batch",
-        "tfidf_top1", "vocab_build", "vocab_encode", "postings",
-        "bpe_pairstats",
-    ]
+    # round 10: the singletons re-merged into union rows; the frames
+    # must stay all-string (the broader allowlist gate lives in
+    # tests/test_hash_discipline.py — this pins the four merged rows)
+    rows = ["window_analytics", "corpus_terms", "sessionize"]
     q = entry.queries()
     for name in rows:
         df = q[name](spark, sf_dir)
