@@ -197,7 +197,7 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         "join_header",
         "ann_variants",  # exact brute-force arm: broadcast 1-row query
         "vector_stats",  # nearest-prototype: broadcast k-row centroids
-        "tfidf_top1",  # broadcast 1-row corpus count (r9 singleton)
+        "corpus_terms",  # tfidf arm: broadcast 1-row corpus count (r10 merge)
         "text_retrieval",  # bm25 arm: broadcast 1-row corpus stats
         "union",  # scd2s arm: broadcast 1-row as-of scalar (round 8)
         "data_profiling",  # chi2 arm: broadcast 1-row sample totals (r8)
@@ -205,14 +205,15 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
     skip = {
         "pipeline_e2e",  # full pipeline (own tests; intended status cross)
         "report_aggregates",  # runs the presence-check pipeline (r9)
-        "sessionize_stream",  # streaming drain (r9 singleton)
-        "rolling_stream",  # streaming drain (r9 singleton)
-        "funnel_stream",  # streaming drain (r9 singleton)
+        "sessionize",  # streaming drain inside the r10 union
+        "event_analytics",  # two streaming drains inside the r10 union
+        "cms_sketch",  # streaming cells drain inside the r10 union
+        "training_shards",  # writes the export during construction
+        "source_formats",  # stages ORC/blob files during construction
         "source_xml_json",
         "streaming_dedup",
         "streaming_sync_messages",
         "streaming_window_counts",
-        "env_probe",  # deliberately raises (diagnostic row)
     }
     for name, fn in entry_mod.queries().items():
         if name in skip:
