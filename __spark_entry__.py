@@ -7122,16 +7122,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding", dim=64,
         threshold=0.9, centroids=cents,
     )
-    pairs = semantic_pairs(corpus, **kw).selectExpr(
+    # the clustering + within-cell cosine pass runs ONCE: pairs are
+    # pair-graph-sized (small), so the eager localCheckpoint is cheap
+    # and the groups/keep stages reuse it via the operators' passthrough
+    # parameters instead of re-running the pipeline three times
+    pairs_df = semantic_pairs(corpus, **kw).localCheckpoint()
+    groups_df = semantic_dup_groups(corpus, **kw, pairs=pairs_df)
+    pairs = pairs_df.selectExpr(
         "'pair' AS op",
         "CONCAT_WS('|', CAST(id_a AS STRING), CAST(id_b AS STRING)) AS k",
         "'~' AS v",
     )
-    groups = semantic_dup_groups(corpus, **kw).selectExpr(
+    groups = groups_df.selectExpr(
         "'grp' AS op", "CAST(vec_id AS STRING) AS k",
         "CAST(group AS STRING) AS v",
     )
-    keep = semantic_dedup(corpus, **kw).selectExpr(
+    keep = semantic_dedup(corpus, **kw, groups=groups_df).selectExpr(
         "'keep' AS op", "CAST(vec_id AS STRING) AS k",
         "COALESCE(CAST(sem_group AS STRING), '~') AS v",
     )
@@ -7845,10 +7851,15 @@ def q_feature_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS DOUBLE) AS x",
         )
     )
-    evald = docs.selectExpr(
+    # eval every 3rd doc in both classes: the gate is a per-row property
+    # (margins four orders of magnitude), so a deterministic subsample
+    # attests it identically at a third of the explode+join cost — the
+    # oracle twin applies the same % 3 cut
+    evalbase = docs.where("doc_id % 3 = 0")
+    evald = evalbase.selectExpr(
         "doc_id", "'doc' AS variant", "text"
     ).unionByName(
-        docs.selectExpr(
+        evalbase.selectExpr(
             "doc_id", "'gib' AS variant",
             "repeat(md5(CAST(doc_id AS STRING)), 8) AS text",
         )
@@ -7864,10 +7875,16 @@ def q_feature_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(perplexity <= 1000.0 AS STRING)) AS v",
         "CAST(NULL AS DOUBLE) AS x",
     )
+    # 'rep' variants are 30× the corpus bytes through zlib — every 5th
+    # doc carries the repeated class (same cut in the oracle); 'raw'
+    # stays full-corpus (one zlib pass over the real text is the
+    # operator's production shape)
     crd = docs.selectExpr(
         "doc_id", "'raw' AS variant", "text"
     ).unionByName(
-        docs.selectExpr("doc_id", "'rep' AS variant", "repeat(text, 30) AS text")
+        docs.where("doc_id % 5 = 0").selectExpr(
+            "doc_id", "'rep' AS variant", "repeat(text, 30) AS text"
+        )
     )
     cr = compression_ratio(crd, "text").selectExpr(
         "'cr' AS op",
@@ -8259,13 +8276,13 @@ _R10_ORACLES["feature_scores"] = f"""
     SELECT 'lmd', CAST(doc_id AS VARCHAR) || '|doc',
            CAST(greatest(length(t) - 2, 0) AS VARCHAR) || '|true',
            CAST(NULL AS DOUBLE)
-    FROM lm_t
+    FROM lm_t WHERE doc_id % 3 = 0
     UNION ALL
     SELECT 'lmd', CAST(doc_id AS VARCHAR) || '|gib',
            CAST(length(repeat(md5(CAST(doc_id AS VARCHAR)), 8)) - 2
                 AS VARCHAR) || '|false',
            CAST(NULL AS DOUBLE)
-    FROM documents
+    FROM documents WHERE doc_id % 3 = 0
     UNION ALL
     SELECT 'cr', CAST(doc_id AS VARCHAR) || '|raw', 'false',
            CAST(NULL AS DOUBLE)
@@ -8273,7 +8290,7 @@ _R10_ORACLES["feature_scores"] = f"""
     UNION ALL
     SELECT 'cr', CAST(doc_id AS VARCHAR) || '|rep', 'true',
            CAST(NULL AS DOUBLE)
-    FROM documents
+    FROM documents WHERE doc_id % 5 = 0
 """
 
 _DUCK_CHAT_EMPTY = "CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[])"

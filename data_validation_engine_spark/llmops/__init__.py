@@ -75,6 +75,7 @@ from data_validation_engine_spark.llmops.asof import (
     asof_join,
 )
 from data_validation_engine_spark.llmops.chunking import (
+    chunk_by_sentences,
     chunk_documents,
     pack_sequences,
 )
@@ -179,6 +180,7 @@ from data_validation_engine_spark.llmops.text import (
     pii_scrub,
     quality_filters,
     repetition_stats,
+    script_profile,
     text_fingerprint,
     text_stats,
     tfidf_top_terms,
@@ -227,6 +229,7 @@ __all__ = [
     "weighted_keep",
     "weighted_sample",
     "build_vocab",
+    "chunk_by_sentences",
     "chunk_documents",
     "decontaminate",
     "grouped_vector_sum",
@@ -242,6 +245,7 @@ __all__ = [
     "quality_filters",
     "repetition_stats",
     "text_fingerprint",
+    "script_profile",
     "text_stats",
     "tfidf_top_terms",
     "bm25_search",

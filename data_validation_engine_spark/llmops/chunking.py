@@ -328,3 +328,139 @@ def materialize_packs(
             "input_ids", F.concat(F.col("input_ids"), pad)
         )
     return out
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int,
+    overlap_sentences: int = 0,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sentence-aware chunking: pack CONSECUTIVE sentences greedily into
+    chunks of at most ``max_tokens`` whitespace tokens — the RAG/eval
+    prep that :func:`chunk_documents`'s fixed token windows can't give
+    (a fixed window cuts mid-sentence; retrieval quality wants chunk
+    boundaries on sentence boundaries — the standard public recipe,
+    e.g. LangChain/LlamaIndex sentence splitters).
+
+    Greedy rule: a sentence joins the current chunk unless that would
+    exceed ``max_tokens`` and the chunk already has content; a single
+    sentence longer than ``max_tokens`` gets its own (oversized) chunk
+    rather than being dropped or cut — loud-data convention, the caller
+    filters on ``n_tokens`` if hard caps matter. ``overlap_sentences``
+    prepends the last k sentences of the previous chunk to each
+    subsequent chunk (retrieval context stitching); overlap text is
+    included in ``text`` but NOT in ``n_tokens``/``n_sentences`` (which
+    describe the chunk's OWN sentences, keeping token accounting
+    disjoint across chunks).
+
+    Returns one row per chunk: ``(id_col, chunk_idx, text, n_sentences,
+    n_tokens)``.
+
+    Scale shape: sentence segmentation, the greedy fold, and chunk
+    reassembly are all per-row higher-order functions over the
+    document's own sentence array (state bounded by document size) —
+    zero shuffle at any corpus size, same class as
+    :func:`chunk_documents`. The reassembly's filter-per-chunk is
+    O(n_chunks · n_sentences) per document — bounded by doc size,
+    never corpus size.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if overlap_sentences < 0:
+        raise ValueError(
+            f"overlap_sentences must be >= 0, got {overlap_sentences}"
+        )
+    # sentence split: same boundary as paragraphs.split_sentences,
+    # inlined as a column expression so the whole operator stays one
+    # projection (split_sentences returns an exploded frame)
+    boundary = r"(?<=[.!?][\"'\)\]]?)\s+(?=[\"'\(\[]?[A-Z0-9])"
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    sents = F.filter(
+        F.transform(
+            F.when(trimmed == "", F.array().cast("array<string>"))
+            .otherwise(F.split(trimmed, boundary)),
+            lambda s: F.trim(s),
+        ),
+        lambda s: F.length(s) >= int(min_chars),
+    )
+    # greedy fold: acc = (next chunk idx, tokens in open chunk,
+    # array<struct<ci, pos, sent, t>>)
+    elem_t = "array<struct<ci:int,pos:int,sent:string,t:int>>"
+    zero = F.struct(
+        F.lit(0).alias("ci"),
+        F.lit(0).alias("cur"),
+        F.expr(f"CAST(array() AS {elem_t})").alias("out"),
+    )
+
+    def _step(acc, s):
+        t = F.size(F.split(s, r"\s+"))
+        opens_new = (acc["cur"] > 0) & (acc["cur"] + t > max_tokens)
+        ci = F.when(opens_new, acc["ci"] + 1).otherwise(acc["ci"])
+        return F.struct(
+            ci.alias("ci"),
+            F.when(opens_new, t).otherwise(acc["cur"] + t).alias("cur"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        ci.alias("ci"),
+                        F.size(acc["out"]).alias("pos"),
+                        s.alias("sent"),
+                        t.alias("t"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    staged = df.select(
+        F.col(id_col), F.aggregate(sents, zero, _step)["out"].alias("__a")
+    )
+    a = F.col("__a")
+    n_chunks = F.when(F.size(a) > 0, F.element_at(a, -1)["ci"] + 1).otherwise(
+        F.lit(0)
+    )
+    ov = int(overlap_sentences)
+
+    def _chunk(ci):
+        own = F.filter(a, lambda e: e["ci"] == ci)
+        first_pos = F.element_at(own, 1)["pos"]
+        lead = F.filter(
+            a,
+            lambda e: (e["pos"] >= first_pos - ov) & (e["pos"] < first_pos),
+        )
+        text = F.concat_ws(
+            " ", F.transform(F.concat(lead, own), lambda e: e["sent"])
+        )
+        n_tok = F.aggregate(
+            own, F.lit(0), lambda acc2, e: acc2 + e["t"]
+        )
+        return F.struct(
+            ci.alias("chunk_idx"),
+            text.alias("text"),
+            F.size(own).alias("n_sentences"),
+            n_tok.alias("n_tokens"),
+        )
+
+    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1), _chunk)
+    exploded = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.when(n_chunks > 0, chunks).otherwise(
+                F.expr(
+                    "CAST(array() AS array<struct<chunk_idx:int,"
+                    "text:string,n_sentences:int,n_tokens:int>>)"
+                )
+            )
+        ).alias("__c"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.text").alias("text"),
+        F.col("__c.n_sentences").alias("n_sentences"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+    )

@@ -106,16 +106,24 @@ def semantic_dup_groups(
     round_to: int = 6,
     max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
     centroids: list[list[float]] | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate-group table ``(id, group)`` — one row per document that
     participates in at least one semantic near-dup pair; ``group`` is the
     smallest id reachable through the pair graph (so the group's
-    canonical representative is the row with ``id == group``)."""
-    pairs = semantic_pairs(
-        df, id_col=id_col, vec_col=vec_col, dim=dim, n_cells=n_cells,
-        threshold=threshold, n_iters=n_iters, round_to=round_to,
-        max_bucket_rows=max_bucket_rows, centroids=centroids,
-    )
+    canonical representative is the row with ``id == group``).
+
+    Pass ``pairs`` (a :func:`semantic_pairs` result, ideally persisted /
+    localCheckpointed) to skip recomputing the pair pipeline — the
+    clustering + within-cell cosine pass is the expensive stage, and a
+    caller that wants pairs AND groups AND the keep-set should run it
+    exactly once."""
+    if pairs is None:
+        pairs = semantic_pairs(
+            df, id_col=id_col, vec_col=vec_col, dim=dim, n_cells=n_cells,
+            threshold=threshold, n_iters=n_iters, round_to=round_to,
+            max_bucket_rows=max_bucket_rows, centroids=centroids,
+        )
     return connected_components(pairs).select(
         F.col("id").alias(id_col), F.col("component").alias("group")
     )
@@ -133,6 +141,7 @@ def semantic_dedup(
     round_to: int = 6,
     max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
     centroids: list[list[float]] | None = None,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup keep-set: ``df``'s rows minus semantic duplicates.
 
@@ -145,12 +154,17 @@ def semantic_dedup(
     The drop is an anti-join of ``df`` against the non-representative
     group members — group-table-sized, not corpus-sized, so Spark
     broadcasts it whenever the duplicate population fits.
+
+    Pass ``groups`` (a :func:`semantic_dup_groups` result) to skip
+    recomputing the pair pipeline + CC — same reuse contract as
+    ``semantic_dup_groups(pairs=...)``.
     """
-    groups = semantic_dup_groups(
-        df, id_col=id_col, vec_col=vec_col, dim=dim, n_cells=n_cells,
-        threshold=threshold, n_iters=n_iters, round_to=round_to,
-        max_bucket_rows=max_bucket_rows, centroids=centroids,
-    )
+    if groups is None:
+        groups = semantic_dup_groups(
+            df, id_col=id_col, vec_col=vec_col, dim=dim, n_cells=n_cells,
+            threshold=threshold, n_iters=n_iters, round_to=round_to,
+            max_bucket_rows=max_bucket_rows, centroids=centroids,
+        )
     reps = groups.where(F.col(id_col) == F.col("group"))
     losers = groups.where(F.col(id_col) != F.col("group")).select(id_col)
     return (

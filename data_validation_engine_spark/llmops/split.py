@@ -31,15 +31,35 @@ from pyspark.sql import functions as F
 N_BUCKETS = 65536
 
 
-def hash_bucket(key: Column, *, seed: str = "") -> Column:
-    """Deterministic bucket in ``[0, 65536)`` from ``md5(seed || key)``.
+def hash_bucket(key: Column, *, seed: str = "", algo: str = "md5") -> Column:
+    """Deterministic bucket in ``[0, 65536)`` from a hash of
+    ``seed || key``.
 
     ``seed`` derives an independent assignment (e.g. per experiment);
     ``key`` is cast to string so any key type works. Pure per-row
     projection — no shuffle, no Python.
+
+    ``algo``:
+
+    - ``"md5"`` (default) — the engine-portable assignment: DuckDB (and
+      any engine with md5) reproduces the buckets bit-for-bit, which is
+      what the oracle twins and cross-engine reproducibility contracts
+      rely on. Cost: a full 128-bit cryptographic digest per row.
+    - ``"xxhash64"`` — the PRODUCTION-throughput assignment: Spark's
+      codegen'd 64-bit xxHash is ~10× cheaper per row, which matters
+      when bucketing 100 TB (the hash is the whole map-side cost of a
+      split/shard pass). Deterministic across runs, partitionings and
+      Spark versions (pinned algorithm), but NOT portable to non-Spark
+      engines — keep md5 wherever an external system must re-derive
+      the same assignment.
     """
-    digest = F.md5(F.concat(F.lit(seed), key.cast("string")))
-    return F.conv(F.substring(digest, 1, 4), 16, 10).cast("int")
+    if algo == "md5":
+        digest = F.md5(F.concat(F.lit(seed), key.cast("string")))
+        return F.conv(F.substring(digest, 1, 4), 16, 10).cast("int")
+    if algo == "xxhash64":
+        h = F.xxhash64(F.lit(seed), key.cast("string"))
+        return F.pmod(h, F.lit(N_BUCKETS)).cast("int")
+    raise ValueError(f"algo must be 'md5' or 'xxhash64', got {algo!r}")
 
 
 def hash_split(

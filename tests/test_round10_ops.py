@@ -1,0 +1,229 @@
+"""Round-10 operator budget: sentence-aware chunking, Unicode script
+profiling, and the xxhash64 production bucket path — each pinned
+against a pure-Python reference (the pytest-first contract; driver
+attestation rides the round-11 oracle budget per the freeze rule)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_sentences(text: str) -> list[str]:
+    # Python re rejects variable-width lookbehind, so the reference
+    # replays the boundary as the same capture-group sentinel rewrite
+    # the DuckDB oracle uses
+    t = text.strip()
+    if not t:
+        return []
+    marked = re.sub(
+        r"([.!?][\"'\)\]]?)(\s+)([\"'\(\[]?[A-Z0-9])", "\\1\x1e\\3", t
+    )
+    return [s.strip() for s in marked.split("\x1e") if s.strip()]
+
+
+def _py_chunks(text: str, max_tokens: int, overlap: int = 0):
+    sents = _py_sentences(text)
+    chunks: list[list[int]] = []  # sentence indexes per chunk
+    cur_tokens = 0
+    for i, s in enumerate(sents):
+        t = len(s.split())
+        if chunks and cur_tokens > 0 and cur_tokens + t > max_tokens:
+            chunks.append([i])
+            cur_tokens = t
+        elif not chunks:
+            chunks.append([i])
+            cur_tokens = t
+        else:
+            chunks[-1].append(i)
+            cur_tokens += t
+    out = []
+    for ci, idxs in enumerate(chunks):
+        lead = sents[max(0, idxs[0] - overlap):idxs[0]] if ci else []
+        own = [sents[i] for i in idxs]
+        out.append(
+            {
+                "chunk_idx": ci,
+                "text": " ".join(lead + own),
+                "n_sentences": len(own),
+                "n_tokens": sum(len(s.split()) for s in own),
+            }
+        )
+    return out
+
+
+class TestChunkBySentences:
+    TEXT = (
+        "One two three. Four five six seven! Eight nine? "
+        "Ten eleven twelve thirteen fourteen. Fifteen. "
+        "Sixteen seventeen eighteen nineteen twenty twentyone."
+    )
+
+    def test_matches_python_reference(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            chunk_by_sentences,
+        )
+
+        rows = [("a", self.TEXT), ("b", "Short only."), ("c", None),
+                ("d", "")]
+        df = spark.createDataFrame(rows, "id string, text string")
+        for max_tokens, ov in ((6, 0), (6, 1), (10, 2), (100, 0)):
+            got = {
+                (r["id"], r["chunk_idx"]): r
+                for r in chunk_by_sentences(
+                    df, "id", "text",
+                    max_tokens=max_tokens, overlap_sentences=ov,
+                ).collect()
+            }
+            want = {}
+            for rid, text in rows:
+                for c in _py_chunks(text or "", max_tokens, ov):
+                    want[(rid, c["chunk_idx"])] = c
+            assert set(got) == set(want), (max_tokens, ov)
+            for k, w in want.items():
+                g = got[k]
+                assert g["text"] == w["text"], (k, max_tokens, ov)
+                assert g["n_sentences"] == w["n_sentences"]
+                assert g["n_tokens"] == w["n_tokens"]
+
+    def test_oversized_sentence_gets_own_chunk(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            chunk_by_sentences,
+        )
+
+        # words must start uppercase or the boundary (which requires a
+        # sentence-opening next char) never fires after "Tiny."
+        df = spark.createDataFrame(
+            [("a", "Tiny. " + " ".join(f"W{i}" for i in range(30))
+              + ". Tail.")],
+            "id string, text string",
+        )
+        out = chunk_by_sentences(df, "id", "text", max_tokens=5).collect()
+        toks = [r["n_tokens"] for r in sorted(out, key=lambda r: r["chunk_idx"])]
+        assert toks[0] <= 5 and toks[1] > 5  # oversized kept whole, alone
+        assert sum(r["n_sentences"] for r in out) == 3
+
+    def test_zero_shuffle_plan(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            chunk_by_sentences,
+        )
+
+        df = spark.createDataFrame(
+            [("a", self.TEXT)], "id string, text string"
+        )
+        plan = (
+            chunk_by_sentences(df, "id", "text", max_tokens=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark):
+        from data_validation_engine_spark.llmops.chunking import (
+            chunk_by_sentences,
+        )
+
+        df = spark.createDataFrame([("a", "x")], "id string, text string")
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_by_sentences(df, "id", "text", max_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_by_sentences(
+                df, "id", "text", max_tokens=5, overlap_sentences=-1
+            )
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant(self, spark):
+        from data_validation_engine_spark.llmops import script_profile
+
+        rows = [
+            ("latin", "Hello world"),
+            ("cyr", "Привет мир"),
+            ("han", "你好世界 hi"),
+            ("mixed", "abcd Привет"),
+            ("none", "1234 !!"),
+            ("null", None),
+            ("kana", "こんにちは カタカナ"),
+        ]
+        df = spark.createDataFrame(rows, "id string, text string")
+        got = {r["id"]: r for r in script_profile(df, "text").collect()}
+        assert got["latin"]["script_latin"] == 10
+        assert got["latin"]["dominant_script"] == "latin"
+        assert got["cyr"]["script_cyrillic"] == 9
+        assert got["cyr"]["dominant_script"] == "cyrillic"
+        assert got["han"]["script_han"] == 4
+        assert got["han"]["script_latin"] == 2
+        assert got["han"]["dominant_script"] == "han"
+        # tie 4 vs 4? mixed: latin 4, cyrillic 6 -> cyrillic
+        assert got["mixed"]["dominant_script"] == "cyrillic"
+        assert got["none"]["dominant_script"] == "none"
+        assert got["null"]["dominant_script"] == "none"
+        assert got["null"]["script_letters"] == 0
+        assert got["kana"]["dominant_script"] == "kana"
+
+    def test_tie_breaks_to_first_listed_class(self, spark):
+        from data_validation_engine_spark.llmops import script_profile
+
+        df = spark.createDataFrame(
+            [("t", "ab Пр")], "id string, text string"
+        )
+        r = script_profile(df, "text").first()
+        assert r["script_latin"] == r["script_cyrillic"] == 2
+        assert r["dominant_script"] == "latin"  # first listed wins ties
+
+    def test_zero_shuffle_no_python(self, spark):
+        from data_validation_engine_spark.llmops import script_profile
+
+        df = spark.createDataFrame([("a", "hi")], "id string, text string")
+        plan = (
+            script_profile(df, "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+class TestHashBucketAlgo:
+    def test_xxhash64_range_and_determinism(self, spark):
+        from data_validation_engine_spark.llmops.split import (
+            N_BUCKETS,
+            hash_bucket,
+        )
+
+        df = spark.range(5000).select(F.col("id"))
+        out = df.select(
+            hash_bucket(F.col("id"), algo="xxhash64").alias("b")
+        )
+        stats = out.agg(
+            F.min("b"), F.max("b"), F.countDistinct("b")
+        ).first()
+        assert 0 <= stats[0] and stats[1] < N_BUCKETS
+        assert stats[2] > 2000  # spreads, not degenerate
+        # deterministic across evaluations and seeds derive new maps
+        a = out.collect()
+        b = df.select(
+            hash_bucket(F.col("id"), algo="xxhash64").alias("b")
+        ).collect()
+        assert a == b
+        seeded = df.select(
+            hash_bucket(F.col("id"), seed="exp1", algo="xxhash64").alias("b")
+        ).collect()
+        assert seeded != a
+
+    def test_md5_path_unchanged_and_validation(self, spark):
+        import hashlib
+
+        from data_validation_engine_spark.llmops.split import hash_bucket
+
+        df = spark.createDataFrame([("k1",), ("k2",)], "k string")
+        got = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", hash_bucket(F.col("k")).alias("b")
+            ).collect()
+        }
+        for k, b in got.items():
+            assert b == int(hashlib.md5(k.encode()).hexdigest()[:4], 16)
+        with pytest.raises(ValueError, match="algo"):
+            hash_bucket(F.col("k"), algo="sha1")
