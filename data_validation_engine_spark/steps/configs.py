@@ -1338,6 +1338,37 @@ class Standardize(AbstractStep):
     method: Literal["zscore", "minmax", "robust"] = "zscore"
     output_column: str = "scaled"
     ddof: int = 1
+    # drop the broadcast hint above ~10M groups: a per-domain/per-user
+    # stats frame is no longer "one row per group ≈ small" and a forced
+    # broadcast OOMs the driver — let AQE decide from the measured size
+    broadcast_stats: bool = True
+
+
+class ChunkBySentences(AbstractStep):
+    """Sentence-aware greedy chunking: pack consecutive sentences into
+    chunks of at most ``max_tokens`` whitespace tokens, boundaries on
+    sentence boundaries (RAG/eval prep); ``overlap_sentences`` stitches
+    trailing context onto each following chunk. Oversized sentences
+    stay whole and loud. One row per chunk; zero shuffle."""
+
+    operation: Literal["chunk_by_sentences"] = "chunk_by_sentences"
+    key_column: str
+    text_column: str = "text"
+    max_tokens: int
+    overlap_sentences: int = 0
+    min_chars: int = 1
+
+
+class ScriptProfile(AbstractStep):
+    """Per-document Unicode writing-system profile: one letter-count
+    column per script class (latin/cyrillic/han/arabic/devanagari/
+    hangul/kana/greek/hebrew), the total letter count, and the
+    dominant-script label — the pre-lang-id multilingual bucket
+    signal. JVM regexp_count only; zero shuffle."""
+
+    operation: Literal["script_profile"] = "script_profile"
+    text_column: str = "text"
+    prefix: str = "script_"
 
 
 class CompressionRatio(AbstractStep):
@@ -1571,6 +1602,8 @@ AnyStep = Annotated[
         CompressionRatio,
         Standardize,
         SplitSentences,
+        ChunkBySentences,
+        ScriptProfile,
     ],
     Field(discriminator="operation"),
 ]

@@ -150,6 +150,8 @@ from data_validation_engine_spark.steps.configs import (
     CompressionRatio,
     Standardize,
     SplitSentences,
+    ChunkBySentences,
+    ScriptProfile,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -294,6 +296,8 @@ class StepEngine:
             CompressionRatio: self.compression_ratio,
             Standardize: self.standardize,
             SplitSentences: self.split_sentences,
+            ChunkBySentences: self.chunk_by_sentences,
+            ScriptProfile: self.script_profile,
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -2243,6 +2247,36 @@ class StepEngine:
             method=config.method,
             out_col=config.output_column,
             ddof=config.ddof,
+            broadcast_stats=config.broadcast_stats,
+        )
+        return None
+
+    def chunk_by_sentences(
+        self, entities: Entities, *, config: ChunkBySentences
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.chunking import (
+            chunk_by_sentences,
+        )
+
+        entities[config.output_name] = chunk_by_sentences(
+            entities[config.entity_name],
+            config.key_column,
+            config.text_column,
+            max_tokens=config.max_tokens,
+            overlap_sentences=config.overlap_sentences,
+            min_chars=config.min_chars,
+        )
+        return None
+
+    def script_profile(
+        self, entities: Entities, *, config: ScriptProfile
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.text import script_profile
+
+        entities[config.output_name] = script_profile(
+            entities[config.entity_name],
+            config.text_column,
+            prefix=config.prefix,
         )
         return None
 

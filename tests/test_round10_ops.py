@@ -227,3 +227,79 @@ class TestHashBucketAlgo:
             assert b == int(hashlib.md5(k.encode()).hexdigest()[:4], 16)
         with pytest.raises(ValueError, match="algo"):
             hash_bucket(F.col("k"), algo="sha1")
+
+
+class TestDeclaredSteps:
+    def test_chunk_by_sentences_declared(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [("a", "One two three. Four five six seven! Eight nine?")],
+            "id string, text string",
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"docs": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "chunk_by_sentences",
+                    "entity_name": "docs",
+                    "key_column": "id",
+                    "max_tokens": 6,
+                    "new_entity_name": "chunks",
+                }
+            ),
+        )
+        out = {r["chunk_idx"]: r for r in ents["chunks"].collect()}
+        assert out[0]["text"] == "One two three."
+        assert out[1]["text"] == "Four five six seven! Eight nine?"
+
+    def test_script_profile_declared(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [("a", "Привет world")], "id string, text string"
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"docs": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "script_profile",
+                    "entity_name": "docs",
+                    "new_entity_name": "prof",
+                }
+            ),
+        )
+        r = ents["prof"].first()
+        assert r["script_cyrillic"] == 6 and r["script_latin"] == 5
+        assert r["dominant_script"] == "cyrillic"
+
+    def test_standardize_declared_broadcast_escape(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 5.0)], "g string, v double"
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"t": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "standardize",
+                    "entity_name": "t",
+                    "value_column": "v",
+                    "group_by": ["g"],
+                    "method": "minmax",
+                    "broadcast_stats": False,
+                    "new_entity_name": "s",
+                }
+            ),
+        )
+        plan = ents["s"]._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in plan.lower()
+        got = sorted(r["scaled"] for r in ents["s"].collect())
+        assert got == [0.0, 0.0, 1.0]
