@@ -7403,7 +7403,16 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n, s1, s2 = moment_stats(emb, dim=64)
+    # segment_size=256: the level-1 ordered folds are interpreted HOFs
+    # (Spark never codegens lambda bodies) and the segment size trades
+    # fold parallelism against per-segment collect_list overhead —
+    # measured at sf0.1: 10.2s (1024) / 8.6s (64) / 4.8s (256); the
+    # residual is the per-row interpreted outer-product itself. The
+    # segment size PINS the addition order (different sizes are
+    # different, equally-valid fold orders), so the oracle replays
+    # exactly 256; determinism across partitionings holds at any
+    # fixed size
+    n, s1, s2 = moment_stats(emb, dim=64, segment_size=256)
     mom_rows = [("n", 0, float(n))]
     mom_rows += [("s1", i, v) for i, v in enumerate(s1)]
     mom_rows += [("s2", i, v) for i, v in enumerate(s2)]
@@ -7758,7 +7767,7 @@ _R10_ORACLES["pca_project"] = f"""
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     ),
     seg AS (
-        SELECT vec_id // 1024 AS seg, count(*) AS n,
+        SELECT vec_id // 256 AS seg, count(*) AS n,
                {_duck_vec_fold("list(m ORDER BY vec_id)", 2144)} AS s
         FROM mv GROUP BY 1
     ),
