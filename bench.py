@@ -41,9 +41,6 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
-    # the diagnostic env-fingerprint row deliberately raises — it measures
-    # nothing and must not abort the bench
-    queries.pop("env_probe", None)
 
     # derive sf from the directory name (e.g. .../sf0.1)
     tail = Path(sf_dir).name

@@ -21,18 +21,19 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 # the rows whose plumbing crosses the hazards: pandas-state µs math
-# (sessionize_stream / rolling_stream / funnel_stream), event-time
-# windows + watermark flush (streaming_window_counts), and the
-# ln-adjacent term surfaces (tfidf_top1 / vocab_encode) — the round-9
-# singleton successors of the formerly merged sensitive rows
+# and event-time windows + watermark flush (the streaming arms now
+# ride the sessionize / event_analytics / cms_sketch unions), the
+# ln-adjacent term surfaces (corpus_terms), and the Arrow-hop rows
+# (feature_scores zlib, text_normalize unicodedata) — round-10 union
+# successors of the r9 singletons
 SENSITIVE = [
-    "sessionize_batch",
-    "sessionize_stream",
-    "rolling_stream",
-    "funnel_stream",
+    "sessionize",
+    "event_analytics",
     "streaming_window_counts",
-    "tfidf_top1",
-    "vocab_encode",
+    "cms_sketch",
+    "corpus_terms",
+    "feature_scores",
+    "text_normalize",
 ]
 
 
