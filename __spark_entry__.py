@@ -395,62 +395,9 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rolling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME trailing 1-hour count as q_rolling_agg, emitted by the
-    STREAMING custom stateful operator (streaming/rolling.py,
-    applyInPandasWithState per-key timestamp-tail state, availableNow
-    drain) — its DuckDB twin is the identical window SQL, so the hash
-    PROVES batch/stream rolling parity instead of claiming it. All
-    timestamp math is JVM-side longs; the hashed frame is all-STRING."""
-    import tempfile
-
-    from data_validation_engine_spark.streaming import (
-        read_entity_stream,
-        streaming_rolling_counts,
-    )
-
-    ev = _events_ts(spark, sf_dir)
-    sdf = read_entity_stream(
-        spark,
-        sf_dir,
-        _EVENTS_TS_SCHEMA,
-        options={"pathGlobFilter": "events.parquet"},
-    )
-    sout = tempfile.mkdtemp(prefix="dve_sroll_q_")
-    with _state_partitions(spark):
-        sq = (
-            streaming_rolling_counts(
-                sdf, "user_id", "ts", window_seconds=3600,
-                watermark="366 days"
-            )
-            .writeStream.format("parquet")
-            .option("path", f"{sout}/data")
-            .option("checkpointLocation", f"{sout}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    sq.awaitTermination()
-    # join the event_id back on (user, ts_us): the streamed frame carries
-    # only (key, event_ts_us, n_window); ties on (user, ts) are impossible
-    # in the events table (event_id is unique per instant per user)
-    return (
-        spark.read.parquet(f"{sout}/data")
-        .join(
-            ev.select(
-                "event_id",
-                "user_id",
-                F.unix_micros(F.col("ts").cast("timestamp")).alias(
-                    "event_ts_us"
-                ),
-            ),
-            ["user_id", "event_ts_us"],
-        )
-        .selectExpr(
-            "CAST(event_id AS STRING) AS eid",
-            "CAST(n_window AS STRING) AS n_1h",
-        )
-    )
+# (q_rolling_stream / q_funnel_stream folded into q_event_analytics in
+#  round 10 — the merged row starts both availableNow drains together;
+#  their oracles are composed unchanged by _merge_oracles.)
 
 
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,58 +480,6 @@ def q_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_at_least AS STRING) AS n_at_least",
         "CAST(n_exact AS STRING) AS n_exact",
         "CAST(lag_sum_us AS STRING) AS lag_sum_us",
-    )
-
-
-def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME funnel maintained by the STREAMING custom stateful operator
-    (streaming/funnel.py, applyInPandasWithState, three longs of state per
-    user, availableNow drain) — per-user final (stage, t_enter, t_reach)
-    hash-matched against the identical min-cascade SQL, proving
-    batch/stream funnel parity. Hashed frame all-STRING."""
-    import tempfile
-
-    from data_validation_engine_spark.streaming import (
-        read_entity_stream,
-        streaming_window_funnel,
-    )
-
-    sdf = read_entity_stream(
-        spark,
-        sf_dir,
-        _EVENTS_TS_SCHEMA,
-        options={"pathGlobFilter": "events.parquet"},
-    )
-    fout = tempfile.mkdtemp(prefix="dve_sfun_q_")
-    with _state_partitions(spark):
-        fq = (
-            streaming_window_funnel(
-                sdf, "user_id", "ts", "event_type",
-                ["view", "click", "purchase"],
-                window_us=3 * 86_400_000_000, watermark="366 days",
-            )
-            .writeStream.format("parquet")
-            .option("path", f"{fout}/data")
-            .option("checkpointLocation", f"{fout}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    fq.awaitTermination()
-    return (
-        spark.read.parquet(f"{fout}/data")
-        .groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.struct("stage", "t_enter_us", "t_reach_us"), "stage"
-            ).alias("s")
-        )
-        .selectExpr(
-            "CAST(user_id AS STRING) AS uid",
-            "CAST(s.stage AS STRING) AS stage",
-            "CAST(COALESCE(s.t_enter_us, -1) AS STRING) AS t_enter_us",
-            "CAST(COALESCE(s.t_reach_us, -1) AS STRING) AS t_reach_us",
-        )
     )
 
 
@@ -2194,7 +2089,90 @@ def q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     green in CORRECTNESS_r09). The two streaming arms keep proving
     batch/stream parity against the identical SQL oracles; merging
     them back reclaims the localization rows' per-query session
-    overhead. Frame is (op, k, v) strings."""
+    overhead, and the two availableNow drains START TOGETHER and are
+    awaited together (independent streams share the session — the
+    production shape; each drain carries ~2s of fixed micro-batch
+    plumbing and running them concurrently pays it once)."""
+    import tempfile
+
+    from data_validation_engine_spark.streaming import (
+        read_entity_stream,
+        streaming_rolling_counts,
+        streaming_window_funnel,
+    )
+
+    ev = _events_ts(spark, sf_dir)
+    fout = tempfile.mkdtemp(prefix="dve_sfun_q_")
+    rout = tempfile.mkdtemp(prefix="dve_sroll_q_")
+    with _state_partitions(spark):
+        fq = (
+            streaming_window_funnel(
+                read_entity_stream(
+                    spark, sf_dir, _EVENTS_TS_SCHEMA,
+                    options={"pathGlobFilter": "events.parquet"},
+                ),
+                "user_id", "ts", "event_type",
+                ["view", "click", "purchase"],
+                window_us=3 * 86_400_000_000, watermark="366 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{fout}/data")
+            .option("checkpointLocation", f"{fout}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        rq = (
+            streaming_rolling_counts(
+                read_entity_stream(
+                    spark, sf_dir, _EVENTS_TS_SCHEMA,
+                    options={"pathGlobFilter": "events.parquet"},
+                ),
+                "user_id", "ts", window_seconds=3600,
+                watermark="366 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{rout}/data")
+            .option("checkpointLocation", f"{rout}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    fq.awaitTermination()
+    rq.awaitTermination()
+    fs = (
+        spark.read.parquet(f"{fout}/data")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("stage", "t_enter_us", "t_reach_us"), "stage"
+            ).alias("s")
+        )
+        .selectExpr(
+            "'fs' AS op",
+            "CAST(user_id AS STRING) AS k",
+            "CONCAT_WS('|', CAST(s.stage AS STRING),"
+            " CAST(COALESCE(s.t_enter_us, -1) AS STRING),"
+            " CAST(COALESCE(s.t_reach_us, -1) AS STRING)) AS v",
+        )
+    )
+    sroll = (
+        spark.read.parquet(f"{rout}/data")
+        .join(
+            ev.select(
+                "event_id",
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                    "event_ts_us"
+                ),
+            ),
+            ["user_id", "event_ts_us"],
+        )
+        .selectExpr(
+            "'sroll' AS op", "CAST(event_id AS STRING) AS k",
+            "CAST(n_window AS STRING) AS v",
+        )
+    )
     parts = [
         q_retention(spark, sf_dir).selectExpr(
             "'ret' AS op", "CONCAT_WS('|', cohort, offset) AS k",
@@ -2204,13 +2182,8 @@ def q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'fb' AS op", "stage AS k",
             "CONCAT_WS('|', n_at_least, n_exact, lag_sum_us) AS v",
         ),
-        q_funnel_stream(spark, sf_dir).selectExpr(
-            "'fs' AS op", "uid AS k",
-            "CONCAT_WS('|', stage, t_enter_us, t_reach_us) AS v",
-        ),
-        q_rolling_stream(spark, sf_dir).selectExpr(
-            "'sroll' AS op", "eid AS k", "n_1h AS v",
-        ),
+        fs,
+        sroll,
     ]
     out = parts[0]
     for p in parts[1:]:
