@@ -35,7 +35,11 @@ from data_validation_engine_spark.llmops.pairs import (
     bounded_self_join,
 )
 
-__all__ = ["winnowed_fingerprints", "shared_span_pairs"]
+__all__ = [
+    "winnowed_fingerprints",
+    "shared_span_pairs",
+    "shared_spans_incremental",
+]
 
 
 def _norm(text: Column, *, normalize: bool) -> Column:
@@ -138,6 +142,57 @@ def shared_span_pairs(
     )
     return (
         pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def shared_spans_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    width: int = 24,
+    window: int = 8,
+    min_shared: int = 1,
+    normalize: bool = True,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Repeated-span detection of a NEW batch against a frozen corpus's
+    persisted fingerprint table — the incremental sibling of
+    :func:`shared_span_pairs`, same contract as ``dedup_incremental``:
+    the corpus is never re-fingerprinted and corpus×corpus pairs are
+    never generated.
+
+    ``index`` is a ``(id_col, h)`` table as produced by
+    :func:`winnowed_fingerprints` over the corpus (persist it once per
+    corpus version; appending a batch to the corpus appends its
+    fingerprints to the index — the rows are independent, no rebuild).
+    Returns ``(new_id, corpus_id, n_shared)`` with ``n_shared >=
+    min_shared`` counting shared fingerprints; the winnowing guarantee
+    carries over — any copied span of length >= ``width + window - 1``
+    chars between a new document and any corpus document produces at
+    least one match.
+
+    Scale shape: the new batch fingerprints per-row (zero shuffle),
+    then ONE equi-join on the 8-byte hash against the index.
+    ``broadcast_new`` hints the new side (a batch's fingerprint set is
+    usually tiny next to a 100 TB corpus index, and broadcasting it
+    turns the probe into a map-side scan of the index); pass False for
+    batch sizes past broadcast limits and let AQE decide.
+    """
+    fps = winnowed_fingerprints(
+        new_df, id_col, text_col,
+        width=width, window=window, normalize=normalize,
+    ).select(F.col(id_col).alias("__new_id"), "h")
+    if broadcast_new:
+        fps = F.broadcast(fps)
+    hits = index.select(
+        F.col(id_col).alias("corpus_id"), "h"
+    ).join(fps, "h")
+    return (
+        hits.groupBy(F.col("__new_id").alias("new_id"), "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )

@@ -178,3 +178,76 @@ def test_shared_spans_declared_step(spark, plagiarised):
     )
     got = {(r["id_a"], r["id_b"]) for r in ents["pairs"].collect()}
     assert (1, 2) in got
+
+
+class TestSharedSpansIncremental:
+    def test_cross_pairs_match_batch_and_corpus_never_refingerprints(
+        self, spark
+    ):
+        from data_validation_engine_spark.llmops.spans import (
+            shared_span_pairs,
+            shared_spans_incremental,
+            winnowed_fingerprints,
+        )
+
+        span = "the quick brown fox jumps over the lazy dog tonight"
+        corpus = spark.createDataFrame(
+            [
+                (1, "corpus doc one mentions " + span + " in passing"),
+                (2, "another corpus doc with nothing shared at all "
+                    "beyond plain words"),
+                (3, "third corpus doc also quotes " + span + " verbatim"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (101, "fresh submission copying " + span + " again"),
+                (102, "fresh original text sharing no spans with anyone "
+                      "whatsoever here"),
+            ],
+            "doc_id long, text string",
+        )
+        index = winnowed_fingerprints(corpus, "doc_id", "text")
+        inc = {
+            (r["new_id"], r["corpus_id"]): r["n_shared"]
+            for r in shared_spans_incremental(
+                new, index, "doc_id", "text"
+            ).collect()
+        }
+        # batch over the union, restricted to cross pairs, must agree
+        full = {
+            (r["id_b"], r["id_a"]): r["n_shared"]
+            for r in shared_span_pairs(
+                corpus.unionByName(new), "doc_id", "text"
+            ).collect()
+            if r["id_a"] <= 3 and r["id_b"] >= 101
+        }
+        assert inc == full
+        assert (101, 1) in inc and (101, 3) in inc
+        assert all(nid != 102 for nid, _ in inc)
+
+    def test_broadcast_hint_and_escape(self, spark):
+        from data_validation_engine_spark.llmops.spans import (
+            shared_spans_incremental,
+            winnowed_fingerprints,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "a shared span of sufficient length to fingerprint ok")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(9, "a shared span of sufficient length to fingerprint ok")],
+            "doc_id long, text string",
+        )
+        index = winnowed_fingerprints(corpus, "doc_id", "text")
+        hinted = shared_spans_incremental(new, index, "doc_id", "text")
+        plain = shared_spans_incremental(
+            new, index, "doc_id", "text", broadcast_new=False
+        )
+        hp = hinted._jdf.queryExecution().optimizedPlan().toString()
+        pp = plain._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" in hp.lower()
+        assert "broadcast" not in pp.lower()
+        assert hinted.collect() == plain.collect()
