@@ -155,6 +155,7 @@ from data_validation_engine_spark.llmops.split import (
     corpus_mix,
     deterministic_sample,
     exact_quota_sample,
+    select_token_budget,
     hash_bucket,
     hash_split,
     stratified_sample,
@@ -200,6 +201,7 @@ __all__ = [
     "connected_components_star",
     "deterministic_sample",
     "exact_quota_sample",
+    "select_token_budget",
     "exact_dedup",
     "minhash_dedup",
     "minhash_pairs",

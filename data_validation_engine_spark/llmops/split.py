@@ -363,3 +363,104 @@ def exact_quota_sample(
             .drop(rank)
         )
     return df.orderBy(digest.asc(), F.col(key_col).asc()).limit(n)
+
+
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    budget_tokens: int | None = None,
+    budget_frac: float | None = None,
+    tiebreak_col: str | None = None,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Quality-pruned corpus curation to a TOKEN budget: within each
+    group (domain, language, source), keep the highest-``score_col``
+    documents until their cumulative ``token_col`` reaches the budget —
+    "train on the best N tokens per domain", the standard curation move
+    after quality scoring (perplexity/classifier filtering to a token
+    target rather than a doc-count target, since training cost is
+    token-denominated).
+
+    Exactly one of ``budget_tokens`` (absolute per group) or
+    ``budget_frac`` (fraction of each group's total tokens) must be
+    given. A document is kept when the cumulative token count of all
+    strictly-better documents is below the budget — so the budget may
+    be OVERSHOT by at most one document (the one that crosses the
+    line), never undershot while candidates remain; an oversized best
+    document is kept, not silently dropped (loud-data convention, same
+    stance as ``chunk_by_sentences``). Order is score-descending with
+    ``tiebreak_col`` (default: the token column, then arbitrary-but-
+    deterministic only if a unique tiebreak is given — pass a key
+    column for full determinism).
+
+    ``keep_col`` flags rows instead of filtering (audit mode).
+
+    NULL scores or token counts FAIL loudly (a NULL has no rank — the
+    repo's raise_error guard idiom); filter or impute first.
+
+    Scale shape: one group-keyed window cumulative sum over
+    (score DESC) — a single shuffle on the group keys; with
+    ``budget_frac`` one extra map-side-combined per-group total joined
+    back (AQE-decidable, group-count-sized). No driver collect, no
+    global sort.
+    """
+    if (budget_tokens is None) == (budget_frac is None):
+        raise ValueError(
+            "pass exactly one of budget_tokens / budget_frac"
+        )
+    if budget_tokens is not None and budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if budget_frac is not None and not 0.0 <= budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in [0, 1], got {budget_frac}")
+    groups = list(group_cols or [])
+
+    def _nn(c: str) -> Column:
+        return F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"select_token_budget: NULL in column '{c}' — a NULL "
+                    "has no rank; filter or impute before budgeting"
+                )
+            )
+        )
+
+    toks = _nn(token_col).cast("long")
+    # the guard lives INSIDE the window order expression — a separate
+    # guard column would be pruned away unevaluated
+    order = [_nn(score_col).desc()]
+    order.append(
+        F.col(tiebreak_col).asc()
+        if tiebreak_col is not None
+        else F.col(token_col).asc()
+    )
+    w = (
+        Window.partitionBy(*[F.col(g) for g in groups])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    if budget_tokens is not None:
+        budget: Column = F.lit(int(budget_tokens)).cast("long")
+        staged = df
+    else:
+        totals = df.groupBy(*groups).agg(
+            F.sum(toks).alias("__grp_tokens")
+        )
+        if groups:
+            staged = df.join(totals, groups)
+        else:
+            staged = df.crossJoin(F.broadcast(totals))
+        # integer budget floor: frac of the group total, exact long math
+        budget = F.floor(
+            F.col("__grp_tokens") * F.lit(float(budget_frac))
+        ).cast("long")
+    # window expressions cannot sit in a WHERE predicate — project the
+    # decision to a column first, then filter on it
+    flag = keep_col or "__dve_budget_keep"
+    out = staged.withColumn(flag, before < budget)
+    if keep_col is None:
+        out = out.where(F.col(flag)).drop(flag)
+    return out.drop("__grp_tokens") if budget_frac is not None else out

@@ -1344,6 +1344,24 @@ class Standardize(AbstractStep):
     broadcast_stats: bool = True
 
 
+class SelectTokenBudget(AbstractStep):
+    """Quality-pruned curation to a TOKEN budget: within each group,
+    keep the highest-scoring documents until their cumulative token
+    count reaches the budget (absolute ``budget_tokens`` or per-group
+    ``budget_frac``). Budget may overshoot by one document, never
+    undershoots while candidates remain; NULL scores/token counts fail
+    loudly. One group-keyed window shuffle."""
+
+    operation: Literal["select_token_budget"] = "select_token_budget"
+    score_column: str
+    token_column: str
+    group_by: tuple[str, ...] = ()
+    budget_tokens: Optional[int] = None
+    budget_frac: Optional[float] = None
+    tiebreak_column: Optional[str] = None
+    keep_column: Optional[str] = None
+
+
 class ChunkBySentences(AbstractStep):
     """Sentence-aware greedy chunking: pack consecutive sentences into
     chunks of at most ``max_tokens`` whitespace tokens, boundaries on
@@ -1604,6 +1622,7 @@ AnyStep = Annotated[
         SplitSentences,
         ChunkBySentences,
         ScriptProfile,
+        SelectTokenBudget,
     ],
     Field(discriminator="operation"),
 ]

@@ -152,6 +152,7 @@ from data_validation_engine_spark.steps.configs import (
     SplitSentences,
     ChunkBySentences,
     ScriptProfile,
+    SelectTokenBudget,
 )
 
 Entities = MutableMapping[str, DataFrame]
@@ -297,6 +298,7 @@ class StepEngine:
             Standardize: self.standardize,
             SplitSentences: self.split_sentences,
             ChunkBySentences: self.chunk_by_sentences,
+            SelectTokenBudget: self.select_token_budget,
             ScriptProfile: self.script_profile,
         }
 
@@ -2248,6 +2250,25 @@ class StepEngine:
             out_col=config.output_column,
             ddof=config.ddof,
             broadcast_stats=config.broadcast_stats,
+        )
+        return None
+
+    def select_token_budget(
+        self, entities: Entities, *, config: SelectTokenBudget
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.split import (
+            select_token_budget,
+        )
+
+        entities[config.output_name] = select_token_budget(
+            entities[config.entity_name],
+            config.score_column,
+            config.token_column,
+            group_cols=list(config.group_by),
+            budget_tokens=config.budget_tokens,
+            budget_frac=config.budget_frac,
+            tiebreak_col=config.tiebreak_column,
+            keep_col=config.keep_column,
         )
         return None
 

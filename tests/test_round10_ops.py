@@ -303,3 +303,117 @@ class TestDeclaredSteps:
         assert "broadcast" not in plan.lower()
         got = sorted(r["scaled"] for r in ents["s"].collect())
         assert got == [0.0, 0.0, 1.0]
+
+
+class TestSelectTokenBudget:
+    ROWS = [
+        # (id, grp, score, tokens)
+        (1, "a", 0.9, 100), (2, "a", 0.8, 150), (3, "a", 0.7, 200),
+        (4, "a", 0.6, 50),
+        (5, "b", 0.5, 300), (6, "b", 0.4, 300),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "id long, grp string, score double, tokens long"
+        )
+
+    def test_absolute_budget_greedy_by_quality(self, spark):
+        from data_validation_engine_spark.llmops import select_token_budget
+
+        kept = {
+            r["id"]
+            for r in select_token_budget(
+                self._df(spark), "score", "tokens",
+                group_cols=["grp"], budget_tokens=260, tiebreak_col="id",
+            ).collect()
+        }
+        # group a: 100 (cum-before 0) + 150 (100) + 200 (250 < 260,
+        # overshoot allowed) — id 4 excluded (cum-before 450)
+        # group b: 300 (0) kept, second 300 (300 >= 260) dropped
+        assert kept == {1, 2, 3, 5}
+
+    def test_fractional_budget_and_keep_col(self, spark):
+        from data_validation_engine_spark.llmops import select_token_budget
+
+        out = {
+            r["id"]: r["kept"]
+            for r in select_token_budget(
+                self._df(spark), "score", "tokens",
+                group_cols=["grp"], budget_frac=0.5, tiebreak_col="id",
+                keep_col="kept",
+            ).collect()
+        }
+        # group a total 500 -> budget 250: ids 1 (0), 2 (100), 3 (250
+        # NOT < 250) ; group b total 600 -> 300: id 5 only
+        assert out == {1: True, 2: True, 3: False, 4: False,
+                       5: True, 6: False}
+        assert len(out) == 6  # audit mode keeps every row
+
+    def test_oversized_best_doc_is_kept(self, spark):
+        from data_validation_engine_spark.llmops import select_token_budget
+
+        df = spark.createDataFrame(
+            [(1, 0.9, 1000), (2, 0.1, 10)],
+            "id long, score double, tokens long",
+        )
+        kept = {
+            r["id"]
+            for r in select_token_budget(
+                df, "score", "tokens", budget_tokens=100, tiebreak_col="id"
+            ).collect()
+        }
+        assert kept == {1}  # loud overshoot, never an empty selection
+
+    def test_null_guard_and_validation(self, spark):
+        import pytest as _pytest
+
+        from data_validation_engine_spark.llmops import select_token_budget
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError, match="exactly one"):
+            select_token_budget(df, "score", "tokens")
+        with _pytest.raises(ValueError, match="budget_frac"):
+            select_token_budget(df, "score", "tokens", budget_frac=1.5)
+        bad = spark.createDataFrame(
+            [(1, None, 10)], "id long, score double, tokens long"
+        )
+        with _pytest.raises(Exception, match="NULL in column 'score'"):
+            select_token_budget(
+                bad, "score", "tokens", budget_tokens=5
+            ).collect()
+
+    def test_single_shuffle_plan(self, spark):
+        from data_validation_engine_spark.llmops import select_token_budget
+
+        plan = (
+            select_token_budget(
+                self._df(spark), "score", "tokens",
+                group_cols=["grp"], budget_tokens=100,
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 1
+
+    def test_declared_step(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        df = self._df(spark)
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"docs": df}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "select_token_budget",
+                    "entity_name": "docs",
+                    "score_column": "score",
+                    "token_column": "tokens",
+                    "group_by": ["grp"],
+                    "budget_tokens": 260,
+                    "tiebreak_column": "id",
+                    "new_entity_name": "curated",
+                }
+            ),
+        )
+        assert {r["id"] for r in ents["curated"].collect()} == {1, 2, 3, 5}
