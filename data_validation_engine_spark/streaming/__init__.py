@@ -19,6 +19,7 @@ from data_validation_engine_spark.streaming.filters import (
 )
 from data_validation_engine_spark.streaming.cardinality import (
     streaming_kmv_distinct,
+    streaming_paragraph_frequency,
     window_start_col,
 )
 from data_validation_engine_spark.streaming.cdc import (
@@ -49,6 +50,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
     "streaming_kmv_distinct",
+    "streaming_paragraph_frequency",
     "streaming_rolling_counts",
     "streaming_window_funnel",
     "streaming_sessionize",

@@ -202,3 +202,71 @@ def streaming_cms_cells(
             "n",
         )
     )
+
+
+def streaming_paragraph_frequency(
+    sdf: DataFrame,
+    ts_col: str,
+    text_col: str,
+    *,
+    window_seconds: int = 3600,
+    sep: str = "\n",
+    min_chars: int = 1,
+    normalize: bool = True,
+    watermark: str = "1 hour",
+):
+    """Paragraph-frequency table per tumbling event-time window — the
+    streaming lift of :func:`~...llmops.paragraphs.paragraph_frequency`
+    for CONTINUOUS ingestion: boilerplate (nav/footer/cookie lines)
+    shows up as a hash whose count explodes within a window, and the
+    drained table is exactly what ``remove_repeated_paragraphs``-style
+    cleaning joins against on the next batch pass.
+
+    Like :func:`streaming_cms_cells`, no custom stateful operator is
+    needed: the paragraph explode + md5 is a per-row projection and the
+    count is a native watermarked windowed aggregation — state is one
+    row per (window, distinct paragraph hash), evicted when the
+    watermark closes the window. Emits ``(window_start, h, para,
+    n_occ)`` with ``para`` the min original text (same deterministic
+    representative as the batch operator). ``n_occ`` counts
+    OCCURRENCES — a distinct-document count is not expressible as a
+    streaming aggregation without a second shuffle of per-doc state;
+    for boilerplate detection occurrence counts are the signal anyway
+    (the batch operator remains the exact n_docs source).
+
+    After an ``availableNow`` drain the emitted windows equal the batch
+    group-by restricted to windows closed by the final watermark —
+    pytest parity, same discipline as every streaming arm.
+    """
+    from data_validation_engine_spark.llmops.paragraphs import _norm_col
+
+    if window_seconds <= 0:
+        raise ConfigurationError("window_seconds must be positive")
+    paras = sdf.withWatermark(ts_col, watermark).select(
+        F.col(ts_col).alias("__ts"),
+        F.explode(
+            F.split(F.col(text_col), F.lit(sep), -1)
+        ).alias("para"),
+    ).where(F.length(F.trim(F.col("para"))) >= int(min_chars)).select(
+        "__ts",
+        "para",
+        F.md5(_norm_col(F.col("para"), normalize=normalize)).alias("h"),
+    )
+    return (
+        paras.groupBy(
+            F.window(F.col("__ts"), f"{int(window_seconds)} seconds"),
+            F.col("h"),
+        )
+        .agg(
+            F.min("para").alias("para"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window")["start"]).alias(
+                "window_start"
+            ),
+            "h",
+            "para",
+            "n_occ",
+        )
+    )

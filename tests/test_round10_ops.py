@@ -417,3 +417,88 @@ class TestSelectTokenBudget:
             ),
         )
         assert {r["id"] for r in ents["curated"].collect()} == {1, 2, 3, 5}
+
+
+class TestStreamingParagraphFrequency:
+    def test_drained_windows_match_batch(self, spark, tmp_path):
+        from data_validation_engine_spark.streaming import (
+            read_entity_stream,
+            streaming_paragraph_frequency,
+        )
+
+        boiler = "subscribe to our newsletter"
+        rows = [
+            (
+                f"2024-01-01 {h:02d}:{m:02d}:00",
+                f"body text {h} {m}\n{boiler}"
+                if m % 2 == 0
+                else f"body text {h} {m}",
+            )
+            for h in range(4)
+            for m in range(0, 60, 13)
+        ] + [("2024-01-02 00:00:00", "sentinel closes day one")]
+        src = tmp_path / "pf_src"
+        batch = spark.createDataFrame(
+            rows, "ts string, text string"
+        ).selectExpr("CAST(ts AS TIMESTAMP) ts", "text")
+        batch.write.parquet(str(src))
+
+        sdf = streaming_paragraph_frequency(
+            read_entity_stream(spark, str(src), batch.schema),
+            "ts",
+            "text",
+            window_seconds=3600,
+            watermark="1 hour",
+        )
+        out = str(tmp_path / "pf_out")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "pf_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["h"]): (r["para"], r["n_occ"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got, "no windows emitted"
+
+        # batch twin over the same construction
+        from pyspark.sql import functions as F
+
+        from data_validation_engine_spark.llmops.paragraphs import _norm_col
+
+        want_df = (
+            batch.select(
+                F.expr(
+                    "CAST(FLOOR(unix_timestamp(ts) / 3600) * 3600"
+                    " AS BIGINT) AS window_start"
+                ),
+                F.explode(F.split("text", "\n", -1)).alias("para"),
+            )
+            .where(F.length(F.trim("para")) >= 1)
+            .select(
+                "window_start",
+                "para",
+                F.md5(_norm_col(F.col("para"), normalize=True)).alias("h"),
+            )
+            .groupBy("window_start", "h")
+            .agg(F.min("para").alias("para"), F.count(F.lit(1)).alias("n"))
+        )
+        want = {
+            (r["window_start"], r["h"]): (r["para"], r["n"])
+            for r in want_df.collect()
+        }
+        for k, v in got.items():
+            assert want[k] == v, k
+        # all four day-1 hourly windows flushed by the sentinel, and the
+        # boilerplate hash dominates each window
+        assert len({k[0] for k in got}) == 4
+        for ws in {k[0] for k in got}:
+            top = max(
+                (v[1], v[0]) for k, v in got.items() if k[0] == ws
+            )
+            assert top[1] == boiler
