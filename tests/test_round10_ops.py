@@ -502,3 +502,51 @@ class TestStreamingParagraphFrequency:
                 (v[1], v[0]) for k, v in got.items() if k[0] == ws
             )
             assert top[1] == boiler
+
+
+class TestChunkingProperties:
+    def test_reassembly_and_accounting_over_generated_corpus(self, spark):
+        """Property sweep in ONE Spark action: for a seeded random corpus
+        and several budgets, chunks with no overlap must (a) partition
+        the sentence sequence in order, (b) have token counts that sum
+        to the doc's total, and (c) match the pure-Python greedy
+        reference row-for-row."""
+        import random
+
+        from data_validation_engine_spark.llmops.chunking import (
+            chunk_by_sentences,
+        )
+
+        rng = random.Random(42)
+        words = ["Alpha", "beta", "gamma", "delta", "nine", "x1", "Q"]
+        docs = []
+        for i in range(60):
+            sents = []
+            for _ in range(rng.randrange(0, 9)):
+                n = rng.randrange(1, 7)
+                s = " ".join(rng.choice(words) for _ in range(n))
+                sents.append(s[0].upper() + s[1:] + rng.choice(".!?"))
+            docs.append((i, " ".join(sents)))
+        df = spark.createDataFrame(docs, "id long, text string")
+        for mt in (3, 7, 50):
+            rows = chunk_by_sentences(
+                df, "id", "text", max_tokens=mt
+            ).collect()
+            got = {}
+            for r in rows:
+                got.setdefault(r["id"], []).append(r)
+            for rid, text in docs:
+                want = _py_chunks(text, mt)
+                have = sorted(
+                    got.get(rid, []), key=lambda r: r["chunk_idx"]
+                )
+                assert len(have) == len(want), (rid, mt)
+                for h, w in zip(have, want):
+                    assert h["text"] == w["text"], (rid, mt)
+                    assert h["n_tokens"] == w["n_tokens"]
+                # (a)+(b): ov=0 chunks partition the sentences in order
+                joined = " ".join(h["text"] for h in have)
+                assert joined == " ".join(_py_sentences(text))
+                assert sum(h["n_tokens"] for h in have) == sum(
+                    len(s.split()) for s in _py_sentences(text)
+                )
