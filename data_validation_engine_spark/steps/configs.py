@@ -973,6 +973,13 @@ class SharedSpans(AbstractStep):
     window: int = 8
     min_shared: int = 1
     normalize: bool = True
+    # incremental mode (round 10): name a persisted (key, h) winnowing
+    # fingerprint index entity and ONLY this entity (the new batch) is
+    # fingerprinted — output becomes (new_id, corpus_id, n_shared),
+    # corpus×corpus pairs never generated (the dedup_incremental
+    # contract). broadcast_new hints the batch side; False → AQE.
+    index_name: Optional[str] = None
+    broadcast_new: bool = True
 
 
 class LmPerplexity(AbstractStep):

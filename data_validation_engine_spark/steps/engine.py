@@ -1813,8 +1813,22 @@ class StepEngine:
     ) -> Messages:
         from data_validation_engine_spark.llmops.spans import (
             shared_span_pairs,
+            shared_spans_incremental,
         )
 
+        if config.index_name is not None:
+            entities[config.output_name] = shared_spans_incremental(
+                entities[config.entity_name],
+                entities[config.index_name],
+                config.key_column,
+                config.text_column,
+                width=config.width,
+                window=config.window,
+                min_shared=config.min_shared,
+                normalize=config.normalize,
+                broadcast_new=config.broadcast_new,
+            )
+            return None
         entities[config.output_name] = shared_span_pairs(
             entities[config.entity_name],
             config.key_column,

@@ -251,3 +251,40 @@ class TestSharedSpansIncremental:
         assert "broadcast" in hp.lower()
         assert "broadcast" not in pp.lower()
         assert hinted.collect() == plain.collect()
+
+    def test_declared_incremental_mode(self, spark):
+        from data_validation_engine_spark.llmops.spans import (
+            winnowed_fingerprints,
+        )
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        span = "the quick brown fox jumps over the lazy dog tonight"
+        corpus = spark.createDataFrame(
+            [(1, "corpus doc quoting " + span + " entirely")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(9, "new doc copying " + span + " again")],
+            "doc_id long, text string",
+        )
+        eng = StepEngine(spark, register_functions=False)
+        ents = {
+            "batch": new,
+            "span_index": winnowed_fingerprints(corpus, "doc_id", "text"),
+        }
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "shared_spans",
+                    "entity_name": "batch",
+                    "key_column": "doc_id",
+                    "index_name": "span_index",
+                    "new_entity_name": "hits",
+                }
+            ),
+        )
+        rows = ents["hits"].collect()
+        assert len(rows) == 1
+        assert (rows[0]["new_id"], rows[0]["corpus_id"]) == (9, 1)
+        assert rows[0]["n_shared"] >= 1
