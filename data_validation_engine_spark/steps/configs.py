@@ -973,6 +973,10 @@ class SharedSpans(AbstractStep):
     window: int = 8
     min_shared: int = 1
     normalize: bool = True
+    # mode="fingerprints" emits the (key, h) winnowing index itself —
+    # the thing to persist per corpus version so later batches probe it
+    # incrementally (appends are independent rows; no rebuild)
+    mode: Literal["pairs", "fingerprints"] = "pairs"
     # incremental mode (round 10): name a persisted (key, h) winnowing
     # fingerprint index entity and ONLY this entity (the new batch) is
     # fingerprinted — output becomes (new_id, corpus_id, n_shared),

@@ -1814,8 +1814,24 @@ class StepEngine:
         from data_validation_engine_spark.llmops.spans import (
             shared_span_pairs,
             shared_spans_incremental,
+            winnowed_fingerprints,
         )
 
+        if config.mode == "fingerprints":
+            if config.index_name is not None:
+                raise ConfigurationError(
+                    "shared_spans: mode='fingerprints' builds an index "
+                    "— index_name applies only to mode='pairs' probes"
+                )
+            entities[config.output_name] = winnowed_fingerprints(
+                entities[config.entity_name],
+                config.key_column,
+                config.text_column,
+                width=config.width,
+                window=config.window,
+                normalize=config.normalize,
+            )
+            return None
         if config.index_name is not None:
             entities[config.output_name] = shared_spans_incremental(
                 entities[config.entity_name],

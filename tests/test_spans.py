@@ -288,3 +288,73 @@ class TestSharedSpansIncremental:
         assert len(rows) == 1
         assert (rows[0]["new_id"], rows[0]["corpus_id"]) == (9, 1)
         assert rows[0]["n_shared"] >= 1
+
+    def test_declared_fingerprints_mode_feeds_the_probe(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        span = "the quick brown fox jumps over the lazy dog tonight"
+        eng = StepEngine(spark, register_functions=False)
+        ents = {
+            "corpus": spark.createDataFrame(
+                [(1, "corpus doc quoting " + span + " entirely")],
+                "doc_id long, text string",
+            ),
+            "batch": spark.createDataFrame(
+                [(9, "new doc copying " + span + " again")],
+                "doc_id long, text string",
+            ),
+        }
+        # JSON program: build the index, then probe it incrementally
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "shared_spans",
+                    "entity_name": "corpus",
+                    "key_column": "doc_id",
+                    "mode": "fingerprints",
+                    "new_entity_name": "span_index",
+                }
+            ),
+        )
+        assert set(ents["span_index"].columns) == {"doc_id", "h"}
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "shared_spans",
+                    "entity_name": "batch",
+                    "key_column": "doc_id",
+                    "index_name": "span_index",
+                    "new_entity_name": "hits",
+                }
+            ),
+        )
+        rows = ents["hits"].collect()
+        assert [(r["new_id"], r["corpus_id"]) for r in rows] == [(9, 1)]
+
+    def test_fingerprints_mode_rejects_index_name(self, spark):
+        import pytest as _pytest
+
+        from data_validation_engine_spark.errors import ConfigurationError
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark, register_functions=False)
+        ents = {
+            "c": spark.createDataFrame(
+                [(1, "x")], "doc_id long, text string"
+            )
+        }
+        with _pytest.raises(ConfigurationError, match="fingerprints"):
+            eng.evaluate(
+                ents,
+                config=parse_step(
+                    {
+                        "operation": "shared_spans",
+                        "entity_name": "c",
+                        "key_column": "doc_id",
+                        "mode": "fingerprints",
+                        "index_name": "c",
+                    }
+                ),
+            )
