@@ -100,6 +100,9 @@ from data_validation_engine_spark.llmops.stats import (
     standardize,
 )
 from data_validation_engine_spark.llmops.sketch import (
+    bloom_build,
+    bloom_merge,
+    bloom_might_contain,
     cms_build,
     cms_merge,
     cms_query,
@@ -275,6 +278,9 @@ __all__ = [
     "token_loss_mask",
     "materialize_packs",
     "normalize_text",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_might_contain",
     "cms_build",
     "cms_merge",
     "cms_query",

@@ -445,3 +445,157 @@ def cms_query(
     return joined.groupBy(*groups, value_col).agg(
         F.min("__n").alias("n_est")
     )
+
+
+# -- Bloom filter: mergeable approximate set membership ------------------
+def _bloom_positions(
+    value: Column, m_bits: int, k_hashes: int, seed: str
+) -> Column:
+    """``array<int>``: the value's ``k_hashes`` bit positions in a
+    ``m_bits``-wide Bloom filter, md5-derived — deterministic, so two
+    engines (and two days' batches) set identical bits.
+
+    NULL keys to its own marker ("n"; real values prefix "v:"), same
+    contract as :func:`_cms_col`: NULL is a real member, queries for it
+    must hit the bits the build stored.
+    """
+    keyed = F.coalesce(
+        F.concat(F.lit("v:"), value.cast("string")), F.lit("n")
+    )
+    positions = []
+    for h in range(k_hashes):
+        digest = F.md5(F.concat(F.lit(f"{seed}|bloom{h}|"), keyed))
+        positions.append(
+            (
+                F.conv(F.substring(digest, 1, 15), 16, 10)
+                .cast("decimal(38,0)")
+                % F.lit(m_bits)
+            ).cast("int")
+        )
+    return F.array(*positions)
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+    seed: str = "",
+) -> DataFrame:
+    """Bloom filter of a value column: ``group_cols + (word, bits)`` —
+    a SPARSE bit array (64-bit words, zero words absent), at most
+    ``m_bits/64`` rows per group regardless of member count.
+
+    The 100 TB use case is membership pre-filtering without shipping
+    the member set: decontamination (does this training doc's n-gram
+    appear in the benchmark set?), incremental-dedup pre-screens (has
+    this content hash been seen in ANY prior batch?), and join
+    pre-filtering (drop probe rows whose key cannot match before the
+    shuffle). An exact semi-join shuffles every probe key; the Bloom
+    caps the shipped state at ``m_bits/8`` BYTES per group (Bloom
+    1970). No false negatives ever; false-positive rate
+    ``(1 - e^(-k*n/m))^k`` — ~0.01 at ``m/n = 16, k = 5``.
+
+    Bit positions are md5-derived (:func:`_bloom_positions`), so the
+    word table is MERGEABLE: :func:`bloom_merge` of two batches'
+    filters (bitwise OR) equals the filter of the union — persist
+    per-batch filters and never re-touch raw data. Map-side combine
+    collapses rows into words before the exchange, so the shuffle
+    width is bounded by the word count, not the row count.
+
+    Spark's built-in ``df.stat.bloomFilter`` collects one opaque
+    driver-side object — no grouping, no SQL-side probe join, not
+    mergeable across batches without driver round-trips. This keeps
+    the filter IN the cluster as a DataFrame.
+    """
+    if m_bits <= 0 or k_hashes <= 0:
+        raise ValueError("m_bits and k_hashes must be positive")
+    groups = list(group_cols or [])
+    pos = df.select(
+        *groups,
+        F.explode(
+            _bloom_positions(F.col(value_col), m_bits, k_hashes, seed)
+        ).alias("__pos"),
+    )
+    word = (F.col("__pos") / F.lit(64)).cast("int").alias("word")
+    # shiftleft on 1L is safe for bit 0..63: bit 63 wraps to the sign
+    # bit, which bit_or and the probe's & test both handle exactly.
+    # (expr: the Python shiftleft wrapper takes only a literal numBits)
+    bit_mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+    )
+    return pos.groupBy(*groups, word).agg(
+        F.bit_or(bit_mask).alias("bits")
+    )
+
+
+def bloom_merge(
+    filters: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge Bloom word tables (same m_bits/k_hashes/seed) to a coarser
+    grouping: word-wise bitwise OR — the union property that lets
+    per-batch / per-shard filters stand in for a filter of the whole."""
+    groups = list(group_cols or [])
+    return filters.groupBy(*groups, "word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+    seed: str = "",
+) -> DataFrame:
+    """Probe a candidate value table against a Bloom word table:
+    ``values' columns + might_contain`` — TRUE iff all ``k_hashes``
+    bits are set (never a false negative; FP rate as in
+    :func:`bloom_build`).
+
+    Each probe value explodes to ``k_hashes`` (word, bit) lookups
+    equi-joined against the word table — at most ``m_bits/64`` rows
+    per group on the build side, so AQE broadcasts it for any sane
+    ``m_bits``; raw member data is never touched. Group columns join
+    null-safely (groupBy keeps NULL as a real group — same guarantee
+    fix as :func:`cms_query`); ``word`` is never NULL, plain equality
+    there.
+    """
+    groups = list(group_cols or [])
+    probes = values.select(
+        *groups,
+        F.col(value_col),
+        F.explode(
+            _bloom_positions(F.col(value_col), m_bits, k_hashes, seed)
+        ).alias("__pos"),
+    ).select(
+        *groups,
+        value_col,
+        (F.col("__pos") / F.lit(64)).cast("int").alias("word"),
+        (F.col("__pos") % 64).cast("int").alias("__bit"),
+    )
+    bloom_r = bloom.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("word").alias("__b_word"),
+        F.col("bits"),
+    )
+    cond = F.col("word") == F.col("__b_word")
+    for g in groups:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), __bit)")
+        )
+        != 0
+    )
+    joined = probes.join(bloom_r, cond, "left").select(
+        *groups, value_col, hit.alias("__hit")
+    )
+    return joined.groupBy(*groups, value_col).agg(
+        F.bool_and("__hit").alias("might_contain")
+    )

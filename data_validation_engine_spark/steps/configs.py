@@ -1474,6 +1474,26 @@ class CmsSketch(AbstractStep):
     sketch_name: Optional[str] = None
 
 
+class BloomFilter(AbstractStep):
+    """Bloom membership filter: ``mode="build"`` turns a value column
+    into a sparse 64-bit-word bit table (at most ``m_bits/64`` rows per
+    group — membership state without shipping the member set),
+    ``mode="merge"`` ORs persisted word tables up to a coarser grouping
+    (equals the filter of the unioned raw data), ``mode="query"`` flags
+    a candidate entity with ``might_contain`` (``bloom_name`` holds the
+    word table; never a false negative — the decontamination /
+    incremental-dedup pre-screen)."""
+
+    operation: Literal["bloom_filter"] = "bloom_filter"
+    mode: Literal["build", "merge", "query"] = "build"
+    group_by: tuple[str, ...] = ()
+    value_column: str = "value"
+    m_bits: int = 65536
+    k_hashes: int = 5
+    seed: str = ""
+    bloom_name: Optional[str] = None
+
+
 class NormalizeText(AbstractStep):
     """Canonicalize a text column: Unicode form folding (NFKC by
     default — the tokenizer-prep recipe; ``form=null`` skips the one
@@ -1625,6 +1645,7 @@ AnyStep = Annotated[
         ConversationStats,
         NormalizeText,
         CmsSketch,
+        BloomFilter,
         ExtractHtmlText,
         ParseJson,
         MaterializePacks,

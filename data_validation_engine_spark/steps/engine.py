@@ -143,6 +143,7 @@ from data_validation_engine_spark.steps.configs import (
     RenderChat,
     ConversationStats,
     NormalizeText,
+    BloomFilter,
     CmsSketch,
     ExtractHtmlText,
     ParseJson,
@@ -291,6 +292,7 @@ class StepEngine:
             ConversationStats: self.conversation_stats,
             NormalizeText: self.normalize_text,
             CmsSketch: self.cms_sketch,
+            BloomFilter: self.bloom_filter,
             ExtractHtmlText: self.extract_html_text,
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
@@ -2431,6 +2433,44 @@ class StepEngine:
                 depth=config.depth,
                 width=config.width,
                 weight_col=config.weight_column,
+                seed=config.seed,
+            )
+        return None
+
+    def bloom_filter(
+        self, entities: Entities, *, config: BloomFilter
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.sketch import (
+            bloom_build,
+            bloom_merge,
+            bloom_might_contain,
+        )
+
+        groups = list(config.group_by)
+        df = entities[config.entity_name]
+        if config.mode == "merge":
+            entities[config.output_name] = bloom_merge(df, groups)
+        elif config.mode == "query":
+            if not config.bloom_name:
+                raise ValueError(
+                    "bloom_filter mode='query' needs bloom_name"
+                )
+            entities[config.output_name] = bloom_might_contain(
+                entities[config.bloom_name],
+                df,
+                config.value_column,
+                group_cols=groups,
+                m_bits=config.m_bits,
+                k_hashes=config.k_hashes,
+                seed=config.seed,
+            )
+        else:
+            entities[config.output_name] = bloom_build(
+                df,
+                config.value_column,
+                group_cols=groups,
+                m_bits=config.m_bits,
+                k_hashes=config.k_hashes,
                 seed=config.seed,
             )
         return None
