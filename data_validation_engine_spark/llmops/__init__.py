@@ -65,6 +65,13 @@ from data_validation_engine_spark.llmops.linkage import (
     fuzzy_dedup_pairs,
     fuzzy_string_join,
 )
+from data_validation_engine_spark.llmops.dsir import (
+    dsir_bucket_counts,
+    dsir_log_ratio,
+    dsir_score,
+    gumbel_topk,
+    ngram_buckets,
+)
 from data_validation_engine_spark.llmops.sketch import (
     kmv_distinct,
     kmv_merge,
@@ -279,6 +286,11 @@ __all__ = [
     "materialize_packs",
     "normalize_text",
     "bloom_build",
+    "dsir_bucket_counts",
+    "dsir_log_ratio",
+    "dsir_score",
+    "gumbel_topk",
+    "ngram_buckets",
     "bloom_merge",
     "bloom_might_contain",
     "cms_build",

@@ -1494,6 +1494,35 @@ class BloomFilter(AbstractStep):
     bloom_name: Optional[str] = None
 
 
+class DsirResample(AbstractStep):
+    """DSIR data selection (Xie et al. 2023): ``mode="counts"`` turns a
+    corpus into its hashed-n-gram bucket counts (≤ ``buckets`` rows,
+    sum-mergeable across batches); ``mode="ratio"`` combines a target
+    and a raw count table (``target_name`` / the entity) into the
+    per-bucket log-importance-ratio table; ``mode="score"`` scores raw
+    documents against a ratio table (``ratio_name``) into
+    ``n_feats + dsir_logw``; ``mode="select"`` draws ``n`` rows without
+    replacement ∝ ``exp(logw/temperature)`` via deterministic
+    Gumbel-top-k."""
+
+    operation: Literal["dsir_resample"] = "dsir_resample"
+    mode: Literal["counts", "ratio", "score", "select"] = "score"
+    text_column: str = "text"
+    key_columns: tuple[str, ...] = ()
+    n_max: int = 2
+    buckets: int = 10_000
+    seed: str = ""
+    lowercase: bool = True
+    alpha: float = 1.0
+    normalize: bool = False
+    broadcast_ratios: bool = True
+    target_name: Optional[str] = None
+    ratio_name: Optional[str] = None
+    logw_column: str = "dsir_logw"
+    n_select: int = 0
+    temperature: float = 1.0
+
+
 class NormalizeText(AbstractStep):
     """Canonicalize a text column: Unicode form folding (NFKC by
     default — the tokenizer-prep recipe; ``form=null`` skips the one
@@ -1646,6 +1675,7 @@ AnyStep = Annotated[
         NormalizeText,
         CmsSketch,
         BloomFilter,
+        DsirResample,
         ExtractHtmlText,
         ParseJson,
         MaterializePacks,

@@ -145,6 +145,7 @@ from data_validation_engine_spark.steps.configs import (
     NormalizeText,
     BloomFilter,
     CmsSketch,
+    DsirResample,
     ExtractHtmlText,
     ParseJson,
     MaterializePacks,
@@ -293,6 +294,7 @@ class StepEngine:
             NormalizeText: self.normalize_text,
             CmsSketch: self.cms_sketch,
             BloomFilter: self.bloom_filter,
+            DsirResample: self.dsir_resample,
             ExtractHtmlText: self.extract_html_text,
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
@@ -2472,6 +2474,67 @@ class StepEngine:
                 m_bits=config.m_bits,
                 k_hashes=config.k_hashes,
                 seed=config.seed,
+            )
+        return None
+
+    def dsir_resample(
+        self, entities: Entities, *, config: DsirResample
+    ) -> Messages:
+        from data_validation_engine_spark.llmops import dsir
+
+        df = entities[config.entity_name]
+        keys = list(config.key_columns)
+        if config.mode == "counts":
+            entities[config.output_name] = dsir.dsir_bucket_counts(
+                df,
+                config.text_column,
+                n_max=config.n_max,
+                buckets=config.buckets,
+                seed=config.seed,
+                lowercase=config.lowercase,
+            )
+        elif config.mode == "ratio":
+            if not config.target_name:
+                raise ValueError(
+                    "dsir_resample mode='ratio' needs target_name "
+                    "(the target corpus's count entity)"
+                )
+            entities[config.output_name] = dsir.dsir_log_ratio(
+                entities[config.target_name],
+                df,
+                buckets=config.buckets,
+                alpha=config.alpha,
+            )
+        elif config.mode == "score":
+            if not config.ratio_name:
+                raise ValueError(
+                    "dsir_resample mode='score' needs ratio_name"
+                )
+            entities[config.output_name] = dsir.dsir_score(
+                df,
+                config.text_column,
+                entities[config.ratio_name],
+                key_cols=keys,
+                n_max=config.n_max,
+                buckets=config.buckets,
+                seed=config.seed,
+                lowercase=config.lowercase,
+                normalize=config.normalize,
+                broadcast_ratios=config.broadcast_ratios,
+            )
+        else:
+            if not keys:
+                raise ValueError(
+                    "dsir_resample mode='select' needs key_columns[0] "
+                    "(the Gumbel noise key)"
+                )
+            entities[config.output_name] = dsir.gumbel_topk(
+                df,
+                config.logw_column,
+                config.n_select,
+                key_col=keys[0],
+                seed=config.seed,
+                temperature=config.temperature,
             )
         return None
 
