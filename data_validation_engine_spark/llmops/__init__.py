@@ -82,6 +82,7 @@ from data_validation_engine_spark.llmops.asof import (
     asof_join,
 )
 from data_validation_engine_spark.llmops.chunking import (
+    chunk_by_content,
     chunk_by_sentences,
     chunk_documents,
     pack_sequences,
@@ -241,6 +242,7 @@ __all__ = [
     "weighted_keep",
     "weighted_sample",
     "build_vocab",
+    "chunk_by_content",
     "chunk_by_sentences",
     "chunk_documents",
     "decontaminate",

@@ -464,3 +464,122 @@ def chunk_by_sentences(
         F.col("__c.n_sentences").alias("n_sentences"),
         F.col("__c.n_tokens").alias("n_tokens"),
     )
+
+
+def chunk_by_content(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    target_tokens: int = 256,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    gram: int = 8,
+    seed: str = "",
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    a rolling window hash hits a divisor condition (the LBFS/rsync/
+    FastCDC recipe, re-expressed over word tokens).
+
+    Returns ``(id, chunk_idx, chunk_text, n_chunk_tokens)``. A position
+    ``i`` is a candidate boundary when the md5-60-bit hash of the
+    ``gram`` tokens ending at ``i`` satisfies ``h % target_tokens == 0``
+    — so chunk length is geometric with mean ``target_tokens``, clamped
+    to ``[min_tokens, max_tokens]`` (defaults ``target/4`` and
+    ``target*4``; a boundary closer than ``min`` is skipped, a run
+    longer than ``max`` is force-cut, as in FastCDC's normalization).
+
+    Why not :func:`chunk_documents`? Fixed windows shift EVERY
+    downstream chunk when one token is inserted — after any edit, every
+    chunk hash changes and chunk-level dedup sees an entirely new
+    document. Content-defined boundaries depend only on the local
+    ``gram``-token window, so an edit disturbs at most the chunks it
+    touches plus one: all later chunks realign and their hashes dedup
+    against the unedited twin. That is the property that makes
+    chunk-level dedup of near-identical crawl snapshots work at 100 TB.
+
+    Scale shape: hashes, the boundary fold, and the chunk slices are
+    all per-row JVM expressions — zero shuffle, no Python, fold state
+    bounded by ``n/min_tokens`` ints. Hashes are the engine-portable
+    md5 prefix (same family as the dedup shingles), so two engines
+    derive identical boundaries.
+    """
+    if target_tokens < 2:
+        raise ValueError("target_tokens must be >= 2")
+    lo = target_tokens // 4 if min_tokens is None else min_tokens
+    hi = target_tokens * 4 if max_tokens is None else max_tokens
+    if not 1 <= lo <= hi:
+        raise ValueError("need 1 <= min_tokens <= max_tokens")
+    if gram < 1:
+        raise ValueError("gram must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+
+    # rolling hash at position i (1-indexed): md5 of the up-to-gram
+    # tokens ending at i; candidate boundary iff h % target == 0
+    def _cand(i: Column) -> Column:
+        start = F.greatest(i - F.lit(gram - 1), F.lit(1))
+        window = F.slice(toks, start, i - start + 1)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}|cdc|"), F.concat_ws("", window)
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+        return (h % F.lit(target_tokens)) == 0
+
+    cand = F.when(
+        n > 0, F.transform(F.sequence(F.lit(1), n), _cand)
+    ).otherwise(F.array().cast("array<boolean>"))
+
+    staged = df.select(
+        F.col(id_col), toks.alias("__toks"), cand.alias("__cand")
+    )
+    toks_c = F.col("__toks")
+    n_c = F.size(toks_c)
+
+    # left fold over positions: acc = ascending cut positions, acc[-1]
+    # the last cut; min skips early candidates, max forces a cut
+    cuts = F.aggregate(
+        F.sequence(F.lit(1), n_c),
+        F.array(F.lit(0)),
+        lambda acc, i: F.when(
+            (i - F.element_at(acc, -1) >= hi)
+            | (
+                F.element_at(F.col("__cand"), i)
+                & (i - F.element_at(acc, -1) >= lo)
+            ),
+            F.concat(acc, F.array(i)),
+        ).otherwise(acc),
+        lambda acc: F.when(
+            F.element_at(acc, -1) == n_c, acc
+        ).otherwise(F.concat(acc, F.array(n_c))),
+    )
+    staged = staged.where(n_c > 0).withColumn("__cuts", cuts)
+
+    def _chunk(j: Column) -> Column:
+        a = F.element_at(F.col("__cuts"), j)
+        b = F.element_at(F.col("__cuts"), j + 1)
+        return F.struct(
+            F.concat_ws(" ", F.slice(toks_c, a + 1, b - a)).alias("text"),
+            (b - a).alias("n"),
+        )
+
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__cuts")) - 1), _chunk
+    )
+    return staged.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("__c.text").alias("chunk_text"),
+        F.col("__c.n").alias("n_chunk_tokens"),
+    )

@@ -1388,6 +1388,24 @@ class ChunkBySentences(AbstractStep):
     min_chars: int = 1
 
 
+class ChunkByContent(AbstractStep):
+    """Content-defined chunking (LBFS/FastCDC over word tokens): cut
+    where the rolling ``gram``-token md5 hits ``h % target_tokens == 0``,
+    clamped to ``[min_tokens, max_tokens]``. Boundaries depend only on
+    local content, so edits leave downstream chunks byte-identical —
+    the chunk-level-dedup-stable chunker. One row per chunk; zero
+    shuffle."""
+
+    operation: Literal["chunk_by_content"] = "chunk_by_content"
+    key_column: str
+    text_column: str = "text"
+    target_tokens: int = 256
+    min_tokens: Optional[int] = None
+    max_tokens: Optional[int] = None
+    gram: int = 8
+    seed: str = ""
+
+
 class ScriptProfile(AbstractStep):
     """Per-document Unicode writing-system profile: one letter-count
     column per script class (latin/cyrillic/han/arabic/devanagari/
@@ -1683,6 +1701,7 @@ AnyStep = Annotated[
         Standardize,
         SplitSentences,
         ChunkBySentences,
+        ChunkByContent,
         ScriptProfile,
         SelectTokenBudget,
     ],

@@ -152,6 +152,7 @@ from data_validation_engine_spark.steps.configs import (
     CompressionRatio,
     Standardize,
     SplitSentences,
+    ChunkByContent,
     ChunkBySentences,
     ScriptProfile,
     SelectTokenBudget,
@@ -302,6 +303,7 @@ class StepEngine:
             Standardize: self.standardize,
             SplitSentences: self.split_sentences,
             ChunkBySentences: self.chunk_by_sentences,
+            ChunkByContent: self.chunk_by_content,
             SelectTokenBudget: self.select_token_budget,
             ScriptProfile: self.script_profile,
         }
@@ -2320,6 +2322,25 @@ class StepEngine:
             max_tokens=config.max_tokens,
             overlap_sentences=config.overlap_sentences,
             min_chars=config.min_chars,
+        )
+        return None
+
+    def chunk_by_content(
+        self, entities: Entities, *, config: ChunkByContent
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.chunking import (
+            chunk_by_content,
+        )
+
+        entities[config.output_name] = chunk_by_content(
+            entities[config.entity_name],
+            config.key_column,
+            config.text_column,
+            target_tokens=config.target_tokens,
+            min_tokens=config.min_tokens,
+            max_tokens=config.max_tokens,
+            gram=config.gram,
+            seed=config.seed,
         )
         return None
 
