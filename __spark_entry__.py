@@ -8608,3 +8608,329 @@ _R10_ORACLES["source_formats"] = """
            CAST(strlen(text) AS VARCHAR) || '|' || md5(text)
     FROM documents WHERE doc_id % 25 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# ROUND-11 STAGED ROWS
+#
+# Oracle twins for the round-10 operator increment, built and verified
+# locally THIS round but deliberately NOT on the 50-row roster (the
+# freeze rule: first-time surfaces ride the NEXT budget, and round 10's
+# budget was spent attesting the round-9 increment). The driver never
+# sees these; `tools/oracle_check.py --staged` runs them through the
+# exact comparison pipeline, and tests/test_staged_oracles.py gates
+# them in CI — so when round 11 promotes them onto the roster they are
+# already proven green under the all-string hash discipline.
+# ---------------------------------------------------------------------------
+
+_STAGED_ORACLES: dict[str, str] = {}
+
+
+def q_r11_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter (llmops/sketch.py, Bloom 1970) with the
+    md5-derived bit positions replayed exactly by the oracle:
+
+    - 'w' — bloom_build word table over even-doc content hashes grouped
+      by lang (every 11th doc's lang NULLed: NULL groups are real, same
+      discipline as cms_sketch);
+    - 'm' — bloom_merge of two halves == the direct filter (OR-
+      mergeability);
+    - 'q' — bloom_might_contain for every doc: even docs all TRUE
+      (never a false negative); odd docs replay whatever the bit tests
+      say — engine-exact, so even the false positives hash identically.
+
+    63 bits per word keeps both engines in positive-long territory.
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang",
+        "doc_id", "md5(text) AS h",
+    )
+    members = docs.where("doc_id % 2 = 0")
+    kw = dict(group_cols=["lang"], m_bits=1024, k_hashes=3)
+    bloom = bloom_build(members, "h", **kw)
+    words = bloom.selectExpr(
+        "'w' AS op",
+        "CONCAT_WS('|', COALESCE(lang, '~'), CAST(word AS STRING)) AS k",
+        "CAST(bits AS STRING) AS v",
+    )
+    merged = bloom_merge(
+        bloom_build(members.where("doc_id % 4 = 0"), "h", **kw).unionByName(
+            bloom_build(members.where("doc_id % 4 = 2"), "h", **kw)
+        ),
+        group_cols=["lang"],
+    ).selectExpr(
+        "'m' AS op",
+        "CONCAT_WS('|', COALESCE(lang, '~'), CAST(word AS STRING)) AS k",
+        "CAST(bits AS STRING) AS v",
+    )
+    mc = bloom_might_contain(bloom, docs, "h", **kw).select(
+        F.col("lang").alias("__l"), F.col("h").alias("__h"),
+        "might_contain",
+    )
+    probed = docs.join(
+        mc,
+        F.col("lang").eqNullSafe(F.col("__l"))
+        & (F.col("h") == F.col("__h")),
+    ).selectExpr(
+        "'q' AS op",
+        "CONCAT_WS('|', COALESCE(lang, '~'), CAST(doc_id AS STRING)) AS k",
+        "CAST(might_contain AS STRING) AS v",
+    )
+    return words.unionByName(merged).unionByName(probed)
+
+
+def _duck_bloom_words(src: str, m_bits: int = 1024, k: int = 3) -> str:
+    """Word-table twin of llmops/sketch.bloom_build (seed=''): positions
+    from md5('|bloomN|' || 'v:'||h), 63 bits per long word."""
+    return f"""
+        SELECT lang, CAST(pos // 63 AS INT) AS word,
+               bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM (
+            SELECT lang,
+                   CAST(('0x' || substring(md5('|bloom' || rr.r || '|'
+                        || 'v:' || h), 1, 15))::BIGINT % {m_bits}
+                        AS BIGINT) AS pos
+            FROM ({src}) s,
+                 (SELECT unnest(generate_series(0, {k - 1})) AS r) rr
+        ) GROUP BY 1, 2
+    """
+
+
+_STAGED_ORACLES["r11_bloom"] = f"""
+    WITH cd AS (
+        SELECT CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+               doc_id, md5(text) AS h
+        FROM documents
+    ),
+    built AS ({_duck_bloom_words("SELECT lang, h FROM cd WHERE doc_id % 2 = 0")}),
+    probes AS (
+        SELECT lang, doc_id,
+               CAST(('0x' || substring(md5('|bloom' || rr.r || '|'
+                    || 'v:' || h), 1, 15))::BIGINT % 1024 AS BIGINT) AS pos
+        FROM cd, (SELECT unnest(generate_series(0, 2)) AS r) rr
+    ),
+    hits AS (
+        SELECT p.lang, p.doc_id,
+               bool_and(
+                   (COALESCE(b.bits, 0) &
+                    (1::BIGINT << CAST(p.pos % 63 AS INT))) <> 0
+               ) AS might_contain
+        FROM probes p LEFT JOIN built b
+          ON (p.lang IS NOT DISTINCT FROM b.lang)
+         AND CAST(p.pos // 63 AS INT) = b.word
+        GROUP BY 1, 2
+    )
+    SELECT 'w' AS op,
+           COALESCE(lang, '~') || '|' || CAST(word AS VARCHAR) AS k,
+           CAST(bits AS VARCHAR) AS v
+    FROM built
+    UNION ALL
+    SELECT 'm', COALESCE(lang, '~') || '|' || CAST(word AS VARCHAR),
+           CAST(bits AS VARCHAR)
+    FROM built
+    UNION ALL
+    SELECT 'q', COALESCE(lang, '~') || '|' || CAST(doc_id AS VARCHAR),
+           CAST(might_contain AS VARCHAR)
+    FROM hits
+"""
+
+
+def q_r11_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR integer surfaces (llmops/dsir.py, Xie 2023): the ratio
+    table's per-bucket counts over the full spine ('rt': target = the
+    'en' docs, raw = all docs) and the per-doc feature extraction
+    ('sc': n_feats + sum-of-bucket-ids checksum mod 1e9+7). The float
+    log-ratios / log-weights / Gumbel draws are deliberately NOT hashed
+    (ln is transcendental — same policy as LM perplexity, FLOATS.md);
+    these integer surfaces pin the exact inputs every float derives
+    from. All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.dsir import (
+        dsir_bucket_counts,
+        dsir_log_ratio,
+        dsir_score,
+        ngram_buckets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    kw = dict(n_max=2, buckets=512)
+    tc = dsir_bucket_counts(docs.where("lang = 'en'"), "text", **kw)
+    rc = dsir_bucket_counts(docs, "text", **kw)
+    rt = dsir_log_ratio(tc, rc, buckets=512).selectExpr(
+        "'rt' AS op", "CAST(bucket AS STRING) AS k",
+        "CONCAT_WS('|', CAST(n_target AS STRING),"
+        " CAST(n_raw AS STRING)) AS v",
+    )
+    feats = docs.select(
+        "doc_id",
+        ngram_buckets(F.col("text"), **kw).alias("__f"),
+    ).selectExpr(
+        "'sc' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(size(__f) AS STRING), CAST(aggregate(__f,"
+        " 0L, (a, x) -> (a + x) % 1000000007) AS STRING)) AS v",
+    )
+    # n_feats through the real scoring path must agree with size(__f)
+    sc2 = dsir_score(
+        docs, "text", dsir_log_ratio(tc, rc, buckets=512),
+        key_cols=["doc_id"], **kw,
+    ).selectExpr(
+        "'nf' AS op", "CAST(doc_id AS STRING) AS k",
+        "CAST(n_feats AS STRING) AS v",
+    )
+    return rt.unionByName(feats).unionByName(sc2)
+
+
+_DUCK_DSIR_FEATS = r"""
+        SELECT doc_id,
+               list_concat(
+                   list_transform(toks, t ->
+                       ('0x' || substring(md5('|dsir1|' || t), 1, 15))
+                           ::BIGINT % 512),
+                   list_transform(
+                       range(2, len(toks) + 1), i ->
+                       ('0x' || substring(md5('|dsir2|' || toks[i-1] ||
+                            ' ' || toks[i]), 1, 15))::BIGINT % 512)
+               ) AS f
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN COALESCE(trim(text), '') = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(
+                            regexp_replace(lower(text),
+                                '^\s+|\s+$', '', 'g'), '\s+')
+                   END AS toks
+            FROM documents
+        )
+"""
+
+_STAGED_ORACLES["r11_dsir"] = f"""
+    WITH feats AS ({_DUCK_DSIR_FEATS}),
+    exploded AS (
+        SELECT doc_id, unnest(f) AS bucket FROM feats
+    ),
+    spine AS (SELECT unnest(range(0, 512)) AS bucket),
+    tc AS (
+        SELECT bucket, count(*) AS n FROM exploded e
+        JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+        GROUP BY 1
+    ),
+    rc AS (SELECT bucket, count(*) AS n FROM exploded GROUP BY 1)
+    SELECT 'rt' AS op, CAST(s.bucket AS VARCHAR) AS k,
+           CAST(COALESCE(tc.n, 0) AS VARCHAR) || '|' ||
+           CAST(COALESCE(rc.n, 0) AS VARCHAR) AS v
+    FROM spine s LEFT JOIN tc ON s.bucket = tc.bucket
+    LEFT JOIN rc ON s.bucket = rc.bucket
+    UNION ALL
+    SELECT 'sc', CAST(doc_id AS VARCHAR),
+           CAST(len(f) AS VARCHAR) || '|' ||
+           CAST(list_reduce(list_prepend(0::BIGINT, f),
+                (a, x) -> (a + x) % 1000000007) AS VARCHAR)
+    FROM feats
+    UNION ALL
+    SELECT 'nf', CAST(doc_id AS VARCHAR), CAST(len(f) AS VARCHAR)
+    FROM feats
+"""
+
+
+def q_r11_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (llmops/chunking.py chunk_by_content,
+    LBFS/FastCDC): the full chunk table at target=32/gram=4 — chunk
+    index, md5 of the chunk text, and the token count. The oracle
+    replays the rolling-hash candidate test AND the min/max boundary
+    fold with DuckDB's list_reduce, so the boundary positions are
+    proven engine-exact, not just plausible. All-string (op, k, v)."""
+    from data_validation_engine_spark.llmops.chunking import (
+        chunk_by_content,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return chunk_by_content(
+        docs, "doc_id", "text", target_tokens=32, gram=4
+    ).selectExpr(
+        "'c' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING),"
+        " CAST(chunk_idx AS STRING)) AS k",
+        "CONCAT_WS('|', md5(chunk_text),"
+        " CAST(n_chunk_tokens AS STRING)) AS v",
+    )
+
+
+_STAGED_ORACLES["r11_cdc_chunks"] = r"""
+    WITH RECURSIVE toked AS (
+        SELECT doc_id,
+               CASE WHEN COALESCE(trim(text), '') = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '\s+')
+               END AS toks
+        FROM documents
+    ),
+    -- candidate boundary positions (the rolling-hash divisor test);
+    -- the min/max boundary walk is a recursion, NOT list_reduce:
+    -- DuckDB 1.0's list_reduce silently collapses growing-list
+    -- accumulators past one lambda vector (~2k elements total)
+    wc AS (
+        SELECT doc_id, len(toks) AS n,
+               list_filter(
+                   list_transform(range(1, len(toks) + 1), i ->
+                       CASE WHEN ('0x' || substring(md5('|cdc|' ||
+                            array_to_string(
+                                toks[greatest(i - 3, 1):i], ' ')),
+                            1, 15))::BIGINT % 32 = 0
+                       THEN CAST(i AS INT) ELSE NULL END),
+                   x -> x IS NOT NULL
+               ) AS cps
+        FROM toked WHERE len(toks) > 0
+    ),
+    -- next cut has a closed form: min(last + max_tokens, first
+    -- candidate >= last + min_tokens), clamped to n
+    cuts AS (
+        SELECT doc_id, n, cps, 0 AS cut
+        FROM wc
+        UNION ALL
+        SELECT doc_id, n, cps,
+               CASE WHEN nxt >= n THEN n ELSE nxt END
+        FROM (
+            SELECT doc_id, n, cps, cut,
+                   LEAST(cut + 128,
+                         COALESCE(list_min(list_filter(
+                             cps, p -> p >= cut + 8)), cut + 128)) AS nxt
+            FROM cuts WHERE cut < n
+        )
+    ),
+    ordered AS (
+        SELECT doc_id, cut,
+               lag(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS prev,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 2
+                   AS chunk_idx
+        FROM cuts
+    )
+    SELECT 'c' AS op,
+           CAST(o.doc_id AS VARCHAR) || '|' ||
+           CAST(o.chunk_idx AS VARCHAR) AS k,
+           md5(array_to_string(t.toks[o.prev + 1:o.cut], ' '))
+               || '|' || CAST(o.cut - o.prev AS VARCHAR) AS v
+    FROM ordered o JOIN toked t USING (doc_id)
+    WHERE o.prev IS NOT NULL
+"""
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-11 candidate rows — run by tools/oracle_check.py --staged
+    and tests/test_staged_oracles.py, NOT by the driver (the 50-row
+    roster is full; these are pre-proven for next round's promotion)."""
+    return {
+        "r11_bloom": q_r11_bloom,
+        "r11_dsir": q_r11_dsir,
+        "r11_cdc_chunks": q_r11_cdc_chunks,
+    }
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    return dict(_STAGED_ORACLES)

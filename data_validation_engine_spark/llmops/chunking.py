@@ -516,7 +516,8 @@ def chunk_by_content(
     n = F.size(toks)
 
     # rolling hash at position i (1-indexed): md5 of the up-to-gram
-    # tokens ending at i; candidate boundary iff h % target == 0
+    # tokens ending at i (space-joined: tokens hold no whitespace, so
+    # the join is boundary-unambiguous); candidate iff h % target == 0
     def _cand(i: Column) -> Column:
         start = F.greatest(i - F.lit(gram - 1), F.lit(1))
         window = F.slice(toks, start, i - start + 1)
@@ -524,7 +525,7 @@ def chunk_by_content(
             F.substring(
                 F.md5(
                     F.concat(
-                        F.lit(f"{seed}|cdc|"), F.concat_ws("", window)
+                        F.lit(f"{seed}|cdc|"), F.concat_ws(" ", window)
                     )
                 ),
                 1,

@@ -485,8 +485,9 @@ def bloom_build(
     seed: str = "",
 ) -> DataFrame:
     """Bloom filter of a value column: ``group_cols + (word, bits)`` —
-    a SPARSE bit array (64-bit words, zero words absent), at most
-    ``m_bits/64`` rows per group regardless of member count.
+    a SPARSE bit array (63 bits per long word — see the sign-bit
+    note in the code — zero words absent), at most ``m_bits/63 + 1``
+    rows per group regardless of member count.
 
     The 100 TB use case is membership pre-filtering without shipping
     the member set: decontamination (does this training doc's n-gram
@@ -519,12 +520,14 @@ def bloom_build(
             _bloom_positions(F.col(value_col), m_bits, k_hashes, seed)
         ).alias("__pos"),
     )
-    word = (F.col("__pos") / F.lit(64)).cast("int").alias("word")
-    # shiftleft on 1L is safe for bit 0..63: bit 63 wraps to the sign
-    # bit, which bit_or and the probe's & test both handle exactly.
+    # 63 bits per word, NOT 64: bit 63 is the sign bit, where engines
+    # disagree (Spark shiftleft wraps silently, DuckDB errors on the
+    # overflow) — staying in positive-long territory keeps the word
+    # table bit-identical across engines for ~1.6% extra rows.
+    word = (F.col("__pos") / F.lit(63)).cast("int").alias("word")
     # (expr: the Python shiftleft wrapper takes only a literal numBits)
     bit_mask = F.expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+        "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT))"
     )
     return pos.groupBy(*groups, word).agg(
         F.bit_or(bit_mask).alias("bits")
@@ -559,7 +562,7 @@ def bloom_might_contain(
     :func:`bloom_build`).
 
     Each probe value explodes to ``k_hashes`` (word, bit) lookups
-    equi-joined against the word table — at most ``m_bits/64`` rows
+    equi-joined against the word table — at most ``m_bits/63 + 1`` rows
     per group on the build side, so AQE broadcasts it for any sane
     ``m_bits``; raw member data is never touched. Group columns join
     null-safely (groupBy keeps NULL as a real group — same guarantee
@@ -576,8 +579,8 @@ def bloom_might_contain(
     ).select(
         *groups,
         value_col,
-        (F.col("__pos") / F.lit(64)).cast("int").alias("word"),
-        (F.col("__pos") % 64).cast("int").alias("__bit"),
+        (F.col("__pos") / F.lit(63)).cast("int").alias("word"),
+        (F.col("__pos") % 63).cast("int").alias("__bit"),
     )
     bloom_r = bloom.select(
         *[F.col(g).alias(f"__g_{g}") for g in groups],

@@ -50,10 +50,12 @@ def test_bloom_sparse_and_bounded(spark):
         m_bits=1 << 16,
         k_hashes=5,
     ).collect()
-    # sparse: far fewer words than m_bits/64 = 1024 for 50*5 bits
+    # sparse: far fewer words than m_bits/63 + 1 = 1041 for 50*5 bits
     assert 0 < len(bloom) <= 250
     assert all(r["bits"] != 0 for r in bloom)
-    assert all(0 <= r["word"] < (1 << 16) // 64 for r in bloom)
+    # 63 bits per word (sign bit never used: cross-engine portability)
+    assert all(0 <= r["word"] <= (1 << 16) // 63 for r in bloom)
+    assert all(r["bits"] > 0 for r in bloom)
 
 
 def test_bloom_null_is_a_real_member(spark):

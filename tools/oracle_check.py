@@ -209,11 +209,14 @@ def parse_args(argv: list[str]):
         "shuffle": "16",
         "matrix": False,
         "canon": "fetch",
+        "staged": False,
     }
     rest: list[str] = []
     for a in argv:
         if a == "--matrix":
             opts["matrix"] = True
+        elif a == "--staged":
+            opts["staged"] = True
         elif a.startswith("--session-tz="):
             opts["session_tz"] = a.split("=", 1)[1]
         elif a.startswith("--os-tz="):
@@ -299,8 +302,14 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    if opts["staged"]:
+        # round-(N+1) candidate rows: pre-prove them green before they
+        # ever ride the driver's 50-row roster
+        queries = entry_mod.staged_queries()
+        oracles = entry_mod.staged_oracle_sql()
+    else:
+        queries = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
