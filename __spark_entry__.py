@@ -8921,6 +8921,246 @@ _STAGED_ORACLES["r11_cdc_chunks"] = r"""
 """
 
 
+
+
+def q_r11_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware greedy chunking (llmops/chunking.py
+    chunk_by_sentences): the full chunk table at max_tokens=20 — chunk
+    text hash, own-sentence count, own-token count. The oracle reuses
+    the attested sentence-boundary SQL (_SENT_SPLIT_SQL, green on the
+    paragraph_dedup row) and replays the greedy packing with a
+    recursive CTE over prefix sums (closed form: a chunk extends to the
+    last sentence keeping its cumulative tokens <= max, minimum one —
+    oversized sentences stay whole and loud). overlap_sentences stays
+    pytest-pinned (tests/test_round10_ops.py). All-string (op, k, v)."""
+    from data_validation_engine_spark.llmops.chunking import (
+        chunk_by_sentences,
+    )
+
+    # the synthetic documents have no sentence punctuation — derive a
+    # sentenced corpus (both twins: '. Hello ' after every 5th word, a
+    # capitalized follower so the boundary regex fires) so the greedy
+    # packing actually splits; ~6-token sentences vs max_tokens=20
+    # yields multi-chunk docs with varied fills
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        r"regexp_replace(text, '(\\w+ \\w+ \\w+ \\w+ \\w+) ',"
+        r" '$1. Hello ') AS text",
+    )
+    return chunk_by_sentences(
+        docs, "doc_id", "text", max_tokens=20
+    ).selectExpr(
+        "'sc' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING),"
+        " CAST(chunk_idx AS STRING)) AS k",
+        "CONCAT_WS('|', md5(text), CAST(n_sentences AS STRING),"
+        " CAST(n_tokens AS STRING)) AS v",
+    )
+
+
+_SENTENCED_SENT_SPLIT_SQL = _SENT_SPLIT_SQL.replace(
+    "FROM documents",
+    r"""FROM (SELECT doc_id, regexp_replace(text,
+        '(\w+ \w+ \w+ \w+ \w+) ', '\1. Hello ', 'g') AS text
+        FROM documents)""",
+)
+
+_STAGED_ORACLES["r11_sentence_chunks"] = f"""
+    WITH RECURSIVE split AS ({_SENTENCED_SENT_SPLIT_SQL}),
+    base AS (
+        SELECT doc_id,
+               list_filter(list_transform(sents, x -> trim(x)),
+                           s -> length(s) >= 1) AS sents
+        FROM split
+    ),
+    tok AS (
+        SELECT doc_id, sents, len(sents) AS n,
+               list_transform(sents,
+                   s -> len(string_split_regex(s, '\\s+'))) AS tc
+        FROM base WHERE len(sents) > 0
+    ),
+    -- P[k] (1-based) = tokens in the first k-1 sentences, so the run
+    -- [s..j] holds P[j+1] - P[s] tokens
+    pre AS (
+        SELECT doc_id, sents, n,
+               list_transform(range(0, n + 1),
+                   i -> COALESCE(list_sum(tc[1:i]), 0)) AS P
+        FROM tok
+    ),
+    packed AS (
+        SELECT doc_id, n, P, sents, 1 AS s, 0 AS ci,
+               GREATEST(1, COALESCE(list_max(list_filter(
+                   range(1, n + 1),
+                   k -> P[CAST(k AS INT) + 1] - P[2 - 1] <= 20)), 1))
+                   AS j
+        FROM pre
+        UNION ALL
+        SELECT doc_id, n, P, sents, j + 1, ci + 1,
+               GREATEST(j + 1, COALESCE(list_max(list_filter(
+                   range(j + 1, n + 1),
+                   k -> P[CAST(k AS INT) + 1] - P[CAST(j AS INT) + 1]
+                        <= 20)), j + 1))
+        FROM packed WHERE j < n
+    )
+    SELECT 'sc' AS op,
+           CAST(doc_id AS VARCHAR) || '|' || CAST(ci AS VARCHAR) AS k,
+           md5(array_to_string(sents[s:CAST(j AS INT)], ' ')) || '|' ||
+           CAST(j - s + 1 AS VARCHAR) || '|' ||
+           CAST(P[CAST(j AS INT) + 1] - P[s] AS VARCHAR) AS v
+    FROM packed
+"""
+
+
+def q_r11_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus curation (llmops/split.py
+    select_token_budget): keep the highest-quality docs per lang until
+    the cumulative token budget is crossed. 'abs' — absolute 2000-token
+    budget per lang, audit mode (every doc + its keep flag); 'frac' —
+    half of each lang's total tokens (0.5 is a power of two, so the
+    floor(total*frac) budget is float-exact). Score = n_chars,
+    tiebreak = doc_id (full determinism). All-string (op, k, v)."""
+    from data_validation_engine_spark.llmops.dedup import tokens_col
+    from data_validation_engine_spark.llmops.split import (
+        select_token_budget,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    absolute = select_token_budget(
+        docs, "n_chars", "n_tokens",
+        group_cols=["lang"], budget_tokens=2000,
+        tiebreak_col="doc_id", keep_col="keep",
+    ).selectExpr(
+        "'abs' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', lang, CAST(keep AS STRING)) AS v",
+    )
+    frac = select_token_budget(
+        docs, "n_chars", "n_tokens",
+        group_cols=["lang"], budget_frac=0.5,
+        tiebreak_col="doc_id", keep_col="keep",
+    ).selectExpr(
+        "'frac' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', lang, CAST(keep AS STRING)) AS v",
+    )
+    return absolute.unionByName(frac)
+
+
+_STAGED_ORACLES["r11_curation"] = r"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN COALESCE(trim(text), '') = '' THEN 0
+                    ELSE len(string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '\s+'))
+               END AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before,
+               sum(n_tokens) OVER (PARTITION BY lang) AS total
+        FROM toks
+    )
+    SELECT 'abs' AS op, CAST(doc_id AS VARCHAR) AS k,
+           lang || '|' || CAST(before < 2000 AS VARCHAR) AS v
+    FROM ranked
+    UNION ALL
+    SELECT 'frac', CAST(doc_id AS VARCHAR),
+           lang || '|' ||
+           CAST(before < CAST(floor(total * 0.5) AS BIGINT) AS VARCHAR)
+    FROM ranked
+"""
+
+
+def q_r11_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode writing-system profiling (llmops/text.py script_profile)
+    over a derived mixed-script corpus (the synthetic documents are
+    ASCII-Latin, so both twins append the same Han/Cyrillic/Arabic
+    tails to deterministic doc subsets, giving real non-Latin and
+    mixed-script rows): per-class letter counts, total letters, and
+    the dominant-script label with its first-listed tie break.
+    Java \\p{IsXxx} and RE2 \\p{Xxx} are the same Unicode script
+    property — the row proves the count parity. All-string (op,k,v)."""
+    from data_validation_engine_spark.llmops.text import script_profile
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "text || CASE WHEN doc_id % 3 = 0"
+        " THEN ' 中文文本处理' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0"
+        " THEN ' русский' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0"
+        " THEN ' مرحبا' ELSE '' END AS text",
+    )
+    return script_profile(docs, "text").selectExpr(
+        "'p' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(script_latin AS STRING),"
+        " CAST(script_han AS STRING), CAST(script_cyrillic AS STRING),"
+        " CAST(script_arabic AS STRING), CAST(script_letters AS STRING),"
+        " dominant_script) AS v",
+    )
+
+
+_STAGED_ORACLES["r11_script_profile"] = """
+    WITH sp AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                   THEN ' 中文文本处理'
+                   ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                   THEN ' русский'
+                   ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                   THEN ' مرحبا'
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\p{Latin}')) AS latin,
+               len(regexp_extract_all(text, '\\p{Han}')) AS han,
+               len(regexp_extract_all(text, '\\p{Cyrillic}')) AS cyr,
+               len(regexp_extract_all(text, '\\p{Arabic}')) AS arab,
+               len(regexp_extract_all(text, '\\p{Greek}')) AS greek,
+               len(regexp_extract_all(text, '\\p{Hebrew}')) AS hebrew,
+               len(regexp_extract_all(text, '\\p{Devanagari}')) AS deva,
+               len(regexp_extract_all(text, '\\p{Hangul}')) AS hangul,
+               len(regexp_extract_all(text,
+                   '[\\p{Hiragana}\\p{Katakana}]')) AS kana,
+               len(regexp_extract_all(text, '\\p{L}')) AS n_letters
+        FROM sp
+    )
+    SELECT 'p' AS op, CAST(doc_id AS VARCHAR) AS k,
+           CAST(latin AS VARCHAR) || '|' || CAST(han AS VARCHAR) || '|'
+           || CAST(cyr AS VARCHAR) || '|' || CAST(arab AS VARCHAR) ||
+           '|' || CAST(n_letters AS VARCHAR) || '|' ||
+           CASE WHEN n_letters = 0 OR greatest(latin, cyr, han,
+                         arab, deva, hangul, kana, greek, hebrew) = 0
+                THEN 'none'
+                ELSE (SELECT cls FROM (
+                    SELECT unnest(['latin','cyrillic','han','arabic',
+                                   'devanagari','hangul','kana',
+                                   'greek','hebrew']) AS cls,
+                           unnest([latin, cyr, han, arab, deva,
+                                   hangul, kana, greek, hebrew]) AS n)
+                    ORDER BY n DESC,
+                        CASE cls WHEN 'latin' THEN 0
+                            WHEN 'cyrillic' THEN 1 WHEN 'han' THEN 2
+                            WHEN 'arabic' THEN 3
+                            WHEN 'devanagari' THEN 4
+                            WHEN 'hangul' THEN 5 WHEN 'kana' THEN 6
+                            WHEN 'greek' THEN 7 ELSE 8 END
+                    LIMIT 1)
+           END AS v
+    FROM counts
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 candidate rows — run by tools/oracle_check.py --staged
     and tests/test_staged_oracles.py, NOT by the driver (the 50-row
@@ -8929,6 +9169,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_bloom": q_r11_bloom,
         "r11_dsir": q_r11_dsir,
         "r11_cdc_chunks": q_r11_cdc_chunks,
+        "r11_sentence_chunks": q_r11_sentence_chunks,
+        "r11_curation": q_r11_curation,
+        "r11_script_profile": q_r11_script_profile,
     }
 
 
