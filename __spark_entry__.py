@@ -9161,6 +9161,87 @@ _STAGED_ORACLES["r11_script_profile"] = """
 """
 
 
+
+
+def q_r11_stream_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_paragraph_frequency (streaming/cardinality.py): the
+    continuous-boilerplate twin of the attested batch paragraph
+    frequencies, drained with availableNow over the events table (the
+    documents table has no event time). Each event contributes a
+    two-paragraph text — its event_type line plus a shared boilerplate
+    footer — so per-window counts exercise both the exploding footer
+    hash and the per-type lines. The oracle replays the tumbling
+    window + watermark cutoff in SQL exactly as the green cms_sketch
+    'stream' tag does. All-string (op, k, v) frame."""
+    import tempfile
+
+    from data_validation_engine_spark.streaming import read_entity_stream
+    from data_validation_engine_spark.streaming.cardinality import (
+        streaming_paragraph_frequency,
+    )
+
+    sdf = read_entity_stream(
+        spark, sf_dir, _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    ).selectExpr(
+        "ts",
+        "CONCAT(event_type, ' line\\n', 'subscribe to the footer') "
+        "AS text",
+    )
+    out = tempfile.mkdtemp(prefix="dve_spara_q_")
+    with _state_partitions(spark):
+        sq = (
+            streaming_paragraph_frequency(
+                sdf, "ts", "text",
+                window_seconds=86400, watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    sq.awaitTermination()
+    return spark.read.parquet(f"{out}/data").selectExpr(
+        "'w' AS op",
+        "CONCAT_WS('|', CAST(window_start AS STRING), h) AS k",
+        "CONCAT_WS('|', md5(para), CAST(n_occ AS STRING)) AS v",
+    )
+
+
+_STAGED_ORACLES["r11_stream_paragraphs"] = """
+    WITH ev AS (
+        SELECT ts,
+               event_type || ' line' || chr(10) ||
+               'subscribe to the footer' AS text
+        FROM events
+    ),
+    paras AS (
+        SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win,
+               ts, para
+        FROM (
+            SELECT ts, unnest(string_split(text, chr(10))) AS para
+            FROM ev
+        ) WHERE length(trim(para)) >= 1
+    ),
+    counted AS (
+        SELECT win,
+               md5(lower(regexp_replace(trim(para), '\\s+', ' ', 'g')))
+                   AS h,
+               min(para) AS para, count(*) AS n_occ
+        FROM paras, (SELECT max(ts) AS mx FROM events) m
+        WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+              <= m.mx - INTERVAL 2 HOUR
+        GROUP BY 1, 2
+    )
+    SELECT 'w' AS op,
+           CAST(win AS VARCHAR) || '|' || h AS k,
+           md5(para) || '|' || CAST(n_occ AS VARCHAR) AS v
+    FROM counted
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 candidate rows — run by tools/oracle_check.py --staged
     and tests/test_staged_oracles.py, NOT by the driver (the 50-row
@@ -9172,6 +9253,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_sentence_chunks": q_r11_sentence_chunks,
         "r11_curation": q_r11_curation,
         "r11_script_profile": q_r11_script_profile,
+        "r11_stream_paragraphs": q_r11_stream_paragraphs,
     }
 
 
