@@ -9242,6 +9242,77 @@ _STAGED_ORACLES["r11_stream_paragraphs"] = """
 """
 
 
+
+
+def q_r11_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (llmops/fusion.py, Cormack 2009): fuse
+    two per-lang rankings of the documents table — by n_chars and by
+    the md5 of the text (both engine-exact orderings; float-scored
+    rankers like BM25 ride the pytest E2E instead, per the FLOATS.md
+    rank-from-float policy) — then cut to each lang's top 10. The
+    integer DIV contribution makes the fused scores themselves
+    hashable, not just the ranking. All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.fusion import (
+        rank_by_score,
+        rrf_fuse,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", F.col("doc_id"), "n_chars", F.md5("text").alias("h")
+    )
+    by_len = rank_by_score(
+        docs, "n_chars", query_cols=["lang"], doc_col="doc_id"
+    )
+    by_hash = rank_by_score(
+        docs, "h", query_cols=["lang"], doc_col="doc_id"
+    )
+    fused = rrf_fuse(
+        [by_len, by_hash], query_cols=["lang"], doc_col="doc_id",
+        top_n=10,
+    )
+    return fused.selectExpr(
+        "'f' AS op",
+        "CONCAT_WS('|', lang, CAST(doc_id AS STRING)) AS k",
+        "CONCAT_WS('|', CAST(n_lists AS STRING),"
+        " CAST(best_rank AS STRING), CAST(rrf_score AS STRING)) AS v",
+    )
+
+
+_STAGED_ORACLES["r11_rrf_fusion"] = """
+    WITH d AS (
+        SELECT lang, doc_id, n_chars, md5(text) AS h FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id) AS rank
+        FROM d
+        UNION ALL
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY h DESC, doc_id) AS rank
+        FROM d
+    ),
+    fused AS (
+        SELECT lang, doc_id, count(*) AS n_lists, min(rank) AS best_rank,
+               sum(1000000000000 // (60 + rank)) AS rrf_score
+        FROM ranked GROUP BY lang, doc_id
+    ),
+    cut AS (
+        SELECT lang, doc_id, n_lists, best_rank, rrf_score,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused
+    )
+    SELECT 'f' AS op,
+           lang || '|' || CAST(doc_id AS VARCHAR) AS k,
+           CAST(n_lists AS VARCHAR) || '|' ||
+           CAST(best_rank AS VARCHAR) || '|' ||
+           CAST(rrf_score AS VARCHAR) AS v
+    FROM cut WHERE rn <= 10
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 candidate rows — run by tools/oracle_check.py --staged
     and tests/test_staged_oracles.py, NOT by the driver (the 50-row
@@ -9254,6 +9325,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_curation": q_r11_curation,
         "r11_script_profile": q_r11_script_profile,
         "r11_stream_paragraphs": q_r11_stream_paragraphs,
+        "r11_rrf_fusion": q_r11_rrf_fusion,
     }
 
 

@@ -65,6 +65,10 @@ from data_validation_engine_spark.llmops.linkage import (
     fuzzy_dedup_pairs,
     fuzzy_string_join,
 )
+from data_validation_engine_spark.llmops.fusion import (
+    rank_by_score,
+    rrf_fuse,
+)
 from data_validation_engine_spark.llmops.dsir import (
     dsir_bucket_counts,
     dsir_log_ratio,
@@ -289,6 +293,8 @@ __all__ = [
     "normalize_text",
     "bloom_build",
     "dsir_bucket_counts",
+    "rank_by_score",
+    "rrf_fuse",
     "dsir_log_ratio",
     "dsir_score",
     "gumbel_topk",

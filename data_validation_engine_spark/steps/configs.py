@@ -1512,6 +1512,24 @@ class BloomFilter(AbstractStep):
     bloom_name: Optional[str] = None
 
 
+class RrfFuse(AbstractStep):
+    """Reciprocal Rank Fusion of ranked retrieval lists (Cormack 2009):
+    the entity plus ``more_entities`` each carry ``query_columns +
+    (doc_column, rank_column)``; the fused output ranks documents by
+    the integer-exact ``sum(scale DIV (k + rank))`` with ``top_n``
+    keeping each query's head. The hybrid-search join of BM25 and
+    embedding retrieval."""
+
+    operation: Literal["rrf_fuse"] = "rrf_fuse"
+    more_entities: tuple[str, ...] = ()
+    query_columns: tuple[str, ...] = ()
+    doc_column: str = "doc_id"
+    rank_column: str = "rank"
+    k: int = 60
+    scale: int = 10**12
+    top_n: Optional[int] = None
+
+
 class DsirResample(AbstractStep):
     """DSIR data selection (Xie et al. 2023): ``mode="counts"`` turns a
     corpus into its hashed-n-gram bucket counts (≤ ``buckets`` rows,
@@ -1694,6 +1712,7 @@ AnyStep = Annotated[
         CmsSketch,
         BloomFilter,
         DsirResample,
+        RrfFuse,
         ExtractHtmlText,
         ParseJson,
         MaterializePacks,

@@ -146,6 +146,7 @@ from data_validation_engine_spark.steps.configs import (
     BloomFilter,
     CmsSketch,
     DsirResample,
+    RrfFuse,
     ExtractHtmlText,
     ParseJson,
     MaterializePacks,
@@ -296,6 +297,7 @@ class StepEngine:
             CmsSketch: self.cms_sketch,
             BloomFilter: self.bloom_filter,
             DsirResample: self.dsir_resample,
+            RrfFuse: self.rrf_fuse,
             ExtractHtmlText: self.extract_html_text,
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
@@ -2557,6 +2559,25 @@ class StepEngine:
                 seed=config.seed,
                 temperature=config.temperature,
             )
+        return None
+
+    def rrf_fuse(
+        self, entities: Entities, *, config: RrfFuse
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.fusion import rrf_fuse
+
+        frames = [entities[config.entity_name]] + [
+            entities[n] for n in config.more_entities
+        ]
+        entities[config.output_name] = rrf_fuse(
+            frames,
+            query_cols=list(config.query_columns),
+            doc_col=config.doc_column,
+            rank_col=config.rank_column,
+            k=config.k,
+            scale=config.scale,
+            top_n=config.top_n,
+        )
         return None
 
     def bpe_train(
