@@ -9313,6 +9313,80 @@ _STAGED_ORACLES["r11_rrf_fusion"] = """
 """
 
 
+
+
+def q_r11_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (llmops/split.py
+    negative_samples): every even-doc anchor draws 3 negatives from the
+    full documents pool by md5-rank indexing. The oracle replays the
+    global md5-order ranks (proving the distributed two-phase bucketed
+    rank equals a global sort) and the per-draw target arithmetic.
+    'd' rows keep self-hits visible (exclude_self=False) so the
+    row-count is exact; 'x' rows attest the exclude_self gap set.
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.split import negative_samples
+
+    docs = _docs(spark, sf_dir)
+    anchors = docs.where("doc_id % 2 = 0").select(
+        F.col("doc_id").alias("aid")
+    )
+    pool = docs.select("doc_id", "lang")
+    draws = negative_samples(
+        anchors, pool, "aid", "doc_id", k=3,
+        exclude_self=False, pool_cols=["lang"],
+    ).selectExpr(
+        "'d' AS op",
+        "CONCAT_WS('|', CAST(aid AS STRING),"
+        " CAST(neg_idx AS STRING)) AS k",
+        "CONCAT_WS('|', CAST(neg_doc_id AS STRING), lang) AS v",
+    )
+    gaps = negative_samples(
+        anchors, pool, "aid", "doc_id", k=3, exclude_self=True
+    ).selectExpr(
+        "'x' AS op",
+        "CONCAT_WS('|', CAST(aid AS STRING),"
+        " CAST(neg_idx AS STRING)) AS k",
+        "CAST(neg_doc_id AS STRING) AS v",
+    )
+    return draws.unionByName(gaps)
+
+
+_STAGED_ORACLES["r11_negative_samples"] = """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (ORDER BY
+                   md5('|negpool|' || CAST(doc_id AS VARCHAR)),
+                   doc_id) - 1 AS rk,
+               count(*) OVER () AS pool_n
+        FROM documents
+    ),
+    probes AS (
+        SELECT d.doc_id AS aid, j.neg_idx,
+               CAST(('0x' || substring(md5('|neg|' ||
+                    CAST(d.doc_id AS VARCHAR) || '|' ||
+                    CAST(j.neg_idx AS VARCHAR)), 1, 15))::BIGINT
+                    % (SELECT max(pool_n) FROM ranked) AS BIGINT)
+                   AS target
+        FROM documents d,
+             (SELECT unnest([0, 1, 2]) AS neg_idx) j
+        WHERE d.doc_id % 2 = 0
+    ),
+    drawn AS (
+        SELECT p.aid, p.neg_idx, r.doc_id AS neg, r.lang
+        FROM probes p JOIN ranked r ON p.target = r.rk
+    )
+    SELECT 'd' AS op,
+           CAST(aid AS VARCHAR) || '|' || CAST(neg_idx AS VARCHAR) AS k,
+           CAST(neg AS VARCHAR) || '|' || lang AS v
+    FROM drawn
+    UNION ALL
+    SELECT 'x',
+           CAST(aid AS VARCHAR) || '|' || CAST(neg_idx AS VARCHAR),
+           CAST(neg AS VARCHAR)
+    FROM drawn WHERE aid <> neg
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 candidate rows — run by tools/oracle_check.py --staged
     and tests/test_staged_oracles.py, NOT by the driver (the 50-row
@@ -9326,6 +9400,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_script_profile": q_r11_script_profile,
         "r11_stream_paragraphs": q_r11_stream_paragraphs,
         "r11_rrf_fusion": q_r11_rrf_fusion,
+        "r11_negative_samples": q_r11_negative_samples,
     }
 
 

@@ -173,6 +173,7 @@ from data_validation_engine_spark.llmops.split import (
     select_token_budget,
     hash_bucket,
     hash_split,
+    negative_samples,
     stratified_sample,
     weighted_keep,
     weighted_sample,
@@ -243,6 +244,7 @@ __all__ = [
     "hash_bucket",
     "corpus_mix",
     "hash_split",
+    "negative_samples",
     "weighted_keep",
     "weighted_sample",
     "build_vocab",

@@ -464,3 +464,127 @@ def select_token_budget(
     if keep_col is None:
         out = out.where(F.col(flag)).drop(flag)
     return out.drop("__grp_tokens") if budget_frac is not None else out
+
+
+def negative_samples(
+    anchors: DataFrame,
+    pool: DataFrame,
+    anchor_col: str,
+    pool_col: str,
+    *,
+    k: int = 4,
+    seed: str = "",
+    exclude_self: bool = True,
+    pool_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training
+    (word2vec/SimCLR/DPR-style: each anchor needs ``k`` pseudo-random
+    "negative" rows from a pool): ``anchors' columns + (neg_idx,
+    pool_col [+ pool_cols])`` with up to ``k`` rows per anchor.
+
+    The draw is the classic rank-indexing trick, fully distributed:
+    every pool row gets a dense rank in global md5 order (a
+    deterministic shuffle of the pool), each (anchor, draw j) computes
+    ``target = md5(seed|anchor|j) % pool_size``, and an equi-join on
+    the rank fetches the drawn row. Uniform with replacement,
+    engine-portable, rerun-stable, and — unlike ``rand()``-based
+    sampling — immune to partition count and task retries.
+
+    ``exclude_self`` drops draws that hit the anchor's own key (those
+    anchors may get fewer than ``k`` negatives — loud in ``neg_idx``
+    gaps rather than silently redrawn, which would make draw j's value
+    depend on the anchor's own membership).
+
+    Scale shape: the global rank is TWO-PHASE — rows bucket by their
+    md5's first 4 hex chars, rank locally per bucket, and add the
+    bucket's cumulative offset (a 65536-row metadata frame; its cumsum
+    window is the only single-partition step). Bucket-prefix order IS
+    global md5 order, so the result equals a global sort's ranks with
+    no single-partition data window. Then ONE shuffle equi-join of
+    ``anchors*k`` 8-byte probe rows against the ranked pool; no cross
+    join at any size; the pool's payload ships once per DRAWN row
+    only. The pool size rides the offset frame's broadcast, never a
+    driver literal.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    extra = list(pool_cols or [])
+    hashed = pool.select(
+        F.col(pool_col).alias("__neg"), *extra
+    ).withColumn(
+        "__h",
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}|negpool|"), F.col("__neg").cast("string")
+            )
+        ),
+    ).withColumn(
+        "__b", F.conv(F.substring("__h", 1, 4), 16, 10).cast("int")
+    )
+    counts = hashed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    offsets = counts.select(
+        "__b",
+        (
+            F.coalesce(
+                F.sum("__c").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("__off"),
+        F.sum("__c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__pool_n"),
+    )
+    local = Window.partitionBy("__b").orderBy("__h", "__neg")
+    ranked = (
+        hashed.withColumn("__lrk", F.row_number().over(local) - 1)
+        .join(F.broadcast(offsets), "__b")
+        .withColumn("__rk", F.col("__off") + F.col("__lrk"))
+        .drop("__b", "__h", "__lrk", "__off")
+    )
+    size = offsets.select("__pool_n").limit(1)
+    probes = (
+        anchors.join(F.broadcast(size))
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k - 1))
+            ).alias("neg_idx"),
+        )
+        .withColumn(
+            "__rk",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{seed}|neg|"),
+                                F.col(anchor_col).cast("string"),
+                                F.lit("|"),
+                                F.col("neg_idx").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("decimal(38,0)")
+                % F.col("__pool_n")
+            ).cast("long"),
+        )
+        .drop("__pool_n")
+    )
+    out = probes.join(ranked.drop("__pool_n"), "__rk").drop("__rk")
+    if exclude_self:
+        out = out.where(
+            ~F.col(anchor_col).cast("string").eqNullSafe(
+                F.col("__neg").cast("string")
+            )
+        )
+    return out.withColumnRenamed("__neg", f"neg_{pool_col}")

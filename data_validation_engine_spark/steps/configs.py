@@ -1512,6 +1512,23 @@ class BloomFilter(AbstractStep):
     bloom_name: Optional[str] = None
 
 
+class NegativeSamples(AbstractStep):
+    """Deterministic uniform negative sampling for contrastive pairs:
+    each anchor row draws ``k`` pseudo-random rows from ``pool_name``
+    by md5-rank indexing (uniform with replacement, rerun-stable, no
+    cross join; ``exclude_self`` drops self-hits as gaps, never
+    redraws)."""
+
+    operation: Literal["negative_samples"] = "negative_samples"
+    pool_name: str
+    anchor_column: str
+    pool_column: str
+    k: int = 4
+    seed: str = ""
+    exclude_self: bool = True
+    pool_columns: tuple[str, ...] = ()
+
+
 class RrfFuse(AbstractStep):
     """Reciprocal Rank Fusion of ranked retrieval lists (Cormack 2009):
     the entity plus ``more_entities`` each carry ``query_columns +
@@ -1713,6 +1730,7 @@ AnyStep = Annotated[
         BloomFilter,
         DsirResample,
         RrfFuse,
+        NegativeSamples,
         ExtractHtmlText,
         ParseJson,
         MaterializePacks,

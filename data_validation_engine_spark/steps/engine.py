@@ -146,6 +146,7 @@ from data_validation_engine_spark.steps.configs import (
     BloomFilter,
     CmsSketch,
     DsirResample,
+    NegativeSamples,
     RrfFuse,
     ExtractHtmlText,
     ParseJson,
@@ -298,6 +299,7 @@ class StepEngine:
             BloomFilter: self.bloom_filter,
             DsirResample: self.dsir_resample,
             RrfFuse: self.rrf_fuse,
+            NegativeSamples: self.negative_samples,
             ExtractHtmlText: self.extract_html_text,
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
@@ -2577,6 +2579,25 @@ class StepEngine:
             k=config.k,
             scale=config.scale,
             top_n=config.top_n,
+        )
+        return None
+
+    def negative_samples(
+        self, entities: Entities, *, config: NegativeSamples
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.split import (
+            negative_samples,
+        )
+
+        entities[config.output_name] = negative_samples(
+            entities[config.entity_name],
+            entities[config.pool_name],
+            config.anchor_column,
+            config.pool_column,
+            k=config.k,
+            seed=config.seed,
+            exclude_self=config.exclude_self,
+            pool_cols=list(config.pool_columns),
         )
         return None
 
