@@ -124,6 +124,7 @@ from data_validation_engine_spark.llmops.split import (
 )
 from data_validation_engine_spark.llmops.web import (
     extract_html_text,
+    extract_links,
     parse_json_column,
 )
 from data_validation_engine_spark.llmops.decontam import (
@@ -308,6 +309,7 @@ __all__ = [
     "cms_query",
     "temperature_targets",
     "extract_html_text",
+    "extract_links",
     "parse_json_column",
     "compression_ratio",
     "split_sentences",

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_html_text", "parse_json_column"]
+__all__ = ["extract_html_text", "extract_links", "parse_json_column"]
 
 # the eight entities that dominate real markup; everything else needs
 # `unescape="full"`
@@ -152,3 +152,104 @@ def parse_json_column(
         full.dropFields(corrupt),
     )
     return df.withColumn(output_col, parsed).withColumn(valid_col, ok)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    *,
+    base_url_col: str | None = None,
+    output_col: str = "href",
+    unique: bool = True,
+) -> DataFrame:
+    """Extract anchor targets from an HTML column: one row per href —
+    the crawl-side edge extractor that feeds the link graph
+    (``graph.pagerank`` / ``connected_components`` take the output
+    directly as an edge list).
+
+    Href values come from ``<a ... href="...">`` / ``href='...'`` /
+    unquoted ``href=...`` (case-insensitive, whitespace-tolerant
+    around ``=``), entity-decoded for the separator entities real
+    markup embeds in URLs (``&amp;`` and friends), with fragments
+    (``#...``) stripped and ``javascript:``/``mailto:``/``data:``/
+    ``tel:`` pseudo-links dropped. When ``base_url_col`` is given,
+    relative hrefs are resolved against it with RFC-3986's common
+    cases: scheme-relative ``//host/x``, root-relative ``/x``, and
+    path-relative ``x`` (resolved against the base's directory;
+    ``.``/``..`` segments are NOT normalised — at corpus scale the
+    dominant consumers key on host anyway and a loud un-normalised
+    path beats a wrong one).
+
+    ``unique`` dedups per source row (the within-page repeat of nav
+    links would otherwise dominate the edge list). Scale shape: one
+    ``regexp_extract_all`` + per-row array transforms, zero shuffle,
+    no Python — the explode multiplies rows by out-degree only.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    raw = F.regexp_extract_all(
+        html,
+        F.lit(
+            r"(?i)<a\s[^>]*?href\s*=\s*"
+            r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
+        ),
+        1,
+    )
+    # group 1 only matches double-quoted hrefs; run the other two
+    # groups separately (regexp_extract_all takes ONE group index)
+    raw2 = F.regexp_extract_all(
+        html,
+        F.lit(
+            r"(?i)<a\s[^>]*?href\s*=\s*"
+            r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
+        ),
+        2,
+    )
+    raw3 = F.regexp_extract_all(
+        html,
+        F.lit(
+            r"(?i)<a\s[^>]*?href\s*=\s*"
+            r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
+        ),
+        3,
+    )
+    merged = F.filter(
+        F.concat(raw, raw2, raw3), lambda h: h != ""
+    )
+    cleaned = F.transform(
+        merged,
+        lambda h: F.regexp_replace(
+            F.regexp_replace(
+                F.trim(h), r"&amp;|&#38;|&#x26;", "&"
+            ),
+            r"#.*$",
+            "",
+        ),
+    )
+    kept = F.filter(
+        cleaned,
+        lambda h: (h != "")
+        & ~h.rlike(r"(?i)^(javascript|mailto|data|tel):"),
+    )
+    if base_url_col is not None:
+        base = F.coalesce(F.col(base_url_col), F.lit(""))
+        scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+        origin = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+        # base directory: origin + path up to (and including) the last /
+        dirpath = F.regexp_extract(
+            base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)", 1
+        )
+        dirpath = F.when(dirpath == "", F.concat(origin, F.lit("/"))).otherwise(
+            dirpath
+        )
+        kept = F.transform(
+            kept,
+            lambda h: F.when(
+                h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), h
+            )
+            .when(h.rlike(r"^//"), F.concat(scheme, F.lit(":"), h))
+            .when(h.rlike(r"^/"), F.concat(origin, h))
+            .otherwise(F.concat(dirpath, h)),
+        )
+    if unique:
+        kept = F.array_distinct(kept)
+    return df.select("*", F.explode(kept).alias(output_col))

@@ -1460,6 +1460,19 @@ class ExtractHtmlText(AbstractStep):
     output_column: str = "text"
 
 
+class ExtractLinks(AbstractStep):
+    """Extract anchor hrefs from an HTML column (one row per link,
+    entity-decoded, fragment-stripped, pseudo-links dropped; optional
+    relative-URL resolution against ``base_url_column``) — the edge
+    extractor feeding the link-graph operators. Zero shuffle."""
+
+    operation: Literal["extract_links"] = "extract_links"
+    html_column: str = "html"
+    base_url_column: Optional[str] = None
+    output_column: str = "href"
+    unique: bool = True
+
+
 class ParseJson(AbstractStep):
     """Parse a JSON string column into a typed struct via an explicit
     DDL schema (never inferred). Malformed JSON → NULL struct +
@@ -1732,6 +1745,7 @@ AnyStep = Annotated[
         RrfFuse,
         NegativeSamples,
         ExtractHtmlText,
+        ExtractLinks,
         ParseJson,
         MaterializePacks,
         CompressionRatio,

@@ -149,6 +149,7 @@ from data_validation_engine_spark.steps.configs import (
     NegativeSamples,
     RrfFuse,
     ExtractHtmlText,
+    ExtractLinks,
     ParseJson,
     MaterializePacks,
     CompressionRatio,
@@ -301,6 +302,7 @@ class StepEngine:
             RrfFuse: self.rrf_fuse,
             NegativeSamples: self.negative_samples,
             ExtractHtmlText: self.extract_html_text,
+            ExtractLinks: self.extract_links,
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
             CompressionRatio: self.compression_ratio,
@@ -2598,6 +2600,20 @@ class StepEngine:
             seed=config.seed,
             exclude_self=config.exclude_self,
             pool_cols=list(config.pool_columns),
+        )
+        return None
+
+    def extract_links(
+        self, entities: Entities, *, config: ExtractLinks
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.web import extract_links
+
+        entities[config.output_name] = extract_links(
+            entities[config.entity_name],
+            config.html_column,
+            base_url_col=config.base_url_column,
+            output_col=config.output_column,
+            unique=config.unique,
         )
         return None
 
