@@ -9390,7 +9390,24 @@ _STAGED_ORACLES["r11_negative_samples"] = """
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 candidate rows — run by tools/oracle_check.py --staged
     and tests/test_staged_oracles.py, NOT by the driver (the 50-row
-    roster is full; these are pre-proven for next round's promotion)."""
+    roster is full; these are pre-proven for next round's promotion).
+
+    ROUND-11 PROMOTION PLAN (write the roster edit, the proofs are
+    done): free slots by merging small green rows under the all-string
+    discipline — hll_profile (0.5s) folds into cms_sketch as a 'hll'
+    tag; text_normalize + chat_prep -> one 'text_prep' union row;
+    materialize_packs + training_shards + source_formats -> one
+    'artifacts' union row. That frees 4 slots; promote the ten staged
+    rows as SIX roster rows by pairing related surfaces:
+    r11_bloom + r11_dsir -> 'selection_sketches';
+    r11_cdc_chunks + r11_sentence_chunks -> 'chunking_v2';
+    r11_curation + r11_negative_samples -> 'sampling_v2';
+    r11_script_profile (+ an extract_links tag: edges of a derived
+    HTML corpus -> pagerank, SQL-replayable) -> 'corpus_signals';
+    r11_rrf_fusion -> 'hybrid_retrieval';
+    r11_stream_paragraphs rides streaming_window_counts as a tag.
+    Keep every staged query function VERBATIM when promoting (the
+    proof is for the exact text); only the row grouping changes."""
     return {
         "r11_bloom": q_r11_bloom,
         "r11_dsir": q_r11_dsir,

@@ -129,6 +129,7 @@ from data_validation_engine_spark.llmops.web import (
 )
 from data_validation_engine_spark.llmops.decontam import (
     decontaminate,
+    decontaminate_bloom,
 )
 from data_validation_engine_spark.llmops.dedup import (
     connected_components,
@@ -253,6 +254,7 @@ __all__ = [
     "chunk_by_sentences",
     "chunk_documents",
     "decontaminate",
+    "decontaminate_bloom",
     "grouped_vector_sum",
     "quantize_vectors",
     "project_vectors",

@@ -78,3 +78,105 @@ def decontaminate(
             ),
         )
     )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = DEFAULT_NGRAM,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+    seed: str = "",
+    exact_verify: bool = True,
+) -> DataFrame:
+    """:func:`decontaminate` for corpora where exploding every corpus
+    n-gram into a join is the dominant cost: screen documents against a
+    Bloom filter of the benchmark's n-grams FIRST, then (optionally)
+    run the exact join over the suspects only.
+
+    Same output contract as :func:`decontaminate` — ``(id, n_hits,
+    contaminated)`` — and, because Bloom filters never produce false
+    negatives, with ``exact_verify=True`` the results are IDENTICAL to
+    the exact operator: non-suspects are provably clean (0 hits) and
+    suspects get exact counts. With ``exact_verify=False`` ``n_hits``
+    is null and ``contaminated`` may include false positives at the
+    filter's rate (``~(1-e^(-k*n/m))^k``) — the cheap triage mode.
+
+    Scale shape, and why this beats the broadcast join at 100 TB: the
+    benchmark's grams collapse into ``m_bits/63`` longs (~128 KiB at
+    the default 2^20 bits) COLLECTED ONCE (a bounded control-plane
+    fetch, the documented class) and shipped back as a 1-row broadcast
+    array — so the corpus-side screen is a pure per-row projection
+    (``exists`` over the doc's own grams testing bits in the array):
+    zero shuffle, zero join, no per-gram row explosion. Only the
+    suspected sliver of the corpus — the true hits plus the
+    false-positive rate's worth of docs — pays the exact join. The
+    word array is :func:`~...sketch.bloom_build` state, so
+    per-benchmark-version filters OR-merge without re-reading text.
+
+    Implementation note: the bit mask inside the nested lambda is
+    ``pow(2.0, bit)`` cast to long — powers of two are exactly
+    representable in a double through 2^62, and 63-bit words cap the
+    bit index at 62 (``F.expr`` can't reference a lambda variable and
+    the Python ``shiftleft`` wrapper takes only literal counts).
+    """
+    from data_validation_engine_spark.llmops.sketch import (
+        _bloom_positions,
+        bloom_build,
+    )
+
+    spark = corpus.sparkSession
+    grams = F.transform(
+        shingles_col(F.col(text_col), ngram), lambda g: F.md5(g)
+    )
+    bench_grams = benchmark.select(F.explode(grams).alias("__gram"))
+    sparse = bloom_build(
+        bench_grams, "__gram",
+        m_bits=m_bits, k_hashes=k_hashes, seed=seed,
+    ).collect()  # <= m_bits/63 + 1 rows: bounded control-plane fetch
+    dense = [0] * (m_bits // 63 + 1)
+    for r in sparse:
+        dense[r["word"]] = r["bits"]
+    words_frame = spark.createDataFrame(
+        [(dense,)], "___bloom_words array<long>"
+    )
+
+    def _bit_set(p: Column) -> Column:
+        word = F.element_at(
+            F.col("___bloom_words"), (p / F.lit(63)).cast("int") + F.lit(1)
+        )
+        mask = F.pow(F.lit(2.0), (p % F.lit(63)).cast("int")).cast("long")
+        return word.bitwiseAND(mask) != 0
+
+    screened = (
+        corpus.join(F.broadcast(words_frame))
+        .withColumn(
+            "___suspect",
+            F.exists(
+                grams,
+                lambda g: F.forall(
+                    _bloom_positions(g, m_bits, k_hashes, seed), _bit_set
+                ),
+            ),
+        )
+        .drop("___bloom_words")
+    )
+    if not exact_verify:
+        return screened.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("n_hits"),
+            F.col("___suspect").alias("contaminated"),
+        )
+    suspects = screened.where(F.col("___suspect")).drop("___suspect")
+    clean = screened.where(~F.col("___suspect")).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_hits"),
+        F.lit(False).alias("contaminated"),
+    )
+    verified = decontaminate(
+        suspects, benchmark, id_col, text_col, ngram=ngram
+    )
+    return clean.unionByName(verified)

@@ -1938,3 +1938,78 @@ def test_kmeans_centroids_feed_ivf(spark):
     assert len(out) == 5
     cos = [r["cosine"] for r in out]
     assert cos == sorted(cos, reverse=True)
+
+
+class TestDecontaminateBloom:
+    def _frames(self, spark):
+        bench = spark.createDataFrame(
+            [(1, "the secret benchmark answer is forty two exactly")],
+            "qid long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "a clean document about spark joins and shuffles"),
+                (2, "leaked: the secret benchmark answer is forty two exactly copied"),
+                (3, "another unrelated clean text body with words"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_identical_to_exact_operator(self, spark):
+        from data_validation_engine_spark.llmops.decontam import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        corpus, bench = self._frames(spark)
+        exact = sorted(
+            map(tuple, decontaminate(corpus, bench, "doc_id", "text", ngram=4).collect())
+        )
+        via_bloom = sorted(
+            map(
+                tuple,
+                decontaminate_bloom(
+                    corpus, bench, "doc_id", "text", ngram=4, m_bits=4096
+                ).collect(),
+            )
+        )
+        assert via_bloom == exact
+        flagged = {t[0]: t[2] for t in via_bloom}
+        assert flagged == {1: False, 2: True, 3: False}
+
+    def test_triage_mode_never_misses(self, spark):
+        from data_validation_engine_spark.llmops.decontam import (
+            decontaminate_bloom,
+        )
+
+        corpus, bench = self._frames(spark)
+        out = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in decontaminate_bloom(
+                corpus, bench, "doc_id", "text", ngram=4,
+                m_bits=4096, exact_verify=False,
+            ).collect()
+        }
+        assert out[2] == (None, True)  # the true hit always flags
+        assert len(out) == 3
+
+    def test_screen_is_joinless_projection(self, spark):
+        from data_validation_engine_spark.llmops.decontam import (
+            decontaminate_bloom,
+        )
+
+        corpus, bench = self._frames(spark)
+        plan = (
+            decontaminate_bloom(
+                corpus, bench, "doc_id", "text", ngram=4,
+                m_bits=4096, exact_verify=False,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the only join is the 1-row word-array broadcast; no per-gram
+        # explosion reaches a shuffle in triage mode
+        assert "Exchange hashpartitioning" not in plan
+        assert plan.count("Generate explode") == 0
