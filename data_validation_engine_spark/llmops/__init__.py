@@ -74,6 +74,7 @@ from data_validation_engine_spark.llmops.dsir import (
     dsir_log_ratio,
     dsir_score,
     gumbel_topk,
+    gumbel_topk_grouped,
     ngram_buckets,
 )
 from data_validation_engine_spark.llmops.sketch import (
@@ -303,6 +304,7 @@ __all__ = [
     "dsir_log_ratio",
     "dsir_score",
     "gumbel_topk",
+    "gumbel_topk_grouped",
     "ngram_buckets",
     "bloom_merge",
     "bloom_might_contain",

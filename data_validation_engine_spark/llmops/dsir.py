@@ -300,3 +300,54 @@ def gumbel_topk(
         .limit(n)
         .drop("__gumbel_key")
     )
+
+
+def gumbel_topk_grouped(
+    df: DataFrame,
+    logw_col: str,
+    n: int,
+    *,
+    group_cols: list[str],
+    key_col: str,
+    seed: str = "",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Per-group :func:`gumbel_topk`: ``n`` rows WITHOUT replacement
+    per group, probability proportional to ``exp(logw/temperature)``
+    within the group — per-domain / per-language subsampling with the
+    same deterministic md5-Gumbel noise. Plans as WindowGroupLimit
+    (per-partition heads before the shuffle), not a global sort."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use gumbel_topk)")
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}|gumbel|"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HASH_SPACE + 2.0)
+    key = F.col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    w = Window.partitionBy(*group_cols).orderBy(
+        key.desc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

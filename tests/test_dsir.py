@@ -272,3 +272,30 @@ def test_dsir_declared_step_pipeline(spark, corpora):
     ):
         with _pytest.raises(ValueError):
             eng.evaluate(ents, config=parse_step(bad))
+
+
+def test_gumbel_topk_grouped(spark):
+    from data_validation_engine_spark.llmops.dsir import gumbel_topk_grouped
+
+    df = spark.createDataFrame(
+        [(g, i, float(i)) for g in ("a", "b") for i in range(50)],
+        "grp string, k long, logw double",
+    )
+    out = gumbel_topk_grouped(
+        df, "logw", 5, group_cols=["grp"], key_col="k", temperature=1e-9
+    )
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["grp"], []).append(r["k"])
+    # greedy limit: top-5 weights per group, both groups served
+    assert sorted(by["a"]) == sorted(by["b"]) == list(range(45, 50))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # deterministic re-draw at T=1
+    d1 = sorted(map(tuple, gumbel_topk_grouped(
+        df, "logw", 5, group_cols=["grp"], key_col="k").collect()))
+    d2 = sorted(map(tuple, gumbel_topk_grouped(
+        df, "logw", 5, group_cols=["grp"], key_col="k").collect()))
+    assert d1 == d2
+    with pytest.raises(ValueError):
+        gumbel_topk_grouped(df, "logw", 5, group_cols=[], key_col="k")
