@@ -124,6 +124,7 @@ from data_validation_engine_spark.llmops.split import (
     temperature_targets,
 )
 from data_validation_engine_spark.llmops.web import (
+    extract_anchor_texts,
     extract_html_text,
     extract_links,
     parse_json_column,
@@ -312,6 +313,7 @@ __all__ = [
     "cms_merge",
     "cms_query",
     "temperature_targets",
+    "extract_anchor_texts",
     "extract_html_text",
     "extract_links",
     "parse_json_column",

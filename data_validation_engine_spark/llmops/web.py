@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_html_text", "extract_links", "parse_json_column"]
+__all__ = ["extract_anchor_texts", "extract_html_text", "extract_links", "parse_json_column"]
 
 # the eight entities that dominate real markup; everything else needs
 # `unescape="full"`
@@ -253,3 +253,65 @@ def extract_links(
     if unique:
         kept = F.array_distinct(kept)
     return df.select("*", F.explode(kept).alias(output_col))
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str,
+    *,
+    output_href: str = "href",
+    output_text: str = "anchor_text",
+) -> DataFrame:
+    """Extract ``(href, anchor_text)`` pairs from an HTML column — the
+    anchor-text corpus signal (what the web says a page is about;
+    classic relevance/label source for retrieval training sets, and
+    the edge-attribute companion to :func:`extract_links`).
+
+    One row per ``<a ...>...</a>`` element with a usable href:
+    ``href`` cleaned exactly as :func:`extract_links` does (entity
+    separators decoded, fragment stripped, pseudo-links dropped) and
+    ``anchor_text`` = the element's inner text with nested tags
+    stripped, entities decoded (the common set), and whitespace
+    collapsed; empty anchor texts (image links) yield ``''`` rather
+    than dropping the edge. Per-row regexes only — zero shuffle, no
+    Python; rows multiply by out-degree at the final explode.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    elements = F.regexp_extract_all(
+        html, F.lit(r"(?is)(<a\s[^>]*>.*?</a>)"), 1
+    )
+
+    def _href(e: Column) -> Column:
+        dq = F.regexp_extract(e, r"(?is)href\s*=\s*\"([^\"]*)\"", 1)
+        sq = F.regexp_extract(e, r"(?is)href\s*=\s*'([^']*)'", 1)
+        uq = F.regexp_extract(e, r"(?is)href\s*=\s*([^\s\"'>]+)", 1)
+        raw = F.when(dq != "", dq).when(sq != "", sq).otherwise(uq)
+        return F.regexp_replace(
+            F.regexp_replace(F.trim(raw), r"&amp;|&#38;|&#x26;", "&"),
+            r"#.*$",
+            "",
+        )
+
+    def _text(e: Column) -> Column:
+        inner = F.regexp_extract(e, r"(?is)<a\s[^>]*>(.*?)</a>", 1)
+        decoded = F.regexp_replace(inner, r"(?s)<[^>]*>", " ")
+        # JVM-side common-entity decode (the extract_html_text "basic"
+        # set) — no Arrow hop in a nested lambda
+        for ent, rep in _NAMED_ENTITIES:
+            decoded = F.replace(decoded, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+    pairs = F.transform(
+        elements,
+        lambda e: F.struct(_href(e).alias("h"), _text(e).alias("t")),
+    )
+    kept = F.filter(
+        pairs,
+        lambda p: (p["h"] != "")
+        & ~p["h"].rlike(r"(?i)^(javascript|mailto|data|tel):"),
+    )
+    return df.select("*", F.explode(kept).alias("__a")).select(
+        "*",
+        F.col("__a")["h"].alias(output_href),
+        F.col("__a")["t"].alias(output_text),
+    ).drop("__a")

@@ -142,3 +142,29 @@ def test_declared_step(spark):
     )
     [r] = ents["links"].collect()
     assert r["href"] == "https://s.ex/x"
+
+
+def test_anchor_texts(spark):
+    from data_validation_engine_spark.llmops.web import extract_anchor_texts
+
+    html = (
+        '<a href="https://a.ex/page">Visit <b>the</b>\n  page &amp; more</a>'
+        '<a href="https://img.ex/"><img src="x.png"/></a>'
+        '<a href="javascript:void(0)">skip</a>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = {
+        r["href"]: r["anchor_text"]
+        for r in extract_anchor_texts(df, "html").collect()
+    }
+    assert got == {
+        "https://a.ex/page": "Visit the page & more",
+        "https://img.ex/": "",  # image link kept, text empty
+    }
+    plan = (
+        extract_anchor_texts(df, "html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
