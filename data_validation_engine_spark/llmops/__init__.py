@@ -124,6 +124,7 @@ from data_validation_engine_spark.llmops.split import (
     temperature_targets,
 )
 from data_validation_engine_spark.llmops.web import (
+    canonicalize_url,
     extract_anchor_texts,
     extract_html_text,
     extract_links,
@@ -313,6 +314,7 @@ __all__ = [
     "cms_merge",
     "cms_query",
     "temperature_targets",
+    "canonicalize_url",
     "extract_anchor_texts",
     "extract_html_text",
     "extract_links",

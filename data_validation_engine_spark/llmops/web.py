@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_anchor_texts", "extract_html_text", "extract_links", "parse_json_column"]
+__all__ = [
+    "canonicalize_url",
+    "extract_anchor_texts",
+    "extract_html_text",
+    "extract_links",
+    "parse_json_column",
+]
 
 # the eight entities that dominate real markup; everything else needs
 # `unescape="full"`
@@ -315,3 +321,86 @@ def extract_anchor_texts(
         F.col("__a")["h"].alias(output_href),
         F.col("__a")["t"].alias(output_text),
     ).drop("__a")
+
+
+#: query parameters that identify a click, not a resource — the common
+#: tracking set every crawl canonicalizer strips (utm_* by prefix)
+DEFAULT_TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "dclid", "igshid", "mc_cid",
+    "mc_eid", "yclid", "ref", "ref_src", "spm", "_ga",
+)
+
+
+def canonicalize_url(
+    url: Column,
+    *,
+    extra_drop_params: tuple[str, ...] = (),
+    keep_fragment: bool = False,
+) -> Column:
+    """Canonical form of a URL column for URL-level dedup and frontier
+    keys (the standard crawl recipe, RFC 3986 §6 normalizations plus
+    tracking-param hygiene):
+
+    - scheme and host lowercased; default ports stripped (``:80`` on
+      http, ``:443`` on https);
+    - fragment dropped (unless ``keep_fragment``);
+    - tracking parameters removed — ``utm_*`` by prefix plus
+      :data:`DEFAULT_TRACKING_PARAMS` and ``extra_drop_params`` (exact
+      name match, case-insensitive);
+    - surviving query parameters SORTED by full ``k=v`` text (stable:
+      two URLs differing only in param order collapse);
+    - empty path becomes ``/``; an emptied query drops its ``?``.
+
+    Two crawls of ``HTTP://Site.EX:80/a?utm_source=x&b=2&a=1`` and
+    ``http://site.ex/a?a=1&b=2`` produce the same key. NULL and
+    unparseable (no ``scheme://host``) inputs return NULL — filter or
+    coalesce downstream; dedup on ``md5(canonicalize_url(url))``.
+
+    Pure per-row regexp/array expressions — zero shuffle, no Python.
+    Path case and ``.``/``..`` segments are preserved (paths are
+    case-sensitive per the RFC; resolve relative segments at extract
+    time, see :func:`extract_links`).
+    """
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    # only strip the port matching the scheme's default
+    host = F.when(
+        (scheme == "http") & hostport.rlike(r":80$"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.rlike(r":443$"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    fragment = F.regexp_extract(u, r"#(.*)$", 1)
+
+    drop_exact = [p.lower() for p in DEFAULT_TRACKING_PARAMS] + [
+        p.lower() for p in extra_drop_params
+    ]
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).rlike(r"^utm_")
+        & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).isin(drop_exact),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    if keep_fragment:
+        rebuilt = F.concat(
+            rebuilt,
+            F.when(fragment != "", F.concat(F.lit("#"), fragment)).otherwise(
+                F.lit("")
+            ),
+        )
+    return F.when((scheme != "") & (host != ""), rebuilt)

@@ -168,3 +168,52 @@ def test_anchor_texts(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_canonicalize_url(spark):
+    from data_validation_engine_spark.llmops.web import canonicalize_url
+
+    cases = [
+        # (input, expected)
+        ("HTTP://Site.EX:80/a?utm_source=x&b=2&a=1",
+         "http://site.ex/a?a=1&b=2"),
+        ("http://site.ex/a?a=1&b=2", "http://site.ex/a?a=1&b=2"),
+        ("https://Site.EX:443/", "https://site.ex/"),
+        ("https://site.ex:8443/x", "https://site.ex:8443/x"),
+        ("http://site.ex", "http://site.ex/"),
+        ("https://s.ex/p?gclid=abc&fbclid=z", "https://s.ex/p"),
+        ("https://s.ex/p#section", "https://s.ex/p"),
+        ("https://s.ex/CaseSensitive/Path", "https://s.ex/CaseSensitive/Path"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
+    # the dedup property: the first two collapse to one md5 key
+    keys = df.where(F.col("i") < 2).select(
+        F.md5(canonicalize_url(F.col("url"))).alias("k")
+    ).distinct()
+    assert keys.count() == 1
+    # keep_fragment escape
+    [r] = df.where("i = 6").select(
+        canonicalize_url(F.col("url"), keep_fragment=True).alias("c")
+    ).collect()
+    assert r["c"] == "https://s.ex/p#section"
+    # extra_drop_params
+    [r] = spark.createDataFrame(
+        [("https://s.ex/p?sid=1&keep=2",)], "url string"
+    ).select(
+        canonicalize_url(
+            F.col("url"), extra_drop_params=("sid",)
+        ).alias("c")
+    ).collect()
+    assert r["c"] == "https://s.ex/p?keep=2"
