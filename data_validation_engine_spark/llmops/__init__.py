@@ -119,6 +119,7 @@ from data_validation_engine_spark.llmops.sketch import (
     cms_build,
     cms_merge,
     cms_query,
+    heavy_hitters,
 )
 from data_validation_engine_spark.llmops.split import (
     temperature_targets,
@@ -313,6 +314,7 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_query",
+    "heavy_hitters",
     "temperature_targets",
     "canonicalize_url",
     "extract_anchor_texts",

@@ -602,3 +602,79 @@ def bloom_might_contain(
     return joined.groupBy(*groups, value_col).agg(
         F.bool_and("__hit").alias("might_contain")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    *,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 4096,
+    seed: str = "",
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring at least
+    ``min_count`` times (by rows, or by ``weight_col`` total) with its
+    exact count — without shuffling the full distinct-value set:
+    ``(value, n)``.
+
+    The plain ``groupBy(value)`` shuffles one row per distinct value —
+    at 100 TB a high-cardinality column (URLs, user ids, n-grams)
+    makes that exchange the job. This runs two scans instead:
+
+    1. :func:`cms_build` collapses the column into ``depth*width``
+       counter cells (map-side combined; the only full-column shuffle
+       is cell-bounded).
+    2. The cell table — ``depth*width*8`` bytes, 128 KiB at the
+       defaults — is COLLECTED ONCE (bounded control-plane fetch, the
+       same class as :func:`~...decontam.decontaminate_bloom`'s word
+       array) and shipped back as a 1-row broadcast, so the screen is
+       a pure per-row projection: estimate = min over the value's
+       ``depth`` cells, rows below ``min_count`` never leave the map
+       side. The sketch NEVER undercounts, so no true heavy hitter is
+       lost.
+    3. The exact ``groupBy`` runs on the surviving sliver only; the
+       final ``n >= min_count`` cut removes the light values the CMS
+       overcount let through (``~2e/width`` of total weight per
+       value — widen ``width`` if the leakage is material).
+
+    Output is IDENTICAL to the naive exact operator (pinned by test).
+    Grouped variants: build per-group sketches with
+    :func:`cms_build` + :func:`cms_query` — this operator keeps the
+    collect bounded by staying ungrouped.
+    """
+    if min_count <= 0:
+        raise ValueError("min_count must be positive")
+    spark = df.sparkSession
+    sketch = cms_build(
+        df, value_col, depth=depth, width=width,
+        weight_col=weight_col, seed=seed,
+    ).collect()  # depth*width rows max: bounded control-plane fetch
+    cells = [[0] * width for _ in range(depth)]
+    for r in sketch:
+        cells[r["row"]][r["col"]] = r["n"]
+    cells_frame = spark.createDataFrame(
+        [(cells,)], "___cms_cells array<array<long>>"
+    )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    est = F.array_min(
+        F.transform(
+            _cms_col(F.col(value_col), depth, width, seed),
+            lambda c: F.element_at(
+                F.element_at(F.col("___cms_cells"), c["row"] + 1),
+                c["col"] + 1,
+            ),
+        )
+    )
+    survivors = (
+        df.join(F.broadcast(cells_frame))
+        .where(est >= min_count)
+        .select(F.col(value_col), w.alias("__w"))
+    )
+    exact = survivors.groupBy(value_col).agg(F.sum("__w").alias("n"))
+    return exact.where(F.col("n") >= min_count)

@@ -1306,3 +1306,55 @@ class TestStatelessOpsOnStreams:
         row = spark.read.parquet(out).first()
         assert row["text"] == "Héllo&co"
         assert row["parsed"]["lang"] == "en" and row["is_valid"]
+
+
+class TestHeavyHitters:
+    def test_identical_to_exact_groupby(self, spark):
+        from data_validation_engine_spark.llmops.sketch import heavy_hitters
+
+        # zipf-ish: value v{i} appears ~1000/i times
+        rows = [(f"v{i}",) for i in range(1, 40) for _ in range(1000 // i)]
+        df = spark.createDataFrame(rows, "val string").repartition(8)
+        got = sorted(
+            map(tuple, heavy_hitters(df, "val", 100, width=256).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.groupBy("val")
+                .count()
+                .where("count >= 100")
+                .selectExpr("val", "count AS n")
+                .collect(),
+            )
+        )
+        assert got == want and len(got) == 10  # 1000/i >= 100 for i<=10
+
+    def test_weighted_and_validation(self, spark):
+        import pytest as _pytest
+
+        from data_validation_engine_spark.llmops.sketch import heavy_hitters
+
+        df = spark.createDataFrame(
+            [("a", 60), ("a", 50), ("b", 10), ("c", 200)],
+            "val string, w int",
+        )
+        got = {
+            r["val"]: r["n"]
+            for r in heavy_hitters(df, "val", 100, weight_col="w").collect()
+        }
+        assert got == {"a": 110, "c": 200}
+        with _pytest.raises(ValueError):
+            heavy_hitters(df, "val", 0)
+
+    def test_screen_prunes_before_the_shuffle(self, spark):
+        from data_validation_engine_spark.llmops.sketch import heavy_hitters
+
+        rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(2000)]
+        df = spark.createDataFrame(rows, "val string")
+        out = heavy_hitters(df, "val", 100, width=4096)
+        assert [tuple(r) for r in out.collect()] == [("hot", 500)]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the filter must sit below the aggregate's exchange
+        assert plan.index("Filter") > -1
+        assert "CartesianProduct" not in plan
