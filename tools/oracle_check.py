@@ -233,7 +233,7 @@ def parse_args(argv: list[str]):
     return opts, sf_dir, set(rest[1:])
 
 
-def run_matrix(sf_dir: str, only: set[str]) -> int:
+def run_matrix(sf_dir: str, only: set[str], staged: bool = False) -> int:
     import os
     import subprocess
 
@@ -246,6 +246,8 @@ def run_matrix(sf_dir: str, only: set[str]) -> int:
                 f"--arrow-batch={cfg['arrow_batch']}",
                 f"--canon={canon}",
             ]
+            if staged:
+                flags.append("--staged")
             env = dict(os.environ)
             env["TZ"] = cfg["os_tz"]
             print(f"=== matrix: TZ={cfg['os_tz']} {' '.join(flags)} ===",
@@ -262,7 +264,7 @@ def run_matrix(sf_dir: str, only: set[str]) -> int:
 def main() -> int:
     opts, sf_dir, only = parse_args(sys.argv[1:])
     if opts["matrix"]:
-        return run_matrix(sf_dir, only)
+        return run_matrix(sf_dir, only, staged=opts["staged"])
     if opts["os_tz"]:
         import os
         import time
