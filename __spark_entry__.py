@@ -9387,6 +9387,50 @@ _STAGED_ORACLES["r11_negative_samples"] = """
 """
 
 
+
+
+def q_r11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters with the CMS pre-screen (llmops/sketch.py
+    heavy_hitters): frequent word tokens over the documents corpus
+    ('tok', min 100 occurrences) and char-weighted frequent sources
+    ('src', min 5000 chars). The oracle is the NAIVE exact group-by —
+    the operator's guarantee is bit-identical output to it, so a green
+    hash proves the never-undercount screen dropped no true heavy
+    hitter and the final cut removed every overcount leak.
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.dedup import tokens_col
+    from data_validation_engine_spark.llmops.sketch import heavy_hitters
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    hot_toks = heavy_hitters(toks, "tok", 100, width=512).selectExpr(
+        "'tok' AS op", "tok AS k", "CAST(n AS STRING) AS v"
+    )
+    hot_src = heavy_hitters(
+        docs, "source", 5000, weight_col="n_chars", width=256
+    ).selectExpr(
+        "'src' AS op", "source AS k", "CAST(n AS STRING) AS v"
+    )
+    return hot_toks.unionByName(hot_src)
+
+
+_STAGED_ORACLES["r11_heavy_hitters"] = r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(
+            regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+            '\s+')) AS tok
+        FROM documents WHERE COALESCE(trim(text), '') <> ''
+    )
+    SELECT 'tok' AS op, tok AS k, CAST(count(*) AS VARCHAR) AS v
+    FROM toks GROUP BY tok HAVING count(*) >= 100
+    UNION ALL
+    SELECT 'src', source, CAST(sum(n_chars) AS VARCHAR)
+    FROM documents GROUP BY source HAVING sum(n_chars) >= 5000
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 candidate rows — run by tools/oracle_check.py --staged
     and tests/test_staged_oracles.py, NOT by the driver (the 50-row
@@ -9402,6 +9446,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11_bloom + r11_dsir -> 'selection_sketches';
     r11_cdc_chunks + r11_sentence_chunks -> 'chunking_v2';
     r11_curation + r11_negative_samples -> 'sampling_v2';
+    r11_heavy_hitters rides cms_sketch as a 'hh' tag;
     r11_script_profile (+ an extract_links tag: edges of a derived
     HTML corpus -> pagerank, SQL-replayable) -> 'corpus_signals';
     r11_rrf_fusion -> 'hybrid_retrieval';
@@ -9418,6 +9463,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_stream_paragraphs": q_r11_stream_paragraphs,
         "r11_rrf_fusion": q_r11_rrf_fusion,
         "r11_negative_samples": q_r11_negative_samples,
+        "r11_heavy_hitters": q_r11_heavy_hitters,
     }
 
 
