@@ -157,3 +157,67 @@ def test_declared_step(spark):
     assert rows[0].asDict().keys() == {
         "doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens",
     }
+
+
+def _py_cdc_chunks(text, target, lo, hi, gram):
+    """Pure-Python reference of the CDC boundary walk."""
+    import hashlib
+
+    toks = text.split()
+    n = len(toks)
+    if n == 0:
+        return []
+    cand = set()
+    for i in range(1, n + 1):
+        start = max(i - (gram - 1), 1)
+        window = " ".join(toks[start - 1 : i])
+        h = int(
+            hashlib.md5(f"|cdc|{window}".encode()).hexdigest()[:15], 16
+        )
+        if h % target == 0:
+            cand.add(i)
+    cuts = [0]
+    for i in range(1, n + 1):
+        if i - cuts[-1] >= hi or (i in cand and i - cuts[-1] >= lo):
+            cuts.append(i)
+    if cuts[-1] != n:
+        cuts.append(n)
+    return [
+        (" ".join(toks[a:b]), b - a)
+        for a, b in zip(cuts, cuts[1:])
+    ]
+
+
+def test_property_sweep_matches_python_reference(spark):
+    """Seeded random corpus, several (target, min, max, gram) configs,
+    ONE collect per config: chunks must partition the token stream in
+    order, respect the clamps, and match the pure-Python boundary walk
+    row-for-row."""
+    import random
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(60):
+        n = rng.randrange(0, 300)
+        docs.append(
+            (i, " ".join(WORDS[rng.randrange(len(WORDS))] + str(rng.randrange(50))
+                          for _ in range(n)))
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for target, lo, hi, gram in ((16, 4, 64, 4), (8, 1, 12, 2), (50, 20, 55, 8)):
+        rows = chunk_by_content(
+            df, "doc_id", "text", target_tokens=target,
+            min_tokens=lo, max_tokens=hi, gram=gram,
+        ).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append(r)
+        for rid, text in docs:
+            want = _py_cdc_chunks(text, target, lo, hi, gram)
+            have = sorted(got.get(rid, []), key=lambda r: r["chunk_idx"])
+            assert len(have) == len(want), (rid, target)
+            for h, (wtext, wn) in zip(have, want):
+                assert h["chunk_text"] == wtext and h["n_chunk_tokens"] == wn
+            sizes = [h["n_chunk_tokens"] for h in have]
+            assert all(s <= hi for s in sizes)
+            assert all(s >= lo for s in sizes[:-1]) or len(sizes) == 1
