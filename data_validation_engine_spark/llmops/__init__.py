@@ -179,6 +179,7 @@ from data_validation_engine_spark.llmops.split import (
     select_token_budget,
     hash_bucket,
     hash_split,
+    interleave_sources,
     negative_samples,
     stratified_sample,
     weighted_keep,
@@ -250,6 +251,7 @@ __all__ = [
     "hash_bucket",
     "corpus_mix",
     "hash_split",
+    "interleave_sources",
     "negative_samples",
     "weighted_keep",
     "weighted_sample",

@@ -588,3 +588,97 @@ def negative_samples(
             )
         )
     return out.withColumnRenamed("__neg", f"neg_{pool_col}")
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    *,
+    seed: str = "",
+    order_col: str = "interleave_order",
+) -> DataFrame:
+    """Deterministic fixed-ratio interleaving order for a mixed training
+    corpus: adds ``order_col`` (a long) such that reading rows in that
+    order yields sources at their ``weights`` ratios, evenly spread
+    from the first batch to the last — stride scheduling (Waldspurger &
+    Weihl 1995), the rule behind every "sample sources at fixed
+    ratios into one stream" data loader.
+
+    Each source's rows get a deterministic within-source md5 shuffle
+    rank (two-phase bucketed, no single-partition data window — the
+    same machinery as :func:`negative_samples`); row ``r`` of source
+    ``s`` is scheduled at virtual time ``(r + 1) / weight_s``. Rows
+    sort by that time, realised exactly in integers: ``(r + 1) *
+    round(SCALE * total / weight_s)`` with ``SCALE = 2^20`` —
+    engine-exact, ratios realised to ~1e-6, overflow-safe while
+    ``rows_per_source * total/share < 2^43`` (~8·10^12 at a 1:1 mix);
+    equal order values tie-break downstream on (source, key). Downstream, ``materialize_packs`` / shard writers sort by
+    ``order_col`` instead of a random shuffle: same epoch order on
+    every engine, every rerun, every partitioning.
+
+    ``weights`` maps source value → positive share (any scale; only
+    ratios matter). Rows whose source is missing from ``weights`` FAIL
+    loudly — silent drops would change the mix. Scale shape: one
+    shuffle per the rank's bucket exchange; the schedule itself is a
+    per-row projection.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    total = float(sum(weights.values()))
+    scale = 1 << 20
+    # integer stride per source: SCALE / normalized-share, floored —
+    # shares realised to ~1e-12, exact on every engine
+    strides = {
+        s: int(scale * total / float(w)) for s, w in weights.items()
+    }
+    hashed = df.withColumn(
+        "__h",
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}|interleave|"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+    ).withColumn(
+        "__b", F.conv(F.substring("__h", 1, 4), 16, 10).cast("int")
+    )
+    counts = hashed.groupBy(source_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        source_col,
+        "__b",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    local = Window.partitionBy(source_col, "__b").orderBy(
+        "__h", F.col(key_col)
+    )
+    ranked = (
+        hashed.withColumn("__lrk", F.row_number().over(local) - 1)
+        .join(F.broadcast(offsets), [source_col, "__b"])
+        .withColumn("__rk", F.col("__off") + F.col("__lrk"))
+        .drop("__b", "__h", "__lrk", "__off")
+    )
+    expr = None
+    for s, st in strides.items():
+        cond = F.col(source_col).cast("string") == F.lit(s)
+        val = (F.col("__rk") + 1) * F.lit(st)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    expr = expr.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interleave_sources: source not in weights: "),
+                F.col(source_col).cast("string"),
+            )
+        )
+    )
+    return ranked.withColumn(order_col, expr).drop("__rk")
