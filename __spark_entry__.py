@@ -9431,6 +9431,46 @@ _STAGED_ORACLES["r11_heavy_hitters"] = r"""
 """
 
 
+
+
+def q_r11_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled source interleaving (llmops/split.py
+    interleave_sources): the full order column over documents mixed
+    2:1:1:1:1 by lang. Integer virtual times over the md5
+    within-source rank — the oracle replays both (proving the
+    two-phase bucketed rank equals a per-source global md5 sort, and
+    the stride arithmetic to the long). All-string (op, k, v)."""
+    from data_validation_engine_spark.llmops.split import (
+        interleave_sources,
+    )
+
+    docs = _docs(spark, sf_dir)
+    weights = {"en": 2.0, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    out = interleave_sources(docs, "lang", weights, "doc_id")
+    return out.selectExpr(
+        "'o' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', lang, CAST(interleave_order AS STRING)) AS v",
+    )
+
+
+_STAGED_ORACLES["r11_interleave"] = """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                   md5('|interleave|' || CAST(doc_id AS VARCHAR)),
+                   doc_id) - 1 AS rk
+        FROM documents
+    )
+    SELECT 'o' AS op, CAST(doc_id AS VARCHAR) AS k,
+           lang || '|' || CAST(
+               (rk + 1) * CAST(CASE lang
+                   WHEN 'en' THEN (1048576 * 6.0) / 2.0
+                   ELSE (1048576 * 6.0) / 1.0 END AS BIGINT)
+               AS VARCHAR) AS v
+    FROM ranked
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 candidate rows — run by tools/oracle_check.py --staged
     and tests/test_staged_oracles.py, NOT by the driver (the 50-row
@@ -9447,6 +9487,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11_cdc_chunks + r11_sentence_chunks -> 'chunking_v2';
     r11_curation + r11_negative_samples -> 'sampling_v2';
     r11_heavy_hitters rides cms_sketch as a 'hh' tag;
+    r11_interleave rides sequence_prep as an 'ord' tag;
     r11_script_profile (+ an extract_links tag: edges of a derived
     HTML corpus -> pagerank, SQL-replayable) -> 'corpus_signals';
     r11_rrf_fusion -> 'hybrid_retrieval';
@@ -9464,6 +9505,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_rrf_fusion": q_r11_rrf_fusion,
         "r11_negative_samples": q_r11_negative_samples,
         "r11_heavy_hitters": q_r11_heavy_hitters,
+        "r11_interleave": q_r11_interleave,
     }
 
 
