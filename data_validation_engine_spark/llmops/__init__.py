@@ -166,6 +166,7 @@ from data_validation_engine_spark.llmops.similarity import (
     cosine_topk,
     embedding_bucket_index,
     embedding_neardup_pairs,
+    hard_negative_samples,
     incremental_embedding_dedup,
     knn_join,
     multiprobe_ann_topk,
@@ -240,6 +241,7 @@ __all__ = [
     "default_centroids",
     "embedding_bucket_index",
     "embedding_neardup_pairs",
+    "hard_negative_samples",
     "incremental_embedding_dedup",
     "ivf_assign",
     "ivf_topk",

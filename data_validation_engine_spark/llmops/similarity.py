@@ -622,3 +622,71 @@ def ann_topk_partitioned(
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.lit(qid))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hard_negative_samples(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.3,
+    max_cosine: float = 0.85,
+    candidate_factor: int = 4,
+    n_planes: int = 6,
+    n_tables: int = 1,
+    dim: int = 64,
+    round_to: int = 6,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+) -> DataFrame:
+    """HARD negatives for contrastive training: for every row, up to
+    ``k`` neighbours whose cosine lies in ``[min_cosine, max_cosine]``
+    — similar enough that the model must work to separate them, below
+    the ceiling that marks near-duplicates/positives (the DPR/SimCSE
+    hard-negative recipe; uniform negatives are
+    :func:`~data_validation_engine_spark.llmops.split.negative_samples`,
+    and a strong setup mixes both). Returns ``(id, rank, neg_id,
+    cosine)``, rank 1-based by descending cosine inside the band.
+
+    Candidates come from the same skew-bounded LSH-bucket self-join as
+    :func:`knn_join` — never an all-pairs cross join — oversampled by
+    ``candidate_factor`` before the band filter so band losses don't
+    starve the cut. Anchors whose buckets hold no in-band neighbour
+    emit fewer than ``k`` rows (loud gaps, the
+    :func:`negative_samples` convention — backfill from the uniform
+    sampler if the training loop needs exactly ``k``).
+
+    Scale shape: identical to :func:`knn_join` (bucketed candidate
+    generation bounds per-task input; WindowGroupLimit cuts per
+    anchor); the band filter is a per-row predicate between the two.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if candidate_factor < 1:
+        raise ValueError("candidate_factor must be >= 1")
+    if not -1.0 <= min_cosine <= max_cosine <= 1.0:
+        raise ValueError("need -1 <= min_cosine <= max_cosine <= 1")
+    cands = knn_join(
+        df,
+        k * candidate_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+        round_to=round_to,
+        max_bucket_rows=max_bucket_rows,
+    )
+    band = cands.drop("rank").where(
+        (F.col("cosine") >= min_cosine) & (F.col("cosine") <= max_cosine)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbour").asc()
+    )
+    return (
+        band.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "neighbour", "cosine")
+    )

@@ -2013,3 +2013,67 @@ class TestDecontaminateBloom:
         # explosion reaches a shuffle in triage mode
         assert "Exchange hashpartitioning" not in plan
         assert plan.count("Generate explode") == 0
+
+
+class TestHardNegativeSamples:
+    def _vectors(self, spark):
+        import math
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        # 3 well-separated clusters in 8-d: in-cluster cosines high,
+        # cross-cluster moderate via a shared component
+        for c in range(3):
+            base = [0.0] * 8
+            base[c] = 1.0
+            base[7] = 1.2  # shared direction: cross-cluster cos ~0.59
+            for i in range(20):
+                v = [
+                    b + rng.uniform(-0.05, 0.05) for b in base
+                ]
+                n = math.sqrt(sum(x * x for x in v))
+                rows.append((c * 100 + i, [x / n for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_band_and_rank_contract(self, spark):
+        from data_validation_engine_spark.llmops.similarity import (
+            hard_negative_samples,
+        )
+
+        df = self._vectors(spark)
+        out = hard_negative_samples(
+            df, 5, dim=8, n_planes=1,
+            min_cosine=0.4, max_cosine=0.9,
+        ).collect()
+        assert out, "no hard negatives found at all"
+        per = {}
+        for r in out:
+            assert 0.4 <= r["cosine"] <= 0.9
+            assert r["vec_id"] != r["neighbour"]
+            per.setdefault(r["vec_id"], []).append(r)
+        for anchor, rows in per.items():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            assert len(rows) <= 5
+            # hard negatives live in OTHER clusters (in-cluster ~0.99+)
+            assert all(
+                r["neighbour"] // 100 != anchor // 100 for r in rows
+            )
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from data_validation_engine_spark.llmops.similarity import (
+            hard_negative_samples,
+        )
+
+        df = self._vectors(spark)
+        with _pytest.raises(ValueError):
+            hard_negative_samples(df, 0, dim=8)
+        with _pytest.raises(ValueError):
+            hard_negative_samples(df, 3, dim=8, min_cosine=0.9, max_cosine=0.5)
+        with _pytest.raises(ValueError):
+            hard_negative_samples(df, 3, dim=8, candidate_factor=0)
