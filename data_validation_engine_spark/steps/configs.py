@@ -1460,6 +1460,65 @@ class ExtractHtmlText(AbstractStep):
     output_column: str = "text"
 
 
+class HeavyHitters(AbstractStep):
+    """Exact heavy hitters with the CMS pre-screen: every value with
+    count (or ``weight_column`` total) >= ``min_count``, exact, without
+    shuffling the full distinct-value set (the cell table collects once
+    and broadcasts as a per-row screen; never-undercount keeps every
+    true heavy hitter)."""
+
+    operation: Literal["heavy_hitters"] = "heavy_hitters"
+    value_column: str
+    min_count: int
+    weight_column: Optional[str] = None
+    depth: int = 4
+    width: int = 4096
+    seed: str = ""
+
+
+class InterleaveSources(AbstractStep):
+    """Deterministic fixed-ratio source interleaving (stride
+    scheduling): adds an integer order column such that reading in that
+    order yields sources at their weight ratios in every prefix —
+    partitioning/rerun/engine-stable. Sources missing from ``weights``
+    fail loudly."""
+
+    operation: Literal["interleave_sources"] = "interleave_sources"
+    source_column: str
+    weights: dict[str, float]
+    key_column: str
+    seed: str = ""
+    order_column: str = "interleave_order"
+
+
+class HardNegativeSamples(AbstractStep):
+    """Hard-negative mining in a cosine band: up to ``k`` same-LSH-
+    bucket neighbours per row with cosine in [min, max] (DPR/SimCSE
+    recipe; pair with negative_samples for the uniform mix)."""
+
+    operation: Literal["hard_negative_samples"] = "hard_negative_samples"
+    k: int
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    min_cosine: float = 0.3
+    max_cosine: float = 0.85
+    candidate_factor: int = 4
+    n_planes: int = 6
+    n_tables: int = 1
+    dim: int = 64
+
+
+class ExtractAnchorTexts(AbstractStep):
+    """Extract (href, anchor_text) pairs from an HTML column — the
+    anchor-text relevance/label source; hrefs cleaned as extract_links,
+    inner text tag-stripped + entity-decoded JVM-side."""
+
+    operation: Literal["extract_anchor_texts"] = "extract_anchor_texts"
+    html_column: str = "html"
+    output_href: str = "href"
+    output_text: str = "anchor_text"
+
+
 class ExtractLinks(AbstractStep):
     """Extract anchor hrefs from an HTML column (one row per link,
     entity-decoded, fragment-stripped, pseudo-links dropped; optional
@@ -1746,6 +1805,10 @@ AnyStep = Annotated[
         NegativeSamples,
         ExtractHtmlText,
         ExtractLinks,
+        ExtractAnchorTexts,
+        HeavyHitters,
+        InterleaveSources,
+        HardNegativeSamples,
         ParseJson,
         MaterializePacks,
         CompressionRatio,

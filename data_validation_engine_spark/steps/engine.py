@@ -149,7 +149,11 @@ from data_validation_engine_spark.steps.configs import (
     NegativeSamples,
     RrfFuse,
     ExtractHtmlText,
+    ExtractAnchorTexts,
     ExtractLinks,
+    HardNegativeSamples,
+    HeavyHitters,
+    InterleaveSources,
     ParseJson,
     MaterializePacks,
     CompressionRatio,
@@ -303,6 +307,10 @@ class StepEngine:
             NegativeSamples: self.negative_samples,
             ExtractHtmlText: self.extract_html_text,
             ExtractLinks: self.extract_links,
+            ExtractAnchorTexts: self.extract_anchor_texts,
+            HeavyHitters: self.heavy_hitters,
+            InterleaveSources: self.interleave_sources,
+            HardNegativeSamples: self.hard_negative_samples,
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
             CompressionRatio: self.compression_ratio,
@@ -2614,6 +2622,75 @@ class StepEngine:
             base_url_col=config.base_url_column,
             output_col=config.output_column,
             unique=config.unique,
+        )
+        return None
+
+    def extract_anchor_texts(
+        self, entities: Entities, *, config: ExtractAnchorTexts
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.web import (
+            extract_anchor_texts,
+        )
+
+        entities[config.output_name] = extract_anchor_texts(
+            entities[config.entity_name],
+            config.html_column,
+            output_href=config.output_href,
+            output_text=config.output_text,
+        )
+        return None
+
+    def heavy_hitters(
+        self, entities: Entities, *, config: HeavyHitters
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.sketch import heavy_hitters
+
+        entities[config.output_name] = heavy_hitters(
+            entities[config.entity_name],
+            config.value_column,
+            config.min_count,
+            weight_col=config.weight_column,
+            depth=config.depth,
+            width=config.width,
+            seed=config.seed,
+        )
+        return None
+
+    def interleave_sources(
+        self, entities: Entities, *, config: InterleaveSources
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.split import (
+            interleave_sources,
+        )
+
+        entities[config.output_name] = interleave_sources(
+            entities[config.entity_name],
+            config.source_column,
+            dict(config.weights),
+            config.key_column,
+            seed=config.seed,
+            order_col=config.order_column,
+        )
+        return None
+
+    def hard_negative_samples(
+        self, entities: Entities, *, config: HardNegativeSamples
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.similarity import (
+            hard_negative_samples,
+        )
+
+        entities[config.output_name] = hard_negative_samples(
+            entities[config.entity_name],
+            config.k,
+            id_col=config.id_column,
+            vec_col=config.vector_column,
+            min_cosine=config.min_cosine,
+            max_cosine=config.max_cosine,
+            candidate_factor=config.candidate_factor,
+            n_planes=config.n_planes,
+            n_tables=config.n_tables,
+            dim=config.dim,
         )
         return None
 

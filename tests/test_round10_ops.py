@@ -550,3 +550,65 @@ class TestChunkingProperties:
                 assert sum(h["n_tokens"] for h in have) == sum(
                     len(s.split()) for s in _py_sentences(text)
                 )
+
+
+class TestLateRound10Steps:
+    """Declared-step coverage for the session's last operators: the
+    JSON rule-program surface stays complete."""
+
+    def test_heavy_hitters_step(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark, register_functions=False)
+        ents = {
+            "vals": spark.createDataFrame([("a",)] * 30 + [("b",)] * 3,
+                                          "v string")
+        }
+        eng.evaluate(ents, config=parse_step({
+            "operation": "heavy_hitters", "entity_name": "vals",
+            "value_column": "v", "min_count": 10,
+            "new_entity_name": "hh"}))
+        assert [tuple(r) for r in ents["hh"].collect()] == [("a", 30)]
+
+    def test_interleave_step(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"mix": spark.createDataFrame(
+            [(f"d{i}", "x" if i % 2 else "y") for i in range(20)],
+            "doc string, src string")}
+        eng.evaluate(ents, config=parse_step({
+            "operation": "interleave_sources", "entity_name": "mix",
+            "source_column": "src", "weights": {"x": 1.0, "y": 1.0},
+            "key_column": "doc", "new_entity_name": "ordered"}))
+        assert ents["ordered"].count() == 20
+        assert "interleave_order" in ents["ordered"].columns
+
+    def test_anchor_texts_step(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"pages": spark.createDataFrame(
+            [(1, '<a href="https://a.ex/">Go &amp; see</a>')],
+            "id long, html string")}
+        eng.evaluate(ents, config=parse_step({
+            "operation": "extract_anchor_texts", "entity_name": "pages",
+            "new_entity_name": "anchors"}))
+        [r] = ents["anchors"].collect()
+        assert r["href"] == "https://a.ex/"
+        assert r["anchor_text"] == "Go & see"
+
+    def test_hard_negatives_step(self, spark):
+        from data_validation_engine_spark.steps import StepEngine, parse_step
+
+        eng = StepEngine(spark, register_functions=False)
+        ents = {"vecs": spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(5)]
+            + [(10 + i, [0.7, 0.714]) for i in range(5)],
+            "vec_id long, embedding array<double>")}
+        eng.evaluate(ents, config=parse_step({
+            "operation": "hard_negative_samples", "entity_name": "vecs",
+            "k": 2, "dim": 2, "n_planes": 1,
+            "min_cosine": 0.5, "max_cosine": 0.9,
+            "new_entity_name": "hards"}))
+        assert ents["hards"].count() > 0
