@@ -4158,8 +4158,8 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # NULL/blank text → zero tokens, matching tokens_col's normalisation
 _DUCK_TOKS = (
-    r"CASE WHEN COALESCE(trim(text), '') = '' THEN CAST([] AS VARCHAR[]) "
-    r"ELSE string_split_regex(trim(text), '\s+') END"
+    r"CASE WHEN COALESCE(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END"
 )
 
 
@@ -5576,12 +5576,12 @@ _LLMOPS_ORACLES: dict[str, str] = {
     """,
     "quality_sync": r"""
         SELECT doc_id, n_chars, lang FROM documents
-        WHERE COALESCE(len(string_split_regex(trim(text), '\s+'))
+        WHERE COALESCE(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                   BETWEEN 40 AND 5000, FALSE)
           AND COALESCE(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
                   / length(text) < 0.2, FALSE)
           AND COALESCE((length(regexp_replace(text, '\s+', '', 'g'))
-                  / len(string_split_regex(trim(text), '\s+')))
+                  / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')))
                   BETWEEN 2.0 AND 15.0, FALSE)
     """,
     # text stats + language id + fingerprint joined on doc_id (the Spark
@@ -5801,7 +5801,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
     # --- round-9 corpus term-surface singletons (all numerics VARCHAR) ---
     "tfidf_top1": r"""
         WITH terms AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
             FROM documents
         ),
         tf AS (
@@ -5823,7 +5823,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
     """,
     "vocab_build": r"""
         WITH terms AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
             FROM documents
         )
         SELECT term, CAST(count(*) AS VARCHAR) AS cnt,
@@ -5832,7 +5832,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
     """,
     "vocab_encode": r"""
         WITH terms AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
             FROM documents
         )
         SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(ids_csv) AS sig,
@@ -5846,9 +5846,9 @@ _LLMOPS_ORACLES: dict[str, str] = {
             FROM (
                 SELECT doc_id,
                        unnest(list_transform(
-                           CASE WHEN COALESCE(trim(text), '') = ''
+                           CASE WHEN COALESCE(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') = ''
                                 THEN CAST([] AS VARCHAR[])
-                                ELSE string_split_regex(trim(text), '\s+')
+                                ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
                            END,
                            (x, i) -> {'term': x, 'pos': i}),
                            recursive := true)
@@ -5864,7 +5864,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
     """,
     "postings": r"""
         WITH terms AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
             FROM documents
         ),
         tf AS (
@@ -5884,7 +5884,7 @@ _LLMOPS_ORACLES: dict[str, str] = {
     """,
     "bpe_pairstats": r"""
         WITH terms AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
             FROM documents
         )
         SELECT l || ' ' || r AS pair,
@@ -6814,9 +6814,9 @@ def _merge_oracles() -> None:
                CAST(len(toks) AS VARCHAR) AS v
         FROM (
             SELECT doc_id,
-                   CASE WHEN COALESCE(trim(text), '') = ''
+                   CASE WHEN COALESCE(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') = ''
                         THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                        ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
                    END AS toks
             FROM documents
         ) WHERE len(toks) > 0""",
@@ -8516,8 +8516,10 @@ _R10_ORACLES["text_normalize"] = f"""
 
 def _duck_pack_arm(op: str, eod: bool) -> str:
     ids = (
-        "list_transform(CASE WHEN COALESCE(trim(text), '') = '' THEN "
-        "CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), "
+        "list_transform(CASE WHEN COALESCE(regexp_replace(text, "
+        r"'^\s+|\s+$', '', 'g'), '') = '' THEN "
+        "CAST([] AS VARCHAR[]) ELSE string_split_regex("
+        r"regexp_replace(text, '^\s+|\s+$', '', 'g'), "
         r"'\s+') END, t -> length(t))"
     )
     if eod:
@@ -8798,7 +8800,7 @@ _DUCK_DSIR_FEATS = r"""
                ) AS f
         FROM (
             SELECT doc_id,
-                   CASE WHEN COALESCE(trim(text), '') = ''
+                   CASE WHEN COALESCE(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') = ''
                         THEN CAST([] AS VARCHAR[])
                         ELSE string_split_regex(
                             regexp_replace(lower(text),
@@ -8863,7 +8865,7 @@ def q_r11_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STAGED_ORACLES["r11_cdc_chunks"] = r"""
     WITH RECURSIVE toked AS (
         SELECT doc_id,
-               CASE WHEN COALESCE(trim(text), '') = ''
+               CASE WHEN COALESCE(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') = ''
                     THEN CAST([] AS VARCHAR[])
                     ELSE string_split_regex(
                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
@@ -9050,7 +9052,7 @@ def q_r11_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STAGED_ORACLES["r11_curation"] = r"""
     WITH toks AS (
         SELECT doc_id, lang, n_chars,
-               CASE WHEN COALESCE(trim(text), '') = '' THEN 0
+               CASE WHEN COALESCE(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') = '' THEN 0
                     ELSE len(string_split_regex(
                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
                         '\s+'))
@@ -9421,7 +9423,7 @@ _STAGED_ORACLES["r11_heavy_hitters"] = r"""
         SELECT unnest(string_split_regex(
             regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
             '\s+')) AS tok
-        FROM documents WHERE COALESCE(trim(text), '') <> ''
+        FROM documents WHERE COALESCE(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') <> ''
     )
     SELECT 'tok' AS op, tok AS k, CAST(count(*) AS VARCHAR) AS v
     FROM toks GROUP BY tok HAVING count(*) >= 100

@@ -253,6 +253,33 @@ def dsir_score(
     return agg.select(*keys, "n_feats", logw.alias("dsir_logw"))
 
 
+
+def _gumbel_key(
+    logw_col: str, key_col: str, seed: str, temperature: float
+) -> Column:
+    """Shared Gumbel-max sort key: ``logw/T - ln(-ln(u))`` with the
+    md5-uniform ``u`` of (seed, key) — ONE derivation for both the
+    global and grouped top-k so the two can never desynchronize."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}|gumbel|"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HASH_SPACE + 2.0)
+    return F.col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+
+
 def gumbel_topk(
     df: DataFrame,
     logw_col: str,
@@ -276,24 +303,7 @@ def gumbel_topk(
         raise ValueError("n must be positive")
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{seed}|gumbel|"),
-                        F.col(key_col).cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(_HASH_SPACE + 2.0)
-    key = F.col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    key = _gumbel_key(logw_col, key_col, seed, temperature)
     return (
         df.withColumn("__gumbel_key", key)
         .orderBy(F.col("__gumbel_key").desc(), F.col(key_col))
@@ -325,24 +335,7 @@ def gumbel_topk_grouped(
         raise ValueError("group_cols must be non-empty (use gumbel_topk)")
     from pyspark.sql import Window
 
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{seed}|gumbel|"),
-                        F.col(key_col).cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(_HASH_SPACE + 2.0)
-    key = F.col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    key = _gumbel_key(logw_col, key_col, seed, temperature)
     w = Window.partitionBy(*group_cols).orderBy(
         key.desc(), F.col(key_col)
     )

@@ -57,8 +57,13 @@ def hash_bucket(key: Column, *, seed: str = "", algo: str = "md5") -> Column:
         digest = F.md5(F.concat(F.lit(seed), key.cast("string")))
         return F.conv(F.substring(digest, 1, 4), 16, 10).cast("int")
     if algo == "xxhash64":
+        # xxhash64 SKIPS null arguments (hashing the seed alone), which
+        # would route every NULL key into one real bucket while the md5
+        # path yields a NULL bucket — pin the md5 path's NULL semantics
         h = F.xxhash64(F.lit(seed), key.cast("string"))
-        return F.pmod(h, F.lit(N_BUCKETS)).cast("int")
+        return F.when(
+            key.isNotNull(), F.pmod(h, F.lit(N_BUCKETS)).cast("int")
+        )
     raise ValueError(f"algo must be 'md5' or 'xxhash64', got {algo!r}")
 
 
@@ -450,7 +455,21 @@ def select_token_budget(
             F.sum(toks).alias("__grp_tokens")
         )
         if groups:
-            staged = df.join(totals, groups)
+            # eqNullSafe: groupBy keeps a NULL group key as a real
+            # group; a plain equi-join would silently DROP NULL-group
+            # rows here while the budget_tokens path keeps them (same
+            # discipline as cms_query/standardize)
+            totals_r = totals.select(
+                *[F.col(g).alias(f"__g_{g}") for g in groups],
+                "__grp_tokens",
+            )
+            cond = None
+            for g in groups:
+                c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+                cond = c if cond is None else cond & c
+            staged = df.join(totals_r, cond).drop(
+                *[f"__g_{g}" for g in groups]
+            )
         else:
             staged = df.crossJoin(F.broadcast(totals))
         # integer budget floor: frac of the group total, exact long math
@@ -460,7 +479,20 @@ def select_token_budget(
     # window expressions cannot sit in a WHERE predicate — project the
     # decision to a column first, then filter on it
     flag = keep_col or "__dve_budget_keep"
-    out = staged.withColumn(flag, before < budget)
+    # the raise_error inside toks only fires via other rows' window
+    # frames — the LAST row in each group is never frame input, so the
+    # keep decision re-checks the token column itself
+    decision = F.when(
+        F.col(token_col).isNotNull(), before < budget
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"select_token_budget: NULL in column '{token_col}' — a "
+                "NULL has no rank; filter or impute before budgeting"
+            )
+        )
+    )
+    out = staged.withColumn(flag, decision)
     if keep_col is None:
         out = out.where(F.col(flag)).drop(flag)
     return out.drop("__grp_tokens") if budget_frac is not None else out
@@ -509,9 +541,13 @@ def negative_samples(
     if k <= 0:
         raise ValueError("k must be positive")
     extra = list(pool_cols or [])
+    # NULL pool keys are excluded up front: they would count into
+    # __pool_n (NULLs sort first in the offset math) yet drop at the
+    # rank equi-join, leaving unreachable targets — i.e. silently
+    # fewer than k draws AND a non-uniform draw over the real pool
     hashed = pool.select(
         F.col(pool_col).alias("__neg"), *extra
-    ).withColumn(
+    ).where(F.col("__neg").isNotNull()).withColumn(
         "__h",
         F.md5(
             F.concat(
@@ -662,11 +698,24 @@ def interleave_sources(
     local = Window.partitionBy(source_col, "__b").orderBy(
         "__h", F.col(key_col)
     )
+    # null-safe offsets join: a NULL source must SURVIVE to the stride
+    # CASE below and raise there — a plain equi-join (or a guard inside
+    # a projection) gets defeated by Catalyst's inferred isnotnull
+    # filter, silently dropping the row instead of failing loudly
+    off_r = offsets.select(
+        F.col(source_col).alias("__o_src"),
+        F.col("__b").alias("__o_b"),
+        "__off",
+    )
     ranked = (
         hashed.withColumn("__lrk", F.row_number().over(local) - 1)
-        .join(F.broadcast(offsets), [source_col, "__b"])
+        .join(
+            F.broadcast(off_r),
+            F.col(source_col).eqNullSafe(F.col("__o_src"))
+            & (F.col("__b") == F.col("__o_b")),
+        )
         .withColumn("__rk", F.col("__off") + F.col("__lrk"))
-        .drop("__b", "__h", "__lrk", "__off")
+        .drop("__b", "__h", "__lrk", "__off", "__o_src", "__o_b")
     )
     expr = None
     for s, st in strides.items():
@@ -676,8 +725,11 @@ def interleave_sources(
     expr = expr.otherwise(
         F.raise_error(
             F.concat(
-                F.lit("interleave_sources: source not in weights: "),
-                F.col(source_col).cast("string"),
+                F.lit("interleave_sources: source not in weights "
+                      "(or NULL): "),
+                F.coalesce(
+                    F.col(source_col).cast("string"), F.lit("NULL")
+                ),
             )
         )
     )

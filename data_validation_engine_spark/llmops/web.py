@@ -254,6 +254,12 @@ def extract_links(
             )
             .when(h.rlike(r"^//"), F.concat(scheme, F.lit(":"), h))
             .when(h.rlike(r"^/"), F.concat(origin, h))
+            # '?page=2' keeps the base FILENAME (RFC 3986 §5.3), unlike
+            # path-relative refs which replace it
+            .when(
+                h.rlike(r"^\?"),
+                F.concat(F.regexp_extract(base, r"^([^?#]*)", 1), h),
+            )
             .otherwise(F.concat(dirpath, h)),
         )
     if unique:
@@ -374,7 +380,9 @@ def canonicalize_url(
     ).otherwise(hostport)
     path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # the '?' must sit BEFORE any '#': a fragment like '#sec?x=1'
+    # holds no query, and matching it would fabricate one
+    query = F.regexp_extract(u, r"^[^#]*\?([^#]*)", 1)
     fragment = F.regexp_extract(u, r"#(.*)$", 1)
 
     drop_exact = [p.lower() for p in DEFAULT_TRACKING_PARAMS] + [

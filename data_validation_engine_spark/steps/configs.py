@@ -1566,8 +1566,8 @@ class CmsSketch(AbstractStep):
 
 class BloomFilter(AbstractStep):
     """Bloom membership filter: ``mode="build"`` turns a value column
-    into a sparse 64-bit-word bit table (at most ``m_bits/64`` rows per
-    group — membership state without shipping the member set),
+    into a sparse bit table of 63-bit long words (sign bit unused for
+    cross-engine portability; at most ``m_bits/63 + 1`` rows per group — membership state without shipping the member set),
     ``mode="merge"`` ORs persisted word tables up to a coarser grouping
     (equals the filter of the unioned raw data), ``mode="query"`` flags
     a candidate entity with ``might_contain`` (``bloom_name`` holds the
