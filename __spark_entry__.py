@@ -9483,8 +9483,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     discipline — hll_profile (0.5s) folds into cms_sketch as a 'hll'
     tag; text_normalize + chat_prep -> one 'text_prep' union row;
     materialize_packs + training_shards + source_formats -> one
-    'artifacts' union row. That frees 4 slots; promote the ten staged
-    rows as SIX roster rows by pairing related surfaces:
+    'artifacts' union row. That frees 4 slots; promote the eleven
+    staged rows as SIX roster rows by pairing related surfaces:
     r11_bloom + r11_dsir -> 'selection_sketches';
     r11_cdc_chunks + r11_sentence_chunks -> 'chunking_v2';
     r11_curation + r11_negative_samples -> 'sampling_v2';
