@@ -65,6 +65,10 @@ from data_validation_engine_spark.llmops.linkage import (
     fuzzy_dedup_pairs,
     fuzzy_string_join,
 )
+from data_validation_engine_spark.llmops.robots import (
+    parse_robots,
+    robots_allowed,
+)
 from data_validation_engine_spark.llmops.fusion import (
     rank_by_score,
     rrf_fuse,
@@ -306,7 +310,9 @@ __all__ = [
     "normalize_text",
     "bloom_build",
     "dsir_bucket_counts",
+    "parse_robots",
     "rank_by_score",
+    "robots_allowed",
     "rrf_fuse",
     "dsir_log_ratio",
     "dsir_score",

@@ -1508,6 +1508,30 @@ class HardNegativeSamples(AbstractStep):
     dim: int = 64
 
 
+class ParseRobots(AbstractStep):
+    """Parse robots.txt bodies (one row per host) into an RFC 9309
+    rule table: (host, agent, directive, pattern, match_regex,
+    pattern_len). Per-row line folds, zero shuffle."""
+
+    operation: Literal["parse_robots"] = "parse_robots"
+    host_column: str = "host"
+    robots_column: str = "body"
+
+
+class RobotsAllowed(AbstractStep):
+    """Evaluate a URL entity against a parse_robots rule table
+    (``rules_name``) for ``agent``: RFC 9309 group selection,
+    longest-pattern-wins, allow wins ties, absent rules mean
+    allowed."""
+
+    operation: Literal["robots_allowed"] = "robots_allowed"
+    rules_name: str
+    url_column: str = "url"
+    agent: str = "*"
+    host_column: Optional[str] = None
+    output_column: str = "robots_allowed"
+
+
 class ExtractAnchorTexts(AbstractStep):
     """Extract (href, anchor_text) pairs from an HTML column — the
     anchor-text relevance/label source; hrefs cleaned as extract_links,
@@ -1809,6 +1833,8 @@ AnyStep = Annotated[
         HeavyHitters,
         InterleaveSources,
         HardNegativeSamples,
+        ParseRobots,
+        RobotsAllowed,
         ParseJson,
         MaterializePacks,
         CompressionRatio,

@@ -154,6 +154,8 @@ from data_validation_engine_spark.steps.configs import (
     HardNegativeSamples,
     HeavyHitters,
     InterleaveSources,
+    ParseRobots,
+    RobotsAllowed,
     ParseJson,
     MaterializePacks,
     CompressionRatio,
@@ -311,6 +313,8 @@ class StepEngine:
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
+            ParseRobots: self.parse_robots,
+            RobotsAllowed: self.robots_allowed,
             ParseJson: self.parse_json,
             MaterializePacks: self.materialize_packs,
             CompressionRatio: self.compression_ratio,
@@ -2691,6 +2695,35 @@ class StepEngine:
             n_planes=config.n_planes,
             n_tables=config.n_tables,
             dim=config.dim,
+        )
+        return None
+
+    def parse_robots(
+        self, entities: Entities, *, config: ParseRobots
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.robots import parse_robots
+
+        entities[config.output_name] = parse_robots(
+            entities[config.entity_name],
+            config.host_column,
+            config.robots_column,
+        )
+        return None
+
+    def robots_allowed(
+        self, entities: Entities, *, config: RobotsAllowed
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.robots import (
+            robots_allowed,
+        )
+
+        entities[config.output_name] = robots_allowed(
+            entities[config.entity_name],
+            entities[config.rules_name],
+            config.url_column,
+            agent=config.agent,
+            host_col=config.host_column,
+            out_col=config.output_column,
         )
         return None
 
