@@ -34,7 +34,18 @@ large-scale training-data pipeline needs:
 - :mod:`normalize` / :mod:`web` — Unicode NFKC canonicalization,
   HTML-to-text extraction, typed JSON sidecar parsing.
 - :mod:`sketch` also carries the Count-Min frequency sketch
-  (build/merge/query — shuffle bounded by cells, never cardinality).
+  (build/merge/query), the Bloom membership filter (63-bit words,
+  OR-mergeable), and CMS-pre-screened exact heavy hitters — shuffle
+  bounded by cells/words, never cardinality.
+- :mod:`dsir` — DSIR importance resampling (hashed-n-gram bucket
+  models, log-ratio scoring, deterministic Gumbel-top-k selection).
+- :mod:`fusion` — Reciprocal Rank Fusion for hybrid retrieval with
+  integer-exact fused scores.
+- :mod:`robots` — robots.txt parsing + RFC 9309 allow/deny evaluation
+  (crawl-compliance filtering as a host join).
+- :mod:`split` also carries deterministic negative sampling
+  (md5-rank indexing) and stride-scheduled source interleaving;
+  :mod:`similarity` adds cosine-band hard-negative mining.
 
 Design invariant: every hash these operators use is an ``md5`` hex string —
 portable across engines — so each operator has an exact ANSI-SQL oracle
