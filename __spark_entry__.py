@@ -9473,6 +9473,185 @@ _STAGED_ORACLES["r11_interleave"] = """
 """
 
 
+
+
+def q_r11_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol (llmops/robots.py, RFC 9309) — both
+    twins derive the same robots corpus (one body per source with
+    '*'-group rules plus a 'trainbot' group on every 2nd host) and the
+    same URL table (one per doc under its source host), then:
+
+    - 'r' — the parsed rule table (group structure, pattern compile);
+    - 'd' / 'dt' — robots_allowed decisions for 'anybot' (falls to the
+      '*' group) and 'trainbot' (exact group preempts where present):
+      longest-pattern-wins, allow on ties, absent rules allow.
+
+    The DuckDB twin replays group assignment with window functions
+    (running count of group-opening User-agent lines) — robots bodies
+    are the one fold small enough that windows, not recursion, replay
+    it. All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    robots = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).selectExpr(
+        "source AS host",
+        "CONCAT("
+        " 'User-agent: *', CHAR(10),"
+        " 'Disallow: /private/', CHAR(10),"
+        " 'Allow: /private/open-', source, '.html', CHAR(10),"
+        " 'Disallow: /*.tmp$', CHAR(10),"
+        " CASE WHEN length(source) % 2 = 0 THEN CONCAT("
+        "   CHAR(10), 'User-agent: trainbot', CHAR(10),"
+        "   'Disallow: /no-train/') ELSE '' END"
+        ") AS body",
+    )
+    rules = parse_robots(robots, "host", "body")
+    r_rows = rules.selectExpr(
+        "'r' AS op",
+        "CONCAT_WS('|', host, agent, directive, pattern) AS k",
+        "CONCAT_WS('|', match_regex, CAST(pattern_len AS STRING)) AS v",
+    )
+    urls = docs.selectExpr(
+        "doc_id",
+        "CONCAT('http://', source,"
+        " CASE CAST(doc_id % 5 AS INT)"
+        "  WHEN 0 THEN '/private/doc.html'"
+        "  WHEN 1 THEN CONCAT('/private/open-', source, '.html')"
+        "  WHEN 2 THEN '/cache/file.tmp'"
+        "  WHEN 3 THEN '/no-train/doc'"
+        "  ELSE '/public/doc' END) AS url",
+    )
+    dec = robots_allowed(urls, rules, "url", agent="anybot").selectExpr(
+        "'d' AS op", "CAST(doc_id AS STRING) AS k",
+        "CAST(robots_allowed AS STRING) AS v",
+    )
+    dec_t = robots_allowed(urls, rules, "url", agent="trainbot").selectExpr(
+        "'dt' AS op", "CAST(doc_id AS STRING) AS k",
+        "CAST(robots_allowed AS STRING) AS v",
+    )
+    return r_rows.unionByName(dec).unionByName(dec_t)
+
+
+_STAGED_ORACLES["r11_robots"] = r"""
+    WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+    bodies AS (
+        SELECT host,
+               'User-agent: *' || chr(10) ||
+               'Disallow: /private/' || chr(10) ||
+               'Allow: /private/open-' || host || '.html' || chr(10) ||
+               'Disallow: /*.tmp$' || chr(10) ||
+               CASE WHEN length(host) % 2 = 0 THEN
+                   chr(10) || 'User-agent: trainbot' || chr(10) ||
+                   'Disallow: /no-train/'
+               ELSE '' END AS body
+        FROM hosts
+    ),
+    lines AS (
+        SELECT host, ln, trim(regexp_replace(l, '#.*$', '')) AS l
+        FROM (
+            SELECT host,
+                   unnest(list_transform(
+                       string_split(replace(body, chr(13), ''), chr(10)),
+                       (x, i) -> {'ln': i, 'l': x}), recursive := true)
+            FROM bodies
+        )
+    ),
+    tagged AS (
+        SELECT host, ln, l,
+               regexp_matches(lower(l), '^user-agent\s*:') AS is_agent,
+               COALESCE(lag(regexp_matches(lower(l), '^user-agent\s*:'))
+                   OVER (PARTITION BY host ORDER BY ln), FALSE)
+                   AS prev_is_agent
+        FROM lines
+    ),
+    grouped AS (
+        SELECT host, ln, l, is_agent,
+               sum(CASE WHEN is_agent AND NOT prev_is_agent
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY ln) AS gid
+        FROM tagged
+    ),
+    agents AS (
+        SELECT host, gid,
+               lower(trim(regexp_extract(l, '(?i)^user-agent\s*:(.*)$', 1)))
+                   AS agent
+        FROM grouped WHERE is_agent
+    ),
+    rul AS (
+        SELECT host, gid,
+               lower(regexp_extract(l, '(?i)^(allow|disallow)\s*:', 1))
+                   AS directive,
+               trim(regexp_extract(l, '(?i)^(?:allow|disallow)\s*:(.*)$', 1))
+                   AS pattern
+        FROM grouped
+        WHERE regexp_matches(lower(l), '^(allow|disallow)\s*:')
+          AND trim(regexp_extract(l, '(?i)^(?:allow|disallow)\s*:(.*)$', 1))
+              <> ''
+    ),
+    rules AS (
+        -- pattern compile restricted to the characters THIS derived
+        -- corpus contains ('.', '*', trailing '$'): dot-escape, then
+        -- star-expand; a trailing '$' passes through as the anchor --
+        -- net-identical to the Spark side's general escape chain for
+        -- these patterns (the general chain is pytest-pinned)
+        SELECT a.host, a.agent, r.directive, r.pattern,
+               '^' || replace(replace(r.pattern, '.', '\.'),
+                              '*', '.*') AS match_regex,
+               length(r.pattern) AS pattern_len
+        FROM agents a JOIN rul r USING (host, gid)
+    ),
+    urls AS (
+        SELECT doc_id, source AS host,
+               CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN '/private/doc.html'
+                   WHEN 1 THEN '/private/open-' || source || '.html'
+                   WHEN 2 THEN '/cache/file.tmp'
+                   WHEN 3 THEN '/no-train/doc'
+                   ELSE '/public/doc' END AS path
+        FROM documents
+    ),
+    eval AS (
+        SELECT u.doc_id, u.host, u.path, ag.agent_sel,
+               r.directive, r.pattern_len,
+               regexp_matches(u.path, r.match_regex) AS hit
+        FROM urls u
+        CROSS JOIN (SELECT unnest(['anybot', 'trainbot']) AS agent_sel) ag
+        LEFT JOIN rules r
+          ON r.host = u.host
+         AND r.agent = CASE
+               WHEN ag.agent_sel = 'trainbot'
+                    AND EXISTS (SELECT 1 FROM rules x
+                                WHERE x.host = u.host
+                                  AND x.agent = 'trainbot')
+               THEN 'trainbot' ELSE '*' END
+    ),
+    decided AS (
+        SELECT doc_id, agent_sel,
+               COALESCE(arg_max(
+                   CASE WHEN hit THEN directive = 'allow' END,
+                   CASE WHEN hit THEN pattern_len * 2 +
+                        CASE WHEN directive = 'allow' THEN 1 ELSE 0 END
+                   ELSE -1 END), TRUE) AS allowed
+        FROM eval
+        GROUP BY doc_id, agent_sel
+    )
+    SELECT 'r' AS op,
+           host || '|' || agent || '|' || directive || '|' || pattern AS k,
+           match_regex || '|' || CAST(pattern_len AS VARCHAR) AS v
+    FROM rules
+    UNION ALL
+    SELECT CASE agent_sel WHEN 'anybot' THEN 'd' ELSE 'dt' END,
+           CAST(doc_id AS VARCHAR),
+           CAST(COALESCE(allowed, TRUE) AS VARCHAR)
+    FROM decided
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 candidate rows — run by tools/oracle_check.py --staged
     and tests/test_staged_oracles.py, NOT by the driver (the 50-row
@@ -9483,8 +9662,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     discipline — hll_profile (0.5s) folds into cms_sketch as a 'hll'
     tag; text_normalize + chat_prep -> one 'text_prep' union row;
     materialize_packs + training_shards + source_formats -> one
-    'artifacts' union row. That frees 4 slots; promote the eleven
-    staged rows as SIX roster rows by pairing related surfaces:
+    'artifacts' union row. That frees 4 slots; promote the twelve
+    staged rows as SEVEN roster rows by pairing related surfaces:
     r11_bloom + r11_dsir -> 'selection_sketches';
     r11_cdc_chunks + r11_sentence_chunks -> 'chunking_v2';
     r11_curation + r11_negative_samples -> 'sampling_v2';
@@ -9492,7 +9671,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11_interleave rides sequence_prep as an 'ord' tag;
     r11_script_profile (+ an extract_links tag: edges of a derived
     HTML corpus -> pagerank, SQL-replayable) -> 'corpus_signals';
-    r11_rrf_fusion -> 'hybrid_retrieval';
+    r11_rrf_fusion -> 'hybrid_retrieval'; r11_robots -> 'crawl_compliance';
     r11_stream_paragraphs rides streaming_window_counts as a tag.
     Keep every staged query function VERBATIM when promoting (the
     proof is for the exact text); only the row grouping changes."""
@@ -9508,6 +9687,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_negative_samples": q_r11_negative_samples,
         "r11_heavy_hitters": q_r11_heavy_hitters,
         "r11_interleave": q_r11_interleave,
+        "r11_robots": q_r11_robots,
     }
 
 
