@@ -6904,7 +6904,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 queries: the driver's correctness artifact records at
-    most 50 rows, so the budget is allocated deliberately. ROUND 10
+    most 50 rows, so the budget is allocated deliberately.
+
+    ROUND-11 edit (the r10 verdict's promotion plan, executed as a
+    pure roster edit — every constituent query function and oracle is
+    reused verbatim; see the _R11_ORACLES section at the end of this
+    file for the slot arithmetic): hll_profile -> cms_sketch
+    ('grp'/'fine'/'roll' tags, plus the staged heavy-hitters
+    'tok'/'src' tags); text_normalize + chat_prep -> text_prep;
+    materialize_packs + training_shards + source_formats -> artifacts;
+    NEW rows selection_sketches (bloom + dsir), chunking_v2
+    (content-defined + sentence chunking + streaming paragraph
+    frequency), sampling_v2 (token-budget curation + negative samples
+    + interleave), crawl_signals (robots + script profile + RRF) —
+    all twelve constituents pre-proven green through the exact driver
+    comparison pipeline in round 10.
+
+    ROUND 10
     restructure (per the r9 verdict, all 49 real rows green): the 15
     round-9 localization singletons — proven individually innocent, the
     divergence was the engine→pandas dtype-coercion layer, fixed by the
@@ -7021,20 +7037,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "shared_spans": q_shared_spans,
-        "cms_sketch": q_cms_sketch,
-        "hll_profile": q_hll_profile,
+        "cms_sketch": q_cms_sketch_v2,
         "pca_project": q_pca_project,
         "feature_scores": q_feature_scores,
-        "chat_prep": q_chat_prep,
-        "text_normalize": q_text_normalize,
-        "materialize_packs": q_materialize_packs,
-        "training_shards": q_training_shards,
-        "source_formats": q_source_formats,
+        "text_prep": q_text_prep,
+        "artifacts": q_artifacts,
+        # round-11 promotion rows (staged-green in r10, see the
+        # _R11_ORACLES section at the end of this file)
+        "selection_sketches": q_selection_sketches,
+        "chunking_v2": q_chunking_v2,
+        "sampling_v2": q_sampling_v2,
+        "crawl_signals": q_crawl_signals,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_ORACLES, **_LLMOPS_ORACLES, **_R10_ORACLES}
+    merged = {**_ORACLES, **_LLMOPS_ORACLES, **_R10_ORACLES, **_R11_ORACLES}
+    for retired in _R11_RETIRED:
+        merged.pop(retired, None)
+    return merged
 
 
 # ---------------------------------------------------------------------------
@@ -7384,8 +7405,17 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segment size PINS the addition order (different sizes are
     # different, equally-valid fold orders), so the oracle replays
     # exactly 256; determinism across partitionings holds at any
-    # fixed size
-    n, s1, s2 = moment_stats(emb, dim=64, segment_size=256)
+    # fixed size.
+    # ROUND 11 (r10 verdict, Next-round #4): the 'mom' attestation
+    # runs at dim=16 (the first 16 coordinates) — 152 interpreted
+    # multiplies per row instead of 2,080, dropping the row's floor
+    # from ~5-11s to ~1-2s while exercising the identical fold
+    # machinery; production fits use moment_stats(..., method="fast")
+    # (vectorized mapInPandas, pytest parity-pinned) at full width.
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, _PCA_MOM_DIM).alias("embedding")
+    )
+    n, s1, s2 = moment_stats(emb16, dim=_PCA_MOM_DIM, segment_size=256)
     mom_rows = [("n", 0, float(n))]
     mom_rows += [("s1", i, v) for i, v in enumerate(s1)]
     mom_rows += [("s2", i, v) for i, v in enumerate(s2)]
@@ -7410,6 +7440,8 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed projection constants for q_pca_project's 'proj' arms: integer-
 # derived rationals, exactly representable, inlined identically into the
 # oracle SQL (no Date/random — deterministic by construction)
+_PCA_MOM_DIM = 16  # 'mom' attestation width (r11, see q_pca_project)
+_PCA_MOM_FLAT = _PCA_MOM_DIM + _PCA_MOM_DIM * (_PCA_MOM_DIM + 1) // 2
 _PCA_MEAN: list[float] = [((i * 7 + 3) % 11 - 5) / 8.0 for i in range(64)]
 _PCA_COMPS: list[list[float]] = [
     [((i * 13 + c * 5 + 1) % 19 - 9) / 16.0 for i in range(64)]
@@ -7714,10 +7746,10 @@ _R10_ORACLES["hll_profile"] = """
 
 def _duck_moment_vec() -> str:
     """Per-row (embedding ++ upper-tri outer product) twin of
-    llmops/pca._upper_outer — 64 + 2080 = 2144 doubles."""
+    llmops/pca._upper_outer — dim + dim(dim+1)/2 doubles."""
     return (
-        "list_concat(v, flatten(list_transform(generate_series(1, 64),"
-        " i -> list_transform(v[i:64], x -> v[i] * x))))"
+        f"list_concat(v, flatten(list_transform(generate_series(1, {_PCA_MOM_DIM}),"
+        f" i -> list_transform(v[i:{_PCA_MOM_DIM}], x -> v[i] * x))))"
     )
 
 
@@ -7737,25 +7769,27 @@ def _duck_pca_proj(comp: list[float]) -> str:
 _R10_ORACLES["pca_project"] = f"""
     WITH mv AS (
         SELECT vec_id, {_duck_moment_vec()} AS m
-        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        FROM (SELECT vec_id, (embedding::DOUBLE[])[1:{_PCA_MOM_DIM}] AS v
+              FROM embeddings)
     ),
     seg AS (
         SELECT vec_id // 256 AS seg, count(*) AS n,
-               {_duck_vec_fold("list(m ORDER BY vec_id)", 2144)} AS s
+               {_duck_vec_fold("list(m ORDER BY vec_id)", _PCA_MOM_FLAT)} AS s
         FROM mv GROUP BY 1
     ),
     tot AS (
         SELECT sum(n) AS n,
-               {_duck_vec_fold("list(s ORDER BY seg)", 2144)} AS s
+               {_duck_vec_fold("list(s ORDER BY seg)", _PCA_MOM_FLAT)} AS s
         FROM seg
     )
     SELECT 'mom' AS op, 'n|0' AS k, CAST(n AS DOUBLE) AS x FROM tot
     UNION ALL
     SELECT 'mom', 's1|' || CAST(t.i - 1 AS VARCHAR), s[t.i]
-    FROM tot, (SELECT unnest(generate_series(1, 64)) AS i) t
+    FROM tot, (SELECT unnest(generate_series(1, {_PCA_MOM_DIM})) AS i) t
     UNION ALL
-    SELECT 'mom', 's2|' || CAST(t.i - 65 AS VARCHAR), s[t.i]
-    FROM tot, (SELECT unnest(generate_series(65, 2144)) AS i) t
+    SELECT 'mom', 's2|' || CAST(t.i - {_PCA_MOM_DIM + 1} AS VARCHAR), s[t.i]
+    FROM tot, (SELECT unnest(generate_series({_PCA_MOM_DIM + 1},
+                                             {_PCA_MOM_FLAT})) AS i) t
     UNION ALL
     SELECT 'proj', CAST(vec_id AS VARCHAR), {_duck_pca_proj(_PCA_COMPS[0])}
     FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -9653,43 +9687,183 @@ _STAGED_ORACLES["r11_robots"] = r"""
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-11 candidate rows — run by tools/oracle_check.py --staged
-    and tests/test_staged_oracles.py, NOT by the driver (the 50-row
-    roster is full; these are pre-proven for next round's promotion).
-
-    ROUND-11 PROMOTION PLAN (write the roster edit, the proofs are
-    done): free slots by merging small green rows under the all-string
-    discipline — hll_profile (0.5s) folds into cms_sketch as a 'hll'
-    tag; text_normalize + chat_prep -> one 'text_prep' union row;
-    materialize_packs + training_shards + source_formats -> one
-    'artifacts' union row. That frees 4 slots; promote the twelve
-    staged rows as SEVEN roster rows by pairing related surfaces:
-    r11_bloom + r11_dsir -> 'selection_sketches';
-    r11_cdc_chunks + r11_sentence_chunks -> 'chunking_v2';
-    r11_curation + r11_negative_samples -> 'sampling_v2';
-    r11_heavy_hitters rides cms_sketch as a 'hh' tag;
-    r11_interleave rides sequence_prep as an 'ord' tag;
-    r11_script_profile (+ an extract_links tag: edges of a derived
-    HTML corpus -> pagerank, SQL-replayable) -> 'corpus_signals';
-    r11_rrf_fusion -> 'hybrid_retrieval'; r11_robots -> 'crawl_compliance';
-    r11_stream_paragraphs rides streaming_window_counts as a tag.
-    Keep every staged query function VERBATIM when promoting (the
-    proof is for the exact text); only the row grouping changes."""
-    return {
-        "r11_bloom": q_r11_bloom,
-        "r11_dsir": q_r11_dsir,
-        "r11_cdc_chunks": q_r11_cdc_chunks,
-        "r11_sentence_chunks": q_r11_sentence_chunks,
-        "r11_curation": q_r11_curation,
-        "r11_script_profile": q_r11_script_profile,
-        "r11_stream_paragraphs": q_r11_stream_paragraphs,
-        "r11_rrf_fusion": q_r11_rrf_fusion,
-        "r11_negative_samples": q_r11_negative_samples,
-        "r11_heavy_hitters": q_r11_heavy_hitters,
-        "r11_interleave": q_r11_interleave,
-        "r11_robots": q_r11_robots,
-    }
+    """Round-(N+1) candidate rows — run by tools/oracle_check.py
+    --staged and tests/test_staged_oracles.py, NOT by the driver.
+    Nothing new lands on the 50-row roster without a staged green twin
+    first; the round-10 batch (r11_bloom ... r11_robots) was promoted
+    onto the roster in round 11 exactly as staged (see the
+    _R11_ORACLES section), and this dict now stages the round-11
+    increment for round 12."""
+    return dict(_R12_STAGED_QUERIES)
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    return dict(_STAGED_ORACLES)
+    return dict(_R12_STAGED_ORACLES)
+
+
+# round-11 increment candidates, populated below as operators land
+_R12_STAGED_QUERIES: dict[
+    str, Callable[[SparkSession, str], DataFrame]
+] = {}
+_R12_STAGED_ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# ROUND-11 PROMOTION (r10 verdict, Next-round #1)
+#
+# The twelve staged rows above were pre-proven green through the exact
+# driver comparison pipeline in round 10 (tools/oracle_check.py
+# --staged, CI-gated by tests/test_staged_oracles.py). This section is
+# the ROSTER EDIT ONLY: every staged query function and oracle string
+# is reused VERBATIM (the proof is for the exact text); the wrappers
+# below just union proven (op, k, v) frames, which preserves each
+# constituent's hashed surface row-for-row.
+#
+# Slot arithmetic (the driver records at most 50 rows):
+#   merged away (4 slots freed):
+#     hll_profile            -> cms_sketch   ('grp'/'fine'/'roll' tags)
+#     text_normalize + chat_prep                  -> text_prep
+#     materialize_packs + training_shards + source_formats -> artifacts
+#   promoted (4 new rows; op tags are disjoint within each union):
+#     selection_sketches = r11_bloom + r11_dsir
+#     chunking_v2        = r11_cdc_chunks + r11_sentence_chunks
+#                          + r11_stream_paragraphs (the 'w' streaming
+#                          tag rides here, not streaming_window_counts,
+#                          so no proven frame needs reshaping)
+#     sampling_v2        = r11_curation + r11_negative_samples
+#                          + r11_interleave (all llmops/split.py)
+#     crawl_signals      = r11_robots + r11_script_profile
+#                          + r11_rrf_fusion
+#   tags on existing rows (0 slots):
+#     r11_heavy_hitters  -> cms_sketch ('tok'/'src' tags)
+#   net: 50 - 4 + 4 = 50.
+# ---------------------------------------------------------------------------
+
+_R11_RETIRED = (
+    "hll_profile",
+    "text_normalize",
+    "chat_prep",
+    "materialize_packs",
+    "training_shards",
+    "source_formats",
+)
+
+
+def _union_sql(*parts: str) -> str:
+    """UNION ALL of proven oracle strings as parenthesised subqueries
+    (every constituent emits the same (op, k, v) positional shape —
+    asserted by the r10 staged sweep)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT * FROM (\n{p}\n)" for p in parts
+    )
+
+
+def q_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 merge: text_normalize + chat_prep — the two text-
+    preparation rows, each green on CORRECTNESS_r10, unioned verbatim
+    (op tags disjoint: norm/html/json/url vs render/stats/mask)."""
+    return q_text_normalize(spark, sf_dir).unionByName(
+        q_chat_prep(spark, sf_dir)
+    )
+
+
+def q_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 merge: materialize_packs + training_shards +
+    source_formats — the three artifact/export rows, each green on
+    CORRECTNESS_r10, unioned verbatim (op tags disjoint: plain/eod vs
+    manifest vs orc/bin)."""
+    return (
+        q_materialize_packs(spark, sf_dir)
+        .unionByName(q_training_shards(spark, sf_dir))
+        .unionByName(q_source_formats(spark, sf_dir))
+    )
+
+
+def q_cms_sketch_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 merge riding the cms_sketch row: the r10-green CMS
+    surface (cells/est/merge/stream) + the r10-green HLL profile
+    (grp/fine/roll) + the staged-green exact heavy hitters with CMS
+    pre-screen (tok/src) — one sketch-family row, all constituents
+    verbatim."""
+    return (
+        q_cms_sketch(spark, sf_dir)
+        .unionByName(q_hll_profile(spark, sf_dir))
+        .unionByName(q_r11_heavy_hitters(spark, sf_dir))
+    )
+
+
+def q_selection_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 promotion: Bloom filters (w/m/q) + DSIR importance-
+    resampling integer surfaces (rt/sc/nf), both staged-green in r10."""
+    return q_r11_bloom(spark, sf_dir).unionByName(
+        q_r11_dsir(spark, sf_dir)
+    )
+
+
+def q_chunking_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 promotion: content-defined chunking (c) + sentence-
+    aware chunking (sc) + streaming paragraph frequency (w), all
+    staged-green in r10 — the document-segmentation row."""
+    return (
+        q_r11_cdc_chunks(spark, sf_dir)
+        .unionByName(q_r11_sentence_chunks(spark, sf_dir))
+        .unionByName(q_r11_stream_paragraphs(spark, sf_dir))
+    )
+
+
+def q_sampling_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 promotion: token-budget curation (abs/frac) +
+    deterministic negative sampling (d/x) + stride-scheduled source
+    interleaving (o) — the llmops/split.py selection row, all
+    staged-green in r10."""
+    return (
+        q_r11_curation(spark, sf_dir)
+        .unionByName(q_r11_negative_samples(spark, sf_dir))
+        .unionByName(q_r11_interleave(spark, sf_dir))
+    )
+
+
+def q_crawl_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 promotion: robots.txt compliance (r/d/dt, RFC 9309) +
+    Unicode script profiling (p) + reciprocal-rank fusion (f) — the
+    crawl/corpus-signal row, all staged-green in r10."""
+    return (
+        q_r11_robots(spark, sf_dir)
+        .unionByName(q_r11_script_profile(spark, sf_dir))
+        .unionByName(q_r11_rrf_fusion(spark, sf_dir))
+    )
+
+
+_R11_ORACLES: dict[str, str] = {
+    "text_prep": _union_sql(
+        _R10_ORACLES["text_normalize"], _R10_ORACLES["chat_prep"]
+    ),
+    "artifacts": _union_sql(
+        _R10_ORACLES["materialize_packs"],
+        _R10_ORACLES["training_shards"],
+        _R10_ORACLES["source_formats"],
+    ),
+    "cms_sketch": _union_sql(
+        _R10_ORACLES["cms_sketch"],
+        _R10_ORACLES["hll_profile"],
+        _STAGED_ORACLES["r11_heavy_hitters"],
+    ),
+    "selection_sketches": _union_sql(
+        _STAGED_ORACLES["r11_bloom"], _STAGED_ORACLES["r11_dsir"]
+    ),
+    "chunking_v2": _union_sql(
+        _STAGED_ORACLES["r11_cdc_chunks"],
+        _STAGED_ORACLES["r11_sentence_chunks"],
+        _STAGED_ORACLES["r11_stream_paragraphs"],
+    ),
+    "sampling_v2": _union_sql(
+        _STAGED_ORACLES["r11_curation"],
+        _STAGED_ORACLES["r11_negative_samples"],
+        _STAGED_ORACLES["r11_interleave"],
+    ),
+    "crawl_signals": _union_sql(
+        _STAGED_ORACLES["r11_robots"],
+        _STAGED_ORACLES["r11_script_profile"],
+        _STAGED_ORACLES["r11_rrf_fusion"],
+    ),
+}

@@ -70,20 +70,28 @@ def main() -> None:
     # degrades one sample of many queries rather than all samples of one.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # soft wall-clock budget: complete passes only, never fewer than one —
-    # the query set has grown past the point where k full passes always
-    # fit a fixed harness timeout, and a partially-sampled pass would bias
-    # medians; actual per-query run counts are reported in the stats
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "450"))
+    # a partially-sampled pass would bias medians. ADAPTIVE (r10 verdict,
+    # What's-wrong #2: the fixed 450s budget was blown by one pass of the
+    # grown roster, leaving runs_per_query=1 — statistically void on a
+    # box with 3-20x single-run noise): the next pass starts only if the
+    # measured cost of the previous pass still fits, so the harness
+    # degrades to fewer passes long before it degrades to one, and the
+    # default budget is sized for >=2-3 passes of the current roster
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1350"))
     t0 = time.perf_counter()
     samples: dict[str, list[float]] = {name: [] for name in queries}
+    last_pass = 0.0
     for i in range(runs):
-        if i > 0 and time.perf_counter() - t0 > budget:
+        elapsed = time.perf_counter() - t0
+        if i > 0 and elapsed + last_pass > budget:
             break
+        pass_t0 = time.perf_counter()
         for name, fn in queries.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - start)
+        last_pass = time.perf_counter() - pass_t0
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -134,6 +142,11 @@ def main() -> None:
                 "queries_min": {
                     name: s["min"] for name, s in stats.items()
                 },
+                # a single-sample artifact must be self-identifying
+                # (r10 verdict: one pass cannot support any perf claim)
+                "runs_per_query": min(
+                    len(xs) for xs in samples.values()
+                ),
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -65,9 +65,32 @@ def moment_stats(
     vec_col: str = "embedding",
     dim: int,
     segment_size: int = DEFAULT_SEGMENT_SIZE,
+    method: str = "ordered",
 ) -> tuple[int, list[float], list[float]]:
-    """Corpus moments ``(n, Σx, Σ upper-tri xxᵀ)``, deterministic under
-    any partitioning. Driver traffic: d + d(d+1)/2 doubles."""
+    """Corpus moments ``(n, Σx, Σ upper-tri xxᵀ)``. Driver traffic:
+    d + d(d+1)/2 doubles either way.
+
+    ``method="ordered"`` (default) — the deterministic two-level
+    ordered fold: bit-exact under any partitioning, the attestation
+    path, but the per-row outer product is an interpreted HOF (~d²/2
+    lambda-interpreted multiplies per row — Spark never codegens
+    lambda bodies), the dominant CPU line of a PCA fit at scale.
+
+    ``method="fast"`` — the vectorized production path (r10 verdict,
+    Next-round #4): one numpy ``Xᵀ·X`` per Arrow batch inside
+    ``mapInPandas`` (~100× fewer interpreter dispatches), partials
+    summed by position in one tiny (d + d(d+1)/2 key) shuffle. Batch
+    and partition addition order is NOT pinned, so the low-order float
+    bits may differ run-to-run — mathematically the same moments
+    (parity pytest-pinned to ~1e-9 relative), but non-oracle by the
+    FLOATS.md rule; use for production fits, not hashed surfaces."""
+    if method == "fast":
+        return _moment_stats_fast(df, vec_col=vec_col, dim=dim)
+    if method != "ordered":
+        raise ValueError(
+            f"moment_stats: method must be 'ordered' or 'fast', got "
+            f"{method!r}"
+        )
     tri = dim * (dim + 1) // 2
     wide = df.select(
         F.lit(1).alias("__g"),
@@ -92,6 +115,62 @@ def moment_stats(
     return n, total[:dim], total[dim:]
 
 
+def _moment_stats_fast(
+    df: DataFrame, *, vec_col: str, dim: int
+) -> tuple[int, list[float], list[float]]:
+    """Vectorized moment fold (see :func:`moment_stats` method="fast").
+
+    Each ``mapInPandas`` batch emits ONE partial row — a
+    ``[n, Σx, upper-tri Σxxᵀ]`` vector of 1 + d + d(d+1)/2 doubles
+    (~17 KB at d=64 per ~10k-row batch) — so a 100 TB corpus reduces
+    to millions of tiny partials, position-summed in one shuffle whose
+    key space is the flat index (≤ d(d+3)/2 + 1 keys)."""
+    flat = 1 + dim + dim * (dim + 1) // 2
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        r, c = np.triu_indices(dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"moment_stats: vector width {x.shape[1]} != dim {dim}"
+                )
+            outer = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "s": [
+                        np.concatenate(
+                            [[float(len(pdf))], x.sum(axis=0), outer[r, c]]
+                        ).tolist()
+                    ]
+                }
+            )
+
+    partials = df.select(F.col(vec_col).alias(vec_col)).mapInPandas(
+        fold, schema="s array<double>"
+    )
+    rows = (
+        partials.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("moment_stats: empty input")
+    total = [0.0] * flat
+    for r_ in rows:
+        total[r_["i"]] = float(r_["v"])
+    n = int(round(total[0]))
+    return n, total[1 : dim + 1], total[dim + 1 :]
+
+
 def pca_fit(
     df: DataFrame,
     k: int,
@@ -100,17 +179,20 @@ def pca_fit(
     vec_col: str = "embedding",
     dim: int,
     segment_size: int = DEFAULT_SEGMENT_SIZE,
+    method: str = "ordered",
 ) -> tuple[list[float], list[list[float]], list[float]]:
     """Fit: returns ``(mean, components, explained_variance)`` with
     ``components`` the top-``k`` eigenvectors (rows) of the sample
-    covariance, eigenvalue-descending, signs pinned."""
+    covariance, eigenvalue-descending, signs pinned. ``method="fast"``
+    uses the vectorized moment fold (production; see
+    :func:`moment_stats`)."""
     import numpy as np
 
     if not 1 <= k <= dim:
         raise ValueError(f"pca_fit: k must be in [1, {dim}], got {k}")
     n, s1, s2 = moment_stats(
         df, id_col=id_col, vec_col=vec_col, dim=dim,
-        segment_size=segment_size,
+        segment_size=segment_size, method=method,
     )
     if n < 2:
         raise ValueError(f"pca_fit: needs >= 2 rows, got {n}")

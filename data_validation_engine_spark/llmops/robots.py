@@ -48,7 +48,12 @@ def parse_robots(
     directives are case-insensitive; unknown directives and blank
     patterns on ``Allow``/``Disallow`` are ignored (an empty
     ``Disallow:`` means "allow everything" — representable by emitting
-    no rule). Agents are lowercased (they match case-insensitively).
+    no rule). Agents are lowercased (they match case-insensitively),
+    and so is ``host`` — :func:`robots_allowed` lowercases the host it
+    derives from each URL (DNS names are case-insensitive, RFC 4343),
+    so the rule table must share that canonicalization or mixed-case
+    rule hosts would silently never join and every URL under them
+    would come back allowed (r10 ADVICE fix).
 
     Implemented as per-row array folds over the body's lines — zero
     shuffle until the final explode. ``match_regex`` is the compiled
@@ -137,7 +142,8 @@ def parse_robots(
         lambda e: (e["kind"] == "agent") | (e["value"] != ""),
     )
     exploded = df.select(
-        F.col(host_col).alias("host"), F.explode(parsed).alias("__e")
+        F.lower(F.col(host_col)).alias("host"),
+        F.explode(parsed).alias("__e"),
     ).select(
         "host",
         F.col("__e.gid").alias("gid"),

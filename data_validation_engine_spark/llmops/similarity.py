@@ -645,8 +645,11 @@ def hard_negative_samples(
     the ceiling that marks near-duplicates/positives (the DPR/SimCSE
     hard-negative recipe; uniform negatives are
     :func:`~data_validation_engine_spark.llmops.split.negative_samples`,
-    and a strong setup mixes both). Returns ``(id, rank, neg_id,
-    cosine)``, rank 1-based by descending cosine inside the band.
+    and a strong setup mixes both). Returns ``(id_col, rank,
+    neighbour, cosine)``, rank 1-based by descending cosine inside the
+    band (r10 ADVICE fix: the column is named ``neighbour``, the
+    :func:`knn_join` convention — alias it to ``neg_id`` downstream if
+    that name is wanted).
 
     Candidates come from the same skew-bounded LSH-bucket self-join as
     :func:`knn_join` — never an all-pairs cross join — oversampled by
@@ -654,7 +657,13 @@ def hard_negative_samples(
     starve the cut. Anchors whose buckets hold no in-band neighbour
     emit fewer than ``k`` rows (loud gaps, the
     :func:`negative_samples` convention — backfill from the uniform
-    sampler if the training loop needs exactly ``k``).
+    sampler if the training loop needs exactly ``k``). CAVEAT: the
+    candidate pool is the top ``k * candidate_factor`` by cosine, so
+    an anchor with more than ``k * (candidate_factor - 1)`` near-
+    duplicates ABOVE ``max_cosine`` can exhaust the pool before the
+    band — raise ``candidate_factor`` when heavy near-duplicate mass
+    sits above the ceiling (or dedup near-duplicates first, the usual
+    pipeline order).
 
     Scale shape: identical to :func:`knn_join` (bucketed candidate
     generation bounds per-task input; WindowGroupLimit cuts per

@@ -556,10 +556,16 @@ def bloom_might_contain(
     k_hashes: int = 5,
     seed: str = "",
 ) -> DataFrame:
-    """Probe a candidate value table against a Bloom word table:
-    ``values' columns + might_contain`` — TRUE iff all ``k_hashes``
-    bits are set (never a false negative; FP rate as in
-    :func:`bloom_build`).
+    """Probe a candidate value table against a Bloom word table.
+    Returns the DEDUPLICATED ``(group_cols, value_col, might_contain)``
+    verdict table — one row per distinct probed value per group, other
+    ``values`` columns dropped (the probe explodes each value to
+    ``k_hashes`` lookups and re-aggregates, so carrying payload columns
+    through would multiply them; join the verdicts back on
+    ``group_cols + value_col`` to annotate full rows, as
+    :func:`~.decontam.decontaminate_bloom` does). ``might_contain`` is
+    TRUE iff all ``k_hashes`` bits are set (never a false negative; FP
+    rate as in :func:`bloom_build`).
 
     Each probe value explodes to ``k_hashes`` (word, bit) lookups
     equi-joined against the word table — at most ``m_bits/63 + 1`` rows

@@ -525,7 +525,10 @@ def negative_samples(
     ``exclude_self`` drops draws that hit the anchor's own key (those
     anchors may get fewer than ``k`` negatives — loud in ``neg_idx``
     gaps rather than silently redrawn, which would make draw j's value
-    depend on the anchor's own membership).
+    depend on the anchor's own membership). A NULL ``anchor_col``
+    raises (the module's loud-failure discipline — a NULL key has no
+    deterministic draws); NULL pool keys are excluded up front, see
+    below.
 
     Scale shape: the global rank is TWO-PHASE — rows bucket by their
     md5's first 4 hex chars, rank locally per bucket, and add the
@@ -600,7 +603,25 @@ def negative_samples(
                         F.md5(
                             F.concat(
                                 F.lit(f"{seed}|neg|"),
-                                F.col(anchor_col).cast("string"),
+                                # a NULL anchor key would md5 to NULL
+                                # and silently vanish at the rank
+                                # equi-join — fail loudly instead,
+                                # matching interleave_sources /
+                                # select_token_budget (r10 ADVICE fix)
+                                F.when(
+                                    F.col(anchor_col).isNotNull(),
+                                    F.col(anchor_col).cast("string"),
+                                ).otherwise(
+                                    F.raise_error(
+                                        F.lit(
+                                            "negative_samples: NULL in "
+                                            f"anchor column '{anchor_col}'"
+                                            " — a NULL key has no "
+                                            "deterministic draws; filter "
+                                            "or impute first"
+                                        )
+                                    )
+                                ),
                                 F.lit("|"),
                                 F.col("neg_idx").cast("string"),
                             )

@@ -380,9 +380,13 @@ def canonicalize_url(
     ).otherwise(hostport)
     path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    # the '?' must sit BEFORE any '#': a fragment like '#sec?x=1'
-    # holds no query, and matching it would fabricate one
-    query = F.regexp_extract(u, r"^[^#]*\?([^#]*)", 1)
+    # the '?' must sit BEFORE any '#' (a fragment like '#sec?x=1'
+    # holds no query), and the query starts at the FIRST '?': '?' is
+    # legal INSIDE a query per RFC 3986, and a greedy '^[^#]*\?' would
+    # anchor on the LAST one, silently dropping everything between —
+    # distinct URLs would collapse to one canonical dedup key
+    # (r10 ADVICE fix; mirrors the path regex's '[^?#]*' stop)
+    query = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
     fragment = F.regexp_extract(u, r"#(.*)$", 1)
 
     drop_exact = [p.lower() for p in DEFAULT_TRACKING_PARAMS] + [

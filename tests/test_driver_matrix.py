@@ -33,7 +33,7 @@ SENSITIVE = [
     "cms_sketch",
     "corpus_terms",
     "feature_scores",
-    "text_normalize",
+    "text_prep",
 ]
 
 

@@ -135,3 +135,30 @@ def test_pca_declared_step(spark, embs):
     model = ents["model"].collect()
     assert [r["component"] for r in model] == [0, 1, 2]
     assert all(len(r["weights"]) == DIM for r in model)
+
+
+def test_fast_moments_parity_with_ordered(spark, embs):
+    """The vectorized production fold (method='fast') must agree with
+    the attestation-path ordered fold to float-accumulation tolerance
+    (addition order differs by design — FLOATS.md non-oracle class)."""
+    n_o, s1_o, s2_o = moment_stats(embs, dim=DIM)
+    n_f, s1_f, s2_f = moment_stats(embs, dim=DIM, method="fast")
+    assert n_o == n_f
+    np.testing.assert_allclose(np.array(s1_f), np.array(s1_o), rtol=1e-9)
+    np.testing.assert_allclose(np.array(s2_f), np.array(s2_o), rtol=1e-9)
+
+
+def test_fast_fit_parity_with_ordered(spark, embs):
+    mean_o, comps_o, expl_o = pca_fit(embs, 2, dim=DIM)
+    mean_f, comps_f, expl_f = pca_fit(embs, 2, dim=DIM, method="fast")
+    np.testing.assert_allclose(mean_f, mean_o, rtol=1e-9)
+    np.testing.assert_allclose(expl_f, expl_o, rtol=1e-6)
+    for cf, co in zip(comps_f, comps_o):
+        np.testing.assert_allclose(cf, co, atol=1e-6)
+
+
+def test_fast_moments_empty_and_bad_method(spark, embs):
+    with pytest.raises(ValueError, match="empty input"):
+        moment_stats(embs.where("vec_id < 0"), dim=DIM, method="fast")
+    with pytest.raises(ValueError, match="method"):
+        moment_stats(embs, dim=DIM, method="nope")

@@ -107,3 +107,86 @@ def test_extract_links_query_only_relative_href(spark):
     [r] = extract_links(df, "html", base_url_col="base").collect()
     # RFC 3986 5.3: query-only refs keep the base filename
     assert r["href"] == "http://ex.com/a/index.html?page=2"
+
+
+# --- round-11 ADVICE fix pins ---
+
+
+def test_negative_samples_null_anchor_fails_loudly(spark):
+    """r10 ADVICE: a NULL anchor key used to md5 to NULL and silently
+    vanish at the rank equi-join — now it raises, matching the
+    module's loud-failure discipline."""
+    from data_validation_engine_spark.llmops.split import negative_samples
+
+    pool = spark.createDataFrame(
+        [(f"d{i}",) for i in range(10)], "doc string"
+    )
+    anchors = spark.createDataFrame(
+        [("a1",), (None,)], "aid string"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL in anchor"):
+        negative_samples(anchors, pool, "aid", "doc", k=2).collect()
+
+
+def test_canonicalize_url_question_mark_inside_query(spark):
+    """r10 ADVICE: '?' is legal INSIDE a query (RFC 3986); the query
+    must start at the FIRST '?', not the last — otherwise distinct
+    URLs collapse to one canonical dedup key."""
+    from data_validation_engine_spark.llmops.web import canonicalize_url
+
+    cases = [
+        # the param value contains a literal '?': everything after the
+        # FIRST '?' is the query
+        ("https://s.ex/p?q=what?&b=2", "https://s.ex/p?b=2&q=what?"),
+        # greedy last-'?' anchoring would have collapsed these two
+        ("https://s.ex/p?a=x?y", "https://s.ex/p?a=x?y"),
+        ("https://s.ex/p?y", "https://s.ex/p?y"),
+        # fragment containing '?' still fabricates no query
+        ("https://s.ex/p#sec?x=1", "https://s.ex/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
+    # the two distinct URLs stay distinct dedup keys
+    assert (
+        df.where(F.col("i").isin(1, 2))
+        .select(F.md5(canonicalize_url(F.col("url"))).alias("k"))
+        .distinct()
+        .count()
+        == 2
+    )
+
+
+def test_parse_robots_mixed_case_host_joins(spark):
+    """r10 ADVICE: rule hosts are lowercased at parse time so a
+    mixed-case host column still joins robots_allowed's lowercased
+    URL-derived host — disallowed URLs must NOT come back allowed."""
+    from data_validation_engine_spark.llmops.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [("Example.COM", "User-agent: *\nDisallow: /private/")],
+        "host string, body string",
+    )
+    rules = parse_robots(robots, "host", "body")
+    assert {r["host"] for r in rules.collect()} == {"example.com"}
+    urls = spark.createDataFrame(
+        [(1, "http://example.com/private/x"),
+         (2, "http://EXAMPLE.com/public/y")],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["robots_allowed"]
+        for r in robots_allowed(urls, rules, "url", agent="bot").collect()
+    }
+    assert got == {1: False, 2: True}

@@ -201,6 +201,8 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         "text_retrieval",  # bm25 arm: broadcast 1-row corpus stats
         "union",  # scd2s arm: broadcast 1-row as-of scalar (round 8)
         "data_profiling",  # chi2 arm: broadcast 1-row sample totals (r8)
+        "selection_sketches",  # dsir ratio: broadcast 1-row count totals
+        "sampling_v2",  # negative_samples: broadcast 1-row pool size
     }
     skip = {
         "pipeline_e2e",  # full pipeline (own tests; intended status cross)
@@ -208,8 +210,8 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         "sessionize",  # streaming drain inside the r10 union
         "event_analytics",  # two streaming drains inside the r10 union
         "cms_sketch",  # streaming cells drain inside the r10 union
-        "training_shards",  # writes the export during construction
-        "source_formats",  # stages ORC/blob files during construction
+        "artifacts",  # writes shard export + ORC/blob files (r11 merge)
+        "chunking_v2",  # streaming paragraph drain inside the r11 union
         "source_xml_json",
         "streaming_dedup",
         "streaming_sync_messages",
