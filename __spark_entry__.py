@@ -7628,7 +7628,10 @@ _SPAN_CORPUS_SQL = f"""
     FROM documents
 """
 
-_R10_ORACLES["shared_spans"] = f"""
+# the winnowed-fingerprint CTE chain (norm -> grams -> sel -> fps),
+# shared verbatim by the shared_spans oracle and the r12 incremental
+# parity twin
+_SPAN_FPS_CTES = f"""
     WITH norm AS (
         SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
         FROM ({_SPAN_CORPUS_SQL})
@@ -7653,6 +7656,10 @@ _R10_ORACLES["shared_spans"] = f"""
         FROM grams
     ),
     fps AS (SELECT doc_id, unnest(hs) AS h FROM sel)
+"""
+
+_R10_ORACLES["shared_spans"] = f"""
+    {_SPAN_FPS_CTES}
     SELECT 'fp' AS op, CAST(doc_id AS VARCHAR) AS k,
            CAST(count(*) AS VARCHAR) || '|' ||
            CAST(sum(h % 1000000007) AS VARCHAR) || '|' ||
@@ -9867,3 +9874,350 @@ _R11_ORACLES: dict[str, str] = {
         _STAGED_ORACLES["r11_rrf_fusion"],
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# ROUND-12 STAGED ROWS (r10 verdict, Next-round #2)
+#
+# Oracle twins for the operators that were pytest-only in round 10:
+# the crawl-graph trio (extract_links / extract_anchor_texts /
+# canonicalize_url), Bloom-screened decontamination, incremental span
+# dedup, and cosine-band hard negatives. Staged — run by
+# tools/oracle_check.py --staged and tests/test_staged_oracles.py, not
+# by the driver — so a future promotion is a proven roster edit.
+# hash_bucket(algo="xxhash64") stays pytest-permanent by design
+# (engine-only hash, FLOATS.md non-hashable class).
+# ---------------------------------------------------------------------------
+
+
+def q_r12_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph extraction (llmops/web.py) over a CONSTRUCTED HTML
+    corpus whose link inventory is stated by construction in both twins
+    (the text_normalize 'json'/'url' precedent — the oracle asserts the
+    construction-guaranteed outputs, it does not re-implement the
+    regexes):
+
+    - 'l' — extract_links with base resolution (base =
+      http://{source}/dir/index.html): root-relative, path-relative,
+      scheme-relative, query-relative (RFC 3986 §5.3 filename-keeping),
+      and absolute hrefs; &amp;-decoded; #fragment stripped; mailto:
+      dropped; per-doc dedup.
+    - 'a' — extract_anchor_texts: cleaned UNresolved hrefs + inner
+      text with nested tags stripped, entities decoded, whitespace
+      collapsed.
+    - 'c' — canonicalize_url over the resolved links (utm_*/gclid
+      dropped, host lowercased, default port stripped, params sorted)
+      plus a dedicated '?'-inside-query probe ('q') riding the r10
+      ADVICE fix on the oracle gate.
+
+    Every 11th doc's html is NULL (contributes no rows — explode of
+    the coalesced empty array). All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.web import (
+        canonicalize_url,
+        extract_anchor_texts,
+        extract_links,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "source",
+        "CONCAT('http://', source, '/dir/index.html') AS base",
+    )
+    sq = "'"  # single quote for the single-quoted href arm
+    html = docs.select(
+        "doc_id",
+        "source",
+        "base",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(
+                F.lit('<html><body><a href="/page/'),
+                F.col("doc_id").cast("string"),
+                F.lit("?id="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('&amp;utm_source=x">Page '),
+                F.col("doc_id").cast("string"),
+                F.lit(f"</a> <a href={sq}rel"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(f".html#frag{sq}>Rel <b>link</b></a>"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit("<a href=//cdn."),
+                        F.col("source"),
+                        F.lit("/lib.js>CDN&amp;Lib</a>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit('<a href="mailto:x@y.example">mail</a>'),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit('<a href="?page='),
+                        (F.col("doc_id") % 4).cast("string"),
+                        F.lit('">Next</a>'),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit('<a href="HTTPS://Ex.COM:443/a?b=2&amp;a=1&amp;'),
+                F.lit("gclid=x"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit('">Abs</a></body></html>'),
+            )
+        ).alias("html"),
+    )
+    links = extract_links(html, "html", base_url_col="base")
+    l_rows = links.selectExpr(
+        "'l' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING), href) AS k",
+        "'' AS v",
+    )
+    anchors = extract_anchor_texts(html, "html")
+    a_rows = anchors.selectExpr(
+        "'a' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING), href) AS k",
+        "anchor_text AS v",
+    )
+    c_rows = links.select(
+        "doc_id",
+        "href",
+        canonicalize_url(F.col("href")).alias("canon"),
+    ).selectExpr(
+        "'c' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING), href) AS k",
+        "canon AS v",
+    )
+    probe = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://s.ex/p?q=what?"),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit("&b=1"),
+        ).alias("u"),
+    ).select(
+        F.lit("q").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        canonicalize_url(F.col("u")).alias("v"),
+    )
+    return l_rows.unionByName(a_rows).unionByName(c_rows).unionByName(probe)
+
+
+_R12_STAGED_ORACLES["r12_crawl_graph"] = """
+    WITH d AS (
+        SELECT doc_id, source,
+               'http://' || source AS origin,
+               'http://' || source || '/dir/' AS dir
+        FROM documents WHERE doc_id % 11 != 0
+    ),
+    -- the construction's link inventory: (cleaned unresolved href,
+    -- resolved href, canonical form, anchor text), one row per link
+    inv AS (
+        SELECT doc_id,
+               '/page/' || doc_id || '?id=' || (doc_id % 7)
+                   || '&utm_source=x' AS raw,
+               origin || '/page/' || doc_id || '?id=' || (doc_id % 7)
+                   || '&utm_source=x' AS resolved,
+               origin || '/page/' || doc_id || '?id=' || (doc_id % 7)
+                   AS canon,
+               'Page ' || doc_id AS txt
+        FROM d
+        UNION ALL
+        SELECT doc_id, 'rel' || (doc_id % 5) || '.html',
+               dir || 'rel' || (doc_id % 5) || '.html',
+               dir || 'rel' || (doc_id % 5) || '.html',
+               'Rel link'
+        FROM d
+        UNION ALL
+        SELECT doc_id, '//cdn.' || source || '/lib.js',
+               'http://cdn.' || source || '/lib.js',
+               'http://cdn.' || source || '/lib.js',
+               'CDN&Lib'
+        FROM d WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, '?page=' || (doc_id % 4),
+               origin || '/dir/index.html?page=' || (doc_id % 4),
+               origin || '/dir/index.html?page=' || (doc_id % 4),
+               'Next'
+        FROM d WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id,
+               'HTTPS://Ex.COM:443/a?b=2&a=1&gclid=x' || (doc_id % 3),
+               'HTTPS://Ex.COM:443/a?b=2&a=1&gclid=x' || (doc_id % 3),
+               'https://ex.com/a?a=1&b=2',
+               'Abs'
+        FROM d
+    )
+    SELECT 'l' AS op,
+           CAST(doc_id AS VARCHAR) || '|' || resolved AS k, '' AS v
+    FROM inv
+    UNION ALL
+    SELECT 'a', CAST(doc_id AS VARCHAR) || '|' || raw, txt FROM inv
+    UNION ALL
+    SELECT 'c', CAST(doc_id AS VARCHAR) || '|' || resolved, canon
+    FROM inv
+    UNION ALL
+    SELECT 'q', CAST(doc_id AS VARCHAR),
+           'https://s.ex/p?b=1&q=what?' || (doc_id % 2)
+    FROM documents
+"""
+
+
+def q_r12_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination (llmops/decontam.py
+    decontaminate_bloom, exact_verify=True) on the text_retrieval
+    'decon' split (benchmark = every 97th doc): the operator's
+    guarantee is output IDENTICAL to exact :func:`decontaminate`
+    (Bloom filters never produce false negatives, and suspects get the
+    exact join), so the oracle is the exact n-gram-overlap SQL — a
+    green hash proves the joinless 128 KiB-broadcast screen dropped no
+    contaminated doc and fabricated no hit counts. All-string
+    (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.decontam import (
+        decontaminate_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = decontaminate_bloom(
+        docs.where("doc_id % 97 != 0"),
+        docs.where("doc_id % 97 = 0"),
+        "doc_id",
+        "text",
+        ngram=5,
+    )
+    return out.selectExpr(
+        "'bx' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(n_hits AS STRING),"
+        " CAST(contaminated AS STRING)) AS v",
+    )
+
+
+_R12_STAGED_ORACLES["r12_decon_bloom"] = f"""
+    WITH toked AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               md5(unnest({_duck_shingles(5)})) AS gram
+        FROM toked
+    ),
+    hits AS (
+        SELECT g.doc_id, count(*) AS n_hits
+        FROM grams g
+        JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0) bg
+          USING (gram)
+        WHERE g.doc_id % 97 != 0
+        GROUP BY 1
+    )
+    SELECT 'bx' AS op, CAST(d.doc_id AS VARCHAR) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS VARCHAR) || '|' ||
+           CAST(COALESCE(h.n_hits, 0) > 0 AS VARCHAR) AS v
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 != 0
+"""
+
+
+def q_r12_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup (llmops/spans.py shared_spans_incremental)
+    on the shared_spans corpus (65-char span injected into every 16th
+    doc): corpus = doc_id % 4 != 0 with its fingerprint index persisted
+    once, new batch = doc_id % 4 = 0 (which contains every injected
+    doc, so cross-batch collisions are guaranteed). The oracle reuses
+    the shared_spans fingerprint CTE chain VERBATIM and takes the
+    new×corpus join — proving the incremental path equals what a batch
+    run over (new + corpus) would say about exactly those pairs, with
+    the corpus never re-fingerprinted. All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.spans import (
+        shared_spans_incremental,
+        winnowed_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_SPAN_CORPUS_EXPR} AS text"
+    )
+    corpus = docs.where("doc_id % 4 != 0")
+    new = docs.where("doc_id % 4 = 0")
+    index = winnowed_fingerprints(
+        corpus, "doc_id", "text", width=24, window=8
+    )
+    out = shared_spans_incremental(new, index, "doc_id", "text")
+    return out.selectExpr(
+        "'inc' AS op",
+        "CONCAT_WS('|', CAST(new_id AS STRING),"
+        " CAST(corpus_id AS STRING)) AS k",
+        "CAST(n_shared AS STRING) AS v",
+    )
+
+
+_R12_STAGED_ORACLES["r12_spans_incremental"] = f"""
+    {_SPAN_FPS_CTES}
+    SELECT 'inc' AS op,
+           CAST(n.doc_id AS VARCHAR) || '|' ||
+           CAST(c.doc_id AS VARCHAR) AS k,
+           CAST(count(*) AS VARCHAR) AS v
+    FROM fps n JOIN fps c ON n.h = c.h
+    WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 != 0
+    GROUP BY n.doc_id, c.doc_id
+"""
+
+
+def q_r12_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-band hard negatives (llmops/similarity.py
+    hard_negative_samples, k=3, candidate_factor=4, band [0.05, 0.35])
+    over the embeddings table. The oracle replays the knn_join
+    candidate stage with the attested `_knn_join_oracle` machinery
+    (the ann_variants 'knn' arm has been green since r6: same-bucket
+    LSH candidates, ordered-fold cosines rounded to 6), then the band
+    filter and re-rank. The cosine rides the hashed frame as
+    floor(cosine * 1e6) — the round-6 doubles are bit-identical across
+    engines (the premise the green knn arm proves), so the scaled
+    floor is too, and the all-string frame needs no dtype allowlist
+    entry. All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.similarity import (
+        hard_negative_samples,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hard_negative_samples(
+        emb, 3, min_cosine=0.05, max_cosine=0.35,
+        candidate_factor=4, dim=64,
+    )
+    return out.selectExpr(
+        "'hn' AS op",
+        "CONCAT_WS('|', CAST(vec_id AS STRING),"
+        " CAST(rank AS STRING)) AS k",
+        "CONCAT_WS('|', CAST(neighbour AS STRING),"
+        " CAST(CAST(floor(cosine * 1000000) AS BIGINT) AS STRING)) AS v",
+    )
+
+
+_R12_STAGED_ORACLES["r12_hard_negatives"] = f"""
+    WITH cands AS (
+        SELECT * FROM ({_knn_join_oracle(k=12)})
+    ),
+    band AS (
+        SELECT vec_id, neighbour, cosine,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cosine DESC, neighbour ASC
+               ) AS rk
+        FROM cands
+        WHERE cosine >= 0.05 AND cosine <= 0.35
+    )
+    SELECT 'hn' AS op,
+           CAST(vec_id AS VARCHAR) || '|' || CAST(rk AS VARCHAR) AS k,
+           CAST(neighbour AS VARCHAR) || '|' ||
+           CAST(CAST(floor(cosine * 1000000) AS BIGINT) AS VARCHAR) AS v
+    FROM band WHERE rk <= 3
+"""
+
+
+_R12_STAGED_QUERIES.update(
+    {
+        "r12_crawl_graph": q_r12_crawl_graph,
+        "r12_decon_bloom": q_r12_decon_bloom,
+        "r12_spans_incremental": q_r12_spans_incremental,
+        "r12_hard_negatives": q_r12_hard_negatives,
+    }
+)
