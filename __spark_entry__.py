@@ -9822,11 +9822,48 @@ def q_sampling_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 promotion: token-budget curation (abs/frac) +
     deterministic negative sampling (d/x) + stride-scheduled source
     interleaving (o) — the llmops/split.py selection row, all
-    staged-green in r10."""
+    staged-green in r10.
+
+    'absn'/'fracn' arms (r10 verdict, Next-round #5): the same two
+    curation paths with every 11th doc's lang NULLed — NULL group keys
+    are REAL groups through both the window path and the frac path's
+    eqNullSafe totals join (the cms_query/standardize discipline, now
+    on the oracle gate for select_token_budget too)."""
+    from data_validation_engine_spark.llmops.dedup import tokens_col
+    from data_validation_engine_spark.llmops.split import (
+        select_token_budget,
+    )
+
+    nulled = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END"
+        ).alias("lang"),
+        "n_chars",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    absn = select_token_budget(
+        nulled, "n_chars", "n_tokens",
+        group_cols=["lang"], budget_tokens=2000,
+        tiebreak_col="doc_id", keep_col="keep",
+    ).selectExpr(
+        "'absn' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', COALESCE(lang, '~'), CAST(keep AS STRING)) AS v",
+    )
+    fracn = select_token_budget(
+        nulled, "n_chars", "n_tokens",
+        group_cols=["lang"], budget_frac=0.5,
+        tiebreak_col="doc_id", keep_col="keep",
+    ).selectExpr(
+        "'fracn' AS op", "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', COALESCE(lang, '~'), CAST(keep AS STRING)) AS v",
+    )
     return (
         q_r11_curation(spark, sf_dir)
         .unionByName(q_r11_negative_samples(spark, sf_dir))
         .unionByName(q_r11_interleave(spark, sf_dir))
+        .unionByName(absn)
+        .unionByName(fracn)
     )
 
 
@@ -9867,6 +9904,41 @@ _R11_ORACLES: dict[str, str] = {
         _STAGED_ORACLES["r11_curation"],
         _STAGED_ORACLES["r11_negative_samples"],
         _STAGED_ORACLES["r11_interleave"],
+        # NULL-group curation probe (r10 verdict, Next-round #5):
+        # every 11th doc's lang NULLed; NULL is a real group in both
+        # engines' window partitioning and in the frac path's
+        # eqNullSafe totals join
+        r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+               n_chars,
+               CASE WHEN COALESCE(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') = '' THEN 0
+                    ELSE len(string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '\s+'))
+               END AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before,
+               sum(n_tokens) OVER (PARTITION BY lang) AS total
+        FROM toks
+    )
+    SELECT 'absn' AS op, CAST(doc_id AS VARCHAR) AS k,
+           COALESCE(lang, '~') || '|' ||
+           CAST(before < 2000 AS VARCHAR) AS v
+    FROM ranked
+    UNION ALL
+    SELECT 'fracn', CAST(doc_id AS VARCHAR),
+           COALESCE(lang, '~') || '|' ||
+           CAST(before < CAST(floor(total * 0.5) AS BIGINT) AS VARCHAR)
+    FROM ranked
+""",
     ),
     "crawl_signals": _union_sql(
         _STAGED_ORACLES["r11_robots"],
