@@ -10293,3 +10293,225 @@ _R12_STAGED_QUERIES.update(
         "r12_hard_negatives": q_r12_hard_negatives,
     }
 )
+
+
+def q_r12_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-index maintenance (llmops/dedup.py compact_minhash_index
+    + minhash_index_stats, r10 verdict Next-round #6a): build the
+    persistable LSH index over documents, simulate a backfill replay
+    (every even doc's rows appended twice) and deletions (every 7th doc
+    no longer live), compact, and report band skew.
+
+    - 'ix' — the compacted index: the replay dupes collapse and dead
+      ids vanish, so the oracle is simply the fresh index over the live
+      corpus (the invariant the operator promises);
+    - 'st' — minhash_index_stats(hot_threshold=2) over the compacted
+      index: per-band rows / keys / max multiplicity / hot tail.
+
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.dedup import (
+        compact_minhash_index,
+        minhash_index,
+        minhash_index_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    index = minhash_index(docs, "doc_id", "text")
+    appended = index.unionByName(
+        minhash_index(docs.where("doc_id % 2 = 0"), "doc_id", "text")
+    )
+    live = docs.where("doc_id % 7 != 0")
+    compacted = compact_minhash_index(appended, live, "doc_id")
+    ix = compacted.selectExpr(
+        "'ix' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING),"
+        " CAST(band_idx AS STRING)) AS k",
+        "band_key AS v",
+    )
+    st = minhash_index_stats(compacted, hot_threshold=2).selectExpr(
+        "'st' AS op",
+        "CAST(band_idx AS STRING) AS k",
+        "CONCAT_WS('|', CAST(n_rows AS STRING), CAST(n_keys AS STRING),"
+        " CAST(max_key_rows AS STRING), CAST(n_hot_keys AS STRING),"
+        " CAST(n_hot_rows AS STRING)) AS v",
+    )
+    return ix.unionByName(st)
+
+
+_R12_STAGED_ORACLES["r12_index_maintenance"] = f"""
+    WITH {_minhash_pair_ctes()},
+    live AS (
+        SELECT doc_id, band_idx, band_key FROM bands
+        WHERE doc_id % 7 != 0
+    ),
+    per_key AS (
+        SELECT band_idx, band_key, count(*) AS n
+        FROM live GROUP BY 1, 2
+    )
+    SELECT 'ix' AS op,
+           CAST(doc_id AS VARCHAR) || '|' || CAST(band_idx AS VARCHAR)
+               AS k,
+           band_key AS v
+    FROM live
+    UNION ALL
+    SELECT 'st', CAST(band_idx AS VARCHAR),
+           CAST(sum(n) AS VARCHAR) || '|' ||
+           CAST(count(*) AS VARCHAR) || '|' ||
+           CAST(max(n) AS VARCHAR) || '|' ||
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS VARCHAR)
+               || '|' ||
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS VARCHAR)
+    FROM per_key GROUP BY band_idx
+"""
+
+
+def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style classifier inference (llmops/classifier.py, r10
+    verdict Next-round #6b) with INTEGER weights w[b] = ((b*7+3) mod
+    21) - 10 over 512 hashed-n-gram buckets (the DSIR feature space,
+    so the oracle reuses _DUCK_DSIR_FEATS verbatim), bias 3:
+
+    - 'z' — sum-mode logit (pure integer arithmetic) + feature count;
+    - 'za' — mean-mode logit as floor(logit*1e6): one
+      correctly-rounded division of exact integers, identical doubles
+      both engines (the ecdf class), floored to a long;
+    - 'k' — classifier_filter keep flags at threshold_prob=0.5
+      (logit cut ln(1) = 0 exactly — integer compare, no margin
+      hazard). The sigmoid itself is deliberately unhashed
+      (transcendental — FLOATS.md).
+
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_filter,
+        classifier_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = [float(((b * 7 + 3) % 21) - 10) for b in range(512)]
+    z = classifier_score(
+        docs, "text", w, bias=3.0, average=False, n_feats_col="nf"
+    ).selectExpr(
+        "'z' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(CAST(clf_logit AS BIGINT) AS STRING),"
+        " CAST(nf AS STRING)) AS v",
+    )
+    za = classifier_score(
+        docs, "text", w, bias=3.0, average=True
+    ).selectExpr(
+        "'za' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CAST(CAST(floor(clf_logit * 1000000) AS BIGINT) AS STRING) AS v",
+    )
+    k = classifier_filter(
+        docs, "text", w, bias=3.0, average=False,
+        threshold_prob=0.5, keep_col="keep",
+    ).selectExpr(
+        "'k' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CAST(keep AS STRING) AS v",
+    )
+    return z.unionByName(za).unionByName(k)
+
+
+_R12_STAGED_ORACLES["r12_classifier"] = f"""
+    WITH feats AS ({_DUCK_DSIR_FEATS}),
+    scored AS (
+        SELECT doc_id, len(f) AS nf,
+               3 + COALESCE(list_sum(
+                   list_transform(f, b -> ((b * 7 + 3) % 21) - 10)), 0)
+                   AS z
+        FROM feats
+    )
+    SELECT 'z' AS op, CAST(doc_id AS VARCHAR) AS k,
+           CAST(CAST(z AS BIGINT) AS VARCHAR) || '|' ||
+           CAST(nf AS VARCHAR) AS v
+    FROM scored
+    UNION ALL
+    SELECT 'za', CAST(doc_id AS VARCHAR),
+           CAST(CAST(floor((3.0 + CASE WHEN nf > 0
+                    THEN (z - 3)::DOUBLE / nf ELSE 0.0 END) * 1000000)
+                AS BIGINT) AS VARCHAR)
+    FROM scored
+    UNION ALL
+    SELECT 'k', CAST(doc_id AS VARCHAR), CAST(z >= 0 AS VARCHAR)
+    FROM scored
+"""
+
+
+def q_r12_stream_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-lifted exact windowed heavy hitters (llmops/sketch.py
+    windowed_heavy_hitters over streaming_cms_cells, r10 verdict
+    Next-round #6c): the stream maintains only depth×width CMS cells
+    per daily window (watermark-evicted), the batch pass screens the
+    raw events against the drained cells (never-undercount, map-side
+    broadcast) and exact-counts the surviving sliver. Output is
+    contractually IDENTICAL to the naive exact per-closed-window
+    group-by, which is the oracle. All-string (op, k, v) frame."""
+    import tempfile
+
+    from data_validation_engine_spark.llmops.sketch import (
+        windowed_heavy_hitters,
+    )
+    from data_validation_engine_spark.streaming import read_entity_stream
+    from data_validation_engine_spark.streaming.cardinality import (
+        streaming_cms_cells,
+    )
+
+    sdf = read_entity_stream(
+        spark, sf_dir, _EVENTS_TS_SCHEMA,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    out = tempfile.mkdtemp(prefix="dve_shh_q_")
+    with _state_partitions(spark):
+        sq = (
+            streaming_cms_cells(
+                sdf, "ts", "event_type",
+                window_seconds=86400, depth=3, width=64,
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    sq.awaitTermination()
+    cells = spark.read.parquet(f"{out}/data")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type"
+    )
+    hh = windowed_heavy_hitters(
+        cells, events, "ts", "event_type", 5,
+        window_seconds=86400, depth=3, width=64,
+    )
+    return hh.selectExpr(
+        "'hh' AS op",
+        "CONCAT_WS('|', CAST(window_start AS STRING), event_type) AS k",
+        "CAST(n AS STRING) AS v",
+    )
+
+
+_R12_STAGED_ORACLES["r12_stream_heavy"] = """
+    SELECT 'hh' AS op,
+           CAST(win AS VARCHAR) || '|' || event_type AS k,
+           CAST(count(*) AS VARCHAR) AS v
+    FROM (
+        SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win,
+               event_type, ts
+        FROM events
+    ), (SELECT max(ts) AS mx FROM events) m
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m.mx - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+"""
+
+
+_R12_STAGED_QUERIES.update(
+    {
+        "r12_index_maintenance": q_r12_index_maintenance,
+        "r12_classifier": q_r12_classifier,
+        "r12_stream_heavy": q_r12_stream_heavy,
+    }
+)

@@ -115,6 +115,10 @@ from data_validation_engine_spark.llmops.chat import (
 from data_validation_engine_spark.llmops.chunking import (
     materialize_packs,
 )
+from data_validation_engine_spark.llmops.classifier import (
+    classifier_filter,
+    classifier_score,
+)
 from data_validation_engine_spark.llmops.compress import (
     compression_ratio,
 )
@@ -158,7 +162,9 @@ from data_validation_engine_spark.llmops.dedup import (
     incremental_exact_dedup,
     incremental_minhash_dedup,
     incremental_ngram_dedup,
+    compact_minhash_index,
     minhash_index,
+    minhash_index_stats,
     minhash_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
@@ -233,7 +239,9 @@ __all__ = [
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
     "incremental_ngram_dedup",
+    "compact_minhash_index",
     "minhash_index",
+    "minhash_index_stats",
     "interval_join",
     "rolling_agg",
     "connected_components",
@@ -276,6 +284,8 @@ __all__ = [
     "chunk_by_content",
     "chunk_by_sentences",
     "chunk_documents",
+    "classifier_filter",
+    "classifier_score",
     "decontaminate",
     "decontaminate_bloom",
     "grouped_vector_sum",

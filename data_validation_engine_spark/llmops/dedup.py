@@ -1278,3 +1278,85 @@ def cluster_representatives(
         .where(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def compact_minhash_index(
+    index: DataFrame,
+    live: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Maintenance pass for a persisted :func:`minhash_index` side-table
+    (the r10-verdict gap: the incremental-dedup index grows forever as
+    batches append).
+
+    Two kinds of garbage accumulate in an append-only index:
+
+    - rows for documents no longer live (dropped as duplicates by a
+      later admission pass, deleted, or retention-expired) — they keep
+      matching future batches and force pointless exact-verify work
+      against text that will never be admitted again;
+    - duplicate ``(id, band_idx, band_key)`` rows from batch re-ingest
+      / backfill replays — they multiply candidate rows for every
+      future collision on that key.
+
+    This pass semi-joins the index against the live id set and
+    collapses exact duplicate rows. Output is the canonical narrow
+    ``(id, band_idx, band_key)`` frame, ready to overwrite the
+    side-table (write it partitioned by ``band_idx`` as before).
+
+    Invariant (pytest-pinned): admission decisions against the
+    compacted index equal decisions against a FRESH index built over
+    the live corpus — compaction never changes semantics, it only
+    removes rows that could not alter any future decision. Singleton
+    band keys are deliberately KEPT: a key with one live member is
+    exactly what a future near-duplicate of that member will collide
+    with.
+
+    Scale shape: one broadcast-or-shuffle semi-join on the 32-byte id
+    hash side (AQE decides; the live id set is usually far smaller
+    than the index) plus one dedup shuffle over the narrow frame. Run
+    it as a periodic maintenance job, not per batch — append-only
+    ingest stays one cheap parquet append.
+    """
+    pruned = index.join(
+        live.select(F.col(id_col)).distinct(), on=id_col, how="left_semi"
+    )
+    return pruned.dropDuplicates([id_col, "band_idx"])
+
+
+def minhash_index_stats(
+    index: DataFrame, *, hot_threshold: int = 100
+) -> DataFrame:
+    """Band-skew report over a :func:`minhash_index` side-table: per
+    ``band_idx`` — total rows, distinct keys, the largest key's
+    multiplicity, and how many keys/rows sit at or above
+    ``hot_threshold`` members.
+
+    A band key with ``m`` members yields ``O(m²)`` candidate pairs in
+    a self-join (``m × batch-hits`` incrementally), so the hot tail is
+    THE cost driver of LSH dedup at 100 TB — this report is what
+    decides whether to raise bands/rows, shard a hot key, or
+    quarantine degenerate boilerplate before the join (the same
+    motivation as ``scale.skew_report``, specialised to the index's
+    (band_idx, band_key) geometry).
+
+    One map-side-combining aggregation per level; output is
+    ``bands``-rows small.
+    """
+    per_key = index.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    hot = F.col("__n") >= F.lit(int(hot_threshold))
+    return (
+        per_key.groupBy("band_idx")
+        .agg(
+            F.sum("__n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("__n").alias("max_key_rows"),
+            F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot_keys"),
+            F.sum(F.when(hot, F.col("__n")).otherwise(0)).alias(
+                "n_hot_rows"
+            ),
+        )
+        .orderBy("band_idx")
+    )

@@ -684,3 +684,90 @@ def heavy_hitters(
     )
     exact = survivors.groupBy(value_col).agg(F.sum("__w").alias("n"))
     return exact.where(F.col("n") >= min_count)
+
+
+def windowed_heavy_hitters(
+    cells: DataFrame,
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    min_count: int,
+    *,
+    window_seconds: int,
+    depth: int = 4,
+    width: int = 4096,
+    seed: str = "",
+) -> DataFrame:
+    """EXACT per-window heavy hitters on an unbounded stream's history
+    — the streaming lift of :func:`heavy_hitters` (r10 verdict,
+    Next-round #6c): ``(window_start, value, n)`` for every value with
+    at least ``min_count`` occurrences in its tumbling window.
+
+    The streaming side never holds per-value state: run
+    :func:`~data_validation_engine_spark.streaming.cardinality.streaming_cms_cells`
+    continuously (``depth*width`` watermark-evicted state rows per
+    window, any value cardinality) and persist the drained cells. This
+    batch pass then:
+
+    1. densifies the persisted cells into ONE map per window (a
+       group-count-bounded aggregation: windows × depth×width entries);
+    2. broadcast-joins that per-window map onto the raw events by
+       ``window_start`` alone — the per-value estimate is then a pure
+       per-row projection (min over the value's ``depth`` cells), so
+       the CMS screen runs map-side with NO per-value shuffle, exactly
+       like the batch operator's 1-row broadcast;
+    3. exact-counts the surviving sliver only, and applies the final
+       ``n >= min_count`` cut.
+
+    Never-undercount ⇒ output is IDENTICAL to the naive per-window
+    exact group-by (the :func:`heavy_hitters` guarantee, per window).
+    The broadcast is bounded by windows-in-scope × ``depth*width`` × 8
+    bytes (~128 KiB per window at the defaults) — scope the ``cells``
+    input to the maintenance pass's window range, not all history.
+
+    ``window_seconds`` must equal the streaming aggregation's window
+    (the join keys on the same ``floor(epoch/window)*window`` bucket
+    the cells table carries).
+    """
+    if min_count <= 0:
+        raise ValueError("min_count must be positive")
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    dense = cells.groupBy("window_start").agg(
+        F.map_from_arrays(
+            F.collect_list(
+                F.col("row").cast("long") * F.lit(int(width))
+                + F.col("col").cast("long")
+            ),
+            F.collect_list(F.col("n")),
+        ).alias("__cms_map")
+    )
+    win = (
+        F.floor(
+            F.unix_timestamp(F.col(ts_col)) / F.lit(int(window_seconds))
+        ).cast("long")
+        * F.lit(int(window_seconds))
+    ).alias("window_start")
+    probe = events.select(win, F.col(value_col))
+    est = F.array_min(
+        F.transform(
+            _cms_col(F.col(value_col), depth, width, seed),
+            lambda c: F.coalesce(
+                F.element_at(
+                    F.col("__cms_map"),
+                    c["row"].cast("long") * F.lit(int(width))
+                    + c["col"].cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    survivors = (
+        probe.join(F.broadcast(dense), "window_start")
+        .where(est >= F.lit(int(min_count)))
+        .select("window_start", value_col)
+    )
+    exact = survivors.groupBy("window_start", value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return exact.where(F.col("n") >= F.lit(int(min_count)))

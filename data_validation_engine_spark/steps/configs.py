@@ -1718,6 +1718,56 @@ class ConversationStats(AbstractStep):
     system_role: str = "system"
 
 
+
+class ClassifierScore(AbstractStep):
+    """fastText-style linear classifier over hashed n-gram features:
+    score every row (zero shuffle — the weight vector rides one
+    broadcast 1-row array, the score is a per-row ordered fold). With
+    ``threshold_prob`` set, filter (or flag via ``keep_column``) in
+    LOGIT space — the sigmoid never runs in the distributed plan."""
+
+    operation: Literal["classifier_score"] = "classifier_score"
+    text_column: str
+    weights: list[float]
+    bias: float = 0.0
+    n_max: int = 2
+    seed: str = ""
+    average: bool = True
+    score_column: str = "clf_logit"
+    prob_column: Optional[str] = None
+    threshold_prob: Optional[float] = None
+    keep_column: Optional[str] = None
+
+
+class CompactMinhashIndex(AbstractStep):
+    """Maintenance pass for a persisted minhash_index side-table:
+    semi-join against the live corpus's ids and collapse re-ingest
+    duplicates. Admission decisions against the compacted index equal
+    a fresh index over the live corpus (pytest-pinned invariant)."""
+
+    operation: Literal["compact_minhash_index"] = "compact_minhash_index"
+    live_entity: str
+    id_column: str
+
+
+class WindowedHeavyHitters(AbstractStep):
+    """Exact per-window heavy hitters from persisted streaming CMS
+    cells (``entity_name`` = the raw events, ``cells_entity`` = the
+    drained streaming_cms_cells table): per-window broadcast screen
+    (never-undercount), exact count over the surviving sliver only."""
+
+    operation: Literal["windowed_heavy_hitters"] = "windowed_heavy_hitters"
+    cells_entity: str
+    ts_column: str
+    value_column: str
+    min_count: int
+    window_seconds: int
+    depth: int = 4
+    width: int = 4096
+    seed: str = ""
+
+
+
 AnyStep = Annotated[
     Union[
         ColumnAddition,
@@ -1844,6 +1894,9 @@ AnyStep = Annotated[
         ChunkByContent,
         ScriptProfile,
         SelectTokenBudget,
+        ClassifierScore,
+        CompactMinhashIndex,
+        WindowedHeavyHitters,
     ],
     Field(discriminator="operation"),
 ]

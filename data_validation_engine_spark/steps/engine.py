@@ -152,8 +152,11 @@ from data_validation_engine_spark.steps.configs import (
     ExtractAnchorTexts,
     ExtractLinks,
     HardNegativeSamples,
+    ClassifierScore,
+    CompactMinhashIndex,
     HeavyHitters,
     InterleaveSources,
+    WindowedHeavyHitters,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -310,6 +313,9 @@ class StepEngine:
             ExtractHtmlText: self.extract_html_text,
             ExtractLinks: self.extract_links,
             ExtractAnchorTexts: self.extract_anchor_texts,
+            ClassifierScore: self.classifier_score,
+            CompactMinhashIndex: self.compact_minhash_index,
+            WindowedHeavyHitters: self.windowed_heavy_hitters,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -2641,6 +2647,75 @@ class StepEngine:
             config.html_column,
             output_href=config.output_href,
             output_text=config.output_text,
+        )
+        return None
+
+    def classifier_score(
+        self, entities: Entities, *, config: ClassifierScore
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.classifier import (
+            classifier_filter,
+            classifier_score,
+        )
+
+        if config.threshold_prob is not None:
+            entities[config.output_name] = classifier_filter(
+                entities[config.entity_name],
+                config.text_column,
+                list(config.weights),
+                bias=config.bias,
+                n_max=config.n_max,
+                seed=config.seed,
+                average=config.average,
+                threshold_prob=config.threshold_prob,
+                keep_col=config.keep_column,
+                score_col=config.score_column,
+            )
+        else:
+            entities[config.output_name] = classifier_score(
+                entities[config.entity_name],
+                config.text_column,
+                list(config.weights),
+                bias=config.bias,
+                n_max=config.n_max,
+                seed=config.seed,
+                average=config.average,
+                out_col=config.score_column,
+                prob_col=config.prob_column,
+            )
+        return None
+
+    def compact_minhash_index(
+        self, entities: Entities, *, config: CompactMinhashIndex
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.dedup import (
+            compact_minhash_index,
+        )
+
+        entities[config.output_name] = compact_minhash_index(
+            entities[config.entity_name],
+            entities[config.live_entity],
+            config.id_column,
+        )
+        return None
+
+    def windowed_heavy_hitters(
+        self, entities: Entities, *, config: WindowedHeavyHitters
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.sketch import (
+            windowed_heavy_hitters,
+        )
+
+        entities[config.output_name] = windowed_heavy_hitters(
+            entities[config.cells_entity],
+            entities[config.entity_name],
+            config.ts_column,
+            config.value_column,
+            config.min_count,
+            window_seconds=config.window_seconds,
+            depth=config.depth,
+            width=config.width,
+            seed=config.seed,
         )
         return None
 

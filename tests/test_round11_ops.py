@@ -1,0 +1,394 @@
+"""Round-11 new operators: minhash-index maintenance, fastText-style
+classifier inference, and streaming-lifted windowed heavy hitters."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- minhash index maintenance -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # 40 docs; every 8th is a near-duplicate (one char dropped) of the
+    # previous doc so band collisions exist
+    rows = []
+    for i in range(40):
+        base = (
+            f"alpha bravo charlie delta echo foxtrot golf hotel "
+            f"india juliett kilo lima mike november oscar {i % 5}"
+        )
+        if i % 8 == 7:
+            base = base[:-1]
+        rows.append((i, base))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_compact_prunes_dead_ids_and_reingest_dupes(spark, span_docs):
+    from data_validation_engine_spark.llmops.dedup import (
+        compact_minhash_index,
+        minhash_index,
+    )
+
+    index = minhash_index(span_docs, "doc_id", "text")
+    bands = index.select("band_idx").distinct().count()
+    # simulate a backfill replay (every row appended twice) plus
+    # deletions (every 5th doc no longer live)
+    appended = index.unionByName(index)
+    live = span_docs.where("doc_id % 5 != 0")
+    compacted = compact_minhash_index(appended, live, "doc_id")
+    assert compacted.count() == live.count() * bands
+    assert (
+        compacted.groupBy("doc_id", "band_idx").count().where("count > 1")
+    ).count() == 0
+    assert (
+        compacted.where("doc_id % 5 = 0")
+    ).count() == 0
+
+
+def test_compact_preserves_admission_decisions(spark, span_docs):
+    """Compacted index == fresh index over the live corpus, for the
+    decisions incremental_minhash_dedup makes about a new batch."""
+    from data_validation_engine_spark.llmops.dedup import (
+        compact_minhash_index,
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    corpus = span_docs.where("doc_id < 30")
+    live = corpus.where("doc_id % 3 != 0")
+    stale_index = minhash_index(corpus, "doc_id", "text").unionByName(
+        minhash_index(corpus.where("doc_id % 2 = 0"), "doc_id", "text")
+    )
+    compacted = compact_minhash_index(stale_index, live, "doc_id")
+    fresh = minhash_index(live, "doc_id", "text")
+    # the index frames themselves agree row-for-row (set compare —
+    # exceptAll trips an attribute-rebinding bug over the unioned
+    # posexplode branches in Spark 4.1)
+    as_set = lambda df: {  # noqa: E731
+        (r["doc_id"], r["band_idx"], r["band_key"]) for r in df.collect()
+    }
+    assert as_set(compacted) == as_set(fresh)
+    new = span_docs.where("doc_id >= 30").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    got_a = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            new, live, "doc_id", "text", corpus_index=compacted
+        ).collect()
+    )
+    got_b = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            new, live, "doc_id", "text", corpus_index=fresh
+        ).collect()
+    )
+    assert got_a == got_b
+
+
+def test_index_stats_reports_skew(spark):
+    from data_validation_engine_spark.llmops.dedup import (
+        minhash_index_stats,
+    )
+
+    rows = [(i, 0, "hot") for i in range(12)] + [
+        (100 + i, 0, f"cold{i}") for i in range(3)
+    ] + [(200 + i, 1, f"b1-{i % 2}") for i in range(4)]
+    index = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_key string"
+    )
+    got = {
+        r["band_idx"]: r
+        for r in minhash_index_stats(index, hot_threshold=10).collect()
+    }
+    assert got[0]["n_rows"] == 15
+    assert got[0]["n_keys"] == 4
+    assert got[0]["max_key_rows"] == 12
+    assert got[0]["n_hot_keys"] == 1
+    assert got[0]["n_hot_rows"] == 12
+    assert got[1]["n_hot_keys"] == 0
+    assert got[1]["max_key_rows"] == 2
+
+
+# --- classifier inference ----------------------------------------------
+
+
+def _weights(n: int) -> list[float]:
+    return [float(((b * 7 + 3) % 21) - 10) for b in range(n)]
+
+
+def test_classifier_score_matches_python(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_score,
+    )
+    from data_validation_engine_spark.llmops.dsir import ngram_buckets
+
+    w = _weights(64)
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dog"), (3, None), (4, "  ")],
+        "id long, text string",
+    )
+    feats = {
+        r["id"]: list(r["f"])
+        for r in df.select(
+            "id", ngram_buckets(F.col("text"), buckets=64).alias("f")
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["clf_logit"], r["nf"])
+        for r in classifier_score(
+            df, "text", w, bias=0.5, n_feats_col="nf"
+        ).collect()
+    }
+    for i in (1, 2, 3, 4):
+        fs = feats[i]
+        want = 0.5 + (sum(w[b] for b in fs) / len(fs) if fs else 0.0)
+        assert got[i][1] == len(fs)
+        assert got[i][0] == pytest.approx(want, abs=1e-12), i
+
+
+def test_classifier_sum_mode_and_prob(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_score,
+    )
+
+    w = _weights(64)
+    df = spark.createDataFrame([(1, "alpha beta")], "id long, text string")
+    [r] = classifier_score(
+        df, "text", w, average=False, prob_col="p"
+    ).collect()
+    assert r["p"] == pytest.approx(
+        1.0 / (1.0 + math.exp(-r["clf_logit"])), abs=1e-12
+    )
+
+
+def test_classifier_filter_threshold_in_logit_space(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_filter,
+        classifier_score,
+    )
+
+    w = _weights(128)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i * 3} common words") for i in range(60)],
+        "id long, text string",
+    )
+    scored = classifier_score(docs, "text", w)
+    cut = math.log(0.7 / 0.3)
+    want = sorted(
+        r["id"] for r in scored.where(F.col("clf_logit") >= cut).collect()
+    )
+    flagged = classifier_filter(
+        docs, "text", w, threshold_prob=0.7, keep_col="keep"
+    )
+    got = sorted(r["id"] for r in flagged.where("keep").collect())
+    assert got == want
+    assert flagged.count() == 60  # audit mode keeps every row
+    kept = classifier_filter(docs, "text", w, threshold_prob=0.7)
+    assert sorted(r["id"] for r in kept.collect()) == want
+    # the filter plan never evaluates a sigmoid/exp
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "EXP(" not in plan.upper().replace("EXPLODE", "")
+
+
+def test_classifier_validates_inputs(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_filter,
+        classifier_score,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="weights"):
+        classifier_score(df, "text", [1.0])
+    with pytest.raises(ValueError, match="threshold_prob"):
+        classifier_filter(df, "text", _weights(8), threshold_prob=1.0)
+
+
+def test_classifier_plan_is_narrow(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "id long, text string"
+    )
+    plan = (
+        classifier_score(df, "text", _weights(512))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the weight vector is a 1-row broadcast; no shuffle of data rows
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+# --- windowed heavy hitters --------------------------------------------
+
+
+def test_windowed_heavy_hitters_equals_naive(spark, sf_dir):
+    from data_validation_engine_spark.llmops.sketch import (
+        windowed_heavy_hitters,
+    )
+    from data_validation_engine_spark.streaming.cardinality import (
+        streaming_cms_cells,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type"
+    )
+    # batch twin of the streamed cells (stream/batch parity of
+    # streaming_cms_cells is already pinned on the cms_sketch row) —
+    # build the cells the same way the drain would persist them
+    from data_validation_engine_spark.llmops.sketch import _cms_col
+
+    win = (
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long") * 86400
+    ).alias("window_start")
+    cells = (
+        events.select(
+            win,
+            F.explode(_cms_col(F.col("event_type"), 3, 64, "")).alias(
+                "__c"
+            ),
+        )
+        .groupBy(
+            "window_start",
+            F.col("__c")["row"].alias("row"),
+            F.col("__c")["col"].alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = windowed_heavy_hitters(
+        cells, events, "ts", "event_type", 5,
+        window_seconds=86400, depth=3, width=64,
+    )
+    naive = (
+        events.select(win, "event_type")
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where("n >= 5")
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_windowed_heavy_hitters_validates(spark):
+    from data_validation_engine_spark.llmops.sketch import (
+        windowed_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="min_count"):
+        windowed_heavy_hitters(df, df, "ts", "v", 0, window_seconds=60)
+    with pytest.raises(ValueError, match="window_seconds"):
+        windowed_heavy_hitters(df, df, "ts", "v", 1, window_seconds=0)
+
+
+# --- declared steps -----------------------------------------------------
+
+
+def test_declared_classifier_and_maintenance_steps(spark):
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    eng = StepEngine(spark)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i} gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ents = {"docs": docs}
+    w = _weights(64)
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "classifier_score",
+                "entity_name": "docs",
+                "text_column": "text",
+                "weights": w,
+                "threshold_prob": 0.5,
+                "keep_column": "keep",
+                "new_entity_name": "scored",
+            }
+        ),
+    )
+    assert ents["scored"].count() == 20
+    assert {"keep", "clf_logit"} <= set(ents["scored"].columns)
+
+    from data_validation_engine_spark.llmops.dedup import minhash_index
+
+    ents["index"] = minhash_index(docs, "doc_id", "text").unionByName(
+        minhash_index(docs, "doc_id", "text")
+    )
+    ents["live"] = docs.where("doc_id % 2 = 0")
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "compact_minhash_index",
+                "entity_name": "index",
+                "live_entity": "live",
+                "id_column": "doc_id",
+                "new_entity_name": "compacted",
+            }
+        ),
+    )
+    n_bands = ents["index"].select("band_idx").distinct().count()
+    assert ents["compacted"].count() == 10 * n_bands
+
+
+def test_declared_windowed_heavy_hitters_step(spark, sf_dir):
+    from data_validation_engine_spark.llmops.sketch import _cms_col
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type"
+    )
+    win = (
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long") * 86400
+    ).alias("window_start")
+    cells = (
+        events.select(
+            win,
+            F.explode(_cms_col(F.col("event_type"), 3, 64, "")).alias("__c"),
+        )
+        .groupBy(
+            "window_start",
+            F.col("__c")["row"].alias("row"),
+            F.col("__c")["col"].alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    eng = StepEngine(spark)
+    ents = {"events": events, "cells": cells}
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "windowed_heavy_hitters",
+                "entity_name": "events",
+                "cells_entity": "cells",
+                "ts_column": "ts",
+                "value_column": "event_type",
+                "min_count": 5,
+                "window_seconds": 86400,
+                "depth": 3,
+                "width": 64,
+                "new_entity_name": "hh",
+            }
+        ),
+    )
+    naive = (
+        events.select(win, "event_type")
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where("n >= 5")
+    )
+    assert ents["hh"].exceptAll(naive).count() == 0
+    assert naive.exceptAll(ents["hh"]).count() == 0
