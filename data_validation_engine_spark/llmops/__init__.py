@@ -46,6 +46,14 @@ large-scale training-data pipeline needs:
 - :mod:`split` also carries deterministic negative sampling
   (md5-rank indexing) and stride-scheduled source interleaving;
   :mod:`similarity` adds cosine-band hard-negative mining.
+- :mod:`classifier` — fastText-style quality-filter inference over the
+  DSIR hashed-n-gram feature space (broadcast weight vector, per-row
+  ordered fold, logit-space thresholding — no distributed sigmoid).
+- :mod:`dedup` also carries the LSH index maintenance pass
+  (``compact_minhash_index`` + ``minhash_index_stats``) for the
+  incremental-dedup side-table; :mod:`sketch` adds
+  ``windowed_heavy_hitters``, the exact streaming-history heavy-hitter
+  pass over persisted ``streaming_cms_cells`` state.
 
 Design invariant: every hash these operators use is an ``md5`` hex string —
 portable across engines — so each operator has an exact ANSI-SQL oracle
