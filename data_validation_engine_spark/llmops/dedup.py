@@ -1300,11 +1300,19 @@ def compact_minhash_index(
       future collision on that key.
 
     This pass semi-joins the index against the live id set and
-    collapses exact duplicate rows. Output is the canonical narrow
-    ``(id, band_idx, band_key)`` frame, ready to overwrite the
-    side-table (write it partitioned by ``band_idx`` as before).
+    collapses exact duplicate rows (full-row ``distinct`` — NOT an
+    arbitrary pick per ``(id, band_idx)``: if a live id was
+    re-ingested with CHANGED text, both its old and new band keys
+    survive, which is deliberate — stale keys only ADD candidates,
+    and the exact-Jaccard verify against current text decides, so
+    recall never drops; a keep-one policy could discard the current
+    text's key and silently miss future near-duplicates). Output is
+    the canonical narrow ``(id, band_idx, band_key)`` frame, ready to
+    overwrite the side-table (write it partitioned by ``band_idx`` as
+    before).
 
-    Invariant (pytest-pinned): admission decisions against the
+    Invariant (pytest-pinned): for an index whose rows were built from
+    the live corpus's current text, admission decisions against the
     compacted index equal decisions against a FRESH index built over
     the live corpus — compaction never changes semantics, it only
     removes rows that could not alter any future decision. Singleton
@@ -1321,7 +1329,7 @@ def compact_minhash_index(
     pruned = index.join(
         live.select(F.col(id_col)).distinct(), on=id_col, how="left_semi"
     )
-    return pruned.dropDuplicates([id_col, "band_idx"])
+    return pruned.distinct()
 
 
 def minhash_index_stats(
