@@ -172,3 +172,144 @@ def test_declared_corpus_pipeline(spark, sf_dir, tmp_path):
     ).collect()
     assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
     assert sum(r["n_rows"] for r in m1) == counts["train"]
+
+
+def test_declared_round11_curation_pipeline(spark, sf_dir):
+    """The round-11 curation story composes: classifier quality filter
+    (logit-space threshold) → LSH index admission of a new batch
+    against a compacted side-table → token-budget curation per lang →
+    stride-scheduled interleave. Each stage is a declared step; the
+    test pins conservation and ordering invariants across the chain."""
+    from data_validation_engine_spark.llmops.dedup import (
+        minhash_index,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    corpus = docs.where("doc_id % 4 != 0")
+    batch = docs.where("doc_id % 4 = 0").unionByName(
+        # planted near-verbatim re-crawls of corpus docs: the admission
+        # pass must drop them
+        corpus.where("doc_id % 8 == 1").selectExpr(
+            "doc_id + 1000000 AS doc_id", "lang", "n_chars", "text"
+        )
+    )
+    n_planted = batch.where("doc_id >= 1000000").count()
+    assert n_planted > 0
+
+    eng = StepEngine(spark)
+    w = [float(((b * 7 + 3) % 21) - 10) for b in range(256)]
+    ents = {
+        "batch": batch,
+        "corpus": corpus,
+        # a stale index: built over the corpus plus rows for docs that
+        # were since dropped (simulated by indexing everything)
+        "stale_index": minhash_index(docs, "doc_id", "text"),
+    }
+    _steps(
+        eng,
+        ents,
+        [
+            {
+                "operation": "compact_minhash_index",
+                "entity_name": "stale_index",
+                "live_entity": "corpus",
+                "id_column": "doc_id",
+                "new_entity_name": "index",
+            },
+            {
+                "operation": "classifier_score",
+                "entity_name": "batch",
+                "text_column": "text",
+                "weights": w,
+                "average": True,
+                "threshold_prob": 0.5,
+                "keep_column": "keep",
+                "new_entity_name": "scored",
+            },
+            {
+                "operation": "filter_without_notifying",
+                "entity_name": "scored",
+                "expression": "keep",
+                "new_entity_name": "passed",
+            },
+            {
+                "operation": "dedup_incremental",
+                "entity_name": "passed",
+                "target_name": "corpus",
+                "method": "minhash",
+                "index_entity": "index",
+                "id_column": "doc_id",
+                "text_column": "text",
+                "threshold": 0.9,
+                "new_entity_name": "admitted",
+            },
+        ],
+    )
+    # the compacted index only holds live corpus ids
+    assert ents["index"].join(
+        corpus.select("doc_id"), "doc_id", "left_anti"
+    ).count() == 0
+    # every planted re-crawl that passed the quality gate was dropped
+    # by the admission pass; genuinely-new passing docs were admitted
+    passed, admitted = ents["passed"], ents["admitted"]
+    assert admitted.where("doc_id >= 1000000").count() == 0
+    assert (
+        admitted.count()
+        == passed.where("doc_id < 1000000").count()
+    )
+
+    ents["admitted_tok"] = ents["admitted"].withColumn(
+        "n_tokens", F.size(tokens_col(F.col("text")))
+    )
+    _steps(
+        eng,
+        ents,
+        [
+            {
+                "operation": "select_token_budget",
+                "entity_name": "admitted_tok",
+                "score_column": "n_chars",
+                "token_column": "n_tokens",
+                "group_by": ["lang"],
+                "budget_tokens": 1500,
+                "tiebreak_column": "doc_id",
+                "new_entity_name": "curated",
+            },
+            {
+                "operation": "interleave_sources",
+                "entity_name": "curated",
+                "source_column": "lang",
+                "weights": {
+                    "en": 2.0, "de": 1.0, "fr": 1.0, "es": 1.0,
+                    "zh": 1.0,
+                },
+                "key_column": "doc_id",
+                "new_entity_name": "ordered",
+            },
+        ],
+    )
+    curated, ordered = ents["curated"], ents["ordered"]
+    # per-lang budgets: overshoot by at most the crossing doc
+    per_lang = (
+        curated.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    for r in per_lang:
+        assert r["t"] < 1500 + r["mx"], r
+    assert ordered.count() == curated.count()
+    # stride scheduling: en appears ~2x as often in any decent prefix
+    head = (
+        ordered.orderBy("interleave_order", "lang", "doc_id")
+        .limit(24)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    by_lang = {r["lang"]: r["count"] for r in head}
+    assert by_lang.get("en", 0) >= max(
+        v for k, v in by_lang.items() if k != "en"
+    )
