@@ -125,6 +125,7 @@ from data_validation_engine_spark.llmops.chunking import (
 )
 from data_validation_engine_spark.llmops.classifier import (
     classifier_filter,
+    classifier_fit,
     classifier_score,
 )
 from data_validation_engine_spark.llmops.compress import (
@@ -293,6 +294,7 @@ __all__ = [
     "chunk_by_sentences",
     "chunk_documents",
     "classifier_filter",
+    "classifier_fit",
     "classifier_score",
     "decontaminate",
     "decontaminate_bloom",

@@ -31,7 +31,7 @@ from data_validation_engine_spark.llmops.dsir import (
     ngram_buckets,
 )
 
-__all__ = ["classifier_score", "classifier_filter"]
+__all__ = ["classifier_score", "classifier_filter", "classifier_fit"]
 
 
 def classifier_score(
@@ -145,3 +145,128 @@ def classifier_filter(
 # re-exported so classifier users can size feature spaces consistently
 # with the DSIR side of the pipeline
 DEFAULT_CLASSIFIER_BUCKETS = DEFAULT_BUCKETS
+
+
+def classifier_fit(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    *,
+    n_buckets: int = 4096,
+    n_max: int = 2,
+    seed: str = "",
+    average: bool = True,
+    epochs: int = 20,
+    lr: float = 0.5,
+    l2: float = 0.0,
+) -> tuple[list[float], float]:
+    """Train the linear bag-of-hashed-n-grams quality classifier by
+    full-batch logistic-regression gradient descent — the companion of
+    :func:`classifier_score` (train here, filter at corpus scale with
+    the returned weights). ``label_col`` must be 0/1 (1 = keep-quality
+    positive class); returns ``(weights, bias)`` sized so that
+    ``classifier_score(corpus, text_col, weights, bias=bias,
+    average=average, n_max=n_max, seed=seed)`` reproduces the trained
+    scores.
+
+    Per epoch, ONE distributed pass: the per-row residual
+    ``sigmoid(logit) − y`` is a projection over the current broadcast
+    weights, the per-bucket gradient ``Σ residual · count_b / N`` is an
+    explode + map-side-combined aggregation (≤ ``n_buckets`` result
+    rows — a bounded control-plane collect, the same class as
+    :func:`~.sketch.heavy_hitters`' cells), and the driver applies the
+    update ``w −= lr · (grad + l2·w)`` on ``n_buckets`` doubles (the
+    ``pca_fit``-eigensolve pattern: driver math on control-plane-sized
+    state, never on data). Training data is label-bounded (quality
+    classifiers train on thousands of labelled docs), so ``epochs``
+    cheap passes are fine; the expensive corpus-wide step is inference,
+    which stays zero-shuffle.
+
+    Determinism: the gradient aggregation sums doubles in partition
+    order, so trained weights can differ in low-order bits between
+    runs/partitionings (the ``moment_stats(method="fast")`` class —
+    deliberately NON-oracle, FLOATS.md; numpy parity is pytest-pinned
+    to tolerance). Rows with NULL labels raise; rows with no features
+    still carry the bias gradient.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if lr <= 0:
+        raise ValueError(f"lr must be positive, got {lr}")
+    spark = df.sparkSession
+    label = (
+        F.when(F.col(label_col).isin(0, 1), F.col(label_col))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"classifier_fit: '{label_col}' must be 0/1 and "
+                    "non-NULL — filter or impute labels first"
+                )
+            )
+        )
+        .cast("double")
+    )
+    feats = ngram_buckets(
+        F.col(text_col), n_max=n_max, buckets=n_buckets, seed=seed
+    )
+    base = df.select(label.alias("__y"), feats.alias("__f")).persist()
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError("classifier_fit: empty input")
+        weights = [0.0] * n_buckets
+        bias = 0.0
+        for _ in range(epochs):
+            wdf = spark.createDataFrame(
+                [(weights,)], "__clf_w array<double>"
+            )
+            n_feats = F.size("__f")
+            total = F.aggregate(
+                F.col("__f"),
+                F.lit(0.0),
+                lambda acc, b: acc
+                + F.element_at(F.col("__clf_w"), b + F.lit(1)),
+            )
+            denom = (
+                F.when(n_feats > 0, n_feats).otherwise(F.lit(1))
+                if average
+                else F.lit(1)
+            )
+            logit = F.lit(bias) + F.when(
+                n_feats > 0, total
+            ).otherwise(F.lit(0.0)) / denom
+            resid = (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)) - F.col("__y")
+            )
+            scored = base.crossJoin(F.broadcast(wdf)).select(
+                resid.alias("__r"),
+                (
+                    F.lit(1.0) / denom if average else F.lit(1.0)
+                ).alias("__s"),
+                "__f",
+            )
+            rows = (
+                scored.select(
+                    "__r", "__s", F.explode("__f").alias("__b")
+                )
+                .groupBy("__b")
+                .agg(
+                    F.sum(F.col("__r") * F.col("__s")).alias("__g")
+                )
+                .collect()
+            )
+            bias_grad = float(
+                scored.agg(F.sum("__r")).first()[0] or 0.0
+            ) / n
+            grads = [0.0] * n_buckets
+            for r in rows:
+                grads[r["__b"]] += float(r["__g"]) / n
+            weights = [
+                w - lr * (g + l2 * w) for w, g in zip(weights, grads)
+            ]
+            bias -= lr * bias_grad
+        return weights, bias
+    finally:
+        base.unpersist()

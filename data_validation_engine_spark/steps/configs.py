@@ -1719,16 +1719,40 @@ class ConversationStats(AbstractStep):
 
 
 
+class ClassifierFit(AbstractStep):
+    """Train the fastText-style quality classifier (full-batch
+    logistic regression over hashed n-gram features; driver updates
+    on n_buckets doubles per epoch — the pca_fit pattern). Output
+    entity: ``(bucket, weight)`` rows with the bias at bucket = -1 —
+    feed it to ``classifier_score`` via ``weights_entity``."""
+
+    operation: Literal["classifier_fit"] = "classifier_fit"
+    text_column: str
+    label_column: str
+    n_buckets: int = 4096
+    n_max: int = 2
+    seed: str = ""
+    average: bool = True
+    epochs: int = 20
+    lr: float = 0.5
+    l2: float = 0.0
+
+
 class ClassifierScore(AbstractStep):
     """fastText-style linear classifier over hashed n-gram features:
     score every row (zero shuffle — the weight vector rides one
     broadcast 1-row array, the score is a per-row ordered fold). With
     ``threshold_prob`` set, filter (or flag via ``keep_column``) in
-    LOGIT space — the sigmoid never runs in the distributed plan."""
+    LOGIT space — the sigmoid never runs in the distributed plan.
+    Weights come inline (``weights``) or from a ``classifier_fit``
+    output entity (``weights_entity`` — a bounded n_buckets-row
+    collect; exactly one of the two must be given, and ``bias`` is
+    read from the entity's bucket = -1 row in that mode)."""
 
     operation: Literal["classifier_score"] = "classifier_score"
     text_column: str
-    weights: list[float]
+    weights: Optional[list[float]] = None
+    weights_entity: Optional[str] = None
     bias: float = 0.0
     n_max: int = 2
     seed: str = ""
@@ -1894,6 +1918,7 @@ AnyStep = Annotated[
         ChunkByContent,
         ScriptProfile,
         SelectTokenBudget,
+        ClassifierFit,
         ClassifierScore,
         CompactMinhashIndex,
         WindowedHeavyHitters,

@@ -152,6 +152,7 @@ from data_validation_engine_spark.steps.configs import (
     ExtractAnchorTexts,
     ExtractLinks,
     HardNegativeSamples,
+    ClassifierFit,
     ClassifierScore,
     CompactMinhashIndex,
     HeavyHitters,
@@ -313,6 +314,7 @@ class StepEngine:
             ExtractHtmlText: self.extract_html_text,
             ExtractLinks: self.extract_links,
             ExtractAnchorTexts: self.extract_anchor_texts,
+            ClassifierFit: self.classifier_fit,
             ClassifierScore: self.classifier_score,
             CompactMinhashIndex: self.compact_minhash_index,
             WindowedHeavyHitters: self.windowed_heavy_hitters,
@@ -2650,6 +2652,61 @@ class StepEngine:
         )
         return None
 
+    def classifier_fit(
+        self, entities: Entities, *, config: ClassifierFit
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.classifier import (
+            classifier_fit,
+        )
+
+        weights, bias = classifier_fit(
+            entities[config.entity_name],
+            config.text_column,
+            config.label_column,
+            n_buckets=config.n_buckets,
+            n_max=config.n_max,
+            seed=config.seed,
+            average=config.average,
+            epochs=config.epochs,
+            lr=config.lr,
+            l2=config.l2,
+        )
+        spark = entities[config.entity_name].sparkSession
+        entities[config.output_name] = spark.createDataFrame(
+            [(-1, float(bias))]
+            + [(b, float(w)) for b, w in enumerate(weights)],
+            "bucket int, weight double",
+        )
+        return None
+
+    def _resolve_classifier_weights(
+        self, entities: Entities, config: "ClassifierScore"
+    ) -> tuple[list[float], float]:
+        if (config.weights is None) == (config.weights_entity is None):
+            raise ConfigurationError(
+                "classifier_score: pass exactly one of weights / "
+                "weights_entity"
+            )
+        if config.weights is not None:
+            return list(config.weights), config.bias
+        # bounded collect: the weights entity is n_buckets+1 rows by
+        # the classifier_fit contract
+        rows = entities[config.weights_entity].collect()
+        bias = config.bias
+        pairs: dict[int, float] = {}
+        for r in rows:
+            if r["bucket"] == -1:
+                bias = float(r["weight"])
+            else:
+                pairs[int(r["bucket"])] = float(r["weight"])
+        if not pairs:
+            raise ConfigurationError(
+                f"classifier_score: weights entity "
+                f"'{config.weights_entity}' holds no bucket rows"
+            )
+        n = max(pairs) + 1
+        return [pairs.get(b, 0.0) for b in range(n)], bias
+
     def classifier_score(
         self, entities: Entities, *, config: ClassifierScore
     ) -> Messages:
@@ -2658,12 +2715,15 @@ class StepEngine:
             classifier_score,
         )
 
+        weights, bias = self._resolve_classifier_weights(
+            entities, config
+        )
         if config.threshold_prob is not None:
             entities[config.output_name] = classifier_filter(
                 entities[config.entity_name],
                 config.text_column,
-                list(config.weights),
-                bias=config.bias,
+                weights,
+                bias=bias,
                 n_max=config.n_max,
                 seed=config.seed,
                 average=config.average,
@@ -2675,8 +2735,8 @@ class StepEngine:
             entities[config.output_name] = classifier_score(
                 entities[config.entity_name],
                 config.text_column,
-                list(config.weights),
-                bias=config.bias,
+                weights,
+                bias=bias,
                 n_max=config.n_max,
                 seed=config.seed,
                 average=config.average,

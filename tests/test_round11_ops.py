@@ -392,3 +392,193 @@ def test_declared_windowed_heavy_hitters_step(spark, sf_dir):
     )
     assert ents["hh"].exceptAll(naive).count() == 0
     assert naive.exceptAll(ents["hh"]).count() == 0
+
+
+# --- classifier training -----------------------------------------------
+
+
+def _numpy_fit(feats, ys, n_buckets, *, average, epochs, lr, l2):
+    import numpy as np
+
+    w = np.zeros(n_buckets)
+    b = 0.0
+    n = len(ys)
+    for _ in range(epochs):
+        grad = np.zeros(n_buckets)
+        bias_grad = 0.0
+        for fs, y in zip(feats, ys):
+            scale = (1.0 / len(fs)) if (average and fs) else 1.0
+            z = b + (sum(w[f] for f in fs) * scale if fs else 0.0)
+            r = 1.0 / (1.0 + math.exp(-z)) - y
+            bias_grad += r
+            for f in fs:
+                grad[f] += r * scale
+        w = w - lr * (grad / n + l2 * w)
+        b -= lr * bias_grad / n
+    return w, b
+
+
+def test_classifier_fit_matches_numpy_reference(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_fit,
+    )
+    from data_validation_engine_spark.llmops.dsir import ngram_buckets
+
+    rows = [
+        (i, f"good text {i % 3} quality prose", 1) for i in range(20)
+    ] + [(100 + i, f"spam spam buy{i % 4} now click", 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, text string, y int")
+    feats = [
+        list(r["f"])
+        for r in df.orderBy("id")
+        .select("id", ngram_buckets(F.col("text"), buckets=128).alias("f"))
+        .collect()
+    ]
+    ys = [r["y"] for r in df.orderBy("id").collect()]
+    w, b = classifier_fit(
+        df, "text", "y", n_buckets=128, epochs=5, lr=0.5
+    )
+    import numpy as np
+
+    w_ref, b_ref = _numpy_fit(
+        feats, ys, 128, average=True, epochs=5, lr=0.5, l2=0.0
+    )
+    np.testing.assert_allclose(np.array(w), w_ref, atol=1e-9)
+    assert b == pytest.approx(b_ref, abs=1e-9)
+
+
+def test_classifier_fit_learns_separable_data(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_fit,
+        classifier_score,
+    )
+
+    rows = [
+        (i, f"excellent article depth research {i % 5}", 1)
+        for i in range(40)
+    ] + [
+        (100 + i, f"lottery winner pills casino {i % 5}", 0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, y int")
+    w, b = classifier_fit(
+        df, "text", "y", n_buckets=256, epochs=30, lr=2.0
+    )
+    scored = classifier_score(df, "text", w, bias=b)
+    acc = (
+        scored.where(
+            ((F.col("clf_logit") >= 0) & (F.col("y") == 1))
+            | ((F.col("clf_logit") < 0) & (F.col("y") == 0))
+        ).count()
+        / 80
+    )
+    assert acc == 1.0  # linearly separable vocabularies
+
+
+def test_classifier_fit_l2_and_sum_mode(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_fit,
+    )
+    from data_validation_engine_spark.llmops.dsir import ngram_buckets
+    import numpy as np
+
+    rows = [(1, "a b", 1), (2, "c d", 0), (3, None, 1), (4, "a c", 0)]
+    df = spark.createDataFrame(rows, "id long, text string, y int")
+    feats = [
+        list(r["f"])
+        for r in df.orderBy("id")
+        .select("id", ngram_buckets(F.col("text"), buckets=32).alias("f"))
+        .collect()
+    ]
+    ys = [r["y"] for r in df.orderBy("id").collect()]
+    w, b = classifier_fit(
+        df, "text", "y", n_buckets=32, epochs=4, lr=0.3,
+        l2=0.01, average=False,
+    )
+    w_ref, b_ref = _numpy_fit(
+        feats, ys, 32, average=False, epochs=4, lr=0.3, l2=0.01
+    )
+    np.testing.assert_allclose(np.array(w), w_ref, atol=1e-9)
+    assert b == pytest.approx(b_ref, abs=1e-9)
+
+
+def test_classifier_fit_validates(spark):
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_fit,
+    )
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1, "x", 1)], "id long, text string, y int")
+    with pytest.raises(ValueError, match="epochs"):
+        classifier_fit(df, "text", "y", epochs=0)
+    with pytest.raises(ValueError, match="empty"):
+        classifier_fit(df.where("id < 0"), "text", "y", epochs=1)
+    bad = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", None)], "id long, text string, y int"
+    )
+    with pytest.raises(SparkRuntimeException, match="0/1"):
+        classifier_fit(bad, "text", "y", epochs=1, n_buckets=16)
+
+
+def test_declared_classifier_fit_then_score(spark):
+    """Train → score entirely in the declared vocabulary: the weights
+    travel as an entity (bucket, weight; bias at bucket = -1)."""
+    from data_validation_engine_spark.errors import ConfigurationError
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    rows = [
+        (i, f"excellent article depth research {i % 5}", 1)
+        for i in range(30)
+    ] + [
+        (100 + i, f"lottery winner pills casino {i % 5}", 0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, y int")
+    eng = StepEngine(spark)
+    ents = {"labelled": df, "corpus": df.select("id", "text")}
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "classifier_fit",
+                "entity_name": "labelled",
+                "text_column": "text",
+                "label_column": "y",
+                "n_buckets": 256,
+                "epochs": 25,
+                "lr": 2.0,
+                "new_entity_name": "model",
+            }
+        ),
+    )
+    assert ents["model"].count() == 257  # 256 buckets + the bias row
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "classifier_score",
+                "entity_name": "corpus",
+                "text_column": "text",
+                "weights_entity": "model",
+                "threshold_prob": 0.5,
+                "keep_column": "keep",
+                "new_entity_name": "scored",
+            }
+        ),
+    )
+    kept = ents["scored"].where("keep")
+    assert kept.count() == 30
+    assert kept.where("id >= 100").count() == 0
+    # exactly one weight source must be given
+    with pytest.raises(ConfigurationError, match="exactly one"):
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "classifier_score",
+                    "entity_name": "corpus",
+                    "text_column": "text",
+                    "new_entity_name": "x",
+                }
+            ),
+        )
