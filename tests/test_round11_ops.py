@@ -582,3 +582,44 @@ def test_declared_classifier_fit_then_score(spark):
                 }
             ),
         )
+
+
+def test_classifier_score_composes_with_streaming(spark, tmp_path):
+    """The scorer is a stateless projection + stream-static broadcast
+    join, so it lifts to Structured Streaming unchanged — continuous
+    quality filtering of an ingest stream. Parity with batch pinned."""
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_score,
+    )
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [
+            (i, f"good text {i % 3}" if i % 2 else f"spam casino {i % 3}")
+            for i in range(40)
+        ],
+        "id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(src)
+    w = _weights(64)
+    sdf = spark.readStream.schema("id long, text string").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        classifier_score(sdf, "text", w, bias=1.0)
+        .writeStream.format("parquet")
+        .option("path", f"{out}/d")
+        .option("checkpointLocation", f"{out}/c")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["id"]: r["clf_logit"]
+        for r in spark.read.parquet(f"{out}/d").collect()
+    }
+    want = {
+        r["id"]: r["clf_logit"]
+        for r in classifier_score(docs, "text", w, bias=1.0).collect()
+    }
+    assert got == want
