@@ -10515,3 +10515,128 @@ _R12_STAGED_QUERIES.update(
         "r12_stream_heavy": q_r12_stream_heavy,
     }
 )
+
+
+def q_r12_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal (llmops/substrings.py, Lee 2021
+    arXiv:2107.06499 ExactSubstr at fixed-gram granularity) over the
+    documents corpus with a 56-char boilerplate sentence spliced into
+    every 4th doc at position 50 — plus whatever 30-char substrings the
+    synthetic token vocabulary naturally repeats across >= 3 docs (both
+    twins compute the same frequencies, so natural repeats hash
+    identically too):
+
+    - 'sp' — the merged repeated-span table (start/end per doc);
+    - 'rm' — the scrubbed corpus surface: md5 of the spliced text +
+      span count + removed-char count per doc.
+
+    The CMS screen is never-undercount, so the operator output equals
+    the naive gram-frequency replay the oracle runs. All-string
+    (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.substrings import (
+        remove_repeated_substrings,
+        repeated_substring_spans,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 4 = 0 THEN CONCAT(substr(text, 1, 50),"
+        " ' <<<shared boilerplate sentence planted for round 12>>> ',"
+        " substr(text, 51)) ELSE text END AS text",
+    )
+    kw = dict(min_len=30, min_docs=3, depth=3, width=4096)
+    sp = repeated_substring_spans(docs, "doc_id", "text", **kw).selectExpr(
+        "'sp' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING),"
+        " CAST(start AS STRING)) AS k",
+        "CAST(end AS STRING) AS v",
+    )
+    rm = remove_repeated_substrings(
+        docs, "doc_id", "text", **kw
+    ).selectExpr(
+        "'rm' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', md5(text), CAST(n_spans AS STRING),"
+        " CAST(n_removed_chars AS STRING)) AS v",
+    )
+    return sp.unionByName(rm)
+
+
+_R12_STAGED_ORACLES["r12_substring_dedup"] = r"""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN
+                   substring(text, 1, 50) ||
+                   ' <<<shared boilerplate sentence planted for round 12>>> '
+                   || substring(text, 51)
+               ELSE text END AS text
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i,
+               ('0x' || substring(md5(substring(text, i, 30)), 1, 15))
+                   ::BIGINT AS h
+        FROM corpus, LATERAL (
+            SELECT unnest(range(1, greatest(length(text) - 28, 1)))
+                AS i)
+        WHERE length(text) >= 30
+    ),
+    hot AS (
+        SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h
+        ) WHERE nd >= 3
+    ),
+    marked AS (
+        SELECT doc_id, i AS s FROM pos JOIN hot USING (h)
+    ),
+    flagged AS (
+        SELECT doc_id, s,
+               CASE WHEN s > COALESCE(max(s + 30) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) THEN 1 ELSE 0 END AS newgrp
+        FROM marked
+    ),
+    grouped AS (
+        SELECT doc_id, s,
+               sum(newgrp) OVER (
+                   PARTITION BY doc_id ORDER BY s
+               ) AS gid
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, gid, min(s) AS st, max(s) + 30 AS en
+        FROM grouped GROUP BY 1, 2
+    ),
+    segs AS (
+        SELECT doc_id, st, en,
+               lag(en, 1, 1) OVER (
+                   PARTITION BY doc_id ORDER BY st
+               ) AS prev_e
+        FROM spans
+    ),
+    cleaned AS (
+        SELECT c.doc_id,
+               COALESCE(string_agg(
+                   substring(c.text, sg.prev_e, sg.st - sg.prev_e),
+                   '' ORDER BY sg.st), '') ||
+               substring(c.text, COALESCE(max(sg.en), 1),
+                   length(c.text) - COALESCE(max(sg.en), 1) + 1) AS t,
+               count(sg.st) AS n_spans,
+               COALESCE(sum(sg.en - sg.st), 0) AS n_removed
+        FROM corpus c LEFT JOIN segs sg USING (doc_id)
+        GROUP BY c.doc_id, c.text
+    )
+    SELECT 'sp' AS op,
+           CAST(doc_id AS VARCHAR) || '|' || CAST(st AS VARCHAR) AS k,
+           CAST(en AS VARCHAR) AS v
+    FROM spans
+    UNION ALL
+    SELECT 'rm', CAST(doc_id AS VARCHAR),
+           md5(t) || '|' || CAST(n_spans AS VARCHAR) || '|' ||
+           CAST(n_removed AS VARCHAR)
+    FROM cleaned
+"""
+
+
+_R12_STAGED_QUERIES["r12_substring_dedup"] = q_r12_substring_dedup

@@ -49,6 +49,10 @@ large-scale training-data pipeline needs:
 - :mod:`classifier` — fastText-style quality-filter inference over the
   DSIR hashed-n-gram feature space (broadcast weight vector, per-row
   ordered fold, logit-space thresholding — no distributed sigmoid).
+- :mod:`substrings` — exact repeated-substring removal (Lee 2021
+  ExactSubstr at fixed-gram granularity): CMS-screened gram
+  frequencies, per-row interval merge + splice — shared spans >=
+  min_len removed completely, corpus text never shuffles.
 - :mod:`dedup` also carries the LSH index maintenance pass
   (``compact_minhash_index`` + ``minhash_index_stats``) for the
   incremental-dedup side-table; :mod:`sketch` adds
@@ -136,6 +140,10 @@ from data_validation_engine_spark.llmops.normalize import (
 )
 from data_validation_engine_spark.llmops.paragraphs import (
     split_sentences,
+)
+from data_validation_engine_spark.llmops.substrings import (
+    remove_repeated_substrings,
+    repeated_substring_spans,
 )
 from data_validation_engine_spark.llmops.stats import (
     standardize,
@@ -296,6 +304,8 @@ __all__ = [
     "classifier_filter",
     "classifier_fit",
     "classifier_score",
+    "remove_repeated_substrings",
+    "repeated_substring_spans",
     "decontaminate",
     "decontaminate_bloom",
     "grouped_vector_sum",

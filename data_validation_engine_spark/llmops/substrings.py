@@ -1,0 +1,245 @@
+"""Exact repeated-substring removal — the ExactSubstr dedup of
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499) re-expressed Spark-first: instead of a
+distributed suffix array, anchor on fixed-length character grams and
+screen their document frequencies with the repo's CMS heavy-hitter
+machinery, so the corpus text never shuffles.
+
+Guarantee (the reason fixed-length anchoring is enough): any substring
+of length >= ``min_len`` shared verbatim by >= ``min_docs`` documents
+has ALL of its length-``min_len`` grams shared by those documents, so
+every one of its gram-anchored intervals is hot and their union covers
+the entire span — shared spans are removed COMPLETELY, never partially
+chewed. (Conversely the operator removes exactly the union of hot
+grams, i.e. maximal runs of cross-document-repeated ``min_len``-grams
+— the natural maximal-repeated-span semantics at granularity
+``min_len``.)
+
+Scale shape, and why this beats a suffix array on Spark: per-document
+gram hashing is a zero-shuffle projection (60-bit longs, the
+``spans.py`` convention); document frequencies go through
+:func:`~data_validation_engine_spark.llmops.sketch.heavy_hitters`
+(map-side-combined CMS cells + a bounded collect + a broadcast per-row
+screen, so only the genuinely-hot sliver of grams pays an exact
+group-by); the hot-gram set joins back against per-position rows of
+the CANDIDATE grams only; and interval merge + text surgery are
+per-row folds. The only data-sized shuffle is the marked-position
+rows — bounded by the boilerplate actually present, not the corpus.
+
+No reference counterpart (`/root/reference` has no corpus surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["repeated_substring_spans", "remove_repeated_substrings"]
+
+
+def _gram_hashes(text: Column, min_len: int) -> Column:
+    """``array<long>``: the 60-bit hash of every length-``min_len``
+    character gram, one per 1-based start position (empty when the text
+    is shorter than ``min_len``). Raw text — no normalization: removal
+    must splice the original string, so the anchors must address it."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    return F.when(
+        n >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(min_len) + F.lit(1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(t, i, min_len)), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 50,
+    min_docs: int = 2,
+    depth: int = 4,
+    width: int = 1 << 16,
+    seed: str = "",
+) -> DataFrame:
+    """The merged character spans (1-based, half-open ``[start, end)``)
+    of every maximal cross-document-repeated run: one row per span,
+    ``(id_col, start, end)``.
+
+    A gram is HOT when it occurs in at least ``min_docs`` DISTINCT
+    documents (within-document repetition alone never triggers — a
+    document quoting itself is a repetition signal, not shared
+    boilerplate; see ``repetition_stats`` for that). Spans are unions
+    of hot gram intervals ``[i, i + min_len)``, overlapping-or-adjacent
+    intervals merged.
+
+    ``depth``/``width`` size the CMS screen exactly as
+    :func:`~.sketch.heavy_hitters` (never-undercount: no hot gram is
+    missed; overcounted cold grams are removed by the exact count).
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (cross-document repetition), got "
+            f"{min_docs}"
+        )
+    from data_validation_engine_spark.llmops.sketch import heavy_hitters
+
+    grams = df.select(
+        F.col(id_col),
+        _gram_hashes(F.col(text_col), min_len).alias("__g"),
+    )
+    doc_grams = grams.select(
+        id_col, F.explode(F.array_distinct("__g")).alias("__h")
+    )
+    hot = heavy_hitters(
+        doc_grams, "__h", min_docs, depth=depth, width=width, seed=seed
+    ).select(F.col("__h"))
+    marked = (
+        grams.select(
+            F.col(id_col),
+            F.posexplode("__g").alias("__p0", "__h"),
+        )
+        .join(hot, "__h")
+        .select(id_col, (F.col("__p0") + 1).alias("__s"))
+    )
+    starts = marked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__s")).alias("__starts")
+    )
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.col("__starts"),
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) == 0)
+            | (s > F.element_at(acc, -1)["e"]),
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.alias("s"), (s + F.lit(min_len)).alias("e")
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"],
+                            s + F.lit(min_len),
+                        ).alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    return starts.select(
+        F.col(id_col), F.explode(merged).alias("__m")
+    ).select(
+        id_col,
+        F.col("__m")["s"].alias("start"),
+        F.col("__m")["e"].alias("end"),
+    )
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 50,
+    min_docs: int = 2,
+    depth: int = 4,
+    width: int = 1 << 16,
+    seed: str = "",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cut every :func:`repeated_substring_spans` span out of
+    ``text_col``: all input columns plus ``n_spans`` and
+    ``n_removed_chars``, the text spliced in place (or into
+    ``out_col``). Documents with no repeated spans pass through
+    byte-identical (left join — the corpus never inner-joins away).
+
+    The splice is one per-row fold over the span list: segments
+    between spans concatenate in order, so the kept text is exactly
+    the original minus the spans — no re-normalization, no whitespace
+    surgery (run ``normalize_text`` downstream if the cut edges need
+    tidying)."""
+    spans = repeated_substring_spans(
+        df, id_col, text_col,
+        min_len=min_len, min_docs=min_docs,
+        depth=depth, width=width, seed=seed,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("start", "end"))
+        ).alias("__spans")
+    )
+    target = out_col or text_col
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # fold: acc = (cursor, kept-so-far); each span appends the segment
+    # before it and advances the cursor past it; the tail closes out
+    spliced = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(1).alias("cur"), F.lit("").alias("kept")
+        ),
+        lambda acc, sp: F.struct(
+            sp["end"].alias("cur"),
+            F.concat(
+                acc["kept"],
+                F.substring(
+                    t, acc["cur"], sp["start"] - acc["cur"]
+                ),
+            ).alias("kept"),
+        ),
+        lambda acc: F.concat(
+            acc["kept"],
+            F.substring(
+                t, acc["cur"], F.length(t) - acc["cur"] + F.lit(1)
+            ),
+        ),
+    )
+    removed = F.aggregate(
+        F.col("__spans"),
+        F.lit(0),
+        lambda acc, sp: acc
+        + F.least(sp["end"], F.length(t) + F.lit(1))
+        - sp["start"],
+    )
+    joined = df.join(per_doc, id_col, "left")
+    has = F.col("__spans").isNotNull()
+    # the spliced text gets a TEMP name first: aliasing it straight to
+    # text_col would let Spark's lateral-column-alias resolution bind
+    # the sibling expressions' length(text_col) to the OUTPUT text
+    # instead of the input (caught in development — n_removed_chars
+    # went negative)
+    staged = joined.select(
+        *df.columns,
+        F.when(has, spliced).otherwise(F.col(text_col)).alias(
+            "__clean_text"
+        ),
+        F.when(has, F.size("__spans")).otherwise(F.lit(0)).alias(
+            "n_spans"
+        ),
+        F.when(has, removed).otherwise(F.lit(0)).alias(
+            "n_removed_chars"
+        ),
+    )
+    keep = [c for c in df.columns if c != text_col or target != text_col]
+    return staged.select(
+        *keep,
+        F.col("__clean_text").alias(target),
+        "n_spans",
+        "n_removed_chars",
+    )

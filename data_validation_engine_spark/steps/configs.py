@@ -1774,6 +1774,27 @@ class CompactMinhashIndex(AbstractStep):
     id_column: str
 
 
+class RemoveRepeatedSubstrings(AbstractStep):
+    """Exact repeated-substring removal (Lee 2021 ExactSubstr at
+    fixed-gram granularity): cut every maximal run of character
+    ``min_len``-grams shared by >= ``min_docs`` documents. The gram
+    frequencies ride the CMS heavy-hitter screen, so the corpus text
+    never shuffles; shared spans >= min_len are removed COMPLETELY
+    (gram-cover guarantee)."""
+
+    operation: Literal["remove_repeated_substrings"] = (
+        "remove_repeated_substrings"
+    )
+    id_column: str
+    text_column: str = "text"
+    min_len: int = 50
+    min_docs: int = 2
+    depth: int = 4
+    width: int = 65536
+    seed: str = ""
+    output_column: Optional[str] = None
+
+
 class WindowedHeavyHitters(AbstractStep):
     """Exact per-window heavy hitters from persisted streaming CMS
     cells (``entity_name`` = the raw events, ``cells_entity`` = the
@@ -1921,6 +1942,7 @@ AnyStep = Annotated[
         ClassifierFit,
         ClassifierScore,
         CompactMinhashIndex,
+        RemoveRepeatedSubstrings,
         WindowedHeavyHitters,
     ],
     Field(discriminator="operation"),

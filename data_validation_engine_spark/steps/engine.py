@@ -155,6 +155,7 @@ from data_validation_engine_spark.steps.configs import (
     ClassifierFit,
     ClassifierScore,
     CompactMinhashIndex,
+    RemoveRepeatedSubstrings,
     HeavyHitters,
     InterleaveSources,
     WindowedHeavyHitters,
@@ -315,6 +316,7 @@ class StepEngine:
             ExtractLinks: self.extract_links,
             ExtractAnchorTexts: self.extract_anchor_texts,
             ClassifierFit: self.classifier_fit,
+            RemoveRepeatedSubstrings: self.remove_repeated_substrings,
             ClassifierScore: self.classifier_score,
             CompactMinhashIndex: self.compact_minhash_index,
             WindowedHeavyHitters: self.windowed_heavy_hitters,
@@ -2649,6 +2651,26 @@ class StepEngine:
             config.html_column,
             output_href=config.output_href,
             output_text=config.output_text,
+        )
+        return None
+
+    def remove_repeated_substrings(
+        self, entities: Entities, *, config: RemoveRepeatedSubstrings
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.substrings import (
+            remove_repeated_substrings,
+        )
+
+        entities[config.output_name] = remove_repeated_substrings(
+            entities[config.entity_name],
+            config.id_column,
+            config.text_column,
+            min_len=config.min_len,
+            min_docs=config.min_docs,
+            depth=config.depth,
+            width=config.width,
+            seed=config.seed,
+            out_col=config.output_column,
         )
         return None
 

@@ -623,3 +623,150 @@ def test_classifier_score_composes_with_streaming(spark, tmp_path):
         for r in classifier_score(docs, "text", w, bias=1.0).collect()
     }
     assert got == want
+
+
+# --- repeated-substring removal ----------------------------------------
+
+
+BOILER = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE GREAT CONTENT TODAY"
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10 ** 9)}" for _ in range(800)]
+    rows = []
+    for i in range(16):
+        body = " ".join(words[i * 50:(i + 1) * 50])
+        if i % 4 == 0:
+            body = body[:30] + BOILER + body[30:]
+        rows.append((i, body))
+    rows += [(100, None), (101, "short")]
+    return spark.createDataFrame(rows, "doc_id long, text string"), dict(
+        rows
+    )
+
+
+def test_remove_repeated_substrings_surgical(spark, boiler_docs):
+    from data_validation_engine_spark.llmops.substrings import (
+        remove_repeated_substrings,
+    )
+
+    df, orig = boiler_docs
+    out = remove_repeated_substrings(
+        df, "doc_id", "text", min_len=20, min_docs=3
+    )
+    res = {r["doc_id"]: r for r in out.collect()}
+    for i in range(16):
+        r = res[i]
+        if i % 4 == 0:
+            # the full planted span is gone (gram-cover guarantee) and
+            # nothing else was touched
+            assert BOILER not in r["text"]
+            assert r["n_spans"] == 1
+            assert r["n_removed_chars"] == len(BOILER)
+            assert r["text"] == orig[i].replace(BOILER, "")
+        else:
+            assert r["text"] == orig[i] and r["n_spans"] == 0, i
+    assert res[100]["text"] is None and res[100]["n_spans"] == 0
+    assert res[101]["text"] == "short"
+
+
+def test_remove_repeated_substrings_within_doc_repeats_kept(spark):
+    """Within-document repetition alone never triggers — min_docs
+    counts DISTINCT documents."""
+    from data_validation_engine_spark.llmops.substrings import (
+        remove_repeated_substrings,
+    )
+
+    phrase = "THE SAME PHRASE REPEATED INSIDE ONE DOCUMENT ONLY"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 b1 {phrase} c1 d1 {phrase} e1"),
+            (2, "completely different prose xyzzy plugh quux"),
+            (3, "another unrelated body of words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = remove_repeated_substrings(
+        df, "doc_id", "text", min_len=20, min_docs=2
+    )
+    [r] = out.where("doc_id = 1").collect()
+    assert r["n_spans"] == 0 and phrase in r["text"]
+
+
+def test_remove_repeated_substrings_out_col_and_merge(spark):
+    """Overlapping hot grams merge into one span; out_col keeps the
+    original text column."""
+    from data_validation_engine_spark.llmops.substrings import (
+        remove_repeated_substrings,
+        repeated_substring_spans,
+    )
+
+    shared = "abcdefghij" * 6  # one 60-char shared run
+    df = spark.createDataFrame(
+        [
+            (1, f"XXXX{shared}YYYY"),
+            (2, f"PPPP{shared}QQQQ"),
+            (3, "totally unrelated text body here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_substring_spans(
+        df, "doc_id", "text", min_len=20, min_docs=2
+    ).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["start"], r["end"])
+        )
+    # hot grams also cover the periodic self-overlaps; the union is
+    # ONE span covering the whole shared run in each doc
+    assert len(per_doc[1]) == 1 and len(per_doc[2]) == 1
+    s, e = per_doc[1][0]
+    assert s == 5 and e == 5 + len(shared)
+    out = remove_repeated_substrings(
+        df, "doc_id", "text", min_len=20, min_docs=2, out_col="clean"
+    )
+    [r] = out.where("doc_id = 1").collect()
+    assert r["text"].startswith("XXXX" + shared[:5])  # original kept
+    assert r["clean"] == "XXXXYYYY"
+
+
+def test_remove_repeated_substrings_validates(spark):
+    from data_validation_engine_spark.llmops.substrings import (
+        repeated_substring_spans,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        repeated_substring_spans(df, "doc_id", "text", min_len=1)
+    with pytest.raises(ValueError, match="min_docs"):
+        repeated_substring_spans(df, "doc_id", "text", min_docs=1)
+
+
+def test_declared_remove_repeated_substrings(spark, boiler_docs):
+    from data_validation_engine_spark.steps import StepEngine, parse_step
+
+    df, _ = boiler_docs
+    eng = StepEngine(spark)
+    ents = {"docs": df.where("text IS NOT NULL")}
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "remove_repeated_substrings",
+                "entity_name": "docs",
+                "id_column": "doc_id",
+                "min_len": 20,
+                "min_docs": 3,
+                "new_entity_name": "scrubbed",
+            }
+        ),
+    )
+    assert (
+        ents["scrubbed"].where(F.col("text").contains(BOILER)).count() == 0
+    )
+    assert ents["scrubbed"].count() == ents["docs"].count()
