@@ -1325,6 +1325,12 @@ def compact_minhash_index(
     than the index) plus one dedup shuffle over the narrow frame. Run
     it as a periodic maintenance job, not per batch — append-only
     ingest stays one cheap parquet append.
+
+    The pass is schema-agnostic beyond ``id_col`` (semi-join + full-row
+    distinct), so it maintains EVERY persisted admission side-table
+    the engine produces — ``similarity.embedding_bucket_index``'s
+    ``(id, table_idx, bucket)`` rows and ``spans.winnowed_fingerprints``'
+    ``(id, h)`` index compact with the same call (pytest-pinned).
     """
     pruned = index.join(
         live.select(F.col(id_col)).distinct(), on=id_col, how="left_semi"

@@ -770,3 +770,39 @@ def test_declared_remove_repeated_substrings(spark, boiler_docs):
         ents["scrubbed"].where(F.col("text").contains(BOILER)).count() == 0
     )
     assert ents["scrubbed"].count() == ents["docs"].count()
+
+
+def test_compact_maintains_every_admission_side_table(spark, sf_dir):
+    """The maintenance pass is schema-agnostic: the embedding-bucket
+    ANN index and the winnowed-fingerprint span index compact with the
+    same call as the minhash index."""
+    from data_validation_engine_spark.llmops.dedup import (
+        compact_minhash_index,
+    )
+    from data_validation_engine_spark.llmops.similarity import (
+        embedding_bucket_index,
+    )
+    from data_validation_engine_spark.llmops.spans import (
+        winnowed_fingerprints,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    eix = embedding_bucket_index(emb)
+    live = emb.where("vec_id % 2 = 0")
+    got = compact_minhash_index(eix.unionByName(eix), live, "vec_id")
+    want = embedding_bucket_index(live)
+    as_set = lambda df, cols: {  # noqa: E731
+        tuple(r[c] for c in cols) for r in df.collect()
+    }
+    cols = ["vec_id", "table_idx", "bucket"]
+    assert as_set(got, cols) == as_set(want, cols)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    fix = winnowed_fingerprints(docs, "doc_id", "text")
+    livedocs = docs.where("doc_id % 3 != 0")
+    got2 = compact_minhash_index(
+        fix.unionByName(fix), livedocs, "doc_id"
+    )
+    want2 = winnowed_fingerprints(livedocs, "doc_id", "text")
+    c2 = ["doc_id", "h"]
+    assert as_set(got2, c2) == as_set(want2, c2)
