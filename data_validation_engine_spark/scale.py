@@ -454,6 +454,7 @@ def write_training_shards(
     n_shards: int,
     seed: str = "",
     max_records_per_file: int | None = None,
+    format: str = "parquet",
 ) -> DataFrame:
     """Deterministic corpus shuffle + shard export: the last step before
     a training run reads the data.
@@ -480,6 +481,13 @@ def write_training_shards(
     engine-exact) — enough to verify a shard set without re-reading
     content. Persist it next to the export; a re-export must reproduce
     it bit-for-bit.
+
+    ``format``: ``"parquet"`` (default) or ``"json"`` — JSON-lines is
+    the lingua franca of trainer data loaders that stream text without
+    a columnar reader (one object per line, files in name order). The
+    shard assignment, in-shard order, manifest, and reproducibility
+    contract are identical in both formats (the manifest reads the
+    export back through the matching reader).
     """
     from data_validation_engine_spark.llmops.split import (
         N_BUCKETS,
@@ -490,6 +498,10 @@ def write_training_shards(
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if not dest:
         raise ValueError("write_training_shards needs a destination")
+    if format not in ("parquet", "json"):
+        raise ValueError(
+            f"format must be 'parquet' or 'json', got {format!r}"
+        )
     digest = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
     # N_BUCKETS is 2^16, so DIV 65536 is an exact right-shift — integral
     # arithmetic end to end (repo convention: never float-divide-then-
@@ -519,9 +531,9 @@ def write_training_shards(
         writer = writer.option(
             "maxRecordsPerFile", int(max_records_per_file)
         )
-    writer.parquet(dest)
+    getattr(writer, format)(dest)
 
-    out = staged.sparkSession.read.parquet(dest)
+    out = getattr(staged.sparkSession.read, format)(dest)
     return (
         out.groupBy("shard")
         .agg(

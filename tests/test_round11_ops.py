@@ -806,3 +806,33 @@ def test_compact_maintains_every_admission_side_table(spark, sf_dir):
     want2 = winnowed_fingerprints(livedocs, "doc_id", "text")
     c2 = ["doc_id", "h"]
     assert as_set(got2, c2) == as_set(want2, c2)
+
+
+def test_training_shards_json_format(spark, sf_dir, tmp_path):
+    """JSON-lines shard export: same shard assignment, in-shard order,
+    and manifest as parquet; reproducible across partitionings."""
+    import glob
+
+    from data_validation_engine_spark.scale import write_training_shards
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    m1 = write_training_shards(
+        df, str(tmp_path / "j1"), "doc_id", n_shards=4, format="json"
+    ).collect()
+    m2 = write_training_shards(
+        df.repartition(7), str(tmp_path / "j2"), "doc_id",
+        n_shards=4, format="json",
+    ).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+    mp = write_training_shards(
+        df, str(tmp_path / "p"), "doc_id", n_shards=4
+    ).collect()
+    key = lambda r: (r["shard"], r["n_rows"], r["checksum"])  # noqa: E731
+    assert [key(r) for r in m1] == [key(r) for r in mp]
+    assert len(glob.glob(str(tmp_path / "j1" / "shard=*" / "*.json"))) == 4
+    with pytest.raises(ValueError, match="format"):
+        write_training_shards(
+            df, str(tmp_path / "x"), "doc_id", n_shards=2, format="orc"
+        )
