@@ -10378,7 +10378,10 @@ def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'k' — classifier_filter keep flags at threshold_prob=0.5
       (logit cut ln(1) = 0 exactly — integer compare, no margin
       hazard). The sigmoid itself is deliberately unhashed
-      (transcendental — FLOATS.md).
+      (transcendental — FLOATS.md);
+    - 'cz' / 'ck' — the same sum-logit + keep surfaces in CHARACTER
+      3-gram feature mode (char_n=3, the fastText subword recipe),
+      proving the char feature extraction engine-exact too.
 
     All-string (op, k, v) frame."""
     from data_validation_engine_spark.llmops.classifier import (
@@ -10411,7 +10414,29 @@ def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(doc_id AS STRING) AS k",
         "CAST(keep AS STRING) AS v",
     )
-    return z.unionByName(za).unionByName(k)
+    # char-gram feature mode (the fastText subword recipe) on the same
+    # integer-weight discipline: sum-mode logit + keep flag
+    cz = classifier_score(
+        docs, "text", w, bias=3.0, average=False, char_n=3,
+        n_feats_col="nf",
+    ).selectExpr(
+        "'cz' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(CAST(clf_logit AS BIGINT) AS STRING),"
+        " CAST(nf AS STRING)) AS v",
+    )
+    ck = classifier_filter(
+        docs, "text", w, bias=3.0, average=False, char_n=3,
+        threshold_prob=0.5, keep_col="keep",
+    ).selectExpr(
+        "'ck' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CAST(keep AS STRING) AS v",
+    )
+    return (
+        z.unionByName(za).unionByName(k)
+        .unionByName(cz).unionByName(ck)
+    )
 
 
 _R12_STAGED_ORACLES["r12_classifier"] = f"""
@@ -10436,6 +10461,52 @@ _R12_STAGED_ORACLES["r12_classifier"] = f"""
     UNION ALL
     SELECT 'k', CAST(doc_id AS VARCHAR), CAST(z >= 0 AS VARCHAR)
     FROM scored
+    UNION ALL
+    SELECT 'cz', CAST(doc_id AS VARCHAR),
+           CAST(CAST(cz AS BIGINT) AS VARCHAR) || '|' ||
+           CAST(cnf AS VARCHAR)
+    FROM (
+        SELECT doc_id, len(cf) AS cnf,
+               3 + COALESCE(list_sum(
+                   list_transform(cf, b -> ((b * 7 + 3) % 21) - 10)), 0)
+                   AS cz
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN length(t) >= 3 THEN
+                       list_transform(generate_series(1, length(t) - 2),
+                           i -> ('0x' || substring(md5('|chr3|' ||
+                               substring(t, i, 3)), 1, 15))
+                               ::BIGINT % 512)
+                   WHEN length(t) >= 1 THEN
+                       [('0x' || substring(md5('|chr3|' || t), 1, 15))
+                           ::BIGINT % 512]
+                   ELSE CAST([] AS BIGINT[]) END AS cf
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\s+', ' ',
+                                             'g')) AS t
+                  FROM documents)
+        )
+    )
+    UNION ALL
+    SELECT 'ck', CAST(doc_id AS VARCHAR), CAST(cz >= 0 AS VARCHAR)
+    FROM (
+        SELECT doc_id,
+               3 + COALESCE(list_sum(list_transform(
+                   CASE WHEN length(t) >= 3 THEN
+                       list_transform(generate_series(1, length(t) - 2),
+                           i -> ('0x' || substring(md5('|chr3|' ||
+                               substring(t, i, 3)), 1, 15))
+                               ::BIGINT % 512)
+                   WHEN length(t) >= 1 THEN
+                       [('0x' || substring(md5('|chr3|' || t), 1, 15))
+                           ::BIGINT % 512]
+                   ELSE CAST([] AS BIGINT[]) END,
+                   b -> ((b * 7 + 3) % 21) - 10)), 0) AS cz
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                         AS t
+              FROM documents)
+    )
 """
 
 

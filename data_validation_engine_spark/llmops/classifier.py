@@ -31,7 +31,83 @@ from data_validation_engine_spark.llmops.dsir import (
     ngram_buckets,
 )
 
-__all__ = ["classifier_score", "classifier_filter", "classifier_fit"]
+__all__ = [
+    "char_ngram_buckets",
+    "classifier_score",
+    "classifier_filter",
+    "classifier_fit",
+]
+
+
+def char_ngram_buckets(
+    text: Column,
+    *,
+    n: int = 3,
+    buckets: int = DEFAULT_BUCKETS,
+    seed: str = "",
+    lowercase: bool = True,
+) -> Column:
+    """``array<int>``: hashed CHARACTER n-gram features — the actual
+    fastText recipe (Bojanowski 2017 subword units), and the feature
+    space that keeps working where word grams fail: short texts,
+    languages without whitespace word boundaries, noisy tokenization.
+    Whitespace runs collapse to single spaces first (formatting must
+    not change features); texts shorter than ``n`` contribute their
+    whole (non-empty) text as one gram; NULL/blank → empty array.
+    Pure per-row projection, zero shuffle."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    t = F.trim(
+        F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " ")
+    )
+    if lowercase:
+        t = F.lower(t)
+    ln = F.length(t)
+
+    def bucket_of(g: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}|chr{n}|"), g)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("decimal(38,0)")
+            % F.lit(buckets)
+        ).cast("int")
+
+    return (
+        F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), ln - F.lit(n) + F.lit(1)),
+                lambda i: bucket_of(F.substring(t, i, n)),
+            ),
+        )
+        .when(ln >= 1, F.array(bucket_of(t)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+
+
+def _features(
+    text: Column,
+    *,
+    n_buckets: int,
+    n_max: int,
+    seed: str,
+    char_n: int | None,
+) -> Column:
+    """Word-gram (default) or character-gram feature buckets — every
+    classifier entry point routes through here so train and inference
+    can never disagree on the feature space."""
+    if char_n is not None:
+        return char_ngram_buckets(
+            text, n=char_n, buckets=n_buckets, seed=seed
+        )
+    return ngram_buckets(text, n_max=n_max, buckets=n_buckets, seed=seed)
+
 
 
 def classifier_score(
@@ -43,6 +119,7 @@ def classifier_score(
     n_max: int = 2,
     seed: str = "",
     average: bool = True,
+    char_n: int | None = None,
     out_col: str = "clf_logit",
     prob_col: str | None = None,
     n_feats_col: str | None = None,
@@ -77,8 +154,9 @@ def classifier_score(
     wdf = spark.createDataFrame(
         [([float(w) for w in weights],)], "__clf_w array<double>"
     )
-    feats = ngram_buckets(
-        F.col(text_col), n_max=n_max, buckets=n_buckets, seed=seed
+    feats = _features(
+        F.col(text_col),
+        n_buckets=n_buckets, n_max=n_max, seed=seed, char_n=char_n,
     )
     total = F.aggregate(
         feats,
@@ -113,6 +191,7 @@ def classifier_filter(
     n_max: int = 2,
     seed: str = "",
     average: bool = True,
+    char_n: int | None = None,
     threshold_prob: float = 0.5,
     keep_col: str | None = None,
     score_col: str = "clf_logit",
@@ -134,7 +213,7 @@ def classifier_filter(
     scored = classifier_score(
         df, text_col, weights,
         bias=bias, n_max=n_max, seed=seed, average=average,
-        out_col=score_col,
+        char_n=char_n, out_col=score_col,
     )
     decision = F.col(score_col) >= F.lit(cut)
     if keep_col is not None:
@@ -156,6 +235,7 @@ def classifier_fit(
     n_max: int = 2,
     seed: str = "",
     average: bool = True,
+    char_n: int | None = None,
     epochs: int = 20,
     lr: float = 0.5,
     l2: float = 0.0,
@@ -208,8 +288,9 @@ def classifier_fit(
         )
         .cast("double")
     )
-    feats = ngram_buckets(
-        F.col(text_col), n_max=n_max, buckets=n_buckets, seed=seed
+    feats = _features(
+        F.col(text_col),
+        n_buckets=n_buckets, n_max=n_max, seed=seed, char_n=char_n,
     )
     base = df.select(label.alias("__y"), feats.alias("__f")).persist()
     try:

@@ -1733,6 +1733,7 @@ class ClassifierFit(AbstractStep):
     n_max: int = 2
     seed: str = ""
     average: bool = True
+    char_n: Optional[int] = None  # char n-grams instead of word grams
     epochs: int = 20
     lr: float = 0.5
     l2: float = 0.0
@@ -1757,6 +1758,7 @@ class ClassifierScore(AbstractStep):
     n_max: int = 2
     seed: str = ""
     average: bool = True
+    char_n: Optional[int] = None  # char n-grams instead of word grams
     score_column: str = "clf_logit"
     prob_column: Optional[str] = None
     threshold_prob: Optional[float] = None

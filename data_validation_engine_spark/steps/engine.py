@@ -2689,6 +2689,7 @@ class StepEngine:
             n_max=config.n_max,
             seed=config.seed,
             average=config.average,
+            char_n=config.char_n,
             epochs=config.epochs,
             lr=config.lr,
             l2=config.l2,
@@ -2749,6 +2750,7 @@ class StepEngine:
                 n_max=config.n_max,
                 seed=config.seed,
                 average=config.average,
+                char_n=config.char_n,
                 threshold_prob=config.threshold_prob,
                 keep_col=config.keep_column,
                 score_col=config.score_column,
@@ -2762,6 +2764,7 @@ class StepEngine:
                 n_max=config.n_max,
                 seed=config.seed,
                 average=config.average,
+                char_n=config.char_n,
                 out_col=config.score_column,
                 prob_col=config.prob_column,
             )

@@ -836,3 +836,48 @@ def test_training_shards_json_format(spark, sf_dir, tmp_path):
         write_training_shards(
             df, str(tmp_path / "x"), "doc_id", n_shards=2, format="orc"
         )
+
+
+def test_char_ngram_features_end_to_end(spark):
+    """Char-gram mode: features survive formatting changes (whitespace
+    collapse), work on short texts, and train/score consistently."""
+    from data_validation_engine_spark.llmops.classifier import (
+        char_ngram_buckets,
+        classifier_fit,
+        classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "ab"), (4, None)],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: list(r["f"])
+        for r in df.select(
+            "id",
+            char_ngram_buckets(F.col("text"), n=3, buckets=64).alias("f"),
+        ).collect()
+    }
+    assert got[1] == got[2]  # case + whitespace-run invariant
+    assert len(got[3]) == 1  # short text -> one whole-text gram
+    assert got[4] == []
+    # separable by characters even with ONE-word texts (word bigrams
+    # would see nothing to pair)
+    rows = [(i, f"goodword{i % 3}", 1) for i in range(30)] + [
+        (100 + i, f"spamword{i % 3}", 0) for i in range(30)
+    ]
+    train = spark.createDataFrame(rows, "id long, text string, y int")
+    w, b = classifier_fit(
+        train, "text", "y", n_buckets=256, char_n=3, epochs=30, lr=2.0
+    )
+    scored = classifier_score(train, "text", w, bias=b, char_n=3)
+    acc = (
+        scored.where(
+            ((F.col("clf_logit") >= 0) & (F.col("y") == 1))
+            | ((F.col("clf_logit") < 0) & (F.col("y") == 0))
+        ).count()
+        / 60
+    )
+    assert acc == 1.0
+    with pytest.raises(ValueError, match="n must be"):
+        df.select(char_ngram_buckets(F.col("text"), n=1))
