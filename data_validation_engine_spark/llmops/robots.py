@@ -17,10 +17,12 @@ Wildcards per the spec: ``*`` matches any octet sequence, a trailing
 translation escapes them).
 
 Scale shape: rule tables are tiny per host (and skew-safe: one row
-per rule, grouped by host); :func:`robots_allowed` is one equi-join
-on host — AQE broadcasts a dimension-sized rule table — followed by a
-per-row regex match and one WindowGroupLimit to pick the decisive
-rule. No Python, no per-URL state.
+per rule, grouped by host); :func:`robots_allowed` collapses them to
+ONE row per host and decides per URL with a pure array fold after the
+host equi-join (AQE broadcasts the dimension side) — the URL stream
+never shuffles, never multiplies by rule count, and the operator
+lifts to Structured Streaming unchanged (r11; previously a per-row-id
+window). No Python, no per-URL state.
 
 Net-new vs the reference (no crawl surface); public spec: RFC 9309,
 "Robots Exclusion Protocol".
@@ -28,7 +30,7 @@ Net-new vs the reference (no crawl surface); public spec: RFC 9309,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["parse_robots", "robots_allowed"]
@@ -220,54 +222,68 @@ def robots_allowed(
     )
     path = F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    # per-row id: the decisive-rule window must not collapse DUPLICATE
-    # url rows (monotonically_increasing_id is stable within this plan,
-    # which is all grouping needs — it never reaches the output)
-    keyed = (
-        urls.withColumn("__rid", F.monotonically_increasing_id())
-        .withColumn("__host", host)
-        .withColumn("__path", path)
-    )
-    cand = rules.where(F.col("agent").isin(a, "*")).select(
-        F.col("host").alias("__host"),
-        "agent",
-        "directive",
-        "match_regex",
-        "pattern_len",
-    )
-    joined = keyed.join(cand, "__host", "left")
-    # exact-agent group preempts '*' where it exists for the host
-    # (window expressions cannot sit in WHERE — project first)
-    joined = joined.withColumn(
-        "__has_exact",
-        F.max(
-            F.when(F.col("agent") == a, F.lit(1)).otherwise(F.lit(0))
-        ).over(Window.partitionBy("__host")),
-    )
-    grouped = joined.where(
-        F.col("agent").isNull()
-        | F.when(
-            F.col("__has_exact") == 1, F.col("agent") == a
-        ).otherwise(F.col("agent") == "*")
-    )
-    matched = grouped.withColumn(
-        "__hit",
-        F.col("match_regex").isNotNull()
-        & F.expr("__path RLIKE match_regex"),
-    )
-    # decisive rule: longest matching pattern, allow wins ties
-    w = Window.partitionBy("__rid").orderBy(
-        F.when(F.col("__hit"), F.col("pattern_len")).otherwise(-1).desc(),
-        F.when(F.col("directive") == "allow", 0).otherwise(1).asc(),
-    )
-    decided = (
-        matched.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .withColumn(
-            out_col,
-            F.when(
-                F.col("__hit").isNull() | ~F.col("__hit"), F.lit(True)
-            ).otherwise(F.col("directive") == "allow"),
+    # r11 restructure: the rule table collapses to ONE row per host (a
+    # dimension-sized aggregation) and the decision becomes a per-URL
+    # fold over that host's rule array — no per-row-id window, so the
+    # URL side never shuffles and never multiplies by its rule count,
+    # and the operator lifts to Structured Streaming unchanged
+    # (stream-static equi-join + projection; the old window/
+    # monotonically_increasing_id shape was batch-only). Semantics are
+    # identical: the decisive rule maximises pattern_len*2 +
+    # (allow ? 1 : 0) over the selected group's matching rules — the
+    # longest pattern wins and allow wins length ties — and no match /
+    # no group / no rules means allowed.
+    per_host = (
+        rules.where(F.col("agent").isin(a, "*"))
+        .groupBy(F.col("host").alias("__host"))
+        .agg(
+            F.collect_list(
+                F.struct("agent", "directive", "match_regex",
+                         "pattern_len")
+            ).alias("__rules")
         )
     )
-    return decided.select(*urls.columns, out_col)
+    joined = (
+        urls.withColumn("__host", host)
+        .withColumn("__path", path)
+        .join(per_host, "__host", "left")
+    )
+    rules_arr = F.coalesce(
+        F.col("__rules"),
+        F.array().cast(
+            "array<struct<agent:string,directive:string,"
+            "match_regex:string,pattern_len:int>>"
+        ),
+    )
+    has_exact = F.exists(rules_arr, lambda r: r["agent"] == a)
+    selected = F.filter(
+        rules_arr,
+        lambda r: F.when(has_exact, r["agent"] == a).otherwise(
+            r["agent"] == "*"
+        ),
+    )
+    hits = F.filter(
+        selected,
+        lambda r: F.regexp_like(F.col("__path"), r["match_regex"]),
+    )
+    best = F.aggregate(
+        hits,
+        F.struct(
+            F.lit(-1).alias("score"), F.lit(True).alias("allow")
+        ),
+        lambda acc, r: F.when(
+            r["pattern_len"] * F.lit(2)
+            + F.when(r["directive"] == "allow", 1).otherwise(0)
+            > acc["score"],
+            F.struct(
+                (
+                    r["pattern_len"] * F.lit(2)
+                    + F.when(r["directive"] == "allow", 1).otherwise(0)
+                ).alias("score"),
+                (r["directive"] == "allow").alias("allow"),
+            ),
+        ).otherwise(acc),
+    )
+    return joined.withColumn(out_col, best["allow"]).select(
+        *urls.columns, out_col
+    )

@@ -34,6 +34,9 @@ SENSITIVE = [
     "corpus_terms",
     "feature_scores",
     "text_prep",
+    # round-11: non-ASCII script profiling + robots regexes under a
+    # non-UTC locale-ish environment
+    "crawl_signals",
 ]
 
 

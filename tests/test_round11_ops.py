@@ -881,3 +881,50 @@ def test_char_ngram_features_end_to_end(spark):
     assert acc == 1.0
     with pytest.raises(ValueError, match="n must be"):
         df.select(char_ngram_buckets(F.col("text"), n=1))
+
+
+def test_robots_filtering_composes_with_streaming(spark, tmp_path):
+    """robots_allowed is a stream-static equi-join + per-row regex, so
+    continuous crawl-compliance filtering works on an ingest stream;
+    parity with batch pinned."""
+    from data_validation_engine_spark.llmops.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [("site.ex", "User-agent: *\nDisallow: /private/")],
+        "host string, body string",
+    )
+    rules = parse_robots(robots, "host", "body")
+    src = str(tmp_path / "urls")
+    urls = spark.createDataFrame(
+        [
+            (i, f"http://site.ex/{'private' if i % 3 == 0 else 'pub'}/p{i}")
+            for i in range(30)
+        ],
+        "id long, url string",
+    )
+    urls.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema("id long, url string").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        robots_allowed(sdf, rules, "url", agent="trainbot")
+        .writeStream.format("parquet")
+        .option("path", f"{out}/d")
+        .option("checkpointLocation", f"{out}/c")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["id"]: r["robots_allowed"]
+        for r in spark.read.parquet(f"{out}/d").collect()
+    }
+    want = {
+        r["id"]: r["robots_allowed"]
+        for r in robots_allowed(urls, rules, "url", agent="trainbot").collect()
+    }
+    assert got == want
+    assert sum(1 for v in got.values() if not v) == 10
