@@ -10439,7 +10439,7 @@ def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_R12_STAGED_ORACLES["r12_classifier"] = f"""
+_R12_STAGED_ORACLES["r12_classifier"] = rf"""
     WITH feats AS ({_DUCK_DSIR_FEATS}),
     scored AS (
         SELECT doc_id, len(f) AS nf,

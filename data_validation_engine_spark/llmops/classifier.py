@@ -276,8 +276,13 @@ def classifier_fit(
     if lr <= 0:
         raise ValueError(f"lr must be positive, got {lr}")
     spark = df.sparkSession
+    # cast FIRST so boolean label columns (a natural keep/drop store)
+    # become 1.0/0.0 before the 0/1 validation — comparing boolean vs
+    # int literals under Spark 4 ANSI analysis would fail instead of
+    # giving the documented loud error (ADVICE r11)
+    _lbl = F.col(label_col).cast("double")
     label = (
-        F.when(F.col(label_col).isin(0, 1), F.col(label_col))
+        F.when(_lbl.isin(0.0, 1.0), _lbl)
         .otherwise(
             F.raise_error(
                 F.lit(

@@ -211,8 +211,12 @@ def robots_allowed(
     rule table's hosts were keyed).
     """
     a = agent.lower()
+    # lowercase BOTH branches: parse_robots lowercases rule hosts
+    # unconditionally (the table's invariant), so a precomputed
+    # mixed-case host column must fold too or it silently never joins
+    # and every URL under it comes back allowed (ADVICE r11)
     host = (
-        F.col(host_col)
+        F.lower(F.col(host_col))
         if host_col is not None
         else F.lower(
             F.regexp_extract(

@@ -697,6 +697,7 @@ def windowed_heavy_hitters(
     depth: int = 4,
     width: int = 4096,
     seed: str = "",
+    check_totals: bool = False,
 ) -> DataFrame:
     """EXACT per-window heavy hitters on an unbounded stream's history
     — the streaming lift of :func:`heavy_hitters` (r10 verdict,
@@ -720,7 +721,19 @@ def windowed_heavy_hitters(
        ``n >= min_count`` cut.
 
     Never-undercount ⇒ output is IDENTICAL to the naive per-window
-    exact group-by (the :func:`heavy_hitters` guarantee, per window).
+    exact group-by (the :func:`heavy_hitters` guarantee, per window) —
+    PROVIDED every probed event was counted into the cells. The CMS
+    never undercounts what it saw, but it cannot screen for what it
+    never saw: an event the streaming pass's watermark dropped as late
+    (yet which remains in the raw ``events`` table) lowers the cell
+    estimate below the true raw count, and a true heavy hitter whose
+    estimate falls under ``min_count`` would be silently screened out
+    (ADVICE r11). Either probe exactly the events the streaming pass
+    admitted, or pass ``check_totals=True`` for a cheap consistency
+    gate: per window, ``sum(cells.n)`` must equal ``depth`` × the
+    window's probed-event count (each event increments exactly
+    ``depth`` cells), and any mismatching window raises loudly.
+
     The broadcast is bounded by windows-in-scope × ``depth*width`` × 8
     bytes (~128 KiB per window at the defaults) — scope the ``cells``
     input to the maintenance pass's window range, not all history.
@@ -749,6 +762,43 @@ def windowed_heavy_hitters(
         * F.lit(int(window_seconds))
     ).alias("window_start")
     probe = events.select(win, F.col(value_col))
+    if check_totals:
+        # cells-cover-the-probe premise (docstring): each counted event
+        # increments exactly `depth` cells, so per window
+        # sum(cells.n) == depth * probed-event-count. Both sides are
+        # window-count-bounded aggregations; the collect is too.
+        bad = (
+            probe.groupBy("window_start")
+            .agg((F.count(F.lit(1)) * F.lit(int(depth))).alias("__want"))
+            .join(
+                cells.groupBy("window_start").agg(
+                    F.sum("n").alias("__got")
+                ),
+                "window_start",
+                "full",
+            )
+            .where(
+                ~F.coalesce(F.col("__got"), F.lit(0)).eqNullSafe(
+                    F.coalesce(F.col("__want"), F.lit(0))
+                )
+            )
+            .select("window_start", "__want", "__got")
+            .collect()
+        )
+        if bad:
+            sample = ", ".join(
+                f"window {r['window_start']}: cells carry {r['__got']} "
+                f"increments, probe implies {r['__want']}"
+                for r in bad[:5]
+            )
+            raise ValueError(
+                "windowed_heavy_hitters(check_totals=True): the cells "
+                "do not cover exactly the probed events (late data "
+                "dropped by the streaming watermark, or extra/missing "
+                f"probe rows) in {len(bad)} window(s) — {sample}. The "
+                "exactness guarantee needs cells == counted(probe); "
+                "restrict the probe to the admitted events."
+            )
     est = F.array_min(
         F.transform(
             _cms_col(F.col(value_col), depth, width, seed),

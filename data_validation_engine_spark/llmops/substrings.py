@@ -26,6 +26,17 @@ the CANDIDATE grams only; and interval merge + text surgery are
 per-row folds. The only data-sized shuffle is the marked-position
 rows — bounded by the boilerplate actually present, not the corpus.
 
+Collision caveat (ADVICE r11): anchors are 60-bit md5-prefix hashes
+with no exact-text verify, so "exact" holds up to hash collisions —
+at the trillions-of-grams scale this module targets, a cold gram that
+collides with a hot one marks a non-repeated span hot and excises
+legitimate text (expected collisions ~ n²/2⁶¹; the reference
+ExactSubstr verifies bytes). For collision-sensitive runs pass
+``exact_verify=True`` to :func:`repeated_substring_spans` /
+:func:`remove_repeated_substrings`: marked positions re-join on the
+gram TEXT (only the hot sliver pays the text shuffle), eliminating
+false excisions entirely.
+
 No reference counterpart (`/root/reference` has no corpus surface).
 """
 
@@ -67,6 +78,7 @@ def repeated_substring_spans(
     depth: int = 4,
     width: int = 1 << 16,
     seed: str = "",
+    exact_verify: bool = False,
 ) -> DataFrame:
     """The merged character spans (1-based, half-open ``[start, end)``)
     of every maximal cross-document-repeated run: one row per span,
@@ -82,7 +94,12 @@ def repeated_substring_spans(
     ``depth``/``width`` size the CMS screen exactly as
     :func:`~.sketch.heavy_hitters` (never-undercount: no hot gram is
     missed; overcounted cold grams are removed by the exact count).
-    """
+
+    ``exact_verify=True`` re-groups the marked positions by the gram's
+    actual TEXT and keeps only grams whose text occurs in >=
+    ``min_docs`` distinct documents — closing the 60-bit-hash collision
+    window (module docstring) at the cost of shuffling the hot sliver's
+    gram text (never the corpus)."""
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     if min_docs < 2:
@@ -94,6 +111,7 @@ def repeated_substring_spans(
 
     grams = df.select(
         F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
         _gram_hashes(F.col(text_col), min_len).alias("__g"),
     )
     doc_grams = grams.select(
@@ -105,11 +123,29 @@ def repeated_substring_spans(
     marked = (
         grams.select(
             F.col(id_col),
+            F.col("__t"),
             F.posexplode("__g").alias("__p0", "__h"),
         )
         .join(hot, "__h")
-        .select(id_col, (F.col("__p0") + 1).alias("__s"))
+        .select(
+            id_col,
+            (F.col("__p0") + 1).alias("__s"),
+            F.col("__t").substr(
+                F.col("__p0") + 1, F.lit(min_len)
+            ).alias("__gt"),
+        )
     )
+    if exact_verify:
+        # collision closure: only the marked (hot-candidate) sliver
+        # carries its gram text here — the corpus never shuffles
+        verified = (
+            marked.groupBy("__gt")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .where(F.col("__nd") >= min_docs)
+            .select("__gt")
+        )
+        marked = marked.join(verified, "__gt")
+    marked = marked.select(id_col, "__s")
     starts = marked.groupBy(id_col).agg(
         F.sort_array(F.collect_list("__s")).alias("__starts")
     )
@@ -163,6 +199,7 @@ def remove_repeated_substrings(
     width: int = 1 << 16,
     seed: str = "",
     out_col: str | None = None,
+    exact_verify: bool = False,
 ) -> DataFrame:
     """Cut every :func:`repeated_substring_spans` span out of
     ``text_col``: all input columns plus ``n_spans`` and
@@ -179,6 +216,7 @@ def remove_repeated_substrings(
         df, id_col, text_col,
         min_len=min_len, min_docs=min_docs,
         depth=depth, width=width, seed=seed,
+        exact_verify=exact_verify,
     )
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(

@@ -2695,8 +2695,13 @@ class StepEngine:
             l2=config.l2,
         )
         spark = entities[config.entity_name].sparkSession
+        # bucket -2 declares n_buckets (ADVICE r11): a partially read
+        # or written entity that lost TRAILING bucket rows would
+        # otherwise reconstruct a smaller feature space and score
+        # everything wrong silently — the sentinel lets the consumer
+        # validate completeness instead of inferring it from max()
         entities[config.output_name] = spark.createDataFrame(
-            [(-1, float(bias))]
+            [(-2, float(len(weights))), (-1, float(bias))]
             + [(b, float(w)) for b, w in enumerate(weights)],
             "bucket int, weight double",
         )
@@ -2715,10 +2720,13 @@ class StepEngine:
         # bounded collect: the weights entity is n_buckets+1 rows by
         # the classifier_fit contract
         rows = entities[config.weights_entity].collect()
-        bias = config.bias
+        bias = None
+        declared = None
         pairs: dict[int, float] = {}
         for r in rows:
-            if r["bucket"] == -1:
+            if r["bucket"] == -2:
+                declared = int(r["weight"])
+            elif r["bucket"] == -1:
                 bias = float(r["weight"])
             else:
                 pairs[int(r["bucket"])] = float(r["weight"])
@@ -2727,7 +2735,26 @@ class StepEngine:
                 f"classifier_score: weights entity "
                 f"'{config.weights_entity}' holds no bucket rows"
             )
-        n = max(pairs) + 1
+        # completeness check (ADVICE r11): classifier_fit writes one
+        # row per bucket 0..n_buckets-1, a bias row (-1), and an
+        # n_buckets sentinel (-2). A sparser entity (filtered read,
+        # partial write) silently SHRINKS the feature space — every
+        # n-gram then hashes to a different bucket and all scores are
+        # wrong with no error — so fail loudly instead. The sentinel
+        # also catches TRAILING loss, which density alone cannot.
+        n = declared if declared is not None else max(pairs) + 1
+        if len(pairs) != n or max(pairs) != n - 1 or bias is None:
+            missing = (
+                "bias row (bucket = -1)"
+                if bias is None
+                else f"{n - len(pairs)} of {n} bucket rows"
+            )
+            raise ConfigurationError(
+                f"classifier_score: weights entity "
+                f"'{config.weights_entity}' is not a dense "
+                f"classifier_fit export — missing {missing}; "
+                "re-export the fitted weights without filtering"
+            )
         return [pairs.get(b, 0.0) for b in range(n)], bias
 
     def classifier_score(

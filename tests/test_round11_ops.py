@@ -551,7 +551,8 @@ def test_declared_classifier_fit_then_score(spark):
             }
         ),
     )
-    assert ents["model"].count() == 257  # 256 buckets + the bias row
+    # 256 buckets + bias row (-1) + n_buckets sentinel (-2, ADVICE r11)
+    assert ents["model"].count() == 258
     eng.evaluate(
         ents,
         config=parse_step(

@@ -36,3 +36,25 @@ def test_no_stray_control_characters():
         if len(hits) != allowed:
             bad.append((rel, len(hits), allowed, [hex(ord(c)) for c in hits[:5]]))
     assert not bad, f"stray control characters: {bad}"
+
+
+def test_repo_compiles_with_warnings_as_errors():
+    """Every repo source compiles under -W error (r11 verdict,
+    Next-round #4): an invalid escape sequence is a DeprecationWarning
+    today and a SyntaxError on a future Python — fail it now, at
+    compile time, where the fix is a one-char raw-string prefix."""
+    import py_compile
+    import warnings
+
+    bad = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for p in REPO.rglob("*.py"):
+            rel = p.relative_to(REPO).as_posix()
+            if ".git" in rel or rel.startswith((".claude/", "build/", "spark-warehouse/")):
+                continue
+            try:
+                py_compile.compile(str(p), doraise=True, quiet=2)
+            except Exception as exc:  # noqa: BLE001 — collect all
+                bad.append((rel, str(exc)[:160]))
+    assert not bad, f"compile warnings/errors: {bad}"
