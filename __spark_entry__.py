@@ -6904,88 +6904,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 queries: the driver's correctness artifact records at
-    most 50 rows, so the budget is allocated deliberately.
+    most 50 rows, so the budget is allocated deliberately. The full
+    merge history and per-row tag map live in ROSTER.md; this docstring
+    keeps only the LIVE round-12 edit.
 
-    ROUND-11 edit (the r10 verdict's promotion plan, executed as a
-    pure roster edit — every constituent query function and oracle is
-    reused verbatim; see the _R11_ORACLES section at the end of this
-    file for the slot arithmetic): hll_profile -> cms_sketch
-    ('grp'/'fine'/'roll' tags, plus the staged heavy-hitters
-    'tok'/'src' tags); text_normalize + chat_prep -> text_prep;
-    materialize_packs + training_shards + source_formats -> artifacts;
-    NEW rows selection_sketches (bloom + dsir), chunking_v2
-    (content-defined + sentence chunking + streaming paragraph
-    frequency), sampling_v2 (token-budget curation + negative samples
-    + interleave), crawl_signals (robots + script profile + RRF) —
-    all twelve constituents pre-proven green through the exact driver
-    comparison pipeline in round 10.
+    ROUND-12 edit (r11 verdict Next-round #1, a pure roster edit —
+    every constituent query function and oracle reused verbatim; slot
+    arithmetic in the _R12 promotion section at the end of this file):
+    paragraph_dedup + shared_spans -> span_dedup (+ staged 'inc'
+    incremental-span tag); cms_sketch + selection_sketches -> sketches
+    (+ staged 'bx' Bloom-decontamination tag); chunking_v2 + artifacts
+    -> chunk_artifacts; text_prep + corpus_terms -> text_corpus;
+    sampling_v2 gains the staged 'hn' hard-negatives tag;
+    crawl_signals gains the staged crawl-graph 'l'/'a'/'c'/'q' tags;
+    NEW rows classifier ('z'/'za'/'k'/'cz'/'ck'), substring_dedup
+    ('sp'/'rm'), index_maintenance ('ix'/'st'), stream_heavy ('hh') —
+    all eight staged constituents pre-proven green through the exact
+    driver comparison pipeline in round 11 (oracle_check --staged 8/8).
 
-    ROUND 10
-    restructure (per the r9 verdict, all 49 real rows green): the 15
-    round-9 localization singletons — proven individually innocent, the
-    divergence was the engine→pandas dtype-coercion layer, fixed by the
-    all-string hash discipline — are re-merged into four union rows
-    (the merge map below is the r9 split reversed), the env_probe
-    diagnostic is retired (its fingerprint is recorded in the r9
-    verdict: Spark 4.1.2 / DuckDB 1.0.0 / pandas 2.2.2 / UTC), and the
-    twelve freed slots oracle-attest the round-9 operator increment for
-    the first time.
-
-    Round-10 re-merges (r9 singleton -> union row / tag):
-    tfidf_top1 'tfidf' + vocab_build 'vocab' + vocab_encode 'enc' +
-    postings 'post' + bpe_pairstats 'bpe' -> corpus_terms (+ NEW 'dec'
-    tag: join-path bpe_encode → bpe_decode round-trip); topk_group +
-    rolling_agg + percentiles + rollup_cube -> window_analytics;
-    retention + funnel_batch + funnel_stream + rolling_stream ->
-    event_analytics; sessionize_batch 'b' + sessionize_stream 's' ->
-    sessionize.
-
-    Round-10 NEW attestation rows (the r9 Stratum-B surface, each with
-    a DuckDB oracle): semantic_dedup (SemDeDup, fixed centroids);
-    paragraph_dedup (CCNet/FineWeb paragraph dedup + split_sentences);
-    shared_spans (winnowing fingerprints + shared-span pairs);
-    cms_sketch (batch build/query/merge + NULL-group probe + streaming
-    cells parity); hll_profile (sparse-regime-exact estimates +
-    rollup); pca_project (mergeable moments + fixed-component
-    projection); feature_scores (standardize minmax/robust +
-    grouped_auc + LM perplexity integer surfaces + compression-ratio
-    threshold); chat_prep (render_chat + conversation_stats +
-    token_loss_mask); text_normalize (normalize_text +
-    extract_html_text + parse_json + URL functions);
-    materialize_packs; training_shards (manifest hash);
-    source_formats (ORC + binaryFile round-trips). pipeline_e2e gains
-    the versioned-table time-travel tags (r9 verdict Next-round #6).
-
-    Still pytest-pinned only (documented non-hashable): the BPE merge
-    LOOP itself (iterative driver-side argmax; the learned tokenizer's
-    application is now driver-attested via corpus_terms 'dec'),
-    pca_fit's eigen-iteration (transcendental-adjacent float loop;
-    moments and projection are driver-attested), perplexity/zscore
-    float values (ln/Welford-variance; integer inputs and wide-margin
-    threshold booleans are driver-attested), real multimodal codecs
-    (no libs in container).
-
-    Pre-round-9 merge history (still in force for the unlisted rows):
-    has_match+identify_orphans+asof+interval -> flag_joins; sink_errors ->
-    notification (now sync_filters); sink_entities -> entity_ops;
-    python_udf+udtf+sqlq -> scalar_functions; contract_empty_entity ->
-    contract_cast; contract_error_details -> contract_messages;
-    step_dedup_exact+incremental dedup -> dedup_exact;
-    connected_components_star+pagerank+triangle -> connected_components;
-    similarity rows -> ann_variants (step path in step_similarity_ann);
-    lang_id+text_fingerprint+split+weighted+ecdf -> text_stats;
-    multimodal_decode -> multimodal_meta; audit_latest_status+compaction ->
-    pipeline_e2e; group_by_pivot+unpivot round-trip -> group_by;
-    merge_upsert 'upsert' + apply_changes 'cdc' + scd2/scd2s -> union;
-    sampled_quantiles+kmv/kmvset+winsorize+impute+chi2+regression ->
-    data_profiling; corpus_mix+quota+buck -> sequence_prep;
-    snapshot_diff 'diff' + pseudonymize 'anon' -> entity_ops;
-    stream-stream interval join 'sjoin' -> streaming_sync_messages;
-    streaming_apply_changes 'scdc' -> streaming_dedup;
-    quantize 'quant' + project 'proj' -> vector_stats;
-    cluster_representatives 'rep:' -> step_dedup_fuzzy;
-    BPE merge loop + merge_regression_stats -> pytest-pinned
-    (tests/test_bpe.py, tests/test_round8b.py)."""
+    Still pytest-pinned only (documented non-hashable, FLOATS.md +
+    ROSTER.md): the BPE merge loop, pca_fit's eigen-iteration,
+    perplexity/zscore float values, classifier_fit's trained weights,
+    hash_bucket(algo="xxhash64"), real multimodal codecs."""
     return {
         # relational steps (SURVEY §2.3)
         "add_select": q_add_select,
@@ -7021,8 +6961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profiling": q_data_profiling,
         "text_retrieval": q_text_retrieval,
         "multimodal_meta": q_multimodal_meta,
-        # corpus term surfaces (round-10 re-merged union + BPE decode)
-        "corpus_terms": q_corpus_terms,
         # sources (SURVEY §2.1)
         "source_xml_json": q_source_xml_json,
         # streaming (availableNow drains over the events table)
@@ -7035,25 +6973,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         # round-10 attestation rows for the round-9 operator increment
         "semantic_dedup": q_semantic_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "shared_spans": q_shared_spans,
-        "cms_sketch": q_cms_sketch_v2,
         "pca_project": q_pca_project,
         "feature_scores": q_feature_scores,
-        "text_prep": q_text_prep,
-        "artifacts": q_artifacts,
-        # round-11 promotion rows (staged-green in r10, see the
-        # _R11_ORACLES section at the end of this file)
-        "selection_sketches": q_selection_sketches,
-        "chunking_v2": q_chunking_v2,
-        "sampling_v2": q_sampling_v2,
-        "crawl_signals": q_crawl_signals,
+        # round-12 family merges (constituents verbatim — see ROSTER.md
+        # and the _R12 promotion section at the end of this file)
+        "span_dedup": q_span_dedup,
+        "sketches": q_sketches,
+        "chunk_artifacts": q_chunk_artifacts,
+        "text_corpus": q_text_corpus,
+        # round-11 promotion rows extended with r12 staged tags
+        "sampling_v2": q_sampling_v3,
+        "crawl_signals": q_crawl_signals_v2,
+        # round-12 promotion rows (staged-green in r11, text verbatim;
+        # classifier additionally carries the new 'ev' holdout tags)
+        "classifier": q_classifier_v2,
+        "substring_dedup": q_r12_substring_dedup,
+        "index_maintenance": q_r12_index_maintenance,
+        "stream_heavy": q_r12_stream_heavy,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     merged = {**_ORACLES, **_LLMOPS_ORACLES, **_R10_ORACLES, **_R11_ORACLES}
     for retired in _R11_RETIRED:
+        merged.pop(retired, None)
+    merged.update(_r12_oracles(merged))
+    for retired in _R12_RETIRED:
         merged.pop(retired, None)
     return merged
 
@@ -9699,13 +9644,15 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Nothing new lands on the 50-row roster without a staged green twin
     first; the round-10 batch (r11_bloom ... r11_robots) was promoted
     onto the roster in round 11 exactly as staged (see the
-    _R11_ORACLES section), and this dict now stages the round-11
-    increment for round 12."""
-    return dict(_R12_STAGED_QUERIES)
+    _R11_ORACLES section); the round-11 increment staged here (the
+    eight r12_* rows) was promoted onto the roster in round 12 exactly
+    as staged (see the _R12 promotion section), and this now stages
+    the round-12 increment for round 13."""
+    return dict(_R13_STAGED_QUERIES)
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    return dict(_R12_STAGED_ORACLES)
+    return dict(_R13_STAGED_ORACLES)
 
 
 # round-11 increment candidates, populated below as operators land
@@ -10711,3 +10658,250 @@ _R12_STAGED_ORACLES["r12_substring_dedup"] = r"""
 
 
 _R12_STAGED_QUERIES["r12_substring_dedup"] = q_r12_substring_dedup
+
+
+# ---------------------------------------------------------------------------
+# ROUND-12 PROMOTION (r11 verdict, Next-round #1)
+#
+# The eight staged rows above were pre-proven green through the exact
+# driver comparison pipeline in round 11 (tools/oracle_check.py
+# --staged 8/8, CI-gated by tests/test_staged_oracles.py). This
+# section is the ROSTER EDIT ONLY: every staged query function and
+# oracle string is reused VERBATIM; the wrappers below union proven
+# all-string (op, k, v) frames with disjoint op tags, which preserves
+# each constituent's hashed surface row-for-row.
+#
+# Slot arithmetic (the driver records at most 50 rows):
+#   merged away (4 slots freed; each pair is one SURVEY/verdict
+#   family, so every family stays named by a green row):
+#     paragraph_dedup + shared_spans      -> span_dedup
+#     cms_sketch + selection_sketches     -> sketches
+#     chunking_v2 + artifacts             -> chunk_artifacts
+#     text_prep + corpus_terms            -> text_corpus
+#   folded as tags on surviving rows (0 slots):
+#     r12_spans_incremental ('inc')       -> span_dedup
+#     r12_decon_bloom ('bx')              -> sketches
+#     r12_hard_negatives ('hn')           -> sampling_v2
+#     r12_crawl_graph ('l'/'a'/'c'/'q')   -> crawl_signals
+#   promoted as real rows (4 new rows):
+#     classifier        = r12_classifier
+#     substring_dedup   = r12_substring_dedup
+#     index_maintenance = r12_index_maintenance
+#     stream_heavy      = r12_stream_heavy
+#   net: 50 - 4 + 4 = 50.
+# ---------------------------------------------------------------------------
+
+_R12_RETIRED = (
+    "paragraph_dedup",
+    "shared_spans",
+    "cms_sketch",
+    "selection_sketches",
+    "chunking_v2",
+    "artifacts",
+    "corpus_terms",
+    "text_prep",
+)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 merge: the paragraph/span-dedup family in one row —
+    CCNet paragraph dedup (first/freq/none/sent) + winnowing
+    fingerprints and shared-span pairs (fp/pairs) + the staged-green
+    incremental span index ('inc', r12_spans_incremental verbatim)."""
+    return (
+        q_paragraph_dedup(spark, sf_dir)
+        .unionByName(q_shared_spans(spark, sf_dir))
+        .unionByName(q_r12_spans_incremental(spark, sf_dir))
+    )
+
+
+def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 merge: the sketch family in one row — CMS
+    build/query/merge/stream + HLL profile + exact heavy hitters
+    (cells/est/merge/stream/grp/fine/roll/tok/src) + Bloom filters and
+    DSIR surfaces (w/m/q/rt/sc/nf) + the staged-green Bloom-screened
+    decontamination ('bx', r12_decon_bloom verbatim — its guarantee is
+    output identity with exact decontaminate, which is the oracle)."""
+    return (
+        q_cms_sketch_v2(spark, sf_dir)
+        .unionByName(q_selection_sketches(spark, sf_dir))
+        .unionByName(q_r12_decon_bloom(spark, sf_dir))
+    )
+
+
+def q_chunk_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 merge: the chunk/pack/export family in one row —
+    content-defined + sentence chunking + streaming paragraph
+    frequency (c/sc/w) + pack materialization, training-shard
+    manifests, and ORC/binary round-trips (plain/eod/manifest/orc/
+    bin)."""
+    return q_chunking_v2(spark, sf_dir).unionByName(
+        q_artifacts(spark, sf_dir)
+    )
+
+
+def q_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 merge: the text-preparation + corpus-term family in
+    one row — normalization/HTML/JSON/URL + chat templates
+    (norm/html/json/url/render/stats/mask) + TF-IDF/vocab/postings/BPE
+    round-trip (tfidf/vocab/enc/post/bpe/dec)."""
+    return q_text_prep(spark, sf_dir).unionByName(
+        q_corpus_terms(spark, sf_dir)
+    )
+
+
+def q_sampling_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 extension riding the sampling_v2 row: the r11 roster
+    row verbatim + the staged-green cosine-band hard negatives ('hn',
+    r12_hard_negatives verbatim)."""
+    return q_sampling_v2(spark, sf_dir).unionByName(
+        q_r12_hard_negatives(spark, sf_dir)
+    )
+
+
+def q_crawl_signals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 extension riding the crawl_signals row: the r11 roster
+    row verbatim (robots/script-profile/RRF, r/d/dt/p/f) + the
+    staged-green crawl-graph trio ('l'/'a'/'c'/'q',
+    r12_crawl_graph verbatim)."""
+    return q_crawl_signals(spark, sf_dir).unionByName(
+        q_r12_crawl_graph(spark, sf_dir)
+    )
+
+
+def _r12_oracles(pre: dict[str, str]) -> dict[str, str]:
+    """The round-12 oracle edit over the effective pre-r12 dict: union
+    strings mirror the query wrappers constituent-for-constituent."""
+    return {
+        "span_dedup": _union_sql(
+            pre["paragraph_dedup"],
+            pre["shared_spans"],
+            _R12_STAGED_ORACLES["r12_spans_incremental"],
+        ),
+        "sketches": _union_sql(
+            pre["cms_sketch"],
+            pre["selection_sketches"],
+            _R12_STAGED_ORACLES["r12_decon_bloom"],
+        ),
+        "chunk_artifacts": _union_sql(
+            pre["chunking_v2"], pre["artifacts"]
+        ),
+        "text_corpus": _union_sql(
+            pre["text_prep"], pre["corpus_terms"]
+        ),
+        "sampling_v2": _union_sql(
+            pre["sampling_v2"],
+            _R12_STAGED_ORACLES["r12_hard_negatives"],
+        ),
+        "crawl_signals": _union_sql(
+            pre["crawl_signals"],
+            _R12_STAGED_ORACLES["r12_crawl_graph"],
+        ),
+        "classifier": _union_sql(
+            _R12_STAGED_ORACLES["r12_classifier"],
+            _CLASSIFIER_EVAL_ORACLE,
+        ),
+        "substring_dedup": _R12_STAGED_ORACLES["r12_substring_dedup"],
+        "index_maintenance": _R12_STAGED_ORACLES[
+            "r12_index_maintenance"
+        ],
+        "stream_heavy": _R12_STAGED_ORACLES["r12_stream_heavy"],
+    }
+
+
+def q_classifier_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier row: r12_classifier verbatim (z/za/k/cz/ck) +
+    the round-12 'ev' holdout-evaluation tags (r11 verdict, Next-round
+    #6): classifier_eval with the row's integer weights (bias 3,
+    sum mode, threshold_prob 0.5 → logit cut 0 exactly), labels
+    y = (doc_id % 2 = 0), grouped per lang. Confusion counts ride as
+    exact longs; precision/recall/f1/accuracy ride as
+    floor(metric * 1e6) — each a short fixed tree of correctly-rounded
+    double ops on exact integers (the 'za' mean-logit class), NULL
+    metrics as '~' (CONCAT_WS would silently drop NULLs)."""
+    from data_validation_engine_spark.llmops.classifier import (
+        classifier_eval,
+    )
+
+    base = q_r12_classifier(spark, sf_dir)
+    docs = _docs(spark, sf_dir).withColumn(
+        "y", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    w = [float(((b * 7 + 3) % 21) - 10) for b in range(512)]
+    mfmt = (
+        "COALESCE(CAST(CAST(floor({m} * 1000000) AS BIGINT) AS STRING),"
+        " '~')"
+    )
+    ev = classifier_eval(
+        docs, "text", "y", w, bias=3.0, average=False,
+        threshold_prob=0.5, group_cols=["lang"],
+    ).selectExpr(
+        "'ev' AS op",
+        "COALESCE(lang, '~') AS k",
+        "CONCAT_WS('|', CAST(n AS STRING), CAST(tp AS STRING),"
+        " CAST(fp AS STRING), CAST(tn AS STRING), CAST(fn AS STRING),"
+        f" {mfmt.format(m='`precision`')}, {mfmt.format(m='recall')},"
+        f" {mfmt.format(m='f1')}, {mfmt.format(m='accuracy')}) AS v",
+    )
+    return base.unionByName(ev)
+
+
+_CLASSIFIER_EVAL_ORACLE = rf"""
+    WITH feats AS ({_DUCK_DSIR_FEATS}),
+    scored AS (
+        SELECT doc_id,
+               3 + COALESCE(list_sum(
+                   list_transform(f, b -> ((b * 7 + 3) % 21) - 10)), 0)
+                   AS z
+        FROM feats
+    ),
+    j AS (
+        SELECT d.lang, (s.z >= 0) AS keep,
+               (d.doc_id % 2 = 0) AS pos
+        FROM documents d JOIN scored s USING (doc_id)
+    ),
+    c AS (
+        SELECT lang, count(*) AS n,
+               sum(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN NOT keep AND NOT pos THEN 1 ELSE 0 END)
+                   AS tn,
+               sum(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END) AS fn
+        FROM j GROUP BY lang
+    ),
+    m AS (
+        SELECT lang, n, tp, fp, tn, fn,
+               CASE WHEN tp + fp > 0
+                    THEN tp::DOUBLE / (tp + fp) END AS p,
+               CASE WHEN tp + fn > 0
+                    THEN tp::DOUBLE / (tp + fn) END AS r
+        FROM c
+    )
+    SELECT 'ev' AS op, COALESCE(lang, '~') AS k,
+           CAST(n AS VARCHAR) || '|' || CAST(tp AS VARCHAR) || '|' ||
+           CAST(fp AS VARCHAR) || '|' || CAST(tn AS VARCHAR) || '|' ||
+           CAST(fn AS VARCHAR) || '|' ||
+           COALESCE(CAST(CAST(floor(p * 1000000) AS BIGINT)
+                    AS VARCHAR), '~') || '|' ||
+           COALESCE(CAST(CAST(floor(r * 1000000) AS BIGINT)
+                    AS VARCHAR), '~') || '|' ||
+           COALESCE(CAST(CAST(floor(
+               CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END
+               * 1000000) AS BIGINT) AS VARCHAR), '~') || '|' ||
+           COALESCE(CAST(CAST(floor(
+               (tp + tn)::DOUBLE / n * 1000000) AS BIGINT)
+               AS VARCHAR), '~') AS v
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROUND-13 STAGED ROWS — the next increment's pre-promotion gate
+# (populated as round-12 operators land; run by tools/oracle_check.py
+# --staged and tests/test_staged_oracles.py, not by the driver)
+# ---------------------------------------------------------------------------
+
+_R13_STAGED_QUERIES: dict[
+    str, Callable[[SparkSession, str], DataFrame]
+] = {}
+_R13_STAGED_ORACLES: dict[str, str] = {}

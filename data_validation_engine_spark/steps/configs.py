@@ -1765,6 +1765,29 @@ class ClassifierScore(AbstractStep):
     keep_column: Optional[str] = None
 
 
+class ClassifierEval(AbstractStep):
+    """Distributed holdout evaluation of a fitted classifier:
+    confusion counts (n/tp/fp/tn/fn, exact longs) plus
+    precision/recall/f1/accuracy at ``threshold_prob``, one row per
+    ``group_columns`` slice (one total row when empty). Weights come
+    inline or from a ``classifier_fit`` output entity, exactly as
+    ``classifier_score``. Composes train -> eval -> filter as three
+    JSON steps over the same feature-space parameters."""
+
+    operation: Literal["classifier_eval"] = "classifier_eval"
+    text_column: str
+    label_column: str
+    weights: Optional[list[float]] = None
+    weights_entity: Optional[str] = None
+    bias: float = 0.0
+    n_max: int = 2
+    seed: str = ""
+    average: bool = True
+    char_n: Optional[int] = None
+    threshold_prob: float = 0.5
+    group_columns: tuple[str, ...] = ()
+
+
 class CompactMinhashIndex(AbstractStep):
     """Maintenance pass for a persisted minhash_index side-table:
     semi-join against the live corpus's ids and collapse re-ingest
@@ -1943,6 +1966,7 @@ AnyStep = Annotated[
         SelectTokenBudget,
         ClassifierFit,
         ClassifierScore,
+        ClassifierEval,
         CompactMinhashIndex,
         RemoveRepeatedSubstrings,
         WindowedHeavyHitters,

@@ -154,6 +154,7 @@ from data_validation_engine_spark.steps.configs import (
     HardNegativeSamples,
     ClassifierFit,
     ClassifierScore,
+    ClassifierEval,
     CompactMinhashIndex,
     RemoveRepeatedSubstrings,
     HeavyHitters,
@@ -318,6 +319,7 @@ class StepEngine:
             ClassifierFit: self.classifier_fit,
             RemoveRepeatedSubstrings: self.remove_repeated_substrings,
             ClassifierScore: self.classifier_score,
+            ClassifierEval: self.classifier_eval,
             CompactMinhashIndex: self.compact_minhash_index,
             WindowedHeavyHitters: self.windowed_heavy_hitters,
             HeavyHitters: self.heavy_hitters,
@@ -2795,6 +2797,34 @@ class StepEngine:
                 out_col=config.score_column,
                 prob_col=config.prob_column,
             )
+        return None
+
+    def classifier_eval(
+        self, entities: Entities, *, config: ClassifierEval
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.classifier import (
+            classifier_eval,
+        )
+
+        # same weight resolution (and dense-export validation) as
+        # classifier_score — train -> eval -> filter compose over one
+        # weights entity
+        weights, bias = self._resolve_classifier_weights(
+            entities, config
+        )
+        entities[config.output_name] = classifier_eval(
+            entities[config.entity_name],
+            config.text_column,
+            config.label_column,
+            weights,
+            bias=bias,
+            n_max=config.n_max,
+            seed=config.seed,
+            average=config.average,
+            char_n=config.char_n,
+            threshold_prob=config.threshold_prob,
+            group_cols=list(config.group_columns) or None,
+        )
         return None
 
     def compact_minhash_index(

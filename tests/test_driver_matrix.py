@@ -30,10 +30,9 @@ SENSITIVE = [
     "sessionize",
     "event_analytics",
     "streaming_window_counts",
-    "cms_sketch",
-    "corpus_terms",
+    "sketches",
     "feature_scores",
-    "text_prep",
+    "text_corpus",
     # round-11: non-ASCII script profiling + robots regexes under a
     # non-UTC locale-ish environment
     "crawl_signals",

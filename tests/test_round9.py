@@ -403,7 +403,8 @@ def test_round9_singletons_hash_all_string(spark, sf_dir):
     # round 10: the singletons re-merged into union rows; the frames
     # must stay all-string (the broader allowlist gate lives in
     # tests/test_hash_discipline.py — this pins the four merged rows)
-    rows = ["window_analytics", "corpus_terms", "sessionize"]
+    # round 12: corpus_terms now rides the text_corpus union row
+    rows = ["window_analytics", "text_corpus", "sessionize"]
     q = entry.queries()
     for name in rows:
         df = q[name](spark, sf_dir)
