@@ -10905,3 +10905,142 @@ _R13_STAGED_QUERIES: dict[
     str, Callable[[SparkSession, str], DataFrame]
 ] = {}
 _R13_STAGED_ORACLES: dict[str, str] = {}
+
+
+#: WARC fixture path per sf_dir (one bounded driver-side build per
+#: process — the _LSH_LAYOUTS pattern; atexit-cleaned via the shared
+#: layout root)
+_WARC_FIXTURES: dict[str, str] = {}
+
+
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build a deterministic mini-WARC from the documents table (one
+    warcinfo record, one response per doc, one request per 5th doc) —
+    a FIXTURE build, so the driver-side collect is the documented
+    bounded-test-construction class, not a pipeline pattern. Both
+    twins state the construction's record inventory directly."""
+    import os
+
+    if sf_dir in _WARC_FIXTURES:
+        return _WARC_FIXTURES[sf_dir]
+    root = f"{_lsh_layout_dir()}/warc{len(_WARC_FIXTURES)}"
+    os.makedirs(root, exist_ok=True)
+    pdf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    def record(wtype: str, block: bytes, uri: str | None) -> bytes:
+        head = [
+            b"WARC/1.0",
+            f"WARC-Type: {wtype}".encode(),
+            f"WARC-Record-ID: <urn:uuid:{wtype}-{uri}>".encode(),
+            b"WARC-Date: 2026-01-01T00:00:00Z",
+            f"Content-Length: {len(block)}".encode(),
+        ]
+        if uri is not None:
+            head.append(f"WARC-Target-URI: {uri}".encode())
+        return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+    parts = [record("warcinfo", b"software: dve-fixture\r\n", None)]
+    for r in pdf.itertuples(index=False):
+        uri = (
+            f"http://{r.source}/doc/{r.doc_id}"
+            f"?utm_source=w&b={r.doc_id % 3}&a={r.doc_id % 7}"
+        )
+        html = (
+            f"<html><body><h1>Doc {r.doc_id}</h1><p>"
+            f"{r.text or ''}</p></body></html>"
+        ).encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html
+        )
+        parts.append(record("response", http, uri))
+        if r.doc_id % 5 == 0:
+            parts.append(
+                record(
+                    "request",
+                    f"GET /doc/{r.doc_id} HTTP/1.1\r\n\r\n".encode(),
+                    uri,
+                )
+            )
+    with open(f"{root}/fixture.warc", "wb") as fh:
+        fh.write(b"".join(parts))
+    _WARC_FIXTURES[sf_dir] = root
+    return root
+
+
+def q_r13_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (sources/warc.py, ISO 28500) over a constructed
+    archive whose record inventory is stated by construction in both
+    twins (the r12_crawl_graph precedent):
+
+    - 'w' — one row per response record read back with the default
+      ``types=("response",)``: payload md5 + octet length + HTTP
+      status (framing, HTTP split, and payload fidelity);
+    - 'n' — record counts per WARC-Type under ``types=None``
+      (warcinfo 1, response |docs|, request |docs where id%5=0|);
+    - 'c' — the ingestion chain composing: canonicalize_url over the
+      records' target URIs (utm stripped, params sorted, host
+      lowercased).
+
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.web import canonicalize_url
+    from data_validation_engine_spark.sources.warc import read_warc
+
+    root = _warc_fixture(spark, sf_dir)
+    resp = read_warc(spark, root)
+    w = resp.selectExpr(
+        "'w' AS op",
+        "target_uri AS k",
+        "CONCAT_WS('|', md5(payload), CAST(payload_length AS STRING),"
+        " CAST(http_status AS STRING)) AS v",
+    )
+    n = (
+        read_warc(spark, root, types=None)
+        .groupBy("warc_type")
+        .count()
+        .selectExpr(
+            "'n' AS op", "warc_type AS k", "CAST(count AS STRING) AS v"
+        )
+    )
+    c = resp.select(
+        F.lit("c").alias("op"),
+        F.col("target_uri").alias("k"),
+        canonicalize_url(F.col("target_uri")).alias("v"),
+    )
+    return w.unionByName(n).unionByName(c)
+
+
+_R13_STAGED_ORACLES["r13_warc"] = """
+    WITH inv AS (
+        SELECT doc_id,
+               'http://' || source || '/doc/' || doc_id
+                   || '?utm_source=w&b=' || (doc_id % 3)
+                   || '&a=' || (doc_id % 7) AS uri,
+               'http://' || lower(source) || '/doc/' || doc_id
+                   || '?a=' || (doc_id % 7)
+                   || '&b=' || (doc_id % 3) AS canon,
+               '<html><body><h1>Doc ' || doc_id || '</h1><p>'
+                   || COALESCE(text, '') || '</p></body></html>' AS html
+        FROM documents
+    )
+    SELECT 'w' AS op, uri AS k,
+           md5(html) || '|' || strlen(html) || '|200' AS v
+    FROM inv
+    UNION ALL
+    SELECT 'n', 'warcinfo', '1'
+    UNION ALL
+    SELECT 'n', 'response', CAST(count(*) AS VARCHAR) FROM inv
+    UNION ALL
+    SELECT 'n', 'request', CAST(count(*) AS VARCHAR)
+    FROM inv WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 'c', uri, canon FROM inv
+"""
+
+
+_R13_STAGED_QUERIES["r13_warc"] = q_r13_warc
