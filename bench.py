@@ -148,18 +148,31 @@ def main() -> None:
             flush=True,
         )
 
-    last_pass = 0.0
-    for i in range(runs):
-        elapsed = time.perf_counter() - t0
-        if i > 0 and elapsed + last_pass > budget:
-            break
+    def run_pass(record: bool) -> float:
         pass_t0 = time.perf_counter()
         for name, fn in queries.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - start)
-        last_pass = time.perf_counter() - pass_t0
+            if record:
+                samples[name].append(time.perf_counter() - start)
+        return time.perf_counter() - pass_t0
+
+    # one UNTIMED warmup pass of the full roster (r11 verdict,
+    # Next-round #5): the generic JVM warmup above doesn't touch the
+    # per-query codegen/JIT/process-pool paths, so pass 1 used to carry
+    # 8x first-run spikes (feature_scores max 69s vs median 8.2s in
+    # BENCH_r11) that read as phantom instability in max/median. The
+    # warmup consumes budget; the adaptive pass logic sees its cost, so
+    # the harness still degrades to fewer TIMED passes, never to zero.
+    last_pass = 0.0
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        last_pass = run_pass(record=False)
+    for i in range(runs):
+        elapsed = time.perf_counter() - t0
+        if i > 0 and elapsed + last_pass > budget:
+            break
+        last_pass = run_pass(record=True)
         emit()
     spark.stop()
 
