@@ -11044,3 +11044,68 @@ _R13_STAGED_ORACLES["r13_warc"] = """
 
 
 _R13_STAGED_QUERIES["r13_warc"] = q_r13_warc
+
+
+def q_r13_substring_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_repeated_substrings(exact_verify=True) (ADVICE r11) on
+    the substring_dedup corpus (same boilerplate splice). The oracle
+    here is STRONGER than the roster row's: it replays gram
+    frequencies by the gram's TEXT — no hashing anywhere — so a green
+    hash proves the verified path delivers true text-exact ExactSubstr
+    semantics, not merely hash-replay parity. All-string (op, k, v)
+    frame ('spv' spans / 'rmv' scrubbed surface)."""
+    from data_validation_engine_spark.llmops.substrings import (
+        remove_repeated_substrings,
+        repeated_substring_spans,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 4 = 0 THEN CONCAT(substr(text, 1, 50),"
+        " ' <<<shared boilerplate sentence planted for round 12>>> ',"
+        " substr(text, 51)) ELSE text END AS text",
+    )
+    kw = dict(
+        min_len=30, min_docs=3, depth=3, width=4096, exact_verify=True
+    )
+    sp = repeated_substring_spans(docs, "doc_id", "text", **kw).selectExpr(
+        "'spv' AS op",
+        "CONCAT_WS('|', CAST(doc_id AS STRING),"
+        " CAST(start AS STRING)) AS k",
+        "CAST(end AS STRING) AS v",
+    )
+    rm = remove_repeated_substrings(
+        docs, "doc_id", "text", **kw
+    ).selectExpr(
+        "'rmv' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', md5(text), CAST(n_spans AS STRING),"
+        " CAST(n_removed_chars AS STRING)) AS v",
+    )
+    return sp.unionByName(rm)
+
+
+# the r12_substring_dedup oracle with the hash CTE swapped for a
+# gram-TEXT group-by (the only change — the span-merge/splice chain is
+# reused verbatim so the two proofs differ in exactly the claim under
+# test)
+_R13_STAGED_ORACLES["r13_substring_verify"] = (
+    _R12_STAGED_ORACLES["r12_substring_dedup"]
+    .replace(
+        """pos AS (
+        SELECT doc_id, i,
+               ('0x' || substring(md5(substring(text, i, 30)), 1, 15))
+                   ::BIGINT AS h
+        FROM corpus, LATERAL (""",
+        """pos AS (
+        SELECT doc_id, i,
+               substring(text, i, 30) AS h
+        FROM corpus, LATERAL (""",
+    )
+    .replace("SELECT 'sp' AS op,", "SELECT 'spv' AS op,")
+    .replace("SELECT 'rm',", "SELECT 'rmv',")
+)
+assert "md5(substring" not in _R13_STAGED_ORACLES["r13_substring_verify"]
+
+
+_R13_STAGED_QUERIES["r13_substring_verify"] = q_r13_substring_verify

@@ -1818,6 +1818,9 @@ class RemoveRepeatedSubstrings(AbstractStep):
     width: int = 65536
     seed: str = ""
     output_column: Optional[str] = None
+    # re-verify marked grams on their exact TEXT (closes the 60-bit
+    # hash collision window; only the hot sliver shuffles its text)
+    exact_verify: bool = False
 
 
 class WindowedHeavyHitters(AbstractStep):
@@ -1835,6 +1838,9 @@ class WindowedHeavyHitters(AbstractStep):
     depth: int = 4
     width: int = 4096
     seed: str = ""
+    # assert per-window cells == depth x probed events (the
+    # cells-cover-the-probe exactness premise) before screening
+    check_totals: bool = False
 
 
 

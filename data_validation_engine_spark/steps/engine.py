@@ -2673,6 +2673,7 @@ class StepEngine:
             width=config.width,
             seed=config.seed,
             out_col=config.output_column,
+            exact_verify=config.exact_verify,
         )
         return None
 
@@ -2858,6 +2859,7 @@ class StepEngine:
             depth=config.depth,
             width=config.width,
             seed=config.seed,
+            check_totals=config.check_totals,
         )
         return None
 

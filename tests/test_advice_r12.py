@@ -198,3 +198,60 @@ def test_windowed_heavy_hitters_check_totals(spark):
             window_seconds=100, depth=depth, width=width,
             check_totals=True,
         )
+
+
+def test_exact_verify_and_check_totals_declared_as_steps(spark):
+    """The two r12 hardening options are JSON-declarable (step parity
+    with the library kwargs)."""
+    from data_validation_engine_spark.steps import parse_step
+    from data_validation_engine_spark.steps.engine import StepEngine
+
+    boiler = "SHARED BOILERPLATE " * 3
+    ents = {
+        "docs": spark.createDataFrame(
+            [(i, f"head {i} {boiler} tail {i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+    }
+    eng = StepEngine(spark)
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "remove_repeated_substrings",
+                "entity_name": "docs",
+                "id_column": "doc_id",
+                "min_len": 20,
+                "min_docs": 3,
+                "width": 256,
+                "exact_verify": True,
+                "new_entity_name": "clean",
+            }
+        ),
+    )
+    assert ents["clean"].where("n_spans > 0").count() == 5
+
+    cells = spark.createDataFrame(
+        [], "window_start long, row int, col int, n long"
+    )
+    events = spark.createDataFrame(
+        [(1, "a")], "sec long, v string"
+    ).selectExpr("timestamp_seconds(sec) AS ts", "v")
+    ents2 = {"events": events, "cells": cells}
+    with pytest.raises(ValueError, match="do not cover"):
+        StepEngine(spark).evaluate(
+            ents2,
+            config=parse_step(
+                {
+                    "operation": "windowed_heavy_hitters",
+                    "entity_name": "events",
+                    "cells_entity": "cells",
+                    "ts_column": "ts",
+                    "value_column": "v",
+                    "min_count": 1,
+                    "window_seconds": 100,
+                    "check_totals": True,
+                    "new_entity_name": "hh",
+                }
+            ),
+        )

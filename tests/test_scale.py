@@ -197,21 +197,23 @@ def test_no_accidental_cartesian_in_any_query_plan(spark):
         "join_header",
         "ann_variants",  # exact brute-force arm: broadcast 1-row query
         "vector_stats",  # nearest-prototype: broadcast k-row centroids
-        "corpus_terms",  # tfidf arm: broadcast 1-row corpus count (r10 merge)
+        "text_corpus",  # tfidf arm: broadcast 1-row corpus count (r12 merge)
         "text_retrieval",  # bm25 arm: broadcast 1-row corpus stats
         "union",  # scd2s arm: broadcast 1-row as-of scalar (round 8)
         "data_profiling",  # chi2 arm: broadcast 1-row sample totals (r8)
-        "selection_sketches",  # dsir ratio: broadcast 1-row count totals
-        "sampling_v2",  # negative_samples: broadcast 1-row pool size
+        "sampling_v2",  # negatives pool size + hard-negative 1-row probes
+        "classifier",  # broadcast 1-row weight array per scoring arm (x6)
+        "substring_dedup",  # CMS screen: broadcast hot-gram 1-row sets
+        "span_dedup",  # winnowing arm rides the r10-allowed shared_spans
     }
     skip = {
         "pipeline_e2e",  # full pipeline (own tests; intended status cross)
         "report_aggregates",  # runs the presence-check pipeline (r9)
         "sessionize",  # streaming drain inside the r10 union
         "event_analytics",  # two streaming drains inside the r10 union
-        "cms_sketch",  # streaming cells drain inside the r10 union
-        "artifacts",  # writes shard export + ORC/blob files (r11 merge)
-        "chunking_v2",  # streaming paragraph drain inside the r11 union
+        "sketches",  # streaming cells drain inside the r12 union
+        "chunk_artifacts",  # shard/ORC/blob writes + stream drain (r12)
+        "stream_heavy",  # streaming cells drain (r12)
         "source_xml_json",
         "streaming_dedup",
         "streaming_sync_messages",
