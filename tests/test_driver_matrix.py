@@ -36,6 +36,9 @@ SENSITIVE = [
     # round-11: non-ASCII script profiling + robots regexes under a
     # non-UTC locale-ish environment
     "crawl_signals",
+    # round-12: event-time windows + watermark flush through the
+    # streaming CMS drain and the day-bucket probe arithmetic
+    "stream_heavy",
 ]
 
 
