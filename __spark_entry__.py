@@ -11109,3 +11109,107 @@ assert "md5(substring" not in _R13_STAGED_ORACLES["r13_substring_verify"]
 
 
 _R13_STAGED_QUERIES["r13_substring_verify"] = q_r13_substring_verify
+
+
+def q_r13_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (llmops/pq.py, Jégou 2011 IVF-PQ's PQ half)
+    over the embeddings table with the deterministic placeholder
+    codebooks (subvectors of the first 16 vectors in id order — the
+    ann_variants 'ivf' centroid convention, already oracle-attested):
+
+    - 'enc' — the full corpus's PQ codes (m=8 subspaces × k=16
+      codewords): per-subspace squared-L2 argmin folds, ties to the
+      lower code — proving the 32×-compressed codes table is
+      engine-exact;
+    - 'adc' — asymmetric-distance top-20 for query vec 0 over the
+      PRE-ENCODED codes column (the deployment shape): the m×k lookup
+      table is driver-built from exact index-order folds, the per-row
+      distance is an ordered fold of table lookups, hashed as
+      floor(dist * 1e6) (the hard-negatives cosine class — identical
+      doubles in, identical longs out).
+
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.pq import (
+        default_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = default_codebooks(emb, dim=64, m=8, k=16)
+    coded = pq_encode(emb, books, codes_col="c", keep_vec=True)
+    enc = coded.selectExpr(
+        "'enc' AS op",
+        "CAST(vec_id AS STRING) AS k",
+        "array_join(c, ',') AS v",
+    )
+    adc = pq_topk(
+        coded, emb.where("vec_id = 0"), 20,
+        codebooks=books, codes_col="c",
+    ).selectExpr(
+        "'adc' AS op",
+        "CAST(rank AS STRING) AS k",
+        "CONCAT_WS('|', CAST(vec_id AS STRING),"
+        " CAST(CAST(floor(pq_dist * 1000000) AS BIGINT) AS STRING)) AS v",
+    )
+    return enc.unionByName(adc)
+
+
+_R13_STAGED_ORACLES["r13_pq"] = """
+    WITH cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+               embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    assign AS (
+        SELECT e.vec_id, subs.s,
+               (min(struct_pack(
+                   d := list_reduce(list_transform(
+                       generate_series(1, 8),
+                       i -> (e.embedding[subs.s * 8 + i]::DOUBLE
+                             - c.cv[subs.s * 8 + i]::DOUBLE)
+                          * (e.embedding[subs.s * 8 + i]::DOUBLE
+                             - c.cv[subs.s * 8 + i]::DOUBLE)),
+                       (x, y) -> x + y),
+                   j := c.j))).j AS code
+        FROM embeddings e CROSS JOIN subs CROSS JOIN cb c
+        GROUP BY e.vec_id, subs.s
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    lut AS (
+        SELECT subs.s, c.j,
+               list_reduce(list_transform(
+                   generate_series(1, 8),
+                   i -> (q.qv[subs.s * 8 + i]::DOUBLE
+                         - c.cv[subs.s * 8 + i]::DOUBLE)
+                      * (q.qv[subs.s * 8 + i]::DOUBLE
+                         - c.cv[subs.s * 8 + i]::DOUBLE)),
+                   (x, y) -> x + y) AS d
+        FROM subs CROSS JOIN cb c, q
+    ),
+    dist AS (
+        SELECT a.vec_id,
+               list_reduce([0.0] || list(l.d ORDER BY a.s),
+                           (x, y) -> x + y) AS dist
+        FROM assign a JOIN lut l ON l.s = a.s AND l.j = a.code
+        GROUP BY a.vec_id
+    ),
+    top AS (
+        SELECT vec_id, dist,
+               row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rk
+        FROM dist WHERE vec_id <> 0
+        ORDER BY dist ASC, vec_id ASC LIMIT 20
+    )
+    SELECT 'enc' AS op, CAST(vec_id AS VARCHAR) AS k,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS v
+    FROM assign GROUP BY vec_id
+    UNION ALL
+    SELECT 'adc', CAST(rk AS VARCHAR),
+           CAST(vec_id AS VARCHAR) || '|' ||
+           CAST(CAST(floor(dist * 1000000) AS BIGINT) AS VARCHAR)
+    FROM top
+"""
+
+
+_R13_STAGED_QUERIES["r13_pq"] = q_r13_pq

@@ -1,0 +1,299 @@
+"""Product quantization (PQ): compressed-vector ANN — the scale path
+that pairs with IVF (Jégou 2011, "Product Quantization for Nearest
+Neighbor Search"; the FAISS IVF-PQ workhorse re-expressed Spark-first).
+
+Why a 100 TB corpus needs it: a 64-dim float32 embedding is 256 bytes;
+its PQ code at ``m=8`` subspaces is 8 bytes — 32× less I/O per scanned
+row, and the search-side arithmetic drops from a 64-term cosine fold to
+``m`` integer array lookups (asymmetric distance computation, ADC).
+Persist the codes once; every probe afterwards scans a table whose hot
+column is ``array<int>`` of length ``m``.
+
+Spark-first shape (mirrors :mod:`~data_validation_engine_spark.llmops.ivf`):
+
+- **Codebooks are driver data** (``m × k × d/m`` doubles — a few KB):
+  deterministic by construction (subvectors of the first ``k`` vectors
+  in id order) or trained offline via :func:`pq_fit`, then embedded as
+  broadcast literals, so encode and search are pure map-side
+  projections — NO shuffle anywhere in this module.
+- **Encode** (:func:`pq_encode`): per subspace, squared-L2 argmin over
+  the ``k`` codeword literals — the proven IVF cell expression per
+  subspace, ties to the lower code (lexicographic struct min).
+- **Search** (:func:`pq_topk`): the query is a 1-row collect (the LSH/
+  IVF probe class); the driver builds the ``m × k`` ADC lookup table
+  (exact left-fold squared-L2 of query subvectors vs codewords, index
+  order), embeds it as a literal, and the per-row distance is a
+  ``m``-term ordered fold of table lookups. Ranking ties break on the
+  lower id. ``TakeOrderedAndProject`` keeps the top-k without a sort.
+- **Train** (:func:`pq_fit`): ``m`` independent
+  :func:`~data_validation_engine_spark.llmops.vectors.kmeans_fit` runs
+  (one per subspace) on the sliced corpus — the deterministic
+  distributed Lloyd's already proven engine-exact; the driver loop is
+  over ``m`` (a constant), never over rows.
+
+Determinism contract: every float op is a double left-fold in index
+order over exactly-representable inputs-by-construction (float32 casts
+and ``round_to`` centroid rounding), the same discipline the IVF/
+semantic-dedup oracles replay bit-identically — ADC distances can ride
+an oracle-hashed frame as ``floor(dist * 1e6)`` (the hard-negatives
+cosine class).
+
+No reference counterpart (`/root/reference` has no vector surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.ivf import l2sq_col
+from data_validation_engine_spark.llmops.similarity import _as_double
+
+__all__ = [
+    "default_codebooks",
+    "pq_fit",
+    "pq_encode",
+    "pq_topk",
+]
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if dim % m != 0:
+        raise ValueError(
+            f"dim {dim} is not divisible by m={m} subspaces — PQ "
+            "subvectors must tile the vector exactly"
+        )
+    return dim // m
+
+
+def default_codebooks(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+) -> list[list[list[float]]]:
+    """``codebooks[s][j]`` = subspace ``s`` of the ``j``-th vector in id
+    order — the deterministic placeholder quantizer (the
+    :func:`~data_validation_engine_spark.llmops.ivf.default_centroids`
+    convention); swap in :func:`pq_fit` output for recall."""
+    dsub = _check_geometry(dim, m)
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"default_codebooks: need {k} vectors, table has {len(rows)}"
+        )
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    return [
+        [v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(m)
+    ]
+
+
+def pq_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+    round_to: int = 6,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``m`` independent deterministic
+    k-means runs over the sliced corpus (engine-exact — see
+    :func:`~data_validation_engine_spark.llmops.vectors.kmeans_fit`).
+    Driver traffic is ``m`` × (k × d/m centroids per iteration)."""
+    from data_validation_engine_spark.llmops.vectors import kmeans_fit
+
+    dsub = _check_geometry(dim, m)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), s * dsub + 1, dsub).alias(
+                "__sub"
+            ),
+        )
+        books.append(
+            kmeans_fit(
+                sub, k, id_col=id_col, vec_col="__sub", dim=dsub,
+                n_iters=n_iters, round_to=round_to,
+            )
+        )
+    return books
+
+
+def _code_col(
+    vec: Column, codebooks: list[list[list[float]]], s: int, dsub: int
+) -> Column:
+    """Nearest codeword in subspace ``s``: squared-L2 argmin over the
+    codeword literals, ties to the lower code (the IVF cell rule)."""
+    sub = F.slice(_as_double(vec), s * dsub + 1, dsub)
+    scored = [
+        F.struct(
+            l2sq_col(
+                sub, F.array(*[F.lit(float(v)) for v in cw])
+            ).alias("d"),
+            F.lit(j).alias("code"),
+        )
+        for j, cw in enumerate(codebooks[s])
+    ]
+    return F.array_min(F.array(*scored)).getField("code")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Attach the ``array<int>`` PQ code (length ``m``) to every row —
+    one map-side projection, no shuffle. ``keep_vec=False`` drops the
+    raw vector column: the point of the codes table is that downstream
+    scans never read the wide column again."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out = df.withColumn(
+        codes_col,
+        F.array(
+            *[_code_col(F.col(vec_col), codebooks, s, dsub) for s in range(m)]
+        ),
+    )
+    return out if keep_vec else out.drop(vec_col)
+
+
+def pq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str | None = None,
+    exclude_self: bool = True,
+    dist_col: str = "pq_dist",
+    refine_factor: int | None = None,
+    refine_df: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k by ADC distance: ``(id, pq_dist, rank)`` ascending.
+
+    ``codes_col`` names a pre-encoded codes column (the deployment
+    shape — pay :func:`pq_encode` once at ingest); without it the codes
+    are derived on the fly from ``vec_col``. The query never encodes:
+    ADC compares the EXACT query subvectors against each codeword via
+    the driver-built ``m × k`` lookup table, so quantization error is
+    paid only on the corpus side (the asymmetric in ADC).
+
+    ``refine_factor=R`` adds the standard exact re-rank (the FAISS
+    IVF-PQ "refine" stage): the ADC pass shortlists ``k × R``
+    candidates from the 8-byte codes, then ONLY those rows' raw
+    vectors (fetched from ``refine_df``, default ``df``) pay an exact
+    squared-L2 scoring, and the final top-k ranks by the exact
+    distance (``dist_col`` then carries it). Quantization error decides
+    at most which candidates enter the shortlist — on
+    concentrated-distance corpora this recovers near-exact recall
+    while the full scan still only reads codes. The shortlist join is
+    a broadcast of k×R ids — bounded driver/exchange traffic by
+    construction."""
+    qrows = query.select(
+        F.col(vec_col).alias("__qvec"), F.col(id_col).alias("__qid")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(f"query must be exactly one row, got {len(qrows)}")
+    qvec = [float(x) for x in qrows[0]["__qvec"]]
+    qid = qrows[0]["__qid"]
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(qvec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(qvec)} != m*dsub = {m * dsub}"
+        )
+
+    def l2sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    # the ADC table: m x k doubles, exact left folds in index order —
+    # the same arithmetic the oracle replays in SQL
+    lut = [
+        [l2sq(qvec[s * dsub : (s + 1) * dsub], cw) for cw in codebooks[s]]
+        for s in range(m)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    if codes_col is None:
+        base = pq_encode(
+            df, codebooks, vec_col=vec_col, codes_col="__codes",
+            keep_vec=True,
+        )
+        codes = F.col("__codes")
+    else:
+        base = df
+        codes = F.col(codes_col)
+    # ordered fold in subspace order: acc + LUT[s][code_s]
+    dist = F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.struct(c.alias("c"), s.alias("s")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.element_at(
+            F.element_at(lut_lit, e["s"] + F.lit(1)), e["c"] + F.lit(1)
+        ),
+    )
+    scored = base.select(F.col(id_col), dist.alias(dist_col))
+    if exclude_self and qid is not None:
+        scored = scored.where(F.col(id_col) != F.lit(qid))
+    # TakeOrderedAndProject (per-partition top-k + driver merge), never
+    # a global sort or single-partition window; rank is then a window
+    # over the K (or k x R) surviving rows only — bounded by
+    # construction
+    from pyspark.sql import Window
+
+    if refine_factor is not None:
+        if refine_factor < 1:
+            raise ValueError(
+                f"refine_factor must be >= 1, got {refine_factor}"
+            )
+        shortlist = scored.orderBy(
+            F.col(dist_col).asc(), F.col(id_col).asc()
+        ).limit(k * refine_factor)
+        source = refine_df if refine_df is not None else df
+        qlit = F.array(*[F.lit(x) for x in qvec])
+        exact = source.join(
+            F.broadcast(shortlist.select(id_col)), id_col
+        ).select(
+            F.col(id_col),
+            l2sq_col(F.col(vec_col), qlit).alias(dist_col),
+        )
+        top = exact.orderBy(
+            F.col(dist_col).asc(), F.col(id_col).asc()
+        ).limit(k)
+    else:
+        top = scored.orderBy(
+            F.col(dist_col).asc(), F.col(id_col).asc()
+        ).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        ),
+    )

@@ -288,6 +288,13 @@ class SimilarityTopK(AbstractStep):
     cells and scores only the ``n_probe`` nearest. ``centroids``
     (ivf only) injects an offline-trained quantizer — e.g. k-means cell
     centres — instead of the deterministic first-``n_cells`` placeholder.
+    ``method="pq"`` ranks by product-quantization ADC distance
+    (ascending — a distance, not a cosine): ``pq_m`` subspaces ×
+    ``pq_k`` codewords from ``codebooks`` (``pq_fit`` output or any
+    offline training), else the deterministic first-``pq_k``-vectors
+    placeholder; ``codes_column`` names a pre-encoded ``pq_encode``
+    column so the probe never scans the raw vectors (the 100 TB
+    deployment shape).
     """
 
     operation: Literal["similarity_topk"] = "similarity_topk"
@@ -295,7 +302,7 @@ class SimilarityTopK(AbstractStep):
     k: int = 10
     id_column: str = "vec_id"
     vector_column: str = "embedding"
-    method: Literal["exact", "ann", "multiprobe", "ivf"] = "exact"
+    method: Literal["exact", "ann", "multiprobe", "ivf", "pq"] = "exact"
     n_planes: int = 4
     dim: int = 64
     n_tables: int = 3
@@ -303,6 +310,12 @@ class SimilarityTopK(AbstractStep):
     n_probe: int = 4
     exclude_self: bool = True
     centroids: Optional[tuple[tuple[float, ...], ...]] = None
+    pq_m: int = 8
+    pq_k: int = 16
+    codebooks: Optional[tuple[tuple[tuple[float, ...], ...], ...]] = None
+    codes_column: Optional[str] = None
+    # exact re-rank of the k x pq_refine ADC shortlist (FAISS refine)
+    pq_refine: Optional[int] = None
 
 
 class EmbeddingNearDup(AbstractStep):

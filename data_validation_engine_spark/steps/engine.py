@@ -1303,7 +1303,36 @@ class StepEngine:
 
         table = entities[config.entity_name]
         query = entities[config.target_name]
-        if config.method == "ivf":
+        if config.method == "pq":
+            from data_validation_engine_spark.llmops.pq import (
+                default_codebooks,
+                pq_topk,
+            )
+
+            books = (
+                [[list(cw) for cw in book] for book in config.codebooks]
+                if config.codebooks
+                else default_codebooks(
+                    table,
+                    id_col=config.id_column,
+                    vec_col=config.vector_column,
+                    dim=config.dim,
+                    m=config.pq_m,
+                    k=config.pq_k,
+                )
+            )
+            out = pq_topk(
+                table,
+                query,
+                config.k,
+                codebooks=books,
+                id_col=config.id_column,
+                vec_col=config.vector_column,
+                codes_col=config.codes_column,
+                exclude_self=config.exclude_self,
+                refine_factor=config.pq_refine,
+            )
+        elif config.method == "ivf":
             out = ivf_topk(
                 table,
                 query,

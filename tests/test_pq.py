@@ -1,0 +1,190 @@
+"""Product quantization (llmops/pq.py): geometry checks, encode
+determinism, the ADC-equals-exact identity on codeword-exact corpora,
+per-subspace training, and the pre-encoded deployment shape."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.pq import (
+    default_codebooks,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+)
+
+
+BOOKS = [
+    # m=2 subspaces, k=4 codewords of dsub=2 each
+    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [2.0, 2.0]],
+    [[0.0, 0.0], [0.5, 0.5], [1.0, 1.0], [3.0, 0.0]],
+]
+
+
+def _codeword_corpus(spark):
+    """Every vector is an exact concatenation of codewords, so PQ
+    reconstruction is lossless and ADC distance == exact squared L2."""
+    rows = [
+        (i, BOOKS[0][a] + BOOKS[1][b])
+        for i, (a, b) in enumerate(itertools.product(range(4), range(4)))
+    ]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_geometry_validation(spark):
+    _, df = _codeword_corpus(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        default_codebooks(df, dim=4, m=3, k=4)
+    with pytest.raises(ValueError, match="need 99 vectors"):
+        default_codebooks(df, dim=4, m=2, k=99)
+
+
+def test_encode_assigns_own_codewords(spark):
+    rows, df = _codeword_corpus(spark)
+    got = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(df, BOOKS).collect()
+    }
+    for i, (a, b) in enumerate(itertools.product(range(4), range(4))):
+        assert got[i] == [a, b], (i, got[i])
+    # the raw vector column is dropped in the codes table by default
+    assert "embedding" not in pq_encode(df, BOOKS).columns
+
+
+def test_adc_equals_exact_on_codeword_corpus(spark):
+    rows, df = _codeword_corpus(spark)
+    qid = 13
+    qvec = dict(rows)[qid]
+
+    def l2sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    want = sorted(
+        ((l2sq(qvec, v), i) for i, v in rows if i != qid)
+    )[:5]
+    got = pq_topk(
+        df, df.where(F.col("vec_id") == qid), 5, codebooks=BOOKS
+    ).orderBy("rank").collect()
+    assert [(r["pq_dist"], r["vec_id"]) for r in got] == want
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_precoded_table_equals_on_the_fly(spark):
+    _, df = _codeword_corpus(spark)
+    coded = pq_encode(df, BOOKS, keep_vec=True)
+    q = df.where("vec_id = 0")
+    a = pq_topk(df, q, 4, codebooks=BOOKS).collect()
+    b = pq_topk(coded, q, 4, codebooks=BOOKS, codes_col="pq_codes").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_fit_recovers_separable_subspace_clusters(spark):
+    # two tight clusters per subspace; k=2 per-subspace k-means must
+    # split them and encode must map members to their own cluster
+    rows = []
+    for i in range(40):
+        left = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        right = [5.0, 0.0] if i % 3 == 0 else [-5.0, 0.0]
+        rows.append((i, [c + (i % 5) * 0.01 for c in left] + right))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    books = pq_fit(df, dim=4, m=2, k=2, n_iters=4)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    codes = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(df, books).collect()
+    }
+    # same-cluster rows share a code in each subspace
+    assert codes[0][0] == codes[2][0] != codes[1][0]
+    assert codes[0][1] == codes[3][1] != codes[1][1]
+
+
+def test_default_codebooks_on_real_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = default_codebooks(emb, dim=64, m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    coded = pq_encode(emb, books, codes_col="c")
+    stats = coded.select(
+        F.min(F.array_min("c")).alias("lo"),
+        F.max(F.array_max("c")).alias("hi"),
+        F.min(F.size("c")).alias("m"),
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] <= 15 and stats["m"] == 8
+    # 32x compression claim: 8 ints vs 64 floats per row, no shuffle
+    from data_validation_engine_spark.scale import count_shuffles
+
+    assert count_shuffles(coded) == 0
+
+def test_pq_declared_as_similarity_topk_method(spark, sf_dir):
+    from data_validation_engine_spark.steps import parse_step
+    from data_validation_engine_spark.steps.engine import StepEngine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ents = {"embeddings": emb, "query": emb.where("vec_id = 0")}
+    StepEngine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "similarity_topk",
+                "entity_name": "embeddings",
+                "target_name": "query",
+                "method": "pq",
+                "k": 10,
+                "dim": 64,
+                "new_entity_name": "out",
+            }
+        ),
+    )
+    rows = ents["out"].orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert all(r["vec_id"] != 0 for r in rows)
+    # the declared step equals the library call with the same defaults
+    books = default_codebooks(emb, dim=64, m=8, k=16)
+    lib = pq_topk(
+        emb, emb.where("vec_id = 0"), 10, codebooks=books
+    ).orderBy("rank").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in lib]
+
+
+def test_refine_recovers_exact_recall_on_real_embeddings(spark, sf_dir):
+    """The FAISS-style exact re-rank: on this concentrated-distance
+    synthetic table raw ADC@10 recall is low by nature (distance
+    spread ~1.3-2.7), but every true top-10 neighbour sits inside the
+    ADC top-few-hundred shortlist, so a refined search must return
+    exactly the brute-force L2 top-10 (placeholder codebooks need a
+    wider shortlist than trained ones — factor 30 here)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = default_codebooks(emb, dim=64, m=8, k=16)
+    q = emb.where("vec_id = 0")
+    qv = [float(x) for x in q.collect()[0]["embedding"]]
+    exact = (
+        emb.where("vec_id != 0")
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(x) for x in qv]),
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    refined = pq_topk(
+        emb, q, 10, codebooks=books, refine_factor=30
+    ).orderBy("rank").collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in refined] == [
+        (r["vec_id"], r["d"]) for r in exact
+    ]
