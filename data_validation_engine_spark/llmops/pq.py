@@ -54,6 +54,7 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "pq_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -296,4 +297,74 @@ def pq_topk(
         F.row_number().over(
             Window.orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
         ),
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    codes_col: str | None = None,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    dist_col: str = "pq_dist",
+    refine_factor: int | None = None,
+) -> DataFrame:
+    """The full FAISS IVF-PQ shape: coarse cells prune the scan to
+    ~``n_probe``/K of the table, ADC over the codes ranks the
+    survivors, and ``refine_factor`` optionally exact-re-ranks the
+    shortlist — compression (PQ) and pruning (IVF) compose, they don't
+    compete.
+
+    Deployment shape: persist the table once with
+    :func:`~data_validation_engine_spark.llmops.ivf.ivf_assign` +
+    :func:`pq_encode` (name the columns via ``cell_col``/``codes_col``;
+    write PARTITIONED BY the cell column and the probe's ``IN`` filter
+    becomes partition pruning — the probe then READS ~n_probe/K of the
+    bytes and scans only 8-byte codes). Without the persisted columns
+    both are derived on the fly (same results, full-scan cost)."""
+    from data_validation_engine_spark.llmops.ivf import ivf_assign
+
+    qrows = query.select(
+        F.col(vec_col).alias("__qvec"), F.col(id_col).alias("__qid")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(f"query must be exactly one row, got {len(qrows)}")
+    qvec = [float(x) for x in qrows[0]["__qvec"]]
+
+    def l2sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ranked = sorted(
+        ((l2sq(qvec, c), i) for i, c in enumerate(centroids))
+    )
+    probe_cells = [i for _, i in ranked[: max(1, n_probe)]]
+
+    if cell_col is None:
+        base = ivf_assign(df, centroids, vec_col=vec_col, cell_col="__cell")
+        cell_col = "__cell"
+    else:
+        base = df
+    pruned = base.where(F.col(cell_col).isin(probe_cells))
+    return pq_topk(
+        pruned,
+        query,
+        k,
+        codebooks=codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        codes_col=codes_col,
+        exclude_self=exclude_self,
+        dist_col=dist_col,
+        refine_factor=refine_factor,
+        refine_df=df if refine_factor is not None else None,
     )

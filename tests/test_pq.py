@@ -188,3 +188,62 @@ def test_refine_recovers_exact_recall_on_real_embeddings(spark, sf_dir):
     assert [(r["vec_id"], r["pq_dist"]) for r in refined] == [
         (r["vec_id"], r["d"]) for r in exact
     ]
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    """IVF cells prune the scan, ADC ranks the survivors, refine
+    re-ranks exactly — and with all cells probed the composition
+    equals plain pq_topk."""
+    from data_validation_engine_spark.llmops.ivf import (
+        default_centroids,
+        ivf_assign,
+    )
+    from data_validation_engine_spark.llmops.pq import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = default_centroids(emb, n_cells=8)
+    books = default_codebooks(emb, dim=64, m=8, k=16)
+    q = emb.where("vec_id = 0")
+
+    # all cells probed == plain PQ
+    full = ivf_pq_topk(
+        emb, q, 10, centroids=cents, codebooks=books, n_probe=8
+    ).collect()
+    plain = pq_topk(emb, q, 10, codebooks=books).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+    # pruned probe returns k rows from the probed cells only
+    assigned = ivf_assign(emb, cents, cell_col="cell")
+    coded = pq_encode(assigned, books, codes_col="c", keep_vec=True)
+    pruned = ivf_pq_topk(
+        coded, q, 10, centroids=cents, codebooks=books,
+        cell_col="cell", codes_col="c", n_probe=2,
+    ).collect()
+    assert len(pruned) == 10
+    probe_cells = {
+        r["cell"]
+        for r in assigned.join(
+            spark.createDataFrame(
+                [(r["vec_id"],) for r in pruned], "vec_id long"
+            ),
+            "vec_id",
+        ).collect()
+    }
+    assert len(probe_cells) <= 2  # survivors came from probed cells
+
+    # refine over the pruned shortlist: distances become exact L2
+    refined = ivf_pq_topk(
+        coded, q, 10, centroids=cents, codebooks=books,
+        cell_col="cell", codes_col="c", n_probe=8, refine_factor=30,
+    ).orderBy("rank").collect()
+    import math
+    qv = [float(x) for x in q.collect()[0]["embedding"]]
+    emb_map = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    for r in refined:
+        exact = sum(
+            (a - b) ** 2 for a, b in zip(emb_map[r["vec_id"]], qv)
+        )
+        assert math.isclose(r["pq_dist"], exact, rel_tol=1e-9)
