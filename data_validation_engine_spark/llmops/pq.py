@@ -134,6 +134,20 @@ def pq_fit(
     return books
 
 
+def _checked_size(arr: Column, expected: int, what: str) -> Column:
+    """Fail loudly on a corpus row whose array length disagrees with
+    the codebook geometry — ``zip_with``/``slice`` would otherwise pad
+    with NULLs and silently drop the row from ranking (r12 ADVICE)."""
+    return F.when(F.size(arr) == F.lit(expected), arr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: expected array length {expected}, got "),
+                F.size(arr).cast("string"),
+            )
+        )
+    )
+
+
 def _code_col(
     vec: Column, codebooks: list[list[list[float]]], s: int, dsub: int
 ) -> Column:
@@ -166,11 +180,12 @@ def pq_encode(
     scans never read the wide column again."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    vec = _checked_size(
+        F.col(vec_col), m * dsub, f"pq_encode: {vec_col}"
+    )
     out = df.withColumn(
         codes_col,
-        F.array(
-            *[_code_col(F.col(vec_col), codebooks, s, dsub) for s in range(m)]
-        ),
+        F.array(*[_code_col(vec, codebooks, s, dsub) for s in range(m)]),
     )
     return out if keep_vec else out.drop(vec_col)
 
@@ -246,7 +261,9 @@ def pq_topk(
         codes = F.col("__codes")
     else:
         base = df
-        codes = F.col(codes_col)
+        codes = _checked_size(
+            F.col(codes_col), m, f"pq_topk: {codes_col}"
+        )
     # ordered fold in subspace order: acc + LUT[s][code_s]
     dist = F.aggregate(
         F.zip_with(
@@ -315,6 +332,7 @@ def ivf_pq_topk(
     exclude_self: bool = True,
     dist_col: str = "pq_dist",
     refine_factor: int | None = None,
+    refine_df: DataFrame | None = None,
 ) -> DataFrame:
     """The full FAISS IVF-PQ shape: coarse cells prune the scan to
     ~``n_probe``/K of the table, ADC over the codes ranks the
@@ -328,7 +346,13 @@ def ivf_pq_topk(
     write PARTITIONED BY the cell column and the probe's ``IN`` filter
     becomes partition pruning — the probe then READS ~n_probe/K of the
     bytes and scans only 8-byte codes). Without the persisted columns
-    both are derived on the fly (same results, full-scan cost)."""
+    both are derived on the fly (same results, full-scan cost).
+
+    ``refine_factor`` needs raw vectors to re-rank against: either the
+    table kept them (``pq_encode(keep_vec=True)``) or ``refine_df``
+    names a separate raw-vector table (``id_col`` + ``vec_col``) —
+    the usual deployment keeps codes and vectors in different tables
+    so the hot scan stays 8 bytes/row."""
     from data_validation_engine_spark.llmops.ivf import ivf_assign
 
     qrows = query.select(
@@ -366,5 +390,9 @@ def ivf_pq_topk(
         exclude_self=exclude_self,
         dist_col=dist_col,
         refine_factor=refine_factor,
-        refine_df=df if refine_factor is not None else None,
+        refine_df=(
+            (refine_df if refine_df is not None else df)
+            if refine_factor is not None
+            else None
+        ),
     )

@@ -730,9 +730,16 @@ def windowed_heavy_hitters(
     estimate falls under ``min_count`` would be silently screened out
     (ADVICE r11). Either probe exactly the events the streaming pass
     admitted, or pass ``check_totals=True`` for a cheap consistency
-    gate: per window, ``sum(cells.n)`` must equal ``depth`` × the
-    window's probed-event count (each event increments exactly
-    ``depth`` cells), and any mismatching window raises loudly.
+    gate: per PROBED window, ``sum(cells.n)`` must equal ``depth`` ×
+    the window's probed-event count (each event increments exactly
+    ``depth`` cells), and any mismatching window raises loudly. The
+    gate — like this operator's exact-count stage, which counts rows —
+    assumes the cells were built with UNIT weights
+    (``streaming_cms_cells`` without a ``weight_col``); a
+    weighted-increment cells table needs a weighted probe and is out
+    of scope here. Cells covering windows OUTSIDE the probe range are
+    fine (the comparison is probe-side only): scoping the probe to a
+    maintenance slice of a long-lived cells table is the normal shape.
 
     The broadcast is bounded by windows-in-scope × ``depth*width`` × 8
     bytes (~128 KiB per window at the defaults) — scope the ``cells``
@@ -764,8 +771,10 @@ def windowed_heavy_hitters(
     probe = events.select(win, F.col(value_col))
     if check_totals:
         # cells-cover-the-probe premise (docstring): each counted event
-        # increments exactly `depth` cells, so per window
-        # sum(cells.n) == depth * probed-event-count. Both sides are
+        # increments exactly `depth` cells, so per PROBED window
+        # sum(cells.n) == depth * probed-event-count. Unit-weight cells
+        # assumed; probe-side left join so cells for windows outside
+        # the probe range never false-fail. Both sides are
         # window-count-bounded aggregations; the collect is too.
         bad = (
             probe.groupBy("window_start")
@@ -775,7 +784,7 @@ def windowed_heavy_hitters(
                     F.sum("n").alias("__got")
                 ),
                 "window_start",
-                "full",
+                "left",
             )
             .where(
                 ~F.coalesce(F.col("__got"), F.lit(0)).eqNullSafe(

@@ -163,3 +163,93 @@ def test_composes_with_web_chain(spark, tmp_path):
     got = {r["canon"]: r["text"] for r in out.collect()}
     assert got["http://x.example/a?a=1&b=2"] == "hello & world"
     assert got["http://x.example/b"] == "unicode é中"
+
+
+def test_header_folding_unfolds(spark, tmp_path):
+    # RFC-822 folded header: continuation lines start with space/tab
+    block = _response_block(HTML_A)
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:f>\r\n"
+        b"WARC-Target-URI: http://fold.example/very/long\r\n"
+        b"\t/continued/path\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        + f"Content-Length: {len(block)}\r\n".encode()
+    )
+    (tmp_path / "f.warc").write_bytes(head + b"\r\n" + block + b"\r\n\r\n")
+    row = read_warc(spark, str(tmp_path)).collect()[0]
+    assert row["target_uri"] == (
+        "http://fold.example/very/long /continued/path"
+    )
+    assert row["warc_date"] == "2026-01-01T00:00:00Z"
+
+
+def test_corrupt_gzip_member_loud_and_salvage(spark, tmp_path):
+    recs = _mini_records()
+    gz = b"".join(gzip.compress(p) for p in recs[:2])
+    broken = gzip.compress(recs[2])
+    # flip bytes inside the deflate stream of the third member
+    broken = broken[:12] + bytes(b ^ 0xFF for b in broken[12:20]) + broken[20:]
+    (tmp_path / "c.warc.gz").write_bytes(gz + broken)
+    with pytest.raises(Exception, match="corrupt gzip"):
+        read_warc(spark, str(tmp_path), types=None).collect()
+    rows = read_warc(
+        spark, str(tmp_path), types=None, strict=False
+    ).collect()
+    # salvage keeps the two intact members, drops the broken tail
+    assert sorted(r["warc_type"] for r in rows) == ["request", "warcinfo"]
+
+
+def test_max_bytes_guard(spark, tmp_path):
+    (tmp_path / "t.warc").write_bytes(_mini_warc())
+    with pytest.raises(Exception, match="max_bytes"):
+        read_warc(spark, str(tmp_path), max_bytes=10).collect()
+    ok = read_warc(spark, str(tmp_path), max_bytes=1 << 20).count()
+    assert ok == 2
+
+
+def test_chunked_emission_matches_whole(spark, tmp_path):
+    # many-record file: tiny chunk budgets must yield identical rows
+    recs = b"".join(
+        _record(
+            "response",
+            _response_block(f"<p>doc {i}</p>".encode()),
+            uri=f"http://m.example/{i}",
+            rid=f"<urn:uuid:{i}>",
+        )
+        for i in range(25)
+    )
+    (tmp_path / "m.warc").write_bytes(recs)
+    whole = read_warc(spark, str(tmp_path)).orderBy("record_offset")
+    tiny = read_warc(
+        spark, str(tmp_path), chunk_rows=3, chunk_bytes=200
+    ).orderBy("record_offset")
+    assert whole.count() == 25
+    assert [r.asDict() for r in whole.collect()] == [
+        r.asDict() for r in tiny.collect()
+    ]
+
+
+def test_walker_buffer_stays_bounded():
+    # memory-shape proof: feeding slice-by-slice never accumulates the
+    # whole stream — the walker trims to the unconsumed suffix
+    from data_validation_engine_spark.sources.warc import _RecordWalker
+
+    payload = _response_block(b"x" * 2000)
+    stream = b"".join(
+        _record("response", payload, uri=f"http://b.example/{i}")
+        for i in range(200)
+    )
+    walker = _RecordWalker("mem.warc", None, True)
+    rows = []
+    peak = 0
+    for off in range(0, len(stream), 1024):
+        rows.extend(walker.feed(stream[off : off + 1024]))
+        peak = max(peak, len(walker.buf))
+    rows.extend(walker.finish())
+    assert len(rows) == 200
+    # peak buffer ~ one record (+ one slice), nowhere near the stream
+    assert peak < 3 * (len(payload) + 1024) < len(stream) / 20
+    # offsets are absolute despite the trimming
+    assert rows[0][1] == 0 and rows[-1][1] > len(stream) - 3000
