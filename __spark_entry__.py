@@ -6906,21 +6906,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 queries: the driver's correctness artifact records at
     most 50 rows, so the budget is allocated deliberately. The full
     merge history and per-row tag map live in ROSTER.md; this docstring
-    keeps only the LIVE round-12 edit.
+    keeps only the LIVE round-13 edit.
 
-    ROUND-12 edit (r11 verdict Next-round #1, a pure roster edit —
-    every constituent query function and oracle reused verbatim; slot
-    arithmetic in the _R12 promotion section at the end of this file):
-    paragraph_dedup + shared_spans -> span_dedup (+ staged 'inc'
-    incremental-span tag); cms_sketch + selection_sketches -> sketches
-    (+ staged 'bx' Bloom-decontamination tag); chunking_v2 + artifacts
-    -> chunk_artifacts; text_prep + corpus_terms -> text_corpus;
-    sampling_v2 gains the staged 'hn' hard-negatives tag;
-    crawl_signals gains the staged crawl-graph 'l'/'a'/'c'/'q' tags;
-    NEW rows classifier ('z'/'za'/'k'/'cz'/'ck'), substring_dedup
-    ('sp'/'rm'), index_maintenance ('ix'/'st'), stream_heavy ('hh') —
-    all eight staged constituents pre-proven green through the exact
-    driver comparison pipeline in round 11 (oracle_check --staged 8/8).
+    ROUND-13 edit (r12 verdict Next-round #3, a pure roster edit —
+    every constituent query function and oracle reused verbatim; fold
+    rationale in the _R13 promotion section at the end of this file):
+    three staged-green r13 rows land as tags on surviving rows, 0
+    slots: r13_pq ('enc'/'adc' product-quantization surfaces) ->
+    semantic_dedup; r13_substring_verify ('spv'/'rmv' text-exact
+    ExactSubstr proof) -> substring_dedup; r13_warc ('w'/'n'/'c' WARC
+    ingest) -> text_corpus. All three pre-proven green through the
+    exact driver comparison pipeline in round 12 (oracle_check
+    --staged 3/3).
 
     Still pytest-pinned only (documented non-hashable, FLOATS.md +
     ROSTER.md): the BPE merge loop, pca_fit's eigen-iteration,
@@ -6972,7 +6969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_aggregates": q_report_aggregates,
         "pipeline_e2e": q_pipeline_e2e,
         # round-10 attestation rows for the round-9 operator increment
-        "semantic_dedup": q_semantic_dedup,
+        # (semantic_dedup gained the r13 PQ 'enc'/'adc' tags)
+        "semantic_dedup": q_semantic_dedup_v2,
         "pca_project": q_pca_project,
         "feature_scores": q_feature_scores,
         # round-12 family merges (constituents verbatim — see ROSTER.md
@@ -6980,14 +6978,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "sketches": q_sketches,
         "chunk_artifacts": q_chunk_artifacts,
-        "text_corpus": q_text_corpus,
+        # text_corpus gained the r13 WARC 'w'/'n'/'c' tags
+        "text_corpus": q_text_corpus_v2,
         # round-11 promotion rows extended with r12 staged tags
         "sampling_v2": q_sampling_v3,
         "crawl_signals": q_crawl_signals_v2,
         # round-12 promotion rows (staged-green in r11, text verbatim;
         # classifier additionally carries the new 'ev' holdout tags)
         "classifier": q_classifier_v2,
-        "substring_dedup": q_r12_substring_dedup,
+        # substring_dedup gained the r13 text-exact 'spv'/'rmv' tags
+        "substring_dedup": q_substring_dedup_v2,
         "index_maintenance": q_r12_index_maintenance,
         "stream_heavy": q_r12_stream_heavy,
     }
@@ -7000,6 +7000,7 @@ def oracle_sql() -> dict[str, str]:
     merged.update(_r12_oracles(merged))
     for retired in _R12_RETIRED:
         merged.pop(retired, None)
+    merged.update(_r13_oracles(merged))
     return merged
 
 
@@ -9646,13 +9647,15 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     onto the roster in round 11 exactly as staged (see the
     _R11_ORACLES section); the round-11 increment staged here (the
     eight r12_* rows) was promoted onto the roster in round 12 exactly
-    as staged (see the _R12 promotion section), and this now stages
-    the round-12 increment for round 13."""
-    return dict(_R13_STAGED_QUERIES)
+    as staged (see the _R12 promotion section); the round-12 increment
+    (the three r13_* rows) was promoted in round 13 exactly as staged
+    (see the _R13 promotion section), and this now stages the
+    round-13 increment for round 14."""
+    return dict(_R14_STAGED_QUERIES)
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    return dict(_R13_STAGED_ORACLES)
+    return dict(_R14_STAGED_ORACLES)
 
 
 # round-11 increment candidates, populated below as operators land
@@ -11213,3 +11216,93 @@ _R13_STAGED_ORACLES["r13_pq"] = """
 
 
 _R13_STAGED_QUERIES["r13_pq"] = q_r13_pq
+
+
+# ---------------------------------------------------------------------------
+# ROUND-13 PROMOTION (r12 verdict, Next-round #3)
+#
+# The three staged rows above were pre-proven green through the exact
+# driver comparison pipeline in round 12 (tools/oracle_check.py
+# --staged 3/3, CI-gated by tests/test_staged_oracles.py). This
+# section is the ROSTER EDIT ONLY: every staged query function and
+# oracle string is reused VERBATIM; each fold unions proven all-string
+# (op, k, v) frames with disjoint op tags, which preserves each
+# constituent's hashed surface row-for-row.
+#
+# Slot arithmetic: all three land as TAGS on surviving rows (0 slots;
+# net 50 - 0 + 0 = 50):
+#   r13_pq ('enc'/'adc')                 -> semantic_dedup
+#   r13_substring_verify ('spv'/'rmv')   -> substring_dedup
+#   r13_warc ('w'/'n'/'c')               -> text_corpus
+#
+# Fold-target notes (the r12 verdict named ann_variants /
+# source_xml_json as the obvious homes, but neither is an all-string
+# (op, k, v) frame — ann_variants is (method, vec_id, cosine, bucket,
+# bucket_part) and source_xml_json is (src, k BIGINT, name, rk), so a
+# verbatim union is impossible there; chunk_artifacts collides on the
+# 'c'/'w' tags):
+#   - r13_pq rides semantic_dedup: the other embedding-family
+#     all-string row (pair/grp/keep vs enc/adc — disjoint);
+#   - r13_warc rides text_corpus: the text-ingestion family
+#     (norm/html/json/url/... vs w/n/c — disjoint).
+# ---------------------------------------------------------------------------
+
+
+def q_semantic_dedup_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 extension riding the semantic_dedup row: the r10 roster
+    row verbatim (SemDeDup pair/grp/keep) + the staged-green product-
+    quantization surfaces ('enc' full-corpus PQ codes / 'adc'
+    asymmetric-distance top-20, r13_pq verbatim — llmops/pq.py)."""
+    return q_semantic_dedup(spark, sf_dir).unionByName(
+        q_r13_pq(spark, sf_dir)
+    )
+
+
+def q_substring_dedup_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 extension riding the substring_dedup row: the r12
+    roster row verbatim (hash-replay 'sp'/'rm') + the staged-green
+    exact_verify twin ('spv'/'rmv', r13_substring_verify verbatim) —
+    whose oracle groups grams by TEXT, proving true ExactSubstr
+    semantics rather than hash-replay parity."""
+    return q_r12_substring_dedup(spark, sf_dir).unionByName(
+        q_r13_substring_verify(spark, sf_dir)
+    )
+
+
+def q_text_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 extension riding the text_corpus row: the r12 merge
+    verbatim (text-prep + corpus-term surfaces) + the staged-green WARC
+    ingest ('w' payload fidelity / 'n' record inventory / 'c'
+    canonicalized URIs, r13_warc verbatim — sources/warc.py)."""
+    return q_text_corpus(spark, sf_dir).unionByName(
+        q_r13_warc(spark, sf_dir)
+    )
+
+
+def _r13_oracles(pre: dict[str, str]) -> dict[str, str]:
+    """The round-13 oracle edit over the effective post-r12 dict: union
+    strings mirror the query wrappers constituent-for-constituent."""
+    return {
+        "semantic_dedup": _union_sql(
+            pre["semantic_dedup"], _R13_STAGED_ORACLES["r13_pq"]
+        ),
+        "substring_dedup": _union_sql(
+            pre["substring_dedup"],
+            _R13_STAGED_ORACLES["r13_substring_verify"],
+        ),
+        "text_corpus": _union_sql(
+            pre["text_corpus"], _R13_STAGED_ORACLES["r13_warc"]
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# ROUND-14 STAGED ROWS — the next increment's pre-promotion gate
+# (populated as round-13 operators land; run by tools/oracle_check.py
+# --staged and tests/test_staged_oracles.py, not by the driver)
+# ---------------------------------------------------------------------------
+
+_R14_STAGED_QUERIES: dict[
+    str, Callable[[SparkSession, str], DataFrame]
+] = {}
+_R14_STAGED_ORACLES: dict[str, str] = {}

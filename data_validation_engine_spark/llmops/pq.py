@@ -396,3 +396,88 @@ def ivf_pq_topk(
             else None
         ),
     )
+
+
+def pq_codebooks_to_rows(
+    codebooks: list[list[list[float]]],
+) -> list[tuple[int, int, list[float]]]:
+    """Flatten trained codebooks into ``(subspace, code, centroid)``
+    entity rows — the persistable train→search handoff (the
+    ``classifier_fit`` weights-entity pattern: fit once, feed every
+    later encode/search step from the entity). A geometry sentinel row
+    ``(-1, -1, [m, k, dsub])`` declares the full grid so a partially
+    read or written entity (lost trailing subspace or codeword rows)
+    fails loudly at resolve time instead of silently shrinking the
+    quantizer and mis-coding every vector."""
+    m = len(codebooks)
+    if m < 1 or not codebooks[0]:
+        raise ValueError("pq_codebooks_to_rows: empty codebooks")
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    rows: list[tuple[int, int, list[float]]] = [
+        (-1, -1, [float(m), float(k), float(dsub)])
+    ]
+    for s, book in enumerate(codebooks):
+        if len(book) != k:
+            raise ValueError(
+                f"pq_codebooks_to_rows: subspace {s} has {len(book)} "
+                f"codewords, expected {k}"
+            )
+        for j, cw in enumerate(book):
+            if len(cw) != dsub:
+                raise ValueError(
+                    f"pq_codebooks_to_rows: codeword ({s},{j}) has "
+                    f"dim {len(cw)}, expected {dsub}"
+                )
+            rows.append((s, j, [float(x) for x in cw]))
+    return rows
+
+
+def pq_codebooks_from_rows(rows) -> list[list[list[float]]]:
+    """Rebuild ``codebooks[s][j]`` from entity rows (any order). The
+    collect feeding this is bounded: m × k rows of d/m doubles — a few
+    KB of driver data by construction. Validates the declared grid is
+    COMPLETE (the dense-export check classifier weights get): missing
+    sentinel, missing cells, duplicate cells, or a wrong centroid
+    length all raise with the cell named."""
+    sentinel = None
+    cells: dict[tuple[int, int], list[float]] = {}
+    for r in rows:
+        s, j, cw = int(r[0]), int(r[1]), list(r[2])
+        if s == -1 and j == -1:
+            sentinel = cw
+        elif (s, j) in cells:
+            raise ValueError(
+                f"pq_codebooks_from_rows: duplicate cell ({s},{j})"
+            )
+        else:
+            cells[(s, j)] = [float(x) for x in cw]
+    if sentinel is None or len(sentinel) != 3:
+        raise ValueError(
+            "pq_codebooks_from_rows: missing geometry sentinel row "
+            "(-1, -1, [m, k, dsub]) — not a pq_codebooks_to_rows export"
+        )
+    m, k, dsub = (int(x) for x in sentinel)
+    if len(cells) != m * k:
+        raise ValueError(
+            f"pq_codebooks_from_rows: entity declares {m}x{k} codewords "
+            f"but carries {len(cells)} — partial read/write loses "
+            "codewords and would silently mis-code every vector"
+        )
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        book = []
+        for j in range(k):
+            cw = cells.get((s, j))
+            if cw is None:
+                raise ValueError(
+                    f"pq_codebooks_from_rows: missing cell ({s},{j})"
+                )
+            if len(cw) != dsub:
+                raise ValueError(
+                    f"pq_codebooks_from_rows: cell ({s},{j}) has dim "
+                    f"{len(cw)}, expected {dsub}"
+                )
+            book.append(cw)
+        books.append(book)
+    return books
