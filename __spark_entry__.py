@@ -11158,7 +11158,11 @@ def q_r13_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.unionByName(adc)
 
 
-_R13_STAGED_ORACLES["r13_pq"] = """
+# the ADC CTE chain is shared by the r13_pq oracle and the r14
+# recall/entity oracles (r12 verdict #6: factor repeated folds) —
+# parameterised on the top-k LIMIT only; the r13_pq text below
+# recomposes BYTE-IDENTICALLY to its staged-green literal
+_PQ_ADC_CTES = """
     WITH cb AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
                embedding AS cv
@@ -11202,8 +11206,11 @@ _R13_STAGED_ORACLES["r13_pq"] = """
         SELECT vec_id, dist,
                row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rk
         FROM dist WHERE vec_id <> 0
-        ORDER BY dist ASC, vec_id ASC LIMIT 20
-    )
+        ORDER BY dist ASC, vec_id ASC LIMIT __PQ_K__
+    )"""
+
+
+_R13_STAGED_ORACLES["r13_pq"] = _PQ_ADC_CTES.replace("__PQ_K__", "20") + """
     SELECT 'enc' AS op, CAST(vec_id AS VARCHAR) AS k,
            string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS v
     FROM assign GROUP BY vec_id
@@ -11306,3 +11313,186 @@ _R14_STAGED_QUERIES: dict[
     str, Callable[[SparkSession, str], DataFrame]
 ] = {}
 _R14_STAGED_ORACLES: dict[str, str] = {}
+
+
+def q_r14_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@10 (llmops/recall.py ann_recall — r12 verdict,
+    What's-missing #2: the approximate paths' quality gauge) of each
+    approximate top-10 against the exact cosine top-10 for query vec 0:
+
+    - 'rec'/ivf — the 4-of-16-cell IVF probe (the pruned-scan path);
+    - 'rec'/ivf_full — the 16-of-16 probe, which scans everything and
+      must therefore measure recall EXACTLY 1.0 (the identity arm that
+      pins the measurement itself);
+    - 'rec'/multiprobe — the 3-table OR-amplified hyperplane probe;
+    - 'rec'/pq — raw ADC over placeholder codebooks (no refine: this
+      row MEASURES the quantization loss the refine stage repairs).
+
+    v = n_hits|n_exact|n_approx|floor(recall * 1e6): counts are exact
+    longs; recall is one correctly-rounded division of exact integers
+    (the classifier_eval metric class). All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.ivf import ivf_topk
+    from data_validation_engine_spark.llmops.pq import (
+        default_codebooks,
+        pq_topk,
+    )
+    from data_validation_engine_spark.llmops.recall import ann_recall
+    from data_validation_engine_spark.llmops.similarity import (
+        cosine_topk,
+        multiprobe_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0")
+    exact = cosine_topk(emb, q, 10).select("vec_id")
+    books = default_codebooks(emb, dim=64, m=8, k=16)
+    approx = {
+        "ivf": ivf_topk(emb, q, 10).select("vec_id"),
+        "ivf_full": ivf_topk(emb, q, 10, n_probe=16).select("vec_id"),
+        "multiprobe": multiprobe_ann_topk(emb, q, 10).select("vec_id"),
+        "pq": pq_topk(emb, q, 10, codebooks=books).select("vec_id"),
+    }
+    out = None
+    for method, ap in approx.items():
+        rec = ann_recall(ap, exact, k=10).selectExpr(
+            "'rec' AS op",
+            f"'{method}' AS k",
+            "CONCAT_WS('|', CAST(n_hits AS STRING),"
+            " CAST(n_exact AS STRING), CAST(n_approx AS STRING),"
+            " CAST(CAST(floor(recall * 1000000) AS BIGINT) AS STRING))"
+            " AS v",
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _duck_recall_arm(method: str, cte: str) -> str:
+    """One oracle recall row: |cte ∩ ex| / 10 with the same
+    hits|n_exact|n_approx|floor(recall*1e6) surface the Spark side
+    emits."""
+    return f"""
+    SELECT 'rec' AS op, '{method}' AS k,
+           CAST((SELECT count(*) FROM {cte}
+                 WHERE vec_id IN (SELECT vec_id FROM ex)) AS VARCHAR)
+           || '|10|' ||
+           CAST((SELECT count(*) FROM {cte}) AS VARCHAR) || '|' ||
+           CAST(CAST(floor((SELECT count(*) FROM {cte}
+                 WHERE vec_id IN (SELECT vec_id FROM ex))::DOUBLE
+                 / 10.0 * 1000000) AS BIGINT) AS VARCHAR) AS v
+    """
+
+
+_R14_STAGED_ORACLES["r14_ann_recall"] = (
+    f"""
+    WITH ex AS (SELECT vec_id FROM ({_similarity_topk_oracle(k=10)})),
+    iv AS (SELECT vec_id FROM ({_similarity_ivf_oracle(k=10)})),
+    ivfull AS (
+        SELECT vec_id FROM ({_similarity_ivf_oracle(k=10, n_probe=16)})
+    ),
+    mp AS (SELECT vec_id FROM ({_multiprobe_ann_oracle(k=10)})),
+    pqt AS (
+        SELECT vec_id FROM (
+            {_PQ_ADC_CTES.replace("__PQ_K__", "10")}
+            SELECT vec_id FROM top
+        )
+    )
+    """
+    + _duck_recall_arm("ivf", "iv")
+    + "UNION ALL"
+    + _duck_recall_arm("ivf_full", "ivfull")
+    + "UNION ALL"
+    + _duck_recall_arm("multiprobe", "mp")
+    + "UNION ALL"
+    + _duck_recall_arm("pq", "pqt")
+)
+
+
+_R14_STAGED_QUERIES["r14_ann_recall"] = q_r14_ann_recall
+
+
+def q_r14_pq_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pq_fit → codebooks-entity → similarity_topk composition
+    declared as JSON steps (r12 verdict, Next-round #5 — the
+    classifier_fit → weights_entity pattern applied to PQ):
+
+    - 'cb' — the codebooks ENTITY surface itself ((subspace, code) →
+      the centroid's per-component floor(x*1e6) fold), proving the
+      entity round-trip carries the exact geometry (here the
+      deterministic placeholder codebooks, so the oracle can re-derive
+      them from the embeddings table — the TRAINED path's numeric
+      parity with the library is pytest-pinned in
+      tests/test_recall_pq_steps.py, the classifier_fit precedent);
+    - 'ent' — ADC top-20 computed by the similarity_topk step FED FROM
+      THE ENTITY (codebooks_entity=...), which must match the same
+      index-order ADC folds the oracle replays — proving the
+      entity-resolved codebooks reach the search bit-identically.
+
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.pq import (
+        default_codebooks,
+        pq_codebooks_to_rows,
+    )
+    from data_validation_engine_spark.steps import parse_step
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = default_codebooks(emb, dim=64, m=8, k=16)
+    ents = {
+        "emb": emb,
+        "query": emb.where("vec_id = 0"),
+        "books": spark.createDataFrame(
+            pq_codebooks_to_rows(books),
+            "subspace int, code int, centroid array<double>",
+        ),
+    }
+    eng = _engine(spark)
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "similarity_topk",
+                "entity_name": "emb",
+                "target_name": "query",
+                "method": "pq",
+                "k": 20,
+                "codebooks_entity": "books",
+                "new_entity_name": "top",
+            }
+        ),
+    )
+    cb = ents["books"].where("subspace >= 0").selectExpr(
+        "'cb' AS op",
+        "CONCAT_WS('|', CAST(subspace AS STRING),"
+        " CAST(code AS STRING)) AS k",
+        "array_join(transform(centroid,"
+        " x -> CAST(CAST(floor(x * 1000000) AS BIGINT) AS STRING)),"
+        " ',') AS v",
+    )
+    ent = ents["top"].selectExpr(
+        "'ent' AS op",
+        "CAST(rank AS STRING) AS k",
+        "CONCAT_WS('|', CAST(vec_id AS STRING),"
+        " CAST(CAST(floor(pq_dist * 1000000) AS BIGINT) AS STRING)) AS v",
+    )
+    return cb.unionByName(ent)
+
+
+_R14_STAGED_ORACLES["r14_pq_entity"] = (
+    _PQ_ADC_CTES.replace("__PQ_K__", "20")
+    + """
+    SELECT 'cb' AS op,
+           CAST(s AS VARCHAR) || '|' || CAST(j AS VARCHAR) AS k,
+           (SELECT string_agg(
+                CAST(CAST(floor(cv[s * 8 + i]::DOUBLE * 1000000)
+                     AS BIGINT) AS VARCHAR), ',' ORDER BY i)
+            FROM (SELECT unnest(range(1, 9)) AS i)) AS v
+    FROM subs CROSS JOIN cb
+    UNION ALL
+    SELECT 'ent', CAST(rk AS VARCHAR),
+           CAST(vec_id AS VARCHAR) || '|' ||
+           CAST(CAST(floor(dist * 1000000) AS BIGINT) AS VARCHAR)
+    FROM top
+"""
+)
+
+
+_R14_STAGED_QUERIES["r14_pq_entity"] = q_r14_pq_entity

@@ -291,10 +291,12 @@ class SimilarityTopK(AbstractStep):
     ``method="pq"`` ranks by product-quantization ADC distance
     (ascending — a distance, not a cosine): ``pq_m`` subspaces ×
     ``pq_k`` codewords from ``codebooks`` (``pq_fit`` output or any
-    offline training), else the deterministic first-``pq_k``-vectors
-    placeholder; ``codes_column`` names a pre-encoded ``pq_encode``
-    column so the probe never scans the raw vectors (the 100 TB
-    deployment shape).
+    offline training) or from a ``pq_fit`` step's output entity
+    (``codebooks_entity`` — a bounded m×k-row collect with the dense-
+    export validation classifier weights get; at most one of the two),
+    else the deterministic first-``pq_k``-vectors placeholder;
+    ``codes_column`` names a pre-encoded ``pq_encode`` column so the
+    probe never scans the raw vectors (the 100 TB deployment shape).
     """
 
     operation: Literal["similarity_topk"] = "similarity_topk"
@@ -313,9 +315,45 @@ class SimilarityTopK(AbstractStep):
     pq_m: int = 8
     pq_k: int = 16
     codebooks: Optional[tuple[tuple[tuple[float, ...], ...], ...]] = None
+    codebooks_entity: Optional[str] = None
     codes_column: Optional[str] = None
     # exact re-rank of the k x pq_refine ADC shortlist (FAISS refine)
     pq_refine: Optional[int] = None
+
+
+class PQFit(AbstractStep):
+    """Train product-quantization codebooks (``pq_m`` independent
+    deterministic per-subspace k-means runs — llmops/pq.py pq_fit) and
+    export them as a ``(subspace, code, centroid)`` entity with the
+    geometry sentinel row, the persistable train→search handoff: feed
+    the entity to ``similarity_topk(method="pq")`` via
+    ``codebooks_entity`` (the ``classifier_fit`` → ``weights_entity``
+    pattern)."""
+
+    operation: Literal["pq_fit"] = "pq_fit"
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    dim: int = 64
+    pq_m: int = 8
+    pq_k: int = 16
+    n_iters: int = 2
+    round_to: int = 6
+
+
+class AnnRecall(AbstractStep):
+    """Recall@k of an approximate top-k entity against the exact top-k
+    entity (llmops/recall.py): per ``group_columns`` slice, ``n_hits``/
+    ``n_exact``/``n_approx`` exact longs plus ``recall`` = n_hits / (k
+    or n_exact). ``entity_name`` is the APPROXIMATE frame,
+    ``target_name`` the exact one — the tuning gauge for
+    n_probe/pq_m/refine_factor."""
+
+    operation: Literal["ann_recall"] = "ann_recall"
+    target_name: str
+    id_column: str = "vec_id"
+    group_columns: tuple[str, ...] = ()
+    k: Optional[int] = None
+    recall_column: str = "recall"
 
 
 class EmbeddingNearDup(AbstractStep):
@@ -1989,6 +2027,8 @@ AnyStep = Annotated[
         CompactMinhashIndex,
         RemoveRepeatedSubstrings,
         WindowedHeavyHitters,
+        PQFit,
+        AnnRecall,
     ],
     Field(discriminator="operation"),
 ]

@@ -160,6 +160,8 @@ from data_validation_engine_spark.steps.configs import (
     HeavyHitters,
     InterleaveSources,
     WindowedHeavyHitters,
+    PQFit,
+    AnnRecall,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -322,6 +324,8 @@ class StepEngine:
             ClassifierEval: self.classifier_eval,
             CompactMinhashIndex: self.compact_minhash_index,
             WindowedHeavyHitters: self.windowed_heavy_hitters,
+            PQFit: self.pq_fit,
+            AnnRecall: self.ann_recall,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -1306,13 +1310,31 @@ class StepEngine:
         if config.method == "pq":
             from data_validation_engine_spark.llmops.pq import (
                 default_codebooks,
+                pq_codebooks_from_rows,
                 pq_topk,
             )
 
-            books = (
-                [[list(cw) for cw in book] for book in config.codebooks]
-                if config.codebooks
-                else default_codebooks(
+            if (
+                config.codebooks is not None
+                and config.codebooks_entity is not None
+            ):
+                raise ConfigurationError(
+                    "similarity_topk: pass at most one of codebooks / "
+                    "codebooks_entity"
+                )
+            if config.codebooks:
+                books = [
+                    [list(cw) for cw in book] for book in config.codebooks
+                ]
+            elif config.codebooks_entity is not None:
+                # bounded collect: m x k + 1 rows by the pq_fit export
+                # contract; dense-grid validation happens in the
+                # resolver (the classifier weights-entity discipline)
+                books = pq_codebooks_from_rows(
+                    entities[config.codebooks_entity].collect()
+                )
+            else:
+                books = default_codebooks(
                     table,
                     id_col=config.id_column,
                     vec_col=config.vector_column,
@@ -1320,7 +1342,6 @@ class StepEngine:
                     m=config.pq_m,
                     k=config.pq_k,
                 )
-            )
             out = pq_topk(
                 table,
                 query,
@@ -2736,6 +2757,47 @@ class StepEngine:
             [(-2, float(len(weights))), (-1, float(bias))]
             + [(b, float(w)) for b, w in enumerate(weights)],
             "bucket int, weight double",
+        )
+        return None
+
+    def pq_fit(self, entities: Entities, *, config: PQFit) -> Messages:
+        from data_validation_engine_spark.llmops.pq import (
+            pq_codebooks_to_rows,
+            pq_fit,
+        )
+
+        books = pq_fit(
+            entities[config.entity_name],
+            id_col=config.id_column,
+            vec_col=config.vector_column,
+            dim=config.dim,
+            m=config.pq_m,
+            k=config.pq_k,
+            n_iters=config.n_iters,
+            round_to=config.round_to,
+        )
+        spark = entities[config.entity_name].sparkSession
+        # (-1, -1, [m, k, dsub]) geometry sentinel included by the
+        # exporter — the consumer validates the full grid instead of
+        # inferring it (the classifier_fit bucket=-2 discipline)
+        entities[config.output_name] = spark.createDataFrame(
+            pq_codebooks_to_rows(books),
+            "subspace int, code int, centroid array<double>",
+        )
+        return None
+
+    def ann_recall(
+        self, entities: Entities, *, config: AnnRecall
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.recall import ann_recall
+
+        entities[config.output_name] = ann_recall(
+            entities[config.entity_name],
+            entities[config.target_name],
+            id_col=config.id_column,
+            group_cols=list(config.group_columns),
+            k=config.k,
+            recall_col=config.recall_column,
         )
         return None
 

@@ -1,0 +1,271 @@
+"""Round-13 verdict items #4/#5: the ann_recall operator (recall@k of
+approximate vs exact top-k) and the pq_fit -> codebooks-entity ->
+similarity_topk composition (the classifier_fit weights-entity
+pattern applied to PQ)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_engine_spark.llmops.pq import (
+    default_codebooks,
+    pq_codebooks_from_rows,
+    pq_codebooks_to_rows,
+    pq_fit,
+    pq_topk,
+)
+from data_validation_engine_spark.llmops.recall import ann_recall
+from data_validation_engine_spark.steps import StepEngine, parse_step
+
+
+# --- ann_recall library surface -----------------------------------------
+
+
+def test_ann_recall_basic_and_k_denominator(spark):
+    exact = spark.createDataFrame(
+        [(i,) for i in range(10)], "vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 4, 50, 51, 52, 53, 54)],
+        "vec_id long",
+    )
+    [r] = ann_recall(approx, exact).collect()
+    assert (r["n_hits"], r["n_exact"], r["n_approx"]) == (5, 10, 10)
+    assert r["recall"] == 0.5
+    # fixed-k denominator
+    [r] = ann_recall(approx, exact, k=20).collect()
+    assert r["recall"] == 0.25
+
+
+def test_ann_recall_grouped_and_missing_groups(spark):
+    # exact has queries q1, q2; approx returns nothing for q2 and has
+    # an extra group q3 — both must surface as rows, not vanish
+    exact = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q2", 1), ("q2", 9)],
+        "q string, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [("q1", 1), ("q1", 7), ("q3", 1)], "q string, vec_id long"
+    )
+    got = {
+        r["q"]: r
+        for r in ann_recall(
+            approx, exact, group_cols=["q"], k=2
+        ).collect()
+    }
+    assert set(got) == {"q1", "q2", "q3"}
+    assert got["q1"]["n_hits"] == 1 and got["q1"]["recall"] == 0.5
+    assert got["q2"]["n_hits"] == 0 and got["q2"]["recall"] == 0.0
+    assert got["q3"]["n_exact"] == 0 and got["q3"]["recall"] == 0.0
+
+
+def test_ann_recall_validates(spark):
+    df = spark.createDataFrame([(1,)], "vec_id long")
+    other = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="lacks column"):
+        ann_recall(df, other)
+    with pytest.raises(ValueError, match="k must be"):
+        ann_recall(df, df, k=0)
+
+
+def test_ann_recall_on_real_ann_paths(spark, sf_dir):
+    from data_validation_engine_spark.llmops.ivf import ivf_topk
+    from data_validation_engine_spark.llmops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0")
+    exact = cosine_topk(emb, q, 10).select("vec_id")
+    # probing ALL cells must be exact-equivalent: recall == 1.0
+    full = ivf_topk(emb, q, 10, n_cells=16, n_probe=16).select("vec_id")
+    [r] = ann_recall(full, exact, k=10).collect()
+    assert r["recall"] == 1.0
+    # a 4-of-16 probe is a subset scan: recall in [0, 1], hits bounded
+    part = ivf_topk(emb, q, 10, n_cells=16, n_probe=4).select("vec_id")
+    [r] = ann_recall(part, exact, k=10).collect()
+    assert 0.0 <= r["recall"] <= 1.0 and r["n_hits"] <= 10
+
+
+# --- codebooks entity round-trip ----------------------------------------
+
+BOOKS = [
+    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [2.0, 2.0]],
+    [[0.0, 0.0], [0.5, 0.5], [1.0, 1.0], [3.0, 0.0]],
+]
+
+
+def test_codebooks_entity_roundtrip_and_validation():
+    rows = pq_codebooks_to_rows(BOOKS)
+    assert rows[0] == (-1, -1, [2.0, 4.0, 2.0])  # m, k, dsub sentinel
+    assert pq_codebooks_from_rows(rows) == BOOKS
+    # order-insensitive
+    assert pq_codebooks_from_rows(list(reversed(rows))) == BOOKS
+    with pytest.raises(ValueError, match="missing geometry sentinel"):
+        pq_codebooks_from_rows(rows[1:])
+    with pytest.raises(ValueError, match="carries 7"):
+        pq_codebooks_from_rows(rows[:-1])  # trailing codeword lost
+    with pytest.raises(ValueError, match="duplicate cell"):
+        pq_codebooks_from_rows(rows + [rows[-1]])
+
+
+def _codeword_corpus(spark):
+    rows = [
+        (i, BOOKS[0][a] + BOOKS[1][b])
+        for i, (a, b) in enumerate(itertools.product(range(4), range(4)))
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_declared_pq_fit_entity_feeds_similarity_topk(spark):
+    """pq_fit -> entity -> similarity_topk(codebooks_entity=...) must
+    equal the library path with the same trained codebooks."""
+    df = _codeword_corpus(spark)
+    eng = StepEngine(spark)
+    ents = {"emb": df, "query": df.where("vec_id = 13")}
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "pq_fit",
+                "entity_name": "emb",
+                "dim": 4,
+                "pq_m": 2,
+                "pq_k": 4,
+                "n_iters": 2,
+                "new_entity_name": "books",
+            }
+        ),
+    )
+    assert ents["books"].count() == 2 * 4 + 1  # grid + sentinel
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "similarity_topk",
+                "entity_name": "emb",
+                "target_name": "query",
+                "method": "pq",
+                "k": 5,
+                "codebooks_entity": "books",
+                "new_entity_name": "top",
+            }
+        ),
+    )
+    trained = pq_fit(df, dim=4, m=2, k=4, n_iters=2)
+    want = pq_topk(
+        df, df.where("vec_id = 13"), 5, codebooks=trained
+    ).collect()
+    got = ents["top"].collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in got] == [
+        (r["vec_id"], r["pq_dist"]) for r in want
+    ]
+    # at most one codebook source
+    with pytest.raises(Exception, match="at most one"):
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "similarity_topk",
+                    "entity_name": "emb",
+                    "target_name": "query",
+                    "method": "pq",
+                    "codebooks": [[[0.0, 0.0]] * 2] * 2,
+                    "codebooks_entity": "books",
+                }
+            ),
+        )
+    # a filtered (sparse) entity fails loudly, never mis-codes
+    ents["books_sparse"] = ents["books"].where(
+        "NOT (subspace = 1 AND code = 3)"
+    )
+    with pytest.raises(Exception, match="carries 7"):
+        eng.evaluate(
+            ents,
+            config=parse_step(
+                {
+                    "operation": "similarity_topk",
+                    "entity_name": "emb",
+                    "target_name": "query",
+                    "method": "pq",
+                    "codebooks_entity": "books_sparse",
+                }
+            ),
+        )
+
+
+def test_declared_ann_recall_step(spark):
+    eng = StepEngine(spark)
+    ents = {
+        "approx": spark.createDataFrame(
+            [(1,), (2,), (99,)], "vec_id long"
+        ),
+        "exact": spark.createDataFrame(
+            [(1,), (2,), (3,)], "vec_id long"
+        ),
+    }
+    eng.evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "ann_recall",
+                "entity_name": "approx",
+                "target_name": "exact",
+                "k": 3,
+                "new_entity_name": "rec",
+            }
+        ),
+    )
+    [r] = ents["rec"].collect()
+    assert r["n_hits"] == 2 and abs(r["recall"] - 2 / 3) < 1e-12
+
+
+# --- trained codebooks beat the placeholder on a clustered corpus -------
+
+
+def _grid_corpus(spark):
+    """Deterministic (a, b) lattice: subspace 0 carries 100*a, subspace
+    1 carries 100*b (a, b in 0..15), ids a-major — so the FIRST 16
+    vectors are exactly the b = 0 row. The default (first-16-vectors)
+    codebooks therefore resolve subspace 0 perfectly but have ZERO
+    resolution on subspace 1 (all 16 codewords sit at b ≈ 0), while
+    pq_fit's per-subspace k-means pulls centroids out along b — the
+    textbook case where training the quantizer on the data beats the
+    placeholder."""
+    rows = []
+    for i in range(256):
+        a, b = i % 16, i // 16
+        v = [0.0] * 8
+        for s in range(4):
+            v[s] = 100.0 * a + ((i * 37 + s * 11) % 7 - 3) * 0.05
+        for s in range(4, 8):
+            v[s] = 100.0 * b + ((i * 53 + s * 13) % 7 - 3) * 0.05
+        rows.append((i, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_pq_fit_codebooks_beat_default_on_recall(spark):
+    df = _grid_corpus(spark)
+    q = df.where("vec_id = 200")  # a = 8, b = 12
+    default = default_codebooks(df, dim=8, m=2, k=16)
+    # exact L2 truth: refine over the entire corpus (k x 26 >= 256),
+    # which is codebook-independent by construction
+    exact = pq_topk(
+        df, q, 10, codebooks=default, refine_factor=26
+    ).select("vec_id")
+
+    def recall(books):
+        approx = pq_topk(df, q, 10, codebooks=books).select("vec_id")
+        [r] = ann_recall(approx, exact, k=10).collect()
+        return r["recall"]
+
+    r_default = recall(default)
+    r_trained = recall(pq_fit(df, dim=8, m=2, k=16, n_iters=6))
+    # measured: trained 0.6, default 0.0 — assert with margin
+    assert r_default <= 0.2, r_default
+    assert r_trained >= r_default + 0.3, (r_trained, r_default)
