@@ -55,6 +55,11 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_pq_topk",
+    "pq_topk_many",
+    "ivf_pq_topk_many",
+    "probe_cells_col",
+    "pq_codebooks_to_rows",
+    "pq_codebooks_from_rows",
 ]
 
 
@@ -481,3 +486,216 @@ def pq_codebooks_from_rows(rows) -> list[list[list[float]]]:
             book.append(cw)
         books.append(book)
     return books
+
+
+def _books_lit(codebooks: list[list[list[float]]]) -> Column:
+    """The full codebook grid as one nested array literal (m × k × dsub
+    doubles — a few KB, the same driver-data class as the centroids)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cw])
+                    for cw in book
+                ]
+            )
+            for book in codebooks
+        ]
+    )
+
+
+def _adc_dist_col(
+    codes: Column,
+    qvec: Column,
+    books_lit: Column,
+    m: int,
+    dsub: int,
+) -> Column:
+    """ADC distance with the QUERY AS A COLUMN (the batched-search
+    form): ordered fold over subspaces of the squared-L2 between the
+    query's subvector and the row's codeword — each term the same
+    index-order double left-fold the single-query LUT path computes
+    driver-side, so the two paths are bit-identical by construction."""
+    dq = _as_double(qvec)
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.struct(c.alias("c"), s.alias("s")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + l2sq_col(
+            F.slice(dq, e["s"] * F.lit(dsub) + F.lit(1), dsub),
+            F.element_at(
+                F.element_at(books_lit, e["s"] + F.lit(1)),
+                e["c"] + F.lit(1),
+            ),
+        ),
+    )
+
+
+def pq_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str | None = None,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+    dist_col: str = "pq_dist",
+) -> DataFrame:
+    """ADC top-k for EVERY row of a query batch in one distributed
+    pass: ``(query_id, id, pq_dist, rank)``, rank ascending per query.
+
+    The batched lift of :func:`pq_topk` (whose 1-row collect + LUT
+    literal cannot scale past one query per job): the query table
+    broadcasts whole (bounded: a retrieval/eval batch of hundreds to
+    thousands of rows, each d doubles), the per-(row, query) distance
+    is the query-as-column ADC fold, and per-query ranking is a
+    ``row_number <= k`` window that Spark executes as WindowGroupLimit
+    — per-partition top-k per query BELOW the exchange, so shuffle
+    traffic is ~(queries × k) per partition, never (corpus × queries).
+    Composes with :func:`~data_validation_engine_spark.llmops.recall.ann_recall`
+    (``group_cols=["query_id"]``) into corpus-level recall measurement.
+    Bit-identical to per-query :func:`pq_topk` calls by construction
+    (same index-order folds — pytest-pinned)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        _checked_size(
+            F.col(vec_col), m * dsub, f"pq_topk_many: query {vec_col}"
+        ).alias("__qvec"),
+    )
+    if codes_col is None:
+        base = pq_encode(
+            df, codebooks, vec_col=vec_col, codes_col="__codes",
+            keep_vec=True,
+        )
+        codes = F.col("__codes")
+    else:
+        base = df
+        codes = _checked_size(
+            F.col(codes_col), m, f"pq_topk_many: {codes_col}"
+        )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        F.col("query_id"),
+        F.col(id_col),
+        _adc_dist_col(
+            codes, F.col("__qvec"), _books_lit(codebooks), m, dsub
+        ).alias(dist_col),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col("query_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= F.lit(int(k))
+    )
+
+
+def probe_cells_col(
+    vec: Column, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest IVF cells of a vector COLUMN as an
+    ``array<int>`` expression — the batched form of the driver-side
+    ranked-centroid loop in :func:`ivf_pq_topk` (same squared-L2 folds,
+    same lower-cell tie rule via lexicographic struct sort)."""
+    scored = F.array(
+        *[
+            F.struct(
+                l2sq_col(
+                    vec, F.array(*[F.lit(float(v)) for v in c])
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, max(1, int(n_probe))),
+        lambda x: x["cell"],
+    )
+
+
+def ivf_pq_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    codes_col: str | None = None,
+    n_probe: int = 4,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+    dist_col: str = "pq_dist",
+) -> DataFrame:
+    """Batched IVF-PQ: every query scans only ITS ``n_probe`` nearest
+    cells. Probe cells are computed per query as an expression
+    (:func:`probe_cells_col` — no driver loop over queries), exploded
+    to ``(query, cell)`` pairs, and equi-joined onto the (persisted or
+    derived) cell column — a corpus row is scored only for the queries
+    probing its cell, so the scan fraction stays ~n_probe/K per query
+    at ANY batch size. Ranking and determinism as
+    :func:`pq_topk_many`."""
+    from data_validation_engine_spark.llmops.ivf import ivf_assign
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qid = query_id_col or id_col
+    if cell_col is None:
+        base = ivf_assign(df, centroids, vec_col=vec_col, cell_col="__cell")
+        cell_col = "__cell"
+    else:
+        base = df
+    if codes_col is None:
+        base = pq_encode(
+            base, codebooks, vec_col=vec_col, codes_col="__codes",
+            keep_vec=True,
+        )
+        codes = F.col("__codes")
+    else:
+        codes = _checked_size(
+            F.col(codes_col), m, f"ivf_pq_topk_many: {codes_col}"
+        )
+    qprobe = queries.select(
+        F.col(qid).alias("query_id"),
+        _checked_size(
+            F.col(vec_col), m * dsub,
+            f"ivf_pq_topk_many: query {vec_col}",
+        ).alias("__qvec"),
+        F.explode(
+            probe_cells_col(F.col(vec_col), centroids, n_probe)
+        ).alias("__pcell"),
+    )
+    scored = base.join(
+        F.broadcast(qprobe), F.col(cell_col) == F.col("__pcell")
+    ).select(
+        F.col("query_id"),
+        F.col(id_col),
+        _adc_dist_col(
+            codes, F.col("__qvec"), _books_lit(codebooks), m, dsub
+        ).alias(dist_col),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col("query_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= F.lit(int(k))
+    )

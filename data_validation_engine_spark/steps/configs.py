@@ -340,6 +340,35 @@ class PQFit(AbstractStep):
     round_to: int = 6
 
 
+class PQTopKMany(AbstractStep):
+    """Batched PQ search: ADC top-k for EVERY row of the query entity
+    (``target_name``) in one distributed pass — ``(query_id, id,
+    pq_dist, rank)``. With ``centroids`` set, each query scans only its
+    ``n_probe`` nearest IVF cells (probe cells computed as an
+    expression, no driver loop over queries). Codebooks resolve exactly
+    as ``similarity_topk(method="pq")``: inline, from a ``pq_fit``
+    entity, or the deterministic placeholder. Bit-identical to
+    per-query ``similarity_topk`` calls by construction."""
+
+    operation: Literal["pq_topk_many"] = "pq_topk_many"
+    target_name: str
+    k: int = 10
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    query_id_column: Optional[str] = None
+    dim: int = 64
+    pq_m: int = 8
+    pq_k: int = 16
+    codebooks: Optional[tuple[tuple[tuple[float, ...], ...], ...]] = None
+    codebooks_entity: Optional[str] = None
+    codes_column: Optional[str] = None
+    # set centroids (or cell_column + centroids) for the IVF-pruned path
+    centroids: Optional[tuple[tuple[float, ...], ...]] = None
+    cell_column: Optional[str] = None
+    n_probe: int = 4
+    exclude_self: bool = True
+
+
 class AnnRecall(AbstractStep):
     """Recall@k of an approximate top-k entity against the exact top-k
     entity (llmops/recall.py): per ``group_columns`` slice, ``n_hits``/
@@ -2029,6 +2058,7 @@ AnyStep = Annotated[
         WindowedHeavyHitters,
         PQFit,
         AnnRecall,
+        PQTopKMany,
     ],
     Field(discriminator="operation"),
 ]

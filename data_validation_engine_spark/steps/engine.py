@@ -162,6 +162,7 @@ from data_validation_engine_spark.steps.configs import (
     WindowedHeavyHitters,
     PQFit,
     AnnRecall,
+    PQTopKMany,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -326,6 +327,7 @@ class StepEngine:
             WindowedHeavyHitters: self.windowed_heavy_hitters,
             PQFit: self.pq_fit,
             AnnRecall: self.ann_recall,
+            PQTopKMany: self.pq_topk_many,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -1308,40 +1310,9 @@ class StepEngine:
         table = entities[config.entity_name]
         query = entities[config.target_name]
         if config.method == "pq":
-            from data_validation_engine_spark.llmops.pq import (
-                default_codebooks,
-                pq_codebooks_from_rows,
-                pq_topk,
-            )
+            from data_validation_engine_spark.llmops.pq import pq_topk
 
-            if (
-                config.codebooks is not None
-                and config.codebooks_entity is not None
-            ):
-                raise ConfigurationError(
-                    "similarity_topk: pass at most one of codebooks / "
-                    "codebooks_entity"
-                )
-            if config.codebooks:
-                books = [
-                    [list(cw) for cw in book] for book in config.codebooks
-                ]
-            elif config.codebooks_entity is not None:
-                # bounded collect: m x k + 1 rows by the pq_fit export
-                # contract; dense-grid validation happens in the
-                # resolver (the classifier weights-entity discipline)
-                books = pq_codebooks_from_rows(
-                    entities[config.codebooks_entity].collect()
-                )
-            else:
-                books = default_codebooks(
-                    table,
-                    id_col=config.id_column,
-                    vec_col=config.vector_column,
-                    dim=config.dim,
-                    m=config.pq_m,
-                    k=config.pq_k,
-                )
+            books = self._resolve_pq_codebooks(entities, config, table)
             out = pq_topk(
                 table,
                 query,
@@ -2758,6 +2729,79 @@ class StepEngine:
             + [(b, float(w)) for b, w in enumerate(weights)],
             "bucket int, weight double",
         )
+        return None
+
+    def _resolve_pq_codebooks(self, entities: Entities, config, table):
+        """Shared codebook resolution for the PQ search steps: inline
+        literal, a ``pq_fit`` output entity (bounded m×k+1-row collect
+        with dense-grid validation — the classifier weights-entity
+        discipline), or the deterministic placeholder."""
+        from data_validation_engine_spark.llmops.pq import (
+            default_codebooks,
+            pq_codebooks_from_rows,
+        )
+
+        if (
+            config.codebooks is not None
+            and config.codebooks_entity is not None
+        ):
+            raise ConfigurationError(
+                f"{config.operation}: pass at most one of codebooks / "
+                "codebooks_entity"
+            )
+        if config.codebooks:
+            return [[list(cw) for cw in book] for book in config.codebooks]
+        if config.codebooks_entity is not None:
+            return pq_codebooks_from_rows(
+                entities[config.codebooks_entity].collect()
+            )
+        return default_codebooks(
+            table,
+            id_col=config.id_column,
+            vec_col=config.vector_column,
+            dim=config.dim,
+            m=config.pq_m,
+            k=config.pq_k,
+        )
+
+    def pq_topk_many(
+        self, entities: Entities, *, config: PQTopKMany
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.pq import (
+            ivf_pq_topk_many,
+            pq_topk_many,
+        )
+
+        table = entities[config.entity_name]
+        queries = entities[config.target_name]
+        books = self._resolve_pq_codebooks(entities, config, table)
+        if config.cell_column is not None and config.centroids is None:
+            raise ConfigurationError(
+                "pq_topk_many: cell_column needs centroids (the query "
+                "side must rank the same quantizer's cells to probe)"
+            )
+        kw = dict(
+            codebooks=books,
+            id_col=config.id_column,
+            vec_col=config.vector_column,
+            codes_col=config.codes_column,
+            query_id_col=config.query_id_column,
+            exclude_self=config.exclude_self,
+        )
+        if config.centroids is not None:
+            entities[config.output_name] = ivf_pq_topk_many(
+                table,
+                queries,
+                config.k,
+                centroids=[list(c) for c in config.centroids],
+                cell_col=config.cell_column,
+                n_probe=config.n_probe,
+                **kw,
+            )
+        else:
+            entities[config.output_name] = pq_topk_many(
+                table, queries, config.k, **kw
+            )
         return None
 
     def pq_fit(self, entities: Entities, *, config: PQFit) -> Messages:

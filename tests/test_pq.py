@@ -247,3 +247,104 @@ def test_ivf_pq_composition(spark, sf_dir):
             (a - b) ** 2 for a, b in zip(emb_map[r["vec_id"]], qv)
         )
         assert math.isclose(r["pq_dist"], exact, rel_tol=1e-9)
+
+
+# --- batched multi-query search (round 13) -------------------------------
+
+
+def test_pq_topk_many_matches_per_query_calls(spark):
+    """The batched query-as-column ADC fold must be bit-identical to
+    the single-query LUT path, per query."""
+    from data_validation_engine_spark.llmops.pq import pq_topk_many
+
+    rows, df = _codeword_corpus(spark)
+    queries = df.where("vec_id IN (0, 5, 13)")
+    many = pq_topk_many(df, queries, 4, codebooks=BOOKS)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["pq_dist"])
+        for r in many.collect()
+    }
+    assert len(got) == 12
+    for qid in (0, 5, 13):
+        single = pq_topk(
+            df, df.where(F.col("vec_id") == qid), 4, codebooks=BOOKS
+        ).collect()
+        for r in single:
+            assert got[(qid, r["rank"])] == (r["vec_id"], r["pq_dist"])
+
+
+def test_pq_topk_many_precoded_and_validation(spark):
+    from data_validation_engine_spark.llmops.pq import (
+        pq_encode,
+        pq_topk_many,
+    )
+
+    _, df = _codeword_corpus(spark)
+    coded = pq_encode(df, BOOKS, keep_vec=True)
+    q = df.where("vec_id IN (1, 2)")
+    a = pq_topk_many(df, q, 3, codebooks=BOOKS).collect()
+    b = pq_topk_many(
+        coded, q, 3, codebooks=BOOKS, codes_col="pq_codes"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    bad_q = spark.createDataFrame(
+        [(9, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="query embedding"):
+        pq_topk_many(df, bad_q, 3, codebooks=BOOKS).collect()
+
+
+def test_probe_cells_col_matches_driver_ranking(spark):
+    from data_validation_engine_spark.llmops.ivf import default_centroids
+    from data_validation_engine_spark.llmops.pq import probe_cells_col
+
+    rows, df = _codeword_corpus(spark)
+    cents = default_centroids(df, n_cells=4)
+    got = {
+        r["vec_id"]: list(r["cells"])
+        for r in df.select(
+            "vec_id",
+            probe_cells_col(F.col("embedding"), cents, 2).alias("cells"),
+        ).collect()
+    }
+
+    def l2sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for vid, vec in rows:
+        want = [
+            i
+            for _, i in sorted(
+                (l2sq(vec, c), i) for i, c in enumerate(cents)
+            )[:2]
+        ]
+        assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_ivf_pq_topk_many_matches_flat_on_probed_cells(spark):
+    """Batched IVF-PQ equals the single-query ivf_pq_topk per query
+    (same pruning, same ADC, same ranking)."""
+    from data_validation_engine_spark.llmops.ivf import default_centroids
+    from data_validation_engine_spark.llmops.pq import (
+        ivf_pq_topk,
+        ivf_pq_topk_many,
+    )
+
+    _, df = _codeword_corpus(spark)
+    cents = default_centroids(df, n_cells=4)
+    queries = df.where("vec_id IN (3, 8, 12)")
+    many = ivf_pq_topk_many(
+        df, queries, 4, centroids=cents, codebooks=BOOKS, n_probe=2
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["pq_dist"])
+        for r in many.collect()
+    }
+    for qid in (3, 8, 12):
+        single = ivf_pq_topk(
+            df, df.where(F.col("vec_id") == qid), 4,
+            centroids=cents, codebooks=BOOKS, n_probe=2,
+        ).collect()
+        assert len(single) > 0
+        for r in single:
+            assert got[(qid, r["rank"])] == (r["vec_id"], r["pq_dist"])
