@@ -340,6 +340,30 @@ class PQFit(AbstractStep):
     round_to: int = 6
 
 
+class PQEncode(AbstractStep):
+    """The one-time ingest step of the PQ deployment shape: attach the
+    ``array<int>`` PQ codes column (and, with ``centroids``, the IVF
+    cell column) so the persisted table serves codes-only probes —
+    write it PARTITIONED BY the cell column and every later probe
+    reads ~n_probe/K of the bytes scanning 8-byte codes. Codebooks
+    resolve as ``similarity_topk(method="pq")`` (inline / ``pq_fit``
+    entity / placeholder). ``keep_vector=False`` drops the raw vector
+    column (keep a separate raw table for ``refine_df`` re-ranking)."""
+
+    operation: Literal["pq_encode"] = "pq_encode"
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    dim: int = 64
+    pq_m: int = 8
+    pq_k: int = 16
+    codebooks: Optional[tuple[tuple[tuple[float, ...], ...], ...]] = None
+    codebooks_entity: Optional[str] = None
+    codes_column: str = "pq_codes"
+    keep_vector: bool = True
+    centroids: Optional[tuple[tuple[float, ...], ...]] = None
+    cell_column: str = "ivf_cell"
+
+
 class PQTopKMany(AbstractStep):
     """Batched PQ search: ADC top-k for EVERY row of the query entity
     (``target_name``) in one distributed pass — ``(query_id, id,
@@ -2059,6 +2083,7 @@ AnyStep = Annotated[
         PQFit,
         AnnRecall,
         PQTopKMany,
+        PQEncode,
     ],
     Field(discriminator="operation"),
 ]

@@ -163,6 +163,7 @@ from data_validation_engine_spark.steps.configs import (
     PQFit,
     AnnRecall,
     PQTopKMany,
+    PQEncode,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -328,6 +329,7 @@ class StepEngine:
             PQFit: self.pq_fit,
             AnnRecall: self.ann_recall,
             PQTopKMany: self.pq_topk_many,
+            PQEncode: self.pq_encode,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -2802,6 +2804,30 @@ class StepEngine:
             entities[config.output_name] = pq_topk_many(
                 table, queries, config.k, **kw
             )
+        return None
+
+    def pq_encode(
+        self, entities: Entities, *, config: PQEncode
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.ivf import ivf_assign
+        from data_validation_engine_spark.llmops.pq import pq_encode
+
+        table = entities[config.entity_name]
+        books = self._resolve_pq_codebooks(entities, config, table)
+        if config.centroids is not None:
+            table = ivf_assign(
+                table,
+                [list(c) for c in config.centroids],
+                vec_col=config.vector_column,
+                cell_col=config.cell_column,
+            )
+        entities[config.output_name] = pq_encode(
+            table,
+            books,
+            vec_col=config.vector_column,
+            codes_col=config.codes_column,
+            keep_vec=config.keep_vector,
+        )
         return None
 
     def pq_fit(self, entities: Entities, *, config: PQFit) -> Messages:

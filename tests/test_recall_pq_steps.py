@@ -269,3 +269,69 @@ def test_pq_fit_codebooks_beat_default_on_recall(spark):
     # measured: trained 0.6, default 0.0 — assert with margin
     assert r_default <= 0.2, r_default
     assert r_trained >= r_default + 0.3, (r_trained, r_default)
+
+
+def test_declared_full_pq_pipeline(spark):
+    """The complete declared deployment pipeline: pq_fit -> pq_encode
+    (cells + codes, raw vectors dropped) -> pq_topk_many over the
+    codes-only table (entity codebooks, IVF-pruned) -> ann_recall vs
+    the flat batch — five JSON steps, no library calls."""
+    from data_validation_engine_spark.llmops.ivf import default_centroids
+
+    df = _codeword_corpus(spark)
+    cents = default_centroids(df, n_cells=4)
+    eng = StepEngine(spark)
+    ents = {"emb": df, "qs": df.where("vec_id IN (2, 9)")}
+    steps = [
+        {
+            "operation": "pq_fit",
+            "entity_name": "emb",
+            "dim": 4, "pq_m": 2, "pq_k": 4, "n_iters": 2,
+            "new_entity_name": "books",
+        },
+        {
+            "operation": "pq_encode",
+            "entity_name": "emb",
+            "codebooks_entity": "books",
+            "centroids": cents,
+            "keep_vector": False,
+            "new_entity_name": "codes",
+        },
+        {
+            "operation": "pq_topk_many",
+            "entity_name": "codes",
+            "target_name": "qs",
+            "k": 3,
+            "codebooks_entity": "books",
+            "centroids": cents,
+            "cell_column": "ivf_cell",
+            "codes_column": "pq_codes",
+            "n_probe": 4,
+            "new_entity_name": "pruned",
+        },
+        {
+            "operation": "pq_topk_many",
+            "entity_name": "codes",
+            "target_name": "qs",
+            "k": 3,
+            "codebooks_entity": "books",
+            "codes_column": "pq_codes",
+            "new_entity_name": "flat",
+        },
+        {
+            "operation": "ann_recall",
+            "entity_name": "pruned",
+            "target_name": "flat",
+            "group_columns": ["query_id"],
+            "k": 3,
+            "new_entity_name": "rec",
+        },
+    ]
+    for s in steps:
+        eng.evaluate(ents, config=parse_step(s))
+    assert "embedding" not in ents["codes"].columns
+    assert {"ivf_cell", "pq_codes"} <= set(ents["codes"].columns)
+    rows = ents["rec"].collect()
+    assert len(rows) == 2
+    # n_probe=4 of 4 cells scans everything: pruned == flat, recall 1.0
+    assert all(r["recall"] == 1.0 for r in rows), rows
