@@ -11700,3 +11700,148 @@ _R14_STAGED_ORACLES["r14_pq_many"] = f"""
 
 
 _R14_STAGED_QUERIES["r14_pq_many"] = q_r14_pq_many
+
+
+def q_r14_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (llmops/gopher.py, Rae 2021 §A1.1 —
+    round 13) over the documents table via the DECLARED step, with
+    relaxed thresholds (min_words=30, min_stop_words=1) so the
+    synthetic corpus exercises both keep outcomes: per doc the exact
+    integer metrics (word/stop-word counts), all seven rule booleans +
+    the keep conjunction, and the ratio metrics as floor(x*1e6) of
+    single correctly-rounded divisions (the classifier_eval class).
+    All-string (op, k, v) frame."""
+    from data_validation_engine_spark.steps import parse_step
+
+    ents = {"docs": _docs(spark, sf_dir)}
+    _engine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "gopher_quality_flags",
+                "entity_name": "docs",
+                "min_words": 30,
+                "min_stop_words": 1,
+                "new_entity_name": "flagged",
+            }
+        ),
+    )
+    r6 = (
+        "COALESCE(CAST(CAST(floor({x} * 1000000) AS BIGINT) AS STRING),"
+        " '~')"
+    )
+    return ents["flagged"].selectExpr(
+        "'g' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(gopher_words AS STRING),"
+        " CAST(gopher_stop_words AS STRING),"
+        " CAST(CAST(flag_word_count AS INT) AS STRING),"
+        " CAST(CAST(flag_mean_word_len AS INT) AS STRING),"
+        " CAST(CAST(flag_symbol_ratio AS INT) AS STRING),"
+        " CAST(CAST(flag_bullet_lines AS INT) AS STRING),"
+        " CAST(CAST(flag_ellipsis_lines AS INT) AS STRING),"
+        " CAST(CAST(flag_alpha_words AS INT) AS STRING),"
+        " CAST(CAST(flag_stop_words AS INT) AS STRING),"
+        " CAST(CAST(gopher_keep AS INT) AS STRING),"
+        f" {r6.format(x='gopher_mean_word_len')},"
+        f" {r6.format(x='gopher_symbol_ratio')},"
+        f" {r6.format(x='gopher_alpha_frac')},"
+        f" {r6.format(x='gopher_bullet_frac')},"
+        f" {r6.format(x='gopher_ellipsis_frac')}) AS v",
+    )
+
+
+_R14_STAGED_ORACLES["r14_gopher"] = """
+    WITH base AS (
+        SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ),
+    w AS (
+        SELECT doc_id, t,
+               list_filter(regexp_split_to_array(t, '\\s+'),
+                           x -> length(x) > 0) AS words,
+               list_filter(regexp_split_to_array(t, '\\n'),
+                           x -> length(trim(x)) > 0) AS lines
+        FROM base
+    ),
+    m AS (
+        SELECT doc_id, t, words, lines,
+               len(words) AS n_words,
+               len(lines) AS n_lines,
+               COALESCE(list_sum(list_transform(words,
+                                                x -> length(x))), 0)
+                   AS total_chars,
+               (length(t) - length(replace(t, '#', '')))
+               + (length(t) - length(replace(t, '...', ''))) / 3
+               + (length(t) - length(replace(t, '…', ''))) AS n_sym,
+               len(list_filter(lines,
+                   x -> substring(ltrim(x), 1, 1) IN ('•', '-', '*')))
+                   AS n_bullet,
+               len(list_filter(lines,
+                   x -> right(rtrim(x), 3) = '...'
+                        OR right(rtrim(x), 1) = '…')) AS n_ell,
+               len(list_filter(words,
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(list_filter(
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                    'with'],
+                   s -> list_contains(
+                       list_transform(words, x -> lower(x)), s)))
+                   AS n_stop
+        FROM w
+    ),
+    r AS (
+        SELECT doc_id, n_words, n_stop,
+               CASE WHEN n_words > 0
+                    THEN total_chars::DOUBLE / n_words END AS mean_wl,
+               CASE WHEN n_words > 0
+                    THEN n_sym::DOUBLE / n_words END AS sym_ratio,
+               CASE WHEN n_words > 0
+                    THEN n_alpha::DOUBLE / n_words END AS alpha_frac,
+               CASE WHEN n_lines > 0
+                    THEN n_bullet::DOUBLE / n_lines END AS bullet_frac,
+               CASE WHEN n_lines > 0
+                    THEN n_ell::DOUBLE / n_lines END AS ell_frac,
+               n_lines
+        FROM m
+    ),
+    f AS (
+        SELECT doc_id, n_words, n_stop, mean_wl, sym_ratio, alpha_frac,
+               bullet_frac, ell_frac,
+               (n_words >= 30 AND n_words <= 100000) AS f_wc,
+               COALESCE(mean_wl >= 3.0 AND mean_wl <= 10.0, FALSE)
+                   AS f_mwl,
+               COALESCE(sym_ratio <= 0.1, FALSE) AS f_sym,
+               COALESCE(bullet_frac < 0.9, n_lines = 0) AS f_bul,
+               COALESCE(ell_frac < 0.3, n_lines = 0) AS f_ell,
+               COALESCE(alpha_frac >= 0.8, FALSE) AS f_alpha,
+               (n_stop >= 1) AS f_stop
+        FROM r
+    )
+    SELECT 'g' AS op, CAST(doc_id AS VARCHAR) AS k,
+           CAST(n_words AS VARCHAR) || '|' ||
+           CAST(n_stop AS VARCHAR) || '|' ||
+           CAST(CAST(f_wc AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST(f_mwl AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST(f_sym AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST(f_bul AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST(f_ell AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST(f_alpha AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST(f_stop AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST((f_wc AND f_mwl AND f_sym AND f_bul AND f_ell
+                      AND f_alpha AND f_stop) AS INT) AS VARCHAR)
+           || '|' ||
+           COALESCE(CAST(CAST(floor(mean_wl * 1000000) AS BIGINT)
+                    AS VARCHAR), '~') || '|' ||
+           COALESCE(CAST(CAST(floor(sym_ratio * 1000000) AS BIGINT)
+                    AS VARCHAR), '~') || '|' ||
+           COALESCE(CAST(CAST(floor(alpha_frac * 1000000) AS BIGINT)
+                    AS VARCHAR), '~') || '|' ||
+           COALESCE(CAST(CAST(floor(bullet_frac * 1000000) AS BIGINT)
+                    AS VARCHAR), '~') || '|' ||
+           COALESCE(CAST(CAST(floor(ell_frac * 1000000) AS BIGINT)
+                    AS VARCHAR), '~') AS v
+    FROM f
+"""
+
+
+_R14_STAGED_QUERIES["r14_gopher"] = q_r14_gopher

@@ -143,3 +143,58 @@ def ivf_topk(
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.lit(qid))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_stats(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    *,
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    n_cells: int | None = None,
+    hot_factor: float = 4.0,
+) -> DataFrame:
+    """Per-cell occupancy of an IVF layout — the probe-cost gauge (the
+    :func:`~data_validation_engine_spark.llmops.dedup.minhash_index_stats`
+    pattern applied to the vector index): one row per OCCUPIED cell
+    with ``n_rows``, ``frac`` of the table, and ``hot`` (more than
+    ``hot_factor`` × the uniform share — the cells that make a probe
+    scan blow past ~n_probe/K and the signal to retrain centroids or
+    split cells). Empty cells are absent (their probe cost is zero);
+    compare ``count(*)`` against K for coverage.
+
+    Pass ``centroids`` to derive the assignment on the fly, or
+    ``cell_col`` (+ ``n_cells`` for the uniform-share denominator) for
+    a persisted layout. Two map-side-combined aggregations; the totals
+    side is a 1-row broadcast."""
+    if (centroids is None) == (cell_col is None):
+        raise ValueError(
+            "ivf_stats: pass exactly one of centroids / cell_col"
+        )
+    if centroids is not None:
+        assigned = ivf_assign(df, centroids, vec_col=vec_col)
+        cell_col = "cell"
+        k = len(centroids)
+    else:
+        assigned = df
+        if n_cells is None:
+            raise ValueError(
+                "ivf_stats: cell_col needs n_cells (the layout's K) "
+                "for the uniform-share denominator"
+            )
+        k = int(n_cells)
+    counts = assigned.groupBy(cell_col).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = assigned.select(
+        F.count(F.lit(1)).alias("__total")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col(cell_col).alias("cell"),
+        F.col("n_rows"),
+        (F.col("n_rows").cast("double") / F.col("__total")).alias("frac"),
+        (
+            F.col("n_rows").cast("double") * F.lit(float(k))
+            > F.lit(float(hot_factor)) * F.col("__total")
+        ).alias("hot"),
+    )

@@ -340,6 +340,27 @@ class PQFit(AbstractStep):
     round_to: int = 6
 
 
+class GopherQualityFlags(AbstractStep):
+    """Attach the Gopher-rule quality metrics, per-rule booleans, and
+    the ``keep_column`` conjunction (Rae 2021 §A1.1 — llmops/gopher.py;
+    defaults are the paper's thresholds). Pure per-row projection;
+    compose with a filter step on ``keep_column`` (or re-weigh on the
+    individual flags) downstream."""
+
+    operation: Literal["gopher_quality_flags"] = "gopher_quality_flags"
+    text_column: str = "text"
+    min_words: int = 50
+    max_words: int = 100_000
+    min_mean_word_len: float = 3.0
+    max_mean_word_len: float = 10.0
+    max_symbol_word_ratio: float = 0.1
+    max_bullet_line_frac: float = 0.9
+    max_ellipsis_line_frac: float = 0.3
+    min_alpha_word_frac: float = 0.8
+    min_stop_words: int = 2
+    keep_column: str = "gopher_keep"
+
+
 class PQEncode(AbstractStep):
     """The one-time ingest step of the PQ deployment shape: attach the
     ``array<int>`` PQ codes column (and, with ``centroids``, the IVF
@@ -2084,6 +2105,7 @@ AnyStep = Annotated[
         AnnRecall,
         PQTopKMany,
         PQEncode,
+        GopherQualityFlags,
     ],
     Field(discriminator="operation"),
 ]

@@ -164,6 +164,7 @@ from data_validation_engine_spark.steps.configs import (
     AnnRecall,
     PQTopKMany,
     PQEncode,
+    GopherQualityFlags,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -330,6 +331,7 @@ class StepEngine:
             AnnRecall: self.ann_recall,
             PQTopKMany: self.pq_topk_many,
             PQEncode: self.pq_encode,
+            GopherQualityFlags: self.gopher_quality_flags,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -2804,6 +2806,29 @@ class StepEngine:
             entities[config.output_name] = pq_topk_many(
                 table, queries, config.k, **kw
             )
+        return None
+
+    def gopher_quality_flags(
+        self, entities: Entities, *, config: GopherQualityFlags
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.gopher import (
+            gopher_quality_flags,
+        )
+
+        entities[config.output_name] = gopher_quality_flags(
+            entities[config.entity_name],
+            config.text_column,
+            min_words=config.min_words,
+            max_words=config.max_words,
+            min_mean_word_len=config.min_mean_word_len,
+            max_mean_word_len=config.max_mean_word_len,
+            max_symbol_word_ratio=config.max_symbol_word_ratio,
+            max_bullet_line_frac=config.max_bullet_line_frac,
+            max_ellipsis_line_frac=config.max_ellipsis_line_frac,
+            min_alpha_word_frac=config.min_alpha_word_frac,
+            min_stop_words=config.min_stop_words,
+            keep_col=config.keep_column,
+        )
         return None
 
     def pq_encode(
