@@ -11845,3 +11845,110 @@ _R14_STAGED_ORACLES["r14_gopher"] = """
 
 
 _R14_STAGED_QUERIES["r14_gopher"] = q_r14_gopher
+
+
+#: the r14_c4 corpus construction, shared verbatim by both twins: the
+#: synthetic documents are single-line unpunctuated word bags, so the
+#: splice plants every C4 rule's trigger — terminal punctuation
+#: (doc_id%3=0), multi-line pages with punctuated lines (%3=1),
+#: untouched no-punct pages (%3=2), lorem-ipsum (%7=0) and brace
+#: (%11=0) page poisons
+_C4_CASE_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN CONCAT(text, ' and lorem ipsum.') "
+    "WHEN doc_id % 11 = 0 THEN CONCAT(text, ' { code block.') "
+    "WHEN doc_id % 3 = 0 THEN CONCAT(text, '.') "
+    "WHEN doc_id % 3 = 1 THEN REPLACE(text, ' batch ', '.\n') "
+    "ELSE text END"
+)
+
+
+def q_r14_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (llmops/c4.py, Raffel 2020 §2.2 — round
+    13) via the DECLARED step over the spliced corpus (_C4_CASE_SQL,
+    construction stated verbatim in both twins): per doc the cleaned
+    page's md5 + exact line/sentence counts + the page flags + keep
+    (min_line_words=3, min_sentences=1 so the corpus exercises every
+    rule both ways). All-string (op, k, v) frame."""
+    from data_validation_engine_spark.steps import parse_step
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_C4_CASE_SQL} AS text"
+    )
+    ents = {"docs": docs}
+    _engine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "c4_clean",
+                "entity_name": "docs",
+                "min_line_words": 3,
+                "min_sentences": 1,
+                "new_entity_name": "clean",
+            }
+        ),
+    )
+    return ents["clean"].selectExpr(
+        "'c4' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', md5(c4_text),"
+        " CAST(c4_lines_kept AS STRING),"
+        " CAST(c4_lines_total AS STRING),"
+        " CAST(c4_sentences AS STRING),"
+        " CAST(CAST(c4_has_lorem AS INT) AS STRING),"
+        " CAST(CAST(c4_has_brace AS INT) AS STRING),"
+        " CAST(CAST(c4_keep AS INT) AS STRING)) AS v",
+    )
+
+
+_R14_STAGED_ORACLES["r14_c4"] = f"""
+    WITH corpus AS (
+        -- COALESCE mirrors c4_clean's fail-closed NULL handling (a
+        -- NULL-text doc cleans to the empty page, flags false)
+        SELECT doc_id, COALESCE({_C4_CASE_SQL}, '') AS t FROM documents
+    ),
+    l AS (
+        SELECT doc_id, t,
+               list_filter(
+                   regexp_split_to_array(t, '\\n'),
+                   ln -> right(rtrim(ln), 1) IN ('.', '!', '?', '"')
+                         AND len(list_filter(
+                                 regexp_split_to_array(ln, '\\s+'),
+                                 x -> length(x) > 0)) >= 3
+                         AND NOT contains(lower(ln), 'javascript')
+               ) AS kept,
+               len(list_filter(regexp_split_to_array(t, '\\n'),
+                               x -> length(trim(x)) > 0)) AS n_total
+        FROM corpus
+    ),
+    c AS (
+        SELECT doc_id, t, n_total, len(kept) AS n_kept,
+               -- array_to_string of an EMPTY list is NULL in DuckDB;
+               -- Spark's array_join gives '' — coalesce to match
+               COALESCE(array_to_string(
+                   list_transform(kept, x -> trim(x)), chr(10)), '')
+                   AS cleaned
+        FROM l
+    ),
+    m AS (
+        SELECT doc_id, cleaned, n_kept, n_total,
+               length(cleaned) - length(
+                   replace(replace(replace(cleaned, '.', ''), '!', ''),
+                           '?', '')) AS n_sent,
+               contains(lower(t), 'lorem ipsum') AS has_lorem,
+               contains(t, '{{') AS has_brace
+        FROM c
+    )
+    SELECT 'c4' AS op, CAST(doc_id AS VARCHAR) AS k,
+           md5(cleaned) || '|' ||
+           CAST(n_kept AS VARCHAR) || '|' ||
+           CAST(n_total AS VARCHAR) || '|' ||
+           CAST(n_sent AS VARCHAR) || '|' ||
+           CAST(CAST(has_lorem AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST(has_brace AS INT) AS VARCHAR) || '|' ||
+           CAST(CAST((n_sent >= 1 AND NOT has_lorem AND NOT has_brace)
+                AS INT) AS VARCHAR) AS v
+    FROM m
+"""
+
+
+_R14_STAGED_QUERIES["r14_c4"] = q_r14_c4

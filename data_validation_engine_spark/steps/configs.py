@@ -340,6 +340,21 @@ class PQFit(AbstractStep):
     round_to: int = 6
 
 
+class C4Clean(AbstractStep):
+    """C4 line-level cleaning + page gate (Raffel 2020 §2.2 —
+    llmops/c4.py): rebuild the page from prose-looking lines (terminal
+    punctuation, >= min_line_words, no javascript boilerplate), then
+    gate on the cleaned sentence floor and the lorem-ipsum/brace page
+    rules. Zero-shuffle projection."""
+
+    operation: Literal["c4_clean"] = "c4_clean"
+    text_column: str = "text"
+    min_line_words: int = 3
+    min_sentences: int = 5
+    clean_column: str = "c4_text"
+    keep_column: str = "c4_keep"
+
+
 class GopherQualityFlags(AbstractStep):
     """Attach the Gopher-rule quality metrics, per-rule booleans, and
     the ``keep_column`` conjunction (Rae 2021 §A1.1 — llmops/gopher.py;
@@ -2106,6 +2121,7 @@ AnyStep = Annotated[
         PQTopKMany,
         PQEncode,
         GopherQualityFlags,
+        C4Clean,
     ],
     Field(discriminator="operation"),
 ]

@@ -165,6 +165,7 @@ from data_validation_engine_spark.steps.configs import (
     PQTopKMany,
     PQEncode,
     GopherQualityFlags,
+    C4Clean,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -332,6 +333,7 @@ class StepEngine:
             PQTopKMany: self.pq_topk_many,
             PQEncode: self.pq_encode,
             GopherQualityFlags: self.gopher_quality_flags,
+            C4Clean: self.c4_clean,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -2806,6 +2808,21 @@ class StepEngine:
             entities[config.output_name] = pq_topk_many(
                 table, queries, config.k, **kw
             )
+        return None
+
+    def c4_clean(
+        self, entities: Entities, *, config: C4Clean
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.c4 import c4_clean
+
+        entities[config.output_name] = c4_clean(
+            entities[config.entity_name],
+            config.text_column,
+            min_line_words=config.min_line_words,
+            min_sentences=config.min_sentences,
+            clean_col=config.clean_column,
+            keep_col=config.keep_column,
+        )
         return None
 
     def gopher_quality_flags(

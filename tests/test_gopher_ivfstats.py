@@ -197,3 +197,65 @@ def test_declared_gopher_step_composes_with_filter(spark, sf_dir):
         docs, "text", min_words=30, min_stop_words=1
     ).where("gopher_keep")
     assert n_kept == lib.count()
+
+
+# --- C4 cleaning -----------------------------------------------------------
+
+
+PROSE = "This sentence is long enough to keep and it ends properly."
+
+
+def _c4(spark, text, **kw):
+    from data_validation_engine_spark.llmops.c4 import c4_clean
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return c4_clean(df, "text", **kw).collect()[0]
+
+
+def test_c4_line_rules(spark):
+    text = "\n".join(
+        [
+            PROSE,                           # kept
+            "no terminal punctuation here",  # dropped: no punct
+            "Too short.",                    # dropped: < 3 words
+            "Enable JavaScript to view this page.",  # dropped: js rule
+            'He said "stop" and left. "Quoted line ends with a quote."',
+            PROSE,
+        ]
+    )
+    r = _c4(spark, text, min_sentences=3)
+    kept_lines = r["c4_text"].split("\n")
+    assert len(kept_lines) == 3
+    assert r["c4_lines_total"] == 6 and r["c4_lines_kept"] == 3
+    assert r["c4_keep"] is True
+
+
+def test_c4_page_rules(spark):
+    good = "\n".join([PROSE] * 6)
+    assert _c4(spark, good)["c4_keep"] is True
+    assert _c4(spark, good + "\nlorem ipsum dolor.")["c4_has_lorem"] is True
+    assert _c4(spark, good + "\nLorem Ipsum.")["c4_keep"] is False
+    assert _c4(spark, good + "\nvar x = {;")["c4_keep"] is False
+    # sentence floor on the CLEANED text
+    r = _c4(spark, "\n".join([PROSE] * 3))
+    assert r["c4_sentences"] == 3 and r["c4_keep"] is False
+
+
+def test_c4_null_and_empty_fail_closed(spark):
+    from data_validation_engine_spark.llmops.c4 import c4_clean
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    for r in c4_clean(df, "text").collect():
+        assert r["c4_text"] == "" and r["c4_keep"] is False
+
+
+def test_c4_zero_shuffle_on_corpus(spark, sf_dir):
+    from data_validation_engine_spark.llmops.c4 import c4_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = c4_clean(docs, "text", min_line_words=2, min_sentences=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert out.count() == docs.count()
