@@ -11952,3 +11952,99 @@ _R14_STAGED_ORACLES["r14_c4"] = f"""
 
 
 _R14_STAGED_QUERIES["r14_c4"] = q_r14_c4
+
+
+#: the r14_urls corpus construction, shared verbatim by both twins:
+#: per-doc URL from the source column (ads. subdomain every 5th doc,
+#: junk every 13th to exercise the loud NULL), blocklist of three
+#: hosts exercising exact, subdomain-suffix, and subdomain-only hits
+_URLS_CASE_SQL = (
+    "CASE WHEN doc_id % 13 = 0 THEN 'not a url' "
+    "ELSE CONCAT('https://', "
+    "CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END, "
+    "source, '.example.com/doc/', CAST(doc_id AS STRING)) END"
+)
+
+_URLS_BLOCKED = ("src3.example.com", "src7.example.com",
+                 "ads.src1.example.com")
+
+
+def q_r14_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filtering (llmops/web.py url_blocklist — round
+    13, the RefinedWeb-style domain cut) via the DECLARED step over
+    the constructed URL corpus (_URLS_CASE_SQL / _URLS_BLOCKED, both
+    stated verbatim in the oracle): per doc the extracted host and the
+    suffix-aware blocked flag — src3/src7 docs (and their ads.
+    subdomains) blocked by the parent domain, src1 blocked only on
+    its ads. subdomain, junk URLs flag NULL ('~'). All-string
+    (op, k, v) frame."""
+    from data_validation_engine_spark.llmops.web import url_host
+    from data_validation_engine_spark.steps import parse_step
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_URLS_CASE_SQL} AS url"
+    )
+    ents = {
+        "docs": docs,
+        "blocked": spark.createDataFrame(
+            [(h,) for h in _URLS_BLOCKED], "host string"
+        ),
+    }
+    _engine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {
+                "operation": "url_blocklist",
+                "entity_name": "docs",
+                "target_name": "blocked",
+                "new_entity_name": "flagged",
+            }
+        ),
+    )
+    return ents["flagged"].withColumn(
+        "__h", url_host(F.col("url"))
+    ).selectExpr(
+        "'u' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', COALESCE(__h, '~'),"
+        " COALESCE(CAST(CAST(url_blocked AS INT) AS STRING), '~'))"
+        " AS v",
+    )
+
+
+_R14_STAGED_ORACLES["r14_urls"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, {_URLS_CASE_SQL} AS url FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               NULLIF(regexp_replace(regexp_replace(lower(
+                   regexp_extract(trim(url),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                   '^.*@', ''), ':[0-9]+$', ''), '') AS host
+        FROM corpus
+    ),
+    s AS (
+        SELECT doc_id, host,
+               CASE WHEN host IS NULL THEN NULL ELSE (
+                   len(list_filter(
+                       list_transform(
+                           range(0, greatest(least(
+                               len(string_split(host, '.')) - 1, 10),
+                               1)),
+                           i -> array_to_string(
+                               string_split(host, '.')[i + 1 :], '.')),
+                       x -> contains(x, '.') AND x IN
+                            ('src3.example.com', 'src7.example.com',
+                             'ads.src1.example.com'))) > 0
+               ) END AS blocked
+        FROM h
+    )
+    SELECT 'u' AS op, CAST(doc_id AS VARCHAR) AS k,
+           COALESCE(host, '~') || '|' ||
+           COALESCE(CAST(CAST(blocked AS INT) AS VARCHAR), '~') AS v
+    FROM s
+"""
+
+
+_R14_STAGED_QUERIES["r14_urls"] = q_r14_urls

@@ -31,7 +31,10 @@ __all__ = [
     "extract_anchor_texts",
     "extract_html_text",
     "extract_links",
+    "host_suffixes",
     "parse_json_column",
+    "url_blocklist",
+    "url_host",
 ]
 
 # the eight entities that dominate real markup; everything else needs
@@ -416,3 +419,102 @@ def canonicalize_url(
             ),
         )
     return F.when((scheme != "") & (host != ""), rebuilt)
+
+
+def url_host(url: Column) -> Column:
+    """The lowercased host of an absolute URL (port and credentials
+    stripped; NULL when the input has no ``scheme://host``) — the join
+    key the crawl-compliance operators share (robots rule tables,
+    blocklists)."""
+    hostport = F.lower(
+        F.regexp_extract(
+            F.trim(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+        )
+    )
+    bare = F.regexp_replace(
+        F.regexp_replace(hostport, r"^.*@", ""), r":\d+$", ""
+    )
+    return F.when(bare != "", bare)
+
+
+def host_suffixes(host: Column, *, max_labels: int = 10) -> Column:
+    """Every dot-suffix of a host down to the registrable tail —
+    ``a.b.c.d`` → ``[a.b.c.d, b.c.d, c.d]`` (single labels excluded:
+    blocking a bare TLD is never the intent). Bounded by
+    ``max_labels`` so a pathological million-label host cannot blow up
+    the explode. This is what makes blocklist matching an EQUI-join:
+    explode the candidates once and hash-join the blocklist, instead
+    of a per-(row × pattern) suffix comparison."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.least(n - F.lit(2), F.lit(int(max_labels) - 1)),
+                    F.lit(0),
+                ),
+            ),
+            lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+        ),
+        lambda s: (F.length(s) > 0) & s.contains("."),
+    )
+
+
+def url_blocklist(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    *,
+    id_col: str = "doc_id",
+    blocked_host_col: str = "host",
+    host_col: str | None = None,
+    max_labels: int = 10,
+    flag_col: str = "url_blocked",
+) -> DataFrame:
+    """Flag rows whose URL host (or any parent domain) appears in a
+    blocklist table — the RefinedWeb/FineWeb URL-filter stage
+    (Penedo 2023 arXiv:2306.01116 §3.1; the public crawl pipelines'
+    first cut) as a dimension equi-join.
+
+    ``blocked`` is a (possibly huge — the public lists run to millions
+    of domains) one-column host table; matching is suffix-aware
+    (``ads.evil.example`` is blocked by ``evil.example``). Scale
+    shape: each row explodes into at most ``max_labels`` candidate
+    suffixes ((id, suffix) rows of ~30 bytes), the blocklist joins as
+    a plain equi-join — broadcast when small, shuffle hash join when
+    huge, AQE's call — and one distinct + left join restores the
+    per-row flag. The corpus' wide columns never shuffle: only ids
+    travel. Rows with an unparseable URL get ``flag_col`` NULL (decide
+    loudly downstream), never a silent pass."""
+    host = (
+        F.lower(F.col(host_col))
+        if host_col is not None
+        else url_host(F.col(url_col))
+    )
+    keyed = df.withColumn("__host", host)
+    cand = keyed.select(
+        F.col(id_col),
+        F.explode(
+            host_suffixes(F.col("__host"), max_labels=max_labels)
+        ).alias("__sfx"),
+    )
+    blocked_hosts = blocked.select(
+        F.lower(F.col(blocked_host_col)).alias("__sfx")
+    )
+    hits = (
+        cand.join(blocked_hosts, "__sfx", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__blocked", F.lit(True))
+    )
+    return (
+        keyed.join(hits, id_col, "left")
+        .withColumn(
+            flag_col,
+            F.when(F.col("__host").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.coalesce(F.col("__blocked"), F.lit(False))),
+        )
+        .drop("__host", "__blocked")
+    )

@@ -340,6 +340,22 @@ class PQFit(AbstractStep):
     round_to: int = 6
 
 
+class UrlBlocklist(AbstractStep):
+    """Flag rows whose URL host (or any parent domain) appears in the
+    blocklist entity (``target_name``) — the RefinedWeb-style URL cut
+    (llmops/web.py url_blocklist): candidate-suffix explode + one
+    equi-join, ids-only shuffle, unparseable URLs flag NULL (loud)."""
+
+    operation: Literal["url_blocklist"] = "url_blocklist"
+    target_name: str
+    url_column: str = "url"
+    id_column: str = "doc_id"
+    blocked_host_column: str = "host"
+    host_column: Optional[str] = None
+    max_labels: int = 10
+    flag_column: str = "url_blocked"
+
+
 class C4Clean(AbstractStep):
     """C4 line-level cleaning + page gate (Raffel 2020 §2.2 —
     llmops/c4.py): rebuild the page from prose-looking lines (terminal
@@ -2122,6 +2138,7 @@ AnyStep = Annotated[
         PQEncode,
         GopherQualityFlags,
         C4Clean,
+        UrlBlocklist,
     ],
     Field(discriminator="operation"),
 ]

@@ -166,6 +166,7 @@ from data_validation_engine_spark.steps.configs import (
     PQEncode,
     GopherQualityFlags,
     C4Clean,
+    UrlBlocklist,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -334,6 +335,7 @@ class StepEngine:
             PQEncode: self.pq_encode,
             GopherQualityFlags: self.gopher_quality_flags,
             C4Clean: self.c4_clean,
+            UrlBlocklist: self.url_blocklist,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -2808,6 +2810,23 @@ class StepEngine:
             entities[config.output_name] = pq_topk_many(
                 table, queries, config.k, **kw
             )
+        return None
+
+    def url_blocklist(
+        self, entities: Entities, *, config: UrlBlocklist
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.web import url_blocklist
+
+        entities[config.output_name] = url_blocklist(
+            entities[config.entity_name],
+            entities[config.target_name],
+            config.url_column,
+            id_col=config.id_column,
+            blocked_host_col=config.blocked_host_column,
+            host_col=config.host_column,
+            max_labels=config.max_labels,
+            flag_col=config.flag_column,
+        )
         return None
 
     def c4_clean(

@@ -259,3 +259,49 @@ def test_c4_zero_shuffle_on_corpus(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert out.count() == docs.count()
+
+
+# --- streaming lift: the gates are stateless projections ------------------
+
+
+def test_gopher_and_c4_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Both crawl filters are watermark-free per-row projections, so
+    they lift onto readStream unchanged — streaming output must equal
+    the batch twin row-for-row."""
+    import shutil
+
+    from data_validation_engine_spark.llmops.c4 import c4_clean
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def pipe(df):
+        flagged = gopher_quality_flags(
+            df, "text", min_words=30, min_stop_words=1
+        )
+        return c4_clean(
+            flagged, "text", min_line_words=2, min_sentences=1
+        ).select(
+            "doc_id", "gopher_keep", "gopher_words", "c4_keep",
+            "c4_lines_kept", "c4_sentences",
+        )
+
+    out = str(tmp_path / "out")
+    q = (
+        pipe(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = pipe(batch)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
