@@ -165,8 +165,28 @@ from data_validation_engine_spark.llmops.web import (
     extract_anchor_texts,
     extract_html_text,
     extract_links,
+    host_suffixes,
     parse_json_column,
+    url_blocklist,
+    url_host,
 )
+from data_validation_engine_spark.llmops.pq import (
+    default_codebooks,
+    ivf_pq_topk,
+    ivf_pq_topk_many,
+    pq_codebooks_from_rows,
+    pq_codebooks_to_rows,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+    pq_topk_many,
+    probe_cells_col,
+)
+from data_validation_engine_spark.llmops.recall import ann_recall
+from data_validation_engine_spark.llmops.gopher import (
+    gopher_quality_flags,
+)
+from data_validation_engine_spark.llmops.c4 import c4_clean
 from data_validation_engine_spark.llmops.decontam import (
     decontaminate,
     decontaminate_bloom,
@@ -196,6 +216,7 @@ from data_validation_engine_spark.llmops.interval import (
 from data_validation_engine_spark.llmops.ivf import (
     default_centroids,
     ivf_assign,
+    ivf_stats,
     ivf_topk,
 )
 from data_validation_engine_spark.llmops.similarity import (
@@ -250,6 +271,23 @@ from data_validation_engine_spark.llmops.text import (
 )
 
 __all__ = [
+    "ann_recall",
+    "c4_clean",
+    "default_codebooks",
+    "gopher_quality_flags",
+    "host_suffixes",
+    "ivf_pq_topk",
+    "ivf_pq_topk_many",
+    "ivf_stats",
+    "pq_codebooks_from_rows",
+    "pq_codebooks_to_rows",
+    "pq_encode",
+    "pq_fit",
+    "pq_topk",
+    "pq_topk_many",
+    "probe_cells_col",
+    "url_blocklist",
+    "url_host",
     "asof_join",
     "containment_pairs",
     "grouped_topk",
