@@ -313,3 +313,113 @@ def test_declared_round11_curation_pipeline(spark, sf_dir):
     assert by_lang.get("en", 0) >= max(
         v for k, v in by_lang.items() if k != "en"
     )
+
+
+def test_warc_to_corpus_compliance_pipeline(spark, sf_dir, tmp_path):
+    """The round-13 ingestion story end to end: a WARC crawl archive →
+    read_warc → HTML text extraction → URL canonicalization → domain
+    blocklist → Gopher + C4 quality gates → exact dedup — the web
+    chain as declared steps over a real (synthesized) archive."""
+    import gzip
+
+    from data_validation_engine_spark.sources.warc import read_warc
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id < 60")
+        .collect()
+    )
+
+    def record(uri: str, html: bytes) -> bytes:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n".encode()
+        )
+        return head + b"\r\n" + http + b"\r\n\r\n"
+
+    parts = []
+    for r in docs:
+        host = f"{'blocked' if r['doc_id'] % 5 == 0 else 'ok'}.site{r['doc_id'] % 3}.example"
+        body = (
+            f"<html><body><p>{r['text'] or ''} with the final word.</p>"
+            "</body></html>"
+        ).encode()
+        parts.append(record(f"https://{host}/d/{r['doc_id']}?utm_source=x", body))
+    (tmp_path / "crawl.warc.gz").write_bytes(
+        b"".join(gzip.compress(p) for p in parts)
+    )
+
+    from data_validation_engine_spark.llmops.web import (
+        canonicalize_url,
+        extract_html_text,
+    )
+
+    raw = read_warc(spark, str(tmp_path), glob="*.warc.gz")
+    pages = extract_html_text(
+        raw.selectExpr(
+            "record_offset AS doc_id",
+            "target_uri",
+            "CAST(payload AS STRING) AS html",
+        ),
+        "html",
+    ).withColumn("url", canonicalize_url(F.col("target_uri")))
+    assert pages.count() == len(docs)
+
+    eng = StepEngine(spark)
+    ents = {
+        "pages": pages,
+        "blocked": spark.createDataFrame(
+            [("blocked.site0.example",), ("blocked.site1.example",),
+             ("blocked.site2.example",)],
+            "host string",
+        ),
+    }
+    _steps(
+        eng,
+        ents,
+        [
+            {
+                "operation": "url_blocklist",
+                "entity_name": "pages",
+                "target_name": "blocked",
+            },
+            {
+                "operation": "filter",
+                "entity_name": "pages",
+                "expression": "NOT coalesce(url_blocked, true)",
+            },
+            {
+                "operation": "gopher_quality_flags",
+                "entity_name": "pages",
+                "min_words": 10,
+                "min_stop_words": 1,
+            },
+            {
+                "operation": "c4_clean",
+                "entity_name": "pages",
+                "min_line_words": 3,
+                "min_sentences": 1,
+            },
+            {
+                "operation": "filter",
+                "entity_name": "pages",
+                "expression": "flag_word_count AND c4_keep",
+            },
+            {
+                "operation": "dedup_exact",
+                "entity_name": "pages",
+                "key_columns": ["c4_text"],
+                "order_column": "doc_id",
+            },
+        ],
+    )
+    out = ents["pages"]
+    n_blocked = len([r for r in docs if r["doc_id"] % 5 == 0])
+    assert out.count() > 0
+    assert out.where("url_blocked").count() == 0
+    # every blocked-host page is gone, the rest survived the gates
+    assert out.count() <= len(docs) - n_blocked
+    # the chain preserved usable text
+    assert out.where("length(c4_text) > 0").count() == out.count()
