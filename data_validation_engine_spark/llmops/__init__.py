@@ -182,7 +182,7 @@ from data_validation_engine_spark.llmops.pq import (
     pq_topk_many,
     probe_cells_col,
 )
-from data_validation_engine_spark.llmops.recall import ann_recall
+from data_validation_engine_spark.llmops.recall import ann_recall, pair_recall
 from data_validation_engine_spark.llmops.gopher import (
     gopher_quality_flags,
 )
@@ -272,6 +272,7 @@ from data_validation_engine_spark.llmops.text import (
 
 __all__ = [
     "ann_recall",
+    "pair_recall",
     "c4_clean",
     "default_codebooks",
     "gopher_quality_flags",

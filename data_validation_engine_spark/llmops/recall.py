@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ann_recall"]
+__all__ = ["ann_recall", "pair_recall"]
 
 
 def ann_recall(
@@ -97,4 +97,88 @@ def ann_recall(
         )
         .otherwise(F.lit(None).cast("double"))
         .alias(recall_col),
+    )
+
+
+def pair_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    group_cols: Sequence[str] = (),
+    broadcast_exact: bool = False,
+) -> DataFrame:
+    """Recall AND precision of an approximate near-duplicate PAIR set
+    against exact ground truth — the dedup-side sibling of
+    :func:`ann_recall` (the tuning target for ``bands``/``num_hashes``/
+    ``max_hamming`` that the probabilistic candidate generators
+    otherwise lack: MinHash banding loses true pairs it never
+    collides, SimHash hamming bands admit pairs Jaccard rejects).
+
+    Inputs are pair frames ``(id_a, id_b)`` plus shared ``group_cols``
+    (method, threshold, ... — empty for a single measurement). Each
+    side's pairs must be DISTINCT as unordered pairs (the operators'
+    ``id_a < id_b`` convention satisfies this); orientation is
+    normalized here, so an ``(a, b)`` on one side matches a ``(b, a)``
+    on the other. Output per group: ``n_hits`` (pairs in both),
+    ``n_exact``, ``n_approx`` (exact longs), ``recall`` =
+    ``n_hits / n_exact`` and ``precision`` = ``n_hits / n_approx``
+    (single correctly-rounded divisions; NULL when the denominator is
+    0). Groups on only one side still emit a row (counts 0) — a method
+    finding nothing must read as recall 0, not a missing row.
+
+    Scale shape: unlike top-k frames, pair sets are corpus-bounded, so
+    the hit count is a plain shuffle equi-join on the normalized
+    8-byte-pair key (``broadcast_exact=True`` when ground truth is a
+    small labelled sample); counts are map-side-combined aggregations.
+    Never touches document text or vectors.
+    """
+    gcols = list(group_cols)
+    for side, df in (("approx", approx), ("exact", exact)):
+        for c in [id_a, id_b, *gcols]:
+            if c not in df.columns:
+                raise ValueError(
+                    f"pair_recall: {side} frame lacks column {c!r}"
+                )
+
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            *gcols,
+            F.least(F.col(id_a), F.col(id_b)).alias("__pa"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("__pb"),
+        )
+
+    na, ne = _norm(approx), _norm(exact)
+    keys = [*gcols, "__pa", "__pb"]
+    ne_join = F.broadcast(ne) if broadcast_exact else ne
+
+    def _count(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(*gcols).agg(F.count(F.lit(1)).alias(name))
+
+    hits = _count(na.join(ne_join, keys, "left_semi"), "n_hits")
+    n_exact = _count(ne, "n_exact")
+    n_approx = _count(na, "n_approx")
+    if gcols:
+        joined = n_exact.join(n_approx, gcols, "full").join(
+            hits, gcols, "full"
+        )
+    else:
+        joined = n_exact.crossJoin(n_approx).crossJoin(hits)
+
+    def _ratio(num: str, den: str) -> F.Column:
+        d = F.coalesce(F.col(den), F.lit(0))
+        return F.when(
+            d > 0,
+            F.coalesce(F.col(num), F.lit(0)).cast("double")
+            / d.cast("double"),
+        ).otherwise(F.lit(None).cast("double"))
+
+    return joined.select(
+        *gcols,
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+        _ratio("n_hits", "n_exact").alias("recall"),
+        _ratio("n_hits", "n_approx").alias("precision"),
     )

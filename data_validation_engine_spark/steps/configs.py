@@ -461,6 +461,23 @@ class AnnRecall(AbstractStep):
     recall_column: str = "recall"
 
 
+class PairRecall(AbstractStep):
+    """Recall/precision of an approximate near-duplicate PAIR entity
+    against exact ground truth (llmops/recall.py pair_recall — the
+    dedup-side sibling of ann_recall): per ``group_columns`` slice,
+    ``n_hits``/``n_exact``/``n_approx`` exact longs plus ``recall`` and
+    ``precision`` single-division doubles. ``entity_name`` is the
+    APPROXIMATE pair frame, ``target_name`` the exact one — the tuning
+    gauge for bands/num_hashes/max_hamming."""
+
+    operation: Literal["pair_recall"] = "pair_recall"
+    target_name: str
+    id_a_column: str = "id_a"
+    id_b_column: str = "id_b"
+    group_columns: tuple[str, ...] = ()
+    broadcast_exact: bool = False
+
+
 class EmbeddingNearDup(AbstractStep):
     """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join
     (bounded hot buckets, never all-pairs) + exact cosine verification.
@@ -1155,6 +1172,28 @@ class LmPerplexity(AbstractStep):
     text_column: str = "text"
     n: int = 3
     alpha: float = 1.0
+
+
+class WordLm(AbstractStep):
+    """Word n-gram LM with Stupid Backoff (Brants 2007): train counts
+    on the ``reference_name`` entity (or load a persisted
+    ``model_name`` counts entity carrying the ord=0 total sentinel) and
+    attach ``n_tokens``, the exact-integer backoff histogram
+    ``hits_0..hits_n`` and ``logprob_avg``/``perplexity`` to every row.
+    ``model_entity`` exports the self-contained counts entity so
+    train → persist → score composes as JSON (the classifier-weights
+    pattern). Exactly one of ``reference_name``/``model_name``."""
+
+    operation: Literal["word_lm"] = "word_lm"
+    key_column: str
+    text_column: str = "text"
+    reference_name: Optional[str] = None
+    model_name: Optional[str] = None
+    model_entity: Optional[str] = None
+    n: int = 3
+    alpha: float = 0.4
+    min_count: int = 1
+    broadcast_model: bool = False
 
 
 class HllProfile(AbstractStep):
@@ -2139,6 +2178,8 @@ AnyStep = Annotated[
         GopherQualityFlags,
         C4Clean,
         UrlBlocklist,
+        PairRecall,
+        WordLm,
     ],
     Field(discriminator="operation"),
 ]

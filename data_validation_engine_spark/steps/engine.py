@@ -167,6 +167,8 @@ from data_validation_engine_spark.steps.configs import (
     GopherQualityFlags,
     C4Clean,
     UrlBlocklist,
+    PairRecall,
+    WordLm,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -336,6 +338,8 @@ class StepEngine:
             GopherQualityFlags: self.gopher_quality_flags,
             C4Clean: self.c4_clean,
             UrlBlocklist: self.url_blocklist,
+            PairRecall: self.pair_recall,
+            WordLm: self.word_lm,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -1943,6 +1947,51 @@ class StepEngine:
         )
         return None
 
+    def word_lm(
+        self, entities: Entities, *, config: WordLm
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.lm import (
+            stupid_backoff_score,
+            train_word_lm,
+            word_lm_from_rows,
+            word_lm_to_rows,
+        )
+
+        if (config.reference_name is None) == (config.model_name is None):
+            raise ConfigurationError(
+                "word_lm: pass exactly one of reference_name / model_name"
+            )
+        if config.model_name is not None:
+            model, total = word_lm_from_rows(entities[config.model_name])
+        else:
+            model, total = train_word_lm(
+                entities[config.reference_name],
+                config.text_column,
+                n=config.n,
+                min_count=config.min_count,
+            )
+        if config.model_entity:
+            entities[config.model_entity] = word_lm_to_rows(model, total)
+        df = entities[config.entity_name]
+        scores = stupid_backoff_score(
+            df,
+            model,
+            total,
+            config.key_column,
+            config.text_column,
+            n=config.n,
+            alpha=config.alpha,
+            broadcast_model=config.broadcast_model,
+        )
+        entities[config.output_name] = df.join(
+            scores.drop(config.text_column)
+            if config.text_column in scores.columns
+            else scores,
+            config.key_column,
+            "left",
+        )
+        return None
+
     def hll_profile(
         self, entities: Entities, *, config: HllProfile
     ) -> Messages:
@@ -2929,6 +2978,21 @@ class StepEngine:
             group_cols=list(config.group_columns),
             k=config.k,
             recall_col=config.recall_column,
+        )
+        return None
+
+    def pair_recall(
+        self, entities: Entities, *, config: PairRecall
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.recall import pair_recall
+
+        entities[config.output_name] = pair_recall(
+            entities[config.entity_name],
+            entities[config.target_name],
+            id_a=config.id_a_column,
+            id_b=config.id_b_column,
+            group_cols=list(config.group_columns),
+            broadcast_exact=config.broadcast_exact,
         )
         return None
 
