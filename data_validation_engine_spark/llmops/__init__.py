@@ -185,6 +185,7 @@ from data_validation_engine_spark.llmops.pq import (
 from data_validation_engine_spark.llmops.recall import ann_recall, pair_recall
 from data_validation_engine_spark.llmops.gopher import (
     gopher_quality_flags,
+    gopher_repetition_flags,
 )
 from data_validation_engine_spark.llmops.c4 import c4_clean
 from data_validation_engine_spark.llmops.decontam import (
@@ -276,6 +277,7 @@ __all__ = [
     "c4_clean",
     "default_codebooks",
     "gopher_quality_flags",
+    "gopher_repetition_flags",
     "host_suffixes",
     "ivf_pq_topk",
     "ivf_pq_topk_many",

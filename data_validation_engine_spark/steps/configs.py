@@ -392,6 +392,30 @@ class GopherQualityFlags(AbstractStep):
     keep_column: str = "gopher_keep"
 
 
+class GopherRepetitionFlags(AbstractStep):
+    """Attach the Gopher §A1.2 repetition-removal signals, per-rule
+    booleans, and the ``keep_column`` conjunction (Rae 2021 Table A1 —
+    llmops/gopher.py gopher_repetition_flags; defaults are the paper's
+    thresholds): duplicate line/paragraph count + char fractions, top
+    2/3/4-gram char mass, duplicated 5..10-gram char coverage. Pure
+    per-row ordered folds, zero shuffle; the other half of the Gopher
+    filter whose quality rules are ``gopher_quality_flags``."""
+
+    operation: Literal["gopher_repetition_flags"] = (
+        "gopher_repetition_flags"
+    )
+    text_column: str = "text"
+    max_dup_line_frac: float = 0.30
+    max_dup_para_frac: float = 0.30
+    max_dup_line_char_frac: float = 0.20
+    max_dup_para_char_frac: float = 0.20
+    max_top_gram_fracs: tuple[float, ...] = (0.20, 0.18, 0.16)
+    max_dup_gram_fracs: tuple[float, ...] = (
+        0.15, 0.14, 0.13, 0.12, 0.11, 0.10,
+    )
+    keep_column: str = "rep_keep"
+
+
 class PQEncode(AbstractStep):
     """The one-time ingest step of the PQ deployment shape: attach the
     ``array<int>`` PQ codes column (and, with ``centroids``, the IVF
@@ -2180,6 +2204,7 @@ AnyStep = Annotated[
         UrlBlocklist,
         PairRecall,
         WordLm,
+        GopherRepetitionFlags,
     ],
     Field(discriminator="operation"),
 ]

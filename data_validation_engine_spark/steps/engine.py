@@ -165,6 +165,7 @@ from data_validation_engine_spark.steps.configs import (
     PQTopKMany,
     PQEncode,
     GopherQualityFlags,
+    GopherRepetitionFlags,
     C4Clean,
     UrlBlocklist,
     PairRecall,
@@ -336,6 +337,7 @@ class StepEngine:
             PQTopKMany: self.pq_topk_many,
             PQEncode: self.pq_encode,
             GopherQualityFlags: self.gopher_quality_flags,
+            GopherRepetitionFlags: self.gopher_repetition_flags,
             C4Clean: self.c4_clean,
             UrlBlocklist: self.url_blocklist,
             PairRecall: self.pair_recall,
@@ -2912,6 +2914,26 @@ class StepEngine:
             max_ellipsis_line_frac=config.max_ellipsis_line_frac,
             min_alpha_word_frac=config.min_alpha_word_frac,
             min_stop_words=config.min_stop_words,
+            keep_col=config.keep_column,
+        )
+        return None
+
+    def gopher_repetition_flags(
+        self, entities: Entities, *, config: GopherRepetitionFlags
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.gopher import (
+            gopher_repetition_flags,
+        )
+
+        entities[config.output_name] = gopher_repetition_flags(
+            entities[config.entity_name],
+            config.text_column,
+            max_dup_line_frac=config.max_dup_line_frac,
+            max_dup_para_frac=config.max_dup_para_frac,
+            max_dup_line_char_frac=config.max_dup_line_char_frac,
+            max_dup_para_char_frac=config.max_dup_para_char_frac,
+            max_top_gram_fracs=tuple(config.max_top_gram_fracs),
+            max_dup_gram_fracs=tuple(config.max_dup_gram_fracs),
             keep_col=config.keep_column,
         )
         return None
