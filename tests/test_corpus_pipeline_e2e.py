@@ -375,6 +375,10 @@ def test_warc_to_corpus_compliance_pipeline(spark, sf_dir, tmp_path):
              ("blocked.site2.example",)],
             "host string",
         ),
+        # the clean reference corpus the LM quality score trains on
+        "ref": spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+            "doc_id >= 60"
+        ).select("doc_id", "text"),
     }
     _steps(
         eng,
@@ -403,9 +407,13 @@ def test_warc_to_corpus_compliance_pipeline(spark, sf_dir, tmp_path):
                 "min_sentences": 1,
             },
             {
+                "operation": "gopher_repetition_flags",
+                "entity_name": "pages",
+            },
+            {
                 "operation": "filter",
                 "entity_name": "pages",
-                "expression": "flag_word_count AND c4_keep",
+                "expression": "flag_word_count AND c4_keep AND rep_keep",
             },
             {
                 "operation": "dedup_exact",
@@ -413,13 +421,44 @@ def test_warc_to_corpus_compliance_pipeline(spark, sf_dir, tmp_path):
                 "key_columns": ["c4_text"],
                 "order_column": "doc_id",
             },
+            # LM quality scoring against a clean reference corpus: the
+            # trained counts export as an entity (train → persist →
+            # score as JSON)
+            {
+                "operation": "word_lm",
+                "entity_name": "pages",
+                "new_entity_name": "scored",
+                "key_column": "doc_id",
+                "reference_name": "ref",
+                "model_entity": "wlm",
+                "min_count": 2,
+            },
         ],
     )
-    out = ents["pages"]
+    # cut the deep lineage once — every assertion below would
+    # otherwise re-run the whole WARC→...→LM chain per action
+    out = ents["scored"].localCheckpoint()
     n_blocked = len([r for r in docs if r["doc_id"] % 5 == 0])
-    assert out.count() > 0
-    assert out.where("url_blocked").count() == 0
+    a = out.selectExpr(
+        "count(*) AS n",
+        "sum(CAST(url_blocked AS INT)) AS blocked",
+        "sum(CAST(length(c4_text) > 0 AS INT)) AS with_text",
+        "sum(CAST(NOT rep_keep AS INT)) AS rep_dropped",
+        "sum(CAST(rep_dup_line_frac IS NULL AS INT)) AS rep_null",
+        "sum(CAST(logprob_avg IS NULL AS INT)) AS lp_null",
+        "sum(CAST(n_tokens != hits_0 + hits_1 + hits_2 + hits_3"
+        " AS INT)) AS hist_bad",
+    ).collect()[0]
+    assert a["n"] > 0
+    assert a["blocked"] == 0
     # every blocked-host page is gone, the rest survived the gates
-    assert out.count() <= len(docs) - n_blocked
+    assert a["n"] <= len(docs) - n_blocked
     # the chain preserved usable text
-    assert out.where("length(c4_text) > 0").count() == out.count()
+    assert a["with_text"] == a["n"]
+    # the repetition gate actually evaluated (synthetic pages are
+    # non-repetitive prose - all survivors carry passing flags)
+    assert a["rep_dropped"] == 0 and a["rep_null"] == 0
+    # LM scores attached to every surviving page; histogram is exact
+    assert a["lp_null"] == 0 and a["hist_bad"] == 0
+    # the exported model entity is self-contained (sentinel + counts)
+    assert ents["wlm"].where("ord = 0").count() == 1
