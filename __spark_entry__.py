@@ -12205,9 +12205,19 @@ def q_r14_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id + 1000000 AS doc_id", "text || ' spark' AS text"
         )
     )
-    ex = ngram_jaccard_pairs(u, "doc_id", "text", threshold=0.5)
-    mh4 = minhash_pairs(u, "doc_id", "text", threshold=0.5, bands=4)
-    mh1 = minhash_pairs(u, "doc_id", "text", threshold=0.5, bands=1)
+    # pair frames are corpus-bounded and tiny at these SFs; checkpoint
+    # once — the exact side is referenced six times across the arms
+    # (three exact tags + three hit joins), and without the cut each
+    # reference re-runs the whole shingle chain
+    ex = ngram_jaccard_pairs(
+        u, "doc_id", "text", threshold=0.5
+    ).localCheckpoint()
+    mh4 = minhash_pairs(
+        u, "doc_id", "text", threshold=0.5, bands=4
+    ).localCheckpoint()
+    mh1 = minhash_pairs(
+        u, "doc_id", "text", threshold=0.5, bands=1
+    ).localCheckpoint()
     approx = (
         mh4.selectExpr("'b4' AS method", "id_a", "id_b")
         .unionByName(mh1.selectExpr("'b1' AS method", "id_a", "id_b"))

@@ -126,7 +126,9 @@ def pair_recall(
     ``n_hits / n_exact`` and ``precision`` = ``n_hits / n_approx``
     (single correctly-rounded divisions; NULL when the denominator is
     0). Groups on only one side still emit a row (counts 0) — a method
-    finding nothing must read as recall 0, not a missing row.
+    finding nothing must read as recall 0, not a missing row. Group
+    keys must be non-NULL (NULL keys never merge across the two sides
+    under standard join semantics — tag arms with literals).
 
     Scale shape: unlike top-k frames, pair sets are corpus-bounded, so
     the hit count is a plain shuffle equi-join on the normalized
