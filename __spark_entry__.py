@@ -11856,6 +11856,7 @@ _R14_STAGED_QUERIES["r14_gopher"] = q_r14_gopher
 _C4_CASE_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN CONCAT(text, ' and lorem ipsum.') "
     "WHEN doc_id % 11 = 0 THEN CONCAT(text, ' { code block.') "
+    "WHEN doc_id % 13 = 5 THEN CONCAT(text, ' she said \"go now\"') "
     "WHEN doc_id % 3 = 0 THEN CONCAT(text, '.') "
     "WHEN doc_id % 3 = 1 THEN REPLACE(text, ' batch ', '.\n') "
     "ELSE text END"
@@ -11926,14 +11927,22 @@ _R14_STAGED_ORACLES["r14_c4"] = f"""
                -- Spark's array_join gives '' — coalesce to match
                COALESCE(array_to_string(
                    list_transform(kept, x -> trim(x)), chr(10)), '')
-                   AS cleaned
+                   AS cleaned,
+               -- a kept line terminated by a BARE end quote (no .!?
+               -- before it) counts as one sentence (kept lines have
+               -- >= 3 words, so the penultimate char always exists)
+               len(list_filter(kept,
+                   ln -> right(rtrim(ln), 1) = '"'
+                         AND substr(rtrim(ln),
+                                    length(rtrim(ln)) - 1, 1)
+                             NOT IN ('.', '!', '?'))) AS n_qsent
         FROM l
     ),
     m AS (
         SELECT doc_id, cleaned, n_kept, n_total,
                length(cleaned) - length(
                    replace(replace(replace(cleaned, '.', ''), '!', ''),
-                           '?', '')) AS n_sent,
+                           '?', '')) + n_qsent AS n_sent,
                contains(lower(t), 'lorem ipsum') AS has_lorem,
                contains(t, '{{') AS has_brace
         FROM c
@@ -12279,8 +12288,9 @@ def _pair_recall_oracle() -> str:
         "SELECT '{m}' AS op, 'pairs' AS k, "
         "CAST(n_hits AS VARCHAR) || '|' || CAST(n_exact AS VARCHAR)"
         " || '|' || CAST(n_approx AS VARCHAR) || '|' || "
+        + "CASE WHEN n_exact = 0 THEN '~' ELSE "
         + r6.format(x="n_hits::DOUBLE / n_exact")
-        + " || '|' || "
+        + " END || '|' || "
         + "CASE WHEN n_approx = 0 THEN '~' ELSE "
         + r6.format(x="n_hits::DOUBLE / n_approx")
         + " END AS v FROM {src}"

@@ -21,7 +21,10 @@ The rules (defaults = the paper's):
 - page flags on the ORIGINAL text: ``c4_has_lorem`` ("lorem ipsum",
   case-insensitive) and ``c4_has_brace`` (``{`` — code, not prose);
 - ``c4_sentences``: terminal-punctuation count of the CLEANED text
-  (the paper's >= ``min_sentences`` (5) sentence floor);
+  — occurrences of ``.!?`` plus one per kept line terminated by a
+  bare end quotation mark (the fourth accepted terminator; without
+  it dialogue-style prose would pass every line rule yet score zero
+  sentences) — the paper's >= ``min_sentences`` (5) sentence floor;
 - ``c4_keep`` = enough sentences AND no lorem-ipsum AND no brace.
 
 Output columns: ``c4_text`` (kept lines re-joined with ``\\n`` — empty
@@ -73,9 +76,22 @@ def c4_clean(
     )
     cleaned = F.array_join(F.transform(kept, F.trim), "\n")
     # terminal-punct count via the length difference — no char-array
-    # materialisation per row
-    n_sentences = F.length(cleaned) - F.length(
-        F.translate(cleaned, ".!?", "")
+    # materialisation per row. The keep rule accepts an end quotation
+    # mark as a line terminator (C4_TERMINAL_PUNCT), so a kept line
+    # ending in a BARE quote (no .!? before it) must count as one
+    # sentence too — otherwise dialogue-style prose passes every line
+    # rule yet scores zero sentences and fails the page floor
+    quote_sents = F.size(
+        F.filter(
+            kept,
+            lambda ln: (F.rtrim(ln).substr(-1, 1) == F.lit('"'))
+            & ~F.rtrim(ln).substr(-2, 1).isin(".", "!", "?"),
+        )
+    )
+    n_sentences = (
+        F.length(cleaned)
+        - F.length(F.translate(cleaned, ".!?", ""))
+        + quote_sents
     )
     has_lorem = F.lower(text).contains("lorem ipsum")
     has_brace = text.contains("{")

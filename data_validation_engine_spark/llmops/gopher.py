@@ -81,9 +81,18 @@ def gopher_quality_flags(
     conjunction ``keep_col``. NULL text fails every rule (keep false),
     it never propagates NULL flags into a downstream filter."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(
-        F.split(text, r"\s+"), lambda w: F.length(w) > 0
-    )
+    # words/lines materialize as real columns first — ~10 downstream
+    # references each would otherwise re-run the regex split per
+    # output column (the same fix gopher_repetition_flags documents)
+    prep_cols = {
+        "__gq_words": F.filter(
+            F.split(text, r"\s+"), lambda w: F.length(w) > 0
+        ),
+        "__gq_lines": F.filter(
+            F.split(text, r"\n"), lambda ln: F.length(F.trim(ln)) > 0
+        ),
+    }
+    words = F.col("__gq_words")
     n_words = F.size(words)
     total_word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
@@ -97,9 +106,7 @@ def gopher_quality_flags(
     symbol_ratio = F.when(
         n_words > 0, n_symbols.cast("double") / n_words
     )
-    lines = F.filter(
-        F.split(text, r"\n"), lambda ln: F.length(F.trim(ln)) > 0
-    )
+    lines = F.col("__gq_lines")
     n_lines = F.size(lines)
     n_bullet = F.size(
         F.filter(
@@ -160,7 +167,7 @@ def gopher_quality_flags(
         ),
         "flag_stop_words": n_stop >= F.lit(int(min_stop_words)),
     }
-    out = df.withColumns(
+    out = df.withColumns(prep_cols).withColumns(
         {
             "gopher_words": n_words.cast("long"),
             "gopher_mean_word_len": mean_word_len,
@@ -171,7 +178,7 @@ def gopher_quality_flags(
             "gopher_stop_words": n_stop.cast("long"),
             **flags,
         }
-    )
+    ).drop(*prep_cols)
     keep = None
     for c in flags:
         keep = F.col(c) if keep is None else keep & F.col(c)

@@ -230,6 +230,21 @@ def test_c4_line_rules(spark):
     assert r["c4_keep"] is True
 
 
+def test_c4_quote_terminated_sentences(spark):
+    # a kept line ending in a BARE end quote counts as one sentence;
+    # a '."' ending is not double-counted
+    r = _c4(spark, 'Then she said to everyone "go away now"')
+    assert r["c4_lines_kept"] == 1 and r["c4_sentences"] == 1
+    r = _c4(spark, 'He finished with the words "that is all."')
+    assert r["c4_lines_kept"] == 1 and r["c4_sentences"] == 1
+    # dialogue-style prose passes the page floor it used to fail
+    dialogue = "\n".join(
+        [f'Speaker number {i} said clearly "line {i} here"' for i in range(5)]
+    )
+    r = _c4(spark, dialogue)
+    assert r["c4_sentences"] == 5 and r["c4_keep"] is True
+
+
 def test_c4_page_rules(spark):
     good = "\n".join([PROSE] * 6)
     assert _c4(spark, good)["c4_keep"] is True
