@@ -12616,3 +12616,79 @@ def _rep_oracle() -> str:
 
 _R14_STAGED_ORACLES["r14_repetition"] = _rep_oracle()
 _R14_STAGED_QUERIES["r14_repetition"] = q_r14_repetition
+
+
+#: injected-marker prefix shared verbatim by both r14_encoding twins —
+#: plain string literals, so the two engines build identical variant
+#: text without needing byte-codec work in SQL
+_ENC_PREFIX = "cafÃ© â€™ mojibake Â° sample â€œ "
+
+
+def q_r14_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection (llmops/normalize.py mojibake_stats — round
+    13, the ftfy-class encoding-artifact signal) via the DECLARED step
+    over documents ∪ marker-injected variants (the shared _ENC_PREFIX
+    literal prepended at offset ids — both twins build the identical
+    string, no codec work in SQL). Per doc: the exact marker count and
+    floor(frac*1e6) of the single division ('~' for empty text). The
+    REPAIR (fix_mojibake) is engine byte-codec work and stays
+    pytest-pinned (tests/test_mojibake.py round-trips real broken
+    text); its decision inputs — these counts — are what this row
+    attests. All-string (op, k, v)."""
+    from data_validation_engine_spark.steps import parse_step
+
+    base = _docs(spark, sf_dir).where("doc_id % 10 = 0").select(
+        "doc_id", "text"
+    )
+    corpus = base.unionByName(
+        base.select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+            F.concat(F.lit(_ENC_PREFIX), F.col("text")).alias("text"),
+        )
+    )
+    ents = {"docs": corpus}
+    _engine(spark).evaluate(
+        ents,
+        config=parse_step(
+            {"operation": "mojibake_stats", "entity_name": "docs"}
+        ),
+    )
+    return ents["docs"].selectExpr(
+        "'s' AS op",
+        "CAST(doc_id AS STRING) AS k",
+        "CONCAT_WS('|', CAST(mojibake_count AS STRING),"
+        " COALESCE(CAST(CAST(floor(mojibake_frac * 1000000) AS BIGINT)"
+        " AS STRING), '~')) AS v",
+    )
+
+
+def _encoding_oracle() -> str:
+    from data_validation_engine_spark.llmops.normalize import (
+        MOJIBAKE_MARKERS,
+    )
+
+    terms = " + ".join(
+        f"(length(t) - length(replace(t, '{m}', ''))) // {len(m)}"
+        for m in MOJIBAKE_MARKERS
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, '{_ENC_PREFIX}' || text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    c AS (SELECT doc_id, COALESCE(text, '') AS t FROM corpus),
+    m AS (SELECT doc_id, t, {terms} AS cnt FROM c)
+    SELECT 's' AS op, CAST(doc_id AS VARCHAR) AS k,
+           CAST(cnt AS VARCHAR) || '|' ||
+           CASE WHEN length(t) > 0
+                THEN CAST(CAST(floor(round(cnt::DOUBLE / length(t), 6)
+                     * 1000000) AS BIGINT) AS VARCHAR)
+                ELSE '~' END AS v
+    FROM m
+"""
+
+
+_R14_STAGED_ORACLES["r14_encoding"] = _encoding_oracle()
+_R14_STAGED_QUERIES["r14_encoding"] = q_r14_encoding

@@ -136,6 +136,8 @@ from data_validation_engine_spark.llmops.compress import (
     compression_ratio,
 )
 from data_validation_engine_spark.llmops.normalize import (
+    fix_mojibake,
+    mojibake_stats,
     normalize_text,
 )
 from data_validation_engine_spark.llmops.paragraphs import (
@@ -390,6 +392,8 @@ __all__ = [
     "token_loss_mask",
     "materialize_packs",
     "normalize_text",
+    "mojibake_stats",
+    "fix_mojibake",
     "bloom_build",
     "dsir_bucket_counts",
     "parse_robots",

@@ -416,6 +416,29 @@ class GopherRepetitionFlags(AbstractStep):
     keep_column: str = "rep_keep"
 
 
+class MojibakeStats(AbstractStep):
+    """Attach ``mojibake_count``/``mojibake_frac`` — occurrences of the
+    pinned UTF-8-as-Latin-1 artifact markers (llmops/normalize.py;
+    the ftfy-class detection signal). Exact integers + one
+    correctly-rounded division; zero shuffle."""
+
+    operation: Literal["mojibake_stats"] = "mojibake_stats"
+    text_column: str = "text"
+
+
+class FixMojibake(AbstractStep):
+    """Repair UTF-8-as-Latin-1 mojibake via the inverse encode/decode
+    round-trip under three conservative per-row guards (Latin-1
+    losslessness, clean UTF-8 re-decode, strict marker-count
+    decrease); untouched rows flag false. All JVM builtins, zero
+    shuffle."""
+
+    operation: Literal["fix_mojibake"] = "fix_mojibake"
+    text_column: str = "text"
+    output_column: Optional[str] = None
+    flag_column: str = "mojibake_fixed"
+
+
 class PQEncode(AbstractStep):
     """The one-time ingest step of the PQ deployment shape: attach the
     ``array<int>`` PQ codes column (and, with ``centroids``, the IVF
@@ -2205,6 +2228,8 @@ AnyStep = Annotated[
         PairRecall,
         WordLm,
         GopherRepetitionFlags,
+        MojibakeStats,
+        FixMojibake,
     ],
     Field(discriminator="operation"),
 ]

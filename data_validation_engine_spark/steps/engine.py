@@ -170,6 +170,8 @@ from data_validation_engine_spark.steps.configs import (
     UrlBlocklist,
     PairRecall,
     WordLm,
+    MojibakeStats,
+    FixMojibake,
     ParseRobots,
     RobotsAllowed,
     ParseJson,
@@ -342,6 +344,8 @@ class StepEngine:
             UrlBlocklist: self.url_blocklist,
             PairRecall: self.pair_recall,
             WordLm: self.word_lm,
+            MojibakeStats: self.mojibake_stats,
+            FixMojibake: self.fix_mojibake,
             HeavyHitters: self.heavy_hitters,
             InterleaveSources: self.interleave_sources,
             HardNegativeSamples: self.hard_negative_samples,
@@ -2915,6 +2919,33 @@ class StepEngine:
             min_alpha_word_frac=config.min_alpha_word_frac,
             min_stop_words=config.min_stop_words,
             keep_col=config.keep_column,
+        )
+        return None
+
+    def mojibake_stats(
+        self, entities: Entities, *, config: MojibakeStats
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.normalize import (
+            mojibake_stats,
+        )
+
+        entities[config.output_name] = mojibake_stats(
+            entities[config.entity_name], config.text_column
+        )
+        return None
+
+    def fix_mojibake(
+        self, entities: Entities, *, config: FixMojibake
+    ) -> Messages:
+        from data_validation_engine_spark.llmops.normalize import (
+            fix_mojibake,
+        )
+
+        entities[config.output_name] = fix_mojibake(
+            entities[config.entity_name],
+            config.text_column,
+            output_col=config.output_column,
+            flag_col=config.flag_column,
         )
         return None
 
