@@ -224,6 +224,21 @@ def main() -> None:
                         "sec": round(dur, 3),
                     }
                 )
+            # drop the finished query's persistent-RDD litter NOW
+            # (localCheckpoint blocks live in the block manager until
+            # a driver GC lets the ContextCleaner find them — the
+            # between-pass System.gc() can't help rows later in the
+            # SAME pass, which is where the in-roster inflation lives:
+            # classifier 68s in-roster vs 10.9s isolated this round).
+            # Safe between queries: earlier frames are dead, nothing
+            # recomputes them.
+            try:
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                it = jmap.values().iterator()
+                while it.hasNext():
+                    it.next().unpersist(False)
+            except Exception:
+                pass  # diagnostics must never fail the bench
         # release driver-side litter between passes: the dedup/CC rounds
         # localCheckpoint per iteration and those RDD blocks are only
         # reclaimed when the ContextCleaner sees their references die in
