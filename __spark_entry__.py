@@ -1903,21 +1903,29 @@ def q_tfidf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vocab_build(
+    spark: SparkSession, sf_dir: str, vocab: DataFrame | None = None
+) -> DataFrame:
     """Tokenizer-prep vocabulary table (term, total count, doc frequency,
     min_count=3 floor) — llmops/text.py build_vocab; one term-keyed
-    aggregation. All-STRING hashed frame."""
+    aggregation. All-STRING hashed frame. ``vocab`` lets
+    :func:`q_corpus_terms` share one persisted vocabulary with the
+    'enc' arm (r13 optimization)."""
     from data_validation_engine_spark.llmops import build_vocab
 
     docs = _docs(spark, sf_dir)
-    return build_vocab(docs, "doc_id", "text", min_count=3).selectExpr(
+    if vocab is None:
+        vocab = build_vocab(docs, "doc_id", "text", min_count=3)
+    return vocab.selectExpr(
         "term",
         "CAST(count AS STRING) AS cnt",
         "CAST(doc_freq AS STRING) AS doc_freq",
     )
 
 
-def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vocab_encode(
+    spark: SparkSession, sf_dir: str, vocab: DataFrame | None = None
+) -> DataFrame:
     """APPLY the learned vocabulary: every document encoded to its
     token-id sequence (frequency-ranked ids, id 0 = UNK) via the DECLARED
     encode_tokens step, the sequence pinned as an md5 of the comma-joined
@@ -1927,9 +1935,11 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_validation_engine_spark.steps import parse_step
 
     docs = _docs(spark, sf_dir)
+    if vocab is None:
+        vocab = build_vocab(docs, "doc_id", "text", min_count=3)
     ents = {
         "documents": docs,
-        "vocab": build_vocab(docs, "doc_id", "text", min_count=3),
+        "vocab": vocab,
     }
     _engine(spark).evaluate(
         ents,
@@ -2009,16 +2019,25 @@ def q_corpus_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frame is (op, k, v), every value a string."""
     from data_validation_engine_spark.llmops.bpe import bpe_decode, bpe_encode, bpe_train
 
+    # OPTIMIZATION r13 (guide §1.2): the 'vocab' and 'enc' arms both
+    # need the SAME min_count=3 vocabulary — build it once (persisted;
+    # it seeds the encode join too) instead of running the term
+    # aggregation twice.
+    from data_validation_engine_spark.llmops import build_vocab
+
+    shared_vocab = build_vocab(
+        _docs(spark, sf_dir), "doc_id", "text", min_count=3
+    ).persist()
     parts = [
         q_tfidf_top1(spark, sf_dir).selectExpr(
             "'tfidf' AS op", "doc_id AS k",
             "CONCAT_WS('|', term, tf, df, n_docs) AS v",
         ),
-        q_vocab_build(spark, sf_dir).selectExpr(
+        q_vocab_build(spark, sf_dir, vocab=shared_vocab).selectExpr(
             "'vocab' AS op", "term AS k",
             "CONCAT_WS('|', cnt, doc_freq) AS v",
         ),
-        q_vocab_encode(spark, sf_dir).selectExpr(
+        q_vocab_encode(spark, sf_dir, vocab=shared_vocab).selectExpr(
             "'enc' AS op", "doc_id AS k",
             "CONCAT_WS('|', sig, n_tokens, n_unk) AS v",
         ),
@@ -7371,12 +7390,17 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'mom' AS op", "CONCAT_WS('|', part, CAST(i AS STRING)) AS k",
         "value AS x",
     )
-    proj = pca_project(
+    # OPTIMIZATION r13 (guide §1.2): 'proj'/'proj2' are two components
+    # of the SAME projection row — compute the interpreted centered-
+    # projection fold once (persisted) and slice it twice, instead of
+    # evaluating the full fold per arm. Identical doubles per component.
+    projected = pca_project(
         emb, _PCA_MEAN, _PCA_COMPS, round_to=6
-    ).selectExpr(
+    ).persist()
+    proj = projected.selectExpr(
         "'proj' AS op", "CAST(vec_id AS STRING) AS k", "pca[0] AS x",
     ).unionByName(
-        pca_project(emb, _PCA_MEAN, _PCA_COMPS, round_to=6).selectExpr(
+        projected.selectExpr(
             "'proj2' AS op", "CAST(vec_id AS STRING) AS k", "pca[1] AS x",
         )
     )
@@ -10266,12 +10290,19 @@ def q_r12_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    index = minhash_index(docs, "doc_id", "text")
-    appended = index.unionByName(
-        minhash_index(docs.where("doc_id % 2 = 0"), "doc_id", "text")
-    )
+    # OPTIMIZATION r13 (guide §1.2): minhash_index is a PER-DOCUMENT
+    # projection (shingle → signature → band rows touch only that
+    # doc's text), so the replayed-batch index over the even half is
+    # exactly the full index filtered by id — build the signature
+    # pipeline ONCE (persisted: it feeds the replay arm and the
+    # compaction) instead of running the shingle+12-way-md5-min
+    # aggregation a second time over half the corpus. The simulated
+    # backfill rows are byte-identical. compacted persists too: the
+    # 'ix' and 'st' arms both consume it.
+    index = minhash_index(docs, "doc_id", "text").persist()
+    appended = index.unionByName(index.where("doc_id % 2 = 0"))
     live = docs.where("doc_id % 7 != 0")
-    compacted = compact_minhash_index(appended, live, "doc_id")
+    compacted = compact_minhash_index(appended, live, "doc_id").persist()
     ix = compacted.selectExpr(
         "'ix' AS op",
         "CONCAT_WS('|', CAST(doc_id AS STRING),"
@@ -10315,7 +10346,34 @@ _R12_STAGED_ORACLES["r12_index_maintenance"] = f"""
 """
 
 
-def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _classifier_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier row's shared feature frame: documents + the word
+    (n_max=2) and char (n=3) 512-bucket feature arrays, PERSISTED so
+    the row's six scoring surfaces hash each gram once instead of once
+    per surface (guide §1.2: fix the algorithm before the config). The
+    arrays are exactly what ``classifier_score``'s internal
+    ``_features`` would build (same seed/params), so every downstream
+    fold sees identical input."""
+    from data_validation_engine_spark.llmops.classifier import (
+        char_ngram_buckets,
+    )
+    from data_validation_engine_spark.llmops.dsir import ngram_buckets
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn(
+            "__wf", ngram_buckets(F.col("text"), n_max=2, buckets=512)
+        )
+        .withColumn(
+            "__cf", char_ngram_buckets(F.col("text"), n=3, buckets=512)
+        )
+        .persist()
+    )
+
+
+def q_r12_classifier(
+    spark: SparkSession, sf_dir: str, feats: DataFrame | None = None
+) -> DataFrame:
     """fastText-style classifier inference (llmops/classifier.py, r10
     verdict Next-round #6b) with INTEGER weights w[b] = ((b*7+3) mod
     21) - 10 over 512 hashed-n-gram buckets (the DSIR feature space,
@@ -10333,16 +10391,27 @@ def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       3-gram feature mode (char_n=3, the fastText subword recipe),
       proving the char feature extraction engine-exact too.
 
-    All-string (op, k, v) frame."""
+    All-string (op, k, v) frame.
+
+    OPTIMIZATION r13 (guide §1.2 step 1 — don't compute things twice):
+    the five surfaces previously each re-hashed every word/char gram
+    through md5 (five independent feature-extraction passes under one
+    union). The feature-bucket arrays are now computed ONCE into a
+    persisted ``feats`` frame (word + char arrays side by side) and
+    every arm folds over the shared arrays via ``features_col`` —
+    identical doubles, identical hash (oracle-reproven), ~5x less
+    per-row hashing. ``feats`` may be passed in by
+    :func:`q_classifier_v2` so the 'ev' arm shares the same pass."""
     from data_validation_engine_spark.llmops.classifier import (
         classifier_filter,
         classifier_score,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = feats if feats is not None else _classifier_feats(spark, sf_dir)
     w = [float(((b * 7 + 3) % 21) - 10) for b in range(512)]
     z = classifier_score(
-        docs, "text", w, bias=3.0, average=False, n_feats_col="nf"
+        docs, "text", w, bias=3.0, average=False, n_feats_col="nf",
+        features_col="__wf",
     ).selectExpr(
         "'z' AS op",
         "CAST(doc_id AS STRING) AS k",
@@ -10350,7 +10419,7 @@ def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(nf AS STRING)) AS v",
     )
     za = classifier_score(
-        docs, "text", w, bias=3.0, average=True
+        docs, "text", w, bias=3.0, average=True, features_col="__wf"
     ).selectExpr(
         "'za' AS op",
         "CAST(doc_id AS STRING) AS k",
@@ -10358,7 +10427,7 @@ def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = classifier_filter(
         docs, "text", w, bias=3.0, average=False,
-        threshold_prob=0.5, keep_col="keep",
+        threshold_prob=0.5, keep_col="keep", features_col="__wf",
     ).selectExpr(
         "'k' AS op",
         "CAST(doc_id AS STRING) AS k",
@@ -10368,7 +10437,7 @@ def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-weight discipline: sum-mode logit + keep flag
     cz = classifier_score(
         docs, "text", w, bias=3.0, average=False, char_n=3,
-        n_feats_col="nf",
+        n_feats_col="nf", features_col="__cf",
     ).selectExpr(
         "'cz' AS op",
         "CAST(doc_id AS STRING) AS k",
@@ -10377,7 +10446,7 @@ def q_r12_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ck = classifier_filter(
         docs, "text", w, bias=3.0, average=False, char_n=3,
-        threshold_prob=0.5, keep_col="keep",
+        threshold_prob=0.5, keep_col="keep", features_col="__cf",
     ).selectExpr(
         "'ck' AS op",
         "CAST(doc_id AS STRING) AS k",
@@ -10538,7 +10607,9 @@ _R12_STAGED_QUERIES.update(
 )
 
 
-def q_r12_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_r12_substring_dedup(
+    spark: SparkSession, sf_dir: str, spans: DataFrame | None = None
+) -> DataFrame:
     """Exact repeated-substring removal (llmops/substrings.py, Lee 2021
     arXiv:2107.06499 ExactSubstr at fixed-gram granularity) over the
     documents corpus with a 56-char boilerplate sentence spliced into
@@ -10553,7 +10624,14 @@ def q_r12_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The CMS screen is never-undercount, so the operator output equals
     the naive gram-frequency replay the oracle runs. All-string
-    (op, k, v) frame."""
+    (op, k, v) frame.
+
+    OPTIMIZATION r13 (guide §1.2): the 'sp' and 'rm' arms previously
+    each ran the full gram-hash + CMS-screen pipeline; the span table
+    is now computed once (PERSISTED — or passed in by
+    :func:`q_substring_dedup_v2`, which shares the upstream ``marked``
+    frame with the verify twin too) and both arms derive from it.
+    Identical spans in, identical splice out — oracle-reproven."""
     from data_validation_engine_spark.llmops.substrings import (
         remove_repeated_substrings,
         repeated_substring_spans,
@@ -10566,14 +10644,18 @@ def q_r12_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " substr(text, 51)) ELSE text END AS text",
     )
     kw = dict(min_len=30, min_docs=3, depth=3, width=4096)
-    sp = repeated_substring_spans(docs, "doc_id", "text", **kw).selectExpr(
+    if spans is None:
+        spans = repeated_substring_spans(
+            docs, "doc_id", "text", **kw
+        ).persist()
+    sp = spans.selectExpr(
         "'sp' AS op",
         "CONCAT_WS('|', CAST(doc_id AS STRING),"
         " CAST(start AS STRING)) AS k",
         "CAST(end AS STRING) AS v",
     )
     rm = remove_repeated_substrings(
-        docs, "doc_id", "text", **kw
+        docs, "doc_id", "text", spans=spans, **kw
     ).selectExpr(
         "'rm' AS op",
         "CAST(doc_id AS STRING) AS k",
@@ -10821,13 +10903,18 @@ def q_classifier_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact longs; precision/recall/f1/accuracy ride as
     floor(metric * 1e6) — each a short fixed tree of correctly-rounded
     double ops on exact integers (the 'za' mean-logit class), NULL
-    metrics as '~' (CONCAT_WS would silently drop NULLs)."""
+    metrics as '~' (CONCAT_WS would silently drop NULLs).
+
+    OPTIMIZATION r13: the 'ev' arm shares the persisted
+    :func:`_classifier_feats` frame with the five base surfaces (one
+    feature-hashing pass for the whole row instead of six)."""
     from data_validation_engine_spark.llmops.classifier import (
         classifier_eval,
     )
 
-    base = q_r12_classifier(spark, sf_dir)
-    docs = _docs(spark, sf_dir).withColumn(
+    feats = _classifier_feats(spark, sf_dir)
+    base = q_r12_classifier(spark, sf_dir, feats=feats)
+    docs = feats.withColumn(
         "y", (F.col("doc_id") % 2 == 0).cast("int")
     )
     w = [float(((b * 7 + 3) % 21) - 10) for b in range(512)]
@@ -10837,7 +10924,7 @@ def q_classifier_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = classifier_eval(
         docs, "text", "y", w, bias=3.0, average=False,
-        threshold_prob=0.5, group_cols=["lang"],
+        threshold_prob=0.5, group_cols=["lang"], features_col="__wf",
     ).selectExpr(
         "'ev' AS op",
         "COALESCE(lang, '~') AS k",
@@ -11049,14 +11136,20 @@ _R13_STAGED_ORACLES["r13_warc"] = """
 _R13_STAGED_QUERIES["r13_warc"] = q_r13_warc
 
 
-def q_r13_substring_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_r13_substring_verify(
+    spark: SparkSession, sf_dir: str, spans: DataFrame | None = None
+) -> DataFrame:
     """remove_repeated_substrings(exact_verify=True) (ADVICE r11) on
     the substring_dedup corpus (same boilerplate splice). The oracle
     here is STRONGER than the roster row's: it replays gram
     frequencies by the gram's TEXT — no hashing anywhere — so a green
     hash proves the verified path delivers true text-exact ExactSubstr
     semantics, not merely hash-replay parity. All-string (op, k, v)
-    frame ('spv' spans / 'rmv' scrubbed surface)."""
+    frame ('spv' spans / 'rmv' scrubbed surface).
+
+    OPTIMIZATION r13 (guide §1.2): same sharing as
+    :func:`q_r12_substring_dedup` — the verified span table is computed
+    once (persisted, or passed in) and both arms derive from it."""
     from data_validation_engine_spark.llmops.substrings import (
         remove_repeated_substrings,
         repeated_substring_spans,
@@ -11071,14 +11164,18 @@ def q_r13_substring_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = dict(
         min_len=30, min_docs=3, depth=3, width=4096, exact_verify=True
     )
-    sp = repeated_substring_spans(docs, "doc_id", "text", **kw).selectExpr(
+    if spans is None:
+        spans = repeated_substring_spans(
+            docs, "doc_id", "text", **kw
+        ).persist()
+    sp = spans.selectExpr(
         "'spv' AS op",
         "CONCAT_WS('|', CAST(doc_id AS STRING),"
         " CAST(start AS STRING)) AS k",
         "CAST(end AS STRING) AS v",
     )
     rm = remove_repeated_substrings(
-        docs, "doc_id", "text", **kw
+        docs, "doc_id", "text", spans=spans, **kw
     ).selectExpr(
         "'rmv' AS op",
         "CAST(doc_id AS STRING) AS k",
@@ -11140,7 +11237,11 @@ def q_r13_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = default_codebooks(emb, dim=64, m=8, k=16)
-    coded = pq_encode(emb, books, codes_col="c", keep_vec=True)
+    # OPTIMIZATION r13 (guide §1.2): the 'enc' and 'adc' arms both
+    # consume the coded corpus, and the per-row encode is the row's
+    # dominant cost (m*k interpreted squared-L2 folds) — persist it so
+    # the union evaluates the encode once instead of per branch.
+    coded = pq_encode(emb, books, codes_col="c", keep_vec=True).persist()
     enc = coded.selectExpr(
         "'enc' AS op",
         "CAST(vec_id AS STRING) AS k",
@@ -11270,9 +11371,41 @@ def q_substring_dedup_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     roster row verbatim (hash-replay 'sp'/'rm') + the staged-green
     exact_verify twin ('spv'/'rmv', r13_substring_verify verbatim) —
     whose oracle groups grams by TEXT, proving true ExactSubstr
-    semantics rather than hash-replay parity."""
-    return q_r12_substring_dedup(spark, sf_dir).unionByName(
-        q_r13_substring_verify(spark, sf_dir)
+    semantics rather than hash-replay parity.
+
+    OPTIMIZATION r13 (guide §1.2): the two modes share everything up
+    to the hot-candidate position table — the verify mode is a filter
+    over it — so ``marked`` is computed ONCE (persisted; one gram-hash
+    + CMS-collect pass for the whole row where the four arms
+    previously ran four) and each mode's span table derives from it.
+    The constituent functions still build their own pipelines when
+    called standalone (the staged-oracle path)."""
+    from data_validation_engine_spark.llmops.substrings import (
+        marked_positions,
+        spans_from_marked,
+        verify_marked,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 4 = 0 THEN CONCAT(substr(text, 1, 50),"
+        " ' <<<shared boilerplate sentence planted for round 12>>> ',"
+        " substr(text, 51)) ELSE text END AS text",
+    )
+    marked = marked_positions(
+        docs, "doc_id", "text", min_len=30, min_docs=3,
+        depth=3, width=4096,
+    ).persist()
+    spans_hash = spans_from_marked(
+        marked, "doc_id", min_len=30
+    ).persist()
+    spans_ver = spans_from_marked(
+        verify_marked(marked, "doc_id", 3), "doc_id", min_len=30
+    ).persist()
+    return q_r12_substring_dedup(
+        spark, sf_dir, spans=spans_hash
+    ).unionByName(
+        q_r13_substring_verify(spark, sf_dir, spans=spans_ver)
     )
 
 

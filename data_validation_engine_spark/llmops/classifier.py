@@ -124,6 +124,7 @@ def classifier_score(
     out_col: str = "clf_logit",
     prob_col: str | None = None,
     n_feats_col: str | None = None,
+    features_col: str | None = None,
 ) -> DataFrame:
     """Score every row with a linear bag-of-hashed-n-grams model:
     ``logit = bias + Σ_f w[f]`` over the text's n-gram feature buckets
@@ -144,6 +145,17 @@ def classifier_score(
     score is a per-row ordered fold: zero shuffle, zero join rows, no
     Python. The fold order is the feature-array order, so scores are
     deterministic under any partitioning.
+
+    ``features_col`` names a PRE-COMPUTED feature-bucket array column
+    on ``df`` (produced by :func:`~.dsir.ngram_buckets` /
+    :func:`char_ngram_buckets` with the SAME n_max/char_n/seed/bucket
+    parameters — the caller owns that contract) and skips the per-row
+    feature hashing entirely. The optimization lever for multi-surface
+    scoring: hashing every word/char gram through md5 dominates the
+    inference pass, so a caller scoring the same corpus under k
+    configurations (sum/mean/threshold surfaces, eval) computes the
+    array once — ideally on a persisted frame — instead of k times.
+    Scores are bit-identical because the fold consumes the same array.
     """
     if len(weights) < 2:
         raise ValueError(
@@ -155,9 +167,13 @@ def classifier_score(
     wdf = spark.createDataFrame(
         [([float(w) for w in weights],)], "__clf_w array<double>"
     )
-    feats = _features(
-        F.col(text_col),
-        n_buckets=n_buckets, n_max=n_max, seed=seed, char_n=char_n,
+    feats = (
+        F.col(features_col)
+        if features_col is not None
+        else _features(
+            F.col(text_col),
+            n_buckets=n_buckets, n_max=n_max, seed=seed, char_n=char_n,
+        )
     )
     total = F.aggregate(
         feats,
@@ -196,6 +212,7 @@ def classifier_filter(
     threshold_prob: float = 0.5,
     keep_col: str | None = None,
     score_col: str = "clf_logit",
+    features_col: str | None = None,
 ) -> DataFrame:
     """Keep rows the classifier scores at or above ``threshold_prob``.
 
@@ -214,7 +231,7 @@ def classifier_filter(
     scored = classifier_score(
         df, text_col, weights,
         bias=bias, n_max=n_max, seed=seed, average=average,
-        char_n=char_n, out_col=score_col,
+        char_n=char_n, out_col=score_col, features_col=features_col,
     )
     decision = F.col(score_col) >= F.lit(cut)
     if keep_col is not None:
@@ -235,6 +252,7 @@ def classifier_eval(
     char_n: int | None = None,
     threshold_prob: float = 0.5,
     group_cols: list[str] | None = None,
+    features_col: str | None = None,
 ) -> DataFrame:
     """Distributed holdout evaluation of a fitted classifier (r11
     verdict, Next-round #6): score ``df`` with the same feature space
@@ -266,7 +284,7 @@ def classifier_eval(
         df, text_col, weights,
         bias=bias, n_max=n_max, seed=seed, average=average,
         char_n=char_n, threshold_prob=threshold_prob,
-        keep_col="__clf_keep",
+        keep_col="__clf_keep", features_col=features_col,
     )
     _lbl = F.col(label_col).cast("double")
     y = (

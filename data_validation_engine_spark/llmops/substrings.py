@@ -45,7 +45,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["repeated_substring_spans", "remove_repeated_substrings"]
+__all__ = [
+    "marked_positions",
+    "verify_marked",
+    "spans_from_marked",
+    "repeated_substring_spans",
+    "remove_repeated_substrings",
+]
 
 
 def _gram_hashes(text: Column, min_len: int) -> Column:
@@ -68,7 +74,7 @@ def _gram_hashes(text: Column, min_len: int) -> Column:
     ).otherwise(F.array().cast("array<long>"))
 
 
-def repeated_substring_spans(
+def marked_positions(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -78,28 +84,21 @@ def repeated_substring_spans(
     depth: int = 4,
     width: int = 1 << 16,
     seed: str = "",
-    exact_verify: bool = False,
 ) -> DataFrame:
-    """The merged character spans (1-based, half-open ``[start, end)``)
-    of every maximal cross-document-repeated run: one row per span,
-    ``(id_col, start, end)``.
+    """The HOT-CANDIDATE gram positions — ``(id_col, __s 1-based start,
+    __gt gram text)`` for every gram whose CMS-screened hash estimate
+    reaches ``min_docs`` distinct documents (the exact per-hash count is
+    applied inside :func:`~.sketch.heavy_hitters`; ``__gt`` carries the
+    gram's text so an exact-verify pass can close the hash-collision
+    window without re-touching the corpus).
 
-    A gram is HOT when it occurs in at least ``min_docs`` DISTINCT
-    documents (within-document repetition alone never triggers — a
-    document quoting itself is a repetition signal, not shared
-    boilerplate; see ``repetition_stats`` for that). Spans are unions
-    of hot gram intervals ``[i, i + min_len)``, overlapping-or-adjacent
-    intervals merged.
-
-    ``depth``/``width`` size the CMS screen exactly as
-    :func:`~.sketch.heavy_hitters` (never-undercount: no hot gram is
-    missed; overcounted cold grams are removed by the exact count).
-
-    ``exact_verify=True`` re-groups the marked positions by the gram's
-    actual TEXT and keeps only grams whose text occurs in >=
-    ``min_docs`` distinct documents — closing the 60-bit-hash collision
-    window (module docstring) at the cost of shuffling the hot sliver's
-    gram text (never the corpus)."""
+    Split out of :func:`repeated_substring_spans` in the r13
+    optimization round (guide §1.2): the hash-replay and exact-verify
+    span tables differ only in a filter over THIS frame, so a caller
+    needing both (e.g. the roster row proving the two modes against
+    independent oracles) computes the corpus gram hashing + CMS screen
+    once — ideally on a persisted ``marked`` frame — instead of once
+    per mode."""
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     if min_docs < 2:
@@ -120,7 +119,7 @@ def repeated_substring_spans(
     hot = heavy_hitters(
         doc_grams, "__h", min_docs, depth=depth, width=width, seed=seed
     ).select(F.col("__h"))
-    marked = (
+    return (
         grams.select(
             F.col(id_col),
             F.col("__t"),
@@ -135,18 +134,30 @@ def repeated_substring_spans(
             ).alias("__gt"),
         )
     )
-    if exact_verify:
-        # collision closure: only the marked (hot-candidate) sliver
-        # carries its gram text here — the corpus never shuffles
-        verified = (
-            marked.groupBy("__gt")
-            .agg(F.countDistinct(id_col).alias("__nd"))
-            .where(F.col("__nd") >= min_docs)
-            .select("__gt")
-        )
-        marked = marked.join(verified, "__gt")
-    marked = marked.select(id_col, "__s")
-    starts = marked.groupBy(id_col).agg(
+
+
+def verify_marked(marked: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+    """Exact-verify filter over a :func:`marked_positions` frame: keep
+    only positions whose gram TEXT occurs in >= ``min_docs`` distinct
+    documents (collision closure — only the hot sliver carries its gram
+    text here, the corpus never shuffles)."""
+    verified = (
+        marked.groupBy("__gt")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__gt")
+    )
+    return marked.join(verified, "__gt")
+
+
+def spans_from_marked(
+    marked: DataFrame, id_col: str, *, min_len: int
+) -> DataFrame:
+    """Merge a :func:`marked_positions` frame into the maximal repeated
+    spans — ``(id_col, start, end)``, overlapping-or-adjacent
+    ``[s, s + min_len)`` intervals unioned per document (one narrow
+    shuffle by ``id_col``; the merge itself is a per-row fold)."""
+    starts = marked.select(id_col, "__s").groupBy(id_col).agg(
         F.sort_array(F.collect_list("__s")).alias("__starts")
     )
     empty = F.array().cast("array<struct<s:int,e:int>>")
@@ -188,6 +199,48 @@ def repeated_substring_spans(
     )
 
 
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 50,
+    min_docs: int = 2,
+    depth: int = 4,
+    width: int = 1 << 16,
+    seed: str = "",
+    exact_verify: bool = False,
+) -> DataFrame:
+    """The merged character spans (1-based, half-open ``[start, end)``)
+    of every maximal cross-document-repeated run: one row per span,
+    ``(id_col, start, end)``.
+
+    A gram is HOT when it occurs in at least ``min_docs`` DISTINCT
+    documents (within-document repetition alone never triggers — a
+    document quoting itself is a repetition signal, not shared
+    boilerplate; see ``repetition_stats`` for that). Spans are unions
+    of hot gram intervals ``[i, i + min_len)``, overlapping-or-adjacent
+    intervals merged.
+
+    ``depth``/``width`` size the CMS screen exactly as
+    :func:`~.sketch.heavy_hitters` (never-undercount: no hot gram is
+    missed; overcounted cold grams are removed by the exact count).
+
+    ``exact_verify=True`` re-groups the marked positions by the gram's
+    actual TEXT and keeps only grams whose text occurs in >=
+    ``min_docs`` distinct documents — closing the 60-bit-hash collision
+    window (module docstring) at the cost of shuffling the hot sliver's
+    gram text (never the corpus)."""
+    marked = marked_positions(
+        df, id_col, text_col,
+        min_len=min_len, min_docs=min_docs,
+        depth=depth, width=width, seed=seed,
+    )
+    if exact_verify:
+        marked = verify_marked(marked, id_col, min_docs)
+    return spans_from_marked(marked, id_col, min_len=min_len)
+
+
 def remove_repeated_substrings(
     df: DataFrame,
     id_col: str,
@@ -200,6 +253,7 @@ def remove_repeated_substrings(
     seed: str = "",
     out_col: str | None = None,
     exact_verify: bool = False,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Cut every :func:`repeated_substring_spans` span out of
     ``text_col``: all input columns plus ``n_spans`` and
@@ -211,13 +265,20 @@ def remove_repeated_substrings(
     between spans concatenate in order, so the kept text is exactly
     the original minus the spans — no re-normalization, no whitespace
     surgery (run ``normalize_text`` downstream if the cut edges need
-    tidying)."""
-    spans = repeated_substring_spans(
-        df, id_col, text_col,
-        min_len=min_len, min_docs=min_docs,
-        depth=depth, width=width, seed=seed,
-        exact_verify=exact_verify,
-    )
+    tidying).
+
+    ``spans`` supplies a PRE-COMPUTED :func:`repeated_substring_spans`
+    frame (same ``df``/``id_col``/span parameters — the caller owns
+    that contract) and skips the internal span pipeline: the r13
+    optimization lever for callers that need both the span table and
+    the scrubbed corpus (one gram-hash + CMS pass instead of two)."""
+    if spans is None:
+        spans = repeated_substring_spans(
+            df, id_col, text_col,
+            min_len=min_len, min_docs=min_docs,
+            depth=depth, width=width, seed=seed,
+            exact_verify=exact_verify,
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("start", "end"))

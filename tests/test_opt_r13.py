@@ -1,0 +1,119 @@
+"""Round-13 optimization round: parity tests for the shared-computation
+levers (guide §1.2 — compute heavy per-row projections once, reuse across
+surfaces). Every test pins that the optimized path returns EXACTLY the
+rows of the unoptimized path, because the optimization contract for this
+round is "same results, fewer passes"."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def assert_frames_equal(a, b):
+    """Order-insensitive exact row equality (schemas by column name)."""
+    assert a.columns == b.columns
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc {i} shared boilerplate sentence common tail piece "
+            f"unique-{i} words repeat repeat number {i % 7}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_classifier_features_col_parity(spark, docs):
+    from data_validation_engine_spark.llmops.classifier import (
+        char_ngram_buckets,
+        classifier_eval,
+        classifier_filter,
+        classifier_score,
+    )
+    from data_validation_engine_spark.llmops.dsir import ngram_buckets
+
+    w = [float(((b * 7 + 3) % 21) - 10) for b in range(64)]
+    feats = docs.withColumn(
+        "wf", ngram_buckets(F.col("text"), n_max=2, buckets=64)
+    ).withColumn(
+        "cf", char_ngram_buckets(F.col("text"), n=3, buckets=64)
+    )
+    for avg in (False, True):
+        direct = classifier_score(
+            docs, "text", w, bias=3.0, average=avg, n_feats_col="nf"
+        ).select("doc_id", "clf_logit", "nf")
+        shared = classifier_score(
+            feats, "text", w, bias=3.0, average=avg, n_feats_col="nf",
+            features_col="wf",
+        ).select("doc_id", "clf_logit", "nf")
+        assert_frames_equal(direct, shared)
+    direct = classifier_filter(
+        docs, "text", w, bias=3.0, average=False, char_n=3,
+        threshold_prob=0.5, keep_col="keep",
+    ).select("doc_id", "keep")
+    shared = classifier_filter(
+        feats, "text", w, bias=3.0, average=False, char_n=3,
+        threshold_prob=0.5, keep_col="keep", features_col="cf",
+    ).select("doc_id", "keep")
+    assert_frames_equal(direct, shared)
+    lab = docs.withColumn("y", (F.col("doc_id") % 2 == 0).cast("int"))
+    labf = feats.withColumn("y", (F.col("doc_id") % 2 == 0).cast("int"))
+    direct = classifier_eval(
+        lab, "text", "y", w, bias=3.0, average=False, threshold_prob=0.5
+    )
+    shared = classifier_eval(
+        labf, "text", "y", w, bias=3.0, average=False,
+        threshold_prob=0.5, features_col="wf",
+    )
+    assert_frames_equal(direct, shared)
+
+
+def test_substring_shared_marked_parity(spark, docs):
+    from data_validation_engine_spark.llmops.substrings import (
+        marked_positions,
+        remove_repeated_substrings,
+        repeated_substring_spans,
+        spans_from_marked,
+        verify_marked,
+    )
+
+    kw = dict(min_len=12, min_docs=3, depth=3, width=512)
+    marked = marked_positions(docs, "doc_id", "text", **kw)
+    # hash mode: split pieces == one-shot operator
+    assert_frames_equal(
+        spans_from_marked(marked, "doc_id", min_len=12),
+        repeated_substring_spans(docs, "doc_id", "text", **kw),
+    )
+    # verify mode: filter-then-merge == one-shot exact_verify operator
+    assert_frames_equal(
+        spans_from_marked(
+            verify_marked(marked, "doc_id", 3), "doc_id", min_len=12
+        ),
+        repeated_substring_spans(
+            docs, "doc_id", "text", exact_verify=True, **kw
+        ),
+    )
+    # precomputed-spans splice == internal-spans splice
+    spans = repeated_substring_spans(docs, "doc_id", "text", **kw)
+    assert_frames_equal(
+        remove_repeated_substrings(docs, "doc_id", "text", spans=spans, **kw),
+        remove_repeated_substrings(docs, "doc_id", "text", **kw),
+    )
+
+
+def test_minhash_index_filter_commutes(spark, docs):
+    """The q_r12_index_maintenance rewrite's premise: minhash_index is a
+    per-document projection, so indexing a filtered corpus equals
+    filtering the full index."""
+    from data_validation_engine_spark.llmops.dedup import minhash_index
+
+    full = minhash_index(docs, "doc_id", "text")
+    assert_frames_equal(
+        minhash_index(docs.where("doc_id % 2 = 0"), "doc_id", "text"),
+        full.where("doc_id % 2 = 0"),
+    )
