@@ -75,7 +75,7 @@ def char_ngram_buckets(
                 ),
                 16,
                 10,
-            ).cast("decimal(38,0)")
+            ).cast("long")  # 60-bit value: long, not decimal (r13)
             % F.lit(buckets)
         ).cast("int")
 

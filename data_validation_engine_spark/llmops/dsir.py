@@ -95,7 +95,7 @@ def ngram_buckets(
                 ),
                 16,
                 10,
-            ).cast("decimal(38,0)")
+            ).cast("long")  # 60-bit value: long, not decimal (r13)
             % F.lit(buckets)
         ).cast("int")
 

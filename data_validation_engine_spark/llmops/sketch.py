@@ -323,7 +323,9 @@ def _cms_col(value: Column, depth: int, width: int, seed: str) -> Column:
     for r in range(depth):
         digest = F.md5(F.concat(F.lit(f"{seed}|cms{r}|"), keyed))
         col = (
-            F.conv(F.substring(digest, 1, 15), 16, 10).cast("decimal(38,0)")
+            # 60-bit value: long arithmetic, not decimal — same result
+            # (15 hex chars < 2^63), measurably cheaper per gram (r13)
+            F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
             % F.lit(width)
         ).cast("int")
         cells.append(
@@ -467,8 +469,9 @@ def _bloom_positions(
         digest = F.md5(F.concat(F.lit(f"{seed}|bloom{h}|"), keyed))
         positions.append(
             (
+                # 60-bit value: long, not decimal (r13 — see _cms_col)
                 F.conv(F.substring(digest, 1, 15), 16, 10)
-                .cast("decimal(38,0)")
+                .cast("long")
                 % F.lit(m_bits)
             ).cast("int")
         )

@@ -631,7 +631,7 @@ def negative_samples(
                     ),
                     16,
                     10,
-                ).cast("decimal(38,0)")
+                ).cast("long")  # 60-bit value: long, not decimal (r13)
                 % F.col("__pool_n")
             ).cast("long"),
         )

@@ -119,20 +119,26 @@ def marked_positions(
     hot = heavy_hitters(
         doc_grams, "__h", min_docs, depth=depth, width=width, seed=seed
     ).select(F.col("__h"))
-    return (
+    # The candidate explode stays NARROW — (id, pos, hash), ~20 bytes a
+    # row — and the document text is re-attached only to the hot sliver
+    # by an id equi-join afterwards (r13, guide §2.3 "project before
+    # the exchange"): the previous shape carried the full text through
+    # every generated row, multiplying the per-gram bytes by the
+    # document length. The hot sliver is bounded by the boilerplate
+    # present, so the re-attach join broadcasts the sliver and the
+    # corpus text still never shuffles.
+    narrow = (
         grams.select(
-            F.col(id_col),
-            F.col("__t"),
-            F.posexplode("__g").alias("__p0", "__h"),
+            F.col(id_col), F.posexplode("__g").alias("__p0", "__h")
         )
         .join(hot, "__h")
-        .select(
-            id_col,
-            (F.col("__p0") + 1).alias("__s"),
-            F.col("__t").substr(
-                F.col("__p0") + 1, F.lit(min_len)
-            ).alias("__gt"),
-        )
+        .select(id_col, (F.col("__p0") + 1).alias("__s"))
+    )
+    texts = grams.select(id_col, "__t")
+    return narrow.join(texts, id_col).select(
+        id_col,
+        "__s",
+        F.col("__t").substr(F.col("__s"), F.lit(min_len)).alias("__gt"),
     )
 
 
