@@ -2054,8 +2054,15 @@ def q_corpus_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whatever merges were learned, so the round-trip attests the path
     # at any K (production K rides the join path whose plan size is
     # K-independent — the point of word_table=)
+    # OPTIMIZATION r13 (guide §2.4): the merge loop's 12 rounds run
+    # over the vocabulary-bounded word table — loop_partitions sizes
+    # the per-round jobs to IT (8 tasks instead of 32), and
+    # checkpoint_interval=4 drops 3 of every 4 re-materialisation jobs
+    # (pending merges ride as bounded expression layers — the
+    # documented knob). Merge list and word table are unchanged.
     merges, words = bpe_train(
-        docs, "text", n_merges=12, lowercase=True, return_words=True
+        docs, "text", n_merges=12, lowercase=True, return_words=True,
+        checkpoint_interval=4, loop_partitions=8,
     )
     decoded = bpe_decode(
         bpe_encode(docs, "doc_id", "text", word_table=words, lowercase=True)
@@ -8772,25 +8779,34 @@ def q_r11_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     kw = dict(n_max=2, buckets=512)
-    tc = dsir_bucket_counts(docs.where("lang = 'en'"), "text", **kw)
-    rc = dsir_bucket_counts(docs, "text", **kw)
-    rt = dsir_log_ratio(tc, rc, buckets=512).selectExpr(
+    # OPTIMIZATION r13 (guide §1.2 / §2.3): the row previously hashed
+    # every gram FOUR times (target counts, raw counts, the 'sc'
+    # checksum, and the scoring pass) and built the ratio table twice.
+    # One persisted feature frame feeds all four consumers via the new
+    # features_col passthrough, and the ratio table is built once —
+    # identical arrays in, identical rows out.
+    featd = docs.select(
+        "doc_id", "lang", ngram_buckets(F.col("text"), **kw).alias("__f")
+    ).persist()
+    tc = dsir_bucket_counts(
+        featd.where("lang = 'en'"), "text", **kw, features_col="__f"
+    )
+    rc = dsir_bucket_counts(featd, "text", **kw, features_col="__f")
+    ratio = dsir_log_ratio(tc, rc, buckets=512)
+    rt = ratio.selectExpr(
         "'rt' AS op", "CAST(bucket AS STRING) AS k",
         "CONCAT_WS('|', CAST(n_target AS STRING),"
         " CAST(n_raw AS STRING)) AS v",
     )
-    feats = docs.select(
-        "doc_id",
-        ngram_buckets(F.col("text"), **kw).alias("__f"),
-    ).selectExpr(
+    feats = featd.selectExpr(
         "'sc' AS op", "CAST(doc_id AS STRING) AS k",
         "CONCAT_WS('|', CAST(size(__f) AS STRING), CAST(aggregate(__f,"
         " 0L, (a, x) -> (a + x) % 1000000007) AS STRING)) AS v",
     )
     # n_feats through the real scoring path must agree with size(__f)
     sc2 = dsir_score(
-        docs, "text", dsir_log_ratio(tc, rc, buckets=512),
-        key_cols=["doc_id"], **kw,
+        featd, "text", ratio,
+        key_cols=["doc_id"], **kw, features_col="__f",
     ).selectExpr(
         "'nf' AS op", "CAST(doc_id AS STRING) AS k",
         "CAST(n_feats AS STRING) AS v",
@@ -11082,7 +11098,14 @@ def q_r13_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_validation_engine_spark.sources.warc import read_warc
 
     root = _warc_fixture(spark, sf_dir)
-    resp = read_warc(spark, root)
+    # OPTIMIZATION r13 (guide §1.2): the row previously ran the Python
+    # WARC parser THREE times — once per consumer ('w', 'n', and the
+    # lazy re-evaluation for 'c'). ``types=None`` yields every record
+    # with the identical schema, and ``types=("response",)`` is exactly
+    # the parse-time filter ``warc_type = 'response'`` — so one
+    # persisted full parse feeds all three arms with identical rows.
+    recs = read_warc(spark, root, types=None).persist()
+    resp = recs.where(F.col("warc_type") == "response")
     w = resp.selectExpr(
         "'w' AS op",
         "target_uri AS k",
@@ -11090,7 +11113,7 @@ def q_r13_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(http_status AS STRING)) AS v",
     )
     n = (
-        read_warc(spark, root, types=None)
+        recs
         .groupBy("warc_type")
         .count()
         .selectExpr(

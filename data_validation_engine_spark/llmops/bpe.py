@@ -146,6 +146,7 @@ def bpe_train(
     lowercase: bool = True,
     return_words: bool = False,
     checkpoint_interval: int = 1,
+    loop_partitions: int | None = None,
 ) -> list[tuple[str, str]] | tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list ``[(left, right), ...]``.
@@ -170,15 +171,61 @@ def bpe_train(
     against it instead of folding K merges into the plan, so encode cost
     is independent of K (at real tokenizer scale, K ≈ 30k chained folds
     would blow whole-stage codegen long before memory).
+
+    ``loop_partitions`` (r13 optimization, guide §2.4 — size iterative
+    rounds to THEIR data, not the session default): the merge loop's
+    per-round jobs run over the word table, which is VOCABULARY-bounded
+    at any corpus scale — a quantity the session's corpus-sized shuffle
+    width is wrong for in both directions, and one AQE cannot fix for
+    the checkpoint re-materialisations (they are RDD jobs, not SQL
+    exchanges). When set, the word table is coalesced to this many
+    partitions after the initial count and each round's pair-count
+    shuffle is pinned to the same width while it plans (the
+    connected-components convention). Results are unchanged — only the
+    task count per round moves. Size it to the vocabulary: single
+    digits for test corpora, O(vocab rows / 1M) in production.
     """
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     if checkpoint_interval <= 0:
         raise ValueError("checkpoint_interval must be positive")
+    if loop_partitions is not None and loop_partitions <= 0:
+        raise ValueError("loop_partitions must be positive")
+    spark = df.sparkSession
     words = word_frequencies(df, text_col, lowercase=lowercase).select(
         "word", F.split(F.col("word"), "").alias("syms"), "freq"
     )
+    if loop_partitions is not None:
+        words = words.coalesce(loop_partitions)
     words = words.localCheckpoint()
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if loop_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        merges, words, pending = _bpe_merge_loop(
+            words, n_merges, checkpoint_interval
+        )
+    finally:
+        if loop_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    if pending and return_words:
+        # callers reuse the table across many encode jobs — pin it
+        words = words.localCheckpoint()
+    if return_words:
+        word_table = words.select(
+            "word",
+            F.concat_ws("▁", "syms").alias("subwords"),
+            F.size("syms").cast("long").alias("n_subwords"),
+        )
+        return merges, word_table
+    return merges
+
+
+def _bpe_merge_loop(
+    words: DataFrame, n_merges: int, checkpoint_interval: int
+) -> tuple[list[tuple[str, str]], DataFrame, int]:
+    """The argmax-merge rounds of :func:`bpe_train` (factored so the
+    shuffle-width pin wraps exactly the loop's planning)."""
     merges: list[tuple[str, str]] = []
     pending = 0
     for _ in range(n_merges):
@@ -201,17 +248,7 @@ def bpe_train(
         if pending >= checkpoint_interval:
             words = words.localCheckpoint()
             pending = 0
-    if pending and return_words:
-        # callers reuse the table across many encode jobs — pin it
-        words = words.localCheckpoint()
-    if return_words:
-        word_table = words.select(
-            "word",
-            F.concat_ws("\u2581", "syms").alias("subwords"),
-            F.size("syms").cast("long").alias("n_subwords"),
-        )
-        return merges, word_table
-    return merges
+    return merges, words, pending
 
 
 def bpe_encode(

@@ -124,23 +124,32 @@ def dsir_bucket_counts(
     buckets: int = DEFAULT_BUCKETS,
     seed: str = "",
     lowercase: bool = True,
+    features_col: str | None = None,
 ) -> DataFrame:
     """Bag-of-buckets counts for a corpus: ``(bucket, n)`` with at most
     ``buckets`` rows. One scan, map-side combine collapses rows into
     buckets before the exchange. Counts are mergeable across batches by
-    summing — persist per-batch counts and never re-scan raw text."""
-    return (
-        df.select(
-            F.explode(
-                ngram_buckets(
-                    F.col(text_col),
-                    n_max=n_max,
-                    buckets=buckets,
-                    seed=seed,
-                    lowercase=lowercase,
-                )
-            ).alias("bucket")
+    summing — persist per-batch counts and never re-scan raw text.
+
+    ``features_col`` names a precomputed :func:`ngram_buckets` array
+    column (r13 optimization, guide §1.2): a caller scoring target AND
+    raw counts AND per-doc features hashes each gram once into a shared
+    (usually persisted) feature frame instead of once per consumer. The
+    column must be built with the same n_max/buckets/seed/lowercase —
+    counts are then identical by construction."""
+    feats = (
+        F.col(features_col)
+        if features_col is not None
+        else ngram_buckets(
+            F.col(text_col),
+            n_max=n_max,
+            buckets=buckets,
+            seed=seed,
+            lowercase=lowercase,
         )
+    )
+    return (
+        df.select(F.explode(feats).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -212,6 +221,7 @@ def dsir_score(
     lowercase: bool = True,
     normalize: bool = False,
     broadcast_ratios: bool = True,
+    features_col: str | None = None,
 ) -> DataFrame:
     """Score raw documents against a :func:`dsir_log_ratio` table:
     ``key_cols + (n_feats, dsir_logw)`` where ``dsir_logw`` is the sum
@@ -222,19 +232,26 @@ def dsir_score(
     ``broadcast_ratios``: the ratio table is exactly ``buckets`` rows,
     so broadcast is right for any sane ``B`` (10^4–10^6); pass False
     above that to let AQE decide (same escape policy as
-    ``standardize``'s ``broadcast_stats``)."""
+    ``standardize``'s ``broadcast_stats``).
+
+    ``features_col``: precomputed :func:`ngram_buckets` array column —
+    same contract as :func:`dsir_bucket_counts`; one hash pass feeds
+    counts and scores."""
     keys = list(key_cols or [])
+    feat_arr = (
+        F.col(features_col)
+        if features_col is not None
+        else ngram_buckets(
+            F.col(text_col),
+            n_max=n_max,
+            buckets=buckets,
+            seed=seed,
+            lowercase=lowercase,
+        )
+    )
     feats = df.select(
         *keys,
-        F.explode_outer(
-            ngram_buckets(
-                F.col(text_col),
-                n_max=n_max,
-                buckets=buckets,
-                seed=seed,
-                lowercase=lowercase,
-            )
-        ).alias("bucket"),
+        F.explode_outer(feat_arr).alias("bucket"),
     )
     rt = ratio_table.select("bucket", "log_ratio")
     rt = F.broadcast(rt) if broadcast_ratios else rt

@@ -47,7 +47,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_validation_engine_spark.llmops.ivf import l2sq_col
-from data_validation_engine_spark.llmops.similarity import _as_double
+from data_validation_engine_spark.llmops.similarity import (
+    _as_double,
+    _dbl_sql,
+    dlit_array,
+    dlit_matrix,
+)
 
 __all__ = [
     "default_codebooks",
@@ -157,18 +162,26 @@ def _code_col(
     vec: Column, codebooks: list[list[list[float]]], s: int, dsub: int
 ) -> Column:
     """Nearest codeword in subspace ``s``: squared-L2 argmin over the
-    codeword literals, ties to the lower code (the IVF cell rule)."""
+    codeword literals, ties to the lower code (the IVF cell rule).
+
+    r13 optimization (guide §1.2 per-task work, measured): the
+    subspace's codebook rides as ONE nested-array literal traversed by
+    a ``transform`` lambda instead of k independently-planned
+    ``l2sq(sub, lit_k)`` subtrees — identical index-order folds and
+    identical ``array_min`` struct tie rule, but the analyzed plan
+    shrinks ~k-fold per subspace (the m×k-subtree form's Catalyst
+    analysis dominated pq_encode's wall clock: 4.9s -> 0.6s on 2000
+    rows at the bench geometry)."""
     sub = F.slice(_as_double(vec), s * dsub + 1, dsub)
-    scored = [
-        F.struct(
-            l2sq_col(
-                sub, F.array(*[F.lit(float(v)) for v in cw])
-            ).alias("d"),
-            F.lit(j).alias("code"),
+    book_lit = dlit_matrix(codebooks[s])
+    return F.array_min(
+        F.transform(
+            book_lit,
+            lambda cw, j: F.struct(
+                l2sq_col(sub, cw).alias("d"), j.alias("code")
+            ),
         )
-        for j, cw in enumerate(codebooks[s])
-    ]
-    return F.array_min(F.array(*scored)).getField("code")
+    ).getField("code")
 
 
 def pq_encode(
@@ -255,9 +268,7 @@ def pq_topk(
         [l2sq(qvec[s * dsub : (s + 1) * dsub], cw) for cw in codebooks[s]]
         for s in range(m)
     ]
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
-    )
+    lut_lit = dlit_matrix(lut)
     if codes_col is None:
         base = pq_encode(
             df, codebooks, vec_col=vec_col, codes_col="__codes",
@@ -300,7 +311,7 @@ def pq_topk(
             F.col(dist_col).asc(), F.col(id_col).asc()
         ).limit(k * refine_factor)
         source = refine_df if refine_df is not None else df
-        qlit = F.array(*[F.lit(x) for x in qvec])
+        qlit = dlit_array(qvec)
         exact = source.join(
             F.broadcast(shortlist.select(id_col)), id_col
         ).select(
@@ -491,16 +502,20 @@ def pq_codebooks_from_rows(rows) -> list[list[list[float]]]:
 def _books_lit(codebooks: list[list[list[float]]]) -> Column:
     """The full codebook grid as one nested array literal (m × k × dsub
     doubles — a few KB, the same driver-data class as the centroids)."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cw])
-                    for cw in book
-                ]
+    # one parsed SQL expression instead of m*k*dsub py4j lit calls
+    # (r13 optimization — see similarity.dlit_array)
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_dbl_sql(x) for x in cw) + ")"
+                for cw in book
             )
+            + ")"
             for book in codebooks
-        ]
+        )
+        + ")"
     )
 
 
@@ -609,16 +624,14 @@ def probe_cells_col(
     ``array<int>`` expression — the batched form of the driver-side
     ranked-centroid loop in :func:`ivf_pq_topk` (same squared-L2 folds,
     same lower-cell tie rule via lexicographic struct sort)."""
-    scored = F.array(
-        *[
-            F.struct(
-                l2sq_col(
-                    vec, F.array(*[F.lit(float(v)) for v in c])
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # centroid grid as ONE literal traversed by a lambda (r13 — the
+    # _cell_col convention): identical folds and tie rule, ~K-fold
+    # smaller analyzed plan
+    scored = F.transform(
+        dlit_matrix(centroids),
+        lambda c, i: F.struct(
+            l2sq_col(vec, c).alias("d"), i.alias("cell")
+        ),
     )
     return F.transform(
         F.slice(F.array_sort(scored), 1, max(1, int(n_probe))),
