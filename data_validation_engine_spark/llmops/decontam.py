@@ -118,10 +118,13 @@ def decontaminate_bloom(
     per-benchmark-version filters OR-merge without re-reading text.
 
     Implementation note: the bit mask inside the nested lambda is
-    ``pow(2.0, bit)`` cast to long — powers of two are exactly
-    representable in a double through 2^62, and 63-bit words cap the
-    bit index at 62 (``F.expr`` can't reference a lambda variable and
-    the Python ``shiftleft`` wrapper takes only literal counts).
+    ``shiftleft(1L, bit)`` via ``F.call_function`` (r13 — previously
+    ``pow(2.0, bit)`` cast to long, one transcendental call per probed
+    bit; a single bitwise shift is exact for bit indices 0..62 and
+    cheaper inside the interpreted lambda. The Python ``shiftleft``
+    wrapper takes only literal counts and ``F.expr`` can't reference a
+    lambda variable, so ``call_function`` is the only spelling that
+    passes the bit index as a column).
     """
     from data_validation_engine_spark.llmops.sketch import (
         _bloom_positions,
@@ -148,7 +151,15 @@ def decontaminate_bloom(
         word = F.element_at(
             F.col("___bloom_words"), (p / F.lit(63)).cast("int") + F.lit(1)
         )
-        mask = F.pow(F.lit(2.0), (p % F.lit(63)).cast("int")).cast("long")
+        # shiftleft with a COLUMN count via call_function (the Python
+        # wrapper takes only literal counts): one bitwise op per probed
+        # bit instead of a transcendental pow() (r13) — same mask for
+        # bit indices 0..62
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (p % F.lit(63)).cast("int"),
+        )
         return word.bitwiseAND(mask) != 0
 
     screened = (

@@ -316,22 +316,31 @@ def _cms_col(value: Column, depth: int, width: int, seed: str) -> Column:
     string can collide with it) — a raw NULL would yield NULL cells
     that build stores but query's equi-join can never match, silently
     breaking the never-undercount guarantee for NULL-heavy columns."""
+    cells = [
+        F.struct(
+            F.lit(r).alias("row"),
+            _cms_row_col(value, r, width, seed).alias("col"),
+        )
+        for r in range(depth)
+    ]
+    return F.array(*cells)
+
+
+def _cms_row_col(value: Column, r: int, width: int, seed: str) -> Column:
+    """The value's column index in hash row ``r`` — the single-row slice
+    of :func:`_cms_col`, exposed so consumers that can short-circuit on
+    one row at a time (the :func:`heavy_hitters` screen) don't have to
+    materialise the full depth-array per input row."""
     keyed = F.coalesce(
         F.concat(F.lit("v:"), value.cast("string")), F.lit("n")
     )
-    cells = []
-    for r in range(depth):
-        digest = F.md5(F.concat(F.lit(f"{seed}|cms{r}|"), keyed))
-        col = (
-            # 60-bit value: long arithmetic, not decimal — same result
-            # (15 hex chars < 2^63), measurably cheaper per gram (r13)
-            F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
-            % F.lit(width)
-        ).cast("int")
-        cells.append(
-            F.struct(F.lit(r).alias("row"), col.alias("col"))
-        )
-    return F.array(*cells)
+    digest = F.md5(F.concat(F.lit(f"{seed}|cms{r}|"), keyed))
+    return (
+        # 60-bit value: long arithmetic, not decimal — same result
+        # (15 hex chars < 2^63), measurably cheaper per gram (r13)
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+        % F.lit(width)
+    ).cast("int")
 
 
 def cms_build(
@@ -655,7 +664,6 @@ def heavy_hitters(
     """
     if min_count <= 0:
         raise ValueError("min_count must be positive")
-    spark = df.sparkSession
     sketch = cms_build(
         df, value_col, depth=depth, width=width,
         weight_col=weight_col, seed=seed,
@@ -663,28 +671,27 @@ def heavy_hitters(
     cells = [[0] * width for _ in range(depth)]
     for r in sketch:
         cells[r["row"]][r["col"]] = r["n"]
-    cells_frame = spark.createDataFrame(
-        [(cells,)], "___cms_cells array<array<long>>"
-    )
     w = (
         F.col(weight_col).cast("long")
         if weight_col is not None
         else F.lit(1).cast("long")
     )
-    est = F.array_min(
-        F.transform(
-            _cms_col(F.col(value_col), depth, width, seed),
-            lambda c: F.element_at(
-                F.element_at(F.col("___cms_cells"), c["row"] + 1),
-                c["col"] + 1,
-            ),
-        )
-    )
-    survivors = (
-        df.join(F.broadcast(cells_frame))
-        .where(est >= min_count)
-        .select(F.col(value_col), w.alias("__w"))
-    )
+    # Screen: estimate >= min_count  <=>  min over the value's depth
+    # cells >= min_count  <=>  EVERY cell >= min_count. Expressed as a
+    # conjunction of per-row "col in hot-column-set" tests over plain
+    # literal InSets (r13, guide §1.2/§4.1): no 1-row broadcast join,
+    # no array<array> literal, no interpreted transform/element_at walk
+    # per input row — and codegen short-circuits the AND, so the
+    # non-hot majority stops after hash row 0 instead of computing all
+    # ``depth`` md5 cells. Identical survivors by construction.
+    screen = None
+    for r in range(depth):
+        hot_cols = [c for c in range(width) if cells[r][c] >= min_count]
+        cond = _cms_row_col(F.col(value_col), r, width, seed).isin(
+            hot_cols
+        ) if hot_cols else F.lit(False)
+        screen = cond if screen is None else screen & cond
+    survivors = df.where(screen).select(F.col(value_col), w.alias("__w"))
     exact = survivors.groupBy(value_col).agg(F.sum("__w").alias("n"))
     return exact.where(F.col("n") >= min_count)
 
@@ -811,22 +818,29 @@ def windowed_heavy_hitters(
                 "exactness guarantee needs cells == counted(probe); "
                 "restrict the probe to the admitted events."
             )
-    est = F.array_min(
-        F.transform(
-            _cms_col(F.col(value_col), depth, width, seed),
-            lambda c: F.coalesce(
-                F.element_at(
-                    F.col("__cms_map"),
-                    c["row"].cast("long") * F.lit(int(width))
-                    + c["col"].cast("long"),
-                ),
-                F.lit(0).cast("long"),
+    # estimate >= min_count  <=>  every one of the value's depth cells
+    # reads >= min_count: spelled as a short-circuiting conjunction of
+    # scalar map lookups instead of an interpreted transform walk over
+    # the cell array (r13 — the heavy_hitters screen convention; here
+    # the cells vary per window so the lookup stays a broadcast join,
+    # but the non-hot majority still stops after hash row 0)
+    screen = None
+    for r in range(depth):
+        lookup = F.coalesce(
+            F.element_at(
+                F.col("__cms_map"),
+                F.lit(r * int(width)).cast("long")
+                + _cms_row_col(
+                    F.col(value_col), r, width, seed
+                ).cast("long"),
             ),
+            F.lit(0).cast("long"),
         )
-    )
+        cond = lookup >= F.lit(int(min_count))
+        screen = cond if screen is None else screen & cond
     survivors = (
         probe.join(F.broadcast(dense), "window_start")
-        .where(est >= F.lit(int(min_count)))
+        .where(screen)
         .select("window_start", value_col)
     )
     exact = survivors.groupBy("window_start", value_col).agg(
