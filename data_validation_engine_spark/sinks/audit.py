@@ -18,6 +18,7 @@ import threading
 import time
 import uuid
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Any, Callable, ClassVar
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -176,6 +177,23 @@ class AuditLog:
             rec.setdefault("time_updated", now)
             rec.setdefault("date_updated", rec["time_updated"].date())
             rows.append(tuple(rec.get(f.name) for f in schema.fields))
+
+        # Parquet fallback on a local path: write the partition-layout file
+        # DRIVER-SIDE with pyarrow instead of launching a Spark job (r13,
+        # guide §5 — audit appends are 1-row control-plane writes; the
+        # repartition(1)+dynamic-partition Spark job costs ~0.5 s each on
+        # local[32] and the e2e pipeline makes ~5 per submission, making
+        # the audit trail its single most expensive component). The file
+        # is read-identical: same dir layout (date_updated=<iso>/part-*),
+        # same column types (timestamps written as UTC-adjusted micros at
+        # the instant Spark would store for the session timezone), snappy
+        # compression. Delta (production) and non-local URIs keep the
+        # transactional Spark path unchanged.
+        if self.fmt == "parquet" and self._local_dir():
+            with self._append_lock(table):
+                self._pyarrow_append(table, schema, rows)
+            return
+
         df = self.spark.createDataFrame(rows, schema)
 
         def _write() -> None:
@@ -204,6 +222,92 @@ class AuditLog:
             max_retries=self.max_append_retries,
             sleep_seconds=self.retry_sleep_seconds,
         )
+
+    def _local_dir(self) -> bool:
+        """Is the audit base a plain local path (no scheme, or file://)?
+        Only then can the driver write partition files directly."""
+        uri = self.base_uri
+        return "://" not in uri or uri.startswith("file://")
+
+    def _pyarrow_append(self, table: str, schema, rows: list[tuple]) -> None:
+        """Driver-side partition-file append for the local-parquet
+        fallback — byte-compatible with what the Spark writer lays down
+        (see the rationale comment in :meth:`append`)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        uri = self._uri(table)
+        if uri.startswith("file://"):
+            uri = uri[len("file://"):]
+        base = Path(uri)
+
+        # Spark interprets naive timestamps in the SESSION timezone when
+        # building a DataFrame; replicate the same instant so mixed
+        # Spark-written / driver-written files carry identical values.
+        tz_name = self.spark.conf.get("spark.sql.session.timeZone", None)
+        tzinfo = None
+        if tz_name:
+            try:
+                from zoneinfo import ZoneInfo
+
+                tzinfo = ZoneInfo(tz_name)
+            except Exception:  # noqa: BLE001 - fall back to OS zone
+                tzinfo = None
+
+        def _instant(ts: dt.datetime | None) -> dt.datetime | None:
+            if ts is None:
+                return None
+            if ts.tzinfo is None:
+                ts = (
+                    ts.replace(tzinfo=tzinfo) if tzinfo else ts.astimezone()
+                )
+            return ts
+
+        _PA_TYPES = {
+            T.StringType(): pa.string(),
+            T.LongType(): pa.int64(),
+            T.TimestampType(): pa.timestamp("us", tz="UTC"),
+        }
+        data_fields = [
+            f for f in schema.fields if f.name != "date_updated"
+        ]
+        date_idx = [f.name for f in schema.fields].index("date_updated")
+
+        by_date: dict[Any, list[tuple]] = {}
+        for row in rows:
+            by_date.setdefault(row[date_idx], []).append(row)
+        # zero rows: Spark's partitioned write lays down no data file —
+        # just ensure the table dir exists and stop
+        if not rows:
+            base.mkdir(parents=True, exist_ok=True)
+            return
+
+        for date_val, part_rows in by_date.items():
+            part = (
+                f"date_updated={date_val.isoformat()}"
+                if date_val is not None
+                else "date_updated=__HIVE_DEFAULT_PARTITION__"
+            )
+            out_dir = base / part
+            out_dir.mkdir(parents=True, exist_ok=True)
+            arrays, pa_fields = [], []
+            for f in data_fields:
+                idx = [x.name for x in schema.fields].index(f.name)
+                vals = [r[idx] for r in part_rows]
+                if isinstance(f.dataType, T.TimestampType):
+                    vals = [_instant(v) for v in vals]
+                pa_type = _PA_TYPES[f.dataType]
+                arrays.append(pa.array(vals, type=pa_type))
+                pa_fields.append(
+                    pa.field(f.name, pa_type, nullable=f.nullable)
+                )
+            tbl = pa.Table.from_arrays(
+                arrays, schema=pa.schema(pa_fields)
+            )
+            name = f"part-00000-{uuid.uuid4().hex}.c000.snappy.parquet"
+            tmp = out_dir / f".{name}.tmp"
+            pq.write_table(tbl, tmp, compression="snappy")
+            tmp.rename(out_dir / name)
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self._uri(table))
