@@ -200,7 +200,7 @@ def minhash_pairs(
     single task.
     """
     sig_names = [f"mh_{i}" for i in range(num_hashes)]
-    # distinct (id, shingle) rows, lambda-free. Three plan branches read
+    # distinct (id, shingle) rows, lambda-free. Several plan branches read
     # this (signatures + both verify sides) and it is deliberately NOT
     # persisted: measured on local[32], caching the 3-branch DAG serialises
     # behind block-manager contention (~30x slower than recomputing), and
@@ -209,22 +209,31 @@ def minhash_pairs(
     # upstream scan is expensive — never in-memory-cache a frame consumed
     # by concurrent query stages.
     shingled = shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
-    # signatures via hash aggregation: per shingle row, 12 codegen'd md5
-    # calls; min() combines map-side. (An array_min(transform(...)) lambda
-    # formulation computes the same values but evaluates interpreted and
-    # compiles a very large generated class.)
-    with_sig = shingled.groupBy(id_col).agg(
+    # ONE aggregation carries both the signatures (12 codegen'd md5 mins —
+    # an array_min(transform(...)) lambda computes the same values but
+    # evaluates interpreted and compiles a very large generated class) and
+    # the verification shingle sets (collect_list; the rows are distinct,
+    # and Jaccard via array_intersect/array_union is insensitive to the
+    # nondeterministic collect order). Every consumer — band keys and both
+    # verify sides — projects from THIS frame, so the plans share one
+    # identical exchange subtree that ReuseExchange dedupes: the shingle
+    # pipeline runs once instead of once per branch, and grouping by id
+    # directly after the window (already hash-partitioned by id) lets the
+    # per-id distinct + aggregate run with no extra (id, shingle) exchange
+    # (r13, guide §2.2/§3.4 — fewer shuffles, shuffle fewer bytes).
+    sets_sig = shingled.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("__shingles"),
         *[
             F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(
                 f"mh_{i}"
             )
             for i in range(num_hashes)
-        ]
+        ],
     )
     # NARROW band frame: (id, band_idx, band_key) only. The wide shingle
     # arrays never enter the candidate join/shuffle — they join back in by
     # id for the verification step.
-    narrow_bands = with_sig.select(
+    narrow_bands = sets_sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_keys(sig_names, bands))).alias(
             "__band_idx", "__band_key"
@@ -244,7 +253,13 @@ def minhash_pairs(
         # a pair may collide in several bands — dedupe before verification
         .distinct()
     )
-    return _verify_jaccard(candidates, shingled, id_col, threshold)
+    return _verify_jaccard(
+        candidates,
+        shingled,
+        id_col,
+        threshold,
+        sets=sets_sig.select(id_col, "__shingles"),
+    )
 
 
 def _verify_jaccard(
@@ -252,14 +267,22 @@ def _verify_jaccard(
     shingled: DataFrame,
     id_col: str,
     threshold: float,
+    *,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate ``(id_a, id_b)`` pairs:
     join each side's full distinct-shingle set back in by id (the wide
     arrays never rode the candidate shuffle) and keep pairs at or above
-    ``threshold``. Shared by every shingle-based candidate generator."""
-    sets = shingled.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("__shingles")
-    )
+    ``threshold``. Shared by every shingle-based candidate generator.
+
+    ``sets`` lets a caller that already aggregated per-id shingle arrays
+    (e.g. alongside its signature columns) pass that frame in, so both
+    verify sides project from the caller's aggregation and ReuseExchange
+    collapses the shingle pipeline to a single computation."""
+    if sets is None:
+        sets = shingled.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("__shingles")
+        )
     sh_a = sets.select(
         F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sh_a")
     )
