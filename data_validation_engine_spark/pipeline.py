@@ -346,7 +346,14 @@ def run_pipeline(
         )
         typed.write.mode("overwrite").parquet(str(work / "data_contract" / name))
         contract_messages.add(messages)
-    contract_msgs = contract_messages.union_or_empty(spark)
+    # lazy checkpoint BEFORE the JSONL write: the write is this frame's
+    # first action and materialises the blocks, so the all_messages
+    # union below reuses them instead of re-running the whole contract
+    # validation DAG a second time (r13, guide §1.2 — the message feed
+    # is error-sized, never corpus-sized)
+    contract_msgs = contract_messages.union_or_empty(spark).localCheckpoint(
+        eager=False
+    )
     write_messages_jsonl(contract_msgs, str(errors_dir / "data_contract"))
     collector.add(contract_msgs)
 
@@ -403,7 +410,12 @@ def run_pipeline(
             )
             success = False
 
-        rule_msgs = rule_messages.union_or_empty(spark)
+        # same lazy-checkpoint-then-write as the contract feed: the
+        # rules DAG (joins/steps over the entities) is not re-run when
+        # all_messages unions it below
+        rule_msgs = rule_messages.union_or_empty(spark).localCheckpoint(
+            eager=False
+        )
         write_messages_jsonl(rule_msgs, str(errors_dir / "business_rules"))
         collector.add(rule_msgs)
         # lazy checkpoint: all_messages feeds MANY downstream actions (the
