@@ -51,6 +51,26 @@ def decontaminate(
     regardless of n-gram length, and md5-equality is gram-equality for
     the oracle's purposes (identical deterministic hash both engines).
     """
+    hits = _gram_hits(
+        corpus, benchmark, id_col, text_col,
+        ngram=ngram, broadcast_benchmark=broadcast_benchmark,
+    )
+    return _attach_hits(corpus.select(id_col), hits, id_col)
+
+
+def _gram_hits(
+    matched: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """``(id, n_hits)`` for the docs in ``matched`` with at least one
+    n-gram in ``benchmark`` — the exact-overlap core shared by
+    :func:`decontaminate` (matched = whole corpus) and
+    :func:`decontaminate_bloom` (matched = the screened suspects only)."""
     grams = F.transform(
         shingles_col(F.col(text_col), ngram), lambda g: F.md5(g)
     )
@@ -59,24 +79,27 @@ def decontaminate(
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    corpus_grams = corpus.select(
+    matched_grams = matched.select(
         F.col(id_col), F.explode(grams).alias("__gram")
     )
-    hits = (
-        corpus_grams.join(bench_grams, "__gram")
+    return (
+        matched_grams.join(bench_grams, "__gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    return (
-        corpus.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias(
-                "contaminated"
-            ),
-        )
+
+
+def _attach_hits(
+    ids: DataFrame, hits: DataFrame, id_col: str
+) -> DataFrame:
+    """Left-join the sparse ``(id, n_hits)`` table onto the full id
+    universe: docs without a hit row are exactly the clean ones."""
+    return ids.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
     )
 
 
@@ -181,13 +204,19 @@ def decontaminate_bloom(
             F.lit(None).cast("long").alias("n_hits"),
             F.col("___suspect").alias("contaminated"),
         )
+    # Exact verify: the gram join runs over the screened suspects only,
+    # and the sparse (id, n_hits) result attaches to a bare id
+    # projection of the corpus — a doc without a hit row is clean by
+    # construction (either the screen cleared it, with no false
+    # negatives possible, or the exact join found nothing). The earlier
+    # union-of-branches shape evaluated the Bloom probe TWICE over the
+    # full corpus (once under ``___suspect``, once under ``NOT
+    # ___suspect``): per-row screen work is the operator's dominant
+    # cost, so halving it beats avoiding the id-side join — which scans
+    # only the pruned id column and hash-joins against the suspect
+    # sliver (r13, guide §2.4/§1.2).
     suspects = screened.where(F.col("___suspect")).drop("___suspect")
-    clean = screened.where(~F.col("___suspect")).select(
-        F.col(id_col),
-        F.lit(0).cast("long").alias("n_hits"),
-        F.lit(False).alias("contaminated"),
-    )
-    verified = decontaminate(
+    hits = _gram_hits(
         suspects, benchmark, id_col, text_col, ngram=ngram
     )
-    return clean.unionByName(verified)
+    return _attach_hits(corpus.select(id_col), hits, id_col)
