@@ -622,6 +622,43 @@ def bloom_might_contain(
     )
 
 
+def cms_screen(
+    sketch_rows,
+    value: Column,
+    min_count: int,
+    *,
+    depth: int,
+    width: int,
+    seed: str = "",
+) -> Column:
+    """Boolean screen over a COLLECTED :func:`cms_build` cell table:
+    true iff the value's CMS estimate (min over its ``depth`` cells)
+    reaches ``min_count`` — i.e. EVERY one of its cells does. The
+    sketch never undercounts, so no value whose true count reaches
+    ``min_count`` is ever screened out.
+
+    Expressed as a conjunction of per-row "col in hot-column-set"
+    tests over plain literal InSets (r13, guide §1.2/§4.1): no 1-row
+    broadcast join, no array<array> literal, no interpreted
+    transform/element_at walk per input row — and codegen
+    short-circuits the AND, so the non-hot majority stops after hash
+    row 0 instead of computing all ``depth`` md5 cells. Factored out
+    of :func:`heavy_hitters` so fused pipelines (e.g.
+    ``substrings.marked_positions``, which screens gram POSITIONS in
+    the same pass that generates them) reuse the identical screen."""
+    cells = [[0] * width for _ in range(depth)]
+    for r in sketch_rows:
+        cells[r["row"]][r["col"]] = r["n"]
+    screen = None
+    for r in range(depth):
+        hot_cols = [c for c in range(width) if cells[r][c] >= min_count]
+        cond = _cms_row_col(value, r, width, seed).isin(
+            hot_cols
+        ) if hot_cols else F.lit(False)
+        screen = cond if screen is None else screen & cond
+    return screen if screen is not None else F.lit(False)
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col: str,
@@ -668,29 +705,15 @@ def heavy_hitters(
         df, value_col, depth=depth, width=width,
         weight_col=weight_col, seed=seed,
     ).collect()  # depth*width rows max: bounded control-plane fetch
-    cells = [[0] * width for _ in range(depth)]
-    for r in sketch:
-        cells[r["row"]][r["col"]] = r["n"]
     w = (
         F.col(weight_col).cast("long")
         if weight_col is not None
         else F.lit(1).cast("long")
     )
-    # Screen: estimate >= min_count  <=>  min over the value's depth
-    # cells >= min_count  <=>  EVERY cell >= min_count. Expressed as a
-    # conjunction of per-row "col in hot-column-set" tests over plain
-    # literal InSets (r13, guide §1.2/§4.1): no 1-row broadcast join,
-    # no array<array> literal, no interpreted transform/element_at walk
-    # per input row — and codegen short-circuits the AND, so the
-    # non-hot majority stops after hash row 0 instead of computing all
-    # ``depth`` md5 cells. Identical survivors by construction.
-    screen = None
-    for r in range(depth):
-        hot_cols = [c for c in range(width) if cells[r][c] >= min_count]
-        cond = _cms_row_col(F.col(value_col), r, width, seed).isin(
-            hot_cols
-        ) if hot_cols else F.lit(False)
-        screen = cond if screen is None else screen & cond
+    screen = cms_screen(
+        sketch, F.col(value_col), min_count,
+        depth=depth, width=width, seed=seed,
+    )
     survivors = df.where(screen).select(F.col(value_col), w.alias("__w"))
     exact = survivors.groupBy(value_col).agg(F.sum("__w").alias("n"))
     return exact.where(F.col("n") >= min_count)

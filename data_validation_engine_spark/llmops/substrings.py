@@ -15,16 +15,19 @@ grams, i.e. maximal runs of cross-document-repeated ``min_len``-grams
 — the natural maximal-repeated-span semantics at granularity
 ``min_len``.)
 
-Scale shape, and why this beats a suffix array on Spark: per-document
-gram hashing is a zero-shuffle projection (60-bit longs, the
-``spans.py`` convention); document frequencies go through
-:func:`~data_validation_engine_spark.llmops.sketch.heavy_hitters`
-(map-side-combined CMS cells + a bounded collect + a broadcast per-row
-screen, so only the genuinely-hot sliver of grams pays an exact
-group-by); the hot-gram set joins back against per-position rows of
-the CANDIDATE grams only; and interval merge + text surgery are
-per-row folds. The only data-sized shuffle is the marked-position
-rows — bounded by the boilerplate actually present, not the corpus.
+Scale shape, and why this beats a suffix array on Spark: gram hashing
+is a zero-shuffle explode-then-project pipeline (60-bit longs, the
+``spans.py`` convention) that stays inside one whole-stage-codegen
+span; document frequencies are screened by a map-side-combined CMS
+(``cms_build`` + a bounded collect + the per-row ``cms_screen``
+conjunction), so only the genuinely-hot sliver of grams pays an exact
+group-by — and when the caller's ``width`` is too small for the data
+to screen at all (expected cell load >= ``min_docs``), a length-only
+prepass detects the saturation and goes straight to the exact
+doc-frequency group-by instead of paying two wasted sketch passes
+(identical hot set either way). Interval merge + text surgery are
+per-row folds. The only data-sized shuffle is the narrow
+``(hash, id)`` frequency exchange; the corpus text never shuffles.
 
 Collision caveat (ADVICE r11): anchors are 60-bit md5-prefix hashes
 with no exact-text verify, so "exact" holds up to hash collisions —
@@ -52,26 +55,6 @@ __all__ = [
     "repeated_substring_spans",
     "remove_repeated_substrings",
 ]
-
-
-def _gram_hashes(text: Column, min_len: int) -> Column:
-    """``array<long>``: the 60-bit hash of every length-``min_len``
-    character gram, one per 1-based start position (empty when the text
-    is shorter than ``min_len``). Raw text — no normalization: removal
-    must splice the original string, so the anchors must address it."""
-    t = F.coalesce(text, F.lit(""))
-    n = F.length(t)
-    return F.when(
-        n >= min_len,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(min_len) + F.lit(1)),
-            lambda i: F.conv(
-                F.substring(F.md5(F.substring(t, i, min_len)), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
 
 
 def marked_positions(
@@ -106,40 +89,101 @@ def marked_positions(
             f"min_docs must be >= 2 (cross-document repetition), got "
             f"{min_docs}"
         )
-    from data_validation_engine_spark.llmops.sketch import heavy_hitters
+    from data_validation_engine_spark.llmops.sketch import (
+        cms_build,
+        cms_screen,
+    )
 
-    grams = df.select(
+    # Positions as an EXPLODE-FIRST pipeline (r13 round 2, guide
+    # §4.1/§1.2): explode the start positions and hash each gram as a
+    # plain projection AFTER the Generate, all inside one
+    # whole-stage-codegen span. The previous shape built the per-doc
+    # hash array with ``F.transform`` — a higher-order function whose
+    # lambda body Spark evaluates INTERPRETED per element — and paid
+    # that interpreted md5 walk on every scan. Nothing here shuffles:
+    # Generate + Project pipeline row-at-a-time in the same stage, so
+    # the text is never copied per generated row.
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pos = df.select(
         F.col(id_col),
-        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
-        _gram_hashes(F.col(text_col), min_len).alias("__g"),
-    )
-    doc_grams = grams.select(
-        id_col, F.explode(F.array_distinct("__g")).alias("__h")
-    )
-    hot = heavy_hitters(
-        doc_grams, "__h", min_docs, depth=depth, width=width, seed=seed
-    ).select(F.col("__h"))
-    # The candidate explode stays NARROW — (id, pos, hash), ~20 bytes a
-    # row — and the document text is re-attached only to the hot sliver
-    # by an id equi-join afterwards (r13, guide §2.3 "project before
-    # the exchange"): the previous shape carried the full text through
-    # every generated row, multiplying the per-gram bytes by the
-    # document length. The hot sliver is bounded by the boilerplate
-    # present, so the re-attach join broadcasts the sliver and the
-    # corpus text still never shuffles.
-    narrow = (
-        grams.select(
-            F.col(id_col), F.posexplode("__g").alias("__p0", "__h")
-        )
-        .join(hot, "__h")
-        .select(id_col, (F.col("__p0") + 1).alias("__s"))
-    )
-    texts = grams.select(id_col, "__t")
-    return narrow.join(texts, id_col).select(
-        id_col,
-        "__s",
+        t.alias("__t"),
+        F.explode(
+            F.when(
+                F.length(t) >= min_len,
+                F.sequence(
+                    F.lit(1), F.length(t) - F.lit(min_len) + F.lit(1)
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__s"),
+    ).select(
+        F.col(id_col),
+        F.col("__s"),
         F.col("__t").substr(F.col("__s"), F.lit(min_len)).alias("__gt"),
+    ).withColumn(
+        "__h",
+        F.conv(F.substring(F.md5(F.col("__gt")), 1, 15), 16, 10).cast(
+            "long"
+        ),
     )
+    # Scale-adaptive screen cutover (r13 round 2, guide §1.1/§2.1): the
+    # CMS screen only discriminates when a cell's EXPECTED load stays
+    # below the threshold — avg cell count = total grams / width; once
+    # that reaches ``min_docs`` essentially every cell reads hot, the
+    # screen passes everything, and the sketch machinery is two wasted
+    # full-corpus hash passes bolted onto the exact group-by it was
+    # meant to avoid. A length-only prepass (no per-gram hashing —
+    # sub-second at any corpus the scan can list) decides which regime
+    # the data is in; both regimes produce the IDENTICAL hot set, so
+    # the output never depends on the choice.
+    total_grams = (
+        df.select(
+            F.sum(
+                F.greatest(
+                    F.length(t) - F.lit(min_len) + F.lit(1), F.lit(0)
+                )
+            )
+        ).first()[0]
+        or 0
+    )
+    if total_grams >= min_docs * width:
+        # Saturated sketch: go straight to the exact doc-frequency
+        # group-by the oracle runs — one narrow (hash, id) shuffle —
+        # and join the positions back against the hot set. Two
+        # codegen gram-hash passes total (the floor without
+        # persisting corpus-sized position rows; callers at larger
+        # scale size ``width`` so the screened regime engages).
+        hot = (
+            pos.groupBy("__h")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .where(F.col("__nd") >= min_docs)
+            .select("__h")
+        )
+        return pos.join(hot, "__h").select(id_col, "__s", "__gt")
+    # Screened regime: CMS doc-frequency estimate, built on gram
+    # OCCURRENCES — occurrence count >= distinct-doc count, and the
+    # sketch itself never undercounts, so no gram hot in >= min_docs
+    # docs is ever screened out; the exact countDistinct below removes
+    # every overcounted survivor. The survivor filter runs IN the
+    # position-generating pass (fused — guide §1.2), so the corpus
+    # pays exactly two gram-hash scans where the previous
+    # heavy_hitters + join-back shape paid three; only the screened
+    # sliver (bounded by the boilerplate present plus CMS leakage,
+    # never corpus-sized) is persisted and shuffled.
+    sketch = cms_build(
+        pos.select("__h"), "__h", depth=depth, width=width, seed=seed
+    ).collect()
+    screen = cms_screen(
+        sketch, F.col("__h"), min_docs,
+        depth=depth, width=width, seed=seed,
+    )
+    sliver = pos.where(screen).persist()
+    hot = (
+        sliver.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    return sliver.join(hot, "__h").select(id_col, "__s", "__gt")
 
 
 def verify_marked(marked: DataFrame, id_col: str, min_docs: int) -> DataFrame:

@@ -106,6 +106,45 @@ def test_substring_shared_marked_parity(spark, docs):
     )
 
 
+def test_marked_positions_regimes_agree(spark, docs):
+    """The adaptive CMS cutover (r13 round 2): a width small enough to
+    saturate (every cell >= min_docs, exact-group-by regime) and a
+    width sized to actually screen (sketch regime) must produce the
+    identical marked-position set — and both must equal a naive exact
+    gram-frequency replay with no sketch machinery at all."""
+    from data_validation_engine_spark.llmops.substrings import (
+        marked_positions,
+    )
+
+    ml, md = 12, 3
+    pos = docs.selectExpr(
+        "doc_id",
+        f"explode(CASE WHEN length(text) >= {ml} THEN"
+        f" sequence(1, length(text) - {ml} + 1)"
+        " ELSE array() END) AS s",
+        "text",
+    ).selectExpr("doc_id", "s", f"substring(text, s, {ml}) AS __gt")
+    hot = (
+        pos.groupBy("__gt")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= md)
+        .select("__gt")
+    )
+    naive = pos.join(hot, "__gt").select(
+        "doc_id", F.col("s").alias("__s"), "__gt"
+    )
+    saturated = marked_positions(
+        docs, "doc_id", "text", min_len=ml, min_docs=md,
+        depth=3, width=4,
+    )
+    screened = marked_positions(
+        docs, "doc_id", "text", min_len=ml, min_docs=md,
+        depth=3, width=1 << 16,
+    )
+    assert_frames_equal(saturated.select("doc_id", "__s", "__gt"), naive)
+    assert_frames_equal(screened.select("doc_id", "__s", "__gt"), naive)
+
+
 def test_minhash_index_filter_commutes(spark, docs):
     """The q_r12_index_maintenance rewrite's premise: minhash_index is a
     per-document projection, so indexing a filtered corpus equals
