@@ -208,6 +208,7 @@ from data_validation_engine_spark.llmops.dedup import (
     minhash_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
+    shingle_occurrence_rows,
     simhash,
     simhash_pairs,
     simhash_table,
@@ -314,6 +315,7 @@ __all__ = [
     "minhash_pairs",
     "ngram_jaccard_pairs",
     "stratified_sample",
+    "shingle_occurrence_rows",
     "simhash",
     "simhash_pairs",
     "simhash_table",

@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_validation_engine_spark.llmops.dedup import shingles_col
+from data_validation_engine_spark.llmops.dedup import (
+    shingle_occurrence_rows,
+)
 
 DEFAULT_NGRAM = 5
 
@@ -71,21 +73,32 @@ def _gram_hits(
     n-gram in ``benchmark`` — the exact-overlap core shared by
     :func:`decontaminate` (matched = whole corpus) and
     :func:`decontaminate_bloom` (matched = the screened suspects only)."""
-    grams = F.transform(
-        shingles_col(F.col(text_col), ngram), lambda g: F.md5(g)
-    )
+    # Shingles as codegen OCCURRENCE rows, hashed as a plain projection
+    # (r13 round 2, guide §4.1): the previous shingles_col +
+    # F.transform(md5) walk evaluated interpreted per element (~14x
+    # slower measured). Occurrence rows may repeat a gram within a doc,
+    # so the hit count dedupes with countDistinct — identical to the
+    # old count over the per-doc-distinct array.
+    # the benchmark side needs no id column — only its text shingles
     bench_grams = (
-        benchmark.select(F.explode(grams).alias("__gram")).distinct()
+        shingle_occurrence_rows(
+            benchmark.select(F.lit(1).alias("__bid"), F.col(text_col)),
+            "__bid",
+            text_col,
+            shingle_size=ngram,
+        )
+        .select(F.md5("shingle").alias("__gram"))
+        .distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    matched_grams = matched.select(
-        F.col(id_col), F.explode(grams).alias("__gram")
-    )
+    matched_grams = shingle_occurrence_rows(
+        matched, id_col, text_col, shingle_size=ngram
+    ).select(F.col(id_col), F.md5("shingle").alias("__gram"))
     return (
         matched_grams.join(bench_grams, "__gram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.countDistinct("__gram").alias("n_hits"))
     )
 
 
@@ -132,33 +145,31 @@ def decontaminate_bloom(
     benchmark's grams collapse into ``m_bits/63`` longs (~128 KiB at
     the default 2^20 bits) COLLECTED ONCE (a bounded control-plane
     fetch, the documented class) and shipped back as a 1-row broadcast
-    array — so the corpus-side screen is a pure per-row projection
-    (``exists`` over the doc's own grams testing bits in the array):
-    zero shuffle, zero join, no per-gram row explosion. Only the
-    suspected sliver of the corpus — the true hits plus the
-    false-positive rate's worth of docs — pays the exact join. The
-    word array is :func:`~...sketch.bloom_build` state, so
-    per-benchmark-version filters OR-merge without re-reading text.
-
-    Implementation note: the bit mask inside the nested lambda is
-    ``shiftleft(1L, bit)`` via ``F.call_function`` (r13 — previously
-    ``pow(2.0, bit)`` cast to long, one transcendental call per probed
-    bit; a single bitwise shift is exact for bit indices 0..62 and
-    cheaper inside the interpreted lambda. The Python ``shiftleft``
-    wrapper takes only literal counts and ``F.expr`` can't reference a
-    lambda variable, so ``call_function`` is the only spelling that
-    passes the bit index as a column).
+    array — so the corpus-side screen never joins against a
+    benchmark-sized table and never shuffles text. The probe runs over
+    EXPLODED shingle rows as plain codegen projections (r13 round 2,
+    guide §4.1 — the previous ``exists``/``forall`` nested-lambda
+    formulation evaluated every md5 and bit test interpreted): k md5
+    bit positions per gram, an AND of bitmask tests against the
+    broadcast word array, then the suspect ids collapse through a
+    map-side-combined distinct — the only exchange is that id sliver
+    (true hits + the filter's false-positive rate), never the corpus.
+    Only the suspected sliver pays the exact join. The word array is
+    :func:`~...sketch.bloom_build` state, so per-benchmark-version
+    filters OR-merge without re-reading text.
     """
     from data_validation_engine_spark.llmops.sketch import (
-        _bloom_positions,
+        _bloom_position,
         bloom_build,
     )
 
     spark = corpus.sparkSession
-    grams = F.transform(
-        shingles_col(F.col(text_col), ngram), lambda g: F.md5(g)
-    )
-    bench_grams = benchmark.select(F.explode(grams).alias("__gram"))
+    bench_grams = shingle_occurrence_rows(
+        benchmark.select(F.lit(1).alias("__bid"), F.col(text_col)),
+        "__bid",
+        text_col,
+        shingle_size=ngram,
+    ).select(F.md5("shingle").alias("__gram"))
     sparse = bloom_build(
         bench_grams, "__gram",
         m_bits=m_bits, k_hashes=k_hashes, seed=seed,
@@ -175,9 +186,8 @@ def decontaminate_bloom(
             F.col("___bloom_words"), (p / F.lit(63)).cast("int") + F.lit(1)
         )
         # shiftleft with a COLUMN count via call_function (the Python
-        # wrapper takes only literal counts): one bitwise op per probed
-        # bit instead of a transcendental pow() (r13) — same mask for
-        # bit indices 0..62
+        # wrapper takes only literal counts): one bitwise op per
+        # probed bit — exact for bit indices 0..62
         mask = F.call_function(
             "shiftleft",
             F.lit(1).cast("long"),
@@ -185,37 +195,42 @@ def decontaminate_bloom(
         )
         return word.bitwiseAND(mask) != 0
 
-    screened = (
-        corpus.join(F.broadcast(words_frame))
-        .withColumn(
-            "___suspect",
-            F.exists(
-                grams,
-                lambda g: F.forall(
-                    _bloom_positions(g, m_bits, k_hashes, seed), _bit_set
-                ),
-            ),
+    probe = None
+    gram = F.md5(F.col("shingle"))
+    for h in range(k_hashes):
+        cond = _bit_set(_bloom_position(gram, h, m_bits, seed))
+        probe = cond if probe is None else probe & cond
+    suspect_ids = (
+        shingle_occurrence_rows(
+            corpus, id_col, text_col, shingle_size=ngram
         )
-        .drop("___bloom_words")
+        .join(F.broadcast(words_frame))
+        .where(probe)
+        .select(id_col)
+        .distinct()
     )
     if not exact_verify:
-        return screened.select(
-            F.col(id_col),
-            F.lit(None).cast("long").alias("n_hits"),
-            F.col("___suspect").alias("contaminated"),
+        return (
+            corpus.select(id_col)
+            .join(
+                suspect_ids.withColumn("___suspect", F.lit(True)),
+                id_col,
+                "left",
+            )
+            .select(
+                F.col(id_col),
+                F.lit(None).cast("long").alias("n_hits"),
+                F.coalesce(F.col("___suspect"), F.lit(False)).alias(
+                    "contaminated"
+                ),
+            )
         )
     # Exact verify: the gram join runs over the screened suspects only,
     # and the sparse (id, n_hits) result attaches to a bare id
     # projection of the corpus — a doc without a hit row is clean by
     # construction (either the screen cleared it, with no false
-    # negatives possible, or the exact join found nothing). The earlier
-    # union-of-branches shape evaluated the Bloom probe TWICE over the
-    # full corpus (once under ``___suspect``, once under ``NOT
-    # ___suspect``): per-row screen work is the operator's dominant
-    # cost, so halving it beats avoiding the id-side join — which scans
-    # only the pruned id column and hash-joins against the suspect
-    # sliver (r13, guide §2.4/§1.2).
-    suspects = screened.where(F.col("___suspect")).drop("___suspect")
+    # negatives possible, or the exact join found nothing).
+    suspects = corpus.join(suspect_ids, id_col, "semi")
     hits = _gram_hits(
         suspects, benchmark, id_col, text_col, ngram=ngram
     )

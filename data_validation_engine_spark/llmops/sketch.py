@@ -470,21 +470,30 @@ def _bloom_positions(
     contract as :func:`_cms_col`: NULL is a real member, queries for it
     must hit the bits the build stored.
     """
+    return F.array(
+        *[
+            _bloom_position(value, h, m_bits, seed)
+            for h in range(k_hashes)
+        ]
+    )
+
+
+def _bloom_position(
+    value: Column, h: int, m_bits: int, seed: str
+) -> Column:
+    """Bit position of ``value`` for hash row ``h`` — the single-row
+    slice of :func:`_bloom_positions`, exposed so probes that test one
+    position at a time as plain codegen projections (the
+    ``decontaminate_bloom`` screen) don't build the array per row."""
     keyed = F.coalesce(
         F.concat(F.lit("v:"), value.cast("string")), F.lit("n")
     )
-    positions = []
-    for h in range(k_hashes):
-        digest = F.md5(F.concat(F.lit(f"{seed}|bloom{h}|"), keyed))
-        positions.append(
-            (
-                # 60-bit value: long, not decimal (r13 — see _cms_col)
-                F.conv(F.substring(digest, 1, 15), 16, 10)
-                .cast("long")
-                % F.lit(m_bits)
-            ).cast("int")
-        )
-    return F.array(*positions)
+    digest = F.md5(F.concat(F.lit(f"{seed}|bloom{h}|"), keyed))
+    return (
+        # 60-bit value: long, not decimal (r13 — see _cms_col)
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+        % F.lit(m_bits)
+    ).cast("int")
 
 
 def bloom_build(

@@ -2009,10 +2009,18 @@ class TestDecontaminateBloom:
             .executedPlan()
             .toString()
         )
-        # the only join is the 1-row word-array broadcast; no per-gram
-        # explosion reaches a shuffle in triage mode
-        assert "Exchange hashpartitioning" not in plan
-        assert plan.count("Generate explode") == 0
+        # r13 round 2 shape: the probe runs over EXPLODED shingle rows
+        # as codegen projections against the 1-row word-array
+        # broadcast; the only exchanges carry the doc-id sliver (the
+        # suspect distinct + the id-universe join) — never shingle or
+        # corpus text bytes
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "shingle" not in line and "text" not in line, line
+        assert plan.count("Exchange hashpartitioning") <= 2
+        # bench grams were collected into the filter before this plan:
+        # the corpus long-doc branch is the single Generate
+        assert plan.count("Generate explode") == 1
 
 
 class TestHardNegativeSamples:
