@@ -252,27 +252,31 @@ def minhash_pairs(
     single task.
     """
     sig_names = [f"mh_{i}" for i in range(num_hashes)]
-    # distinct (id, shingle) rows, lambda-free. Several plan branches read
-    # this (signatures + both verify sides) and it is deliberately NOT
-    # persisted: measured on local[32], caching the 3-branch DAG serialises
-    # behind block-manager contention (~30x slower than recomputing), and
-    # the recompute is one narrow scan+shuffle per branch that AQE plans
-    # freely. On a real cluster, checkpoint to parquet instead if the
-    # upstream scan is expensive — never in-memory-cache a frame consumed
-    # by concurrent query stages.
-    shingled = shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
+    # (id, shingle) occurrence rows, zero-shuffle codegen. Several plan
+    # branches read this (signatures + both verify sides) and it is
+    # deliberately NOT persisted: measured on local[32], caching the
+    # 3-branch DAG serialises behind block-manager contention (~30x
+    # slower than recomputing), and the recompute is one narrow scan per
+    # branch that AQE plans freely. On a real cluster, checkpoint to
+    # parquet instead if the upstream scan is expensive — never
+    # in-memory-cache a frame consumed by concurrent query stages.
+    shingled = shingle_occurrence_rows(
+        df, id_col, text_col, shingle_size=shingle_size
+    )
     # ONE aggregation carries both the signatures (12 codegen'd md5 mins —
     # an array_min(transform(...)) lambda computes the same values but
     # evaluates interpreted and compiles a very large generated class) and
-    # the verification shingle sets (collect_list; the rows are distinct,
-    # and Jaccard via array_intersect/array_union is insensitive to the
-    # nondeterministic collect order). Every consumer — band keys and both
-    # verify sides — projects from THIS frame, so the plans share one
-    # identical exchange subtree that ReuseExchange dedupes: the shingle
-    # pipeline runs once instead of once per branch, and grouping by id
-    # directly after the window (already hash-partitioned by id) lets the
-    # per-id distinct + aggregate run with no extra (id, shingle) exchange
-    # (r13, guide §2.2/§3.4 — fewer shuffles, shuffle fewer bytes).
+    # the verification shingle sets (collect_list; Jaccard via
+    # array_intersect/array_union is SET algebra, so neither the
+    # nondeterministic collect order nor within-doc duplicate shingles
+    # change it — which is what lets the shingles arrive as zero-shuffle
+    # codegen OCCURRENCE rows instead of the window-sorted distinct
+    # builder; min() over a multiset equals min() over its set, so the
+    # signatures are untouched too, r13 round 2 guide §4.1). Every
+    # consumer — band keys and both verify sides — projects from THIS
+    # frame, so the plans share one identical exchange subtree that
+    # ReuseExchange dedupes: the shingle pipeline runs once instead of
+    # once per branch (r13, guide §2.2/§3.4).
     sets_sig = shingled.groupBy(id_col).agg(
         F.collect_list("shingle").alias("__shingles"),
         *[
@@ -1140,7 +1144,12 @@ def minhash_index(
     with the same ``(shingle_size, num_hashes, bands)``.
     """
     sig_names = [f"mh_{i}" for i in range(num_hashes)]
-    shingled = shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
+    # occurrence rows: min() over a multiset equals min() over its set,
+    # so the zero-shuffle codegen generator feeds the signature
+    # aggregation directly (r13 round 2, guide §4.1)
+    shingled = shingle_occurrence_rows(
+        df, id_col, text_col, shingle_size=shingle_size
+    )
     with_sig = shingled.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(
@@ -1230,7 +1239,9 @@ def incremental_minhash_dedup(
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    shingled = shingle_rows(
+    # set-semantic Jaccard verify: duplicate-insensitive, so the
+    # zero-shuffle occurrence generator applies (r13 round 2)
+    shingled = shingle_occurrence_rows(
         union_text.join(ids_needed, on=id_col, how="left_semi"),
         id_col,
         text_col,
