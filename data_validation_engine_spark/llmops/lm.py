@@ -39,18 +39,32 @@ __all__ = [
 ]
 
 
-def _grams(text: Column, n: int) -> Column:
-    """All character n-grams of ``lower(text)`` with runs of whitespace
-    collapsed to one space — per-row expression, zero shuffle."""
-    t = F.lower(F.regexp_replace(text, r"\s+", " "))
-    length = F.length(t)
-    return F.when(
-        length >= n,
-        F.transform(
-            F.sequence(F.lit(1), length - n + 1),
-            lambda i: F.substring(t, i, n),
-        ),
-    ).otherwise(F.array())
+def _gram_rows(
+    df: DataFrame, keep_cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """``keep_cols + (gram)`` occurrence rows: every character n-gram of
+    ``lower(text)`` with runs of whitespace collapsed to one space.
+    Explode-first shape (r13 round 2, guide §4.1): positions Generate,
+    the gram substring projects after — all whole-stage codegen, zero
+    shuffle. (The previous ``F.transform`` array builder evaluated its
+    lambda interpreted per element.) Docs shorter than ``n`` emit
+    nothing, exactly like the empty-array formulation."""
+    t = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.select(*keep_cols, t.alias("__t"), F.length(t).alias("__l"))
+        .where(F.col("__l") >= n)
+        .select(
+            *keep_cols,
+            F.col("__t"),
+            F.explode(
+                F.sequence(F.lit(1), F.col("__l") - n + F.lit(1))
+            ).alias("__i"),
+        )
+        .select(
+            *keep_cols,
+            F.col("__t").substr(F.col("__i"), F.lit(n)).alias("gram"),
+        )
+    )
 
 
 def char_ngram_counts(
@@ -58,7 +72,7 @@ def char_ngram_counts(
 ) -> DataFrame:
     """Corpus n-gram counts ``(gram, cnt)`` — one hash aggregation."""
     return (
-        df.select(F.explode(_grams(F.col(text_col), n)).alias("gram"))
+        _gram_rows(df, [], text_col, n)
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -105,10 +119,7 @@ def perplexity_score(
     handle them, not a fake number).
     """
     denom = float(total) + alpha * float(vocab + 1)
-    grams = df.select(
-        F.col(id_col),
-        F.explode(_grams(F.col(text_col), n)).alias("gram"),
-    )
+    grams = _gram_rows(df, [id_col], text_col, n)
     scored = grams.join(F.broadcast(model), "gram", "left").select(
         F.col(id_col),
         F.log(
