@@ -7124,7 +7124,9 @@ _PARA_CORPUS_EXPR = (
 )
 
 
-def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_paragraph_dedup(
+    spark: SparkSession, sf_dir: str, paras: DataFrame | None = None
+) -> DataFrame:
     """CCNet/FineWeb paragraph dedup (llmops/paragraphs.py) over a
     derived multi-paragraph corpus (documents.parquet has no newlines —
     both twins append the same boilerplate lines, giving real repeated
@@ -7143,20 +7145,26 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", f"{_PARA_CORPUS_EXPR} AS text"
     )
-    freq = paragraph_frequency(docs, "doc_id", "text").selectExpr(
+    # OPTIMIZATION r13 (guide §1.2): the three paragraph arms all start
+    # from the same split_paragraphs explode — the roster wrapper
+    # (q_span_dedup) passes the persisted frame in so the corpus is
+    # split once per row instead of three times
+    freq = paragraph_frequency(
+        docs, "doc_id", "text", paras=paras
+    ).selectExpr(
         "'freq' AS op", "h AS k",
         "CONCAT_WS('|', md5(para), CAST(n_docs AS STRING),"
         " CAST(n_occ AS STRING)) AS v",
     )
     none = remove_repeated_paragraphs(
-        docs, "doc_id", "text", max_docs=1, keep="none"
+        docs, "doc_id", "text", max_docs=1, keep="none", paras=paras
     ).selectExpr(
         "'none' AS op", "CAST(doc_id AS STRING) AS k",
         "CONCAT_WS('|', CAST(n_paras AS STRING), CAST(n_kept AS STRING),"
         " md5(text)) AS v",
     )
     first = remove_repeated_paragraphs(
-        docs, "doc_id", "text", max_docs=1, keep="first"
+        docs, "doc_id", "text", max_docs=1, keep="first", paras=paras
     ).selectExpr(
         "'first' AS op", "CAST(doc_id AS STRING) AS k",
         "CONCAT_WS('|', CAST(n_paras AS STRING), CAST(n_kept AS STRING),"
@@ -7184,7 +7192,9 @@ _SPAN_CORPUS_EXPR = (
 )
 
 
-def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_shared_spans(
+    spark: SparkSession, sf_dir: str, fps: DataFrame | None = None
+) -> DataFrame:
     """Winnowing repeated-span detection (llmops/spans.py, Schleimer
     2003 / MOSS) over a corpus with a 65-char span injected into every
     16th document: per-document fingerprint-set summaries ('fp' —
@@ -7201,8 +7211,17 @@ def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", f"{_SPAN_CORPUS_EXPR} AS text"
     )
-    fps = (
-        winnowed_fingerprints(docs, "doc_id", "text", width=24, window=8)
+    # OPTIMIZATION r13 (guide §1.2): both arms (and the incremental
+    # sibling) fold over the same winnowed-fingerprint rows; the roster
+    # wrapper passes the persisted frame in so the gram-hash pass runs
+    # once per row instead of four times
+    if fps is None:
+        fps = winnowed_fingerprints(
+            docs, "doc_id", "text", width=24, window=8
+        )
+    fp_rows = fps
+    fp_summary = (
+        fp_rows
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fp"),
@@ -7218,13 +7237,14 @@ def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = shared_span_pairs(
-        docs, "doc_id", "text", width=24, window=8, min_shared=1
+        docs, "doc_id", "text", width=24, window=8, min_shared=1,
+        fps=fp_rows,
     ).selectExpr(
         "'pairs' AS op",
         "CONCAT_WS('|', CAST(id_a AS STRING), CAST(id_b AS STRING)) AS k",
         "CAST(n_shared AS STRING) AS v",
     )
-    return fps.unionByName(pairs)
+    return fp_summary.unionByName(pairs)
 
 
 def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10180,7 +10200,9 @@ _R12_STAGED_ORACLES["r12_decon_bloom"] = f"""
 """
 
 
-def q_r12_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_r12_spans_incremental(
+    spark: SparkSession, sf_dir: str, fps: DataFrame | None = None
+) -> DataFrame:
     """Incremental span dedup (llmops/spans.py shared_spans_incremental)
     on the shared_spans corpus (65-char span injected into every 16th
     doc): corpus = doc_id % 4 != 0 with its fingerprint index persisted
@@ -10200,10 +10222,22 @@ def q_r12_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.where("doc_id % 4 != 0")
     new = docs.where("doc_id % 4 = 0")
-    index = winnowed_fingerprints(
-        corpus, "doc_id", "text", width=24, window=8
+    # OPTIMIZATION r13 (guide §1.2): fingerprinting is per-row, so the
+    # corpus index and the new-batch fingerprints are FILTERS of the
+    # full-corpus fingerprint frame — the roster wrapper passes the
+    # persisted frame in and both sides slice it instead of running two
+    # more gram-hash passes
+    if fps is None:
+        index = winnowed_fingerprints(
+            corpus, "doc_id", "text", width=24, window=8
+        )
+        new_fps = None
+    else:
+        index = fps.where("doc_id % 4 != 0")
+        new_fps = fps.where("doc_id % 4 = 0")
+    out = shared_spans_incremental(
+        new, index, "doc_id", "text", new_fps=new_fps
     )
-    out = shared_spans_incremental(new, index, "doc_id", "text")
     return out.selectExpr(
         "'inc' AS op",
         "CONCAT_WS('|', CAST(new_id AS STRING),"
@@ -10808,11 +10842,36 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 merge: the paragraph/span-dedup family in one row —
     CCNet paragraph dedup (first/freq/none/sent) + winnowing
     fingerprints and shared-span pairs (fp/pairs) + the staged-green
-    incremental span index ('inc', r12_spans_incremental verbatim)."""
+    incremental span index ('inc', r12_spans_incremental verbatim).
+
+    OPTIMIZATION r13 (guide §1.2): the row's arms re-ran their dominant
+    per-row projections — winnowed_fingerprints 4× (fp, pairs, inc
+    index, inc new-batch) and split_paragraphs 3× (freq, none, first).
+    Both are per-row generators, so every consumer is a fold or filter
+    of ONE persisted frame; the constituent functions keep building
+    their own pipelines when called standalone (the staged-oracle
+    path)."""
+    from data_validation_engine_spark.llmops.paragraphs import (
+        split_paragraphs,
+    )
+    from data_validation_engine_spark.llmops.spans import (
+        winnowed_fingerprints,
+    )
+
+    span_docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_SPAN_CORPUS_EXPR} AS text"
+    )
+    fps = winnowed_fingerprints(
+        span_docs, "doc_id", "text", width=24, window=8
+    ).persist()
+    para_docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_PARA_CORPUS_EXPR} AS text"
+    )
+    paras = split_paragraphs(para_docs, "doc_id", "text").persist()
     return (
-        q_paragraph_dedup(spark, sf_dir)
-        .unionByName(q_shared_spans(spark, sf_dir))
-        .unionByName(q_r12_spans_incremental(spark, sf_dir))
+        q_paragraph_dedup(spark, sf_dir, paras=paras)
+        .unionByName(q_shared_spans(spark, sf_dir, fps=fps))
+        .unionByName(q_r12_spans_incremental(spark, sf_dir, fps=fps))
     )
 
 

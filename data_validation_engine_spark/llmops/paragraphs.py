@@ -80,6 +80,7 @@ def paragraph_frequency(
     sep: str = "\n",
     min_chars: int = 1,
     normalize: bool = True,
+    paras: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus paragraph frequency table: ``(h, para, n_docs, n_occ)``.
 
@@ -87,11 +88,17 @@ def paragraph_frequency(
     ``n_occ`` total occurrences, ``para`` one representative original
     text (the min — deterministic). One shuffle keyed by the 32-byte
     hash; count-distinct rewrites to two map-side-combining aggregates.
+
+    ``paras`` lets a caller that already holds this corpus's
+    :func:`split_paragraphs` frame (same df/sep/min_chars/normalize)
+    reuse it instead of re-splitting — a pipeline computing several
+    paragraph surfaces pays the explode once.
     """
-    paras = split_paragraphs(
-        df, id_col, text_col,
-        sep=sep, min_chars=min_chars, normalize=normalize,
-    )
+    if paras is None:
+        paras = split_paragraphs(
+            df, id_col, text_col,
+            sep=sep, min_chars=min_chars, normalize=normalize,
+        )
     return paras.groupBy("h").agg(
         F.min("para").alias("para"),
         F.count_distinct(F.col(id_col)).alias("n_docs"),
@@ -110,6 +117,7 @@ def remove_repeated_paragraphs(
     max_docs: int = 1,
     keep: str = "none",
     out_col: str | None = None,
+    paras: DataFrame | None = None,
 ) -> DataFrame:
     """Rebuild each document with over-represented paragraphs removed.
 
@@ -141,10 +149,13 @@ def remove_repeated_paragraphs(
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     out_col = out_col or text_col
 
-    paras = split_paragraphs(
-        df, id_col, text_col,
-        sep=sep, min_chars=min_chars, normalize=normalize,
-    )
+    # ``paras`` passthrough: reuse a precomputed split_paragraphs frame
+    # (same df/sep/min_chars/normalize contract as paragraph_frequency)
+    if paras is None:
+        paras = split_paragraphs(
+            df, id_col, text_col,
+            sep=sep, min_chars=min_chars, normalize=normalize,
+        )
     stats = paras.groupBy("h").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),

@@ -121,6 +121,7 @@ def shared_span_pairs(
     min_shared: int = 1,
     normalize: bool = True,
     max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing duplicated spans: ``(id_a, id_b,
     n_shared)`` with ``id_a < id_b`` and ``n_shared`` the number of
@@ -128,11 +129,17 @@ def shared_span_pairs(
     Every copied span of length >= ``width + window - 1`` chars is
     guaranteed to contribute at least one shared fingerprint, at any
     offset in either document; raise ``min_shared`` to demand longer or
-    repeated duplication."""
-    fps = winnowed_fingerprints(
-        df, id_col, text_col,
-        width=width, window=window, normalize=normalize,
-    )
+    repeated duplication.
+
+    ``fps`` lets a caller that already holds this corpus's
+    :func:`winnowed_fingerprints` frame (same df/width/window/normalize)
+    reuse it instead of re-fingerprinting — a pipeline computing several
+    span surfaces pays the gram-hash pass once."""
+    if fps is None:
+        fps = winnowed_fingerprints(
+            df, id_col, text_col,
+            width=width, window=window, normalize=normalize,
+        )
     pairs = bounded_self_join(
         fps, ["h"], order_col=id_col,
         max_bucket_rows=max_bucket_rows, materialize=False,
@@ -158,6 +165,7 @@ def shared_spans_incremental(
     min_shared: int = 1,
     normalize: bool = True,
     broadcast_new: bool = True,
+    new_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Repeated-span detection of a NEW batch against a frozen corpus's
     persisted fingerprint table — the incremental sibling of
@@ -180,12 +188,16 @@ def shared_spans_incremental(
     ``broadcast_new`` hints the new side (a batch's fingerprint set is
     usually tiny next to a 100 TB corpus index, and broadcasting it
     turns the probe into a map-side scan of the index); pass False for
-    batch sizes past broadcast limits and let AQE decide.
+    batch sizes past broadcast limits and let AQE decide. ``new_fps``
+    is the same reuse passthrough as :func:`shared_span_pairs`: a
+    precomputed ``winnowed_fingerprints(new_df, ...)`` frame.
     """
-    fps = winnowed_fingerprints(
-        new_df, id_col, text_col,
-        width=width, window=window, normalize=normalize,
-    ).select(F.col(id_col).alias("__new_id"), "h")
+    if new_fps is None:
+        new_fps = winnowed_fingerprints(
+            new_df, id_col, text_col,
+            width=width, window=window, normalize=normalize,
+        )
+    fps = new_fps.select(F.col(id_col).alias("__new_id"), "h")
     if broadcast_new:
         fps = F.broadcast(fps)
     hits = index.select(
