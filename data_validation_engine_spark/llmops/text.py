@@ -308,6 +308,13 @@ def tfidf_top_terms(
     JVM vs libm can differ by 1 ulp and flip a rounded decimal).
     Shuffles: one per term aggregation (tf, document frequency) — the
     irreducible cost of TF-IDF; doc count joins in via broadcast.
+    ``top_n=1`` (the common "label each doc" call) replaces the ranking
+    window with a ``min_by`` aggregation over the identical total order
+    — one map-side-combining agg instead of a doc-keyed shuffle + full
+    per-partition sort (r13 optimization, guide §2.2: shuffle fewer
+    bytes / avoid corpus sorts); the ordering struct is unique per doc
+    (terms are distinct after the tf aggregation), so the argmin is
+    deterministic and the rows are exactly the window path's.
     """
     terms = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
@@ -316,11 +323,37 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = df.agg(F.count(F.lit(1)).alias("__n"))
 
+    scored = tf.join(dfreq, on="term", how="inner")
+    if top_n == 1:
+        best = scored.groupBy(id_col).agg(
+            F.min_by(
+                F.struct("term", "tf", "df"),
+                # (tf desc, df asc, term asc) as a single ascending key
+                F.struct(
+                    (-F.col("tf")).alias("ntf"), F.col("df"), F.col("term")
+                ),
+            ).alias("__b")
+        ).select(id_col, "__b.term", "__b.tf", "__b.df")
+        return best.crossJoin(F.broadcast(ndocs)).select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.col("__n").alias("n_docs"),
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("__n").cast("double") / F.col("df").cast("double")
+                ),
+                round_to,
+            ).alias("tfidf"),
+        )
+
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq, on="term", how="inner")
+        scored
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "tfidf",

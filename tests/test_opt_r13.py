@@ -206,6 +206,49 @@ def test_span_paragraph_passthrough_parity(spark, docs):
         )
 
 
+def test_tfidf_top1_agg_matches_window(spark, docs):
+    """The tfidf_top_terms top_n=1 rewrite: the min_by aggregation must
+    return exactly the rows the ranking-window formulation returns
+    (same (tf desc, df asc, term asc) total order)."""
+    from pyspark.sql import Window
+
+    from data_validation_engine_spark.llmops import tfidf_top_terms
+    from data_validation_engine_spark.llmops.dedup import tokens_col
+
+    terms = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    old = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("__n").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ),
+        )
+        .withColumn("__rank", F.row_number().over(w))
+        .where("__rank <= 1")
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.col("__n").alias("n_docs"), "tfidf",
+        )
+    )
+    assert_frames_equal(
+        tfidf_top_terms(docs, "doc_id", "text"), old
+    )
+
+
 def test_minhash_index_filter_commutes(spark, docs):
     """The q_r12_index_maintenance rewrite's premise: minhash_index is a
     per-document projection, so indexing a filtered corpus equals
