@@ -92,7 +92,15 @@ def main() -> None:
     # sample per query cannot support any perf claim. Runs are interleaved
     # round-robin (all queries once, then again) so a transient load spike
     # degrades one sample of many queries rather than all samples of one.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # r13: default 5 passes (was 3) — the per-sample timestamps this round
+    # added show the box's noise arrives in MINUTE-SCALE windows (~2 min
+    # on / ~1 min off twice during one 3-pass run, same roster positions
+    # inflated in consecutive passes, all flat in fresh-process isolation
+    # and no local process above 1% CPU), so with 3 passes a median can
+    # sit on 2 disturbed samples; 5 passes keep the median anchored to
+    # undisturbed ones. The adaptive budget below still degrades the pass
+    # count before ever degrading to an unusable single sample.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     # soft wall-clock budget: complete passes only, never fewer than one —
     # a partially-sampled pass would bias medians. ADAPTIVE (r10 verdict,
     # What's-wrong #2: the fixed 450s budget was blown by one pass of the
