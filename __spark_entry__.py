@@ -7281,7 +7281,9 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id",
     )
     kw = dict(group_cols=["lang"], depth=3, width=64)
-    sketch = cms_build(docs, "source", **kw)
+    # persisted: the 'cells' projection and the 'est' probe join both
+    # read the direct sketch — one build instead of two (r13, guide §1.2)
+    sketch = cms_build(docs, "source", **kw).persist()
     cells = sketch.selectExpr(
         "'cells' AS op",
         "CONCAT_WS('|', COALESCE(lang, '~'), CAST(row AS STRING),"
@@ -7294,10 +7296,18 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CONCAT_WS('|', COALESCE(lang, '~'), source) AS k",
         "CAST(n_est AS STRING) AS v",
     )
+    # r13 (guide §2.2): the two half-corpus sketches are ONE build keyed
+    # by (lang, parity) — a value's cells depend only on the value, so
+    # building per-parity groups and summing the parity dimension away
+    # is exactly the union-then-merge of two separate half builds, for
+    # one corpus scan instead of two. The 'merge' attestation is
+    # unchanged: the direct sketch above is still built independently.
     halves = cms_merge(
-        cms_build(docs.where("doc_id % 2 = 0"), "source", **kw).unionByName(
-            cms_build(docs.where("doc_id % 2 = 1"), "source", **kw)
-        ),
+        cms_build(
+            docs.withColumn("__par", F.col("doc_id") % 2),
+            "source",
+            group_cols=["lang", "__par"], depth=3, width=64,
+        ).drop("__par"),
         group_cols=["lang"],
     ).selectExpr(
         "'merge' AS op",

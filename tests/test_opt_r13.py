@@ -206,6 +206,39 @@ def test_span_paragraph_passthrough_parity(spark, docs):
         )
 
 
+def test_cms_parity_keyed_build_matches_two_half_builds(spark, docs):
+    """The q_cms_sketch 'merge' rewrite: building one sketch keyed by
+    (group, parity) and merging the parity dimension away must equal
+    union-then-merge of two separately built half sketches — a value's
+    cells depend only on the value, never on its group."""
+    from data_validation_engine_spark.llmops.sketch import (
+        cms_build,
+        cms_merge,
+    )
+
+    d = docs.withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+    kw = dict(depth=3, width=16)
+    two = cms_merge(
+        cms_build(
+            d.where("doc_id % 2 = 0"), "text", group_cols=["lang"], **kw
+        ).unionByName(
+            cms_build(
+                d.where("doc_id % 2 = 1"), "text",
+                group_cols=["lang"], **kw,
+            )
+        ),
+        group_cols=["lang"],
+    )
+    one = cms_merge(
+        cms_build(
+            d.withColumn("__par", F.col("doc_id") % 2), "text",
+            group_cols=["lang", "__par"], **kw,
+        ).drop("__par"),
+        group_cols=["lang"],
+    )
+    assert_frames_equal(one, two)
+
+
 def test_tfidf_top1_agg_matches_window(spark, docs):
     """The tfidf_top_terms top_n=1 rewrite: the min_by aggregation must
     return exactly the rows the ranking-window formulation returns
