@@ -52,6 +52,42 @@ def _load(spark: SparkSession, sf_dir: str, names: Iterable[str]) -> dict[str, D
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+def _parallel_arms(
+    spark: SparkSession,
+    sf_dir: str,
+    *fns: Callable[[SparkSession, str], DataFrame],
+) -> DataFrame:
+    """Union independent arm frames, CONSTRUCTING them concurrently.
+
+    OPTIMIZATION r13 (guide §2.6, overlap independent jobs): several
+    merged rows' arms run driver-side Spark ACTIONS while they BUILD
+    their frame — bounded sketch collects, availableNow streaming
+    drains, k-means/BPE driver rounds. Built serially, each such action
+    leaves most of local[32] idle during its scheduling tail, and the
+    row pays the SUM of the arms' construction walls. Here each arm
+    constructs in its own thread so the scheduler back-fills one arm's
+    stragglers with the next arm's tasks, and the row pays ~the MAX.
+
+    Each arm gets ``spark.newSession()`` — same SparkContext (so
+    ReuseExchange/broadcasts still share), but a CLONED SQL conf, so
+    per-arm conf pinning (``_state_partitions`` around a stateful
+    stream) stays arm-local instead of racing the sibling threads.
+
+    The result is ``unionByName`` in ARGUMENT order — row-for-row the
+    serial union: thread timing affects only WHEN each arm's jobs run,
+    never their values (every arm is a deterministic function of the
+    parquet inputs and arms share no mutable state)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futs = [pool.submit(fn, spark.newSession(), sf_dir) for fn in fns]
+        dfs = [f.result() for f in futs]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 from contextlib import contextmanager
 
 
@@ -2326,11 +2362,28 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round is pure task-scheduling overhead (measured ~40% of the row).
     # Same decision as the streaming state stores; at 100 TB the same
     # knob goes UP with the edge count instead.
+    # OPTIMIZATION r13 (guide §2.6): both algorithms iterate rounds of
+    # tiny jobs over the SAME checkpointed pair graph (label-prop
+    # materialises per round, star per large/small step) — serially,
+    # each round's scheduling tail idles the box. Overlapping the two
+    # iteration chains in threads back-fills one algorithm's tail with
+    # the other's rounds; values are untouched (each is a deterministic
+    # function of `pairs`, and the 8-partition pin covers both).
     with _state_partitions(spark, 8):
-        lab = connected_components(pairs).select("id", "component")
-        star = connected_components_star(pairs).selectExpr(
-            "id", "component AS component_star"
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_lab = pool.submit(
+                lambda: connected_components(pairs).select(
+                    "id", "component"
+                )
+            )
+            f_star = pool.submit(
+                lambda: connected_components_star(pairs).selectExpr(
+                    "id", "component AS component_star"
+                )
+            )
+            lab, star = f_lab.result(), f_star.result()
     cc = lab.join(star, "id").selectExpr(
         "'cc' AS op", "id", "component", "component_star",
         "CAST(NULL AS DOUBLE) AS x",
@@ -9849,6 +9902,18 @@ def q_sampling_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     are REAL groups through both the window path and the frac path's
     eqNullSafe totals join (the cms_query/standardize discipline, now
     on the oracle gate for select_token_budget too)."""
+    return (
+        q_r11_curation(spark, sf_dir)
+        .unionByName(q_r11_negative_samples(spark, sf_dir))
+        .unionByName(q_r11_interleave(spark, sf_dir))
+        .unionByName(_q_sampling_nulled_budget(spark, sf_dir))
+    )
+
+
+def _q_sampling_nulled_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'absn'/'fracn' arms of :func:`q_sampling_v2`, factored out so
+    the parallel-construction wrapper can treat them as one arm (their
+    two surfaces share the NULLed-lang projection)."""
     from data_validation_engine_spark.llmops.dedup import tokens_col
     from data_validation_engine_spark.llmops.split import (
         select_token_budget,
@@ -9878,13 +9943,7 @@ def q_sampling_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'fracn' AS op", "CAST(doc_id AS STRING) AS k",
         "CONCAT_WS('|', COALESCE(lang, '~'), CAST(keep AS STRING)) AS v",
     )
-    return (
-        q_r11_curation(spark, sf_dir)
-        .unionByName(q_r11_negative_samples(spark, sf_dir))
-        .unionByName(q_r11_interleave(spark, sf_dir))
-        .unionByName(absn)
-        .unionByName(fracn)
-    )
+    return absn.unionByName(fracn)
 
 
 def q_crawl_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10891,11 +10950,24 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cells/est/merge/stream/grp/fine/roll/tok/src) + Bloom filters and
     DSIR surfaces (w/m/q/rt/sc/nf) + the staged-green Bloom-screened
     decontamination ('bx', r12_decon_bloom verbatim — its guarantee is
-    output identity with exact decontaminate, which is the oracle)."""
-    return (
-        q_cms_sketch_v2(spark, sf_dir)
-        .unionByName(q_selection_sketches(spark, sf_dir))
-        .unionByName(q_r12_decon_bloom(spark, sf_dir))
+    output identity with exact decontaminate, which is the oracle).
+
+    OPTIMIZATION r13 (guide §2.6): the six constituents construct
+    concurrently via :func:`_parallel_arms` — the flat arm list is the
+    associativity-flattened (cms ∪ hll ∪ hh) ∪ (bloom ∪ dsir) ∪ decon,
+    so the union is row-for-row the r12 wrapper's. Serially, the CMS
+    arm's availableNow drain (~1.9s), the heavy-hitter arms' two
+    bounded sketch collects and the decon arm's word-array collect sum
+    on the driver; overlapped, the row pays the max (measured 13.3s →
+    9.8s median, 5-rep alternation at sf0.1/local[32])."""
+    return _parallel_arms(
+        spark, sf_dir,
+        q_cms_sketch,
+        q_hll_profile,
+        q_r11_heavy_hitters,
+        q_r11_bloom,
+        q_r11_dsir,
+        q_r12_decon_bloom,
     )
 
 
@@ -10904,9 +10976,18 @@ def q_chunk_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-defined + sentence chunking + streaming paragraph
     frequency (c/sc/w) + pack materialization, training-shard
     manifests, and ORC/binary round-trips (plain/eod/manifest/orc/
-    bin)."""
-    return q_chunking_v2(spark, sf_dir).unionByName(
-        q_artifacts(spark, sf_dir)
+    bin).
+
+    OPTIMIZATION r13 (guide §2.6): flat concurrent construction — the
+    stream-paragraph arm's availableNow drain (~2s) and the artifacts
+    arm's shard/ORC/binary round-trip writes (~1.6s) overlap instead
+    of summing; union order is the associativity-flattened original."""
+    return _parallel_arms(
+        spark, sf_dir,
+        q_r11_cdc_chunks,
+        q_r11_sentence_chunks,
+        q_r11_stream_paragraphs,
+        q_artifacts,
     )
 
 
@@ -10923,9 +11004,18 @@ def q_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sampling_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 extension riding the sampling_v2 row: the r11 roster
     row verbatim + the staged-green cosine-band hard negatives ('hn',
-    r12_hard_negatives verbatim)."""
-    return q_sampling_v2(spark, sf_dir).unionByName(
-        q_r12_hard_negatives(spark, sf_dir)
+    r12_hard_negatives verbatim).
+
+    OPTIMIZATION r13 (guide §2.6): flat concurrent construction in the
+    associativity-flattened original union order (the absn/fracn pair
+    rides as one arm, :func:`_q_sampling_nulled_budget`)."""
+    return _parallel_arms(
+        spark, sf_dir,
+        q_r11_curation,
+        q_r11_negative_samples,
+        q_r11_interleave,
+        _q_sampling_nulled_budget,
+        q_r12_hard_negatives,
     )
 
 
@@ -10933,9 +11023,16 @@ def q_crawl_signals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 extension riding the crawl_signals row: the r11 roster
     row verbatim (robots/script-profile/RRF, r/d/dt/p/f) + the
     staged-green crawl-graph trio ('l'/'a'/'c'/'q',
-    r12_crawl_graph verbatim)."""
-    return q_crawl_signals(spark, sf_dir).unionByName(
-        q_r12_crawl_graph(spark, sf_dir)
+    r12_crawl_graph verbatim).
+
+    OPTIMIZATION r13 (guide §2.6): flat concurrent construction in the
+    associativity-flattened original union order."""
+    return _parallel_arms(
+        spark, sf_dir,
+        q_r11_robots,
+        q_r11_script_profile,
+        q_r11_rrf_fusion,
+        q_r12_crawl_graph,
     )
 
 
@@ -11452,9 +11549,15 @@ def q_semantic_dedup_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-13 extension riding the semantic_dedup row: the r10 roster
     row verbatim (SemDeDup pair/grp/keep) + the staged-green product-
     quantization surfaces ('enc' full-corpus PQ codes / 'adc'
-    asymmetric-distance top-20, r13_pq verbatim — llmops/pq.py)."""
-    return q_semantic_dedup(spark, sf_dir).unionByName(
-        q_r13_pq(spark, sf_dir)
+    asymmetric-distance top-20, r13_pq verbatim — llmops/pq.py).
+
+    OPTIMIZATION r13 (guide §2.6): concurrent construction — the
+    SemDeDup arm's k-means rounds and centroid collects (~4.5s of
+    driver-side construction) overlap the PQ arm's codebook fit."""
+    return _parallel_arms(
+        spark, sf_dir,
+        q_semantic_dedup,
+        q_r13_pq,
     )
 
 
@@ -11505,9 +11608,17 @@ def q_text_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-13 extension riding the text_corpus row: the r12 merge
     verbatim (text-prep + corpus-term surfaces) + the staged-green WARC
     ingest ('w' payload fidelity / 'n' record inventory / 'c'
-    canonicalized URIs, r13_warc verbatim — sources/warc.py)."""
-    return q_text_corpus(spark, sf_dir).unionByName(
-        q_r13_warc(spark, sf_dir)
+    canonicalized URIs, r13_warc verbatim — sources/warc.py).
+
+    OPTIMIZATION r13 (guide §2.6): flat concurrent construction — the
+    corpus-terms arm's BPE merge loop runs driver-side rounds (~4.5s
+    construct) that the text-prep and WARC arms' work now overlaps;
+    union order is the associativity-flattened original."""
+    return _parallel_arms(
+        spark, sf_dir,
+        q_text_prep,
+        q_corpus_terms,
+        q_r13_warc,
     )
 
 
