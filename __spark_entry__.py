@@ -92,7 +92,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _state_partitions(spark: SparkSession, n: int = 8):
+def _state_partitions(spark: SparkSession, n: int = 4):
     """Pin ``spark.sql.shuffle.partitions`` while a STATEFUL streaming
     query plans (the value is frozen into the checkpoint at first
     start). Stateful operators pay a per-partition state-store
@@ -101,7 +101,14 @@ def _state_partitions(spark: SparkSession, n: int = 8):
     sizing state partitions to the stream's keyspace/volume is a real
     deployment decision AQE cannot make (it never re-plans stateful
     exchanges). Batch queries planned outside the ``with`` are
-    unaffected; restore is in a finally."""
+    unaffected; restore is in a finally.
+
+    r13 optimization: default 8 -> 4 — re-measured per drain on the
+    bench streams (tiny keyspaces: event types, user ids), 4 is 0.1-0.75s
+    faster per availableNow drain and results are partition-count-
+    independent (exact stateful aggs). Production streams size n UP with
+    the keyspace; this default is the bench-scale setting of the same
+    declared knob."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -7167,9 +7174,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the clustering + within-cell cosine pass runs ONCE: pairs are
     # pair-graph-sized (small), so the eager localCheckpoint is cheap
     # and the groups/keep stages reuse it via the operators' passthrough
-    # parameters instead of re-running the pipeline three times
-    pairs_df = semantic_pairs(corpus, **kw).localCheckpoint()
-    groups_df = semantic_dup_groups(corpus, **kw, pairs=pairs_df)
+    # parameters instead of re-running the pipeline three times.
+    # OPTIMIZATION r13 (guide §2.4): the CC label-prop rounds inside
+    # semantic_dup_groups iterate over the PAIR GRAPH (thousands of
+    # edges) — pin their per-round shuffles to 8 partitions like the
+    # connected_components row does (3.9s -> 3.7s med; rows identical).
+    with _state_partitions(spark, 8):
+        pairs_df = semantic_pairs(corpus, **kw).localCheckpoint()
+        groups_df = semantic_dup_groups(corpus, **kw, pairs=pairs_df)
     pairs = pairs_df.selectExpr(
         "'pair' AS op",
         "CONCAT_WS('|', CAST(id_a AS STRING), CAST(id_b AS STRING)) AS k",
