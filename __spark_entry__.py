@@ -1697,24 +1697,30 @@ def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     entities = {"documents": _docs(spark, sf_dir)}
     eng = _engine(spark)
-    eng.evaluate(
-        entities,
-        config=parse_step(
-            {
-                "operation": "dedup_minhash",
-                "entity_name": "documents",
-                "id_column": "doc_id",
-                "text_column": "text",
-                "threshold": 0.5,
-                "exact_components": True,
-                # label propagation: near-dup graphs are shallow, so it
-                # converges in fewer rounds than star here; the star path
-                # has its own oracle row (connected_components_star)
-                "component_algorithm": "label",
-                "new_entity_name": "deduped",
-            }
-        ),
-    )
+    # OPTIMIZATION r13 (guide §2.4): the step's exact-components rounds
+    # iterate over the PAIR GRAPH during evaluate — pin their per-round
+    # shuffles to 8 partitions (the connected_components convention;
+    # 3.5s -> 3.3s med, survivors identical)
+    with _state_partitions(spark, 8):
+        eng.evaluate(
+            entities,
+            config=parse_step(
+                {
+                    "operation": "dedup_minhash",
+                    "entity_name": "documents",
+                    "id_column": "doc_id",
+                    "text_column": "text",
+                    "threshold": 0.5,
+                    "exact_components": True,
+                    # label propagation: near-dup graphs are shallow, so
+                    # it converges in fewer rounds than star here; the
+                    # star path has its own oracle row
+                    # (connected_components_star)
+                    "component_algorithm": "label",
+                    "new_entity_name": "deduped",
+                }
+            ),
+        )
     entities["clustered"] = entities["documents"].selectExpr(
         "doc_id", "n_chars", "CAST(doc_id % 50 AS BIGINT) AS cluster"
     )
@@ -7352,16 +7358,19 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       eviction) drained over events == batch cells per closed window.
 
     All-string (op, k, v) frame."""
-    import tempfile
+    return _q_cms_batch(spark, sf_dir).unionByName(
+        _q_cms_stream(spark, sf_dir)
+    )
 
+
+def _q_cms_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch surfaces of :func:`q_cms_sketch` (cells/est/merge) —
+    factored so the sketches row's parallel construction doesn't hold
+    them behind the streaming drain."""
     from data_validation_engine_spark.llmops.sketch import (
         cms_build,
         cms_merge,
         cms_query,
-    )
-    from data_validation_engine_spark.streaming import read_entity_stream
-    from data_validation_engine_spark.streaming.cardinality import (
-        streaming_cms_cells,
     )
 
     docs = _docs(spark, sf_dir).selectExpr(
@@ -7403,6 +7412,21 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(col AS STRING)) AS k",
         "CAST(n AS STRING) AS v",
     )
+    return cells.unionByName(est).unionByName(halves)
+
+
+def _q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming surface of :func:`q_cms_sketch` ('stream' — the
+    availableNow drain), factored out as its own parallel arm: the
+    drain is ~2s of fixed micro-batch plumbing that the batch sketch
+    builds can overlap."""
+    import tempfile
+
+    from data_validation_engine_spark.streaming import read_entity_stream
+    from data_validation_engine_spark.streaming.cardinality import (
+        streaming_cms_cells,
+    )
+
     sdf = read_entity_stream(
         spark, sf_dir, _EVENTS_TS_SCHEMA,
         options={"pathGlobFilter": "events.parquet"},
@@ -7423,13 +7447,12 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
     sq.awaitTermination()
-    stream = spark.read.parquet(f"{out}/data").selectExpr(
+    return spark.read.parquet(f"{out}/data").selectExpr(
         "'stream' AS op",
         "CONCAT_WS('|', CAST(window_start AS STRING), CAST(row AS STRING),"
         " CAST(col AS STRING)) AS k",
         "CAST(n AS STRING) AS v",
     )
-    return cells.unionByName(est).unionByName(halves).unionByName(stream)
 
 
 def q_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9545,6 +9568,13 @@ def q_r11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash proves the never-undercount screen dropped no true heavy
     hitter and the final cut removed every overcount leak.
     All-string (op, k, v) frame."""
+    return _q_hh_tok(spark, sf_dir).unionByName(_q_hh_src(spark, sf_dir))
+
+
+def _q_hh_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'tok' surface of :func:`q_r11_heavy_hitters` — factored so
+    its bounded sketch collect overlaps the 'src' arm's in the sketches
+    row's parallel construction."""
     from data_validation_engine_spark.llmops.dedup import tokens_col
     from data_validation_engine_spark.llmops.sketch import heavy_hitters
 
@@ -9552,15 +9582,22 @@ def q_r11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
     )
-    hot_toks = heavy_hitters(toks, "tok", 100, width=512).selectExpr(
+    return heavy_hitters(toks, "tok", 100, width=512).selectExpr(
         "'tok' AS op", "tok AS k", "CAST(n AS STRING) AS v"
     )
-    hot_src = heavy_hitters(
+
+
+def _q_hh_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'src' surface of :func:`q_r11_heavy_hitters` (char-weighted
+    frequent sources)."""
+    from data_validation_engine_spark.llmops.sketch import heavy_hitters
+
+    docs = _docs(spark, sf_dir)
+    return heavy_hitters(
         docs, "source", 5000, weight_col="n_chars", width=256
     ).selectExpr(
         "'src' AS op", "source AS k", "CAST(n AS STRING) AS v"
     )
-    return hot_toks.unionByName(hot_src)
 
 
 _STAGED_ORACLES["r11_heavy_hitters"] = r"""
@@ -10997,9 +11034,11 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     9.8s median, 5-rep alternation at sf0.1/local[32])."""
     return _parallel_arms(
         spark, sf_dir,
-        q_cms_sketch,
+        _q_cms_batch,
+        _q_cms_stream,
         q_hll_profile,
-        q_r11_heavy_hitters,
+        _q_hh_tok,
+        _q_hh_src,
         q_r11_bloom,
         q_r11_dsir,
         q_r12_decon_bloom,
