@@ -76,10 +76,23 @@ def _parallel_arms(
     The result is ``unionByName`` in ARGUMENT order — row-for-row the
     serial union: thread timing affects only WHEN each arm's jobs run,
     never their values (every arm is a deterministic function of the
-    parquet inputs and arms share no mutable state)."""
+    parquet inputs and arms share no mutable state).
+
+    r14 (guide §2.6 "2-3 jobs in flight is plenty"): in-flight arm
+    construction is BOUNDED (default 3, ``SPARK_GRAFT_ARM_CONCURRENCY``)
+    instead of one thread per arm — r13's unbounded pool put up to 8
+    concurrent arms' 32-wide stages in front of the scheduler at once,
+    which inverse-scaled (sketches ran FASTER at 8 cores than 32 in the
+    driver's r13 scaling block). Queued arms still back-fill the running
+    arms' scheduling tails, which is all the overlap buys; FIFO order
+    preserves argument order of first submission."""
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+    workers = min(
+        len(fns), int(os.environ.get("SPARK_GRAFT_ARM_CONCURRENCY", "3"))
+    )
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         futs = [pool.submit(fn, spark.newSession(), sf_dir) for fn in fns]
         dfs = [f.result() for f in futs]
     out = dfs[0]
@@ -1935,15 +1948,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every hashed numeric renders as STRING in both twins.
 # ---------------------------------------------------------------------------
 
-def q_tfidf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tfidf_top1(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
     """Top TF-IDF term per document (integer-keyed ranking). The hashed
     frame is (term, tf, df, n_docs) as STRINGS — with tf/df/n in the row
     the exact rational the tfidf float derives from is pinned without
-    hashing any libm-dependent ln (llmops/text.py tfidf_top_terms)."""
+    hashing any libm-dependent ln (llmops/text.py tfidf_top_terms).
+    ``tf`` lets :func:`q_corpus_terms` share one term_frequencies pass
+    across the tfidf/vocab/enc/post arms (r14 optimization)."""
     from data_validation_engine_spark.llmops import tfidf_top_terms
 
     docs = _docs(spark, sf_dir)
-    return tfidf_top_terms(docs, "doc_id", "text").selectExpr(
+    return tfidf_top_terms(docs, "doc_id", "text", tf=tf).selectExpr(
         "CAST(doc_id AS STRING) AS doc_id",
         "term",
         "CAST(tf AS STRING) AS tf",
@@ -2010,16 +2027,21 @@ def q_vocab_encode(
     )
 
 
-def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_postings(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
     """Inverted index over the corpus (llmops/text.py build_postings):
     per term, doc_freq + total tf + the md5 of the doc-id-ordered
     ``docid:tf`` posting list — the term→documents map a retrieval or
     decontamination pass probes, order-exact under any partitioning.
-    All-STRING hashed frame."""
+    All-STRING hashed frame. ``tf`` shares one term_frequencies pass
+    with the sibling corpus-term arms (r14 optimization)."""
     from data_validation_engine_spark.llmops.text import build_postings
 
     docs = _docs(spark, sf_dir)
-    return build_postings(docs, "doc_id", "text", min_doc_freq=3).selectExpr(
+    return build_postings(
+        docs, "doc_id", "text", min_doc_freq=3, tf=tf
+    ).selectExpr(
         "term",
         "postings_md5",
         "CAST(doc_freq AS STRING) AS doc_freq",
@@ -2072,13 +2094,22 @@ def q_corpus_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # need the SAME min_count=3 vocabulary — build it once (persisted;
     # it seeds the encode join too) instead of running the term
     # aggregation twice.
+    # OPTIMIZATION r14 (guide §1.2): the tfidf/vocab/post arms each
+    # started from the identical tokenize → explode → (doc, term) count;
+    # ONE persisted term_frequencies frame now feeds all three (and the
+    # shared vocabulary derives from it too), so the row runs one corpus
+    # tokenization pass where it ran three, and vocab's two-phase
+    # countDistinct collapses to count(1) over the tf rows.
     from data_validation_engine_spark.llmops import build_vocab
+    from data_validation_engine_spark.llmops.text import term_frequencies
 
+    docs = _docs(spark, sf_dir)
+    tf_shared = term_frequencies(docs, "doc_id", "text").persist()
     shared_vocab = build_vocab(
-        _docs(spark, sf_dir), "doc_id", "text", min_count=3
+        docs, "doc_id", "text", min_count=3, tf=tf_shared
     ).persist()
     parts = [
-        q_tfidf_top1(spark, sf_dir).selectExpr(
+        q_tfidf_top1(spark, sf_dir, tf=tf_shared).selectExpr(
             "'tfidf' AS op", "doc_id AS k",
             "CONCAT_WS('|', term, tf, df, n_docs) AS v",
         ),
@@ -2090,7 +2121,7 @@ def q_corpus_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'enc' AS op", "doc_id AS k",
             "CONCAT_WS('|', sig, n_tokens, n_unk) AS v",
         ),
-        q_postings(spark, sf_dir).selectExpr(
+        q_postings(spark, sf_dir, tf=tf_shared).selectExpr(
             "'post' AS op", "term AS k",
             "CONCAT_WS('|', postings_md5, doc_freq, tf_total) AS v",
         ),

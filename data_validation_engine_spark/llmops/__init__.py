@@ -269,6 +269,7 @@ from data_validation_engine_spark.llmops.text import (
     quality_filters,
     repetition_stats,
     script_profile,
+    term_frequencies,
     text_fingerprint,
     text_stats,
     tfidf_top_terms,
@@ -367,6 +368,7 @@ __all__ = [
     "repetition_stats",
     "text_fingerprint",
     "script_profile",
+    "term_frequencies",
     "text_stats",
     "tfidf_top_terms",
     "bm25_search",

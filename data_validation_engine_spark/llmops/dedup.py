@@ -263,22 +263,19 @@ def minhash_pairs(
     shingled = shingle_occurrence_rows(
         df, id_col, text_col, shingle_size=shingle_size
     )
-    # ONE aggregation carries both the signatures (12 codegen'd md5 mins —
-    # an array_min(transform(...)) lambda computes the same values but
-    # evaluates interpreted and compiles a very large generated class) and
-    # the verification shingle sets (collect_list; Jaccard via
-    # array_intersect/array_union is SET algebra, so neither the
-    # nondeterministic collect order nor within-doc duplicate shingles
-    # change it — which is what lets the shingles arrive as zero-shuffle
-    # codegen OCCURRENCE rows instead of the window-sorted distinct
-    # builder; min() over a multiset equals min() over its set, so the
-    # signatures are untouched too, r13 round 2 guide §4.1). Every
-    # consumer — band keys and both verify sides — projects from THIS
-    # frame, so the plans share one identical exchange subtree that
-    # ReuseExchange dedupes: the shingle pipeline runs once instead of
-    # once per branch (r13, guide §2.2/§3.4).
-    sets_sig = shingled.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("__shingles"),
+    # NARROW signature aggregation: 12 codegen'd md5 mins only (an
+    # array_min(transform(...)) lambda computes the same values but
+    # evaluates interpreted and compiles a very large generated class).
+    # min() over a multiset equals min() over its set, so the zero-shuffle
+    # occurrence rows feed the signatures unchanged (r13, guide §4.1).
+    # r14 (guide §2.3, shuffle fewer bytes): the verification shingle sets
+    # NO LONGER ride this exchange — r13 carried a collect_list of every
+    # document's shingles through the signature aggregation so ReuseExchange
+    # could share it with the verify sides, but only banding SURVIVORS ever
+    # need their sets, and the full-corpus array payload cost more than the
+    # shared exchange saved (dedup_minhash min +5% in the r13 artifact).
+    # The sets are now aggregated AFTER banding, over candidate ids only.
+    sig = shingled.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(
                 f"mh_{i}"
@@ -289,7 +286,7 @@ def minhash_pairs(
     # NARROW band frame: (id, band_idx, band_key) only. The wide shingle
     # arrays never enter the candidate join/shuffle — they join back in by
     # id for the verification step.
-    narrow_bands = sets_sig.select(
+    narrow_bands = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_keys(sig_names, bands))).alias(
             "__band_idx", "__band_key"
@@ -308,13 +305,39 @@ def minhash_pairs(
         )
         # a pair may collide in several bands — dedupe before verification
         .distinct()
+        # materialise: THREE consumers branch from candidates (the
+        # survivor-id semi-join below + both verify joins); without this
+        # the block join + distinct would re-execute per consumer.
+        # bounded_self_join already checkpointed its tagged frame, so this
+        # re-runs only the (tiny) block join + distinct — same
+        # recompute-on-executor-loss tradeoff documented there.
+        .localCheckpoint(eager=True)
+    )
+    # Aggregate verification sets for banding survivors ONLY (guide §8:
+    # decide with small rows, attach the heavy payload to survivors once).
+    # The candidate-id set post-LSH is a small fraction of the corpus —
+    # broadcast-semi-join it onto the occurrence rows so the collect_list
+    # exchange carries survivor shingles only. The inner verify joins
+    # restrict to exactly these ids already, so the result is unchanged.
+    # At cluster scale, if the survivor-id set ever outgrows a broadcast,
+    # swap the hint for a runtime Bloom filter (guide §3.2) — the
+    # aggregation stays downstream of the filter either way.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    surv_sets = (
+        shingled.join(F.broadcast(cand_ids), on=id_col, how="leftsemi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("__shingles"))
     )
     return _verify_jaccard(
         candidates,
         shingled,
         id_col,
         threshold,
-        sets=sets_sig.select(id_col, "__shingles"),
+        sets=surv_sets,
     )
 
 
@@ -398,16 +421,20 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     shingled = shingle_rows(df, id_col, text_col, shingle_size=shingle_size)
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     dfreq = shingled.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("__df")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__df").asc(), F.col("shingle").asc()
-    )
+    # r14 (guide §2.4, window-count fusion): per-doc set size as a
+    # count over the SAME id-partitioned window the rank runs in — the
+    # dfreq inner join keeps every shingled row (dfreq covers every
+    # distinct shingle of the same frame), so the windowed count equals
+    # the former separate groupBy(id) aggregation + join-back, minus
+    # that aggregation's exchange and the join.
+    w_id = Window.partitionBy(id_col)
+    w = w_id.orderBy(F.col("__df").asc(), F.col("shingle").asc())
     prefix = (
         shingled.join(dfreq, on="shingle")
-        .join(sizes, on=id_col)
+        .withColumn("__sz", F.count(F.lit(1)).over(w_id))
         .withColumn("__rk", F.row_number().over(w))
         .where(
             F.col("__rk")
@@ -1040,12 +1067,15 @@ def incremental_ngram_dedup(
 
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__df").asc(), F.col("shingle").asc()
-    )
+    # r14 window-count fusion (guide §2.4): the prefix's per-doc size
+    # rides the rank window's own id partitioning instead of joining the
+    # sizes aggregate back in (sizes stays — the AllPairs length filter
+    # below still needs it as a standalone frame).
+    w_id = Window.partitionBy(id_col)
+    w = w_id.orderBy(F.col("__df").asc(), F.col("shingle").asc())
     prefix = (
         shingled.join(dfreq, on="shingle")
-        .join(sizes, on=id_col)
+        .withColumn("__sz", F.count(F.lit(1)).over(w_id))
         .withColumn("__rk", F.row_number().over(w))
         .where(
             F.col("__rk")
@@ -1287,12 +1317,14 @@ def containment_pairs(
     shingled = shingled.localCheckpoint(eager=True)
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__df").asc(), F.col("shingle").asc()
-    )
+    # r14 window-count fusion (guide §2.4): see ngram_jaccard_pairs —
+    # the prefix's per-doc size rides the rank window's id partitioning;
+    # sizes stays for the containment denominator below.
+    w_id = Window.partitionBy(id_col)
+    w = w_id.orderBy(F.col("__df").asc(), F.col("shingle").asc())
     prefix = (
         shingled.join(dfreq, on="shingle")
-        .join(sizes, on=id_col)
+        .withColumn("__sz", F.count(F.lit(1)).over(w_id))
         .withColumn("__rk", F.row_number().over(w))
         .where(
             F.col("__rk")

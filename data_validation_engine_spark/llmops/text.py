@@ -289,6 +289,29 @@ def pii_scrub(
     )
 
 
+def term_frequencies(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document term frequencies: ``(id, term, tf)``.
+
+    The shared base of the corpus-term family (r14 optimization, guide
+    §1.2 "don't compute things you throw away"): :func:`tfidf_top_terms`,
+    :func:`build_vocab` and :func:`build_postings` each start from
+    exactly this tokenize → explode → (id, term) count — computing it
+    once and passing it via their ``tf=`` parameter removes two of the
+    three corpus tokenization passes and their first-level shuffles.
+    One (id, term)-keyed aggregation with map-side partial counts.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,
@@ -296,6 +319,7 @@ def tfidf_top_terms(
     *,
     top_n: int = 1,
     round_to: int = 6,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top TF-IDF terms per document.
 
@@ -315,11 +339,11 @@ def tfidf_top_terms(
     bytes / avoid corpus sorts); the ordering struct is unique per doc
     (terms are distinct after the tf aggregation), so the argmin is
     deterministic and the rows are exactly the window path's.
+    ``tf`` accepts a precomputed :func:`term_frequencies` frame so one
+    tokenization pass can feed the whole corpus-term family (r14).
     """
-    terms = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = df.agg(F.count(F.lit(1)).alias("__n"))
 
@@ -378,25 +402,29 @@ def build_vocab(
     *,
     min_count: int = 1,
     min_doc_freq: int = 1,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus vocabulary: ``(term, count, doc_freq)`` with frequency floors.
 
     The tokenizer-training prep table (BPE/unigram vocab seeding): total
     occurrences and document frequency per whitespace token, filtered to
     ``count >= min_count AND doc_freq >= min_doc_freq``. One term-keyed
-    aggregation (count combines map-side; the distinct-doc count is
-    Spark's standard two-phase distinct aggregate) — the irreducible
-    shuffle of any corpus-frequency table. No reference counterpart.
+    aggregation — the irreducible shuffle of any corpus-frequency table.
+    No reference counterpart.
+
+    ``tf`` accepts a precomputed :func:`term_frequencies` frame (r14,
+    guide §1.2): the tf rows are one per (doc, term), so
+    ``count(1)`` over them IS the distinct-doc count and ``sum(tf)``
+    the total occurrence count — identical values to the direct
+    tokenize + two-phase distinct aggregate, one pass cheaper.
     """
-    terms = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(tokens_col(F.col(text_col))).alias("term"),
-    )
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     return (
-        terms.groupBy("term")
+        tf.groupBy("term")
         .agg(
-            F.count(F.lit(1)).alias("count"),
-            F.countDistinct("__id").alias("doc_freq"),
+            F.sum("tf").alias("count"),
+            F.count(F.lit(1)).alias("doc_freq"),
         )
         .where(
             (F.col("count") >= min_count)
@@ -611,6 +639,7 @@ def build_postings(
     *,
     min_doc_freq: int = 1,
     max_postings: int | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted index: one row per term with its posting list —
     ``(term, doc_freq, tf_total, postings_csv, postings_md5)`` where
@@ -627,15 +656,26 @@ def build_postings(
     stop-word/hot-key guard: the terms it drops are exactly the ones
     whose single-row lists would not fit a task at 100 TB, and they
     carry no retrieval signal. No reference counterpart.
+
+    ``tf`` accepts a precomputed :func:`term_frequencies` frame (r14,
+    guide §1.2) — its ``(id, term, tf)`` rows are exactly this
+    function's pre-aggregation, so the posting fold is unchanged.
     """
-    tf = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(tokens_col(F.col(text_col))).alias("term"),
+    if tf is None:
+        tf = (
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.explode(tokens_col(F.col(text_col))).alias("term"),
+            )
+            .groupBy("term", "__id")
+            .agg(F.count(F.lit(1)).alias("__tf"))
         )
-        .groupBy("term", "__id")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
+    else:
+        tf = tf.select(
+            F.col(id_col).alias("__id"),
+            F.col("term"),
+            F.col("tf").alias("__tf"),
+        )
     out = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("__tf").alias("tf_total"),

@@ -25,7 +25,8 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    round_dir = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / round_dir
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from pyspark.sql import SparkSession
