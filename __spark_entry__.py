@@ -1515,7 +1515,15 @@ def q_contract_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_informational",
         "CAST(reporting_field AS BIGINT) AS record_key",
     )
-    stringified = _stringified_orders(spark, sf_dir)
+    # OPTIMIZATION r14 (guide §1.2/§5): the base and ovr arms validate
+    # the SAME stringified frame — materialise it once (localCheckpoint)
+    # so the parquet scan + dirt projection run once instead of twice.
+    # Both contracts still compile and evaluate independently (the
+    # default + overridden compilation is what this row attests); only
+    # the shared INPUT is computed once. Measured 3.1s -> 2.2s at sf0.1.
+    stringified = _stringified_orders(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     base = parse_contract(_CONTRACT_DISCHEMA)
     _, base_messages = apply_contract(base.entity("orders_sub"), stringified)
     ovr = parse_contract(

@@ -53,7 +53,10 @@ from data_validation_engine_spark.messages import (
     RECORD_INDEX,
 )
 from data_validation_engine_spark.sinks.audit import AuditLog, new_submission_id
-from data_validation_engine_spark.sinks.errors import write_messages_jsonl
+from data_validation_engine_spark.sinks.errors import (
+    write_literal_messages_jsonl,
+    write_messages_jsonl,
+)
 from data_validation_engine_spark.sinks.report import (
     error_aggregates,
     write_error_report,
@@ -67,15 +70,17 @@ from data_validation_engine_spark.steps.sync_filters import apply_sync_filters
 from pyspark.sql import types as T
 
 
-def _critical(
-    spark: SparkSession,
+def _critical_row(
     entity: str,
     code: str,
     message: str,
     *,
     informational: bool = False,
-) -> DataFrame:
-    row = {
+) -> dict:
+    """The literal dict of a submission-level message — the driver-side
+    unit the presence/XSD early-return paths write without a Spark job
+    (r14 optimization, sinks/errors.py write_literal_messages_jsonl)."""
+    return {
         "entity": entity,
         "original_entity": entity,
         RECORD_INDEX: None,
@@ -89,6 +94,17 @@ def _critical(
         "value": None,
         "record_json": None,
     }
+
+
+def _critical(
+    spark: SparkSession,
+    entity: str,
+    code: str,
+    message: str,
+    *,
+    informational: bool = False,
+) -> DataFrame:
+    row = _critical_row(entity, code, message, informational=informational)
     return spark.createDataFrame([row], MESSAGE_SCHEMA)
 
 
@@ -228,29 +244,35 @@ def run_pipeline(
     datasets = {e.name: e for e in contract.datasets} if contract else {}
 
     # -- entity presence checks (dve backends/base/contract.py:227-315) ----
+    # r14 optimization (guide §5): presence/XSD failures are a handful of
+    # DRIVER-LITERAL rows; ``boot_rows`` tracks them so the early-return
+    # paths write the feed driver-side (write_literal_messages_jsonl —
+    # layout-identical to the distributed writer) instead of paying a
+    # ~0.75s Spark write job for 2-3 rows. The collector still carries
+    # the frames every continuing path unions downstream.
+    boot_rows: list[dict] = []
     missing = set(datasets) - set(input_files)
     extra = set(input_files) - set(datasets)
     for name in sorted(missing):
-        collector.add(
-            _critical(
-                spark,
+        boot_rows.append(
+            _critical_row(
                 name,
                 "MISSING_ENTITY",
                 f"no file submitted for declared entity {name!r}",
             )
         )
     for name in sorted(extra):
-        collector.add(
-            _critical(
-                spark,
-                name,
-                "UNEXPECTED_ENTITY",
-                f"file submitted for undeclared entity {name!r}",
-            )
+        row = _critical_row(
+            name,
+            "UNEXPECTED_ENTITY",
+            f"file submitted for undeclared entity {name!r}",
         )
+        boot_rows.append(row)
+        collector.add(spark.createDataFrame([row], MESSAGE_SCHEMA))
     if missing:
-        msgs = collector.union_or_empty(spark)
-        write_messages_jsonl(msgs, str(errors_dir / "file_transformation"))
+        msgs = write_literal_messages_jsonl(
+            spark, boot_rows, str(errors_dir / "file_transformation")
+        )
         audit_status("failed", "critical")
         return PipelineResult(
             submission_id=submission_id,
@@ -281,17 +303,17 @@ def run_pipeline(
             try:
                 validate_xsd(path, xsd)
             except XSDValidationError as exc:
-                collector.add(
-                    _critical(
-                        spark,
+                boot_rows.append(
+                    _critical_row(
                         name,
                         kwargs.get("xsd_error_code", "XSD_VALIDATION_FAILED"),
                         kwargs.get("xsd_error_message", str(exc)),
                     )
                 )
-                msgs = collector.union_or_empty(spark)
-                write_messages_jsonl(
-                    msgs, str(errors_dir / "file_transformation")
+                # every message so far is a driver literal (presence +
+                # XSD rows) — same fast path as the presence return
+                msgs = write_literal_messages_jsonl(
+                    spark, boot_rows, str(errors_dir / "file_transformation")
                 )
                 audit_status("failed", "critical")
                 return PipelineResult(
@@ -303,14 +325,12 @@ def run_pipeline(
             except ImportError as exc:
                 # no XSD backend in this runtime: surface it in the error
                 # feed (informational) rather than skipping silently
+                row = _critical_row(
+                    name, "XSD_NOT_VALIDATED", str(exc), informational=True
+                )
+                boot_rows.append(row)
                 collector.add(
-                    _critical(
-                        spark,
-                        name,
-                        "XSD_NOT_VALIDATED",
-                        str(exc),
-                        informational=True,
-                    )
+                    spark.createDataFrame([row], MESSAGE_SCHEMA)
                 )
 
         field_names = [f.name for f in entity_contract.fields]
