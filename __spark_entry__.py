@@ -1720,9 +1720,11 @@ def q_step_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark)
     # OPTIMIZATION r13 (guide §2.4): the step's exact-components rounds
     # iterate over the PAIR GRAPH during evaluate — pin their per-round
-    # shuffles to 8 partitions (the connected_components convention;
-    # 3.5s -> 3.3s med, survivors identical)
-    with _state_partitions(spark, 8):
+    # shuffles (the connected_components convention; 3.5s -> 3.3s med
+    # at 8, survivors identical). r14: 8 -> 4 with the CC row (label-prop
+    # rounds measured 0.94 -> 0.66s over the same-sized graph); the knob
+    # scales UP with the edge count at 100 TB.
+    with _state_partitions(spark, 4):
         eng.evaluate(
             entities,
             config=parse_step(
@@ -2423,8 +2425,15 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each round's scheduling tail idles the box. Overlapping the two
     # iteration chains in threads back-fills one algorithm's tail with
     # the other's rounds; values are untouched (each is a deterministic
-    # function of `pairs`, and the 8-partition pin covers both).
-    with _state_partitions(spark, 8):
+    # function of `pairs`, and the partition pin covers both).
+    # r14: rounds pinned 8 -> 4 — re-measured per algorithm over the
+    # checkpointed graph (label-prop 0.94 -> 0.66s, star 1.33 -> 1.21s
+    # min of 3); the pair graph is a few thousand edges, so 4 round
+    # partitions still splits it well past skew while halving the
+    # per-round task count. Same declared knob; at 100 TB it goes UP
+    # with the edge count. Results are partition-count-independent
+    # (min-label and star folds are key-deterministic).
+    with _state_partitions(spark, 4):
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
@@ -7222,9 +7231,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parameters instead of re-running the pipeline three times.
     # OPTIMIZATION r13 (guide §2.4): the CC label-prop rounds inside
     # semantic_dup_groups iterate over the PAIR GRAPH (thousands of
-    # edges) — pin their per-round shuffles to 8 partitions like the
-    # connected_components row does (3.9s -> 3.7s med; rows identical).
-    with _state_partitions(spark, 8):
+    # edges) — pin their per-round shuffles like the connected_components
+    # row does (3.9s -> 3.7s med at 8; rows identical). r14: 8 -> 4 with
+    # the CC row's re-measurement; scales UP with the edge count.
+    with _state_partitions(spark, 4):
         pairs_df = semantic_pairs(corpus, **kw).localCheckpoint()
         groups_df = semantic_dup_groups(corpus, **kw, pairs=pairs_df)
     pairs = pairs_df.selectExpr(
