@@ -8,10 +8,14 @@ unioning K deterministic key-shifted copies of each table:
 
 - ids shift by copy_index * 10**9 per copy (disjoint key spaces, FK
   shifts applied consistently within a table family);
-- document text is salted with a copy token inserted every 4 words, so
-  cross-copy shingle similarity drops below dedup thresholds and the
-  near-dup cluster structure does not grow quadratically with K (each
-  copy keeps its own in-copy duplicate structure — the realistic shape);
+- document text is salted with a copy token inserted every 2 words, so
+  no 3-word shingle survives across copies and the near-dup cluster
+  structure does not grow quadratically with K (each copy keeps its own
+  in-copy duplicate structure — the realistic shape; the first cut
+  salted every 4 words, which left 2 intact shingles per run and made
+  dedup_exact's candidate stage grow 13x at K=4 — a useful stress
+  data point, recorded in OPTIMIZATION_r14.md, but the spot bench
+  measures scaling of the intended workload shape);
 - event timestamps shift by copy_index hours, extending the timeline.
 
 The output is an INPUT for side measurements only (plans/r14 scale
@@ -49,28 +53,41 @@ def main() -> None:
 
     shift = 10**9
 
+    import shutil
+    import tempfile
+
+    def _single_file(df, name: str) -> None:
+        # testdata ships each table as ONE parquet FILE (the streaming
+        # readers pathGlobFilter on the exact file name) — mirror that
+        tmp = Path(tempfile.mkdtemp(prefix="dve_scale_tmp_"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "t"))
+        part = next((tmp / "t").glob("part-*.parquet"))
+        dest = out_dir / f"{name}.parquet"
+        if dest.exists():
+            dest.unlink() if dest.is_file() else shutil.rmtree(dest)
+        shutil.move(str(part), str(dest))
+        shutil.rmtree(tmp)
+
     def copies(name: str, exprs) -> None:
         df = spark.read.parquet(f"{src}/{name}.parquet")
         parts = [df.selectExpr(*exprs(i)) for i in range(k)]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.repartition(max(4, k * 2)).write.mode("overwrite").parquet(
-            str(out_dir / f"{name}.parquet")
-        )
+        _single_file(out, name)
         print(f"{name}: x{k}")
 
     copies("documents", lambda i: [
         f"doc_id + {i * shift} AS doc_id",
-        # salt every 4th word boundary with a copy token: most 3-word
-        # shingles differ across copies, so cross-copy Jaccard sits far
-        # below the 0.5 dedup thresholds while in-copy structure is kept
+        # salt every 2nd word boundary with a copy token: no 3-word
+        # shingle survives across copies, so cross-copy Jaccard is ~0
+        # while in-copy duplicate structure is kept
         ("text" if i == 0 else
-         f"regexp_replace(text, '(\\\\S+ \\\\S+ \\\\S+ \\\\S+) ',"
+         f"regexp_replace(text, '(\\\\S+ \\\\S+) ',"
          f" '$1 cp{i} ') AS text"),
         "lang", "source",
         ("n_chars" if i == 0 else
-         f"length(regexp_replace(text, '(\\\\S+ \\\\S+ \\\\S+ \\\\S+) ',"
+         f"length(regexp_replace(text, '(\\\\S+ \\\\S+) ',"
          f" '$1 cp{i} ')) AS n_chars"),
     ])
     copies("events", lambda i: [
@@ -99,9 +116,12 @@ def main() -> None:
         "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
     ])
     for name in ["nation", "region", "part", "supplier"]:
-        spark.read.parquet(f"{src}/{name}.parquet").write.mode(
-            "overwrite"
-        ).parquet(str(out_dir / f"{name}.parquet"))
+        import shutil as _sh
+
+        dest = out_dir / f"{name}.parquet"
+        if dest.exists():
+            dest.unlink() if dest.is_file() else _sh.rmtree(dest)
+        _sh.copyfile(f"{src}/{name}.parquet", dest)
         print(f"{name}: copied")
     spark.stop()
 
