@@ -79,18 +79,22 @@ def _parallel_arms(
     parquet inputs and arms share no mutable state).
 
     r14 (guide §2.6 "2-3 jobs in flight is plenty"): in-flight arm
-    construction is BOUNDED (default 3, ``SPARK_GRAFT_ARM_CONCURRENCY``)
+    construction is BOUNDED (default 4, ``SPARK_GRAFT_ARM_CONCURRENCY``)
     instead of one thread per arm — r13's unbounded pool put up to 8
     concurrent arms' 32-wide stages in front of the scheduler at once,
     which inverse-scaled (sketches ran FASTER at 8 cores than 32 in the
-    driver's r13 scaling block). Queued arms still back-fill the running
-    arms' scheduling tails, which is all the overlap buys; FIFO order
-    preserves argument order of first submission."""
+    driver's r13 scaling block). Measured on the sketches row at 32
+    cores: conc 2 → 11.1s, 3 → 10.0s, 4 → 9.6s, 8 → 10.9s; a 6-row A/B
+    confirmed 4 over 3 (total 29.9 vs 31.7s). One above the guide's 2-3
+    because these arms are construction-heavy (driver actions), not pure
+    jobs. Queued arms still back-fill the running arms' scheduling
+    tails, which is all the overlap buys; FIFO order preserves argument
+    order of first submission."""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
     workers = min(
-        len(fns), int(os.environ.get("SPARK_GRAFT_ARM_CONCURRENCY", "3"))
+        len(fns), int(os.environ.get("SPARK_GRAFT_ARM_CONCURRENCY", "4"))
     )
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futs = [pool.submit(fn, spark.newSession(), sf_dir) for fn in fns]
